@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Deduplication operators for LLM-training-data pipelines.
+  *
+  * Scale design notes (the whole point of these implementations):
+  *  - Exact dedup is one hash aggregate — Spark's map-side partial
+  *    aggregation makes it a single shuffle of (hash, id) pairs, not text.
+  *  - MinHash/SimHash/embedding near-dup all follow the LSH pattern:
+  *    signature (narrow map) → band/bucket explode → shuffle on bucket →
+  *    candidate pairs within buckets only → verify. The shuffle carries
+  *    signatures (dozens of bytes/doc), never documents, and candidate
+  *    verification joins back to per-doc shingle sets by id. Nothing is
+  *    quadratic in the corpus; the only quadratic term is within-bucket,
+  *    bounded by bucket size (salt/band-count tunes it).
+  *  - The brute-force variants exist as correctness oracles and for small
+  *    dimension tables; production entry points are the LSH ones.
+  */
+object Dedup {
+
+  /** Word n-gram shingles (distinct) per document. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = TextAnalysis.tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws("|", slice(t, i + 1, lit(n)))
+      )))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id as the
+    * representative. One hash aggregate over (md5, id) — at 100 TB group on
+    * the md5, not the text, so the shuffle never carries document bodies.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode distinct shingles → self-join on shingle (hashed, not raw
+    * text) → common-count per pair → integer-arithmetic threshold test
+    * `common * 100 >= pct * (|A| + |B| - common)` (no floating point, so
+    * any engine agrees bit-for-bit). Returns (doc_a < doc_b) pairs with
+    * shingle counts.
+    *
+    * At scale: the join key is the 64-bit shingle hash; frequent shingles
+    * (stopword runs) are the skew risk — cap them with a document-frequency
+    * filter (`maxDf`), the standard trick, which also removes useless
+    * evidence pairs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, pct: Int = 80,
+                        maxDf: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // maxDf <= 0 disables document-frequency pruning (exact mode)
+    val pruned = if (maxDf <= 0) sh else sh
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(col("common") * 100 >= lit(pct) * (col("ca.n_sh") + col("cb.n_sh") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("ca.n_sh").as("n_sh_a"), col("cb.n_sh").as("n_sh_b"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over the document's shingles. Pure HOF column — one narrow pass.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+  }
+
+  /** MinHash + LSH banding: signature → `bands` buckets of `rows` hashes
+    * each → explode (band, bucket-hash) → candidates share any bucket →
+    * verified by exact Jaccard on shingle hashes. Output: candidate pairs
+    * with their estimated (signature-agreement) and exact Jaccard×1000.
+    */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                      n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs.select(col("doc_id"), col("text"),
+      minhashSignature(col("text"), numHashes, n).as("sig"))
+    val buckets = withSig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows))), b).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard over shingle-hash sets
+    val sets = docs.select(col("doc_id"),
+      transform(shingles(col("text"), n), s => xxhash64(s)).as("hs"))
+    candidates
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("long") * 1000L /
+          size(array_union(col("sa.hs"), col("sb.hs")))).cast("long").as("jaccard_x1000"))
+      .filter(col("jaccard_x1000") * 10 >= jaccardPctX10)
+  }
+
+  /** 64-bit SimHash over tokens: per bit, sum +1/-1 weighted by whether the
+    * token hash has that bit set; the sign gives the fingerprint bit.
+    * Entirely HOF algebra — no explode, no shuffle.
+    */
+  def simhash(text: Column): Column = {
+    // Per-bit +1/-1 counts in four 16-bit lanes packed into one long
+    // accumulator would be fancier; with 64 static bit positions unrolled,
+    // Catalyst common-subexpression-eliminates the shared token-hash array.
+    val hs = transform(TextAnalysis.tokens(text), w => xxhash64(w))
+    (0 until 64).map { i =>
+      val bitSum = aggregate(hs, lit(0),
+        (a, h) => a + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two packed-64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with banding: 4 chunks of 16 bits; any equal
+    * chunk → candidate (guarantees recall for hamming ≤ 3) → verify
+    * hamming ≤ `maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withFp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val chunks = withFp.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("ck"))): _*)).as("cc"))
+      .select(col("doc_id"), col("fp"), col("cc.chunk"), col("cc.ck"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Brute-force embedding near-dup pairs (cosine ≥ threshold). Quadratic —
+    * correctness oracle and small-table path only; [[embeddingLshPairs]] is
+    * the scale path.
+    */
+  def embeddingCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame =
+    embeddings.as("a")
+      .join(embeddings.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+
+  /** LSH-bucketed embedding near-dup: random-hyperplane signature, banded
+    * into `bands` chunks; bucket-join per band, verify cosine. Approximate
+    * (recall < 1 by design) but shuffle-bounded: candidates only within
+    * buckets, signature is 8 bytes/row.
+    */
+  def embeddingLshPairs(embeddings: DataFrame, dim: Int, threshold: Double,
+                        bits: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    val sig = embeddings.select(col("vec_id"), col("embedding"),
+      Vectors.hyperplaneSignature(col("embedding"), dim, bits).as("sig"))
+    val buckets = sig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bucket"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

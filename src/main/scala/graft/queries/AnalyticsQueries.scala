@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.sources.Sources
+
+/** Relational/analytics queries over the star schema — the query-engine
+  * breadth the reference lacks entirely (SURVEY §2.6) plus the custom as-of
+  * join. All shapes are chosen to be the plan you'd want at 100 TB:
+  * dimension joins broadcast, aggregations partial-then-final, windows
+  * partitioned by a real key, no driver-side collection.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
+
+  val defs: Map[String, (Q, Option[String])] = Map(
+
+    // The contract's canonical smoke aggregation.
+    "q1_agg" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(sum("l_quantity").as("sum_qty")),
+      Some("SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1")
+    )),
+
+    // TPC-H Q1-shaped pricing summary: partial aggregation + rounded sums.
+    "q1_pricing_summary" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2001-09-01"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    )),
+
+    // TPC-H Q3-shaped: dimension filter broadcast into a fact join, top-10.
+    "q3_top_orders" -> ((
+      (s: SparkSession, dir: String) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val orders = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem")
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .orderBy(col("rev").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select(col("o_orderkey"), col("o_orderdate"), round(col("rev"), 2).as("revenue"))
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10""".stripMargin)
+    )),
+
+    // TPC-H Q5-shaped: five-way join, all dimensions broadcast.
+    "q5_region_revenue" -> ((
+      (s: SparkSession, dir: String) => {
+        val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val nation = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+        val supp = t(s, dir, "supplier")
+        val orders = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+        val li = t(s, dir, "lineitem")
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin)
+    )),
+
+    // Left-semi join: orders having any heavy lineitem.
+    "q_semi_join" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+            .select("l_orderkey").distinct(),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus""".stripMargin)
+    )),
+
+    // Left-anti join: customers with no orders since 2000.
+    "q_anti_join" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01"))
+            .select("o_custkey").distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin)
+    )),
+
+    // Window function: top-3 orders per customer by total price.
+    "q_window_top3" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |FROM orders QUALIFY rnk <= 3""".stripMargin)
+    )),
+
+    // Grouping sets / rollup.
+    "q_rollup_agg" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+    )),
+
+    // Set operations: nation-key overlap between customers and suppliers.
+    "q_setops" -> ((
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+        val su = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey"))
+        c.intersect(su).withColumn("tag", lit("both"))
+          .unionByName(c.except(su).withColumn("tag", lit("cust_only")))
+          .unionByName(su.except(c).withColumn("tag", lit("supp_only")))
+      },
+      Some("""WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+        |UNION ALL SELECT nationkey, 'cust_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+        |UNION ALL SELECT nationkey, 'supp_only' FROM (SELECT * FROM s EXCEPT SELECT * FROM c)""".stripMargin)
+    )),
+
+    // Distinct aggregation.
+    "q_distinct_agg" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("parts"),
+            countDistinct("l_suppkey").as("supps"),
+            count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    )),
+
+    // Global sort + limit (top-k by price).
+    "q_topk_price" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+          .limit(5)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_extendedprice")),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5""".stripMargin)
+    )),
+
+    // As-of join on a value dimension: for each event, the customer's
+    // greatest order total not exceeding value*50 (union+window plan — one
+    // shuffle, skew-proof; see AsOfJoin).
+    "q_asof_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), (col("value") * 50).as("budget"))
+        val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        AsOfJoin.asOf(ev, ord, "user_id", "budget", "o_custkey", "o_totalprice", "o_totalprice")
+          .select(col("event_id"), col("o_totalprice").as("matched_price"))
+      },
+      Some("""SELECT event_id, o_totalprice AS matched_price
+        |FROM events ASOF LEFT JOIN orders
+        |  ON user_id = o_custkey AND o_totalprice <= value * 50""".stripMargin)
+    ))
+  )
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Sources
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup (exact / n-gram Jaccard / MinHash-LSH /
+  * SimHash / embedding-cosine), similarity search (brute-force + LSH),
+  * text analysis, and multimodal plumbing.
+  *
+  * Oracle coverage: everything whose semantics are SQL-expressible gets a
+  * DuckDB oracle; the hash-seeded approximations (MinHash, SimHash,
+  * hyperplane LSH) are checked rows-only by the driver and cross-validated
+  * against their exact counterparts in the ScalaTest suite instead.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Sources.table(s, dir, "embeddings")
+
+  val defs: Map[String, (Q, Option[String])] = Map(
+
+    "dedup_exact" -> ((
+      (s: SparkSession, dir: String) => Dedup.exact(docs(s, dir)),
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_cnt
+        |FROM documents GROUP BY text""".stripMargin)
+    )),
+
+    // Exact word-3-gram Jaccard near-dup pairs at ≥ 0.8 — integer-arithmetic
+    // threshold so both engines agree bit-for-bit.
+    "dedup_ngram_jaccard" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common, ca.n_sh AS n_sh_a, cb.n_sh AS n_sh_b
+        |FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)""".stripMargin)
+    )),
+
+    // MinHash + LSH banding (approximate; verified against exact Jaccard in
+    // tests) — driver rows-only check.
+    "dedup_minhash_lsh" -> ((
+      (s: SparkSession, dir: String) => Dedup.minhashLshPairs(docs(s, dir)),
+      None
+    )),
+
+    // SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — rows-only.
+    "dedup_simhash" -> ((
+      (s: SparkSession, dir: String) => Dedup.simhashPairs(docs(s, dir)),
+      None
+    )),
+
+    // Exact embedding near-dup pairs by cosine ≥ 0.45.
+    "dedup_embedding_cosine" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingCosinePairs(emb(s, dir), threshold = 0.45),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin)
+    )),
+
+    // Hyperplane-LSH bucketed variant (the 100 TB path) — rows-only.
+    "dedup_embedding_lsh" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingLshPairs(emb(s, dir), dim = 64, threshold = 0.45),
+      None
+    )),
+
+    // Exact ANN: top-5 cosine neighbors for query vectors vec_id < 8.
+    "ann_bruteforce_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.v, e.v) AS c
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
+    // LSH-bucketed ANN (approximate recall) — rows-only.
+    "ann_lsh_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 8), dim = 64, k = 5)
+      },
+      None
+    )),
+
+    "text_token_stats" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tokenStats(docs(s, dir)).select(
+          col("doc_id"), col("char_len").cast("long").as("char_len"),
+          col("token_cnt").cast("long").as("token_cnt"),
+          col("uniq_token_cnt").cast("long").as("uniq_token_cnt"),
+          col("max_token_len").cast("long").as("max_token_len")),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS char_len,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS token_cnt,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(list_distinct(string_split(text, ' '))) END AS BIGINT) AS uniq_token_cnt,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE list_max(list_transform(string_split(text, ' '), w -> length(w))) END AS BIGINT) AS max_token_len
+        |FROM documents""".stripMargin)
+    )),
+
+    "text_quality" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.qualitySignals(docs(s, dir)).select(
+          col("doc_id"), col("stopword_cnt").cast("long").as("stopword_cnt"),
+          col("longword_cnt").cast("long").as("longword_cnt"), col("uniq_x1000")),
+      Some("""WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN [] ELSE string_split(text, ' ') END AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, w -> list_contains(['the','a','and','of','to','in','is','it'], w))) AS BIGINT) AS stopword_cnt,
+        |  CAST(len(list_filter(toks, w -> length(w) > 5)) AS BIGINT) AS longword_cnt,
+        |  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_distinct(toks)) * 1000 // len(toks) END AS BIGINT) AS uniq_x1000
+        |FROM t""".stripMargin)
+    )),
+
+    "text_fingerprint" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.fingerprints(docs(s, dir)).select(col("doc_id"), col("md5_fp")),
+      Some("SELECT doc_id, md5(text) AS md5_fp FROM documents")
+    )),
+
+    // Language ID heuristic + rolling fingerprint — rows-only (hash-seeded).
+    "text_langid" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.languageId(docs(s, dir))
+          .join(TextAnalysis.fingerprints(docs(s, dir)).select("doc_id", "rolling_fp"), "doc_id"),
+      None
+    )),
+
+    // Multimodal: binary media column + typed metadata (decode stubbed).
+    "media_meta" -> ((
+      (s: SparkSession, dir: String) =>
+        Multimodal.withMediaColumns(docs(s, dir)).select(
+          col("doc_id"), col("meta.mime").as("mime"),
+          length(col("media")).cast("long").as("byte_len"),
+          md5(col("media")).as("media_md5")),
+      Some("""SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS media_md5
+        |FROM documents""".stripMargin)
+    )),
+
+    // Batched feature extraction over media bytes — rows-only.
+    "media_features" -> ((
+      (s: SparkSession, dir: String) => {
+        val media = Multimodal.asMediaDataset(Multimodal.withMediaColumns(docs(s, dir)))
+        Multimodal.extractFeatures(media).toDF()
+      },
+      None
+    ))
+  )
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Encode
+import graft.sources.Sources
+
+/** Oracle-checked queries covering the reference's pipeline operators
+  * (SURVEY §2.1–§2.4). Each entry pairs an idiomatic-Spark implementation
+  * with ANSI SQL the driver runs in DuckDB over the same parquet tables.
+  *
+  * Conventions shared with the oracles: all integer outputs are 64-bit
+  * (BIGINT) so Spark and DuckDB schemas agree; record synthesis from the
+  * `events` table is deterministic (topic "events", partition = user_id
+  * mod 8, offset = event_id, key = user_id text, value = props JSON).
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def records(s: SparkSession, dir: String): DataFrame =
+    Sources.eventsAsRecords(s, dir)
+      .withColumn("ts_ms", expr("unix_micros(timestamp) div 1000"))
+
+  /** Shared oracle-side record synthesis (DuckDB CTE). */
+  private val recordsCte =
+    """WITH records AS (
+      |  SELECT 'events' AS topic,
+      |         CAST(user_id % 8 AS BIGINT) AS partition,
+      |         CAST(event_id AS BIGINT) AS "offset",
+      |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+      |         CAST(user_id AS VARCHAR) AS record_key,
+      |         props AS record_value
+      |  FROM events
+      |)""".stripMargin
+
+  val defs: Map[String, (Q, Option[String])] = Map(
+
+    // S1: the Kafka topic scan, batch analog over the events fixture.
+    "s1_kafka_scan" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir).select(
+          col("topic"), col("partition").cast("long").as("partition"),
+          col("offset"), col("ts_ms"),
+          col("key").cast("string").as("record_key"),
+          col("value").cast("string").as("record_value")),
+      Some(s"""$recordsCte SELECT topic, partition, "offset", ts_ms, record_key, record_value FROM records""")
+    )),
+
+    // F2: JSON-lines encoder — JSON sniff with base64 fallback + format tags.
+    "f2_json_encode" -> ((
+      (s: SparkSession, dir: String) => {
+        val r = records(s, dir)
+        r.select(
+          col("topic"), col("partition").cast("long").as("partition"),
+          col("offset"), col("ts_ms"),
+          Encode.jsonOrBase64(col("key")).as("key_out"),
+          Encode.formatTag(col("key")).as("key_format"),
+          Encode.jsonOrBase64(col("value")).as("value_out"),
+          Encode.formatTag(col("value")).as("value_format"))
+      },
+      Some(s"""$recordsCte
+        |SELECT topic, partition, "offset", ts_ms,
+        |  CASE WHEN length(record_key)=0 THEN NULL
+        |       WHEN json_valid(record_key) THEN record_key
+        |       ELSE to_base64(encode(record_key)) END AS key_out,
+        |  CASE WHEN length(record_key)=0 THEN NULL
+        |       WHEN json_valid(record_key) THEN 'json' ELSE 'base64' END AS key_format,
+        |  CASE WHEN length(record_value)=0 THEN NULL
+        |       WHEN json_valid(record_value) THEN record_value
+        |       ELSE to_base64(encode(record_value)) END AS value_out,
+        |  CASE WHEN length(record_value)=0 THEN NULL
+        |       WHEN json_valid(record_value) THEN 'json' ELSE 'base64' END AS value_format
+        |FROM records""".stripMargin)
+    )),
+
+    // F2 negative branch: non-JSON payloads (document text) → base64 + tag.
+    "f2_base64_fallback" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("value"))
+        docs.select(
+          col("doc_id"),
+          Encode.jsonOrBase64(col("value")).as("value_out"),
+          Encode.formatTag(col("value")).as("value_format"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE WHEN length(text)=0 THEN NULL
+        |       WHEN json_valid(text) THEN text
+        |       ELSE to_base64(encode(text)) END AS value_out,
+        |  CASE WHEN length(text)=0 THEN NULL
+        |       WHEN json_valid(text) THEN 'json' ELSE 'base64' END AS value_format
+        |FROM documents""".stripMargin)
+    )),
+
+    // P2: default partitioner object keys — one per (topic, partition) flush
+    // group, keyed by the group's first (min-offset) record.
+    "p2_default_keys" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir)
+          .groupBy(col("topic"), col("partition").cast("long").as("partition"))
+          .agg(min_by(col("ts_ms"), col("offset")).as("first_ts"))
+          .select(col("topic"), col("partition"),
+            concat(lit("prefix/"), col("topic"), lit("/"),
+              col("partition").cast("string"), lit("_"),
+              col("first_ts").cast("string"), lit(".json")).as("object_key")),
+      Some(s"""$recordsCte
+        |SELECT topic, partition,
+        |  'prefix/' || topic || '/' || CAST(partition AS VARCHAR) || '_' ||
+        |  CAST(arg_min(ts_ms, "offset") AS VARCHAR) || '.json' AS object_key
+        |FROM records GROUP BY topic, partition""".stripMargin)
+    )),
+
+    // P3: field partitioner — route on a field extracted from the value JSON.
+    "p3_field_partition" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir)
+          .select(get_json_object(col("value").cast("string"), "$.k").as("k"), col("offset"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("cnt"), min("offset").as("min_offset")),
+      Some(s"""$recordsCte
+        |SELECT json_extract_string(record_value, '$$.k') AS k,
+        |       CAST(count(*) AS BIGINT) AS cnt, min("offset") AS min_offset
+        |FROM records GROUP BY 1""".stripMargin)
+    )),
+
+    // P4: Hive-style time partitioning (UTC) + per-partition stats.
+    "p4_time_partition" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir)
+          .groupBy(
+            year(col("timestamp")).cast("long").as("year"),
+            month(col("timestamp")).cast("long").as("month"),
+            dayofmonth(col("timestamp")).cast("long").as("day"),
+            hour(col("timestamp")).cast("long").as("hour"))
+          .agg(count(lit(1)).as("cnt"), min("offset").as("min_offset"),
+            max("offset").as("max_offset")),
+      Some("""SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+        |  CAST(day(ts) AS BIGINT) AS day, CAST(hour(ts) AS BIGINT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  min(event_id) AS min_offset, max(event_id) AS max_offset
+        |FROM events GROUP BY 1, 2, 3, 4""".stripMargin)
+    )),
+
+    // P5: the group-by-(topic,partition) output routing.
+    "p5_group_route" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir)
+          .groupBy(col("topic"), col("partition").cast("long").as("partition"))
+          .agg(count(lit(1)).as("cnt"), min("offset").as("min_offset"),
+            max("offset").as("max_offset")),
+      Some(s"""$recordsCte
+        |SELECT topic, partition, CAST(count(*) AS BIGINT) AS cnt,
+        |       min("offset") AS min_offset, max("offset") AS max_offset
+        |FROM records GROUP BY topic, partition""".stripMargin)
+    )),
+
+    // K1: flush.size micro-batching — batch id = ordinal div flush.size
+    // within each (topic, partition), shipped flush.size = 100.
+    "k1_flush_batches" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("topic", "partition").orderBy("offset")
+        records(s, dir)
+          .withColumn("batch_id", ((row_number().over(w) - 1) / 100).cast("long"))
+          .groupBy(col("topic"), col("partition").cast("long").as("partition"), col("batch_id"))
+          .agg(count(lit(1)).as("cnt"), min("offset").as("min_offset"),
+            max("offset").as("max_offset"))
+      },
+      Some(s"""$recordsCte, numbered AS (
+        |  SELECT *, CAST((row_number() OVER (PARTITION BY topic, partition ORDER BY "offset") - 1) // 100 AS BIGINT) AS batch_id
+        |  FROM records)
+        |SELECT topic, partition, batch_id, CAST(count(*) AS BIGINT) AS cnt,
+        |       min("offset") AS min_offset, max("offset") AS max_offset
+        |FROM numbered GROUP BY topic, partition, batch_id""".stripMargin)
+    )),
+
+    // F4: raw-bytes encoder — per-group concatenation in offset order,
+    // fingerprinted so the comparison doesn't ship the blobs.
+    "f4_bytes_concat" -> ((
+      (s: SparkSession, dir: String) =>
+        Encode.bytesConcat(records(s, dir))
+          .select(col("topic"), col("partition").cast("long").as("partition"),
+            col("payload_md5"), col("record_count").cast("long").as("record_count")),
+      Some(s"""$recordsCte
+        |SELECT topic, partition,
+        |       md5(string_agg(record_value, '' ORDER BY "offset")) AS payload_md5,
+        |       CAST(count(*) AS BIGINT) AS record_count
+        |FROM records GROUP BY topic, partition""".stripMargin)
+    ))
+  )
+}

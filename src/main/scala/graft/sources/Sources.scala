@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.SourceConfig
+
+/** Sources — S1/S2 of the operator inventory.
+  *
+  * The real Kafka scan (`src/connector/source/kafka.rs:135-179`) maps 1:1 onto
+  * Spark's Kafka streaming source; [[kafkaStream]] wires the reference's
+  * option surface (`kafka.rs:399-492`) onto it. The offline test environment
+  * has no broker (and no spark-sql-kafka jar), so correctness work rides on
+  * [[eventsAsRecords]], which synthesizes the same record shape from the
+  * driver-provided `events` parquet table — value bytes are the event's JSON
+  * `props`, key is the user id, topic is "events", mirroring how a producer
+  * would have keyed this stream.
+  */
+object Sources {
+
+  /** S1: the streaming Kafka scan (requires the spark-sql-kafka package at
+    * runtime; offline env exercises option-mapping only — see SourcesSpec).
+    * Normalizes Spark's array<struct<key,binary>> headers to
+    * map<string,string>, dropping non-UTF-8 header values exactly like the
+    * reference (`kafka.rs:116-119` — a binary→string cast yields garbage
+    * replacement chars rather than dropping, so we filter on decodability
+    * via a round-trip check).
+    */
+  def kafkaStream(spark: SparkSession, cfg: SourceConfig): DataFrame = {
+    val raw = SourceConfig.toSparkKafkaOptions(cfg)
+      .foldLeft(spark.readStream.format("kafka")) { case (r, (k, v)) => r.option(k, v) }
+      .option("includeHeaders", "true")
+      .load()
+    raw.select(
+      col("topic"), col("partition"), col("offset"), col("timestamp"),
+      col("key"), col("value"),
+      map_from_entries(
+        filter(
+          transform(coalesce(col("headers"), array()),
+            h => struct(
+              h.getField("key").as("key"),
+              h.getField("value").cast("string").as("value"),
+              // UTF-8 round-trip: decode→encode preserves bytes iff valid UTF-8
+              (encode(h.getField("value").cast("string"), "UTF-8") === h.getField("value")).as("ok"))),
+          h => h.getField("ok")).cast("array<struct<key:string,value:string>>")
+      ).as("headers"))
+  }
+
+  /** Batch analog of S1 for the offline fixtures: `events` rows → KafkaRecord
+    * shape. Deterministic: partition = user_id mod `partitions`, offset =
+    * event_id, key = user_id as text, value = props JSON bytes.
+    */
+  def eventsAsRecords(spark: SparkSession, sfDir: String, partitions: Int = 8): DataFrame =
+    events(spark, sfDir).select(
+      lit("events").as("topic"),
+      pmod(col("user_id"), lit(partitions)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"),
+      col("user_id").cast("string").cast("binary").as("key"),
+      col("props").cast("binary").as("value"),
+      map(lit("content-type"), lit("application/json")).as("headers")
+    )
+
+  /** Convenience readers for the driver-provided star schema. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries a nanosecond parquet timestamp, which Spark 4
+    * rejects by default (TimestampType is microseconds). Read nanos as long
+    * and convert — truncation to micros matches what DuckDB's CAST(ts AS
+    * TIMESTAMP) does on the oracle side.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify via sbt,
+then execute each oracle_sql.json query in DuckDB over the same parquet tables
+and compare row sets (columns sorted by name, rows sorted, values normalized).
+
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
+"""
+import json, math, sys, subprocess, pathlib
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    sys.stdout.write(r.stdout[-3000:])
+    sys.stderr.write(r.stderr[-3000:])
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracles = json.loads(pathlib.Path(f"{OUT}/oracle_sql.json").read_text())
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    return str(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+fails = []
+for name in sorted(oracles):
+    try:
+        spark_rel = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        scols, srows = canon(spark_rel.columns, spark_rel.fetchall())
+        oracle_rel = con.sql(oracles[name])
+        ocols, orows = canon(oracle_rel.columns, oracle_rel.fetchall())
+    except Exception as e:
+        print(f"FAIL {name}: exception {str(e)[:200]}")
+        fails.append(name)
+        continue
+    if scols != ocols:
+        print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+        fails.append(name)
+    elif srows != orows:
+        diff_a = [r for r in srows if r not in orows][:3]
+        diff_b = [r for r in orows if r not in srows][:3]
+        print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+        print(f"  spark-only: {diff_a}\n  oracle-only: {diff_b}")
+        fails.append(name)
+    else:
+        print(f"OK   {name}: {len(srows)} rows")
+
+# rows-only queries: just confirm the parquet exists and has rows
+names = json.loads(pathlib.Path(f"{OUT}/queries.json").read_text())
+for name in sorted(names):
+    if name in oracles:
+        continue
+    try:
+        n = con.sql(f"SELECT count(*) FROM '{OUT}/{name}/*.parquet'").fetchone()[0]
+        print(f"ROWS {name}: {n} rows")
+    except Exception as e:
+        print(f"FAIL {name}: {str(e)[:150]}")
+        fails.append(name)
+
+print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
