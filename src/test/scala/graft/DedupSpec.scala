@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Sources
+
+/** LLM-pipeline operators: approximate methods cross-validated against their
+  * exact counterparts on the sf0.001 fixtures.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Sources.table(spark, sf0001, "documents").cache()
+  private lazy val emb = Sources.table(spark, sf0001, "embeddings").cache()
+
+  test("shingles builds distinct word n-grams") {
+    val out = Seq(("a b c d", 1)).toDF("text", "id")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()(0)
+    assert(out.toSet == Set("a|b|c", "b|c|d"))
+    val short = Seq(("a b", 1)).toDF("text", "id")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()(0)
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup groups identical texts and keeps min doc_id") {
+    val d = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(d).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 1L && out(0).getAs[Long]("dup_cnt") == 2L)
+  }
+
+  test("MinHash-LSH candidates recover every exact-Jaccard>=0.8 pair on fixtures") {
+    val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.minhashLshPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
+    // LSH with 16 bands of 4 rows at j>=0.8: recall on fixtures should be total
+    assert(exactPairs.subsetOf(lshPairs),
+      s"missed: ${exactPairs -- lshPairs}")
+  }
+
+  test("SimHash near-dup pairs overlap heavily with exact near-dups") {
+    val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // simhash(hamming<=3) and 3-gram jaccard>=0.8 are different notions of
+    // near-dup; on the planted fixtures they should agree on most pairs
+    val overlap = (exactPairs & sim).size.toDouble / math.max(exactPairs.size, 1)
+    assert(overlap >= 0.5, s"overlap=$overlap exact=${exactPairs.size} sim=${sim.size}")
+  }
+
+  test("embedding LSH pairs are a subset of brute-force pairs (no false positives)") {
+    val brute = Dedup.embeddingCosinePairs(emb, 0.45)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingLshPairs(emb, dim = 64, threshold = 0.45)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    // and recall is useful (hyperplane LSH is approximate by design)
+    if (brute.nonEmpty)
+      assert(lsh.size.toDouble / brute.size >= 0.5, s"recall ${lsh.size}/${brute.size}")
+  }
+
+  test("LSH ANN top-k hits are true neighbors from the brute-force ranking") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(emb, queries, 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, dim = 64, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every LSH hit should be among the true top-20
+    val bad = lsh -- brute
+    assert(bad.size <= lsh.size / 5, s"too many off-ranking hits: $bad")
+  }
+
+  test("rolling fingerprint is order-sensitive, md5 is content-exact") {
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d).orderBy("doc_id").collect()
+    assert(fp(0).getAs[Long]("rolling_fp") == fp(2).getAs[Long]("rolling_fp"))
+    assert(fp(0).getAs[Long]("rolling_fp") != fp(1).getAs[Long]("rolling_fp"))
+    assert(fp(0).getAs[String]("md5_fp") == fp(2).getAs[String]("md5_fp"))
+  }
+
+  test("language ID emits a prediction for every document") {
+    val out = TextAnalysis.languageId(docs)
+    assert(out.filter(col("predicted_lang").isNull).count() == 0)
+    assert(out.count() == docs.count())
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.model.KafkaRecord
+import graft.operators.{Encode, OutputPartitioners}
+
+/** F2/P2/P4 semantics against the reference's golden expectations
+  * (`s3.rs:182-298` encoder, `s3.rs:799-851` partitioner keys).
+  */
+class EncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(topic: String = "test-topic", partition: Int = 0,
+                  offset: Long = 0L, tsMillis: Long = 1234567890L,
+                  key: String = "key-1", value: String = """{"id": 1}""",
+                  headers: Map[String, String] = Map("h" -> "v")) =
+    KafkaRecord(topic, partition, offset, new Timestamp(tsMillis),
+      if (key == null) null else key.getBytes("UTF-8"),
+      if (value == null) null else value.getBytes("UTF-8"), headers)
+
+  test("F2: valid JSON value passes through with format tag json") {
+    val out = Encode.jsonLinesProjection(Seq(rec()).toDF()).collect()(0)
+    assert(out.getAs[String]("value_out") == """{"id": 1}""")
+    assert(out.getAs[String]("value_format") == "json")
+  }
+
+  test("F2: non-JSON value becomes unchunked base64 with tag base64") {
+    val raw = "not json " * 30 // long enough to trigger MIME chunking if present
+    val out = Encode.jsonLinesProjection(Seq(rec(value = raw)).toDF()).collect()(0)
+    val b64 = java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8"))
+    assert(out.getAs[String]("value_out") == b64)
+    assert(!out.getAs[String]("value_out").contains("\r"))
+    assert(out.getAs[String]("value_format") == "base64")
+  }
+
+  test("F2: empty key/value are omitted (null out, null tag) per s3.rs:208,238") {
+    val out = Encode.jsonLinesProjection(Seq(rec(key = "", value = "")).toDF()).collect()(0)
+    assert(out.getAs[String]("key_out") == null)
+    assert(out.getAs[String]("key_format") == null)
+    assert(out.getAs[String]("value_out") == null)
+  }
+
+  test("F2: toJsonLine emits one JSON object per record, omitting nulls") {
+    val df = Encode.jsonLinesProjection(Seq(rec(key = "")).toDF())
+    val line = Encode.toJsonLine(df).as[String].collect()(0)
+    assert(line.startsWith("""{"topic":"test-topic""""))
+    assert(!line.contains("key_out")) // omitted like the reference
+    assert(line.contains(""""value_format":"json""""))
+  }
+
+  test("P2: default partitioner golden key prefix/test-topic/0_1234567890.json (s3.rs:836)") {
+    val key = Seq(rec()).toDF()
+      .select(OutputPartitioners.defaultKey("prefix", "json").as("k"))
+      .as[String].collect()(0)
+    assert(key == "prefix/test-topic/0_1234567890.json")
+  }
+
+  test("P4: time partitioner derives UTC year/month/day/hour (s3.rs:838-850)") {
+    // 2009-02-13T23:31:30Z = 1234567890000 ms
+    val df = OutputPartitioners.withTimePartitions(Seq(rec(tsMillis = 1234567890000L)).toDF())
+    val r = df.select("year", "month", "day", "hour").collect()(0)
+    assert(r.getInt(0) == 2009)
+    assert(r.getString(1) == "02")
+    assert(r.getString(2) == "13")
+    assert(r.getString(3) == "23")
+  }
+
+  test("F4: bytesConcat concatenates values per (topic,partition) in offset order") {
+    val recs = Seq(
+      rec(offset = 2, value = "c"), rec(offset = 0, value = "a"),
+      rec(offset = 1, value = "b"), rec(partition = 1, offset = 0, value = "z"))
+    val out = Encode.bytesConcat(recs.toDF()).orderBy("partition").collect()
+    val expected0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("payload_md5") == expected0)
+    assert(out(0).getAs[Int]("record_count") == 3)
+    assert(out(1).getAs[Int]("record_count") == 1)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.{AsOfJoin, Multimodal}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Vectors.cosine computes in double precision with null-safe zero norms") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(0f, 0f), Array(1f, 1f))
+    ).toDF("a", "b")
+    val out = df.select(Vectors.cosine(col("a"), col("b")).as("c"))
+      .as[Option[Double]].collect()
+    assert(math.abs(out(0).get - 1.0) < 1e-12)
+    assert(math.abs(out(1).get) < 1e-12)
+    assert(out(2).isEmpty)
+  }
+
+  test("as-of join picks the greatest right value <= left dim, per key") {
+    val left = Seq((1L, 10.0, "e1"), (1L, 4.0, "e2"), (2L, 100.0, "e3"), (3L, 5.0, "e4"))
+      .toDF("k", "dim", "name")
+    val right = Seq((1L, 3.0), (1L, 7.0), (1L, 11.0), (2L, 50.0))
+      .toDF("rk", "price")
+    val out = AsOfJoin.asOf(left, right, "k", "dim", "rk", "price", "price")
+      .select("name", "price").as[(String, Option[Double])].collect().toMap
+    assert(out("e1").contains(7.0))  // 7 <= 10 < 11
+    assert(out("e2").contains(3.0))  // 3 <= 4 < 7
+    assert(out("e3").contains(50.0))
+    assert(out("e4").isEmpty)        // key 3 has no right rows
+  }
+
+  test("as-of join matches a right row at exactly the left dim (<=, not <)") {
+    val left = Seq((1L, 7.0, "e")).toDF("k", "dim", "name")
+    val right = Seq((1L, 7.0)).toDF("rk", "price")
+    val out = AsOfJoin.asOf(left, right, "k", "dim", "rk", "price", "price")
+      .select("price").as[Option[Double]].collect()
+    assert(out(0).contains(7.0))
+  }
+
+  test("multimodal feature extraction: byte histogram is deterministic and normalized") {
+    val media = Multimodal.withMediaColumns(
+      Seq((0L, "aaaa"), (1L, "")).toDF("doc_id", "text"))
+    val feats = Multimodal.extractFeatures(Multimodal.asMediaDataset(media))
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).byte_len == 4)
+    // 'a' = 0x61 → bin 6 gets everything
+    assert(math.abs(feats(0).features(6) - 1.0f) < 1e-6)
+    assert(math.abs(feats(0).features.sum - 1.0f) < 1e-6f)
+    assert(feats(1).byte_len == 0)
+  }
+
+  test("hyperplane signatures are deterministic across invocations") {
+    val df = Seq((1L, Array.tabulate(8)(i => i.toFloat))).toDF("vec_id", "embedding")
+    val s1 = df.select(Vectors.hyperplaneSignature(col("embedding"), 8, 16).as("s"))
+      .as[Long].collect()(0)
+    val s2 = df.select(Vectors.hyperplaneSignature(col("embedding"), 8, 16).as("s"))
+      .as[Long].collect()(0)
+    assert(s1 == s2)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import graft.model.{Format, KafkaRecord, PartitionerKind, SinkConfig}
+import graft.sinks.FileSink
+
+/** K1–K5: the file sink writes real files with the configured format and
+  * partitioner layout (Hive time partitions = the reference's P4 layout).
+  */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-sink").toString
+
+  private val recs = Seq(
+    KafkaRecord("t1", 0, 0, new Timestamp(1234567890000L), "k0".getBytes,
+      """{"id":1}""".getBytes, Map("h" -> "v")),
+    KafkaRecord("t1", 0, 1, new Timestamp(1234567890000L), "k1".getBytes,
+      "plain".getBytes, Map.empty),
+    KafkaRecord("t1", 1, 2, new Timestamp(1240000000000L), "k2".getBytes,
+      """{"id":3}""".getBytes, Map.empty)
+  )
+
+  test("json + time partitioner writes Hive year=/month=/day=/hour= layout") {
+    val root = tmp()
+    val cfg = SinkConfig(bucketName = "b", prefix = "out",
+      format = Format.Json, partitioner = PartitionerKind.Time)
+    FileSink.writeBatch(recs.toDF(), cfg, root)
+    val files = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(_.toString.endsWith(".json")).map(_.toString).toList
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/out/topic=t1/year=2009/")))
+    assert(files.exists(_.contains("month=02/day=13/hour=23")))
+    // content round-trip: the written JSON has the F2 projection fields
+    val back = spark.read.json(s"$root/out")
+    assert(back.count() == 3)
+    assert(back.columns.contains("value_out") && back.columns.contains("value_format"))
+  }
+
+  test("parquet + default partitioner writes topic=/partition= layout") {
+    val root = tmp()
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet,
+      partitioner = PartitionerKind.Default)
+    FileSink.writeBatch(recs.toDF(), cfg, root)
+    val back = spark.read.parquet(root)
+    assert(back.count() == 3)
+    assert(back.select("partition").distinct().count() == 2)
+  }
+
+  test("field partitioner extracts the configured value field for routing") {
+    val root = tmp()
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet,
+      partitioner = PartitionerKind.Field, partitionField = "id")
+    FileSink.writeBatch(recs.toDF(), cfg, root)
+    val dirs = Files.list(Paths.get(root)).iterator().asScala.map(_.getFileName.toString).toSet
+    assert(dirs.contains("topic=t1"))
+    val sub = Files.list(Paths.get(root, "topic=t1")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    // id=1, id=3 from JSON values; non-JSON value routes to the null partition
+    assert(sub.exists(_.startsWith("partition_value=1")))
+    assert(sub.exists(_.startsWith("partition_value=3")))
+  }
+
+  test("bytes format writes one concatenated object per (topic,partition)") {
+    val root = tmp()
+    val cfg = SinkConfig(bucketName = "b", format = Format.Bytes)
+    FileSink.writeBatch(recs.toDF(), cfg, root)
+    val p0 = Paths.get(root, "t1", "0_0.bin")
+    assert(Files.exists(p0))
+    val content = new String(Files.readAllBytes(p0), "UTF-8")
+    assert(content == """{"id":1}plain""") // offset order concatenation
+    assert(Files.exists(Paths.get(root, "t1", "1_2.bin")))
+  }
+
+  test("s3a hadoop conf maps endpoint/credentials like the reference MinIO path") {
+    val cfg = SinkConfig(bucketName = "b", endpoint = Some("http://minio:9000"),
+      accessKey = Some("ak"), secretKey = Some("sk"), region = "eu-west-1")
+    val conf = FileSink.s3aHadoopConf(cfg)
+    assert(conf("fs.s3a.endpoint") == "http://minio:9000")
+    assert(conf("fs.s3a.path.style.access") == "true")
+    assert(conf("fs.s3a.access.key") == "ak")
+    assert(conf("fs.s3a.endpoint.region") == "eu-west-1")
+  }
+}
