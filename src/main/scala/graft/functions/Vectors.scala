@@ -21,6 +21,25 @@ object Vectors {
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** a / ‖a‖₂ as array<double>; null on zero norm. Pre-normalizing each side
+    * once turns every pairwise cosine into a single dot product — the
+    * difference between O(pairs·3·dim) and O(pairs·dim) work in similarity
+    * joins, where `pairs` is the quadratic term.
+    */
+  def unit(a: Column): Column = {
+    val n = l2Norm(a)
+    // zip_with against a repeated-norm array: putting `n` inside a
+    // transform lambda would re-evaluate the O(dim) norm per element
+    // (HOF lambdas re-execute their captured subtrees)
+    when(n === 0.0, lit(null).cast("array<double>"))
+      .otherwise(zip_with(d(a), array_repeat(n, size(a)), (x, nn) => x / nn))
+  }
+
+  /** Dot product of two already-unit vectors (see [[unit]]); null-safe. */
+  def unitCosine(ua: Column, ub: Column): Column =
+    when(ua.isNull || ub.isNull, lit(null).cast("double"))
+      .otherwise(aggregate(zip_with(ua, ub, (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+
   /** cosine(a, b); null-safe on zero norms. */
   def cosine(a: Column, b: Column): Column = {
     val na = l2Norm(a)

@@ -22,14 +22,24 @@ import graft.functions.Vectors
   */
 object Dedup {
 
-  /** Word n-gram shingles (distinct) per document. */
+  /** Word n-gram shingles (distinct) per document.
+    *
+    * Built with nested `zip_with` over shifted slices instead of
+    * `transform(sequence(...), i => slice(t, i, n))`: higher-order functions
+    * are interpreted, so any subtree inside the lambda re-evaluates per
+    * element — the slice formulation re-splits the text once per shingle
+    * position (O(T²) per document). Here each slice evaluates the token
+    * array a constant number of times and the lambdas touch only their
+    * arguments.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
     val t = TextAnalysis.tokens(text)
+    val len = size(t) - (n - 1) // number of shingles
+    val shifted = (0 until n).map(k => slice(t, lit(k + 1), len))
+    val joined = shifted.reduceLeft((acc, next) =>
+      zip_with(acc, next, (a, b) => concat(a, lit("|"), b)))
     when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(t) - n),
-        i => concat_ws("|", slice(t, i + 1, lit(n)))
-      )))
+      .otherwise(array_distinct(joined))
   }
 
   /** Exact dedup: group identical texts, keep the smallest doc_id as the
@@ -78,14 +88,24 @@ object Dedup {
         col("ca.n_sh").as("n_sh_a"), col("cb.n_sh").as("n_sh_b"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over the document's shingles. Pure HOF column — one narrow pass.
+  /** MinHash signature from a pre-hashed shingle array: for each of
+    * `numHashes` derived hash functions, the min over the shingle hashes.
+    * The expensive part — hashing shingle *strings* — happens once in `hs`;
+    * the 64 per-seed rehashes are cheap long→long xxhash64 mixes.
+    *
+    * Statically unrolled `array(...)` rather than `transform(sequence(0,63),
+    * seed => ...hs...)`: with `hs` inside the outer lambda it is referenced
+    * once statically, so CollapseProject inlines the full shingle pipeline
+    * into the lambda and it re-executes per seed (measured 60× slowdown).
+    * With 64 static references the alias survives as a materialized column.
     */
-  def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column = {
-    val sh = shingles(text, n)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(s, seed))))
-  }
+  def minhashSignatureFromHashes(hs: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map(seed =>
+      array_min(transform(hs, h => xxhash64(h, lit(seed))))): _*)
+
+  /** Pre-hashed distinct shingles for a document. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
 
   /** MinHash + LSH banding: signature → `bands` buckets of `rows` hashes
     * each → explode (band, bucket-hash) → candidates share any bucket →
@@ -95,13 +115,18 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                       n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs.select(col("doc_id"), col("text"),
-      minhashSignature(col("text"), numHashes, n).as("sig"))
+    // shingle-hash array materialized once; signature and verification both
+    // derive from it (one string-hash pass over the corpus total)
+    val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+    val withSig = withHs.select(col("doc_id"), col("hs"),
+      minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+    // band bucket = hash of the band's signature slice (statically unrolled)
     val buckets = withSig.select(
       col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, lit(rows))), b).as("bucket")))).as("bb"))
+      explode(array((0 until bands).map { b =>
+        val cols = (1 to rows).map(k => element_at(col("sig"), b * rows + k))
+        struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bucket"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
@@ -110,8 +135,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard over shingle-hash sets
-    val sets = docs.select(col("doc_id"),
-      transform(shingles(col("text"), n), s => xxhash64(s)).as("hs"))
+    val sets = withHs
     candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -125,17 +149,19 @@ object Dedup {
     * token hash has that bit set; the sign gives the fingerprint bit.
     * Entirely HOF algebra — no explode, no shuffle.
     */
-  def simhash(text: Column): Column = {
-    // Per-bit +1/-1 counts in four 16-bit lanes packed into one long
-    // accumulator would be fancier; with 64 static bit positions unrolled,
-    // Catalyst common-subexpression-eliminates the shared token-hash array.
-    val hs = transform(TextAnalysis.tokens(text), w => xxhash64(w))
+  /** SimHash from a pre-materialized token-hash array column. Callers must
+    * materialize the hash array first (one tokenize+hash pass); building the
+    * 64 per-bit sums from a raw text column would re-split the string 64×.
+    */
+  def simhashFromHashes(hs: Column): Column =
     (0 until 64).map { i =>
       val bitSum = aggregate(hs, lit(0),
         (a, h) => a + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(text), w => xxhash64(w)))
 
   /** Hamming distance between two packed-64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -145,7 +171,10 @@ object Dedup {
     * hamming ≤ `maxHamming`.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withFp = docs.select(col("doc_id"), simhash(col("text")).as("fp"))
+    val withFp = docs
+      .select(col("doc_id"),
+        transform(TextAnalysis.tokens(col("text")), w => xxhash64(w)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("fp"))
     val chunks = withFp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
@@ -165,13 +194,16 @@ object Dedup {
     * correctness oracle and small-table path only; [[embeddingLshPairs]] is
     * the scale path.
     */
-  def embeddingCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame =
+  def embeddingCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // native one-pass cosine (codegen'd, allocation-free) per pair
     embeddings.as("a")
       .join(embeddings.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
+  }
 
   /** LSH-bucketed embedding near-dup: random-hyperplane signature, banded
     * into `bands` chunks; bucket-join per band, verify cosine. Approximate
@@ -180,6 +212,7 @@ object Dedup {
     */
   def embeddingLshPairs(embeddings: DataFrame, dim: Int, threshold: Double,
                         bits: Int = 32, bands: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val rows = bits / bands
     val mask = (1L << rows) - 1
     val sig = embeddings.select(col("vec_id"), col("embedding"),
@@ -194,7 +227,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))

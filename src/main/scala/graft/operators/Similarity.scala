@@ -21,10 +21,11 @@ object Similarity {
     * only (query, k) rows survive into the per-query top-k window.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val scored = corpus.as("c")
       .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        Vectors.cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        call_function("cosine_sim", col("q.embedding"), col("c.embedding")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -40,6 +41,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
               bits: Int = 32, bands: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val rows = bits / bands
     val mask = (1L << rows) - 1
     def banded(df: DataFrame, idAs: String) = {
@@ -56,7 +58,7 @@ object Similarity {
         col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket") &&
           col("q.query_id") =!= col("c.neighbor_id"))
       .select(col("q.query_id"), col("c.neighbor_id"),
-        Vectors.cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+        call_function("cosine_sim", col("q.embedding"), col("c.embedding")).as("cos"))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))

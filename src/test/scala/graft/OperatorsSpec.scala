@@ -62,4 +62,25 @@ class OperatorsSpec extends SparkSpec {
       .as[Long].collect()(0)
     assert(s1 == s2)
   }
+
+  test("native cosine_sim matches the HOF cosine and is SQL-callable") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(3f, 2f, 1f)),
+      (Array(0f, 0f), Array(1f, 1f)),
+      (Array(1f, 0f), Array(1f, 0f))
+    ).toDF("a", "b")
+    val native = df.select(call_function("cosine_sim", col("a"), col("b")).as("c"))
+      .as[Option[Double]].collect()
+    val hof = df.select(Vectors.cosine(col("a"), col("b")).as("c"))
+      .as[Option[Double]].collect()
+    native.zip(hof).foreach {
+      case (Some(n), Some(h)) => assert(math.abs(n - h) < 1e-12)
+      case (n, h) => assert(n == h)
+    }
+    // SQL surface via the registered function
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) c FROM vecs WHERE cosine_sim(a, b) > 0.9")
+    assert(viaSql.count() == 1)
+  }
 }
