@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{ConfigLoader, Format, PartitionerKind}
+
+/** Round-trips the reference's shipped config shape
+  * (`config/connect.json:1-32`, unit-tested at `utils/config.rs:104-169`).
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  private val shipped =
+    """{
+      |  "tcp_address": "0.0.0.0:50051",
+      |  "unix_socket_path": "/tmp/connect.sock",
+      |  "kafka": {
+      |    "bootstrap_servers": ["kafka:9092"],
+      |    "group_id": "rust-connect",
+      |    "properties": {"session.timeout.ms": "6000"}
+      |  },
+      |  "connectors": [
+      |    {
+      |      "name": "kafka-source",
+      |      "connector_class": "io.rustconnect.KafkaSourceConnector",
+      |      "connector_type": "source",
+      |      "tasks_max": 2,
+      |      "topics": ["test-topic"],
+      |      "config": {"batch.size": "50"}
+      |    },
+      |    {
+      |      "name": "s3-sink",
+      |      "connector_class": "io.rustconnect.S3SinkConnector",
+      |      "connector_type": "sink",
+      |      "tasks_max": 2,
+      |      "topics": ["test-topic"],
+      |      "config": {
+      |        "s3.bucket.name": "test-bucket",
+      |        "s3.prefix": "data",
+      |        "format.class": "json",
+      |        "partitioner.class": "time",
+      |        "flush.size": "100"
+      |      }
+      |    }
+      |  ]
+      |}""".stripMargin
+
+  test("parses the shipped reference config shape") {
+    val cfg = ConfigLoader.parse(shipped)
+    assert(cfg.tcpAddress.contains("0.0.0.0:50051"))
+    assert(cfg.unixSocketPath.contains("/tmp/connect.sock"))
+    assert(cfg.kafka.bootstrapServers == Seq("kafka:9092"))
+    assert(cfg.kafka.properties == Map("session.timeout.ms" -> "6000"))
+    assert(cfg.connectors.map(_.name) == Seq("kafka-source", "s3-sink"))
+    assert(cfg.connectors(0).tasksMax == 2)
+  }
+
+  test("derives effective source/sink configs like the reference manager") {
+    val cfg = ConfigLoader.parse(shipped)
+    val src = ConfigLoader.sourceConfig(cfg, cfg.connectors(0))
+    assert(src.bootstrapServers == "kafka:9092")
+    assert(src.topics == Seq("test-topic"))
+    assert(src.groupId == "rust-connect")
+    assert(src.batchSize == 50L) // connector config overrides
+    assert(src.kafkaPassthrough == Map("session.timeout.ms" -> "6000"))
+
+    val sink = ConfigLoader.sinkConfig(cfg.connectors(1))
+    assert(sink.bucketName == "test-bucket")
+    assert(sink.prefix == "data")
+    assert(sink.format == Format.Json)
+    assert(sink.partitioner == PartitionerKind.Time)
+    assert(sink.flushSize == 100)
+  }
+
+  test("rejects unknown connector_type") {
+    val bad = shipped.replace("\"connector_type\": \"source\"", "\"connector_type\": \"transform\"")
+    assertThrows[IllegalArgumentException](ConfigLoader.parse(bad))
+  }
+}

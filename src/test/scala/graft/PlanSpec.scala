@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.AnalyticsQueries
+
+/** Plan-shape assertions: the properties that matter at 100 TB — filter/
+  * column pushdown into the parquet scan, broadcast joins for dimensions,
+  * whole-stage codegen coverage. Guards against regressions that stay
+  * invisible at test scale.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = AnalyticsQueries.defs(name)._1(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5 joins all dimension tables via broadcast, no sort-merge join") {
+    val plan = planOf("q5_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), "dimension joins must broadcast")
+  }
+
+  test("q3 pushes the segment filter down to the customer scan") {
+    val df = AnalyticsQueries.defs("q3_top_orders")._1(spark, sf0001)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(s => s.contains("customer.parquet") &&
+      s.contains("c_mktsegment") && s.contains("PushedFilters")),
+      "segment predicate should reach the parquet scan")
+  }
+
+  test("q1 reads only the columns it needs (column pruning)") {
+    val df = AnalyticsQueries.defs("q1_agg")._1(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("lineitem.parquet")).get
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_extendedprice"), s"over-wide ReadSchema: $scan")
+  }
+
+  test("q1 aggregation is partial-then-final (map-side combine)") {
+    val plan = planOf("q1_agg")
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+    assert(plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("semi/anti joins use the dedicated join types, not inner+distinct") {
+    assert(planOf("q_semi_join").contains("LeftSemi"))
+    assert(planOf("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("top-k sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q_topk_price")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    // AQE finalizes the plan lazily; execute before inspecting codegen spans
+    val df = AnalyticsQueries.defs("q1_pricing_summary")._1(spark, sf0001)
+    df.collect()
+    // codegen stages render as "*(n) Operator" in the plan tree
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no codegen stage in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+}
