@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated SparkSession builder for the engine: UTC semantics, AQE with
+  * skew handling, sized shuffle parallelism, and graft's native functions
+  * registered. These are the settings the library is designed against; on a
+  * real cluster only `master` and memory sizing change.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE: runtime coalescing + skew-join splitting; free insurance at
+      // scale, harmless locally
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dimension tables in this engine are small; let them broadcast
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(master: String = "local[32]",
+                  shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -148,6 +148,36 @@ object AnalyticsQueries {
         |FROM orders QUALIFY rnk <= 3""".stripMargin)
     )),
 
+    // Running-window aggregates: cumulative revenue + previous order price
+    // per customer (frame-ordered summation is deterministic in both engines).
+    "q_window_running" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("running_total",
+            round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("prev_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders""".stripMargin)
+    )),
+
+    // CUBE over two dimensions.
+    "q_cube_agg" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
+    )),
+
     // Grouping sets / rollup.
     "q_rollup_agg" -> ((
       (s: SparkSession, dir: String) =>

@@ -133,6 +133,20 @@ object LlmQueries {
         |FROM t""".stripMargin)
     )),
 
+    // BPE-ish token estimate: alnum runs + non-space symbol count — the
+    // cheap pre-tokenizer count used for corpus budgeting.
+    "text_token_bpe" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+"), lit(0))).cast("long").as("alnum_runs"),
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("symbol_cnt")),
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS alnum_runs,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS symbol_cnt
+        |FROM documents""".stripMargin)
+    )),
+
     "text_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         TextAnalysis.fingerprints(docs(s, dir)).select(col("doc_id"), col("md5_fp")),

@@ -60,4 +60,41 @@ class StreamingSpec extends SparkSpec {
     mgr.stop("s3-sink-0")
     assert(mgr.status("s3-sink-0") == ConnectorState.Stopped)
   }
+
+  test("watermarked tumbling-window stats aggregate per topic and window") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[KafkaRecord](spark)
+    val stats = StreamOps.windowedTopicStats(input.toDF(), "1 hour", "10 minutes")
+    val q = stats.writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val h0 = 1234566000000L // within one hour bucket
+      input.addData(
+        KafkaRecord("t", 0, 0, new Timestamp(h0), "k".getBytes, "v1".getBytes, Map.empty),
+        KafkaRecord("t", 0, 1, new Timestamp(h0 + 60000), "k".getBytes, "v22".getBytes, Map.empty),
+        KafkaRecord("u", 0, 2, new Timestamp(h0), "k".getBytes, "v333".getBytes, Map.empty))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+        .map(r => (r.getAs[String]("topic"), r.getAs[Long]("record_cnt"), r.getAs[Long]("value_bytes")))
+        .toSet
+      assert(rows == Set(("t", 2L, 5L), ("u", 1L, 4L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes redelivered records by identity") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[KafkaRecord](spark)
+    val deduped = StreamOps.dedupWithinWatermark(input.toDF(), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val ts = new Timestamp(1234566000000L)
+      val r0 = KafkaRecord("t", 0, 0, ts, "k".getBytes, "v".getBytes, Map.empty)
+      input.addData(r0, r0.copy(offset = 1))
+      q.processAllAvailable()
+      input.addData(r0) // redelivery of (t, 0, 0)
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
 }
