@@ -97,4 +97,47 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup_stream").count() == 2)
     } finally q.stop()
   }
+
+  test("PushService acks record ids only after the micro-batch commits") {
+    import graft.streaming.PushService
+    val svc = new PushService(spark)
+    val root = Files.createTempDirectory("graft-push").toString
+    val ckpt = Files.createTempDirectory("graft-push-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet)
+    val q = svc.records.writeStream
+      .queryName("graft-push-sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.FileSink.writeBatch(batch, cfg, root)
+        svc.ackOnCommit(batch.select("topic", "partition", "offset").collect().iterator
+          .map(r => svc.RecordId(r.getString(0), r.getInt(1), r.getLong(2))))
+      }.start()
+    try {
+      val pushed = svc.push(Seq(rec(0, "a"), rec(1, "b")))
+      assert(pushed.length == 2)
+      val ackedAfterFlush = svc.flush(q)
+      assert(ackedAfterFlush.map(_.offset).sorted == Seq(0L, 1L))
+      assert(spark.read.parquet(root).count() == 2)
+    } finally q.stop()
+  }
+
+  test("ProgressTracker records per-query progress like the reference's consumer callbacks") {
+    import graft.streaming.ProgressTracker
+    val tracker = new ProgressTracker()
+    spark.streams.addListener(tracker)
+    val input = MemoryStream[KafkaRecord](spark)
+    val q = input.toDF().writeStream.format("memory").queryName("graft_obs")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(rec(0, "x"), rec(1, "y"), rec(2, "z"))
+      q.processAllAvailable()
+      // listener bus is async; give it a moment
+      val deadline = System.currentTimeMillis() + 10000
+      while (tracker.totalInputRows("graft_obs") < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(tracker.totalInputRows("graft_obs") == 3)
+      assert(tracker.history("graft_obs").nonEmpty)
+    } finally { q.stop(); spark.streams.removeListener(tracker) }
+  }
 }
