@@ -91,20 +91,34 @@ object GraftFunctions {
     require(exprs.length == 2, "cosine_sim expects 2 arguments")
     CosineSimilarityExpr(exprs(0), exprs(1))
   }
+  val minhashSigBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "minhash_sig expects 2 arguments")
+    MinHashSignatureExpr(exprs(0), exprs(1))
+  }
+  val simhash64Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "simhash64 expects 1 argument")
+    SimHash64Expr(exprs(0))
+  }
 
-  private val info = new ExpressionInfo(
-    classOf[CosineSimilarityExpr].getName, "cosine_sim")
+  private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarityExpr], cosineSimBuilder),
+    ("minhash_sig", classOf[MinHashSignatureExpr], minhashSigBuilder),
+    ("simhash64", classOf[SimHash64Expr], simhash64Builder))
 
   /** Idempotent per-session registration of graft's native functions. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"), info, cosineSimBuilder)
+    all.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+    }
+
+  private[functions] def injections = all
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(
-      (FunctionIdentifier("cosine_sim"),
-        new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
-        GraftFunctions.cosineSimBuilder))
+    GraftFunctions.injections.foreach { case (name, cls, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
 }

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native sketch expressions over pre-hashed token/shingle arrays
+  * (`array<long>`): MinHash signatures and 64-bit SimHash. Both are the
+  * tight-loop replacements for their HOF formulations — per-element lambda
+  * dispatch and per-seed array allocation dominate the interpreted path at
+  * corpus scale; here each document costs one allocation (the signature)
+  * and a JIT-friendly nested loop, inlined into whole-stage codegen.
+  *
+  * Seed mixing is splitmix64 — deterministic everywhere, no dependency on
+  * Spark's hash implementations.
+  */
+object SketchMath {
+  /** splitmix64 finalizer over (hash ⊕ seeded golden-ratio step). */
+  @inline def mix(h: Long, seed: Int): Long = {
+    var z = h + (seed + 1) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def minhash(hs: ArrayData, numHashes: Int): ArrayData = {
+    val n = hs.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var s = 0
+      while (s < numHashes) {
+        val m = mix(h, s)
+        if (m < sig(s)) sig(s) = m
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash64(hs: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+}
+
+/** minhash_sig(hashes: array<long>, numHashes: int-literal) → array<long>.
+  * Empty input yields an all-Long.MaxValue signature (documents with no
+  * shingles never collide with real content buckets by accident — callers
+  * should still filter empties before LSH).
+  */
+case class MinHashSignatureExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val numHashes: Int = right match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException("minhash_sig: numHashes must be an int literal")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right) match {
+      case (ArrayType(LongType, _), Literal(_: Int, IntegerType)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "minhash_sig expects (array<bigint>, int literal)")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchMath.minhash(a.asInstanceOf[ArrayData], numHashes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, _) =>
+      s"${ev.value} = graft.functions.SketchMath.minhash($hs, $numHashes);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSignatureExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** simhash64(hashes: array<long>) → bigint. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("simhash64 expects array<bigint>")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    SketchMath.simhash64(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, hs => s"graft.functions.SketchMath.simhash64($hs)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}

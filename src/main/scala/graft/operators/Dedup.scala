@@ -88,21 +88,6 @@ object Dedup {
         col("ca.n_sh").as("n_sh_a"), col("cb.n_sh").as("n_sh_b"))
   }
 
-  /** MinHash signature from a pre-hashed shingle array: for each of
-    * `numHashes` derived hash functions, the min over the shingle hashes.
-    * The expensive part — hashing shingle *strings* — happens once in `hs`;
-    * the 64 per-seed rehashes are cheap long→long xxhash64 mixes.
-    *
-    * Statically unrolled `array(...)` rather than `transform(sequence(0,63),
-    * seed => ...hs...)`: with `hs` inside the outer lambda it is referenced
-    * once statically, so CollapseProject inlines the full shingle pipeline
-    * into the lambda and it re-executes per seed (measured 60× slowdown).
-    * With 64 static references the alias survives as a materialized column.
-    */
-  def minhashSignatureFromHashes(hs: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(hs, h => xxhash64(h, lit(seed))))): _*)
-
   /** Pre-hashed distinct shingles for a document. */
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => xxhash64(s))
@@ -114,12 +99,16 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                       n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
     // shingle-hash array materialized once; signature and verification both
-    // derive from it (one string-hash pass over the corpus total)
+    // derive from it (one string-hash pass over the corpus total). Documents
+    // with no shingles (< n tokens) are excluded — their degenerate
+    // signatures would otherwise form one giant candidate clique.
     val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0)
     val withSig = withHs.select(col("doc_id"), col("hs"),
-      minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+      call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
     // band bucket = hash of the band's signature slice (statically unrolled)
     val buckets = withSig.select(
       col("doc_id"),
@@ -145,23 +134,9 @@ object Dedup {
       .filter(col("jaccard_x1000") * 10 >= jaccardPctX10)
   }
 
-  /** 64-bit SimHash over tokens: per bit, sum +1/-1 weighted by whether the
-    * token hash has that bit set; the sign gives the fingerprint bit.
-    * Entirely HOF algebra — no explode, no shuffle.
-    */
-  /** SimHash from a pre-materialized token-hash array column. Callers must
-    * materialize the hash array first (one tokenize+hash pass); building the
-    * 64 per-bit sums from a raw text column would re-split the string 64×.
-    */
-  def simhashFromHashes(hs: Column): Column =
-    (0 until 64).map { i =>
-      val bitSum = aggregate(hs, lit(0),
-        (a, h) => a + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  def simhash(text: Column): Column =
-    simhashFromHashes(transform(TextAnalysis.tokens(text), w => xxhash64(w)))
+  // SimHash/MinHash signature math lives in graft.functions.SketchExprs as
+  // native codegen expressions (the HOF formulation pays per-element lambda
+  // dispatch and, worse, re-evaluates captured subtrees — see BENCH.md).
 
   /** Hamming distance between two packed-64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -171,10 +146,12 @@ object Dedup {
     * hamming ≤ `maxHamming`.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val withFp = docs
       .select(col("doc_id"),
         transform(TextAnalysis.tokens(col("text")), w => xxhash64(w)).as("hs"))
-      .select(col("doc_id"), simhashFromHashes(col("hs")).as("fp"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), call_function("simhash64", col("hs")).as("fp"))
     val chunks = withFp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),

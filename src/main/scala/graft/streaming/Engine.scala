@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.{ConfigLoader, GraftConfig}
+
+/** O4 + O6: config-driven engine assembly — the `main.rs` boot path
+  * (`main.rs:51-180`) as a library call. Parses the reference-shaped
+  * connect.json, wires every source connector to the first sink (the
+  * reference's routing rule, `manager.rs:184` — kept for config parity),
+  * and exposes the control-plane verbs GetConfig / UpdateConfig / GetStatus
+  * that the reference's gRPC service declares (`service.rs:338-422`,
+  * two of three unimplemented there).
+  */
+final class Engine(spark: SparkSession, root: String, checkpointRoot: String) {
+
+  @volatile private var current: Option[GraftConfig] = None
+  val manager = new ConnectorManager(spark)
+
+  /** GetConfig (`service.rs:338-366`). */
+  def config: Option[GraftConfig] = current
+
+  /** GetStatus (`service.rs:386-422`, unimplemented in the reference). */
+  def status: Map[String, graft.model.ConnectorState] = manager.status
+
+  /** Initialize from config: register one streaming query per source
+    * connector, targeting the first sink connector's config — sinks first,
+    * sources after, mirroring `manager.rs:210-228` start order.
+    */
+  def initialize(cfg: GraftConfig): this.type = {
+    val sinkCfg = cfg.connectors.find(_.connectorType == "sink")
+      .map(ConfigLoader.sinkConfig)
+      .getOrElse(throw new IllegalArgumentException("config has no sink connector"))
+    cfg.connectors.filter(_.connectorType == "source").foreach { c =>
+      val srcCfg = ConfigLoader.sourceConfig(cfg, c)
+      manager.register(c.name) { () =>
+        Pipeline.fileSinkQuery(spark, srcCfg, sinkCfg, s"$root/${c.name}",
+          s"$checkpointRoot/${c.name}", Trigger.ProcessingTime("1 second"))
+      }
+    }
+    current = Some(cfg)
+    this
+  }
+
+  /** UpdateConfig (`service.rs:369-382`, unimplemented in the reference):
+    * stop everything, swap the config, re-register. Queries restart from
+    * their checkpoints, so the swap is at-least-once safe.
+    */
+  def updateConfig(cfg: GraftConfig): this.type = {
+    manager.stopAll()
+    manager.clear()
+    initialize(cfg)
+  }
+
+  def start(): Unit = manager.startAll()
+  def stop(): Unit = manager.stopAll()
+}
+
+object Engine {
+  def fromConfigFile(spark: SparkSession, path: String, root: String,
+                     checkpointRoot: String): Engine =
+    new Engine(spark, root, checkpointRoot).initialize(ConfigLoader.load(path))
+
+  def fromConfigJson(spark: SparkSession, json: String, root: String,
+                     checkpointRoot: String): Engine =
+    new Engine(spark, root, checkpointRoot).initialize(ConfigLoader.parse(json))
+}

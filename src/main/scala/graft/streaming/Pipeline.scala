@@ -88,6 +88,9 @@ final class ConnectorManager(spark: SparkSession) {
   def startAll(): Unit = connectors.keys.foreach(start)
   def stopAll(): Unit = connectors.keys.foreach(stop)
 
+  /** Drop all registrations (queries must be stopped first). */
+  def clear(): Unit = connectors.clear()
+
   def status: Map[String, ConnectorState] = connectors.readOnlySnapshot().map {
     case (name, e) =>
       val st = e.query match {

@@ -75,4 +75,19 @@ class ConfigSpec extends AnyFunSuite {
     val bad = shipped.replace("\"connector_type\": \"source\"", "\"connector_type\": \"transform\"")
     assertThrows[IllegalArgumentException](ConfigLoader.parse(bad))
   }
+
+  test("Engine wires config into registered connectors with control-plane verbs") {
+    val spark = SparkSpec.session
+    val root = java.nio.file.Files.createTempDirectory("graft-engine").toString
+    val engine = graft.streaming.Engine.fromConfigJson(spark, shipped, root, s"$root/ckpt")
+    // GetConfig round-trips
+    assert(engine.config.map(_.connectors.map(_.name)).contains(Seq("kafka-source", "s3-sink")))
+    // GetStatus: registered but never started
+    assert(engine.status == Map("kafka-source" -> graft.model.ConnectorState.Uninitialized))
+    // UpdateConfig swaps the registry (rename the source connector)
+    val renamed = shipped.replace("\"name\": \"kafka-source\"", "\"name\": \"kafka-source-v2\"")
+    engine.updateConfig(graft.model.ConfigLoader.parse(renamed))
+    assert(engine.config.map(_.connectors.head.name).contains("kafka-source-v2"))
+    assert(engine.status == Map("kafka-source-v2" -> graft.model.ConnectorState.Uninitialized))
+  }
 }

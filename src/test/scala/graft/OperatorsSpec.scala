@@ -83,4 +83,37 @@ class OperatorsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT cosine_sim(a, b) c FROM vecs WHERE cosine_sim(a, b) > 0.9")
     assert(viaSql.count() == 1)
   }
+
+  test("native minhash_sig: identical docs share signatures; eval matches codegen math") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Array(10L, 20L, 30L)),
+      (2L, Array(30L, 10L, 20L)), // same set, different order
+      (3L, Array(99L))
+    ).toDF("id", "hs")
+    val sigs = df.select(col("id"), call_function("minhash_sig", col("hs"), lit(16)).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 16)
+    // direct math check against the scala implementation
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val expected = graft.functions.SketchMath
+      .minhash(new GenericArrayData(Array(10L, 20L, 30L)), 16)
+      .toLongArray().toSeq
+    assert(sigs(1L) == expected)
+  }
+
+  test("native simhash64: near-identical token sets have small hamming distance") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = (1 to 60).map(_.toLong * 7919).toArray
+    val nearDup = base.dropRight(2) :+ 123456789L :+ 987654321L
+    val far = (1 to 60).map(_.toLong * 104729 + 3).toArray
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("id", "hs")
+    val fps = df.select(col("id"), call_function("simhash64", col("hs")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+    assert(ham(fps(1L), fps(2L)) <= 12)
+  }
 }
