@@ -52,6 +52,37 @@ object Pipeline {
       }
       .start()
 
+  /** Exactly-once variant: Spark's native file streaming sink, whose
+    * `_spark_metadata` manifest makes batch commits atomic and replays
+    * idempotent — readers see only manifest-committed files. This closes
+    * the reference's `GAP.md` items "exactly-once" and "atomic file
+    * operations" with zero custom code; use [[streamToFiles]] only when
+    * the custom bytes format or per-batch hooks are needed.
+    */
+  def streamToFilesExactlyOnce(records: DataFrame, sink: SinkConfig, root: String,
+                               checkpoint: String,
+                               trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                               name: String = "graft-file-sink"): StreamingQuery = {
+    val partCols = graft.operators.OutputPartitioners.partitionByColumns(sink)
+    val derived = graft.operators.OutputPartitioners.applyPartitioner(records, sink)
+    val projected = sink.format match {
+      case graft.model.Format.Json =>
+        val recordCols = Set("topic", "partition", "offset", "timestamp", "key", "value", "headers")
+        graft.operators.Encode.jsonLinesProjection(derived,
+          derived.columns.filterNot(recordCols).toIndexedSeq)
+      case _ => derived
+    }
+    projected.writeStream
+      .queryName(name)
+      .format(sink.format.name)
+      .partitionBy(partCols: _*)
+      .option("path", FileSink.outputPath(sink, root))
+      .option("compression", sink.compression.sparkCodec)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** K2 manual flush: drain everything currently available (the gRPC
     * FlushRequest analog, `service.rs:230-318`).
     */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.sinks.Tables
+import graft.sources.Sources
+
+/** Scale utilities: bucketed co-located joins and salted aggregation. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join with no shuffle on either side") {
+    val li = Sources.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Sources.table(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Tables.writeBucketed(li, "li_b", "l_orderkey", 8, Seq("l_orderkey"))
+    Tables.writeBucketed(ord, "ord_b", "l_orderkey", 8, Seq("l_orderkey"))
+    // disable broadcast so the planner must consider the co-located path
+    // (at real scale neither side broadcasts; this simulates that)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Tables.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(plan.contains("Bucketed: true"))
+      assert(joined.count() == li.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Sources.table(spark, sf0001, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 6).as("qty"),
+        min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    val salted = Skew.saltedAggregate(li, Seq("l_returnflag"), Seq(
+        Skew.SaltedAgg("", "count", "cnt"),
+        Skew.SaltedAgg("l_quantity", "sum", "qty"),
+        Skew.SaltedAgg("l_orderkey", "min", "mn"),
+        Skew.SaltedAgg("l_orderkey", "max", "mx")), saltBuckets = 16)
+      .withColumn("qty", round(col("qty"), 6))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(salted == direct)
+  }
+}

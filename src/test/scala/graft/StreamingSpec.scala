@@ -140,4 +140,24 @@ class StreamingSpec extends SparkSpec {
       assert(tracker.history("graft_obs").nonEmpty)
     } finally { q.stop(); spark.streams.removeListener(tracker) }
   }
+
+  test("native file sink writes manifest-committed time-partitioned parquet") {
+    val input = MemoryStream[KafkaRecord](spark)
+    val root = Files.createTempDirectory("graft-eo").toString
+    val ckpt = Files.createTempDirectory("graft-eo-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet,
+      partitioner = PartitionerKind.Time)
+    val q = Pipeline.streamToFilesExactlyOnce(input.toDF(), cfg, root, ckpt,
+      Trigger.ProcessingTime(0), name = "graft_eo_sink")
+    try {
+      input.addData(rec(0, "a"), rec(1, "b"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(root)
+      assert(back.count() == 2)
+      // manifest present -> atomic/idempotent commits
+      assert(Files.exists(java.nio.file.Paths.get(root, "_spark_metadata")))
+      // Hive time partitions in the layout
+      assert(back.columns.contains("year"))
+    } finally q.stop()
+  }
 }
