@@ -95,6 +95,25 @@ object PipelineQueries {
         |FROM documents""".stripMargin)
     )),
 
+    // Variant-typed querying inside schema-less values (Spark 4's home for
+    // the reference's opaque JSON payloads, SURVEY §1.2): parse once, then
+    // typed extraction — aggregate the `k` field per partition.
+    "f2_variant_json" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir)
+          .select(col("partition").cast("long").as("partition"),
+            try_variant_get(parse_json(col("value").cast("string")), "$.k", "long").as("k"))
+          .groupBy("partition")
+          .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k")),
+      Some(s"""$recordsCte
+        |SELECT partition, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(record_value, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(record_value, '$$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(record_value, '$$.k') AS BIGINT)) AS max_k
+        |FROM records GROUP BY partition""".stripMargin)
+    )),
+
     // P2: default partitioner object keys — one per (topic, partition) flush
     // group, keyed by the group's first (min-offset) record.
     "p2_default_keys" -> ((
