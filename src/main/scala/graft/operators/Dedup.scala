@@ -134,6 +134,19 @@ object Dedup {
       .filter(col("jaccard_x1000") * 10 >= jaccardPctX10)
   }
 
+  /** The dedup *filter*: keep one representative per near-duplicate
+    * cluster — the operation a training pipeline actually applies after
+    * pair detection. Greedy by id: a document survives unless it is the
+    * higher-id member of some near-dup pair. (For chains a–b, b–c this
+    * keeps only `a` — transitive dedup without iterative connected
+    * components, the standard corpus-dedup compromise; exact CC would need
+    * an iterative join loop.) Pairs come from [[ngramJaccardPairs]] (exact)
+    * or [[minhashLshPairs]] (scale path) — any (doc_a < doc_b) pair frame.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   // SimHash/MinHash signature math lives in graft.functions.SketchExprs as
   // native codegen expressions (the HOF formulation pays per-element lambda
   // dispatch and, worse, re-evaluates captured subtrees — see BENCH.md).

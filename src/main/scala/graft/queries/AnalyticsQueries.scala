@@ -148,6 +148,25 @@ object AnalyticsQueries {
         |FROM orders QUALIFY rnk <= 3""".stripMargin)
     )),
 
+    // Correlated-subquery shape: orders above their customer's average.
+    // Spark plans the decorrelated form (aggregate + rejoin) directly.
+    "q_above_avg_orders" -> ((
+      (s: SparkSession, dir: String) => {
+        val orders = t(s, dir, "orders")
+        val avgs = orders.groupBy(col("o_custkey").as("ck"))
+          .agg(avg("o_totalprice").as("avg_price"))
+        orders.join(avgs, col("o_custkey") === col("ck"))
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), min("o_orderkey").as("min_key"))
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, min(o_orderkey) AS min_key
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_orderstatus""".stripMargin)
+    )),
+
     // Running-window aggregates: cumulative revenue + previous order price
     // per customer (frame-ordered summation is deterministic in both engines).
     "q_window_running" -> ((

@@ -48,6 +48,30 @@ object LlmQueries {
         |WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)""".stripMargin)
     )),
 
+    // The dedup filter itself: documents surviving near-dup removal
+    // (exact-Jaccard pairs, greedy keep-lowest-id representative).
+    "dedup_keep_representatives" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        Dedup.dropNearDuplicates(d,
+            Dedup.ngramJaccardPairs(d, n = 3, pct = 80, maxDf = 0))
+          .select(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT doc_b FROM pairs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common))
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin)
+    )),
+
     // MinHash + LSH banding (approximate; verified against exact Jaccard in
     // tests) — driver rows-only check.
     "dedup_minhash_lsh" -> ((

@@ -114,6 +114,25 @@ object PipelineQueries {
         |FROM records GROUP BY partition""".stripMargin)
     )),
 
+    // The streaming windowed-stats transform (StreamOps.windowedTopicStats)
+    // run in batch mode — same plan, checked against SQL time_bucket.
+    // (approx_count_distinct excluded: sketch results aren't cross-engine.)
+    "stream_window_stats" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir)
+          .groupBy(window(col("timestamp"), "1 hour"), col("topic"))
+          .agg(count(lit(1)).as("record_cnt"),
+            sum(length(col("value"))).as("value_bytes"))
+          .select(expr("unix_micros(window.start) div 1000").as("window_start_ms"),
+            col("topic"), col("record_cnt"), col("value_bytes")),
+      Some(s"""$recordsCte
+        |SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts_ms_ts AS TIMESTAMP))) AS window_start_ms,
+        |       topic, CAST(count(*) AS BIGINT) AS record_cnt,
+        |       CAST(sum(length(record_value)) AS BIGINT) AS value_bytes
+        |FROM (SELECT *, epoch_ms(ts_ms) AS ts_ms_ts FROM records)
+        |GROUP BY 1, 2""".stripMargin)
+    )),
+
     // P2: default partitioner object keys — one per (topic, partition) flush
     // group, keyed by the group's first (min-offset) record.
     "p2_default_keys" -> ((
