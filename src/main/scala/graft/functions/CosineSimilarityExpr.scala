@@ -116,9 +116,11 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach { case (name, cls, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy())
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerGroupStrategy
+import graft.sources.Sources
+
+/** The custom top-k-per-group physical operator: plan rewrite fires on the
+  * row_number idiom, results are identical to the stock Window plan, and
+  * the full-partition sort disappears.
+  */
+class TopKPlanSpec extends SparkSpec {
+
+  private def topkDf = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Sources.table(spark, sf0001, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+  }
+
+  private def withStrategy[T](f: => T): T = {
+    spark.experimental.extraStrategies = Seq(TopKPerGroupStrategy())
+    try f finally spark.experimental.extraStrategies = Nil
+  }
+
+  test("strategy rewrites row_number<=k into TopKPerGroupExec with no sort") {
+    val stock = topkDf.queryExecution.executedPlan.toString
+    assert(stock.contains("Window") && stock.contains("Sort"))
+    withStrategy {
+      val plan = topkDf.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup "), plan)
+      assert(!plan.contains("Sort "), s"sort should be eliminated:\n$plan")
+    }
+  }
+
+  test("results are identical to the stock window plan") {
+    val expected = topkDf.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = withStrategy {
+      topkDf.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("strategy leaves other window shapes alone (rank over range frame, no filter)") {
+    withStrategy {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+      val df = Sources.table(spark, sf0001, "orders")
+        .withColumn("r", rank().over(w)) // rank() != row_number()
+        .filter(col("r") <= 2)
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup "))
+      assert(df.count() > 0)
+    }
+  }
+}
