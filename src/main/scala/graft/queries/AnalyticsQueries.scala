@@ -249,6 +249,79 @@ object AnalyticsQueries {
         |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5""".stripMargin)
     )),
 
+    // Gap-based sessionization, batch analog of StreamOps.sessionize:
+    // session boundary = gap > 30 min; session id = running boundary count.
+    "q_sessionize" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ms")
+        t(s, dir, "events")
+          .select(col("user_id"), expr("unix_micros(ts) div 1000").as("ts_ms"), col("value"))
+          .withColumn("gap", col("ts_ms") - lag("ts_ms", 1).over(w))
+          .withColumn("boundary", when(col("gap").isNull || col("gap") > 1800000L, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("events"), min("ts_ms").as("session_start_ms"),
+            max("ts_ms").as("session_end_ms"), round(sum("value"), 2).as("value_sum"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |                      > 1800000 OR lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |                 THEN 1 ELSE 0 END AS boundary
+        |  FROM e),
+        |sids AS (
+        |  SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS events,
+        |  min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        |  round(sum(value), 2) AS value_sum
+        |FROM sids GROUP BY user_id, session_id""".stripMargin)
+    )),
+
+    // Exact percentiles (continuous interpolation) per group.
+    "q_percentiles" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    )),
+
+    // Fixed-width histogram via integer binning.
+    "q_histogram" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bin"))
+          .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin)
+    )),
+
+    // Deterministic corpus subsampling (mod filter — replayable, unlike
+    // random sampling) + sample statistics.
+    "q_sample_mod" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(20)) === 0)
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty")),
+      Some("""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem WHERE (l_orderkey * 31 + l_linenumber) % 20 = 0
+        |GROUP BY l_linestatus""".stripMargin)
+    )),
+
     // As-of join on a value dimension: for each event, the customer's
     // greatest order total not exceeding value*50 (union+window plan — one
     // shuffle, skew-proof; see AsOfJoin).

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming operators beyond the reference's surface — the pieces the
   * reference's own gap analysis wanted but its architecture couldn't give
@@ -42,4 +43,60 @@ object StreamOps {
     records
       .withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("topic", "partition", "offset")
+
+  // ---- custom state: gap-based sessionization --------------------------
+
+  final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)
+  final case class SessionState(sessionStartMs: Long, lastTsMs: Long,
+                                events: Int, valueSum: Double)
+  final case class Session(user_id: Long, session_start_ms: Long,
+                           session_end_ms: Long, events: Int, value_sum: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when no event arrives for `gapMs` (event time, enforced by the
+    * state timeout tied to the watermark). Emits one row per closed
+    * session; state per user is O(1) — the canonical custom-state operator
+    * the built-in windowed aggregations can't express.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          // process in event-time order within the batch
+          rows.toSeq.sortBy(_._2).foreach { case (_, tsMs, v, _) =>
+            cur match {
+              case Some(st) if tsMs - st.lastTsMs <= gapMs =>
+                cur = Some(st.copy(lastTsMs = tsMs, events = st.events + 1,
+                  valueSum = st.valueSum + v))
+              case Some(st) =>
+                closed ::= Session(user, st.sessionStartMs, st.lastTsMs,
+                  st.events, st.valueSum)
+                cur = Some(SessionState(tsMs, tsMs, 1, v))
+              case None =>
+                cur = Some(SessionState(tsMs, tsMs, 1, v))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(st => closed ::= Session(user, st.sessionStartMs,
+              st.lastTsMs, st.events, st.valueSum))
+            state.remove()
+            cur = None
+          }
+          cur.foreach { st =>
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsMs + gapMs)
+          }
+          closed.reverseIterator
+      }
+  }
 }

@@ -160,4 +160,31 @@ class StreamingSpec extends SparkSpec {
       assert(back.columns.contains("year"))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.SessionEvent
+    val input = MemoryStream[SessionEvent](spark)
+    val sessions = StreamOps.sessionize(input.toDS(), gapMs = 1800000L, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("graft_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val h = 3600000L
+      // user 1: two events 10 min apart (one session), then a 2h gap, then one more
+      input.addData(SessionEvent(1L, 10 * h, 1.0), SessionEvent(1L, 10 * h + 600000, 2.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, 12 * h, 5.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to time out the open session
+      input.addData(SessionEvent(2L, 20 * h, 9.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, 30 * h, 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(4))).toSet
+      // first session: 2 events, sum 3.0; second session (closed by timeout): 1 event sum 5.0
+      assert(rows.contains((1L, 10 * h, 2, 3.0)), s"got $rows")
+      assert(rows.contains((1L, 12 * h, 1, 5.0)), s"got $rows")
+    } finally q.stop()
+  }
 }
