@@ -208,6 +208,33 @@ object AnalyticsQueries {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
     )),
 
+    // Pivot: line status columns per return flag (oracle via FILTER aggs —
+    // same result, portable SQL).
+    "q_pivot" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("O", "F"))
+          .agg(round(sum("l_quantity"), 2))
+          .withColumnRenamed("O", "qty_o")
+          .withColumnRenamed("F", "qty_f"),
+      Some("""SELECT l_returnflag,
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o,
+        |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    )),
+
+    // Explicit GROUPING SETS (disjoint from rollup/cube shapes).
+    "q_grouping_sets" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt")),
+      Some("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    )),
+
     // Set operations: nation-key overlap between customers and suppliers.
     "q_setops" -> ((
       (s: SparkSession, dir: String) => {

@@ -102,6 +102,26 @@ object LlmQueries {
       None
     )),
 
+    // Vector column statistics per label: L2-norm distribution — the
+    // sanity profile a pipeline computes before indexing embeddings.
+    "vector_stats" -> ((
+      (s: SparkSession, dir: String) => {
+        val norm = sqrt(aggregate(col("embedding"),
+          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+        emb(s, dir)
+          .select(col("label").cast("long").as("label"), norm.as("n"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("cnt"), round(min("n"), 4).as("min_norm"),
+            round(max("n"), 4).as("max_norm"))
+      },
+      Some("""WITH n AS (SELECT CAST(label AS BIGINT) AS label,
+        |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS n
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(min(n), 4) AS min_norm, round(max(n), 4) AS max_norm
+        |FROM n GROUP BY label""".stripMargin)
+    )),
+
     // Exact ANN: top-5 cosine neighbors for query vectors vec_id < 8.
     "ann_bruteforce_topk" -> ((
       (s: SparkSession, dir: String) => {
