@@ -44,6 +44,23 @@ object StreamOps {
       .withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("topic", "partition", "offset")
 
+  /** Stream-stream interval join: pair each left record with right records
+    * of the same key whose timestamp falls within `[left.ts - maxDelayMs,
+    * left.ts + maxDelayMs]`. Watermarks on both sides bound the join state
+    * (Spark evicts buffered rows once the watermark passes the interval) —
+    * without them a stream-stream join's state grows forever.
+    * Column requirements: both frames need `ts` (timestamp) and the key.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   maxDelayMs: Long, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${maxDelayMs / 1000} SECONDS") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${maxDelayMs / 1000} SECONDS"))
+  }
+
   // ---- custom state: gap-based sessionization --------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)

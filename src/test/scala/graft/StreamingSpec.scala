@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.{ConnectorState, Format, KafkaRecord, PartitionerKind, SinkConfig}
@@ -186,5 +187,52 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((1L, 10 * h, 2, 3.0)), s"got $rows")
       assert(rows.contains((1L, 12 * h, 1, 5.0)), s"got $rows")
     } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs records within the time bound") {
+    import graft.streaming.StreamOps
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val l = clicks.toDF().toDF("user", "ts", "click")
+    val r = views.toDF().toDF("user", "ts", "view")
+    val joined = StreamOps.intervalJoin(l, r, "user", maxDelayMs = 60000)
+      .select(col("l.user"), col("click"), col("view"))
+    val q = joined.writeStream.format("memory").queryName("graft_ssjoin")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def t(ms: Long) = new java.sql.Timestamp(ms)
+      val base = 1000000000L
+      clicks.addData((1L, t(base), "c1"), (2L, t(base), "c2"))
+      views.addData((1L, t(base + 30000), "v1"),      // within 60s -> match
+        (1L, t(base + 300000), "v2"),                  // 5 min -> no match
+        (3L, t(base), "v3"))                           // other key -> no match
+      q.processAllAvailable()
+      val rows = spark.table("graft_ssjoin").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set((1L, "c1", "v1")))
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes without loss or duplication") {
+    val input = MemoryStream[KafkaRecord](spark)
+    val root = Files.createTempDirectory("graft-restart").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet)
+    def startQuery() = Pipeline.streamToFiles(input.toDF(), cfg, root, ckpt,
+      Trigger.ProcessingTime(0), name = "graft_restart_sink")
+    val q1 = startQuery()
+    input.addData(rec(0, "a"), rec(1, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    // records pushed while the query is down
+    input.addData(rec(2, "c"))
+    val q2 = startQuery()
+    try {
+      input.addData(rec(3, "d"))
+      q2.processAllAvailable()
+      val offsets = spark.read.parquet(root).select("offset")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(offsets == Seq(0L, 1L, 2L, 3L), s"got $offsets")
+    } finally q2.stop()
   }
 }
