@@ -27,6 +27,14 @@ import graft.operators.{Encode, OutputPartitioners}
   */
 object FileSink {
 
+  /** Whether the spark-avro DataSource is loadable in this JVM. */
+  lazy val avroDataSourceAvailable: Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+        "avro", org.apache.spark.sql.internal.SQLConf.get)
+      true
+    } catch { case _: Throwable => false }
+
   /** hadoop conf entries for an S3-compatible endpoint (MinIO etc.),
     * mirroring `s3.rs:417-450`.
     */
@@ -56,6 +64,10 @@ object FileSink {
 
     cfg.format match {
       case Format.Bytes => writeBytesObjects(derived, cfg, path)
+      case Format.Avro if !avroDataSourceAvailable =>
+        // spark-avro not on the classpath (this environment): write real
+        // Avro container files via avro-core instead
+        AvroSink.writeAvroObjects(derived, path)
       case fmt =>
         val projected = fmt match {
           case Format.Json =>

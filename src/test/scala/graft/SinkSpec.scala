@@ -85,4 +85,23 @@ class SinkSpec extends SparkSpec {
     assert(conf("fs.s3a.access.key") == "ak")
     assert(conf("fs.s3a.endpoint.region") == "eu-west-1")
   }
+
+  test("avro format writes readable Avro container files per (topic,partition)") {
+    import graft.sinks.AvroSink
+    import org.apache.hadoop.fs.Path
+    val root = tmp()
+    val cfg = SinkConfig(bucketName = "b", format = Format.Avro)
+    FileSink.writeBatch(recs.toDF(), cfg, root)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p0 = new Path(root, "t1/0_0.avro")
+    assert(fs.exists(p0))
+    val back = AvroSink.readFile(fs, p0)
+    assert(back.length == 2)
+    assert(back.head.get("topic").toString == "t1")
+    assert(back.head.get("offset") == 0L)
+    val valueBytes = back.head.get("value").asInstanceOf[java.nio.ByteBuffer]
+    val arr = new Array[Byte](valueBytes.remaining()); valueBytes.get(arr)
+    assert(new String(arr, "UTF-8") == """{"id":1}""")
+    assert(fs.exists(new Path(root, "t1/1_2.avro")))
+  }
 }
