@@ -50,6 +50,18 @@ object TextAnalysis {
     )
   }
 
+  /** The quality *filter* a training pipeline actually applies: keep
+    * documents inside token-count bounds with enough lexical diversity.
+    * Pure predicate — pushes into the scan, composes with dedup filters.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 5000,
+                    minUniqX1000: Int = 300): DataFrame = {
+    val t = tokens(col("text"))
+    docs.filter(
+      size(t) >= minTokens && size(t) <= maxTokens &&
+        (size(array_distinct(t)).cast("long") * 1000L >= lit(minUniqX1000.toLong) * size(t)))
+  }
+
   /** Character-trigram language-ID heuristic. With no external models
     * available, scores each candidate language by hits against a tiny
     * built-in trigram profile and picks the argmax (ties → 'en'). The

@@ -191,6 +191,21 @@ object LlmQueries {
         |FROM documents""".stripMargin)
     )),
 
+    // The quality filter itself: surviving doc ids (integer-arithmetic
+    // thresholds so both engines agree exactly).
+    "text_quality_filter" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.qualityFilter(docs(s, dir), minTokens = 20,
+            maxTokens = 5000, minUniqX1000 = 300)
+          .select(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN [] ELSE string_split(text, ' ') END AS toks
+        |  FROM documents)
+        |SELECT doc_id FROM t
+        |WHERE len(toks) >= 20 AND len(toks) <= 5000
+        |  AND len(list_distinct(toks)) * 1000 >= 300 * len(toks)""".stripMargin)
+    )),
+
     "text_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         TextAnalysis.fingerprints(docs(s, dir)).select(col("doc_id"), col("md5_fp")),
