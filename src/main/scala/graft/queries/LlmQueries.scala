@@ -191,6 +191,24 @@ object LlmQueries {
         |FROM documents""".stripMargin)
     )),
 
+    // Corpus bigram frequencies: explode n-grams → count → top 20
+    // (deterministic tiebreak on the gram text). Map-side partial counts
+    // keep the shuffle at distinct-gram cardinality, not token count.
+    "text_ngram_freq" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .select(explode(Dedup.shingles(col("text"), 2)).as("gram"))
+          .groupBy("gram")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("gram").asc)
+          .limit(20),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2),
+        |grams AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] AS gram FROM u)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM grams
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin)
+    )),
+
     // The quality filter itself: surviving doc ids (integer-arithmetic
     // thresholds so both engines agree exactly).
     "text_quality_filter" -> ((
