@@ -99,11 +99,23 @@ object GraftFunctions {
     require(exprs.length == 1, "simhash64 expects 1 argument")
     SimHash64Expr(exprs(0))
   }
+  val hyperplaneSigBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 4, "hyperplane_sig expects (embedding, dim, bits, seed)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    (exprs(1), exprs(2), exprs(3)) match {
+      case (Literal(d: Int, IntegerType), Literal(b: Int, IntegerType),
+            Literal(s: Long, LongType)) =>
+        HyperplaneSigExpr(exprs(0), d, b, s)
+      case _ => throw new IllegalArgumentException(
+        "hyperplane_sig: dim/bits must be int literals, seed a long literal")
+    }
+  }
 
   private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarityExpr], cosineSimBuilder),
     ("minhash_sig", classOf[MinHashSignatureExpr], minhashSigBuilder),
-    ("simhash64", classOf[SimHash64Expr], simhash64Builder))
+    ("simhash64", classOf[SimHash64Expr], simhash64Builder),
+    ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder))
 
   /** Idempotent per-session registration of graft's native functions. */
   def register(spark: SparkSession): Unit =

@@ -42,6 +42,41 @@ object SketchMath {
     new GenericArrayData(sig)
   }
 
+  /** Deterministic hyperplane bank for random-hyperplane LSH, flattened
+    * row-major (plane b occupies [b*dim, (b+1)*dim)). xorshift64* stream —
+    * the exact sequence `Vectors.deterministicPlanes` has always produced,
+    * so signatures stay bit-identical to the HOF formulation it replaces.
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Double] = {
+    var s = seed
+    val out = new Array[Double](dim * bits)
+    var i = 0
+    while (i < out.length) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      out(i) = s * 2.3283064365386963e-19 // ~2^-62: uniform-ish, sign is all we use
+      i += 1
+    }
+    out
+  }
+
+  /** Sign bits of a · hᵦ packed into a long; summation order matches the
+    * sequential `aggregate(zip_with(...))` fold for bit-identical doubles.
+    */
+  def hyperplaneSig(a: ArrayData, planes: Array[Double], dim: Int, bits: Int): Long = {
+    val n = math.min(a.numElements(), dim)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      val off = b * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += a.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (dot >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   def simhash64(hs: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = hs.numElements()
@@ -99,6 +134,44 @@ case class MinHashSignatureExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSignatureExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** hyperplane_sig(embedding: array<float>, dim, bits, seed literals) → bigint.
+  *
+  * Native replacement for the `when(dot(a, lits) >= 0, 1L << i)` column sum:
+  * that formulation evaluates `bits` interpreted `aggregate(zip_with(...))`
+  * reductions per row — O(bits·dim) lambda dispatches and `bits`
+  * intermediate arrays. Here the plane bank is materialized once per task
+  * (codegen reference object) and each row costs one allocation-free nested
+  * loop, inlined into whole-stage codegen.
+  */
+case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, "hyperplane_sig: bits must be in [1, 64]")
+  require(dim >= 1, "hyperplane_sig: dim must be positive")
+
+  @transient private lazy val planes: Array[Double] =
+    SketchMath.hyperplanes(dim, bits, seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("hyperplane_sig expects array<float>")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    SketchMath.hyperplaneSig(a.asInstanceOf[ArrayData], planes, dim, bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hyperplanes", planes, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SketchMath.hyperplaneSig($a, $planesRef, $dim, $bits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
 }
 
 /** simhash64(hashes: array<long>) → bigint. */

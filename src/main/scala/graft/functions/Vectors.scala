@@ -58,23 +58,14 @@ object Vectors {
     * Hyperplanes are derived from a seeded xorshift so every executor and
     * every run agrees without shipping state.
     */
-  def hyperplaneSignature(a: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val planes = deterministicPlanes(dim, bits, seed)
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val lits = array(p.map(v => lit(v)): _*)
-      when(dot(a, lits) >= 0.0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def hyperplaneSignature(a: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    // native codegen expression (see SketchExprs.HyperplaneSigExpr) — the
+    // column-algebra formulation was `bits` interpreted HOF reductions/row.
+    // Bit-identical to it: same plane stream, same fold order, same >= 0.
+    call_function("hyperplane_sig", a, lit(dim), lit(bits), lit(seed))
 
-  /** Deterministic pseudo-random unit-free hyperplanes (xorshift64*). */
-  private[graft] def deterministicPlanes(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] = {
-    var s = seed
-    def next(): Double = {
-      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-      // map to (-1, 1)
-      (s * 2.3283064365386963e-19) // 2^-62, roughly uniform in (-2, 2) — sign is all we use
-    }
-    Seq.fill(bits)(Array.fill(dim)(next()))
-  }
+  /** Deterministic pseudo-random hyperplanes (xorshift64*), grouped per bit. */
+  private[graft] def deterministicPlanes(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] =
+    graft.functions.SketchMath.hyperplanes(dim, bits, seed)
+      .grouped(dim).toSeq
 }

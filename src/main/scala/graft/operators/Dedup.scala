@@ -69,11 +69,18 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    // maxDf <= 0 disables document-frequency pruning (exact mode)
-    val pruned = if (maxDf <= 0) sh else sh
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    // maxDf <= 0 disables document-frequency pruning (exact mode).
+    // Heavy shingles are found with an aggregate (map-side partial counts,
+    // shuffle at distinct-shingle cardinality) and removed with a broadcast
+    // anti-join — by definition few keys exceed maxDf. A window count over
+    // the exploded shingle table would shuffle AND sort the biggest
+    // intermediate in the pipeline just to compute document frequency.
+    val pruned = if (maxDf <= 0) sh else {
+      val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select("h")
+      sh.join(broadcast(heavy), Seq("h"), "left_anti")
+    }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = pruned.as("a")
       .join(pruned.as("b"),

@@ -20,7 +20,8 @@ object Multimodal {
 
   final case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
   final case class MediaRow(doc_id: Long, media: Array[Byte], meta: MediaMeta)
-  final case class MediaFeatures(doc_id: Long, byte_len: Int, features: Array[Float])
+  final case class MediaFeatures(doc_id: Long, byte_len: Int,
+                                 features: Array[Float], bins: Array[Long])
 
   private val mimes = Seq("image/png", "image/jpeg", "audio/wav")
 
@@ -48,15 +49,23 @@ object Multimodal {
     */
   trait FeatureExtractor extends Serializable {
     def extract(media: Array[Byte]): Array[Float]
+    /** Integer evidence behind the features, when the extractor has any —
+      * comparison-stable across engines (floats aren't), so the driver's
+      * correctness gate hashes these instead of the float vector.
+      */
+    def extractCounts(media: Array[Byte]): Array[Long] = Array.empty
   }
 
   object ByteHistogramExtractor extends FeatureExtractor {
-    def extract(media: Array[Byte]): Array[Float] = {
-      val bins = new Array[Int](16)
+    override def extractCounts(media: Array[Byte]): Array[Long] = {
+      val bins = new Array[Long](16)
       var i = 0
       while (i < media.length) { bins((media(i) & 0xFF) >> 4) += 1; i += 1 }
+      bins
+    }
+    def extract(media: Array[Byte]): Array[Float] = {
       val n = math.max(media.length, 1).toFloat
-      bins.map(_ / n)
+      extractCounts(media).map(_ / n)
     }
   }
 
@@ -69,9 +78,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val ex = extractor // per-partition init point
-      rows.map(r => MediaFeatures(r.doc_id,
-        if (r.media == null) 0 else r.media.length,
-        ex.extract(if (r.media == null) Array.empty else r.media)))
+      rows.map { r =>
+        val m = if (r.media == null) Array.empty[Byte] else r.media
+        MediaFeatures(r.doc_id, m.length, ex.extract(m), ex.extractCounts(m))
+      }
     }
   }
 

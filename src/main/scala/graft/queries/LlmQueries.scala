@@ -252,13 +252,32 @@ object LlmQueries {
         |FROM documents""".stripMargin)
     )),
 
-    // Batched feature extraction over media bytes — rows-only.
+    // Batched feature extraction over media bytes. The float feature vector
+    // itself is not hash-comparable across engines, so the catalog entry
+    // emits the extractor's integer evidence (16-bin byte histogram)
+    // exploded to (doc_id, byte_len, bin, cnt) — deterministic integer math
+    // with a full DuckDB oracle. Zero bins are filtered on both sides.
     "media_features" -> ((
       (s: SparkSession, dir: String) => {
         val media = Multimodal.asMediaDataset(Multimodal.withMediaColumns(docs(s, dir)))
         Multimodal.extractFeatures(media).toDF()
+          .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+            posexplode(col("bins")).as(Seq("bin", "cnt")))
+          .filter(col("cnt") > 0)
+          .select(col("doc_id"), col("byte_len"),
+            col("bin").cast("long").as("bin"), col("cnt"))
       },
-      None
+      // bin = high nibble of each byte = the odd-position hex digits of
+      // hex(encode(text)); strpos('123456789ABCDEF', d) maps digit→value
+      // with '0' falling through to 0 (not found).
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |u AS (SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM h),
+        |b AS (SELECT doc_id, n,
+        |  CAST(strpos('123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) AS BIGINT) AS bin
+        |  FROM u)
+        |SELECT doc_id, n AS byte_len, bin, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY 1, 2, 3""".stripMargin)
     ))
   )
 }

@@ -55,10 +55,13 @@ object StreamOps {
                    maxDelayMs: Long, watermark: String = "10 minutes"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
+    // fractional-second day-time interval: integer SECONDS would silently
+    // truncate sub-second bounds (1500 ms → 1 s, 500 ms → 0)
+    val delay = make_dt_interval(lit(0), lit(0), lit(0), lit(maxDelayMs / 1000.0))
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
-        col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${maxDelayMs / 1000} SECONDS") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${maxDelayMs / 1000} SECONDS"))
+        col("r.ts") >= col("l.ts") - delay &&
+        col("r.ts") <= col("l.ts") + delay)
   }
 
   // ---- custom state: gap-based sessionization --------------------------
