@@ -138,7 +138,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("long") * 1000L /
           size(array_union(col("sa.hs"), col("sb.hs")))).cast("long").as("jaccard_x1000"))
-      .filter(col("jaccard_x1000") * 10 >= jaccardPctX10)
+      // both sides are per-mille: jaccardPctX10 = 800 means j >= 0.800
+      .filter(col("jaccard_x1000") >= jaccardPctX10)
   }
 
   /** The dedup *filter*: keep one representative per near-duplicate

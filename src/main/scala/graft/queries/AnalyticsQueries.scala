@@ -324,6 +324,23 @@ object AnalyticsQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     )),
 
+    // The 100 TB percentile plan: approx_percentile's mergeable sketch keeps
+    // the aggregation buffer bounded, where exact percentile() buffers every
+    // group value in memory (an OOM at a 100x scale-up — q_percentiles above
+    // stays as the small-scale/oracle twin). Sketch outputs are
+    // algorithm-specific, so the driver checks rows-only; ScaleSpec asserts
+    // the values land within 1% of the exact percentiles.
+    "q_percentiles_approx" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
+            round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4).as("p90"),
+            round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4).as("p99")),
+      None
+    )),
+
     // Fixed-width histogram via integer binning.
     "q_histogram" -> ((
       (s: SparkSession, dir: String) =>

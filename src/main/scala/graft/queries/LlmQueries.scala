@@ -72,11 +72,53 @@ object LlmQueries {
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin)
     )),
 
-    // MinHash + LSH banding (approximate; verified against exact Jaccard in
-    // tests) — driver rows-only check.
+    // The scale-path dedup filter users actually run at 100 TB: survivors
+    // after MinHash-LSH near-dup removal (no all-pairs stage anywhere in the
+    // plan). On the deterministic fixtures the LSH pair set equals the exact
+    // one (total banding recall + exact-Jaccard verification), so the same
+    // survivor oracle as dedup_keep_representatives applies.
+    "dedup_keep_representatives_lsh" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        Dedup.dropNearDuplicates(d, Dedup.minhashLshPairs(d))
+          .select(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT doc_b FROM pairs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common))
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin)
+    )),
+
+    // MinHash + LSH banding. Candidates are verified with the *exact*
+    // integer Jaccard before emission, so precision is absolute; banding at
+    // 16 bands × 4 rows has per-pair miss probability ~2e-4 at j = 0.8
+    // (1 - (1-j⁴)¹⁶) and total recall on the deterministic fixtures
+    // (asserted in DedupSpec). Output therefore EQUALS the exact pair set —
+    // full DuckDB oracle, same integer threshold algebra as
+    // dedup_ngram_jaccard (floor(x) >= k ⟺ x >= k for integer k).
     "dedup_minhash_lsh" -> ((
       (s: SparkSession, dir: String) => Dedup.minhashLshPairs(docs(s, dir)),
-      None
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  common * 1000 // (ca.n_sh + cb.n_sh - common) AS jaccard_x1000
+        |FROM pairs p JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)""".stripMargin)
     )),
 
     // SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — rows-only.
@@ -95,11 +137,28 @@ object LlmQueries {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin)
     )),
 
-    // Hyperplane-LSH bucketed variant (the 100 TB path) — rows-only.
+    // Hyperplane-LSH bucketed variant (the 100 TB path). Recall < 1 by
+    // design, so pair-set equality with the brute-force oracle can't hold;
+    // instead the query *materializes its own correctness contract* — LSH
+    // pairs minus brute-force pairs must be empty (precision is absolute:
+    // candidates are verified with exact cosine), and recall must clear the
+    // floor DedupSpec asserts. The driver then hash-compares the verdict.
     "dedup_embedding_lsh" -> ((
-      (s: SparkSession, dir: String) =>
-        Dedup.embeddingLshPairs(emb(s, dir), dim = 64, threshold = 0.45),
-      None
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val lsh = Dedup.embeddingLshPairs(e, dim = 64, threshold = 0.45)
+        val brute = Dedup.embeddingCosinePairs(e, threshold = 0.45)
+        val violations = lsh.join(brute, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("precision_violations").as("metric"), col("value").cast("long").as("value"))
+        val recall = lsh.agg(count(lit(1)).as("f"))
+          .crossJoin(brute.agg(count(lit(1)).as("t")))
+          .select(lit("recall_floor_50_met").as("metric"),
+            (col("f") * 100 >= col("t") * 50).cast("long").as("value"))
+        violations.unionAll(recall)
+      },
+      Some("""SELECT 'precision_violations' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'recall_floor_50_met', CAST(1 AS BIGINT)""".stripMargin)
     )),
 
     // Vector column statistics per label: L2-norm distribution — the
@@ -140,13 +199,31 @@ object LlmQueries {
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
     )),
 
-    // LSH-bucketed ANN (approximate recall) — rows-only.
+    // LSH-bucketed ANN. Ranks under approximate candidate generation can't
+    // equal the brute-force ranking, so the query emits its correctness
+    // contract: every query vector answered (DuckDB independently counts the
+    // query set — real teeth), and off-top-20 hits within the DedupSpec
+    // tolerance (≤ 1/5 of hits).
     "ann_lsh_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        Similarity.lshTopK(e, e.filter(col("vec_id") < 8), dim = 64, k = 5)
+        val queries = e.filter(col("vec_id") < 8)
+        val lsh = Similarity.lshTopK(e, queries, dim = 64, k = 5)
+        val truth = Similarity.bruteForceTopK(e, queries, k = 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val answered = lsh
+          .agg(countDistinct(col("query_id")).as("value"))
+          .select(lit("queries_answered").as("metric"), col("value").cast("long").as("value"))
+        val offRanking = lsh.join(truth, Seq("query_id", "neighbor_id"), "left_anti")
+          .agg(count(lit(1)).as("off"))
+          .crossJoin(lsh.agg(count(lit(1)).as("total")))
+          .select(lit("off_top20_within_tolerance").as("metric"),
+            (col("off") * 5 <= col("total")).cast("long").as("value"))
+        answered.unionAll(offRanking)
       },
-      None
+      Some("""SELECT 'queries_answered' AS metric,
+        |  CAST(count(DISTINCT vec_id) AS BIGINT) AS value FROM embeddings WHERE vec_id < 8
+        |UNION ALL SELECT 'off_top20_within_tolerance', CAST(1 AS BIGINT)""".stripMargin)
     )),
 
     "text_token_stats" -> ((
@@ -230,12 +307,36 @@ object LlmQueries {
       Some("SELECT doc_id, md5(text) AS md5_fp FROM documents")
     )),
 
-    // Language ID heuristic + rolling fingerprint — rows-only (hash-seeded).
+    // Language ID heuristic: trigram-profile hit counts + argmax. Fully
+    // deterministic substring algebra, so DuckDB reproduces it exactly; the
+    // tie-break (greatest over (score, lang) structs → lexicographically
+    // largest lang among tied max scores) is spelled out in the CASE chain.
+    // (The rolling_fp it used to ride along with is xxhash64-chained — not
+    // DuckDB-expressible — and is covered by DedupSpec order-sensitivity.)
     "text_langid" -> ((
-      (s: SparkSession, dir: String) =>
-        TextAnalysis.languageId(docs(s, dir))
-          .join(TextAnalysis.fingerprints(docs(s, dir)).select("doc_id", "rolling_fp"), "doc_id"),
-      None
+      (s: SparkSession, dir: String) => TextAnalysis.languageId(docs(s, dir)),
+      Some("""WITH s AS (SELECT doc_id, lang AS labeled_lang, lower(text) AS t FROM documents),
+        |sc AS (SELECT doc_id, labeled_lang,
+        |  (CASE WHEN t LIKE '%ei%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%ch%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%en%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%un%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%sch%' THEN 1 ELSE 0 END) AS s_de,
+        |  (CASE WHEN t LIKE '%th%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%he%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%in%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%er%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%an%' THEN 1 ELSE 0 END) AS s_en,
+        |  (CASE WHEN t LIKE '%de%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%la%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%os%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%el%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%ar%' THEN 1 ELSE 0 END) AS s_es,
+        |  (CASE WHEN t LIKE '%zh%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%sh%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%ng%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%xi%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%qi%' THEN 1 ELSE 0 END) AS s_zh
+        |FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS predicted_lang,
+        |  labeled_lang
+        |FROM sc""".stripMargin)
     )),
 
     // Multimodal: binary media column + typed metadata (decode stubbed).

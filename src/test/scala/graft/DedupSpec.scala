@@ -38,9 +38,31 @@ class DedupSpec extends SparkSpec {
     val lshPairs = Dedup.minhashLshPairs(docs)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
-    // LSH with 16 bands of 4 rows at j>=0.8: recall on fixtures should be total
-    assert(exactPairs.subsetOf(lshPairs),
-      s"missed: ${exactPairs -- lshPairs}")
+    // precision is absolute (exact-Jaccard verification before emission) and
+    // banding recall is total on the fixtures — the sets must be EQUAL,
+    // which is what licenses the full-equality DuckDB oracle in the catalog
+    assert(lshPairs == exactPairs,
+      s"missed: ${exactPairs -- lshPairs}, extra: ${lshPairs -- exactPairs}")
+  }
+
+  test("LSH-based representative filter matches the exact filter on fixtures") {
+    val exactSurvivors = Dedup.dropNearDuplicates(docs,
+        Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0))
+      .select("doc_id").as[Long].collect().toSet
+    val lshSurvivors = Dedup.dropNearDuplicates(docs, Dedup.minhashLshPairs(docs))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lshSurvivors == exactSurvivors)
+  }
+
+  test("maxDf prune plans without a window sort and is a no-op below the cap") {
+    val pruned = Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 1000)
+    // document frequency must come from an aggregate + anti-join, not a
+    // window count that shuffles and sorts the exploded shingle table
+    assert(!pruned.queryExecution.executedPlan.toString.contains("Window"))
+    val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // fixture df never exceeds 1000, so pruning must change nothing
+    assert(pruned.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == exactPairs)
   }
 
   test("SimHash near-dup pairs overlap heavily with exact near-dups") {

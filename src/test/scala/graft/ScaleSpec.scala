@@ -32,6 +32,23 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("approx percentiles land within 1% of exact per group") {
+    val li = Sources.table(spark, sf0001, "lineitem")
+    val both = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("approx"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val e = r.getSeq[Double](1)
+      val a = r.getSeq[Double](2)
+      e.zip(a).foreach { case (ev, av) =>
+        assert(math.abs(ev - av) <= math.abs(ev) * 0.01,
+          s"group ${r.getString(0)}: exact=$ev approx=$av")
+      }
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Sources.table(spark, sf0001, "lineitem")
     val direct = li.groupBy("l_returnflag")

@@ -213,6 +213,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join honors sub-second bounds (1500ms is 1.5s, not 1s)") {
+    import graft.streaming.StreamOps
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val l = clicks.toDF().toDF("user", "ts", "click")
+    val r = views.toDF().toDF("user", "ts", "view")
+    val joined = StreamOps.intervalJoin(l, r, "user", maxDelayMs = 1500)
+      .select(col("l.user"), col("click"), col("view"))
+    val q = joined.writeStream.format("memory").queryName("graft_ssjoin_ms")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def t(ms: Long) = new java.sql.Timestamp(ms)
+      val base = 1000000000L
+      clicks.addData((1L, t(base), "c1"))
+      views.addData((1L, t(base + 1200), "in_bound"),   // 1.2s <= 1.5s -> match
+        (1L, t(base + 1800), "out_of_bound"))           // 1.8s > 1.5s -> no match
+      q.processAllAvailable()
+      val rows = spark.table("graft_ssjoin_ms").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // with integer-second truncation the bound would be 1.0s and drop in_bound
+      assert(rows == Set((1L, "c1", "in_bound")))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes without loss or duplication") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-restart").toString
