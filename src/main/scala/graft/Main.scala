@@ -1,0 +1,46 @@
+package graft
+
+import graft.streaming.Engine
+
+/** The executable daemon — the reference's `main()` boot path
+  * (`src/main.rs:51-180`) on Spark: argv config path (default
+  * `config/connect.json`), build the engine (sinks resolved first, one
+  * streaming query per source connector), start, log status, block until a
+  * query dies or the process is signalled, clean stop on shutdown.
+  *
+  * The reference then stands up gRPC servers on `tcp_address` /
+  * `unix_socket_path`; those verbs live behind
+  * [[graft.streaming.ConnectorService]] here (transport-agnostic — see that
+  * file for why no wire runs offline), so the addresses are logged but not
+  * bound.
+  *
+  * Run: `sbt "runMain graft.Main [config.json [dataRoot [checkpointRoot]]]"`.
+  * With the shipped `config/connect.json`, drop text files into the
+  * configured watch directory and partitioned JSON appears under dataRoot —
+  * records move end-to-end with no broker.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val configPath = args.headOption.getOrElse("config/connect.json")
+    val dataRoot = args.lift(1).getOrElse("/tmp/graft/data")
+    val checkpointRoot = args.lift(2).getOrElse("/tmp/graft/checkpoints")
+
+    println(s"[graft] loading configuration from $configPath")
+    val spark = GraftSession.getOrCreate()
+    val engine = Engine.fromConfigFile(spark, configPath, dataRoot, checkpointRoot)
+
+    engine.config.flatMap(_.tcpAddress).foreach(a =>
+      println(s"[graft] control plane configured for $a (transport not bound offline)"))
+
+    engine.start()
+    println(s"[graft] connector status: ${engine.status}")
+
+    sys.addShutdownHook {
+      println("[graft] shutting down")
+      engine.stop()
+    }
+    // block like the reference's ctrl_c().await: runs until a query
+    // terminates (failure surfaces here) or the JVM is signalled
+    spark.streams.awaitAnyTermination()
+  }
+}

@@ -32,4 +32,41 @@ object Tables {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  // ---- table-format sink (Iceberg) decision record ----------------------
+  //
+  // The reference's roadmap names an Iceberg sink (GAP.md:14-16: Iceberg,
+  // exactly-once, commit coordination). No iceberg-spark-runtime jar exists
+  // in this offline environment (verified: /opt/spark/jars and the coursier
+  // cache carry no table-format artifacts), so a real
+  // `df.writeTo("cat.db.t").append()` cannot even be analyzed — the v2
+  // catalog plugin class is absent. The boundary below is therefore:
+  //  * [[icebergAvailable]] — runtime detection of the catalog plugin;
+  //  * [[writeTable]] — routes to the Iceberg DataFrameWriterV2 append when
+  //    the plugin is present, else to the exactly-once Spark file-sink
+  //    layout (parquet + atomic task commit; for streaming the
+  //    `_spark_metadata` manifest in Pipeline.streamToFilesExactlyOnce gives
+  //    the same reader-visible atomicity an Iceberg snapshot commit would).
+  // What Iceberg would add on top of the stand-in — snapshot isolation
+  // across engines, hidden-partition evolution, compaction — is data
+  // layout, not query semantics: every operator in this library reads
+  // DataFrames and is oblivious to which one backs the scan.
+
+  /** True iff an Iceberg Spark catalog can be instantiated in this JVM. */
+  lazy val icebergAvailable: Boolean =
+    try { Class.forName("org.apache.iceberg.spark.SparkCatalog"); true }
+    catch { case _: Throwable => false }
+
+  /** Append `df` to `table`: Iceberg v2 append when the runtime is on the
+    * classpath, exactly-once parquet layout at `fallbackPath` otherwise.
+    * Returns the route taken so callers/ops can assert on it.
+    */
+  def writeTable(df: DataFrame, table: String, fallbackPath: String): String =
+    if (icebergAvailable) {
+      df.writeTo(table).append()
+      "iceberg"
+    } else {
+      df.write.mode("append").format("parquet").save(fallbackPath)
+      "parquet-manifest"
+    }
 }

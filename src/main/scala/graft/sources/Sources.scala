@@ -46,6 +46,28 @@ object Sources {
       ).as("headers"))
   }
 
+  /** Streaming file source in the Kafka record shape: each line of each
+    * file dropped into `dir` becomes one record. This is the connector class
+    * that makes the daemon (`graft.Main`) runnable without a broker — the
+    * file-watch directory plays the topic. Offsets are content hashes (the
+    * file source's own WAL provides exactly-once file pickup; a stable
+    * per-record id is all downstream needs), partition is a hash mod so the
+    * default partitioner fans out as it would off a real topic.
+    */
+  def fileStream(spark: SparkSession, dir: String, topic: String,
+                 partitions: Int = 8): DataFrame =
+    spark.readStream
+      .schema("value STRING")
+      .text(dir)
+      .select(
+        lit(topic).as("topic"),
+        pmod(xxhash64(col("value")), lit(partitions)).cast("int").as("partition"),
+        xxhash64(lit(topic), col("value")).as("offset"),
+        current_timestamp().as("timestamp"),
+        lit(null).cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        map().cast("map<string,string>").as("headers"))
+
   /** Batch analog of S1 for the offline fixtures: `events` rows → KafkaRecord
     * shape. Deterministic: partition = user_id mod `partitions`, offset =
     * event_id, key = user_id as text, value = props JSON bytes.

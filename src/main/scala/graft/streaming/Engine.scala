@@ -33,10 +33,10 @@ final class Engine(spark: SparkSession, root: String, checkpointRoot: String) {
       .map(ConfigLoader.sinkConfig)
       .getOrElse(throw new IllegalArgumentException("config has no sink connector"))
     cfg.connectors.filter(_.connectorType == "source").foreach { c =>
-      val srcCfg = ConfigLoader.sourceConfig(cfg, c)
       manager.register(c.name) { () =>
-        Pipeline.fileSinkQuery(spark, srcCfg, sinkCfg, s"$root/${c.name}",
-          s"$checkpointRoot/${c.name}", Trigger.ProcessingTime("1 second"))
+        Pipeline.streamToFiles(Engine.sourceStream(spark, cfg, c), sinkCfg,
+          s"$root/${c.name}", s"$checkpointRoot/${c.name}",
+          Trigger.ProcessingTime("1 second"), name = c.name)
       }
     }
     current = Some(cfg)
@@ -58,6 +58,24 @@ final class Engine(spark: SparkSession, root: String, checkpointRoot: String) {
 }
 
 object Engine {
+
+  /** Source dispatch by connector_class, mirroring the reference's
+    * class-name-driven instantiation (`manager.rs:70-91`): anything named
+    * *File* is the local file-watch source (broker-free daemon path);
+    * everything else is the Kafka scan (needs the spark-sql-kafka package
+    * at runtime).
+    */
+  private[streaming] def sourceStream(spark: SparkSession,
+                                      cfg: GraftConfig,
+                                      c: graft.model.ConnectorConfig) =
+    if (c.connectorClass.toLowerCase.contains("file")) {
+      val dir = c.config.getOrElse("path",
+        throw new IllegalArgumentException(s"${c.name}: file source needs 'path'"))
+      graft.sources.Sources.fileStream(spark, dir,
+        topic = c.topics.headOption.getOrElse(c.name))
+    } else
+      graft.sources.Sources.kafkaStream(spark, ConfigLoader.sourceConfig(cfg, c))
+
   def fromConfigFile(spark: SparkSession, path: String, root: String,
                      checkpointRoot: String): Engine =
     new Engine(spark, root, checkpointRoot).initialize(ConfigLoader.load(path))

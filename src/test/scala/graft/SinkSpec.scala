@@ -104,4 +104,15 @@ class SinkSpec extends SparkSpec {
     assert(new String(arr, "UTF-8") == """{"id":1}""")
     assert(fs.exists(new Path(root, "t1/1_2.avro")))
   }
+
+  test("table sink routes to the documented fallback when Iceberg is absent") {
+    import graft.sinks.Tables
+    // decision record: no iceberg-spark runtime ships offline, and the
+    // boundary must say so rather than pretend
+    assert(!Tables.icebergAvailable)
+    val root = tmp()
+    val route = Tables.writeTable(recs.toDF(), "cat.db.t", s"$root/t")
+    assert(route == "parquet-manifest")
+    assert(spark.read.parquet(s"$root/t").count() == recs.length)
+  }
 }
