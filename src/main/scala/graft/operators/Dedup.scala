@@ -66,9 +66,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, pct: Int = 80,
                         maxDf: Int = 1000): DataFrame = {
+    // computed once, read three times (self-join both sides + per-doc
+    // counts): persist instead of recomputing the explode per consumer.
+    // MEMORY_AND_DISK so a 100 TB corpus spills rather than OOMs; ~16 bytes
+    // per (doc, shingle) — a fraction of the text it derives from.
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // maxDf <= 0 disables document-frequency pruning (exact mode).
     // Heavy shingles are found with an aggregate (map-side partial counts,
     // shuffle at distinct-shingle cardinality) and removed with a broadcast
@@ -112,8 +117,13 @@ object Dedup {
     // derive from it (one string-hash pass over the corpus total). Documents
     // with no shingles (< n tokens) are excluded — their degenerate
     // signatures would otherwise form one giant candidate clique.
+    // Persisted: the plan reads this four times (bucket self-join sides +
+    // verify joins); without it Spark re-runs scan→shingle→hash per read.
+    // ~8·|shingles| bytes/doc, MEMORY_AND_DISK spills at corpus scale —
+    // the same design MLlib's MinHashLSH applies to its transformed input.
     val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
       .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withHs.select(col("doc_id"), col("hs"),
       call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
     // band bucket = hash of the band's signature slice (statically unrolled)
