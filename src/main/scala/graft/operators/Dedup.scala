@@ -165,6 +165,46 @@ object Dedup {
     docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Transitive near-dup clustering: connected components over the pair
+    * graph by iterative min-label propagation (the DataFrame form of
+    * large-star; no GraphX/RDDs — each round is a join + min-aggregate that
+    * Catalyst plans like any other query). Near-dup graphs have tiny
+    * diameter, so rounds ≈ 3-5; each round persists its labels and drops
+    * the previous to keep lineage flat. The driver-side loop is the
+    * irreducible part of any iterative fixpoint (GraphX pays the same);
+    * everything per-round is distributed.
+    *
+    * Returns (doc_id, cluster_id) for every document incident to a pair,
+    * cluster_id = min doc_id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(false).as("moved"))
+      .persist(lvl)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(neighborMin, labels("doc_id") === col("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("moved"))
+        .persist(lvl)
+      changed = next.filter(col("moved")).count() // also materializes `next`
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.drop("moved")
+  }
+
   // SimHash/MinHash signature math lives in graft.functions.SketchExprs as
   // native codegen expressions (the HOF formulation pays per-element lambda
   // dispatch and, worse, re-evaluates captured subtrees — see BENCH.md).

@@ -87,6 +87,50 @@ object TextAnalysis {
     )
   }
 
+  /** Sliding-window document chunking — the context-window prep step of a
+    * training pipeline: overlapping token windows of `chunkTokens` with
+    * `overlap` tokens shared between neighbors. The token array is
+    * materialized once per document in a projection and the window starts
+    * come from `posexplode(sequence(...))` — keeping the per-chunk `slice`
+    * OUT of a higher-order-function lambda, where the captured token
+    * subtree would re-split the text once per chunk. Narrow (no shuffle);
+    * empty documents produce no chunks.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), size(col("t")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("start") + 1, lit(chunkTokens)), " ").as("chunk_text"),
+        least(col("start") + chunkTokens, size(col("t")))
+          .minus(col("start")).cast("long").as("chunk_tokens"))
+  }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val longNumRe = "\\d{6,}"
+
+  /** PII scrubbing: redact email addresses and long digit runs (ids, phone
+    * numbers) with typed placeholders, and count what was redacted — the
+    * audit trail a compliance pass needs. Patterns are RE2-compatible so
+    * the DuckDB oracle runs them verbatim. Emails are replaced before
+    * numbers so digits inside an address never double-redact. Pure column
+    * algebra, scan speed.
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("email_cnt"),
+      size(regexp_extract_all(col("text"), lit(longNumRe), lit(0))).cast("long").as("number_cnt"),
+      regexp_replace(regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+        lit(longNumRe), lit("<NUM>")).as("redacted"))
+
   /** Content-defined fingerprint: md5 of the text (exact-dup key) plus a
     * 64-bit rolling polynomial hash over tokens (shift-resistant key used by
     * the near-dup operators). The polynomial fold is a built-in `aggregate`

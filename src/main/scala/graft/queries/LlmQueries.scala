@@ -72,6 +72,75 @@ object LlmQueries {
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin)
     )),
 
+    // Transitive near-dup clusters: connected components over the exact
+    // pair graph (iterative min-label propagation). DuckDB reproduces the
+    // fixpoint with a recursive reachability CTE — cluster id = min doc_id
+    // of the component on both sides.
+    "dedup_clusters" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(d, n = 3, pct = 80, maxDf = 0))
+          .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |rawpairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |npairs AS (
+        |  SELECT doc_a, doc_b FROM rawpairs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM npairs
+        |          UNION SELECT doc_b, doc_a FROM npairs),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin)
+    )),
+
+    // The CC-based representative filter: keep exactly one doc (min id) per
+    // transitive cluster — the semantics corpus-dedup pipelines document
+    // (vs the greedy pairwise filter above, which can keep two docs that
+    // are each near-dups of a third but not of each other).
+    "dedup_keep_representatives_cc" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val cc = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(d, n = 3, pct = 80, maxDf = 0))
+        d.join(cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |rawpairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |npairs AS (
+        |  SELECT doc_a, doc_b FROM rawpairs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM npairs
+        |          UNION SELECT doc_b, doc_a FROM npairs),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin)
+    )),
+
     // The scale-path dedup filter users actually run at 100 TB: survivors
     // after MinHash-LSH near-dup removal (no all-pairs stage anywhere in the
     // plan). On the deterministic fixtures the LSH pair set equals the exact
@@ -299,6 +368,29 @@ object LlmQueries {
         |SELECT doc_id FROM t
         |WHERE len(toks) >= 20 AND len(toks) <= 5000
         |  AND len(list_distinct(toks)) * 1000 >= 300 * len(toks)""".stripMargin)
+    )),
+
+    // Context-window chunking: 128-token windows, 32-token overlap.
+    "text_chunks" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.chunk(docs(s, dir), chunkTokens = 128, overlap = 32),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 96)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 96 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[CAST(start + 1 AS INT):CAST(least(start + 128, len(toks)) AS INT)], ' ') AS chunk_text,
+        |  CAST(least(start + 128, len(toks)) - start AS BIGINT) AS chunk_tokens
+        |FROM c""".stripMargin)
+    )),
+
+    // PII scrubbing with an audit count per document.
+    "text_pii_scrub" -> ((
+      (s: SparkSession, dir: String) => TextAnalysis.redactPii(docs(s, dir)),
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_cnt,
+        |  CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS number_cnt,
+        |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\d{6,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin)
     )),
 
     "text_fingerprint" -> ((

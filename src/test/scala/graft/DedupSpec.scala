@@ -45,6 +45,21 @@ class DedupSpec extends SparkSpec {
       s"missed: ${exactPairs -- lshPairs}, extra: ${lshPairs -- exactPairs}")
   }
 
+  test("connected components: chains, triangles, and isolated pairs resolve to min-id clusters") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),            // chain -> {1,2,3}
+      (10L, 11L),                    // isolated pair
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (5L, 7L), (6L, 7L)             // star: 5 and 6 linked only through 7
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("LSH-based representative filter matches the exact filter on fixtures") {
     val exactSurvivors = Dedup.dropNearDuplicates(docs,
         Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0))

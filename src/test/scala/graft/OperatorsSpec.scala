@@ -54,6 +54,30 @@ class OperatorsSpec extends SparkSpec {
     assert(feats(1).byte_len == 0)
   }
 
+  test("chunking emits overlapping windows with a trailing partial chunk") {
+    import graft.operators.TextAnalysis
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d, chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // stride 3: starts 0,3,6,9 over 10 tokens; empty doc -> no chunks
+    assert(out.toSeq == Seq(
+      (1L, 0L, "w1 w2 w3 w4", 4L),
+      (1L, 1L, "w4 w5 w6 w7", 4L),
+      (1L, 2L, "w7 w8 w9 w10", 4L),
+      (1L, 3L, "w10", 1L)))
+  }
+
+  test("PII redaction replaces emails and long digit runs, counting both") {
+    import graft.operators.TextAnalysis
+    val d = Seq((1L, "mail bob.smith+x@corp.example.org id 12345678 pin 123 done"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d).collect()(0)
+    assert(r.getAs[Long]("email_cnt") == 1L)
+    assert(r.getAs[Long]("number_cnt") == 1L)
+    assert(r.getAs[String]("redacted") == "mail <EMAIL> id <NUM> pin 123 done")
+  }
+
   test("hyperplane signatures are deterministic across invocations") {
     val df = Seq((1L, Array.tabulate(8)(i => i.toFloat))).toDF("vec_id", "embedding")
     val s1 = df.select(Vectors.hyperplaneSignature(col("embedding"), 8, 16).as("s"))
