@@ -179,8 +179,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the pair pipeline feeding this is typically the expensive part —
+    // persist it so the two union branches (and label init) don't each
+    // recompute the upstream near-dup join
+    val p = pairs.persist(lvl)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(false).as("moved"))
@@ -218,11 +222,14 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // 16 bytes/doc, read by both sides of the chunk self-join — persist
+    // rather than re-tokenize and re-hash the corpus twice
     val withFp = docs
       .select(col("doc_id"),
         transform(TextAnalysis.tokens(col("text")), w => xxhash64(w)).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), call_function("simhash64", col("hs")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = withFp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
