@@ -324,6 +324,83 @@ object AnalyticsQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     )),
 
+    // Wide-to-long reshape (melt): per-flag measure matrix unpivoted to
+    // (flag, measure, value) — the export shape BI layers ask for.
+    "q_unpivot" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(sum("l_quantity"), 2).as("qty"),
+            round(sum("l_extendedprice"), 2).as("price"),
+            round(sum("l_discount"), 2).as("disc"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("qty"), col("price"), col("disc")), "measure", "value"),
+      Some("""WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS price, round(sum(l_discount), 2) AS disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'price', price FROM a
+        |UNION ALL SELECT l_returnflag, 'disc', disc FROM a""".stripMargin)
+    )),
+
+    // Ordered string aggregation (listagg): nations per region as a
+    // deterministic csv — collect_list is unordered by contract, so the
+    // sort happens in the array before joining.
+    "q_string_agg" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "nation").join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(array_join(array_sort(collect_list("n_name")), ",").as("nations")),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin)
+    )),
+
+    // Time-range rolling window: events per user in the trailing hour
+    // (RANGE frame over epoch seconds, not ROWS — the telemetry rate
+    // query). Range frames stay partition-local: one shuffle on user_id.
+    "q_range_window" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_s"))
+          .rangeBetween(-3600, 0)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("cnt_trailing_1h"))
+      },
+      Some("""SELECT user_id, event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_trailing_1h
+        |FROM events""".stripMargin)
+    )),
+
+    // Gap-filled hourly series: zero-filled event counts for every hour
+    // between each user's first and last event (users < 50 keeps the dump
+    // bounded). sequence+explode generates the spine distributively — no
+    // driver-side calendar loop.
+    "q_gap_fill" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events").filter(col("user_id") < 50)
+          .select(col("user_id"),
+            floor(unix_timestamp(col("ts")) / lit(3600)).cast("long").as("hour"))
+        val counts = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("cnt"))
+        val spine = ev.groupBy("user_id")
+          .agg(min("hour").as("h0"), max("hour").as("h1"))
+          .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+        spine.join(counts, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), col("hour"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+        |  CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600 AS hour
+        |  FROM events WHERE user_id < 50),
+        |counts AS (SELECT user_id, hour, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (SELECT user_id, unnest(range(min(hour), max(hour) + 1)) AS hour
+        |  FROM ev GROUP BY user_id)
+        |SELECT s.user_id, s.hour, COALESCE(c.cnt, 0) AS cnt
+        |FROM spine s LEFT JOIN counts c ON s.user_id = c.user_id AND s.hour = c.hour""".stripMargin)
+    )),
+
     // The 100 TB percentile plan: approx_percentile's mergeable sketch keeps
     // the aggregation buffer bounded, where exact percentile() buffers every
     // group value in memory (an OOM at a 100x scale-up — q_percentiles above

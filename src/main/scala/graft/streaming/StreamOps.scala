@@ -64,6 +64,16 @@ object StreamOps {
         col("r.ts") <= col("l.ts") + delay)
   }
 
+  /** Stream-static enrichment: join each streaming record against a batch
+    * dimension table. The static side broadcasts (re-read per micro-batch,
+    * so dimension updates between batches are picked up — the Spark analog
+    * of a connector's config/metadata lookaside); the stream never
+    * shuffles for the join.
+    */
+  def enrich(records: DataFrame, dim: DataFrame, key: String,
+             joinType: String = "left"): DataFrame =
+    records.join(broadcast(dim), Seq(key), joinType)
+
   // ---- custom state: gap-based sessionization --------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)

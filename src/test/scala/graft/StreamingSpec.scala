@@ -237,6 +237,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension per batch") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[(String, Long)](spark)
+    val dim = Seq(("t1", "team-a"), ("t2", "team-b")).toDF("topic", "owner")
+    val enriched = StreamOps.enrich(input.toDF().toDF("topic", "offset"), dim, "topic")
+    val q = enriched.writeStream.format("memory").queryName("graft_enrich")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(("t1", 0L), ("t3", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("graft_enrich").collect()
+        .map(r => (r.getString(0), Option(r.getString(2)))).toSet
+      // left join: unmatched topics survive with null owner
+      assert(rows == Set(("t1", Some("team-a")), ("t3", None)))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint resumes without loss or duplication") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-restart").toString
