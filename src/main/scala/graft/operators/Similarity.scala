@@ -33,6 +33,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) top-k — the other classic ANN scale path: a
+    * KMeans coarse quantizer partitions the corpus into `nCentroids`
+    * cells; each query probes its `nProbe` nearest cells and scores
+    * exact cosine only within them. Candidate volume is
+    * ~`nProbe/nCentroids` of the corpus per query, tuned independently of
+    * the similarity threshold (which is what limits hyperplane LSH at
+    * moderate thresholds). The centroid table is driver-small and
+    * broadcast; corpus assignment is one narrow ML transform; the probe
+    * join is a broadcast hash join on cluster id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val featured = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(featured)
+    val assigned = model.transform(featured)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cluster"))
+
+    // centroids are tiny: ship as a broadcast frame of float arrays and
+    // rank each query's cells by exact euclidean distance (the KMeans
+    // training metric)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cluster", "centroid")
+    val probeW = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cluster"),
+        Vectors.l2Distance(col("q_emb"), col("centroid")).as("dist"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cluster"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("cosine_sim", col("q_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** LSH-bucketed top-k: queries and corpus are signed with the same
     * hyperplane bank; candidates = corpus rows sharing any band bucket with
     * the query; then exact cosine top-k within candidates. Approximate:

@@ -384,7 +384,9 @@ object AnalyticsQueries {
           .select(col("user_id"),
             floor(unix_timestamp(col("ts")) / lit(3600)).cast("long").as("hour"))
         val counts = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("cnt"))
-        val spine = ev.groupBy("user_id")
+        // spine bounds re-aggregate the (tiny) counts table, not the raw
+        // events — one scan of the fact table total
+        val spine = counts.groupBy("user_id")
           .agg(min("hour").as("h0"), max("hour").as("h1"))
           .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
         spine.join(counts, Seq("user_id", "hour"), "left")

@@ -113,6 +113,17 @@ class DedupSpec extends SparkSpec {
     assert(bad.size <= lsh.size / 5, s"too many off-ranking hits: $bad")
   }
 
+  test("IVF ANN top-k hits are true neighbors from the brute-force ranking") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(emb, queries, 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val bad = ivf -- brute
+    assert(bad.size <= ivf.size / 5, s"too many off-ranking hits: $bad")
+  }
+
   test("rolling fingerprint is order-sensitive, md5 is content-exact") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprints(d).orderBy("doc_id").collect()
