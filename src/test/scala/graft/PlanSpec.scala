@@ -36,6 +36,25 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("l_extendedprice"), s"over-wide ReadSchema: $scan")
   }
 
+  test("q_range_window shuffles once on user_id and keeps the RANGE frame") {
+    val plan = planOf("q_range_window")
+    assert(plan.contains("RangeFrame"), "must be a range frame, not rows")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"one window shuffle expected:\n$plan")
+  }
+
+  test("q_string_agg broadcasts the dimension side") {
+    val plan = planOf("q_string_agg")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("text_chunks is a narrow plan (no shuffle)") {
+    val df = graft.queries.LlmQueries.defs("text_chunks")._1(spark, sf0001)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunking must not shuffle")
+  }
+
   test("q1 aggregation is partial-then-final (map-side combine)") {
     val plan = planOf("q1_agg")
     // two HashAggregate nodes around the exchange = partial + final
