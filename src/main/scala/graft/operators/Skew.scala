@@ -44,4 +44,22 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(phase2(aggs.head), aggs.tail.map(phase2): _*)
   }
+
+  /** Salted equi-join for when AQE's skew splitting can't apply (e.g. the
+    * skewed side feeds from an aggregation, or the join must stay
+    * shuffle-hash): the skewed left side gets a deterministic salt in
+    * [0, saltBuckets); the right side is replicated `saltBuckets` times via
+    * explode, so every (key, salt) pair finds its match. Right-side volume
+    * grows ×saltBuckets — use for dimension-ish right sides that are too
+    * big to broadcast but far smaller than the fact side. Inner joins only
+    * (outer would need null-salt care).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int = 16): DataFrame = {
+    val salted = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

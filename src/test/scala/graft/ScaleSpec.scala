@@ -32,6 +32,26 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salted join equals direct join and spreads a hot key over salt buckets") {
+    val li = Sources.table(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Sources.table(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val direct = li.join(ord, "l_orderkey")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity") * col("o_totalprice")), 2).as("s"))
+      .collect()(0)
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", saltBuckets = 8)
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity") * col("o_totalprice")), 2).as("s"))
+      .collect()(0)
+    assert(salted.getLong(0) == direct.getLong(0))
+    assert(salted.getDouble(1) == direct.getDouble(1))
+    // the salt really spreads one key's rows over several buckets
+    val spread = li.withColumn("_salt",
+        pmod(xxhash64(struct(li.columns.map(col).toIndexedSeq: _*)), lit(8)))
+      .groupBy("l_orderkey").agg(countDistinct("_salt").as("d"))
+      .agg(max("d")).collect()(0).getLong(0)
+    assert(spread > 1)
+  }
+
   test("approx percentiles land within 1% of exact per group") {
     val li = Sources.table(spark, sf0001, "lineitem")
     val both = li.groupBy("l_returnflag").agg(
