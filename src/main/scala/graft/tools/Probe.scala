@@ -44,6 +44,14 @@ object Probe {
     time("candidates")(candidates.count())
     time("full minhashLshPairs")(Dedup.minhashLshPairs(docs).count())
     time("full again")(Dedup.minhashLshPairs(docs).count())
+
+    val langid = graft.operators.TextAnalysis.languageId(docs)
+    time("languageId 1")(langid.count())
+    time("languageId 2")(langid.count())
+    time("languageId noop") {
+      langid.write.format("noop").mode("overwrite").save(); 0L
+    }
+    langid.explain("formatted")
     spark.stop()
   }
 }
