@@ -324,6 +324,23 @@ object AnalyticsQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     )),
 
+    // Sum of the 10 largest prices per flag via the typed TopKSumAgg
+    // Aggregator: O(k) buffer per group vs the window plan's full
+    // shuffle-and-sort. Values are a multiset, so the result is
+    // order-independent; round(…, 2) absorbs double-fold ulps.
+    "q_topk_sum" -> ((
+      (s: SparkSession, dir: String) => {
+        val topkSum = udaf(new graft.functions.TopKSumAgg(10))
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(topkSum(col("l_extendedprice")), 2).as("top10_sum"))
+      },
+      Some("""SELECT l_returnflag, round(sum(v), 2) AS top10_sum FROM (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rn
+        |  FROM lineitem) WHERE rn <= 10 GROUP BY 1""".stripMargin)
+    )),
+
     // Wide-to-long reshape (melt): per-flag measure matrix unpivoted to
     // (flag, measure, value) — the export shape BI layers ask for.
     "q_unpivot" -> ((

@@ -54,6 +54,21 @@ class OperatorsSpec extends SparkSpec {
     assert(feats(1).byte_len == 0)
   }
 
+  test("TopKSumAgg equals the window-based top-k sum, including tie groups") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq((1, 5.0), (1, 5.0), (1, 3.0), (1, 1.0), (2, 2.0), (3, 9.0), (3, 7.0), (3, 7.0))
+      .toDF("g", "v")
+    val topk = udaf(new graft.functions.TopKSumAgg(2))
+    val agg = d.groupBy("g").agg(topk(col("v")).as("s"))
+      .as[(Int, Double)].collect().toMap
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val win = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy("g").agg(sum("v").as("s"))
+      .as[(Int, Double)].collect().toMap
+    assert(agg == win)
+    assert(agg(1) == 10.0 && agg(2) == 2.0 && agg(3) == 16.0)
+  }
+
   test("chunking emits overlapping windows with a trailing partial chunk") {
     import graft.operators.TextAnalysis
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "")).toDF("doc_id", "text")
