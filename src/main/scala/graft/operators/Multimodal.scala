@@ -85,6 +85,25 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling plan for timed media: which frame timestamps a decoder
+    * task should extract, at `fps`, capped at `maxFrames` per document.
+    * This is the Spark-side half of video/audio feature extraction — the
+    * decode itself stays behind [[FeatureExtractor]] (no codecs offline),
+    * but the work plan (row explosion, per-frame keys, deterministic
+    * timestamps) is the real contract a `mapInPandas` decoder consumes.
+    * Zero-length media yields no frames.
+    */
+  def framePlan(media: DataFrame, fps: Int = 1, maxFrames: Int = 32): DataFrame = {
+    val frameGapMs = 1000L / fps
+    val n = least(floor(col("meta.durationMs") / frameGapMs), lit(maxFrames)).cast("int")
+    media
+      .select(col("doc_id"), n.as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), posexplode(sequence(lit(0), col("n") - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        (col("col") * frameGapMs).cast("long").as("frame_ts_ms"))
+  }
+
   /** Typed view of the media frame. */
   def asMediaDataset(df: DataFrame): Dataset[MediaRow] = {
     import df.sparkSession.implicits._

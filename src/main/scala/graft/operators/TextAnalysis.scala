@@ -113,6 +113,14 @@ object TextAnalysis {
           .minus(col("start")).cast("long").as("chunk_tokens"))
   }
 
+  /** Corpus normalization: lowercase, collapse whitespace runs, trim — the
+    * canonical pre-dedup text cleanup (near-dup detection over raw text
+    * splits clusters on formatting noise). Scan-speed column algebra.
+    */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val longNumRe = "\\d{6,}"
 

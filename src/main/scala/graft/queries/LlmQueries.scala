@@ -470,6 +470,24 @@ object LlmQueries {
         |FROM documents""".stripMargin)
     )),
 
+    // Frame-sampling work plan: deterministic (doc, frame_idx, ts) rows a
+    // decoder stage consumes — 1 fps, capped at 32 frames.
+    "media_frame_plan" -> ((
+      (s: SparkSession, dir: String) =>
+        Multimodal.framePlan(Multimodal.withMediaColumns(docs(s, dir))),
+      Some("""WITH m AS (SELECT doc_id,
+        |  CAST(least((doc_id % 1000) * 40 // 1000, 32) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+        |FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM m WHERE n >= 1)""".stripMargin)
+    )),
+
+    // Normalization: the canonical pre-dedup cleanup.
+    "text_normalize" -> ((
+      (s: SparkSession, dir: String) => TextAnalysis.normalize(docs(s, dir)),
+      Some("""SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin)
+    )),
+
     // Batched feature extraction over media bytes. The float feature vector
     // itself is not hash-comparable across engines, so the catalog entry
     // emits the extractor's integer evidence (16-bin byte histogram)

@@ -76,6 +76,13 @@ class ConfigSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ConfigLoader.parse(bad))
   }
 
+  test("Engine refuses a config with no sink connector") {
+    val sourceOnly = shipped.replace("\"connector_type\": \"sink\"", "\"connector_type\": \"source\"")
+    val root = java.nio.file.Files.createTempDirectory("graft-nosink").toString
+    assertThrows[IllegalArgumentException](
+      graft.streaming.Engine.fromConfigJson(SparkSpec.session, sourceOnly, root, s"$root/ckpt"))
+  }
+
   test("Engine wires config into registered connectors with control-plane verbs") {
     val spark = SparkSpec.session
     val root = java.nio.file.Files.createTempDirectory("graft-engine").toString

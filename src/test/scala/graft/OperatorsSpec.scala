@@ -93,6 +93,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[String]("redacted") == "mail <EMAIL> id <NUM> pin 123 done")
   }
 
+  test("frame plan samples at fps up to the cap and skips zero-length media") {
+    import graft.operators.Multimodal
+    // doc 3: 120 ms -> 0 frames; doc 5: 5000 ms -> 5 frames; doc 7: forever -> capped
+    val media = Seq((3L, 120L), (5L, 5000L), (7L, 3600000L))
+      .toDF("doc_id", "d")
+      .select(col("doc_id"), struct(lit("video/mp4").as("mime"), lit(0).as("width"),
+        lit(0).as("height"), col("d").as("durationMs")).as("meta"))
+    val out = Multimodal.framePlan(media, fps = 1, maxFrames = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(!out.exists(_._1 == 3L))
+    assert(out.count(_._1 == 5L) == 5)
+    assert(out.count(_._1 == 7L) == 32)
+    assert(out.filter(_._1 == 5L).map(_._3).sorted.toSeq == Seq(0L, 1000L, 2000L, 3000L, 4000L))
+  }
+
   test("hyperplane signatures are deterministic across invocations") {
     val df = Seq((1L, Array.tabulate(8)(i => i.toFloat))).toDF("vec_id", "embedding")
     val s1 = df.select(Vectors.hyperplaneSignature(col("embedding"), 8, 16).as("s"))
