@@ -437,6 +437,21 @@ object AnalyticsQueries {
       None
     )),
 
+    // Exact AND scale-safe percentiles (distinct-value compression +
+    // spillable cumulative window + rank interpolation) — same answers as
+    // q_percentiles without its buffer-every-value reducer; same oracle.
+    "q_percentiles_scalable" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.operators.Percentiles.exactPercentiles(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+          Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))),
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    )),
+
     // Fixed-width histogram via integer binning.
     "q_histogram" -> ((
       (s: SparkSession, dir: String) =>

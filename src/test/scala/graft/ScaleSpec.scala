@@ -52,6 +52,20 @@ class ScaleSpec extends SparkSpec {
     assert(spread > 1)
   }
 
+  test("scalable exact percentiles equal the buffering percentile() exactly") {
+    import graft.operators.Percentiles
+    val li = Sources.table(spark, sf0001, "lineitem")
+    val builtIn = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val scalable = Percentiles.exactPercentiles(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(scalable == builtIn)
+  }
+
   test("approx percentiles land within 1% of exact per group") {
     val li = Sources.table(spark, sf0001, "lineitem")
     val both = li.groupBy("l_returnflag").agg(
