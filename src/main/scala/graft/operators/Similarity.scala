@@ -89,23 +89,35 @@ object Similarity {
     * the query; then exact cosine top-k within candidates. Approximate:
     * recall depends on bits/bands; the plan is a bucket-equi-join instead of
     * a cross product.
+    *
+    * Multi-probe (`multiProbe`, default on): the QUERY side also probes
+    * each band bucket with one sign bit flipped — the classic recall lever
+    * that costs query-side rows (×(1+rows) here, broadcast anyway) instead
+    * of another full hash table. A flipped bit is exactly "this embedding
+    * was near that hyperplane", so the extra probes target the likeliest
+    * misses. The corpus side is untouched: its explode stays ×bands.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              bits: Int = 32, bands: Int = 8): DataFrame = {
+              bits: Int = 32, bands: Int = 8, multiProbe: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val rows = bits / bands
     val mask = (1L << rows) - 1
-    def banded(df: DataFrame, idAs: String) = {
+    def banded(df: DataFrame, idAs: String, probe: Boolean) = {
       val sig = df.select(col("vec_id"), col("embedding"),
         Vectors.hyperplaneSignature(col("embedding"), dim, bits).as("sig"))
+      val buckets = (0 until bands).flatMap { b =>
+        val base = shiftright(col("sig"), b * rows).bitwiseAND(mask)
+        val probes = if (probe && multiProbe)
+          (0 until rows).map(r => base.bitwiseXOR(lit(1L << r)))
+        else Seq.empty
+        (base +: probes).map(bk => struct(lit(b).as("band"), bk.as("bucket")))
+      }
       sig.select(col("vec_id").as(idAs), col("embedding"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
+        explode(array(buckets: _*)).as("bb"))
         .select(col(idAs), col("embedding"), col("bb.band"), col("bb.bucket"))
     }
-    val cand = banded(corpus, "neighbor_id").as("c")
-      .join(broadcast(banded(queries, "query_id").as("q")),
+    val cand = banded(corpus, "neighbor_id", probe = false).as("c")
+      .join(broadcast(banded(queries, "query_id", probe = true).as("q")),
         col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket") &&
           col("q.query_id") =!= col("c.neighbor_id"))
       .select(col("q.query_id"), col("c.neighbor_id"),

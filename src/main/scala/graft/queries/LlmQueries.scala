@@ -250,6 +250,25 @@ object LlmQueries {
         |FROM n GROUP BY label""".stripMargin)
     )),
 
+    // Unit-normalization precompute: at scale you normalize once and every
+    // pairwise cosine becomes a single dot product (O(pairs·dim) instead of
+    // O(pairs·3·dim)). Exploded to scalar rows — float arrays don't
+    // hash-compare — with round(6) shared by both engines.
+    "vector_normalize" -> ((
+      (s: SparkSession, dir: String) =>
+        emb(s, dir)
+          .select(col("vec_id"), graft.functions.Vectors.unit(col("embedding")).as("u"))
+          .filter(col("u").isNotNull)
+          .select(col("vec_id"), posexplode(col("u")).as(Seq("idx", "uval")))
+          .select(col("vec_id"), col("idx").cast("long").as("idx"),
+            round(col("uval"), 6).as("uval")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, round(v[i] / nrm, 6) AS uval
+        |FROM n, unnest(range(1, len(v) + 1)) AS t(i)
+        |WHERE nrm > 0""".stripMargin)
+    )),
+
     // Exact ANN: top-5 cosine neighbors for query vectors vec_id < 8.
     "ann_bruteforce_topk" -> ((
       (s: SparkSession, dir: String) => {

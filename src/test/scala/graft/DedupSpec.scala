@@ -113,6 +113,21 @@ class DedupSpec extends SparkSpec {
     assert(bad.size <= lsh.size / 5, s"too many off-ranking hits: $bad")
   }
 
+  test("multi-probe LSH recall of the true top-5 is at least single-probe's") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val top5 = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(multiProbe: Boolean) = {
+      val hits = Similarity.lshTopK(emb, queries, dim = 64, k = 5, multiProbe = multiProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (hits & top5).size.toDouble / top5.size
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.0)
+  }
+
   test("IVF ANN top-k hits are true neighbors from the brute-force ranking") {
     val queries = emb.filter(col("vec_id") < 4)
     val brute = Similarity.bruteForceTopK(emb, queries, 20)
