@@ -79,6 +79,24 @@ object Encode {
     * reference's one-object-per-group flush. Groups are bounded by flush.size
     * in the streaming path, so the list never exceeds the flush buffer.
     */
+  /** Confluent wire framing for a registry-encoded payload: magic byte
+    * 0x00, big-endian 4-byte schema id, then the payload bytes — the
+    * per-message counterpart of the schema-registry model
+    * ([[graft.model.SchemaRegistry]]). Pure binary concat, codegen'd.
+    */
+  def confluentFrame(value: Column, schemaId: Int): Column = {
+    val header = Array[Byte](0,
+      (schemaId >>> 24).toByte, (schemaId >>> 16).toByte,
+      (schemaId >>> 8).toByte, schemaId.toByte)
+    concat(lit(header), value)
+  }
+
+  /** Schema id recovered from a Confluent-framed payload (bytes 2-5,
+    * big-endian).
+    */
+  def confluentSchemaId(framed: Column): Column =
+    conv(hex(substring(framed, 2, 4)), 16, 10).cast("int")
+
   def bytesConcat(records: DataFrame): DataFrame =
     records
       .groupBy(col("topic"), col("partition"))

@@ -216,6 +216,22 @@ object PipelineQueries {
 
     // F4: raw-bytes encoder — per-group concatenation in offset order,
     // fingerprinted so the comparison doesn't ship the blobs.
+    // F5 (beyond the reference's formats): Confluent wire framing — magic
+    // 0x00 + big-endian schema id + payload, hex-dumped for the compare.
+    "f5_confluent_frame" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir)
+          .filter(col("offset") < 100)
+          .select(col("offset"),
+            hex(Encode.confluentFrame(col("value"), schemaId = 7)).as("framed_hex"),
+            Encode.confluentSchemaId(
+              Encode.confluentFrame(col("value"), schemaId = 7)).cast("long").as("schema_id")),
+      Some(s"""$recordsCte
+        |SELECT "offset", upper('00' || '00000007' || hex(encode(record_value))) AS framed_hex,
+        |       CAST(7 AS BIGINT) AS schema_id
+        |FROM records WHERE "offset" < 100""".stripMargin)
+    )),
+
     "f4_bytes_concat" -> ((
       (s: SparkSession, dir: String) =>
         Encode.bytesConcat(records(s, dir))

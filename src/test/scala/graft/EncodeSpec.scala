@@ -79,4 +79,31 @@ class EncodeSpec extends SparkSpec {
     assert(out(0).getAs[Int]("record_count") == 3)
     assert(out(1).getAs[Int]("record_count") == 1)
   }
+
+  test("Confluent framing: magic byte + big-endian schema id round-trips") {
+    val df = Seq(("payload")).toDF("v")
+      .select(Encode.confluentFrame(col("v").cast("binary"), schemaId = 0x01020304).as("f"))
+      .select(col("f"), Encode.confluentSchemaId(col("f")).as("id"))
+    val r = df.collect()(0)
+    val bytes = r.getAs[Array[Byte]]("f")
+    assert(bytes(0) == 0x00.toByte)
+    assert(bytes.slice(1, 5).toSeq == Seq(0x01, 0x02, 0x03, 0x04).map(_.toByte))
+    assert(new String(bytes.drop(5), "UTF-8") == "payload")
+    assert(r.getAs[Int]("id") == 0x01020304)
+  }
+
+  test("schema registry: identical schemas dedupe, versions are per subject") {
+    import graft.model.InMemorySchemaRegistry
+    val reg = new InMemorySchemaRegistry
+    val a1 = reg.register("events-value", """{"type":"string"}""")
+    val a2 = reg.register("events-value", """{"type":"string"}""")
+    assert(a1 == a2) // identical schema -> same id, same version
+    val a3 = reg.register("events-value", """{"type":"bytes"}""")
+    assert(a3.version == 2 && a3.id != a1.id)
+    val b1 = reg.register("other-value", """{"type":"string"}""")
+    assert(b1.version == 1 && b1.id != a1.id && b1.id != a3.id)
+    assert(reg.latest("events-value").contains(a3))
+    assert(reg.byId(a1.id).contains(a1))
+    assert(reg.latest("missing").isEmpty)
+  }
 }

@@ -93,6 +93,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[String]("redacted") == "mail <EMAIL> id <NUM> pin 123 done")
   }
 
+  test("feature extraction accepts a custom extractor (the model plug point)") {
+    import graft.operators.Multimodal
+    object LenAndFirst extends Multimodal.FeatureExtractor {
+      def extract(media: Array[Byte]): Array[Float] =
+        Array(media.length.toFloat, if (media.isEmpty) 0f else media(0).toFloat)
+    }
+    val media = Multimodal.withMediaColumns(Seq((1L, "abc")).toDF("doc_id", "text"))
+    val out = Multimodal.extractFeatures(Multimodal.asMediaDataset(media), LenAndFirst)
+      .collect()(0)
+    assert(out.features.toSeq == Seq(3f, 'a'.toFloat))
+    assert(out.bins.isEmpty) // custom extractor provides no integer evidence
+  }
+
   test("frame plan samples at fps up to the cap and skips zero-length media") {
     import graft.operators.Multimodal
     // doc 3: 120 ms -> 0 frames; doc 5: 5000 ms -> 5 frames; doc 7: forever -> capped
