@@ -29,14 +29,26 @@ object Main {
     val spark = GraftSession.getOrCreate()
     val engine = Engine.fromConfigFile(spark, configPath, dataRoot, checkpointRoot)
 
-    engine.config.flatMap(_.tcpAddress).foreach(a =>
-      println(s"[graft] control plane configured for $a (transport not bound offline)"))
+    // control plane: JSON-lines over TCP on the configured address, bound
+    // to the same ConnectorService verbs the gRPC front would serve (the
+    // proto transport needs ScalaPB codegen unavailable offline)
+    val control = engine.config.flatMap(_.tcpAddress).map { a =>
+      val port = a.split(":").last.toInt
+      val svc = new graft.streaming.InProcessConnectorService(engine,
+        new graft.streaming.PushService(spark),
+        () => throw new IllegalStateException("daemon mode has no push sink"))
+      val srv = new graft.streaming.ControlServer(svc, port)
+      val bound = srv.start()
+      println(s"[graft] control plane listening on tcp port $bound (JSON lines)")
+      srv
+    }
 
     engine.start()
     println(s"[graft] connector status: ${engine.status}")
 
     sys.addShutdownHook {
       println("[graft] shutting down")
+      control.foreach(_.stop())
       engine.stop()
     }
     // block like the reference's ctrl_c().await: runs until a query

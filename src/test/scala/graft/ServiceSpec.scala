@@ -107,6 +107,36 @@ class ServiceSpec extends SparkSpec {
       Wire.ConnectorError("SourceStream is not implemented", "UNIMPLEMENTED"))))
   }
 
+  test("TCP control plane serves status/config/update as JSON lines") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val root = Files.createTempDirectory("graft-ctl").toString
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, s"$root/ckpt")
+    val service = InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"))
+    val srv = new graft.streaming.ControlServer(service, port = 0)
+    val port = srv.start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8), true)
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, UTF_8))
+      out.println("""{"verb":"get_status","connector":"src-1"}""")
+      val status = in.readLine()
+      assert(status.contains("\"state\":\"Unassigned\""), status)
+      out.println("""{"verb":"get_config","connector":"sink-1"}""")
+      assert(in.readLine().contains("\"connector_class\":\"graft.FileSinkConnector\""))
+      out.println("""{"verb":"update_config","config":{"name":"sink-1",
+        "connector_class":"graft.FileSinkConnector","tasks_max":3,
+        "config":{"s3.bucket.name":"b","format.class":"json"}}}""".replace("\n", " "))
+      assert(in.readLine().contains("\"tasks_max\":3"))
+      out.println("""{"verb":"nope"}""")
+      assert(in.readLine().contains("unknown verb"))
+      sock.close()
+    } finally srv.stop()
+  }
+
   test("daemon assembly: file-watch source moves records to partitioned json") {
     val incoming = Files.createTempDirectory("graft-incoming").toString
     val dataRoot = Files.createTempDirectory("graft-daemon-data").toString
