@@ -28,6 +28,9 @@ object GraftSession {
                   shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
     functions.GraftFunctions.register(spark)
+    // bounded-heap top-k replaces Exchange→Sort→Window→Filter for the
+    // row_number()<=k idiom (k-capped; see plans/TopKPerGroup.scala)
+    spark.experimental.extraStrategies = Seq(plans.TopKPerGroupStrategy())
     spark
   }
 }

@@ -91,11 +91,28 @@ case class TopKPerGroupExec(
   */
 case class TopKPerGroupStrategy(maxK: Int = 100) extends SparkStrategy {
 
+  // the rank attribute often reaches the filter behind a cast (queries
+  // project `row_number().cast("long")` before filtering), and the literal
+  // correspondingly as a long — match through both
+  private object RankAttr {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: Cast => c.child match { case a: Attribute => Some(a); case _ => None }
+      case _ => None
+    }
+  }
+  private object IntLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _) => Some(v)
+      case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
+      case _ => None
+    }
+  }
   private object RankLimit {
     def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
-      case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) => Some((a, v))
-      case LessThan(a: Attribute, Literal(v: Int, _)) => Some((a, v - 1))
-      case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) => Some((a, v))
+      case LessThanOrEqual(RankAttr(a), IntLit(v)) => Some((a, v))
+      case LessThan(RankAttr(a), IntLit(v)) => Some((a, v - 1))
+      case GreaterThanOrEqual(IntLit(v), RankAttr(a)) => Some((a, v))
       case _ => None
     }
   }

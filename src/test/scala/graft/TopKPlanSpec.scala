@@ -47,6 +47,25 @@ class TopKPlanSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("rewrite also fires through a cast rank and a long literal (catalog shape)") {
+    withStrategy {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val df = Sources.table(spark, sf0001, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3L)
+        .select("o_custkey", "o_orderkey", "rnk")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup "), plan)
+      assert(!plan.contains("Sort "), plan)
+      // and the values still match the stock plan
+      val stock = topkDf.select("o_custkey", "o_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(df.select("o_custkey", "o_orderkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == stock)
+    }
+  }
+
   test("strategy leaves other window shapes alone (rank over range frame, no filter)") {
     withStrategy {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
