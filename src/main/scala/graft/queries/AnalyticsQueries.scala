@@ -391,6 +391,36 @@ object AnalyticsQueries {
         |FROM events""".stripMargin)
     )),
 
+    // Range join (interval containment): events matched to synthetic
+    // 6-hour maintenance windows (one per nation, staggered 4h apart from
+    // the corpus start). The naive BETWEEN join is a nested loop; the
+    // bucketed equi-join does the same work hash-partitioned. Emits events
+    // per window.
+    "q_range_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
+        val t0 = ev.agg(min("ts_s").as("t0"))
+        val iv = t(s, dir, "nation")
+          .crossJoin(broadcast(t0))
+          .select(col("n_nationkey").as("window_id"),
+            (col("t0") + col("n_nationkey") * 14400L).as("start_s"),
+            (col("t0") + col("n_nationkey") * 14400L + 21600L).as("end_s"))
+        graft.operators.RangeJoin
+          .pointInInterval(ev, "ts_s", iv, "start_s", "end_s", bucketWidth = 21600L)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("event_cnt"))
+      },
+      Some("""WITH ev AS (SELECT event_id, CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_s FROM events),
+        |t0 AS (SELECT min(ts_s) AS t0 FROM ev),
+        |iv AS (SELECT n_nationkey AS window_id,
+        |  t0 + n_nationkey * 14400 AS start_s, t0 + n_nationkey * 14400 + 21600 AS end_s
+        |  FROM nation, t0)
+        |SELECT window_id, CAST(count(*) AS BIGINT) AS event_cnt
+        |FROM iv JOIN ev ON ev.ts_s >= iv.start_s AND ev.ts_s < iv.end_s
+        |GROUP BY window_id""".stripMargin)
+    )),
+
     // Gap-filled hourly series: zero-filled event counts for every hour
     // between each user's first and last event (users < 50 keeps the dump
     // bounded). sequence+explode generates the spine distributively — no

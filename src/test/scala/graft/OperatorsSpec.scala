@@ -54,6 +54,21 @@ class OperatorsSpec extends SparkSpec {
     assert(feats(1).byte_len == 0)
   }
 
+  test("bucketed range join equals the naive BETWEEN join across bucket edges") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, 5L), (2L, 100L), (3L, 101L), (4L, 250L), (5L, 99L))
+      .toDF("pid", "ts")
+    // intervals crossing bucket boundaries, nested, and empty
+    val ivs = Seq((10L, 0L, 100L), (11L, 90L, 260L), (12L, 240L, 241L), (13L, 500L, 600L))
+      .toDF("iv", "s", "e")
+    val bucketed = RangeJoin.pointInInterval(points, "ts", ivs, "s", "e", bucketWidth = 64L)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivs, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(bucketed == Set((1L, 10L), (5L, 10L), (5L, 11L), (2L, 11L), (3L, 11L), (4L, 11L)))
+  }
+
   test("TopKSumAgg equals the window-based top-k sum, including tie groups") {
     import org.apache.spark.sql.expressions.Window
     val d = Seq((1, 5.0), (1, 5.0), (1, 3.0), (1, 1.0), (2, 2.0), (3, 9.0), (3, 7.0), (3, 7.0))

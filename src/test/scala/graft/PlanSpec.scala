@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
       "chunking must not shuffle")
   }
 
+  test("q_range_join pairs points and intervals with a hash join on the bucket") {
+    val plan = planOf("q_range_join")
+    // the point×interval containment must be a hash equi-join on _bucket
+    // (the only permitted nested-loop is the 1-row min-timestamp anchor)
+    assert(plan.contains("HashJoin [_bucket") || plan.contains("HashJoin [cast(_bucket"),
+      s"range join must bucket into an equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q1 aggregation is partial-then-final (map-side combine)") {
     val plan = planOf("q1_agg")
     // two HashAggregate nodes around the exchange = partial + final
