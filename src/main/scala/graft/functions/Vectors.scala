@@ -62,6 +62,10 @@ object Vectors {
     // native codegen expression (see SketchExprs.HyperplaneSigExpr) — the
     // column-algebra formulation was `bits` interpreted HOF reductions/row.
     // Bit-identical to it: same plane stream, same fold order, same >= 0.
+    // PRECONDITION: the session must have graft functions registered
+    // (GraftSession.getOrCreate, GraftExtensions, or
+    // GraftFunctions.register) — analysis fails with "Undefined function"
+    // otherwise. All graft operators register before calling this.
     call_function("hyperplane_sig", a, lit(dim), lit(bits), lit(seed))
 
   /** Deterministic pseudo-random hyperplanes (xorshift64*), grouped per bit. */

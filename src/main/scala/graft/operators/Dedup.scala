@@ -19,6 +19,12 @@ import graft.functions.Vectors
   *    bounded by bucket size (salt/band-count tunes it).
   *  - The brute-force variants exist as correctness oracles and for small
   *    dimension tables; production entry points are the LSH ones.
+  *  - Cache lifetime: the near-dup operators persist their shingle-hash /
+  *    fingerprint relations (read 2-4× by one plan) and cannot unpersist
+  *    them before the lazily-consumed result is materialized. Long-lived
+  *    sessions running many corpora should `spark.catalog.clearCache()`
+  *    between batches (Bench does exactly this); one-shot jobs need
+  *    nothing.
   */
 object Dedup {
 
@@ -76,15 +82,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // maxDf <= 0 disables document-frequency pruning (exact mode).
     // Heavy shingles are found with an aggregate (map-side partial counts,
-    // shuffle at distinct-shingle cardinality) and removed with a broadcast
-    // anti-join — by definition few keys exceed maxDf. A window count over
-    // the exploded shingle table would shuffle AND sort the biggest
-    // intermediate in the pipeline just to compute document frequency.
+    // shuffle at distinct-shingle cardinality) and removed with an
+    // anti-join. No broadcast hint: the heavy-key count grows with corpus
+    // size (~total occurrences / maxDf in the worst case), so forcing a
+    // driver collect would be its own scale-killer — AQE broadcasts when
+    // the aggregate output is actually small and shuffles otherwise.
+    // Either way this beats the window count, which would shuffle AND sort
+    // the exploded shingle table (the biggest intermediate in the
+    // pipeline) just to compute document frequency.
     val pruned = if (maxDf <= 0) sh else {
       val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
         .select("h")
-      sh.join(broadcast(heavy), Seq("h"), "left_anti")
+      sh.join(heavy, Seq("h"), "left_anti")
     }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = pruned.as("a")
@@ -206,6 +216,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // a silent partial fixpoint would return plausible-but-wrong clusters;
+    // near-dup graphs have tiny diameter, so hitting the bound means the
+    // input is not the shape this operator is for — fail loudly
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still moving); raise maxIter for graphs with diameter > $maxIter")
     labels.drop("moved")
   }
 

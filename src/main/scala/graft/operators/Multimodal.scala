@@ -94,6 +94,10 @@ object Multimodal {
     * Zero-length media yields no frames.
     */
   def framePlan(media: DataFrame, fps: Int = 1, maxFrames: Int = 32): DataFrame = {
+    // fps above 1000 would make the millisecond gap 0 (divide-by-zero in
+    // the plan); media shorter than one gap yields no frames by design
+    require(fps >= 1 && fps <= 1000, s"fps must be in [1, 1000], got $fps")
+    require(maxFrames >= 1, s"maxFrames must be positive, got $maxFrames")
     val frameGapMs = 1000L / fps
     val n = least(floor(col("meta.durationMs") / frameGapMs), lit(maxFrames)).cast("int")
     media

@@ -25,6 +25,9 @@ object Percentiles {
                        qs: Seq[(String, Double)], scale: Int = 4): DataFrame = {
     val v = col(value).cast("double")
     val counts = df
+      // percentile()/quantile_cont ignore NULLs; without this filter a null
+      // group would order first and shift every rank
+      .filter(v.isNotNull)
       .groupBy((keys.map(col) :+ v.as("_v")): _*)
       .agg(count(lit(1)).as("_c"))
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("_v"))

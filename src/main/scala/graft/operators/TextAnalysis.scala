@@ -131,13 +131,17 @@ object TextAnalysis {
     * numbers so digits inside an address never double-redact. Pure column
     * algebra, scan speed.
     */
-  def redactPii(docs: DataFrame): DataFrame =
+  def redactPii(docs: DataFrame): DataFrame = {
+    val emailsOut = regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>"))
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("email_cnt"),
-      size(regexp_extract_all(col("text"), lit(longNumRe), lit(0))).cast("long").as("number_cnt"),
-      regexp_replace(regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
-        lit(longNumRe), lit("<NUM>")).as("redacted"))
+      // counted AFTER email redaction so the audit count equals the number
+      // of <NUM> placeholders actually emitted (digits inside an address
+      // are consumed by the email pass)
+      size(regexp_extract_all(emailsOut, lit(longNumRe), lit(0))).cast("long").as("number_cnt"),
+      regexp_replace(emailsOut, lit(longNumRe), lit("<NUM>")).as("redacted"))
+  }
 
   /** Content-defined fingerprint: md5 of the text (exact-dup key) plus a
     * 64-bit rolling polynomial hash over tokens (shift-resistant key used by

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjectio
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Window => LWindow, WindowGroupLimit => LWindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
 
 /** Bounded-heap top-k-per-group: a physical replacement for the
   * `row_number() OVER (PARTITION BY g ORDER BY o) <= k` idiom.
@@ -93,11 +94,14 @@ case class TopKPerGroupStrategy(maxK: Int = 100) extends SparkStrategy {
 
   // the rank attribute often reaches the filter behind a cast (queries
   // project `row_number().cast("long")` before filtering), and the literal
-  // correspondingly as a long — match through both
+  // correspondingly as a long — match through the WIDENING cast only: a
+  // narrowing cast can overflow-wrap ranks, making the stock plan's filter
+  // semantics differ from a true top-k
   private object RankAttr {
     def unapply(e: Expression): Option[Attribute] = e match {
       case a: Attribute => Some(a)
-      case c: Cast => c.child match { case a: Attribute => Some(a); case _ => None }
+      case c: Cast if c.dataType == LongType =>
+        c.child match { case a: Attribute => Some(a); case _ => None }
       case _ => None
     }
   }

@@ -430,11 +430,14 @@ object LlmQueries {
     // PII scrubbing with an audit count per document.
     "text_pii_scrub" -> ((
       (s: SparkSession, dir: String) => TextAnalysis.redactPii(docs(s, dir)),
-      Some("""SELECT doc_id,
+      Some("""WITH e AS (SELECT doc_id, text,
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS emails_out
+        |  FROM documents)
+        |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_cnt,
-        |  CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS number_cnt,
-        |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\d{6,}', '<NUM>', 'g') AS redacted
-        |FROM documents""".stripMargin)
+        |  CAST(len(regexp_extract_all(emails_out, '\d{6,}')) AS BIGINT) AS number_cnt,
+        |  regexp_replace(emails_out, '\d{6,}', '<NUM>', 'g') AS redacted
+        |FROM e""".stripMargin)
     )),
 
     "text_fingerprint" -> ((

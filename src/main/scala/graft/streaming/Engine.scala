@@ -28,7 +28,7 @@ final class Engine(spark: SparkSession, root: String, checkpointRoot: String) {
     * connector, targeting the first sink connector's config — sinks first,
     * sources after, mirroring `manager.rs:210-228` start order.
     */
-  def initialize(cfg: GraftConfig): this.type = {
+  def initialize(cfg: GraftConfig): this.type = synchronized {
     val sinkCfg = cfg.connectors.find(_.connectorType == "sink")
       .map(ConfigLoader.sinkConfig)
       .getOrElse(throw new IllegalArgumentException("config has no sink connector"))
@@ -47,7 +47,10 @@ final class Engine(spark: SparkSession, root: String, checkpointRoot: String) {
     * stop everything, swap the config, re-register. Queries restart from
     * their checkpoints, so the swap is at-least-once safe.
     */
-  def updateConfig(cfg: GraftConfig): this.type = {
+  def updateConfig(cfg: GraftConfig): this.type = synchronized {
+    // synchronized with initialize: the control plane serves each TCP
+    // client on its own thread, and an interleaved stop/clear/register
+    // would mix two configs' connectors in the registry
     manager.stopAll()
     manager.clear()
     initialize(cfg)

@@ -33,6 +33,11 @@ final class PushService(spark: SparkSession) {
   private val input = MemoryStream[KafkaRecord](spark)
   private val pendingAcks = new ConcurrentLinkedQueue[(Seq[RecordId], Long)]()
   @volatile private var acked: Vector[RecordId] = Vector.empty
+  // high-water mark of ids already reported by a flush: each FlushResponse
+  // acks only what committed SINCE the previous flush, so a long-lived
+  // stream's ack payloads don't grow without bound (and clients never see
+  // an id re-acked)
+  @volatile private var reported: Int = 0
 
   /** The DataFrame of pushed records, to be wired into any sink pipeline. */
   def records = input.toDF()
@@ -45,12 +50,15 @@ final class PushService(spark: SparkSession) {
   }
 
   /** K2/flush: drain everything pushed so far through the query, then
-    * report the ids durably processed — the corrected FlushResponse.
+    * report the ids durably processed since the last flush — the corrected
+    * FlushResponse.
     */
-  def flush(query: StreamingQuery): Seq[RecordId] = {
+  def flush(query: StreamingQuery): Seq[RecordId] = synchronized {
     query.processAllAvailable()
     val snapshot = acked
-    snapshot
+    val delta = snapshot.drop(reported)
+    reported = snapshot.size
+    delta
   }
 
   /** Wire a sink query over [[records]]; acks accumulate per committed

@@ -60,6 +60,18 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("connected components fail loudly instead of returning a partial fixpoint") {
+    // chain of diameter 6 with maxIter 2: min label cannot reach the end
+    val chain = (1L to 7L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 2).collect())
+    // and with enough rounds the same chain converges to one cluster
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
   test("LSH-based representative filter matches the exact filter on fixtures") {
     val exactSurvivors = Dedup.dropNearDuplicates(docs,
         Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0))

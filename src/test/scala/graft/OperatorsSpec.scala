@@ -108,6 +108,17 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[String]("redacted") == "mail <EMAIL> id <NUM> pin 123 done")
   }
 
+  test("PII audit counts equal the placeholders actually emitted") {
+    import graft.operators.TextAnalysis
+    // the digits live inside the email: the email pass consumes them, so
+    // number_cnt must be 0 — no phantom <NUM> in the audit trail
+    val d = Seq((1L, "contact user12345678@x.com today")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d).collect()(0)
+    assert(r.getAs[Long]("email_cnt") == 1L)
+    assert(r.getAs[Long]("number_cnt") == 0L)
+    assert(r.getAs[String]("redacted") == "contact <EMAIL> today")
+  }
+
   test("feature extraction accepts a custom extractor (the model plug point)") {
     import graft.operators.Multimodal
     object LenAndFirst extends Multimodal.FeatureExtractor {

@@ -66,6 +66,16 @@ class ScaleSpec extends SparkSpec {
     assert(scalable == builtIn)
   }
 
+  test("scalable percentiles ignore NULL values like percentile() does") {
+    import graft.operators.Percentiles
+    import spark.implicits._
+    val d = Seq((1, Some(1.0)), (1, None), (1, Some(2.0)), (1, Some(3.0)))
+      .toDF("g", "v")
+    val got = Percentiles.exactPercentiles(d, Seq("g"), "v", Seq(("p50", 0.5)))
+      .collect()(0).getDouble(1)
+    assert(got == 2.0, s"null must not shift the rank: got $got")
+  }
+
   test("approx percentiles land within 1% of exact per group") {
     val li = Sources.table(spark, sf0001, "lineitem")
     val both = li.groupBy("l_returnflag").agg(

@@ -64,6 +64,14 @@ class ServiceSpec extends SparkSpec {
         case other => fail(s"expected commit-time Ack, got $other")
       }
       assert(responses(2) == SinkResponse.Flushed(FlushResponse("f-1", success = true)))
+      // a second push+flush acks ONLY the new ids — no cumulative re-ack
+      val second = service.sinkStream(Iterator(
+        SinkRequest.Push(RecordBatch(Seq(rec(2, "c")))),
+        SinkRequest.Flush(FlushRequest("f-2")))).toList
+      second.head match {
+        case SinkResponse.Ack(ack) => assert(ack.recordIds.map(_.offset) == Seq(2L))
+        case other => fail(s"expected delta Ack, got $other")
+      }
     } finally q.stop()
   }
 
