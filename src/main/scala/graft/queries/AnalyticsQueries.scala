@@ -386,7 +386,7 @@ object AnalyticsQueries {
             count(lit(1)).over(w).as("cnt_trailing_1h"))
       },
       Some("""SELECT user_id, event_id,
-        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_trailing_1h
         |FROM events""".stripMargin)
     )),
@@ -411,7 +411,7 @@ object AnalyticsQueries {
           .groupBy("window_id")
           .agg(count(lit(1)).as("event_cnt"))
       },
-      Some("""WITH ev AS (SELECT event_id, CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_s FROM events),
+      Some("""WITH ev AS (SELECT event_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s FROM events),
         |t0 AS (SELECT min(ts_s) AS t0 FROM ev),
         |iv AS (SELECT n_nationkey AS window_id,
         |  t0 + n_nationkey * 14400 AS start_s, t0 + n_nationkey * 14400 + 21600 AS end_s
@@ -440,7 +440,7 @@ object AnalyticsQueries {
           .select(col("user_id"), col("hour"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       },
       Some("""WITH ev AS (SELECT user_id,
-        |  CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600 AS hour
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS hour
         |  FROM events WHERE user_id < 50),
         |counts AS (SELECT user_id, hour, CAST(count(*) AS BIGINT) AS cnt
         |  FROM ev GROUP BY 1, 2),
