@@ -482,6 +482,24 @@ object AnalyticsQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     )),
 
+    // HyperLogLog distinct counting — the sketch that replaces
+    // count(DISTINCT) at 100 TB (mergeable, fixed-size state, no
+    // distinct-shuffle). Emits the exact count (DuckDB re-derives it —
+    // real teeth) plus an in-tolerance flag for the sketch.
+    "q_approx_distinct" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("exact_cnt"),
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
+          .select(col("l_returnflag"), col("exact_cnt").cast("long").as("exact_cnt"),
+            (abs(col("approx") - col("exact_cnt")) * 100 <= col("exact_cnt") * 5)
+              .cast("long").as("approx_within_5pct")),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_cnt,
+        |  CAST(1 AS BIGINT) AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    )),
+
     // Fixed-width histogram via integer binning.
     "q_histogram" -> ((
       (s: SparkSession, dir: String) =>
