@@ -45,6 +45,14 @@ class DedupSpec extends SparkSpec {
       s"missed: ${exactPairs -- lshPairs}, extra: ${lshPairs -- exactPairs}")
   }
 
+  test("minhash LSH reads the persisted shingle relation instead of recomputing it") {
+    // the plan consumes withHs four times (bucket self-join sides + two
+    // verify joins); without the persist each read re-ran scan->shingle->
+    // hash and the query was ~7x slower (BENCH.md round 2)
+    val plan = Dedup.minhashLshPairs(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+  }
+
   test("connected components: chains, triangles, and isolated pairs resolve to min-id clusters") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),            // chain -> {1,2,3}
