@@ -87,6 +87,22 @@ object Pipeline {
     * FlushRequest analog, `service.rs:230-318`).
     */
   def flush(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  /** Backfill mode: run the same streaming pipeline with
+    * `Trigger.AvailableNow` — process everything currently in the source
+    * in rate-limited micro-batches (honoring `maxOffsetsPerTrigger`-style
+    * bounds, unlike the deprecated Trigger.Once), then stop. The
+    * operational pattern for catch-up and scheduled batch drains: same
+    * code, same checkpoint, so a nightly drain and a continuous run are
+    * interchangeable without reprocessing.
+    */
+  def drainAvailable(records: DataFrame, sink: SinkConfig, root: String,
+                     checkpoint: String,
+                     name: String = "graft-drain"): Unit = {
+    val q = streamToFiles(records, sink, root, checkpoint,
+      Trigger.AvailableNow(), name)
+    q.awaitTermination()
+  }
 }
 
 /** O4: the connector lifecycle manager (`manager.rs:40-268`) re-expressed

@@ -254,6 +254,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow drain processes the backlog, terminates, and resumes incrementally") {
+    val input = MemoryStream[KafkaRecord](spark)
+    val root = Files.createTempDirectory("graft-drain").toString
+    val ckpt = Files.createTempDirectory("graft-drain-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet)
+    input.addData(rec(0, "a"), rec(1, "b"))
+    Pipeline.drainAvailable(input.toDF(), cfg, root, ckpt, name = "graft_drain_1")
+    assert(spark.read.parquet(root).count() == 2)
+    // a second drain from the same checkpoint only takes the new records
+    input.addData(rec(2, "c"))
+    Pipeline.drainAvailable(input.toDF(), cfg, root, ckpt, name = "graft_drain_2")
+    assert(spark.read.parquet(root).count() == 3)
+  }
+
   test("restart from checkpoint resumes without loss or duplication") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-restart").toString
