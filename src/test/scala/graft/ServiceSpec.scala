@@ -104,6 +104,34 @@ class ServiceSpec extends SparkSpec {
       .exists(_.config("flush.size") == "25")))
   }
 
+  test("concurrent update_config requests leave a consistent registry") {
+    val root = Files.createTempDirectory("graft-conc").toString
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, s"$root/ckpt")
+    val service = InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 32).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            service.updateConfig(ConfigUpdateRequest(ConnectorConfig(
+              "graft.FileSinkConnector", "sink-1",
+              Map("s3.bucket.name" -> "b", "format.class" -> "json",
+                "flush.size" -> i.toString), tasksMax = 2))): Unit
+        })
+      }
+      tasks.foreach(_.get())
+      // registry must reflect exactly one of the racing configs, with the
+      // connector set intact (no mixed/partial state)
+      val cfg = engine.config.get
+      assert(cfg.connectors.map(_.name).sorted == Seq("sink-1", "src-1"))
+      val flush = cfg.connectors.find(_.name == "sink-1").get.config("flush.size").toInt
+      assert(flush >= 1 && flush <= 32)
+      assert(engine.status.keySet == Set("src-1"))
+    } finally pool.shutdown()
+  }
+
   test("source stream mirrors the reference's unimplemented surface gracefully") {
     val root = Files.createTempDirectory("graft-svc3").toString
     val engine = Engine.fromConfigJson(spark,
