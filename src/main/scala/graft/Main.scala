@@ -31,15 +31,27 @@ object Main {
 
     // control plane: JSON-lines over TCP on the configured address, bound
     // to the same ConnectorService verbs the gRPC front would serve (the
-    // proto transport needs ScalaPB codegen unavailable offline)
+    // proto transport needs ScalaPB codegen unavailable offline).
+    // SECURITY: the protocol is unauthenticated and update_config can
+    // re-point ingestion, so the bind host comes from tcp_address and
+    // should stay loopback (the shipped config's default); a wildcard bind
+    // is honored but called out loudly as an operator decision.
     val control = engine.config.flatMap(_.tcpAddress).map { a =>
+      val host = a.split(":").dropRight(1).mkString(":") match {
+        case "" => "127.0.0.1"
+        case h => h
+      }
       val port = a.split(":").last.toInt
+      if (host == "0.0.0.0" || host == "::")
+        println("[graft] WARNING: control plane binding ALL interfaces with no " +
+          "authentication — any network peer can reconfigure this daemon; " +
+          "use 127.0.0.1 or front it with an authenticating proxy")
       val svc = new graft.streaming.InProcessConnectorService(engine,
         new graft.streaming.PushService(spark),
         () => throw new IllegalStateException("daemon mode has no push sink"))
-      val srv = new graft.streaming.ControlServer(svc, port)
+      val srv = new graft.streaming.ControlServer(svc, port, host)
       val bound = srv.start()
-      println(s"[graft] control plane listening on tcp port $bound (JSON lines)")
+      println(s"[graft] control plane listening on $host:$bound (JSON lines)")
       srv
     }
 

@@ -13,6 +13,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // the dedup/CC operators persist shingle/fingerprint relations they
+      // can't unpersist before their lazy result materializes; without this
+      // the ~70-query gate accumulates dead cached relations (Bench clears
+      // the cache the same way per query)
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -61,6 +61,8 @@ object SketchMath {
 
   /** Sign bits of a · hᵦ packed into a long; summation order matches the
     * sequential `aggregate(zip_with(...))` fold for bit-identical doubles.
+    * Assumes a well-formed input (exactly `dim` non-null elements) — callers
+    * going through the expression use [[hyperplaneSigChecked]].
     */
   def hyperplaneSig(a: ArrayData, planes: Array[Double], dim: Int, bits: Int): Long = {
     val n = math.min(a.numElements(), dim)
@@ -75,6 +77,24 @@ object SketchMath {
       b += 1
     }
     sig
+  }
+
+  /** [[hyperplaneSig]] with the malformed-vector handling the expression
+    * contract requires: null (not a silently mis-bucketed signature) when
+    * the vector's length differs from the plane dimension or any element is
+    * null — `getFloat` on a null slot reads garbage, and truncation/padding
+    * would bucket the vector somewhere wrong-but-plausible.
+    */
+  def hyperplaneSigChecked(a: ArrayData, planes: Array[Double], dim: Int,
+                           bits: Int): java.lang.Long = {
+    val n = a.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    java.lang.Long.valueOf(hyperplaneSig(a, planes, dim, bits))
   }
 
   def simhash64(hs: ArrayData): Long = {
@@ -161,13 +181,27 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
+  // null is also the result for malformed vectors (length != dim, or a null
+  // element) — see SketchMath.hyperplaneSigChecked
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any =
-    SketchMath.hyperplaneSig(a.asInstanceOf[ArrayData], planes, dim, bits)
+    SketchMath.hyperplaneSigChecked(a.asInstanceOf[ArrayData], planes, dim, bits)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("hyperplanes", planes, "double[]")
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.SketchMath.hyperplaneSig($a, $planesRef, $dim, $bits)")
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("sig")
+      s"""
+         |java.lang.Long $boxed =
+         |  graft.functions.SketchMath.hyperplaneSigChecked($a, $planesRef, $dim, $bits);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =

@@ -233,20 +233,34 @@ object Dedup {
   /** Hamming distance between two packed-64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** (doc_id, fp) 64-bit SimHash fingerprints — the shared input of the
+    * banded ([[simhashPairsFromFp]]) and brute-force ([[simhashBrutePairs]])
+    * pair generators. 16 bytes/doc; callers that feed both generators should
+    * persist it so the corpus is tokenized and hashed once.
+    */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        transform(TextAnalysis.tokens(col("text")), w => xxhash64(w)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), call_function("simhash64", col("hs")).as("fp"))
+  }
+
   /** SimHash near-dup pairs with banding: 4 chunks of 16 bits; any equal
     * chunk → candidate (guarantees recall for hamming ≤ 3) → verify
     * hamming ≤ `maxHamming`.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    // 16 bytes/doc, read by both sides of the chunk self-join — persist
-    // rather than re-tokenize and re-hash the corpus twice
-    val withFp = docs
-      .select(col("doc_id"),
-        transform(TextAnalysis.tokens(col("text")), w => xxhash64(w)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), call_function("simhash64", col("hs")).as("fp"))
+    // read by both sides of the chunk self-join — persist rather than
+    // re-tokenize and re-hash the corpus twice
+    val withFp = simhashFingerprints(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashPairsFromFp(withFp, maxHamming)
+  }
+
+  /** Banded pair generation over a precomputed fingerprint relation. */
+  def simhashPairsFromFp(withFp: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = withFp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
@@ -261,6 +275,19 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Brute-force (all-pairs) hamming pairs over a fingerprint relation —
+    * quadratic in document count, but each comparison is one xor+popcount on
+    * 8-byte fingerprints: the correctness twin the banded path's recall
+    * guarantee is verified against (16-bit banding cannot miss a pair with
+    * hamming ≤ 3 — pigeonhole over 4 chunks), never a production path.
+    */
+  def simhashBrutePairs(withFp: DataFrame, maxHamming: Int = 3): DataFrame =
+    withFp.as("a")
+      .join(withFp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
 
   /** Brute-force embedding near-dup pairs (cosine ≥ threshold). Quadratic —
     * correctness oracle and small-table path only; [[embeddingLshPairs]] is
@@ -280,28 +307,36 @@ object Dedup {
   /** LSH-bucketed embedding near-dup: random-hyperplane signature, banded
     * into `bands` chunks; bucket-join per band, verify cosine. Approximate
     * (recall < 1 by design) but shuffle-bounded: candidates only within
-    * buckets, signature is 8 bytes/row.
+    * buckets, and the bucket explode + self-join carry `(vec_id, band,
+    * bucket)` ONLY — never the embedding payload, which at production dims
+    * is 1-4 KB/vector and would otherwise be replicated ×bands through the
+    * biggest shuffle in the pipeline. Embeddings are joined back by id for
+    * the cosine verification, the same join-back-by-id shape
+    * [[minhashLshPairs]] uses for its shingle sets.
     */
   def embeddingLshPairs(embeddings: DataFrame, dim: Int, threshold: Double,
                         bits: Int = 32, bands: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val rows = bits / bands
     val mask = (1L << rows) - 1
-    val sig = embeddings.select(col("vec_id"), col("embedding"),
+    val sig = embeddings.select(col("vec_id"),
       Vectors.hyperplaneSignature(col("embedding"), dim, bits).as("sig"))
-    val buckets = sig.select(col("vec_id"), col("embedding"),
+    val buckets = sig.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bucket"))
-    buckets.as("a")
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("cos"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-      .filter(col("cos") >= threshold)
+    val payload = embeddings.select(col("vec_id"), col("embedding"))
+    candidates
+      .join(payload.as("ea"), col("id_a") === col("ea.vec_id"))
+      .join(payload.as("eb"), col("id_b") === col("eb.vec_id"))
+      .filter(call_function("cosine_sim", col("ea.embedding"), col("eb.embedding")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 }

@@ -44,7 +44,8 @@ object Similarity {
     * join is a broadcast hash join on cluster id.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              fitFraction: Double = 0.5, fitMaxRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -53,9 +54,32 @@ object Similarity {
 
     val featured = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(featured)
+    // The quantizer is fit on a bounded, deterministic sample — standard IVF
+    // practice: KMeans makes setMaxIter full passes over its input, so
+    // fitting on the whole corpus would be ~10 corpus scans at index-build
+    // time and the dominant cost at 100 TB. Centroid quality saturates far
+    // below fitMaxRows points for coarse quantizers (nCentroids cells), and
+    // downstream correctness is property-based (probes are exact within
+    // cells), not centroid-exact.
+    // cached because KMeans re-reads its input once per init round and once
+    // per iteration — uncached, that is 10+ scan→sample re-reads of the
+    // corpus; fit() is eager, so the sample can be dropped immediately after
+    val fitInput = {
+      val sampled = if (fitFraction >= 1.0) featured
+        else featured.sample(withReplacement = false, fitFraction, seed)
+      sampled.select("features").limit(fitMaxRows)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // random init, not kmeans||: the parallel init makes several extra
+    // passes + a driver collect to seed centroids well — worth it for fine
+    // clustering, irrelevant for a coarse quantizer whose cells only gate
+    // candidate generation (probes re-rank with exact cosine anyway)
+    val model = try {
+      new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+        .setInitMode("random")
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(fitInput)
+    } finally fitInput.unpersist()
     val assigned = model.transform(featured)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cluster"))
 
@@ -102,8 +126,11 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val rows = bits / bands
     val mask = (1L << rows) - 1
+    // bucket rows are ids only — the corpus-side explode (×bands) and the
+    // bucket join never carry the embedding payload (1-4 KB/vector at
+    // production dims); embeddings rejoin by id for the exact-cosine scoring
     def banded(df: DataFrame, idAs: String, probe: Boolean) = {
-      val sig = df.select(col("vec_id"), col("embedding"),
+      val sig = df.select(col("vec_id"),
         Vectors.hyperplaneSignature(col("embedding"), dim, bits).as("sig"))
       val buckets = (0 until bands).flatMap { b =>
         val base = shiftright(col("sig"), b * rows).bitwiseAND(mask)
@@ -112,19 +139,24 @@ object Similarity {
         else Seq.empty
         (base +: probes).map(bk => struct(lit(b).as("band"), bk.as("bucket")))
       }
-      sig.select(col("vec_id").as(idAs), col("embedding"),
-        explode(array(buckets: _*)).as("bb"))
-        .select(col(idAs), col("embedding"), col("bb.band"), col("bb.bucket"))
+      sig.select(col("vec_id").as(idAs), explode(array(buckets: _*)).as("bb"))
+        .select(col(idAs), col("bb.band"), col("bb.bucket"))
     }
     val cand = banded(corpus, "neighbor_id", probe = false).as("c")
       .join(broadcast(banded(queries, "query_id", probe = true).as("q")),
         col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket") &&
           col("q.query_id") =!= col("c.neighbor_id"))
-      .select(col("q.query_id"), col("c.neighbor_id"),
-        call_function("cosine_sim", col("q.embedding"), col("c.embedding")).as("cos"))
+      .select(col("q.query_id"), col("c.neighbor_id"))
       .distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("cosine_sim", col("q_emb"), col("c_emb")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }

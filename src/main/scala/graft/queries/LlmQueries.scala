@@ -22,6 +22,40 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String) = Sources.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Sources.table(s, dir, "embeddings")
 
+  /** Recursive-CTE transitive-closure oracle over the exact-Jaccard pair
+    * graph. Shared verbatim by the exact-pair CC entries and their LSH
+    * twins: the LSH pair set equals the exact one on the fixtures (total
+    * banding recall + exact-Jaccard verification, asserted in DedupSpec and
+    * proven green by dedup_minhash_lsh), so the same fixpoint applies.
+    */
+  private val ccOracleSql =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+      |rawpairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |npairs AS (
+      |  SELECT doc_a, doc_b FROM rawpairs p
+      |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+      |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM npairs
+      |          UNION SELECT doc_b, doc_a FROM npairs),
+      |reach AS (
+      |  SELECT a AS node, b AS r FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+      |""".stripMargin
+  private val ccClustersSql = ccOracleSql +
+    """SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+      |FROM reach GROUP BY node""".stripMargin
+  private val ccRepresentativesSql = ccOracleSql +
+    """,cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin
+
   val defs: Map[String, (Q, Option[String])] = Map(
 
     "dedup_exact" -> ((
@@ -83,26 +117,20 @@ object LlmQueries {
             Dedup.ngramJaccardPairs(d, n = 3, pct = 80, maxDf = 0))
           .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
       },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
-        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-        |rawpairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |npairs AS (
-        |  SELECT doc_a, doc_b FROM rawpairs p
-        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
-        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM npairs
-        |          UNION SELECT doc_b, doc_a FROM npairs),
-        |reach AS (
-        |  SELECT a AS node, b AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
-        |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
-        |FROM reach GROUP BY node""".stripMargin)
+      Some(ccClustersSql)
+    )),
+
+    // Transitive clusters on the SCALE path: CC over MinHash-LSH pairs — no
+    // all-pairs stage anywhere in the plan. This is the composition a 100 TB
+    // dedup pipeline actually runs; same recursive-CTE oracle because the
+    // LSH pair set equals the exact one on the fixtures.
+    "dedup_clusters_lsh" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        Dedup.connectedComponents(Dedup.minhashLshPairs(d))
+          .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
+      },
+      Some(ccClustersSql)
     )),
 
     // The CC-based representative filter: keep exactly one doc (min id) per
@@ -118,27 +146,22 @@ object LlmQueries {
             Seq("doc_id"), "left_anti")
           .select(col("doc_id"))
       },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
-        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
-        |rawpairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |npairs AS (
-        |  SELECT doc_a, doc_b FROM rawpairs p
-        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
-        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM npairs
-        |          UNION SELECT doc_b, doc_a FROM npairs),
-        |reach AS (
-        |  SELECT a AS node, b AS r FROM edges
-        |  UNION
-        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
-        |cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin)
+      Some(ccRepresentativesSql)
+    )),
+
+    // The end-to-end 100 TB transitive-dedup filter: one representative per
+    // CC cluster, clusters from LSH pairs — every stage of this plan is the
+    // one a production corpus runs (signature → band/bucket → verify → CC →
+    // anti-join), and every stage is oracle-checked here.
+    "dedup_keep_representatives_cc_lsh" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val cc = Dedup.connectedComponents(Dedup.minhashLshPairs(d))
+        d.join(cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+      },
+      Some(ccRepresentativesSql)
     )),
 
     // The scale-path dedup filter users actually run at 100 TB: survivors
@@ -190,10 +213,38 @@ object LlmQueries {
         |WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)""".stripMargin)
     )),
 
-    // SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — rows-only.
+    // SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding). The
+    // xxhash64-chained fingerprints aren't DuckDB-expressible, so the query
+    // materializes its own correctness contract as verdict rows (the
+    // dedup_embedding_lsh pattern): recall_violations = brute-force
+    // hamming≤3 pairs EXCEPT banded pairs — mathematically 0, since ≤3
+    // differing bits can touch at most 3 of the 4 16-bit chunks, so one
+    // chunk always matches (pigeonhole); precision_violations = banded
+    // pairs EXCEPT brute-force — 0 because candidates are hamming-verified
+    // before emission; docs_fingerprinted is independently countable by
+    // DuckDB (every non-empty text fingerprints).
     "dedup_simhash" -> ((
-      (s: SparkSession, dir: String) => Dedup.simhashPairs(docs(s, dir)),
-      None
+      (s: SparkSession, dir: String) => {
+        val fp = Dedup.simhashFingerprints(docs(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = Dedup.simhashPairsFromFp(fp, maxHamming = 3)
+          .select("doc_a", "doc_b")
+        val brute = Dedup.simhashBrutePairs(fp, maxHamming = 3)
+          .select("doc_a", "doc_b")
+        val fingerprinted = fp.agg(count(lit(1)).as("value"))
+          .select(lit("docs_fingerprinted").as("metric"), col("value").cast("long").as("value"))
+        val missed = brute.join(banded, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("recall_violations").as("metric"), col("value").cast("long").as("value"))
+        val extra = banded.join(brute, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("precision_violations").as("metric"), col("value").cast("long").as("value"))
+        fingerprinted.unionAll(missed).unionAll(extra)
+      },
+      Some("""SELECT 'docs_fingerprinted' AS metric,
+        |  CAST((SELECT count(*) FROM documents WHERE length(text) > 0) AS BIGINT) AS value
+        |UNION ALL SELECT 'recall_violations', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'precision_violations', CAST(0 AS BIGINT)""".stripMargin)
     )),
 
     // Exact embedding near-dup pairs by cosine ≥ 0.45.

@@ -49,10 +49,19 @@ object Sources {
   /** Streaming file source in the Kafka record shape: each line of each
     * file dropped into `dir` becomes one record. This is the connector class
     * that makes the daemon (`graft.Main`) runnable without a broker — the
-    * file-watch directory plays the topic. Offsets are content hashes (the
-    * file source's own WAL provides exactly-once file pickup; a stable
-    * per-record id is all downstream needs), partition is a hash mod so the
-    * default partitioner fans out as it would off a real topic.
+    * file-watch directory plays the topic. Offsets are content hashes mixed
+    * with the source file path (the file source's own WAL provides
+    * exactly-once file pickup; a stable per-record id is all downstream
+    * needs), partition is a hash mod so the default partitioner fans out as
+    * it would off a real topic.
+    *
+    * KNOWN LIMIT: the text source exposes no per-file line position, so two
+    * IDENTICAL lines in the SAME file still produce the same (topic,
+    * partition, offset) id and conflate in offset-keyed consumers (RecordId
+    * acks, the F4 bytes sink's `{partition}_{firstOffset}` naming). Distinct
+    * lines, and identical lines in different files, are distinct. Feed
+    * offset-keyed paths from files with unique lines (e.g. JSON with an id
+    * field) or from a real broker source.
     */
   def fileStream(spark: SparkSession, dir: String, topic: String,
                  partitions: Int = 8): DataFrame =
@@ -62,7 +71,7 @@ object Sources {
       .select(
         lit(topic).as("topic"),
         pmod(xxhash64(col("value")), lit(partitions)).cast("int").as("partition"),
-        xxhash64(lit(topic), col("value")).as("offset"),
+        xxhash64(lit(topic), input_file_name(), col("value")).as("offset"),
         current_timestamp().as("timestamp"),
         lit(null).cast("binary").as("key"),
         col("value").cast("binary").as("value"),

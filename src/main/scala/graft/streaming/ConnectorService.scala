@@ -149,21 +149,27 @@ final class InProcessConnectorService(engine: Engine, push: PushService,
   /** UpdateConfig (unimplemented in the reference, `service.rs:369-382`):
     * swap the named connector's entry inside the current config and
     * re-initialize. Queries restart from their checkpoints, so the swap is
-    * at-least-once safe.
+    * at-least-once safe. An unknown connector name is a no-op and must stay
+    * one: `engine.updateConfig` stops and re-registers every connector, so
+    * reaching it for a name that matches nothing would restart the world as
+    * the side effect of a request that then reports "not found".
     */
   override def updateConfig(req: ConfigUpdateRequest): ConfigResponse =
     engine.config match {
       case None => ConfigResponse(None)
       case Some(cfg) =>
         val u = req.config
-        val updated = cfg.connectors.map { c =>
-          if (c.name == u.name)
-            c.copy(connectorClass = u.connectorClass, config = u.config,
-              tasksMax = u.tasksMax)
-          else c
+        if (!cfg.connectors.exists(_.name == u.name)) ConfigResponse(None)
+        else {
+          val updated = cfg.connectors.map { c =>
+            if (c.name == u.name)
+              c.copy(connectorClass = u.connectorClass, config = u.config,
+                tasksMax = u.tasksMax)
+            else c
+          }
+          engine.updateConfig(cfg.copy(connectors = updated))
+          getConfig(ConfigRequest(u.name))
         }
-        engine.updateConfig(cfg.copy(connectors = updated))
-        getConfig(ConfigRequest(u.name))
     }
 
   override def getStatus(req: StatusRequest): StatusResponse =

@@ -26,7 +26,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * else. Streaming verbs (sink/source streams) stay in-process — a
   * line-oriented transport is the wrong shape for them.
   */
-final class ControlServer(service: ConnectorService, port: Int) {
+final class ControlServer(service: ConnectorService, port: Int,
+                          host: String = "127.0.0.1") {
 
   private val mapper = new ObjectMapper()
   @volatile private var server: ServerSocket = null
@@ -34,10 +35,17 @@ final class ControlServer(service: ConnectorService, port: Int) {
     val t = new Thread(r, "graft-control"); t.setDaemon(true); t
   })
 
-  /** Bind and serve; returns the actual port (use 0 to pick a free one). */
+  /** Bind and serve; returns the actual port (use 0 to pick a free one).
+    *
+    * Binds the given host — loopback unless explicitly configured otherwise:
+    * the protocol has no authentication, and update_config lets any peer
+    * that can reach the socket re-point what data the daemon ingests and
+    * writes. A non-loopback bind is an explicit operator decision (put a
+    * network boundary or an authenticating proxy in front), never a default.
+    */
   def start(): Int = synchronized {
     require(server == null, "already started")
-    server = new ServerSocket(port)
+    server = new ServerSocket(port, 50, java.net.InetAddress.getByName(host))
     pool.submit(new Runnable {
       override def run(): Unit = {
         while (server != null && !server.isClosed)

@@ -80,6 +80,34 @@ class DedupSpec extends SparkSpec {
     assert(ok.values.toSet == Set(1L))
   }
 
+  test("CC over LSH pairs equals CC over exact pairs (the 100 TB composition)") {
+    // dedup_clusters_lsh's license: the scale-path pair generator feeds the
+    // same fixpoint to the same clusters, so the exact recursive-CTE oracle
+    // applies unchanged
+    val exactCc = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0))
+      .as[(Long, Long)].collect().toMap
+    val lshCc = Dedup.connectedComponents(Dedup.minhashLshPairs(docs))
+      .as[(Long, Long)].collect().toMap
+    assert(lshCc.nonEmpty)
+    assert(lshCc == exactCc)
+  }
+
+  test("simhash banding recalls every brute-force hamming<=3 pair (pigeonhole)") {
+    val fp = Dedup.simhashFingerprints(docs).cache()
+    val brute = Dedup.simhashBrutePairs(fp, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashPairsFromFp(fp, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+    // ≤3 differing bits touch at most 3 of the 4 16-bit chunks, so one chunk
+    // always matches → banding cannot miss; candidates are hamming-verified
+    // before emission → banding cannot add. The sets are EQUAL, which is
+    // what licenses dedup_simhash's zero-violations verdict oracle.
+    assert(banded == brute,
+      s"missed: ${brute -- banded}, extra: ${banded -- brute}")
+  }
+
   test("LSH-based representative filter matches the exact filter on fixtures") {
     val exactSurvivors = Dedup.dropNearDuplicates(docs,
         Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0))

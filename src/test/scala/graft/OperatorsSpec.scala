@@ -156,6 +156,26 @@ class OperatorsSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("hyperplane_sig nulls malformed vectors instead of mis-bucketing them") {
+    graft.functions.GraftFunctions.register(spark)
+    // wrong dimension (would previously be truncated / zero-padded)
+    val short = Seq((1L, Array.tabulate(4)(i => i.toFloat))).toDF("vec_id", "embedding")
+      .select(Vectors.hyperplaneSignature(col("embedding"), 8, 16).as("s"))
+      .as[Option[Long]].collect()(0)
+    assert(short.isEmpty)
+    // null element (getFloat on a null slot previously read garbage)
+    val withNull = spark.sql(
+      "SELECT array(cast(1.0 as float), cast(null as float)) AS embedding")
+      .select(Vectors.hyperplaneSignature(col("embedding"), 2, 16).as("s"))
+      .as[Option[Long]].collect()(0)
+    assert(withNull.isEmpty)
+    // well-formed vectors still sign
+    val ok = Seq((1L, Array.tabulate(8)(i => i.toFloat))).toDF("vec_id", "embedding")
+      .select(Vectors.hyperplaneSignature(col("embedding"), 8, 16).as("s"))
+      .as[Option[Long]].collect()(0)
+    assert(ok.nonEmpty)
+  }
+
   test("native cosine_sim matches the HOF cosine and is SQL-callable") {
     graft.functions.GraftFunctions.register(spark)
     val df = Seq(

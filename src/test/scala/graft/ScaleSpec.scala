@@ -1,13 +1,42 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
 
-import graft.operators.Skew
+import graft.operators.{Dedup, Similarity, Skew}
 import graft.sinks.Tables
 import graft.sources.Sources
 
 /** Scale utilities: bucketed co-located joins and salted aggregation. */
 class ScaleSpec extends SparkSpec {
+
+  /** Shuffles that move LSH bucket rows (the ×bands-exploded relation) must
+    * carry ids only — an array column there means the embedding payload is
+    * being replicated per band through the biggest shuffle in the pipeline.
+    */
+  private def assertBucketShufflesCarryNoArrays(plan: SparkPlan): Unit = {
+    val offenders = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name.equalsIgnoreCase("bucket")) &&
+            e.child.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(offenders.isEmpty,
+      s"bucket-relation shuffle carries an array column:\n${offenders.mkString("\n")}")
+  }
+
+  test("embedding-LSH pair bucket shuffles carry ids only, not the embedding") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val pairs = Dedup.embeddingLshPairs(emb, dim = 64, threshold = 0.45)
+    assertBucketShufflesCarryNoArrays(pairs.queryExecution.executedPlan)
+  }
+
+  test("LSH ANN top-k bucket shuffles carry ids only, not the embedding") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val topk = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 4), dim = 64, k = 5)
+    assertBucketShufflesCarryNoArrays(topk.queryExecution.executedPlan)
+  }
 
   test("bucketed tables join with no shuffle on either side") {
     val li = Sources.table(spark, sf0001, "lineitem")

@@ -102,6 +102,15 @@ class ServiceSpec extends SparkSpec {
     assert(updated.config.exists(_.config("flush.size") == "25"))
     assert(engine.config.exists(_.connectors.find(_.name == "sink-1")
       .exists(_.config("flush.size") == "25")))
+
+    // UpdateConfig for an unknown name is a PURE no-op: None back, registry
+    // untouched — it must not reach engine.updateConfig, which would stop
+    // and re-register every connector as the side effect of a failed lookup
+    val before = engine.config
+    val noop = service.updateConfig(ConfigUpdateRequest(
+      ConnectorConfig("graft.FileSinkConnector", "ghost", Map.empty, tasksMax = 1)))
+    assert(noop.config.isEmpty)
+    assert(engine.config == before)
   }
 
   test("concurrent update_config requests leave a consistent registry") {

@@ -66,6 +66,26 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("ANN top-k windows plan through TopKPerGroupExec with no sort") {
+    // bruteForceTopK/lshTopK/ivfTopK all end in the row_number()<=k idiom —
+    // the production session enables the strategy, so the per-query window
+    // sort must disappear from the ANN plans too
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    withStrategy {
+      val brute = graft.operators.Similarity.bruteForceTopK(emb, queries, k = 5)
+      val brutePlan = brute.queryExecution.executedPlan.toString
+      assert(brutePlan.contains("TopKPerGroup "), brutePlan)
+      assert(!brutePlan.contains("Sort "), s"sort should be eliminated:\n$brutePlan")
+      assert(!brutePlan.contains("Window"), brutePlan)
+      val lsh = graft.operators.Similarity.lshTopK(emb, queries, dim = 64, k = 5)
+      val lshPlan = lsh.queryExecution.executedPlan.toString
+      assert(lshPlan.contains("TopKPerGroup "), lshPlan)
+      assert(!lshPlan.contains("Window"), lshPlan)
+      assert(brute.count() > 0)
+    }
+  }
+
   test("strategy leaves other window shapes alone (rank over range frame, no filter)") {
     withStrategy {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
