@@ -52,6 +52,27 @@ object Vectors {
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
+  /** Per-vector scalar int8 quantization: min-max scaled to [0, 255] as
+    * array<bigint> (a constant vector quantizes to all-zeros). The 4×
+    * footprint cut (float32 → one byte) is the standard first compression
+    * step before ANN indexing at corpus scale. Deterministic double algebra
+    * (`floor((x-mn)*255/(mx-mn))` with a clamp for the IEEE edge at x=mx),
+    * so any engine reproduces it bit-for-bit.
+    *
+    * min/max/range ride in via `array_repeat`, NOT inside the lambdas — HOF
+    * lambdas re-evaluate captured subtrees per element, which would make
+    * this O(dim²) per row (see [[unit]]).
+    */
+  def quantizeInt8(a: Column): Column = {
+    val v = d(a)
+    val mn = array_min(v)
+    val rng = array_max(v) - mn
+    val shifted = zip_with(v, array_repeat(mn, size(v)), (x, m) => x - m)
+    when(rng === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(zip_with(shifted, array_repeat(rng, size(v)),
+        (xm, r) => least(lit(255L), floor(xm * 255.0 / r))))
+  }
+
   /** Random-hyperplane LSH signature: the sign bits of `a · hᵢ` for a fixed,
     * deterministic bank of hyperplanes, packed into a long. Used for
     * bucketed (sub-quadratic) cosine similarity search at scale.

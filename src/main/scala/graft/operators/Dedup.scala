@@ -114,6 +114,39 @@ object Dedup {
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => xxhash64(s))
 
+  /** Passage-level duplication: pairs of documents sharing at least one
+    * n-token span (default 16 — long enough that a shared span is copied
+    * text, not coincidence), with the count of shared distinct spans. The
+    * span-granular sibling of document-level near-dup: training pipelines
+    * use it to find boilerplate (headers, license blocks, templated pages)
+    * that document-level Jaccard dilutes away.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]]: explode spans,
+    * self-join on the 64-bit span hash, count per pair. At scale the skew
+    * risk IS the target — boilerplate spans have huge document frequency —
+    * so `maxDf` both bounds the within-span quadratic term and drops spans
+    * too common to be interesting evidence; the oracle path (maxDf = 0)
+    * keeps everything.
+    */
+  def sharedSpanPairs(docs: DataFrame, n: Int = 16, maxDf: Int = 1000): DataFrame = {
+    // read 2-3× (self-join sides + df prune) — persist like ngramJaccardPairs
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = if (maxDf <= 0) sh else {
+      val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select("h")
+      sh.join(heavy, Seq("h"), "left_anti")
+    }
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
   /** MinHash + LSH banding: signature → `bands` buckets of `rows` hashes
     * each → explode (band, bucket-hash) → candidates share any bucket →
     * verified by exact Jaccard on shingle hashes. Output: candidate pairs

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -489,6 +490,76 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(emails_out, '\d{6,}')) AS BIGINT) AS number_cnt,
         |  regexp_replace(emails_out, '\d{6,}', '<NUM>', 'g') AS redacted
         |FROM e""".stripMargin)
+    )),
+
+    // Passage-level duplication: pairs of docs sharing a 16-token span —
+    // the boilerplate/template detector document-level Jaccard dilutes
+    // away. maxDf = 0 is the oracle path; production uses the df prune
+    // (which at this granularity removes exactly the boilerplate spans the
+    // report exists to find — they get their own heavy-span report).
+    "text_dup_spans" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.sharedSpanPairs(docs(s, dir), n = 16, maxDf = 0),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 14)) AS i FROM toks WHERE len(t) >= 16),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i+15 AS INT)], '|') AS s FROM u)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_spans
+        |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // Deterministic stratified sampling: k docs per language, ordered by a
+    // content hash — the replayable balanced-sampling primitive for mixture
+    // tuning (md5 order is uniform-ish, engine-agnostic, and reproducible,
+    // unlike rand()). The row_number()<=k idiom plans through the
+    // bounded-heap TopKPerGroup operator in the production session, so the
+    // per-stratum sample never sorts a stratum.
+    "q_stratified_sample" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)
+        docs(s, dir)
+          .select(col("lang"), col("doc_id"), md5(col("text")).as("h"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("lang"), col("doc_id"), col("rnk").cast("long").as("rnk"))
+      },
+      Some("""SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT) AS rnk
+        |FROM documents QUALIFY rnk <= 3""".stripMargin)
+    )),
+
+    // Corpus composition (the "data mixture" report): docs / tokens / chars
+    // per (source, language). One partial+final aggregate over the scan.
+    "q_source_mix" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"),
+            sum(length(col("text")).cast("long")).as("chars")),
+      Some("""SELECT source, lang, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END) AS BIGINT) AS tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // Scalar int8 quantization of the embedding column (min-max per vector)
+    // — the 4× compression precompute before ANN indexing. Deterministic
+    // double algebra shared with the oracle; exploded to scalar rows for
+    // hash comparison.
+    "vector_quantize_int8" -> ((
+      (s: SparkSession, dir: String) =>
+        emb(s, dir)
+          .select(col("vec_id"),
+            graft.functions.Vectors.quantizeInt8(col("embedding")).as("q"))
+          .select(col("vec_id"), posexplode(col("q")).as(Seq("idx", "qval")))
+          .select(col("vec_id"), col("idx").cast("long").as("idx"), col("qval")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |       ELSE least(255, floor((v[i] - mn) * 255.0 / (mx - mn))) END AS BIGINT) AS qval
+        |FROM m, unnest(range(1, len(v) + 1)) AS t(i)""".stripMargin)
     )),
 
     "text_fingerprint" -> ((

@@ -128,6 +128,23 @@ class DedupSpec extends SparkSpec {
     assert(pruned.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == exactPairs)
   }
 
+  test("shared-span pairs find exactly the docs sharing a full 16-token span") {
+    val span = (1 to 16).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, "intro " + span + " outro"),
+      (2L, span + " different tail entirely"),
+      (3L, "unrelated text with enough tokens " + (1 to 12).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedSpanPairs(d, n = 16, maxDf = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+    // the df prune drops spans more common than maxDf: the shared span has
+    // df = 2, so maxDf = 1 must remove the only evidence pair
+    val pruned = Dedup.sharedSpanPairs(d, n = 16, maxDf = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pruned.isEmpty)
+  }
+
   test("SimHash near-dup pairs overlap heavily with exact near-dups") {
     val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

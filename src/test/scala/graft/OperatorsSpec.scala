@@ -156,6 +156,16 @@ class OperatorsSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("int8 quantization maps min to 0, max to 255, constant vectors to zeros") {
+    val df = Seq((1L, Array(0f, 1f, 2f, 4f)), (2L, Array(3f, 3f, 3f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), Vectors.quantizeInt8(col("embedding")).as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // (x - 0) * 255 / 4: 0, 63.75->63, 127.5->127, 255
+    assert(out(1L) == Seq(0L, 63L, 127L, 255L))
+    assert(out(2L) == Seq(0L, 0L, 0L))
+  }
+
   test("hyperplane_sig nulls malformed vectors instead of mis-bucketing them") {
     graft.functions.GraftFunctions.register(spark)
     // wrong dimension (would previously be truncated / zero-padded)
