@@ -117,11 +117,18 @@ object GraftFunctions {
     ("simhash64", classOf[SimHash64Expr], simhash64Builder),
     ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder))
 
-  /** Idempotent per-session registration of graft's native functions. */
+  /** Idempotent per-session registration of graft's native functions.
+    * Skips names already present: re-registering logs a replaced-function
+    * WARN per call, and operators call this defensively per query — across
+    * an 80-query Verify/Bench run that was hundreds of noise lines in the
+    * one stdout the driver parses for the bench JSON.
+    */
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+      val id = FunctionIdentifier(name)
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(
+          id, new ExpressionInfo(cls.getName, name), builder)
     }
 
   private[functions] def injections = all

@@ -38,15 +38,8 @@ object Dedup {
     * array a constant number of times and the lambdas touch only their
     * arguments.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = TextAnalysis.tokens(text)
-    val len = size(t) - (n - 1) // number of shingles
-    val shifted = (0 until n).map(k => slice(t, lit(k + 1), len))
-    val joined = shifted.reduceLeft((acc, next) =>
-      zip_with(acc, next, (a, b) => concat(a, lit("|"), b)))
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(joined))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(TextAnalysis.ngrams(text, n))
 
   /** Exact dedup: group identical texts, keep the smallest doc_id as the
     * representative. One hash aggregate over (md5, id) — at 100 TB group on
@@ -155,7 +148,6 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
                       n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val rows = numHashes / bands
     // shingle-hash array materialized once; signature and verification both
     // derive from it (one string-hash pass over the corpus total). Documents
     // with no shingles (< n tokens) are excluded — their degenerate
@@ -167,16 +159,8 @@ object Dedup {
     val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = withHs.select(col("doc_id"), col("hs"),
-      call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
     // band bucket = hash of the band's signature slice (statically unrolled)
-    val buckets = withSig.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        val cols = (1 to rows).map(k => element_at(col("sig"), b * rows + k))
-        struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val buckets = bandBuckets(withHs, numHashes, bands)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -193,6 +177,62 @@ object Dedup {
           size(array_union(col("sa.hs"), col("sb.hs")))).cast("long").as("jaccard_x1000"))
       // both sides are per-mille: jaccardPctX10 = 800 means j >= 0.800
       .filter(col("jaccard_x1000") >= jaccardPctX10)
+  }
+
+  /** (doc_id, band, bucket) LSH band buckets from a (doc_id, hs) relation —
+    * ids only, the payload joins back by id (the shuffle-volume rule every
+    * LSH operator here follows). Shared by the self-join pair finder and the
+    * incremental batch-vs-corpus filter.
+    */
+  private def bandBuckets(withHs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    withHs
+      .select(col("doc_id"),
+        call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
+      .select(
+        col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          val cols = (1 to rows).map(k => element_at(col("sig"), b * rows + k))
+          struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Incremental dedup — the shape a production corpus runs daily: filter an
+    * incoming batch against the already-accepted corpus, without re-pairing
+    * the corpus against itself. Both sides get minhash band buckets; the
+    * batch→corpus bucket equi-join (ids only) proposes candidates, exact
+    * Jaccard over the shingle-hash sets verifies them, and the batch
+    * anti-joins away every doc with a verified corpus near-dup.
+    *
+    * At scale the corpus side is a persisted index table keyed
+    * (band, bucket) — this relation IS that index's schema, so the daily
+    * cost is one batch-sized scan + an equi-join into it, never a corpus
+    * self-join. Batch-internal duplicates are deliberately untouched
+    * (that's [[minhashLshPairs]] + [[dropNearDuplicates]] on the batch).
+    */
+  def incrementalFilter(corpus: DataFrame, batch: DataFrame,
+                        numHashes: Int = 64, bands: Int = 16,
+                        n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // each side read twice (bucket build + Jaccard verify) — persist both
+    val corpusHs = corpus.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0).persist(lvl)
+    val batchHs = batch.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0).persist(lvl)
+    val candidates = bandBuckets(batchHs, numHashes, bands).as("nb")
+      .join(bandBuckets(corpusHs, numHashes, bands).as("cb"),
+        col("nb.band") === col("cb.band") && col("nb.bucket") === col("cb.bucket"))
+      .select(col("nb.doc_id").as("batch_id"), col("cb.doc_id").as("corpus_id"))
+      .distinct()
+    val matched = candidates
+      .join(batchHs.as("sa"), col("batch_id") === col("sa.doc_id"))
+      .join(corpusHs.as("sb"), col("corpus_id") === col("sb.doc_id"))
+      .filter(size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("long") * 1000L /
+        size(array_union(col("sa.hs"), col("sb.hs"))) >= jaccardPctX10)
+      .select(col("batch_id").as("doc_id")).distinct()
+    batch.join(matched, Seq("doc_id"), "left_anti")
   }
 
   /** The dedup *filter*: keep one representative per near-duplicate

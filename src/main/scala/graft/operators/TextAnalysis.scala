@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM-training-data pipelines: token stats,
@@ -16,6 +17,21 @@ object TextAnalysis {
       .otherwise(split(text, " "))
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Raw positional word n-grams, '|'-joined, multiplicity preserved —
+    * [[Dedup.shingles]] is this plus `array_distinct` (set semantics for
+    * Jaccard); repetition analysis needs the duplicates kept. Same
+    * staged-slice formulation: each lambda touches only its arguments, so
+    * no captured subtree is re-evaluated per element.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val len = size(t) - (n - 1)
+    val shifted = (0 until n).map(k => slice(t, lit(k + 1), len))
+    val joined = shifted.reduceLeft((acc, next) =>
+      zip_with(acc, next, (a, b) => concat(a, lit("|"), b)))
+    when(size(t) < n, array().cast("array<string>")).otherwise(joined)
+  }
 
   /** Token statistics per document. */
   def tokenStats(docs: DataFrame): DataFrame = {
@@ -60,6 +76,77 @@ object TextAnalysis {
     docs.filter(
       size(t) >= minTokens && size(t) <= maxTokens &&
         (size(array_distinct(t)).cast("long") * 1000L >= lit(minUniqX1000.toLong) * size(t)))
+  }
+
+  /** Intra-document repetition signals (the Gopher-rule family): total /
+    * distinct word-n-gram counts and the count of the single most repeated
+    * n-gram. High (total − distinct) or a dominant top gram marks the
+    * looping/boilerplate docs a quality filter drops. All integers, so the
+    * DuckDB oracle is bit-exact; consumers derive their ratio thresholds.
+    *
+    * Narrow plan: no explode, no shuffle — per-row array algebra only. The
+    * top-gram count is O(d²) HOF element ops per row (d = grams per doc,
+    * bounded by doc length): each lambda reads only staged attribute
+    * references, never a recomputed subtree (see the HOF lambda trap note
+    * in BENCH.md), so the row cost stays flat at any corpus scale.
+    */
+  def repetitionSignals(docs: DataFrame, n: Int = 2): DataFrame =
+    docs
+      .select(col("doc_id"), ngrams(col("text"), n).as("g"))
+      .select(col("doc_id"), col("g"), array_distinct(col("g")).as("gd"))
+      .select(
+        col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(col("gd")).cast("long").as("n_distinct"),
+        when(size(col("g")) === 0, lit(0L))
+          .otherwise(array_max(transform(col("gd"),
+            x => size(filter(col("g"), y => y === x)))).cast("long"))
+          .as("top_gram_count"))
+
+  /** Benchmark-contamination report: for each training document, how many
+    * distinct `n`-token spans (n = 13, the published GPT-3 decontamination
+    * span) it shares with a held-out eval set, and with how many eval
+    * documents. Inverted-index shape — explode spans, hash, equi-join train
+    * spans to eval spans — so the cost is |train spans| + |eval spans| plus
+    * an equi-join keyed on the 64-bit span hash; the eval side is tiny and
+    * broadcastable in production. Returns only contaminated docs (inner
+    * semantics); pipelines anti-join the result against the corpus.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame, n: Int = 13): DataFrame = {
+    def spans(df: DataFrame) = df
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+    spans(train).as("t")
+      .join(spans(eval).as("e"), col("t.h") === col("e.h"))
+      .groupBy(col("t.doc_id").as("doc_id"))
+      .agg(countDistinct(col("t.h")).as("n_shared_ngrams"),
+        countDistinct(col("e.doc_id")).as("n_eval_docs"))
+  }
+
+  /** Top-k characteristic terms per document, ranked by an integer tf/df
+    * weight (`tf·10⁶ ÷ df`, floor division — rarity-weighted term frequency
+    * with the corpus-constant idf numerator dropped, which preserves the
+    * ranking while keeping the arithmetic bit-exact across engines; floats
+    * would make the oracle a tolerance check). Two partial+final aggregates
+    * (term frequency, document frequency) + a per-doc top-k window that the
+    * bounded-heap TopKPerGroup strategy plans without a per-doc sort.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, Seq("tok"))
+      // floor(double-div) == integer division here: numerator ≤ ~1e9 keeps
+      // the double quotient within 1e-7 of the exact rational, and a
+      // non-integer quotient is ≥ 1/df ≈ 2e-3 away from any integer
+      .select(col("doc_id"), col("tok"),
+        floor(col("tf") * 1000000L / col("df")).cast("long").as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("score"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Character-trigram language-ID heuristic. With no external models

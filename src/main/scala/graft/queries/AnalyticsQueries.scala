@@ -454,17 +454,39 @@ object AnalyticsQueries {
     // the aggregation buffer bounded, where exact percentile() buffers every
     // group value in memory (an OOM at a 100x scale-up — q_percentiles above
     // stays as the small-scale/oracle twin). Sketch outputs are
-    // algorithm-specific, so the driver checks rows-only; ScaleSpec asserts
-    // the values land within 1% of the exact percentiles.
+    // algorithm-specific, so raw values can't hash-match a foreign engine;
+    // instead the query emits its correctness contract (verdict rows): the
+    // exact percentiles (which DuckDB independently recomputes — real
+    // teeth) plus within-1% flags for the sketch values. The exact twin
+    // rides on the scale-safe distinct-value-compression plan, not the
+    // buffer-every-value aggregate.
     "q_percentiles_approx" -> ((
-      (s: SparkSession, dir: String) =>
-        t(s, dir, "lineitem")
+      (s: SparkSession, dir: String) => {
+        val approx = t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("p50"),
-            round(expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4).as("p90"),
-            round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4).as("p99")),
-      None
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"),
+            expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("a99"))
+        val exact = graft.operators.Percentiles.exactPercentiles(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+          Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+        def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+          (abs(a - e) * 100 <= abs(e)).cast("long")
+        approx.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
+            ok(col("a50"), col("p50")).as("p50_within_1pct"),
+            ok(col("a90"), col("p90")).as("p90_within_1pct"),
+            ok(col("a99"), col("p99")).as("p99_within_1pct"))
+      },
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  CAST(1 AS BIGINT) AS p50_within_1pct,
+        |  CAST(1 AS BIGINT) AS p90_within_1pct,
+        |  CAST(1 AS BIGINT) AS p99_within_1pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     )),
 
     // Exact AND scale-safe percentiles (distinct-value compression +

@@ -562,6 +562,133 @@ object LlmQueries {
         |FROM m, unnest(range(1, len(v) + 1)) AS t(i)""".stripMargin)
     )),
 
+    // Incremental dedup: the daily production shape — a new batch
+    // (doc_id % 10 == 0) filtered against the accepted corpus (the rest)
+    // through minhash band buckets + exact-Jaccard verify, never a corpus
+    // self-join. Oracle = the exact batch-vs-corpus Jaccard anti-join;
+    // equality holds because 16×4 banding recall is total at ≥ 0.8 on the
+    // fixtures (same guarantee dedup_minhash_lsh is green under).
+    "dedup_incremental" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        Dedup.incrementalFilter(
+            d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+          .select(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh b JOIN sh c ON b.s = c.s AND b.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT batch_id FROM pairs p
+        |  JOIN cnt cb ON cb.doc_id = p.batch_id JOIN cnt cc ON cc.doc_id = p.corpus_id
+        |  WHERE common * 1000 >= 800 * (cb.n_sh + cc.n_sh - common))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT batch_id FROM dups)""".stripMargin)
+    )),
+
+    // Intra-document repetition (the Gopher-rule family): total/distinct
+    // bigram counts and the most-repeated bigram's count, all integers.
+    // Narrow per-row array algebra — no shuffle, runs at scan speed.
+    "text_repetition" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.repetitionSignals(docs(s, dir), n = 2),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t[i] || '|' || t[i+1] AS s
+        |      FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |per AS (SELECT doc_id, s, count(*) AS c FROM u GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |               CAST(count(*) AS BIGINT) AS n_distinct,
+        |               CAST(max(c) AS BIGINT) AS top_gram_count
+        |        FROM per GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+        |       COALESCE(n_distinct, 0) AS n_distinct,
+        |       COALESCE(top_gram_count, 0) AS top_gram_count
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin)
+    )),
+
+    // Benchmark decontamination: training docs (doc_id % 23 != 0) sharing a
+    // 13-token span (the published GPT-3 decontamination length) with the
+    // held-out eval split, with shared-span and eval-doc counts.
+    "text_decontaminate" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        TextAnalysis.contaminationReport(
+          d.filter(col("doc_id") % 23 =!= 0), d.filter(col("doc_id") % 23 === 0), n = 13)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i FROM toks WHERE len(t) >= 13),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i+12 AS INT)], '|') AS s FROM u),
+        |tr AS (SELECT * FROM sh WHERE doc_id % 23 != 0),
+        |ev AS (SELECT * FROM sh WHERE doc_id % 23 = 0)
+        |SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared_ngrams,
+        |       CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+        |FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1""".stripMargin)
+    )),
+
+    // Characteristic terms per doc by integer tf/df weight — two
+    // partial+final aggregates + a bounded-heap top-k, no floats so the
+    // cross-engine compare is exact.
+    "text_tfidf" -> ((
+      (s: SparkSession, dir: String) => TextAnalysis.tfidfKeywords(docs(s, dir), k = 3),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE length(text) > 0),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, tf.tok AS tok, CAST(tf * 1000000 // df AS BIGINT) AS score
+        |       FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok, score,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rnk
+        |FROM sc QUALIFY rnk <= 3""".stripMargin)
+    )),
+
+    // Corpus token-frequency head (Zipf report): global term frequencies,
+    // top 50 by (freq, term). One partial+final aggregate; the window runs
+    // on the tiny post-agg relation.
+    "q_token_zipf" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.orderBy(col("freq").desc, col("tok").asc)
+        docs(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 50)
+          .select(col("tok"), col("freq"), col("rnk").cast("long").as("rnk"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE length(text) > 0),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1)
+        |SELECT tok, freq,
+        |       CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rnk
+        |FROM f QUALIFY rnk <= 50""".stripMargin)
+    )),
+
+    // Per-label centroid accumulators: elementwise integer-quantized
+    // (floor(x·10⁴)) sums + counts — the mergeable partial+final form a
+    // distributed pipeline computes (the float mean is qsum/n/10⁴
+    // downstream). Integer sums are order-independent, so the compare is
+    // exact where a float mean would depend on reduction order.
+    "vector_centroids" -> ((
+      (s: SparkSession, dir: String) =>
+        emb(s, dir)
+          .select(col("label").cast("long").as("label"),
+            posexplode(col("embedding")).as(Seq("idx", "x")))
+          .select(col("label"), col("idx").cast("long").as("idx"),
+            floor(col("x").cast("double") * 10000).cast("long").as("q"))
+          .groupBy("label", "idx")
+          .agg(sum("q").as("qsum"), count(lit(1)).as("n")),
+      Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, CAST(i - 1 AS BIGINT) AS idx,
+        |             CAST(floor(v[i] * 10000) AS BIGINT) AS q
+        |      FROM e, unnest(range(1, len(v) + 1)) AS t(i))
+        |SELECT label, idx, CAST(sum(q) AS BIGINT) AS qsum, CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1, 2""".stripMargin)
+    )),
+
     "text_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         TextAnalysis.fingerprints(docs(s, dir)).select(col("doc_id"), col("md5_fp")),

@@ -145,6 +145,80 @@ class DedupSpec extends SparkSpec {
     assert(pruned.isEmpty)
   }
 
+  test("incremental filter drops batch docs near-duplicating the corpus, keeps the rest") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (3L, "a completely different corpus document " + (1 to 26).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val novel = (1 to 30).map(i => s"z$i").mkString(" ")
+    val batch = Seq(
+      (10L, base + " tail"),   // near-dup of corpus doc 1 -> dropped
+      (20L, novel),            // novel -> survives
+      (30L, novel + " tail")   // batch-internal near-dup of 20: must SURVIVE
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalFilter(corpus, batch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(20L, 30L))
+  }
+
+  test("incremental filter matches the exact batch-vs-corpus Jaccard anti-join on fixtures") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    // exact twin: all cross pairs >= 0.8 via the quadratic pair path
+    val crossDups = Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(id => id % 10 == 0 && (if (id == a) b else a) % 10 != 0)
+      }.toSet
+    val expect = batch.select("doc_id").as[Long].collect().toSet -- crossDups
+    val got = Dedup.incrementalFilter(corpus, batch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+  }
+
+  test("repetition signals count raw and distinct bigrams and the dominant gram") {
+    val d = Seq(
+      (1L, "a b a b a"),   // bigrams: a|b, b|a, a|b, b|a
+      (2L, "x y z"),       // bigrams: x|y, y|z
+      (3L, "solo")         // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(d, n = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 2L, 2L)))
+    assert(out(2L) == ((2L, 2L, 1L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("contamination report finds train docs sharing a 13-token span with the eval set") {
+    val span = (1 to 13).map(i => s"s$i").mkString(" ")
+    val train = Seq(
+      (1L, "pre " + span + " post"),
+      (2L, (1 to 20).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, span + " " + (1 to 6).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationReport(train, eval, n = 13)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L)._1 >= 1L && out(1L)._2 == 1L)
+  }
+
+  test("tf-idf keywords rank rare terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "common rare common"),
+      (2L, "common stuff common"),
+      (3L, "common other other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(d, k = 1)
+      .select("doc_id", "tok").as[(Long, String)].collect().toMap
+    // 'common' appears in every doc (df=3, score 2e6/3); the doc-local
+    // singletons (df=1, score >= 1e6) outrank it
+    assert(out(1L) == "rare")
+    assert(out(2L) == "stuff")
+    assert(out(3L) == "other")
+  }
+
   test("SimHash near-dup pairs overlap heavily with exact near-dups") {
     val exactPairs = Dedup.ngramJaccardPairs(docs, 3, 80, maxDf = 0)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
