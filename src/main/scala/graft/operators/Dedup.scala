@@ -211,16 +211,35 @@ object Dedup {
     * self-join. Batch-internal duplicates are deliberately untouched
     * (that's [[minhashLshPairs]] + [[dropNearDuplicates]] on the batch).
     */
+  /** (doc_id, hs) shingle-hash relation — the per-document set both the
+    * bucket index and the Jaccard verify derive from. Callers that read it
+    * more than once (every LSH composition here does) persist it; the
+    * streaming wrapper persists the corpus side once per query, not per
+    * micro-batch.
+    */
+  def shingleRelation(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+
   def incrementalFilter(corpus: DataFrame, batch: DataFrame,
                         numHashes: Int = 64, bands: Int = 16,
                         n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {
-    graft.functions.GraftFunctions.register(batch.sparkSession)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // each side read twice (bucket build + Jaccard verify) — persist both
-    val corpusHs = corpus.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
-      .filter(size(col("hs")) > 0).persist(lvl)
-    val batchHs = batch.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
-      .filter(size(col("hs")) > 0).persist(lvl)
+    val corpusHs = shingleRelation(corpus, n).persist(lvl)
+    val batchHs = shingleRelation(batch, n).persist(lvl)
+    incrementalFilterAgainst(corpusHs, batchHs, batch, numHashes, bands, jaccardPctX10)
+  }
+
+  /** [[incrementalFilter]] with caller-managed shingle relations — the
+    * streaming path: the corpus index is persisted once per query and each
+    * micro-batch's relation is unpersisted after its sink commits.
+    */
+  def incrementalFilterAgainst(corpusHs: DataFrame, batchHs: DataFrame,
+                               batch: DataFrame,
+                               numHashes: Int = 64, bands: Int = 16,
+                               jaccardPctX10: Int = 800): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
     val candidates = bandBuckets(batchHs, numHashes, bands).as("nb")
       .join(bandBuckets(corpusHs, numHashes, bands).as("cb"),
         col("nb.band") === col("cb.band") && col("nb.bucket") === col("cb.bucket"))

@@ -74,6 +74,38 @@ object StreamOps {
              joinType: String = "left"): DataFrame =
     records.join(broadcast(dim), Seq(key), joinType)
 
+  /** Streaming incremental dedup: filter each micro-batch of documents
+    * against the accepted static corpus with
+    * [[graft.operators.Dedup.incrementalFilter]] (minhash band buckets,
+    * ids-only shuffle, exact-Jaccard verify) and hand the survivors to
+    * `sink`. `foreachBatch` is the right home — the filter needs a per-doc
+    * verdict (anti-join against the verified-match set), which append-mode
+    * streaming can't express as one continuous plan, and per-batch
+    * semantics are exactly what an ingestion pipeline wants: each batch
+    * dedups against the corpus as of that batch. Batch-internal dups pass
+    * through (they're the nightly compaction's job; same contract as the
+    * batch operator).
+    *
+    * At scale `corpus` is the persisted bucket-index table; re-reading it
+    * per micro-batch picks up nightly index rebuilds for free.
+    */
+  def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+                         sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the corpus index is static: shingle it ONCE per query, not per batch
+    val corpusHs = graft.operators.Dedup.shingleRelation(corpus).persist(lvl)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-batch relation is read twice (buckets + verify); persist for
+        // the batch, release before the next one — no cache growth over an
+        // unbounded stream
+        val batchHs = graft.operators.Dedup.shingleRelation(batch).persist(lvl)
+        try sink(graft.operators.Dedup.incrementalFilterAgainst(corpusHs, batchHs, batch))
+        finally batchHs.unpersist()
+      }
+  }
+
   // ---- custom state: gap-based sessionization --------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)

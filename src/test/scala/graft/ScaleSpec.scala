@@ -38,6 +38,21 @@ class ScaleSpec extends SparkSpec {
     assertBucketShufflesCarryNoArrays(topk.queryExecution.executedPlan)
   }
 
+  test("incremental-dedup bucket shuffles carry ids only, not shingle arrays") {
+    val docs = Sources.table(spark, sf0001, "documents")
+    val out = Dedup.incrementalFilter(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0))
+    assertBucketShufflesCarryNoArrays(out.queryExecution.executedPlan)
+  }
+
+  test("repetition signals are a narrow plan (no shuffle)") {
+    val docs = Sources.table(spark, sf0001, "documents")
+    val plan = graft.operators.TextAnalysis.repetitionSignals(docs)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"repetitionSignals must not shuffle:\n$plan")
+  }
+
   test("bucketed tables join with no shuffle on either side") {
     val li = Sources.table(spark, sf0001, "lineitem")
       .select("l_orderkey", "l_quantity", "l_extendedprice")

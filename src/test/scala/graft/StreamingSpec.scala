@@ -254,6 +254,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup filters each micro-batch against the static corpus") {
+    import graft.streaming.StreamOps
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val q = StreamOps.dedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpus,
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((10L, base + " tail"), (20L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(20L)) // 10 near-dups corpus doc 1
+      input.addData((30L, base), (40L, (1 to 30).map(i => s"y$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(20L, 40L))
+    } finally q.stop()
+  }
+
   test("AvailableNow drain processes the backlog, terminates, and resumes incrementally") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-drain").toString

@@ -86,6 +86,17 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("tf-idf keyword top-k plans through TopKPerGroupExec, not a per-doc sort") {
+    val docs = Sources.table(spark, sf0001, "documents")
+    withStrategy {
+      val kw = graft.operators.TextAnalysis.tfidfKeywords(docs, k = 3)
+      val plan = kw.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup "), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(kw.count() > 0)
+    }
+  }
+
   test("strategy leaves other window shapes alone (rank over range frame, no filter)") {
     withStrategy {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
