@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout/stderr instead
+// of through sbt's logger: Bench's one-line JSON must reach the driver
+// unprefixed ("[info] {...}" defeated its parser every round — BENCH_r*.json
+// all carry parsed: null), and Spark's log4j noise stays off stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -544,6 +544,28 @@ object AnalyticsQueries {
 
     // Deterministic corpus subsampling (mod filter — replayable, unlike
     // random sampling) + sample statistics.
+    // Two-phase salted aggregation on the driver gate: result equality with
+    // the plain group-by oracle proves the salt/merge algebra. l_quantity is
+    // integer-valued, so the salted double sums re-merge exactly (integers
+    // sum exactly in doubles) and the compare needs no tolerance. At scale
+    // this is the shape that bounds any one reducer's group size under
+    // power-law keys; ScaleSpec asserts salted == direct on skewed data.
+    "q_salted_agg" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.operators.Skew.saltedAggregate(
+          t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"),
+          Seq(graft.operators.Skew.SaltedAgg("l_quantity", "sum", "sum_qty"),
+            graft.operators.Skew.SaltedAgg("l_quantity", "count", "cnt"),
+            graft.operators.Skew.SaltedAgg("l_quantity", "min", "min_qty"),
+            graft.operators.Skew.SaltedAgg("l_quantity", "max", "max_qty")))
+          .withColumn("cnt", col("cnt").cast("long")),
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    )),
+
     "q_sample_mod" -> ((
       (s: SparkSession, dir: String) =>
         t(s, dir, "lineitem")

@@ -689,6 +689,78 @@ object LlmQueries {
         |FROM u GROUP BY 1, 2""".stripMargin)
     )),
 
+    // Training-shard packing (sequence packing's document-level form): docs
+    // are packed in id order per source; a shard closes once its cumulative
+    // token count reaches the budget. floor(preceding-cum ÷ budget) is the
+    // deterministic window form of greedy packing (a straddling doc lands in
+    // the open shard, so shards can overshoot by < one doc). The window
+    // partitions by source — the unit a pipeline packs within; at 100 TB the
+    // partition key is whatever bounds a window partition's size (source ×
+    // date), never a global ordering.
+    "q_pack_shards" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+          .withColumn("cum_before", coalesce(sum("tokens").over(w), lit(0L)))
+          .select(col("source"), col("doc_id"), col("tokens"),
+            floor(col("cum_before") / 2000L).cast("long").as("shard"))
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, tokens,
+        |  COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT source, doc_id, tokens, CAST(cum_before // 2000 AS BIGINT) AS shard
+        |FROM c""".stripMargin)
+    )),
+
+    // Per-label embedding outliers: top-3 farthest vectors from their
+    // label's centroid. The centroid rides the same integer-quantized
+    // accumulators as vector_centroids (qsum/n exact in both engines); the
+    // distance is per-row array algebra over the broadcast centroid array,
+    // left-to-right fold in both engines, rounded before ranking so the
+    // rank comparison never straddles an ulp.
+    "vector_outliers" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val acc = e
+          .select(col("label"), posexplode(col("v")).as(Seq("idx", "x")))
+          .select(col("label"), col("idx"), floor(col("x") * 10000).cast("long").as("q"))
+          .groupBy("label", "idx")
+          .agg(sum("q").as("qsum"), count(lit(1)).as("n"))
+        val cen = acc.groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("idx"), col("qsum"), col("n")))),
+            t => t.getField("qsum").cast("double") / (t.getField("n") * lit(10000.0))).as("c"))
+        val w = Window.partitionBy("label").orderBy(col("dist2").desc, col("vec_id").asc)
+        e.join(broadcast(cen), Seq("label"))
+          .select(col("label"), col("vec_id"),
+            round(aggregate(zip_with(col("v"), col("c"), (x, m) => (x - m) * (x - m)),
+              lit(0.0), (a, d) => a + d), 4).as("dist2"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("label"), col("vec_id"), col("dist2"), col("rnk").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, i AS idx, CAST(floor(v[i] * 10000) AS BIGINT) AS q
+        |      FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |acc AS (SELECT label, idx, sum(q) AS qsum, count(*) AS n FROM u GROUP BY 1, 2),
+        |cen AS (SELECT label, list(CAST(qsum AS DOUBLE) / (n * 10000.0) ORDER BY idx) AS c FROM acc GROUP BY label),
+        |d AS (SELECT e.label, e.vec_id,
+        |        round(list_sum(list_transform(range(1, len(v) + 1),
+        |          i -> (v[i] - c[i]) * (v[i] - c[i]))), 4) AS dist2
+        |      FROM e JOIN cen USING (label))
+        |SELECT label, vec_id, dist2,
+        |       CAST(row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rnk
+        |FROM d QUALIFY rnk <= 3""".stripMargin)
+    )),
+
     "text_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         TextAnalysis.fingerprints(docs(s, dir)).select(col("doc_id"), col("md5_fp")),

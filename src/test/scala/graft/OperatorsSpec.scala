@@ -156,6 +156,25 @@ class OperatorsSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("shard packing closes a shard once the token budget is reached") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "s", (1 to 1500).map(_ => "w").mkString(" ")), // cum_before 0    -> shard 0
+      (2L, "s", (1 to 1500).map(_ => "w").mkString(" ")), // cum_before 1500 -> shard 0 (straddles)
+      (3L, "s", "tiny doc"),                              // cum_before 3000 -> shard 1
+      (4L, "t", "other source")                           // own partition   -> shard 0
+    ).toDF("doc_id", "source", "text")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = docs
+      .select(col("source"), col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      .withColumn("cum", coalesce(sum("tokens").over(w), lit(0L)))
+      .select(col("doc_id"), floor(col("cum") / 2000L).cast("long").as("shard"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("int8 quantization maps min to 0, max to 255, constant vectors to zeros") {
     val df = Seq((1L, Array(0f, 1f, 2f, 4f)), (2L, Array(3f, 3f, 3f)))
       .toDF("vec_id", "embedding")
