@@ -75,7 +75,11 @@ object Similarity {
     // clustering, irrelevant for a coarse quantizer whose cells only gate
     // candidate generation (probes re-rank with exact cosine anyway)
     val model = try {
-      new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+      // 5 iterations: a coarse quantizer's cells only gate candidate
+      // generation (probes re-rank with exact cosine), and each KMeans
+      // iteration is ~2 scheduler rounds of fixed cost that dominate the
+      // query at small SF — bench showed ~5 s of flat overhead at maxIter=10
+      new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
         .setInitMode("random")
         .setFeaturesCol("features").setPredictionCol("cluster")
         .fit(fitInput)

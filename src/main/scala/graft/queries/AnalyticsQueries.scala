@@ -550,6 +550,71 @@ object AnalyticsQueries {
     // sum exactly in doubles) and the compare needs no tolerance. At scale
     // this is the shape that bounds any one reducer's group size under
     // power-law keys; ScaleSpec asserts salted == direct on skewed data.
+    // Conversion funnel over the event stream: users with a 'view', and the
+    // subset whose first view is followed by a 'purchase' within 24 h. Two
+    // partial+final aggregates + one left-semi join on user_id; the
+    // first-view relation is the small side at any scale (one row per
+    // converting user).
+    "q_funnel" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 1000000").as("ts_s"))
+        val firstView = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_s").as("first_view"))
+        val converted = firstView.as("v").join(
+          e.filter(col("event_type") === "purchase").as("p"),
+          col("p.user_id") === col("v.user_id") &&
+            col("p.ts_s") >= col("v.first_view") &&
+            col("p.ts_s") <= col("v.first_view") + 86400L,
+          "left_semi")
+        firstView.agg(count(lit(1)).as("users"))
+          .select(lit("1_view").as("step"), col("users"))
+          .unionAll(converted.agg(count(lit(1)).as("users"))
+            .select(lit("2_purchase_24h").as("step"), col("users")))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS first_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT DISTINCT v.user_id FROM v JOIN e p ON p.user_id = v.user_id
+        |      AND p.event_type = 'purchase'
+        |      AND p.ts_s >= v.first_view AND p.ts_s <= v.first_view + 86400)
+        |SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS users FROM v
+        |UNION ALL
+        |SELECT '2_purchase_24h' AS step, CAST(count(*) AS BIGINT) AS users FROM c""".stripMargin)
+    )),
+
+    // Weekly cohort retention: users bucketed by signup week, distinct
+    // actives per (cohort, week offset 0-4). Integer epoch-week algebra
+    // (floor division) keeps both engines bit-identical — the epoch-seconds
+    // FLOOR is load-bearing (DuckDB CAST rounds half-even, Spark truncates).
+    "q_retention" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("(unix_micros(ts) div 1000000) div 604800").as("week"))
+        val cohort = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("week").as("cohort_week"))
+        e.select(col("user_id"), col("week")).distinct()
+          .join(cohort, Seq("user_id"))
+          .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"), col("user_id"))
+          .filter(col("week_offset") >= 0 && col("week_offset") <= 4)
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("users"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 604800 AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM e
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM act a JOIN cohort USING (user_id)
+        |WHERE week - cohort_week BETWEEN 0 AND 4
+        |GROUP BY 1, 2""".stripMargin)
+    )),
+
     "q_salted_agg" -> ((
       (s: SparkSession, dir: String) =>
         graft.operators.Skew.saltedAggregate(
