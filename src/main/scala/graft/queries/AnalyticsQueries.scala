@@ -550,6 +550,25 @@ object AnalyticsQueries {
     // sum exactly in doubles) and the compare needs no tolerance. At scale
     // this is the shape that bounds any one reducer's group size under
     // power-law keys; ScaleSpec asserts salted == direct on skewed data.
+    // Decile bucketing per priority class — ntile's equal-count buckets
+    // (vs q_histogram's equal-width). Partitioned by o_orderpriority so no
+    // window partition outgrows a task at scale (a global ntile would
+    // funnel the table through one partition; per-key ntile + a tiny
+    // reducer-side merge is the scale shape).
+    "q_ntile" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS decile
+        |FROM orders""".stripMargin)
+    )),
+
     // Conversion funnel over the event stream: users with a 'view', and the
     // subset whose first view is followed by a 'purchase' within 24 h. Two
     // partial+final aggregates + one left-semi join on user_id; the

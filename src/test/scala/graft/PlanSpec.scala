@@ -64,6 +64,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("contamination join broadcasts the eval-span side") {
+    // the eval set is orders of magnitude smaller than the training corpus;
+    // a sort-merge join here would shuffle every training span
+    val df = graft.queries.LlmQueries.defs("text_decontaminate")._1(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("q1 aggregation is partial-then-final (map-side combine)") {
     val plan = planOf("q1_agg")
     // two HashAggregate nodes around the exchange = partial + final
