@@ -550,6 +550,54 @@ object AnalyticsQueries {
     // sum exactly in doubles) and the compare needs no tolerance. At scale
     // this is the shape that bounds any one reducer's group size under
     // power-law keys; ScaleSpec asserts salted == direct on skewed data.
+    // ANALYZE-style column statistics (the CBO inputs: count / nulls / ndv
+    // / min / max per column). One aggregate per column, unioned: each
+    // branch's scan prunes to its single column, so at 100 TB this is k
+    // cheap columnar scans rather than one k-wide Expand (the cost of
+    // multi-column countDistinct in one aggregate).
+    "q_table_stats" -> ((
+      (s: SparkSession, dir: String) => {
+        def stats(c: String) = t(s, dir, "lineitem")
+          .agg(count(lit(1)).as("row_cnt"),
+            sum(col(c).isNull.cast("long")).as("null_cnt"),
+            countDistinct(col(c)).as("ndv"),
+            min(col(c)).cast("double").as("min_val"),
+            max(col(c)).cast("double").as("max_val"))
+          .select(lit(c).as("column_name"), col("row_cnt"), col("null_cnt"),
+            col("ndv"), round(col("min_val"), 4).as("min_val"),
+            round(col("max_val"), 4).as("max_val"))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+          .map(stats).reduce(_.unionAll(_))
+      },
+      Some("""SELECT column_name, CAST(row_cnt AS BIGINT) AS row_cnt,
+        |  CAST(null_cnt AS BIGINT) AS null_cnt, CAST(ndv AS BIGINT) AS ndv,
+        |  round(min_val, 4) AS min_val, round(max_val, 4) AS max_val
+        |FROM (
+        |  SELECT 'l_quantity' AS column_name, count(*) AS row_cnt,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+        |    count(DISTINCT l_quantity) AS ndv,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_val, CAST(max(l_quantity) AS DOUBLE) AS max_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*),
+        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT l_extendedprice),
+        |    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*),
+        |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT l_discount),
+        |    CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey', count(*),
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT l_orderkey),
+        |    CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE)
+        |  FROM lineitem)""".stripMargin)
+    )),
+
     // Decile bucketing per priority class — ntile's equal-count buckets
     // (vs q_histogram's equal-width). Partitioned by o_orderpriority so no
     // window partition outgrows a task at scale (a global ntile would

@@ -647,16 +647,20 @@ object LlmQueries {
     )),
 
     // Corpus token-frequency head (Zipf report): global term frequencies,
-    // top 50 by (freq, term). One partial+final aggregate; the window runs
-    // on the tiny post-agg relation.
+    // top 50 by (freq, term). One partial+final aggregate, then
+    // sort+limit — which plans as TakeOrderedAndProject (per-partition
+    // bounded heaps), NOT a global window: at web scale the distinct
+    // vocabulary is billions of rare tokens, and a row_number over all of
+    // it would funnel the whole relation through one partition. The
+    // 50-row ranking window after the limit is free.
     "q_token_zipf" -> ((
       (s: SparkSession, dir: String) => {
         val w = Window.orderBy(col("freq").desc, col("tok").asc)
         docs(s, dir)
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tok").asc).limit(50)
           .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 50)
           .select(col("tok"), col("freq"), col("rnk").cast("long").as("rnk"))
       },
       Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
@@ -759,6 +763,32 @@ object LlmQueries {
         |SELECT label, vec_id, dist2,
         |       CAST(row_number() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rnk
         |FROM d QUALIFY rnk <= 3""".stripMargin)
+    )),
+
+    // Quality-weighted deterministic sampling: doc kept iff
+    // hash(doc_id) mod 1000 < its lexical-uniqueness score (0..1000), so
+    // higher-quality docs are kept proportionally more often — the
+    // replayable form of importance sampling for mixture construction.
+    // The hash is overflow-safe multiplicative mod-arithmetic (inner pmod
+    // keeps the product < 2^63 for any doc_id), identical in both engines;
+    // rand() would be neither replayable nor cross-engine.
+    "q_weighted_sample" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val t = TextAnalysis.tokens(col("text"))
+        val weight = when(size(t) === 0, lit(0L))
+          .otherwise(floor(size(array_distinct(t)).cast("long") * 1000L / size(t)))
+        val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L, lit(1000000007L)) % 1000L
+        d.select(col("doc_id"), weight.cast("long").as("weight"), h.as("h"))
+          .filter(col("h") < col("weight"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+        |            // len(string_split(text, ' ')) END AS weight,
+        |  ((doc_id % 1000000007) * 2654435761 % 1000000007) % 1000 AS h
+        |  FROM documents)
+        |SELECT doc_id, weight, h FROM w WHERE h < weight""".stripMargin)
     )),
 
     "text_fingerprint" -> ((

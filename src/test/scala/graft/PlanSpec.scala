@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("token-zipf head is a bounded TakeOrdered, not a global window over the vocabulary") {
+    val df = graft.queries.LlmQueries.defs("q_token_zipf")._1(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("contamination join broadcasts the eval-span side") {
     // the eval set is orders of magnitude smaller than the training corpus;
     // a sort-merge join here would shuffle every training span
