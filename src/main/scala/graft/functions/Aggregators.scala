@@ -46,3 +46,66 @@ final class TopKSumAgg(k: Int) extends Aggregator[Double, Array[Double], Double]
   override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** Space-Saving heavy hitters (Metwally et al.): top-`k` most frequent keys
+  * with a buffer bounded at `capacity` counters regardless of input size —
+  * the sketch that replaces an exact groupBy+count over a billions-distinct
+  * key space (web tokens, URLs, user ids) when only the head matters.
+  *
+  * Each counter is (estimate, err): classic SS invariant on a single stream
+  * is `true ≤ estimate ≤ true + err`. Partials merge keywise; if the union
+  * overflows, only the top-`capacity` counters survive and the largest
+  * evicted estimate widens every survivor's err (conservative: never
+  * narrows a bound that held before the merge). With `capacity ≥` the
+  * distinct key count no eviction ever happens and the result is exact and
+  * split-agnostic — the regime the catalog entry runs in (its DuckDB
+  * oracle recomputes exact counts); eviction behavior is property-tested in
+  * ScalaTest.
+  *
+  * Output: top-`k` (estimate desc, key asc) as (key, estimate, err) —
+  * deterministic tie order so results are reproducible run to run.
+  */
+final class SpaceSavingAgg(capacity: Int, k: Int)
+    extends Aggregator[String, Map[String, (Long, Long)], Seq[(String, Long, Long)]] {
+  require(capacity > 0 && k > 0 && k <= capacity)
+
+  override def zero: Map[String, (Long, Long)] = Map.empty
+
+  override def reduce(buf: Map[String, (Long, Long)], key: String): Map[String, (Long, Long)] =
+    buf.get(key) match {
+      case Some((c, e)) => buf.updated(key, (c + 1L, e))
+      case None if buf.size < capacity => buf.updated(key, (1L, 0L))
+      case None =>
+        // evict the minimum counter: the newcomer inherits its estimate + 1
+        // with err = that estimate (it may have occurred up to min times
+        // while untracked) — the classic SS replacement step
+        val (minKey, (minC, _)) = buf.minBy { case (kk, (c, _)) => (c, kk) }
+        (buf - minKey).updated(key, (minC + 1L, minC))
+    }
+
+  override def merge(a: Map[String, (Long, Long)],
+                     b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+    val union = b.foldLeft(a) { case (acc, (kk, (c, e))) =>
+      acc.get(kk) match {
+        case Some((c0, e0)) => acc.updated(kk, (c0 + c, e0 + e))
+        case None => acc.updated(kk, (c, e))
+      }
+    }
+    if (union.size <= capacity) union
+    else {
+      val sorted = union.toSeq.sortBy { case (kk, (c, _)) => (-c, kk) }
+      val kept = sorted.take(capacity)
+      val maxEvicted = sorted.drop(capacity).map(_._2._1).max
+      kept.map { case (kk, (c, e)) => kk -> (c, e + maxEvicted) }.toMap
+    }
+  }
+
+  override def finish(buf: Map[String, (Long, Long)]): Seq[(String, Long, Long)] =
+    buf.toSeq.sortBy { case (kk, (c, _)) => (-c, kk) }
+      .take(k).map { case (kk, (c, e)) => (kk, c, e) }
+
+  override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+    ExpressionEncoder[Map[String, (Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+    ExpressionEncoder[Seq[(String, Long, Long)]]()
+}

@@ -791,6 +791,32 @@ object LlmQueries {
         |SELECT doc_id, weight, h FROM w WHERE h < weight""".stripMargin)
     )),
 
+    // Heavy hitters via the Space-Saving sketch: top-10 tokens from a
+    // buffer bounded at 4096 counters — at web scale this replaces the
+    // exact token groupBy (billions of distinct keys) for head-only
+    // questions. The fixture vocabulary is far below capacity, so the
+    // sketch runs in its exact regime (err = 0 and estimates equal the
+    // exact counts DuckDB recomputes — full-equality oracle); eviction
+    // bounds are property-tested in SketchPropertySpec.
+    "q_heavy_hitters" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val toks = docs(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok")).as[String]
+        val agg = new graft.functions.SpaceSavingAgg(capacity = 4096, k = 10)
+        toks.select(agg.toColumn).toDF("hh")
+          .select(posexplode(col("hh")).as(Seq("i", "s")))
+          .select(col("s._1").as("tok"), col("s._2").as("est"),
+            col("s._3").as("err"), (col("i") + 1).cast("long").as("rnk"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE length(text) > 0),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS est FROM tok GROUP BY 1)
+        |SELECT tok, est, CAST(0 AS BIGINT) AS err,
+        |       CAST(row_number() OVER (ORDER BY est DESC, tok) AS BIGINT) AS rnk
+        |FROM f QUALIFY rnk <= 10""".stripMargin)
+    )),
+
     "text_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         TextAnalysis.fingerprints(docs(s, dir)).select(col("doc_id"), col("md5_fp")),

@@ -53,6 +53,38 @@ class ScaleSpec extends SparkSpec {
       s"repetitionSignals must not shuffle:\n$plan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // AQE's runtime row-level filter: a bloom built from the filtered dim
+    // side is pushed into the fact scan — at 100 TB this is the difference
+    // between shuffling every lineitem row and shuffling the ~1% that can
+    // join. Thresholds are floored so the tiny fixtures trigger the rule.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be UNDER its threshold, application side OVER
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ord = Sources.table(spark, sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val li = Sources.table(spark, sf0001, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      // InjectRuntimeFilter is a logical rule; AQE's pre-execution physical
+      // toString elides the filter subquery, so assert on the optimized plan
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+        s"expected a runtime bloom filter in:\n${plan.take(4000)}")
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with no shuffle on either side") {
     val li = Sources.table(spark, sf0001, "lineitem")
       .select("l_orderkey", "l_quantity", "l_extendedprice")

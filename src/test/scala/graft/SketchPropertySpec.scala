@@ -52,6 +52,45 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SpaceSavingAgg is exact and split-agnostic when capacity covers the key space") {
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 9).map(i => s"k$i")),
+      Gen.chooseNum(0, 100))
+    forAllSampled(gen) { case (keys, splitSeed) =>
+      val agg = new graft.functions.SpaceSavingAgg(capacity = 16, k = 10)
+      val cut = splitSeed % (keys.size + 1)
+      val (l, r) = keys.splitAt(cut)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = exact.toSeq.sortBy { case (k0, c) => (-c, k0) }.take(10)
+        .map { case (k0, c) => (k0, c, 0L) }
+      assert(merged == expected, s"keys=$keys got=$merged want=$expected")
+    }
+  }
+
+  test("SpaceSavingAgg under eviction keeps the SS bounds: true <= est <= true + err") {
+    // single-stream (reduce-only) path, capacity far below distinct keys;
+    // a zipf-ish stream so there IS a head to find
+    val gen = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.chooseNum(0, 2).map(i => s"hot$i"),
+      2 -> Gen.chooseNum(0, 400).map(i => s"cold$i")))
+    forAllSampled(gen) { keys =>
+      val agg = new graft.functions.SpaceSavingAgg(capacity = 8, k = 8)
+      val out = agg.finish(keys.foldLeft(agg.zero)(agg.reduce))
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      out.foreach { case (k0, est, err) =>
+        val truth = exact.getOrElse(k0, 0L)
+        assert(truth <= est && est <= truth + err,
+          s"key=$k0 true=$truth est=$est err=$err keys=${keys.take(50)}")
+      }
+      // a key that dominates the stream can never be absent from the summary
+      val (maxKey, maxCnt) = exact.maxBy { case (k0, c) => (c, k0) }
+      if (maxCnt > keys.size / 2)
+        assert(out.exists(_._1 == maxKey), s"dominant $maxKey missing from $out")
+    }
+  }
+
   test("TopKSumAgg equals the sum of the k largest under any reduce/merge split") {
     val gen = Gen.zip(
       Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)),
