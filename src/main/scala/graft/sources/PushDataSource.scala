@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, DateTimeUtils, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.KafkaRecord
+
+/** Named in-process record queues behind the DSv2 push source. A transport
+  * front (the gRPC adapter, the TCP control plane, a test) appends batches;
+  * `PushDataSource` exposes each queue as a streaming table whose offsets
+  * are queue positions. Single-JVM by design — this is the reference's
+  * in-process push path (`service.rs:102-335`, its Python smoke test) made
+  * a first-class Spark source; the production-scale path remains
+  * produce-to-Kafka → S1 (SURVEY §2.1 S6), which shares this exact schema.
+  */
+object PushBuffers {
+  private val buffers =
+    new ConcurrentHashMap[String, java.util.concurrent.CopyOnWriteArrayList[KafkaRecord]]()
+
+  private def buf(name: String) =
+    buffers.computeIfAbsent(name, _ => new java.util.concurrent.CopyOnWriteArrayList[KafkaRecord]())
+
+  /** Append a batch; returns the queue's new end offset. */
+  def push(name: String, records: Seq[KafkaRecord]): Long = {
+    val b = buf(name)
+    b.addAll(records.asJava)
+    b.size().toLong
+  }
+
+  def size(name: String): Long = buf(name).size().toLong
+
+  def slice(name: String, from: Long, until: Long): Seq[KafkaRecord] = {
+    val b = buf(name)
+    (from until math.min(until, b.size().toLong)).map(i => b.get(i.toInt))
+  }
+
+  def clear(name: String): Unit = buffers.remove(name)
+}
+
+/** DSv2 `TableProvider` for the push data plane — SURVEY §2.1 S6 option (c):
+  * a direct push source as a custom `MicroBatchStream`. Usage:
+  * `spark.readStream.format(classOf[PushDataSource].getName)
+  * .option("queue", "q").load()`; also readable as a batch table (the whole
+  * queue so far). Offsets are plain queue positions, so checkpointed
+  * restarts resume mid-queue exactly like a Kafka consumer group would.
+  */
+class PushDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KafkaRecord.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new PushTable(Option(properties.get("queue")).getOrElse("default"))
+}
+
+final class PushTable(queue: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-push($queue)"
+  override def schema(): StructType = KafkaRecord.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new PushScan(queue)
+    }
+}
+
+final class PushScan(queue: String) extends Scan {
+  override def readSchema(): StructType = KafkaRecord.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PushMicroBatchStream(queue)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      PushMicroBatchStream.partitionRanges(queue, 0L, PushBuffers.size(queue))
+    override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
+  }
+}
+
+final case class PushOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+object PushMicroBatchStream {
+  /** Split [from, until) into ≤1000-record partitions so a large backlog
+    * drains with task parallelism instead of one fat task.
+    */
+  def partitionRanges(queue: String, from: Long, until: Long): Array[InputPartition] =
+    (from until until by 1000L)
+      .map(s => PushInputPartition(queue, s, math.min(s + 1000L, until)): InputPartition)
+      .toArray
+}
+
+final class PushMicroBatchStream(queue: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = PushOffset(0L)
+  override def latestOffset(): Offset = PushOffset(PushBuffers.size(queue))
+  override def deserializeOffset(json: String): Offset = PushOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    PushMicroBatchStream.partitionRanges(queue,
+      start.asInstanceOf[PushOffset].pos, end.asInstanceOf[PushOffset].pos)
+  override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
+  // the committed prefix stays in the buffer: offsets are absolute queue
+  // positions, so truncation would break checkpointed restarts; bounding
+  // retention is the durable-transport front's job (Kafka does the same)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class PushInputPartition(queue: String, from: Long, until: Long) extends InputPartition
+
+final class PushReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PushInputPartition]
+    new PartitionReader[InternalRow] {
+      private val records = PushBuffers.slice(p.queue, p.from, p.until).iterator
+      private var current: KafkaRecord = _
+      override def next(): Boolean = { val has = records.hasNext; if (has) current = records.next(); has }
+      override def get(): InternalRow = {
+        val r = current
+        val hk = r.headers.keys.toArray.map(UTF8String.fromString(_): Any)
+        val hv = r.headers.values.toArray.map(UTF8String.fromString(_): Any)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(r.topic),
+          r.partition,
+          r.offset,
+          DateTimeUtils.fromJavaTimestamp(r.timestamp),
+          r.key,
+          r.value,
+          new ArrayBasedMapData(new GenericArrayData(hk), new GenericArrayData(hv))))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

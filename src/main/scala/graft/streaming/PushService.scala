@@ -23,7 +23,10 @@ import graft.model.KafkaRecord
   * offline tests drive it directly. Batches enter Structured Streaming via
   * `MemoryStream` — the dev/test path the reference's own Python smoke test
   * models; the production path produces to Kafka and lets the Kafka source
-  * ingest (SURVEY §2.1 S6 recommendation).
+  * ingest (SURVEY §2.1 S6 recommendation). SURVEY's option (c) — a direct
+  * push source as a custom DataSource V2 `MicroBatchStream` — exists too:
+  * [[graft.sources.PushDataSource]] exposes named in-process queues as
+  * streaming tables with checkpointable queue-position offsets.
   */
 final class PushService(spark: SparkSession) {
   import spark.implicits._
