@@ -133,6 +133,28 @@ object PipelineQueries {
         |GROUP BY 1, 2""".stripMargin)
     )),
 
+    // Sliding (hopping) windows — 1 h windows every 30 min, so each record
+    // lands in exactly 2 windows. The oracle replays Spark's window
+    // arithmetic in epoch-microseconds (hop-aligned starts, i ∈ {0,1}) —
+    // microseconds, not the CTE's ms, because a sub-ms remainder at a
+    // bucket boundary would shift the floor.
+    "stream_sliding_stats" -> ((
+      (s: SparkSession, dir: String) =>
+        records(s, dir)
+          .groupBy(window(col("timestamp"), "1 hour", "30 minutes"), col("topic"))
+          .agg(count(lit(1)).as("record_cnt"),
+            sum(length(col("value"))).as("value_bytes"))
+          .select(expr("unix_micros(window.start) div 1000").as("window_start_ms"),
+            col("topic"), col("record_cnt"), col("value_bytes")),
+      Some("""WITH r AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |             length(props) AS vlen FROM events),
+        |x AS (SELECT ((t_us // 1800000000) - CAST(i AS BIGINT)) * 1800000000 AS start_us, vlen
+        |      FROM r, unnest([0, 1]) AS u(i))
+        |SELECT CAST(start_us // 1000 AS BIGINT) AS window_start_ms, 'events' AS topic,
+        |       CAST(count(*) AS BIGINT) AS record_cnt, CAST(sum(vlen) AS BIGINT) AS value_bytes
+        |FROM x GROUP BY 1, 2""".stripMargin)
+    )),
+
     // P2: default partitioner object keys — one per (topic, partition) flush
     // group, keyed by the group's first (min-offset) record.
     "p2_default_keys" -> ((

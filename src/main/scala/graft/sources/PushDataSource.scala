@@ -69,19 +69,58 @@ final class PushTable(queue: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new PushScan(queue)
-    }
+    new PushScanBuilder(queue)
 }
 
-final class PushScan(queue: String) extends Scan {
+/** Accepts `offset` range predicates and keeps them as scan bounds — the
+  * DSv2 pushdown surface. Spark still re-evaluates every filter (we return
+  * them all as residual), so the bounds are pure pruning: whole queue
+  * chunks are skipped via per-chunk min/max zone maps (the same idea as
+  * parquet row-group statistics), and surviving chunks row-skip before any
+  * InternalRow is built.
+  */
+final class PushScanBuilder(queue: String)
+    extends ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+  private var lo = Long.MinValue
+  private var hi = Long.MaxValue // inclusive bounds on the `offset` column
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.filter {
+      case GreaterThan("offset", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("offset", v: Long) => lo = math.max(lo, v); true
+      case LessThan("offset", v: Long) => hi = math.min(hi, v - 1); true
+      case LessThanOrEqual("offset", v: Long) => hi = math.min(hi, v); true
+      case EqualTo("offset", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v); true
+      case _ => false
+    }
+    pushed = usable
+    filters // all residual: bounds only prune, Spark keeps exactness
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new PushScan(queue, lo, hi)
+}
+
+final class PushScan(queue: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
+    extends Scan {
   override def readSchema(): StructType = KafkaRecord.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PushMicroBatchStream(queue)
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      PushMicroBatchStream.partitionRanges(queue, 0L, PushBuffers.size(queue))
-    override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
+    override def planInputPartitions(): Array[InputPartition] = {
+      val ranges = PushMicroBatchStream.partitionRanges(queue, 0L, PushBuffers.size(queue))
+      if (lo == Long.MinValue && hi == Long.MaxValue) ranges
+      else ranges.filter { p =>
+        // zone map: a chunk survives only if its offset range intersects
+        // the pushed bounds (driver-side min/max over the in-memory chunk —
+        // the parquet-row-group-stats analog for this source)
+        val pp = p.asInstanceOf[PushInputPartition]
+        val offs = PushBuffers.slice(queue, pp.from, pp.until).map(_.offset)
+        offs.nonEmpty && offs.max >= lo && offs.min <= hi
+      }
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory(lo, hi)
   }
 }
 
@@ -106,7 +145,7 @@ final class PushMicroBatchStream(queue: String) extends MicroBatchStream {
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     PushMicroBatchStream.partitionRanges(queue,
       start.asInstanceOf[PushOffset].pos, end.asInstanceOf[PushOffset].pos)
-  override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory()
   // the committed prefix stays in the buffer: offsets are absolute queue
   // positions, so truncation would break checkpointed restarts; bounding
   // retention is the durable-transport front's job (Kafka does the same)
@@ -116,11 +155,13 @@ final class PushMicroBatchStream(queue: String) extends MicroBatchStream {
 
 final case class PushInputPartition(queue: String, from: Long, until: Long) extends InputPartition
 
-final class PushReaderFactory extends PartitionReaderFactory {
+final class PushReaderFactory(lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PushInputPartition]
     new PartitionReader[InternalRow] {
       private val records = PushBuffers.slice(p.queue, p.from, p.until).iterator
+        .filter(r => r.offset >= lo && r.offset <= hi)
       private var current: KafkaRecord = _
       override def next(): Boolean = { val has = records.hasNext; if (has) current = records.next(); has }
       override def get(): InternalRow = {

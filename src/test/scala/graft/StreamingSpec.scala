@@ -320,6 +320,20 @@ class StreamingSpec extends SparkSpec {
       row.getAs[Map[String, String]]("headers").isEmpty)
   }
 
+  test("DSv2 push source prunes whole chunks via offset zone maps") {
+    import graft.sources.{PushBuffers, PushDataSource}
+    val q = "dsv2_prune_q"
+    PushBuffers.clear(q)
+    PushBuffers.push(q, (0 until 2500).map(i => rec(i.toLong, s"v$i")))
+    val df = spark.read.format(classOf[PushDataSource].getName).option("queue", q).load()
+      .filter(col("offset") >= 2000L)
+    // offsets are monotone with queue position here, so the bound keeps
+    // only the last of the three 1000-record chunks
+    assert(df.rdd.getNumPartitions == 1,
+      s"zone maps should prune 2 of 3 chunks, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 500)
+  }
+
   test("streaming incremental dedup filters each micro-batch against the static corpus") {
     import graft.streaming.StreamOps
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
