@@ -104,6 +104,37 @@ object AnalyticsQueries {
         |GROUP BY n_name""".stripMargin)
     )),
 
+    // The same query through the literal SQL surface (spark.sql over temp
+    // views) — proves a user can drive this engine with SQL text, and that
+    // Catalyst plans it the same (joins broadcast, agg partial+final)
+    // whether declared via the DataFrame API or parsed from SQL.
+    "q5_region_revenue_sql" -> ((
+      (s: SparkSession, dir: String) => {
+        Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin)
+    )),
+
     // Left-semi join: orders having any heavy lineitem.
     "q_semi_join" -> ((
       (s: SparkSession, dir: String) =>

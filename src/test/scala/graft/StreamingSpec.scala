@@ -306,6 +306,23 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("DSv2 push source feeds the real sink pipeline with incremental drains") {
+    import graft.sources.{PushBuffers, PushDataSource}
+    val q = "dsv2_sink_q"
+    PushBuffers.clear(q)
+    val root = Files.createTempDirectory("graft-dsv2-sink").toString
+    val ckpt = Files.createTempDirectory("graft-dsv2-sink-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet)
+    def stream = spark.readStream.format(classOf[PushDataSource].getName)
+      .option("queue", q).load()
+    PushBuffers.push(q, Seq(rec(0, "a"), rec(1, "b")))
+    Pipeline.drainAvailable(stream, cfg, root, ckpt, name = "graft_dsv2_drain_1")
+    assert(spark.read.parquet(root).count() == 2)
+    PushBuffers.push(q, Seq(rec(2, "c")))
+    Pipeline.drainAvailable(stream, cfg, root, ckpt, name = "graft_dsv2_drain_2")
+    assert(spark.read.parquet(root).count() == 3)
+  }
+
   test("DSv2 push source batch read sees the whole queue and its headers") {
     import graft.sources.{PushBuffers, PushDataSource}
     val q = "dsv2_batch_q"
