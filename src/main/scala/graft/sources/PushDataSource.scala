@@ -72,19 +72,24 @@ final class PushTable(queue: String) extends Table with SupportsRead {
     new PushScanBuilder(queue)
 }
 
-/** Accepts `offset` range predicates and keeps them as scan bounds — the
-  * DSv2 pushdown surface. Spark still re-evaluates every filter (we return
-  * them all as residual), so the bounds are pure pruning: whole queue
-  * chunks are skipped via per-chunk min/max zone maps (the same idea as
-  * parquet row-group statistics), and surviving chunks row-skip before any
-  * InternalRow is built.
+/** Accepts `offset` range predicates as scan bounds and a pruned column
+  * set — the DSv2 pushdown surfaces. Spark still re-evaluates every filter
+  * (we return them all as residual), so the bounds are pure pruning: whole
+  * queue chunks are skipped via per-chunk min/max zone maps (the same idea
+  * as parquet row-group statistics), surviving chunks row-skip before any
+  * InternalRow is built, and pruned columns are never materialized (a
+  * 2-column projection over binary-heavy records shouldn't pay for the
+  * payload bytes).
   */
 final class PushScanBuilder(queue: String)
-    extends ScanBuilder with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources._
   private var lo = Long.MinValue
   private var hi = Long.MaxValue // inclusive bounds on the `offset` column
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = KafkaRecord.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = filters.filter {
@@ -99,14 +104,17 @@ final class PushScanBuilder(queue: String)
     filters // all residual: bounds only prune, Spark keeps exactness
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PushScan(queue, lo, hi)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PushScan(queue, lo, hi, required)
 }
 
-final class PushScan(queue: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
+final class PushScan(queue: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue,
+                     required: StructType = KafkaRecord.schema)
     extends Scan {
-  override def readSchema(): StructType = KafkaRecord.schema
+  override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PushMicroBatchStream(queue)
+    new PushMicroBatchStream(queue, required)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val ranges = PushMicroBatchStream.partitionRanges(queue, 0L, PushBuffers.size(queue))
@@ -120,7 +128,8 @@ final class PushScan(queue: String, lo: Long = Long.MinValue, hi: Long = Long.Ma
         offs.nonEmpty && offs.max >= lo && offs.min <= hi
       }
     }
-    override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory(lo, hi)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PushReaderFactory(lo, hi, required)
   }
 }
 
@@ -138,14 +147,17 @@ object PushMicroBatchStream {
       .toArray
 }
 
-final class PushMicroBatchStream(queue: String) extends MicroBatchStream {
+final class PushMicroBatchStream(queue: String,
+                                 required: StructType = KafkaRecord.schema)
+    extends MicroBatchStream {
   override def initialOffset(): Offset = PushOffset(0L)
   override def latestOffset(): Offset = PushOffset(PushBuffers.size(queue))
   override def deserializeOffset(json: String): Offset = PushOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     PushMicroBatchStream.partitionRanges(queue,
       start.asInstanceOf[PushOffset].pos, end.asInstanceOf[PushOffset].pos)
-  override def createReaderFactory(): PartitionReaderFactory = new PushReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PushReaderFactory(required = required)
   // the committed prefix stays in the buffer: offsets are absolute queue
   // positions, so truncation would break checkpointed restarts; bounding
   // retention is the durable-transport front's job (Kafka does the same)
@@ -155,8 +167,28 @@ final class PushMicroBatchStream(queue: String) extends MicroBatchStream {
 
 final case class PushInputPartition(queue: String, from: Long, until: Long) extends InputPartition
 
-final class PushReaderFactory(lo: Long = Long.MinValue, hi: Long = Long.MaxValue)
+final class PushReaderFactory(lo: Long = Long.MinValue, hi: Long = Long.MaxValue,
+                              required: StructType = KafkaRecord.schema)
     extends PartitionReaderFactory {
+  // one extractor per *required* field: pruned columns (typically the
+  // binary key/value payloads) are never converted or materialized
+  private val extractors: Array[KafkaRecord => Any] = required.fields.map { f =>
+    f.name match {
+      case "topic" => (r: KafkaRecord) => UTF8String.fromString(r.topic)
+      case "partition" => (r: KafkaRecord) => r.partition
+      case "offset" => (r: KafkaRecord) => r.offset
+      case "timestamp" => (r: KafkaRecord) => DateTimeUtils.fromJavaTimestamp(r.timestamp)
+      case "key" => (r: KafkaRecord) => r.key
+      case "value" => (r: KafkaRecord) => r.value
+      case "headers" => (r: KafkaRecord) => {
+        val hk = r.headers.keys.toArray.map(UTF8String.fromString(_): Any)
+        val hv = r.headers.values.toArray.map(UTF8String.fromString(_): Any)
+        new ArrayBasedMapData(new GenericArrayData(hk), new GenericArrayData(hv))
+      }
+      case other => throw new IllegalArgumentException(s"unknown column: $other")
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PushInputPartition]
     new PartitionReader[InternalRow] {
@@ -164,19 +196,8 @@ final class PushReaderFactory(lo: Long = Long.MinValue, hi: Long = Long.MaxValue
         .filter(r => r.offset >= lo && r.offset <= hi)
       private var current: KafkaRecord = _
       override def next(): Boolean = { val has = records.hasNext; if (has) current = records.next(); has }
-      override def get(): InternalRow = {
-        val r = current
-        val hk = r.headers.keys.toArray.map(UTF8String.fromString(_): Any)
-        val hv = r.headers.values.toArray.map(UTF8String.fromString(_): Any)
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(r.topic),
-          r.partition,
-          r.offset,
-          DateTimeUtils.fromJavaTimestamp(r.timestamp),
-          r.key,
-          r.value,
-          new ArrayBasedMapData(new GenericArrayData(hk), new GenericArrayData(hv))))
-      }
+      override def get(): InternalRow =
+        new GenericInternalRow(extractors.map(_(current)))
       override def close(): Unit = ()
     }
   }

@@ -337,6 +337,19 @@ class StreamingSpec extends SparkSpec {
       row.getAs[Map[String, String]]("headers").isEmpty)
   }
 
+  test("DSv2 push source prunes columns: a narrow projection reads a narrow schema") {
+    import graft.sources.{PushBuffers, PushDataSource}
+    val q = "dsv2_cols_q"
+    PushBuffers.clear(q)
+    PushBuffers.push(q, Seq(rec(0, "a"), rec(1, "b")))
+    val df = spark.read.format(classOf[PushDataSource].getName).option("queue", q).load()
+      .select("topic", "offset")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("topic") && scan.contains("offset") && !scan.contains("headers"),
+      s"scan should read only the projected columns: $scan")
+    assert(df.collect().map(_.getAs[Long]("offset")).toSet == Set(0L, 1L))
+  }
+
   test("DSv2 push source prunes whole chunks via offset zone maps") {
     import graft.sources.{PushBuffers, PushDataSource}
     val q = "dsv2_prune_q"
