@@ -282,6 +282,28 @@ object AnalyticsQueries {
         |UNION ALL SELECT nationkey, 'supp_only' FROM (SELECT * FROM s EXCEPT SELECT * FROM c)""".stripMargin)
     )),
 
+    // Multiset (ALL) set operations — bag semantics preserve duplicate
+    // counts, which matters when the inputs are event multisets rather
+    // than key sets. Spark plans these as aggregate+generate (count-based
+    // replication), no row-by-row anti-scan.
+    "q_setops_all" -> ((
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nationkey"))
+        val su = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nationkey"))
+        c.intersectAll(su).groupBy("nationkey").agg(count(lit(1)).as("cnt"))
+          .withColumn("op", lit("intersect_all"))
+          .unionByName(c.exceptAll(su).groupBy("nationkey").agg(count(lit(1)).as("cnt"))
+            .withColumn("op", lit("except_all")))
+      },
+      Some("""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+        |     s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS cnt, 'intersect_all' AS op
+        |FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM s) GROUP BY 1
+        |UNION ALL
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS cnt, 'except_all' AS op
+        |FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM s) GROUP BY 1""".stripMargin)
+    )),
+
     // Distinct aggregation.
     "q_distinct_agg" -> ((
       (s: SparkSession, dir: String) =>

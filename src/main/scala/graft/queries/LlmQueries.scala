@@ -817,6 +817,21 @@ object LlmQueries {
         |FROM f QUALIFY rnk <= 10""".stripMargin)
     )),
 
+    // Canonicalize-then-dedup: exact dedup over the normalized text — the
+    // composition production pipelines run first (case/whitespace variants
+    // are the most common duplicate class and Jaccard-invisible). Same
+    // hash-aggregate shape as dedup_exact; the shuffle carries md5s, never
+    // text.
+    "dedup_exact_normalized" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.exact(TextAnalysis.normalize(docs(s, dir))
+          .select(col("doc_id"), col("norm_text").as("text"))),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_cnt
+        |FROM documents
+        |GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin)
+    )),
+
     "text_fingerprint" -> ((
       (s: SparkSession, dir: String) =>
         TextAnalysis.fingerprints(docs(s, dir)).select(col("doc_id"), col("md5_fp")),
