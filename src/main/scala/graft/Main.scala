@@ -42,14 +42,15 @@ object Main {
         case h => h
       }
       val port = a.split(":").last.toInt
-      if (host == "0.0.0.0" || host == "::")
+      val token = engine.config.flatMap(_.authToken)
+      if ((host == "0.0.0.0" || host == "::") && token.isEmpty)
         println("[graft] WARNING: control plane binding ALL interfaces with no " +
           "authentication — any network peer can reconfigure this daemon; " +
-          "use 127.0.0.1 or front it with an authenticating proxy")
+          "use 127.0.0.1, set auth_token, or front it with an authenticating proxy")
       val svc = new graft.streaming.InProcessConnectorService(engine,
         new graft.streaming.PushService(spark),
         () => throw new IllegalStateException("daemon mode has no push sink"))
-      val srv = new graft.streaming.ControlServer(svc, port, host)
+      val srv = new graft.streaming.ControlServer(svc, port, host, token)
       val bound = srv.start()
       println(s"[graft] control plane listening on $host:$bound (JSON lines)")
       srv

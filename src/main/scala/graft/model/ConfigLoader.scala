@@ -26,6 +26,12 @@ final case class ConnectorConfig(
 final case class GraftConfig(
     tcpAddress: Option[String],
     unixSocketPath: Option[String],
+    /** Shared-secret for the TCP control plane: when set, every request
+      * line must carry a matching `"token"` field or is rejected without
+      * dispatch. Defense for non-loopback binds (update_config re-points
+      * ingestion); loopback deployments can omit it.
+      */
+    authToken: Option[String],
     kafka: KafkaClusterConfig,
     connectors: Seq[ConnectorConfig])
 
@@ -65,6 +71,7 @@ object ConfigLoader {
     GraftConfig(
       tcpAddress = opt(root.get("tcp_address")),
       unixSocketPath = opt(root.get("unix_socket_path")),
+      authToken = opt(root.get("auth_token")),
       kafka = kafka,
       connectors = connectors)
   }

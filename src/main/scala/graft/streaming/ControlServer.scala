@@ -27,7 +27,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * line-oriented transport is the wrong shape for them.
   */
 final class ControlServer(service: ConnectorService, port: Int,
-                          host: String = "127.0.0.1") {
+                          host: String = "127.0.0.1",
+                          authToken: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   @volatile private var server: ServerSocket = null
@@ -76,9 +77,14 @@ final class ControlServer(service: ConnectorService, port: Int,
     } catch { case _: Exception => () }
     finally sock.close()
 
-  private[streaming] def dispatch(line: String): String =
+  private[graft] def dispatch(line: String): String =
     try {
       val req = mapper.readTree(line)
+      // shared-secret gate: with a configured token, reject before any verb
+      // dispatch — update_config re-points what the daemon ingests/writes
+      val presented = Option(req.get("token")).map(_.asText())
+      if (authToken.isDefined && presented != authToken)
+        return json(Map("error" -> "unauthorized: missing or bad token"))
       val verb = Option(req.get("verb")).map(_.asText()).getOrElse("")
       def connector = Option(req.get("connector")).map(_.asText()).getOrElse("")
       verb match {

@@ -182,6 +182,28 @@ class ServiceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("control plane with auth_token rejects untokened and wrong-token requests") {
+    val root = Files.createTempDirectory("graft-ctl-auth").toString
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, s"$root/ckpt")
+    val service = InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"))
+    val srv = new graft.streaming.ControlServer(service, port = 0,
+      authToken = Some("s3cr3t"))
+    srv.start()
+    try {
+      assert(srv.dispatch("""{"verb":"get_status","connector":"src-1"}""")
+        .contains("unauthorized"))
+      assert(srv.dispatch("""{"verb":"get_status","connector":"src-1","token":"wrong"}""")
+        .contains("unauthorized"))
+      assert(srv.dispatch("""{"verb":"get_status","connector":"src-1","token":"s3cr3t"}""")
+        .contains("\"state\""))
+      // and crucially: update_config is gated too
+      assert(srv.dispatch("""{"verb":"update_config","config":{}}""")
+        .contains("unauthorized"))
+    } finally srv.stop()
+  }
+
   test("daemon assembly: file-watch source moves records to partitioned json") {
     val incoming = Files.createTempDirectory("graft-incoming").toString
     val dataRoot = Files.createTempDirectory("graft-daemon-data").toString
