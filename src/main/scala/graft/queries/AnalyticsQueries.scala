@@ -361,6 +361,42 @@ object AnalyticsQueries {
         |FROM sids GROUP BY user_id, session_id""".stripMargin)
     )),
 
+    // The NATIVE session-window operator (Spark's session_window, the
+    // Flink-style merging session window) next to q_sessionize's manual
+    // lag/cumsum formulation — same gap semantics, one groupBy, and the
+    // operator also runs in streaming mode with watermarked state. Oracle =
+    // the manual session derivation; window.end is last event + gap by
+    // definition, timestamps kept in ms precision end-to-end.
+    "q_session_window" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .select(col("user_id"), timestamp_millis(expr("unix_micros(ts) div 1000")).as("tsm"),
+            col("value"))
+          .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+          .agg(count(lit(1)).as("events"), round(sum("value"), 2).as("value_sum"))
+          .select(col("user_id"),
+            expr("unix_micros(session_window.start) div 1000").as("session_start_ms"),
+            expr("unix_micros(session_window.end) div 1000").as("session_end_ms"),
+            col("events"), col("value_sum")),
+      Some("""WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events),
+        |b AS (
+        |  -- session_window splits at gap >= g (an event exactly at
+        |  -- last + gap starts a NEW window: merge requires time < end)
+        |  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |                      >= 1800000 OR lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |                 THEN 1 ELSE 0 END AS boundary
+        |  FROM e),
+        |sids AS (
+        |  SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b)
+        |SELECT user_id, min(ts_ms) AS session_start_ms,
+        |  max(ts_ms) + 1800000 AS session_end_ms,
+        |  CAST(count(*) AS BIGINT) AS events, round(sum(value), 2) AS value_sum
+        |FROM sids GROUP BY user_id, session_id""".stripMargin)
+    )),
+
     // Exact percentiles (continuous interpolation) per group.
     "q_percentiles" -> ((
       (s: SparkSession, dir: String) =>
