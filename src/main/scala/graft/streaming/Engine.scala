@@ -64,7 +64,10 @@ object Engine {
 
   /** Source dispatch by connector_class, mirroring the reference's
     * class-name-driven instantiation (`manager.rs:70-91`): anything named
-    * *File* is the local file-watch source (broker-free daemon path);
+    * *File* is the local file-watch source (broker-free daemon path),
+    * anything named *Push* reads a DSv2 push queue (the in-process data
+    * plane — a transport front feeds `PushBuffers` and the engine ingests
+    * it like any other source, with checkpointed queue-position offsets);
     * everything else is the Kafka scan (needs the spark-sql-kafka package
     * at runtime).
     */
@@ -76,7 +79,11 @@ object Engine {
         throw new IllegalArgumentException(s"${c.name}: file source needs 'path'"))
       graft.sources.Sources.fileStream(spark, dir,
         topic = c.topics.headOption.getOrElse(c.name))
-    } else
+    } else if (c.connectorClass.toLowerCase.contains("push"))
+      spark.readStream.format(classOf[graft.sources.PushDataSource].getName)
+        .option("queue", c.config.getOrElse("queue", c.name))
+        .load()
+    else
       graft.sources.Sources.kafkaStream(spark, ConfigLoader.sourceConfig(cfg, c))
 
   def fromConfigFile(spark: SparkSession, path: String, root: String,

@@ -204,6 +204,37 @@ class ServiceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("daemon assembly: push-queue source connector moves pushed records to the sink") {
+    import graft.sources.PushBuffers
+    val dataRoot = Files.createTempDirectory("graft-push-daemon").toString
+    val ckpt = Files.createTempDirectory("graft-push-daemon-ckpt").toString
+    PushBuffers.clear("daemon_q")
+    val cfgJson = """{
+      "kafka": {"bootstrap_servers": ["unused:9092"]},
+      "connectors": [
+        {"name": "push-src-1", "connector_class": "graft.PushSourceConnector",
+         "connector_type": "source", "tasks_max": 1, "topics": ["t"],
+         "config": {"queue": "daemon_q"}},
+        {"name": "push-sink-1", "connector_class": "graft.FileSinkConnector",
+         "connector_type": "sink", "tasks_max": 1, "topics": ["t"],
+         "config": {"s3.bucket.name": "b", "format.class": "parquet"}}
+      ]}"""
+    val engine = Engine.fromConfigJson(spark, cfgJson, dataRoot, ckpt)
+    engine.start()
+    try {
+      assert(engine.status("push-src-1") == graft.model.ConnectorState.Running)
+      PushBuffers.push("daemon_q",
+        Seq(KafkaRecord("t", 0, 0L, new java.sql.Timestamp(1234567890000L),
+          "k".getBytes, "pushed-record".getBytes, Map.empty)))
+      val q = spark.streams.active.find(_.name == "push-src-1").get
+      q.processAllAvailable()
+      val written = spark.read.parquet(s"$dataRoot/push-src-1")
+      assert(written.count() == 1)
+      assert(new String(written.select("value").collect().head
+        .getAs[Array[Byte]]("value"), "UTF-8") == "pushed-record")
+    } finally engine.stop()
+  }
+
   test("daemon assembly: file-watch source moves records to partitioned json") {
     val incoming = Files.createTempDirectory("graft-incoming").toString
     val dataRoot = Files.createTempDirectory("graft-daemon-data").toString
