@@ -177,6 +177,15 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("incremental filter is idempotent: survivors of one pass survive a second") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val once = Dedup.incrementalFilter(corpus, batch)
+    val twice = Dedup.incrementalFilter(corpus, once)
+    assert(twice.select("doc_id").as[Long].collect().toSet ==
+      once.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("repetition signals count raw and distinct bigrams and the dominant gram") {
     val d = Seq(
       (1L, "a b a b a"),   // bigrams: a|b, b|a, a|b, b|a

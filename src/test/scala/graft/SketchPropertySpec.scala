@@ -91,6 +91,26 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization stays in [0,255] with min at 0 and max at 255 for any vector") {
+    // pure-JVM reimplementation of the column algebra's contract, driven by
+    // generated vectors (the Spark-side unit test pins exact values; this
+    // pins range + endpoint properties across the input space)
+    val vec = Gen.nonEmptyListOf(Gen.chooseNum(-1e4f, 1e4f))
+    forAllSampled(vec) { xs =>
+      val mn = xs.min.toDouble
+      val mx = xs.max.toDouble
+      val q = xs.map { x =>
+        if (mx == mn) 0L
+        else math.min(255L, math.floor((x - mn) * 255.0 / (mx - mn)).toLong)
+      }
+      assert(q.forall(v => v >= 0L && v <= 255L))
+      if (mx != mn) {
+        assert(q(xs.indexOf(xs.min)) == 0L)
+        assert(q(xs.indexOf(xs.max)) == 255L)
+      }
+    }
+  }
+
   test("TopKSumAgg equals the sum of the k largest under any reduce/merge split") {
     val gen = Gen.zip(
       Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)),

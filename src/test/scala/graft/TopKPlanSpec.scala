@@ -97,6 +97,16 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample's per-language rank plans through TopKPerGroupExec") {
+    withStrategy {
+      val df = graft.queries.LlmQueries.defs("q_stratified_sample")._1(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup "), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(df.count() > 0)
+    }
+  }
+
   test("strategy leaves other window shapes alone (rank over range frame, no filter)") {
     withStrategy {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
