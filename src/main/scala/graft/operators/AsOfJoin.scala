@@ -25,7 +25,48 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame,
            keyL: String, dimL: String, keyR: String, dimR: String,
-           payload: String): DataFrame = {
+           payload: String): DataFrame =
+    directional(left, right, keyL, dimL, keyR, dimR, payload, forward = false)
+      .drop("_matched_dim")
+
+  /** Forward as-of: the single right row with the SMALLEST dim ≥ the left
+    * row's value within the key — "next price at or above budget". Same
+    * union-and-window plan with the dim ordering reversed.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  keyL: String, dimL: String, keyR: String, dimR: String,
+                  payload: String): DataFrame =
+    directional(left, right, keyL, dimL, keyR, dimR, payload, forward = true)
+      .drop("_matched_dim")
+
+  /** Nearest as-of: whichever of the backward/forward matches is closer in
+    * dim; exact ties (equidistant) resolve to the backward (≤) match.
+    * Two window passes over the same union shuffle — still one shuffle
+    * shape per pass, no range explosion. The two passes rejoin on the full
+    * left row, so left rows must be distinct (give them an id if not).
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+                  keyL: String, dimL: String, keyR: String, dimR: String,
+                  payload: String): DataFrame = {
+    val back = directional(left, right, keyL, dimL, keyR, dimR, payload, forward = false)
+      .withColumnRenamed(payload, "_p_back").withColumnRenamed("_matched_dim", "_d_back")
+    val fwdCols = Seq(col(dimL).cast("double").as("_dim_l"),
+      col(payload).as("_p_fwd"), col("_matched_dim").as("_d_fwd"))
+    val fwd = directional(left, right, keyL, dimL, keyR, dimR, payload, forward = true)
+      .select(left.columns.map(col).toIndexedSeq ++ fwdCols: _*)
+    val joined = back.join(fwd, left.columns.toIndexedSeq)
+    val dBack = abs(col("_dim_l") - col("_d_back"))
+    val dFwd = abs(col("_dim_l") - col("_d_fwd"))
+    val nearest = when(col("_d_back").isNull, col("_p_fwd"))
+      .when(col("_d_fwd").isNull, col("_p_back"))
+      .when(dFwd < dBack, col("_p_fwd"))
+      .otherwise(col("_p_back")) // ties and dBack <= dFwd → backward
+    joined.select(left.columns.map(col).toIndexedSeq :+ nearest.as(payload): _*)
+  }
+
+  private def directional(left: DataFrame, right: DataFrame,
+                          keyL: String, dimL: String, keyR: String, dimR: String,
+                          payload: String, forward: Boolean): DataFrame = {
     val l = left.select(
       col(keyL).as("_k"), col(dimL).cast("double").as("_dim"),
       lit(1).as("_side"), struct(left.columns.map(col).toIndexedSeq: _*).as("_lrow"),
@@ -34,13 +75,17 @@ object AsOfJoin {
       col(keyR).as("_k"), col(dimR).cast("double").as("_dim"),
       lit(0).as("_side"), lit(null).cast(l.schema("_lrow").dataType).as("_lrow"),
       col(payload).as("_payload"))
-    // right sorts before left at equal dim (_side 0 < 1) so "≤" matches
+    // right sorts before left at equal dim (_side 0 < 1) so the bound is
+    // inclusive; descending dim order turns "greatest ≤" into "smallest ≥"
+    val dimOrder = if (forward) col("_dim").desc else col("_dim").asc
     val w = Window.partitionBy("_k")
-      .orderBy(col("_dim").asc, col("_side").asc, col("_payload").asc_nulls_first)
+      .orderBy(dimOrder, col("_side").asc, col("_payload").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("_mdim", last(when(col("_side") === 0, col("_dim")),
+        ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(col("_lrow.*"), col("_asof").as(payload))
+      .select(col("_lrow.*"), col("_asof").as(payload), col("_mdim").as("_matched_dim"))
   }
 }

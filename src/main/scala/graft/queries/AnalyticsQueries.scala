@@ -813,6 +813,50 @@ object AnalyticsQueries {
       Some("""SELECT event_id, o_totalprice AS matched_price
         |FROM events ASOF LEFT JOIN orders
         |  ON user_id = o_custkey AND o_totalprice <= value * 50""".stripMargin)
+    )),
+
+    // Forward as-of: the smallest right value at or above the left's —
+    // "next order at or above budget". Same union-and-window plan with the
+    // dim ordering reversed; DuckDB's ASOF supports the >= comparator
+    // natively.
+    "q_asof_forward" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), (col("value") * 50).as("budget"))
+        val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        AsOfJoin.asOfForward(ev, ord, "user_id", "budget", "o_custkey", "o_totalprice", "o_totalprice")
+          .select(col("event_id"), col("o_totalprice").as("matched_price"))
+      },
+      Some("""SELECT event_id, o_totalprice AS matched_price
+        |FROM events ASOF LEFT JOIN orders
+        |  ON user_id = o_custkey AND o_totalprice >= value * 50""".stripMargin)
+    )),
+
+    // Nearest as-of: closer of the backward/forward matches, equidistant
+    // ties to the backward side. The oracle derives it from DuckDB's two
+    // directional ASOF joins with the same tie rule.
+    "q_asof_nearest" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), (col("value") * 50).as("budget"))
+        val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        AsOfJoin.asOfNearest(ev, ord, "user_id", "budget", "o_custkey", "o_totalprice", "o_totalprice")
+          .select(col("event_id"), col("o_totalprice").as("matched_price"))
+      },
+      Some("""WITH b AS (
+        |  SELECT event_id, value * 50 AS budget, o_totalprice AS p
+        |  FROM events ASOF LEFT JOIN orders
+        |    ON user_id = o_custkey AND o_totalprice <= value * 50),
+        |f AS (
+        |  SELECT event_id, o_totalprice AS p
+        |  FROM events ASOF LEFT JOIN orders
+        |    ON user_id = o_custkey AND o_totalprice >= value * 50)
+        |SELECT b.event_id,
+        |  CASE WHEN b.p IS NULL THEN f.p
+        |       WHEN f.p IS NULL THEN b.p
+        |       WHEN abs(f.p - b.budget) < abs(b.p - b.budget) THEN f.p
+        |       ELSE b.p END AS matched_price
+        |FROM b JOIN f USING (event_id)""".stripMargin)
     ))
   )
 }

@@ -156,6 +156,23 @@ class OperatorsSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("as-of directions: backward takes <=, forward >=, nearest the closer with back-ties") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, "u", 10.0), (2L, "u", 24.0), (3L, "u", 3.0)).toDF("id", "k", "dim")
+    val right = Seq(("u", 5.0), ("u", 20.0), ("u", 40.0)).toDF("k", "rdim")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                String, String, String, String, String) => org.apache.spark.sql.DataFrame) =
+      f(left, right, "k", "dim", "k", "rdim", "rdim")
+        .select("id", "rdim").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val back = run(AsOfJoin.asOf)
+    assert(back == Map(1L -> Some(5.0), 2L -> Some(20.0), 3L -> None))
+    val fwd = run(AsOfJoin.asOfForward)
+    assert(fwd == Map(1L -> Some(20.0), 2L -> Some(40.0), 3L -> Some(5.0)))
+    val near = run(AsOfJoin.asOfNearest)
+    // id=1: |10-5|=5 vs |10-20|=10 -> 5; id=2: |24-20|=4 vs |24-40|=16 -> 20
+    assert(near == Map(1L -> Some(5.0), 2L -> Some(20.0), 3L -> Some(5.0)))
+  }
+
   test("shard packing closes a shard once the token budget is reached") {
     import org.apache.spark.sql.expressions.Window
     val docs = Seq(
