@@ -64,6 +64,20 @@ object AsOfJoin {
     joined.select(left.columns.map(col).toIndexedSeq :+ nearest.as(payload): _*)
   }
 
+  /** Backward as-of with a tolerance bound: a match further than
+    * `tolerance` below the left value is nulled out (pandas
+    * `merge_asof(tolerance=...)` semantics) — "most recent price, but only
+    * if it's fresh enough". Pure post-filter on the window result.
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame,
+                    keyL: String, dimL: String, keyR: String, dimR: String,
+                    payload: String, tolerance: Double): DataFrame = {
+    val d = directional(left, right, keyL, dimL, keyR, dimR, payload, forward = false)
+    d.withColumn(payload,
+        when(col(dimL).cast("double") - col("_matched_dim") <= tolerance, col(payload)))
+      .drop("_matched_dim")
+  }
+
   private def directional(left: DataFrame, right: DataFrame,
                           keyL: String, dimL: String, keyR: String, dimR: String,
                           payload: String, forward: Boolean): DataFrame = {

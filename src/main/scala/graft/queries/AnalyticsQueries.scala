@@ -857,6 +857,24 @@ object AnalyticsQueries {
         |       WHEN abs(f.p - b.budget) < abs(b.p - b.budget) THEN f.p
         |       ELSE b.p END AS matched_price
         |FROM b JOIN f USING (event_id)""".stripMargin)
+    )),
+
+    // Tolerance-bounded as-of (pandas merge_asof(tolerance=)): the backward
+    // match is kept only within 500.0 of the budget — "most recent, but
+    // only if fresh enough".
+    "q_asof_tolerance" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), (col("value") * 50).as("budget"))
+        val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        AsOfJoin.asOfTolerance(ev, ord, "user_id", "budget", "o_custkey", "o_totalprice",
+            "o_totalprice", tolerance = 500.0)
+          .select(col("event_id"), col("o_totalprice").as("matched_price"))
+      },
+      Some("""SELECT event_id,
+        |  CASE WHEN value * 50 - o_totalprice <= 500.0 THEN o_totalprice END AS matched_price
+        |FROM events ASOF LEFT JOIN orders
+        |  ON user_id = o_custkey AND o_totalprice <= value * 50""".stripMargin)
     ))
   )
 }
