@@ -134,6 +134,25 @@ object LlmQueries {
       Some(ccClustersSql)
     )),
 
+    // The dedup QA report: how big are the near-dup clusters? (size → how
+    // many clusters of that size, over the scale-path LSH pairs). The
+    // number a corpus owner reads before choosing a dedup threshold; two
+    // tiny aggregates on top of the CC labels.
+    "dedup_cluster_sizes" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        Dedup.connectedComponents(Dedup.minhashLshPairs(d))
+          .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      },
+      Some(ccOracleSql +
+        """,cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+          |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          |          FROM cc GROUP BY cluster_id)
+          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+          |FROM sizes GROUP BY cluster_size""".stripMargin)
+    )),
+
     // The CC-based representative filter: keep exactly one doc (min id) per
     // transitive cluster — the semantics corpus-dedup pipelines document
     // (vs the greedy pairwise filter above, which can keep two docs that
