@@ -111,11 +111,17 @@ object GraftFunctions {
     }
   }
 
+  val jaccardBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "jaccard_x1000 expects (a, b)")
+    JaccardX1000Expr(exprs(0), exprs(1))
+  }
+
   private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarityExpr], cosineSimBuilder),
     ("minhash_sig", classOf[MinHashSignatureExpr], minhashSigBuilder),
     ("simhash64", classOf[SimHash64Expr], simhash64Builder),
-    ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder))
+    ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder),
+    ("jaccard_x1000", classOf[JaccardX1000Expr], jaccardBuilder))
 
   /** Idempotent per-session registration of graft's native functions.
     * Skips names already present: re-registering logs a replaced-function

@@ -42,6 +42,32 @@ object SketchMath {
     new GenericArrayData(sig)
   }
 
+  /** Exact Jaccard similarity ×1000 (floor) between two hash arrays in ONE
+    * pass — the fused form of
+    * `size(array_intersect(a,b))*1000 / size(array_union(a,b))`, which
+    * builds two intermediate arrays plus their hash sets per pair. This is
+    * the verification step of every LSH candidate pair, i.e. the tightest
+    * loop in the dedup family. Duplicate elements are counted once (set
+    * semantics, like the composition it replaces); both-empty → 0.
+    */
+  def jaccardX1000(a: ArrayData, b: ArrayData): Long = {
+    val na0 = a.numElements()
+    val nb0 = b.numElements()
+    val setA = new java.util.HashSet[java.lang.Long](Math.max(8, na0 * 2))
+    var i = 0
+    while (i < na0) { setA.add(a.getLong(i)); i += 1 }
+    val seenB = new java.util.HashSet[java.lang.Long](Math.max(8, nb0 * 2))
+    var inter = 0L
+    var j = 0
+    while (j < nb0) {
+      val v: java.lang.Long = b.getLong(j)
+      if (seenB.add(v) && setA.contains(v)) inter += 1L
+      j += 1
+    }
+    val union = setA.size().toLong + seenB.size().toLong - inter
+    if (union == 0L) 0L else inter * 1000L / union
+  }
+
   /** Deterministic hyperplane bank for random-hyperplane LSH, flattened
     * row-major (plane b occupies [b*dim, (b+1)*dim)). xorshift64* stream —
     * the exact sequence `Vectors.deterministicPlanes` has always produced,
@@ -153,6 +179,38 @@ case class MinHashSignatureExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSignatureExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** jaccard_x1000(a: array<long>, b: array<long>) → bigint: exact per-mille
+  * Jaccard in one fused pass (see [[SketchMath.jaccardX1000]]). Integer
+  * floor semantics match the `size(intersect)*1000 / size(union)` column
+  * composition for non-negative counts, so thresholds (`>= pctX10`) and
+  * DuckDB oracles are unchanged.
+  */
+case class JaccardX1000Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "jaccard_x1000 expects (array<bigint>, array<bigint>)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jaccard_x1000"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchMath.jaccardX1000(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchMath.jaccardX1000($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardX1000Expr =
     copy(left = newLeft, right = newRight)
 }
 

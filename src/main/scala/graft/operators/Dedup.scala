@@ -167,14 +167,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard over shingle-hash sets
+    // verify candidates with exact Jaccard over shingle-hash sets — the
+    // fused native expression: one pass per pair, no intermediate
+    // intersect/union arrays (this is the tightest loop in the family)
     val sets = withHs
     candidates
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("long") * 1000L /
-          size(array_union(col("sa.hs"), col("sb.hs")))).cast("long").as("jaccard_x1000"))
+        call_function("jaccard_x1000", col("sa.hs"), col("sb.hs")).as("jaccard_x1000"))
       // both sides are per-mille: jaccardPctX10 = 800 means j >= 0.800
       .filter(col("jaccard_x1000") >= jaccardPctX10)
   }
@@ -248,8 +249,7 @@ object Dedup {
     val matched = candidates
       .join(batchHs.as("sa"), col("batch_id") === col("sa.doc_id"))
       .join(corpusHs.as("sb"), col("corpus_id") === col("sb.doc_id"))
-      .filter(size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("long") * 1000L /
-        size(array_union(col("sa.hs"), col("sb.hs"))) >= jaccardPctX10)
+      .filter(call_function("jaccard_x1000", col("sa.hs"), col("sb.hs")) >= jaccardPctX10)
       .select(col("batch_id").as("doc_id")).distinct()
     batch.join(matched, Seq("doc_id"), "left_anti")
   }

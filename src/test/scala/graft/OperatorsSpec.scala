@@ -156,6 +156,27 @@ class OperatorsSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("jaccard_x1000 equals the intersect/union composition (incl. empties and dups)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),   // 2/4 -> 500
+      (Seq(1L, 1L, 2L), Seq(2L, 2L)),       // dup elements: {1,2} vs {2} -> 1/2
+      (Seq.empty[Long], Seq(1L)),           // 0/1 -> 0
+      (Seq.empty[Long], Seq.empty[Long]),   // both empty -> 0
+      (Seq(5L, 6L), Seq(5L, 6L))            // equal -> 1000
+    ).toDF("a", "b")
+    val out = df.select(
+      call_function("jaccard_x1000", col("a"), col("b")).as("fused"),
+      // try_divide: ANSI mode traps the both-empty 0/0 in the composition
+      floor(try_divide(size(array_intersect(col("a"), col("b"))).cast("long") * 1000L,
+        size(array_union(col("a"), col("b"))))).cast("long").as("composed")).collect()
+    out.foreach { r =>
+      val composed = if (r.isNullAt(1)) 0L else r.getLong(1) // 0/0 division is null
+      assert(r.getLong(0) == composed || (r.getLong(0) == 0L && r.isNullAt(1)))
+    }
+    assert(out.map(_.getLong(0)).toSeq == Seq(500L, 500L, 0L, 0L, 1000L))
+  }
+
   test("as-of directions: backward takes <=, forward >=, nearest the closer with back-ties") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, "u", 10.0), (2L, "u", 24.0), (3L, "u", 3.0)).toDF("id", "k", "dim")
