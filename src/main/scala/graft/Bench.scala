@@ -18,10 +18,18 @@ object Bench {
     val spark = GraftSession.getOrCreate(
       master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: pay JVM/codegen startup outside the measurements
+    // untimed warmup: pay JVM/codegen startup outside the measurements, and
+    // touch every base table so no timed query is the first to pay file
+    // listing + footer reads + scan codegen for its input (r4 bench showed
+    // the first events-readers absorbing multi-second first-touch spikes)
     try SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"))
+      try graft.sources.Sources.table(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries: operators persist intermediate relations
       // (shingle hashes, CC labels); without eviction each query's timing

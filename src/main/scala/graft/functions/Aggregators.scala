@@ -53,14 +53,21 @@ final class TopKSumAgg(k: Int) extends Aggregator[Double, Array[Double], Double]
   * key space (web tokens, URLs, user ids) when only the head matters.
   *
   * Each counter is (estimate, err): classic SS invariant on a single stream
-  * is `true ≤ estimate ≤ true + err`. Partials merge keywise; if the union
-  * overflows, only the top-`capacity` counters survive and the largest
-  * evicted estimate widens every survivor's err (conservative: never
-  * narrows a bound that held before the merge). With `capacity ≥` the
-  * distinct key count no eviction ever happens and the result is exact and
-  * split-agnostic — the regime the catalog entry runs in (its DuckDB
-  * oracle recomputes exact counts); eviction behavior is property-tested in
-  * ScalaTest.
+  * is `true ≤ estimate ≤ true + err`. Partials merge as mergeable
+  * summaries (Agarwal et al.): keys present in both sides add
+  * componentwise; a key absent from one side is seeded with that side's
+  * *floor* — its minimum counter when at capacity, 0 otherwise — added to
+  * both estimate and err, because the SS invariant bounds any untracked
+  * key's true count by the min counter. This keeps `true ≤ est ≤ true+err`
+  * per key even for keys evicted in one partial that reappear in another
+  * (they don't restart from the reappearing partial's count alone). If the
+  * union overflows, only the top-`capacity` counters survive; survivors'
+  * bounds are unaffected by dropping smaller counters, and the new min
+  * counter ≥ every evicted estimate, so the floor invariant is preserved.
+  * With `capacity ≥` the distinct key count no eviction ever happens and
+  * the result is exact and split-agnostic — the regime the catalog entry
+  * runs in (its DuckDB oracle recomputes exact counts); eviction behavior
+  * is property-tested in ScalaTest.
   *
   * Output: top-`k` (estimate desc, key asc) as (key, estimate, err) —
   * deterministic tie order so results are reproducible run to run.
@@ -83,21 +90,26 @@ final class SpaceSavingAgg(capacity: Int, k: Int)
         (buf - minKey).updated(key, (minC + 1L, minC))
     }
 
+  // an SS summary's untracked-key bound: any key not in the buffer has true
+  // count ≤ the min counter (0 while under capacity — every seen key is
+  // tracked until the first eviction)
+  private def floor(buf: Map[String, (Long, Long)]): Long =
+    if (buf.size < capacity) 0L else buf.valuesIterator.map(_._1).min
+
   override def merge(a: Map[String, (Long, Long)],
                      b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
-    val union = b.foldLeft(a) { case (acc, (kk, (c, e))) =>
-      acc.get(kk) match {
-        case Some((c0, e0)) => acc.updated(kk, (c0 + c, e0 + e))
-        case None => acc.updated(kk, (c, e))
+    val fA = floor(a)
+    val fB = floor(b)
+    val union = (a.keySet ++ b.keySet).iterator.map { kk =>
+      (a.get(kk), b.get(kk)) match {
+        case (Some((cA, eA)), Some((cB, eB))) => kk -> (cA + cB, eA + eB)
+        case (Some((cA, eA)), None)           => kk -> (cA + fB, eA + fB)
+        case (None, Some((cB, eB)))           => kk -> (cB + fA, eB + fA)
+        case (None, None)                     => throw new IllegalStateException(kk)
       }
-    }
+    }.toMap
     if (union.size <= capacity) union
-    else {
-      val sorted = union.toSeq.sortBy { case (kk, (c, _)) => (-c, kk) }
-      val kept = sorted.take(capacity)
-      val maxEvicted = sorted.drop(capacity).map(_._2._1).max
-      kept.map { case (kk, (c, e)) => kk -> (c, e + maxEvicted) }.toMap
-    }
+    else union.toSeq.sortBy { case (kk, (c, _)) => (-c, kk) }.take(capacity).toMap
   }
 
   override def finish(buf: Map[String, (Long, Long)]): Seq[(String, Long, Long)] =

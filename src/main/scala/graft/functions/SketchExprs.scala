@@ -25,6 +25,20 @@ object SketchMath {
     z ^ (z >>> 31)
   }
 
+  /** True iff any slot of the array is null — `getLong`/`getFloat` on a
+    * null slot reads garbage, so every expression over a possibly-
+    * containsNull array must gate on this and return null instead.
+    */
+  def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   def minhash(hs: ArrayData, numHashes: Int): ArrayData = {
     val n = hs.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -67,6 +81,23 @@ object SketchMath {
     val union = setA.size().toLong + seenB.size().toLong - inter
     if (union == 0L) 0L else inter * 1000L / union
   }
+
+  /** [[jaccardX1000]] with the null-element gate the user-callable SQL
+    * function requires: array<bigint> with containsNull passes the type
+    * check, and `getLong` on a null slot would silently fold garbage into
+    * the similarity. Null elements → null result.
+    */
+  def jaccardX1000Checked(a: ArrayData, b: ArrayData): java.lang.Long =
+    if (hasNullElement(a) || hasNullElement(b)) null
+    else java.lang.Long.valueOf(jaccardX1000(a, b))
+
+  /** [[minhash]] with the same null-element gate (null → null signature). */
+  def minhashChecked(hs: ArrayData, numHashes: Int): ArrayData =
+    if (hasNullElement(hs)) null else minhash(hs, numHashes)
+
+  /** [[simhash64]] with the same null-element gate. */
+  def simhash64Checked(hs: ArrayData): java.lang.Long =
+    if (hasNullElement(hs)) null else java.lang.Long.valueOf(simhash64(hs))
 
   /** Deterministic hyperplane bank for random-hyperplane LSH, flattened
     * row-major (plane b occupies [b*dim, (b+1)*dim)). xorshift64* stream —
@@ -170,12 +201,19 @@ case class MinHashSignatureExpr(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
+  // null is also the result for a hash array containing null elements
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    SketchMath.minhash(a.asInstanceOf[ArrayData], numHashes)
+    SketchMath.minhashChecked(a.asInstanceOf[ArrayData], numHashes)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (hs, _) =>
-      s"${ev.value} = graft.functions.SketchMath.minhash($hs, $numHashes);")
+    nullSafeCodeGen(ctx, ev, (hs, _) => {
+      s"""
+         |${ev.value} = graft.functions.SketchMath.minhashChecked($hs, $numHashes);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSignatureExpr =
@@ -202,12 +240,25 @@ case class JaccardX1000Expr(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "jaccard_x1000"
 
+  // null is also the result for arrays containing null elements — see
+  // SketchMath.jaccardX1000Checked
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    SketchMath.jaccardX1000(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SketchMath.jaccardX1000Checked(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SketchMath.jaccardX1000($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("jac")
+      s"""
+         |java.lang.Long $boxed = graft.functions.SketchMath.jaccardX1000Checked($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardX1000Expr =
@@ -277,11 +328,24 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  // null is also the result for a hash array containing null elements
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any =
-    SketchMath.simhash64(a.asInstanceOf[ArrayData])
+    SketchMath.simhash64Checked(a.asInstanceOf[ArrayData])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, hs => s"graft.functions.SketchMath.simhash64($hs)")
+    nullSafeCodeGen(ctx, ev, hs => {
+      val boxed = ctx.freshName("fp")
+      s"""
+         |java.lang.Long $boxed = graft.functions.SketchMath.simhash64Checked($hs);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)

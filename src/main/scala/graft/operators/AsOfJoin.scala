@@ -42,21 +42,23 @@ object AsOfJoin {
   /** Nearest as-of: whichever of the backward/forward matches is closer in
     * dim; exact ties (equidistant) resolve to the backward (≤) match.
     * Two window passes over the same union shuffle — still one shuffle
-    * shape per pass, no range explosion. The two passes rejoin on the full
-    * left row, so left rows must be distinct (give them an id if not).
+    * shape per pass, no range explosion. The two passes rejoin on a
+    * surrogate row id, so duplicate left rows and NULLs in left columns
+    * are both preserved (an equi-join on the left columns would silently
+    * drop any row containing a NULL).
     */
   def asOfNearest(left: DataFrame, right: DataFrame,
                   keyL: String, dimL: String, keyR: String, dimR: String,
                   payload: String): DataFrame = {
-    val back = directional(left, right, keyL, dimL, keyR, dimR, payload, forward = false)
+    val leftId = left.withColumn("_asof_id", monotonically_increasing_id())
+    val back = directional(leftId, right, keyL, dimL, keyR, dimR, payload, forward = false)
       .withColumnRenamed(payload, "_p_back").withColumnRenamed("_matched_dim", "_d_back")
-    val fwdCols = Seq(col(dimL).cast("double").as("_dim_l"),
-      col(payload).as("_p_fwd"), col("_matched_dim").as("_d_fwd"))
-    val fwd = directional(left, right, keyL, dimL, keyR, dimR, payload, forward = true)
-      .select(left.columns.map(col).toIndexedSeq ++ fwdCols: _*)
-    val joined = back.join(fwd, left.columns.toIndexedSeq)
-    val dBack = abs(col("_dim_l") - col("_d_back"))
-    val dFwd = abs(col("_dim_l") - col("_d_fwd"))
+    val fwd = directional(leftId, right, keyL, dimL, keyR, dimR, payload, forward = true)
+      .select(col("_asof_id"), col(payload).as("_p_fwd"), col("_matched_dim").as("_d_fwd"))
+    val joined = back.join(fwd, "_asof_id")
+    val dimNum = col(dimL).cast("double")
+    val dBack = abs(dimNum - col("_d_back"))
+    val dFwd = abs(dimNum - col("_d_fwd"))
     val nearest = when(col("_d_back").isNull, col("_p_fwd"))
       .when(col("_d_fwd").isNull, col("_p_back"))
       .when(dFwd < dBack, col("_p_fwd"))
@@ -97,8 +99,12 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
-      .withColumn("_mdim", last(when(col("_side") === 0, col("_dim")),
-        ignoreNulls = true).over(w))
+      // track the dim of the same row that supplied _asof: a right row with
+      // a null payload is skipped by ignoreNulls above, so it must not
+      // advance the matched dim either (freshness/distance would otherwise
+      // be judged against a row that contributed no payload)
+      .withColumn("_mdim", last(when(col("_side") === 0 && col("_payload").isNotNull,
+        col("_dim")), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(col("_lrow.*"), col("_asof").as(payload), col("_mdim").as("_matched_dim"))
   }

@@ -64,12 +64,23 @@ object Similarity {
     // cached because KMeans re-reads its input once per init round and once
     // per iteration — uncached, that is 10+ scan→sample re-reads of the
     // corpus; fit() is eager, so the sample can be dropped immediately after
-    val fitInput = {
-      val sampled = if (fitFraction >= 1.0) featured
+    val sampled = {
+      val s = if (fitFraction >= 1.0) featured
         else featured.sample(withReplacement = false, fitFraction, seed)
-      sampled.select("features").limit(fitMaxRows)
+      s.select("features").limit(fitMaxRows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // floor: a Bernoulli sample of a small corpus can come back with fewer
+    // rows than nCentroids (or empty), which makes KMeans.fit throw or emit
+    // degenerate centroids — fall back to the unsampled corpus in that case
+    // (cheap count: the sample is persisted and capped at fitMaxRows)
+    val fitInput =
+      if (sampled.count() >= nCentroids) sampled
+      else {
+        sampled.unpersist()
+        featured.select("features").limit(fitMaxRows)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     // random init, not kmeans||: the parallel init makes several extra
     // passes + a driver collect to seed centroids well — worth it for fine
     // clustering, irrelevant for a coarse quantizer whose cells only gate

@@ -194,6 +194,57 @@ class OperatorsSpec extends SparkSpec {
     assert(near == Map(1L -> Some(5.0), 2L -> Some(20.0), 3L -> Some(5.0)))
   }
 
+  test("as-of nearest keeps left rows with NULL columns and duplicate left rows") {
+    import graft.operators.AsOfJoin
+    // one row with a null payload-bearing column, plus an exact duplicate
+    // pair — a rejoin on the left columns would drop the former and
+    // cross-multiply the latter
+    val left = Seq(
+      (1L, "u", 10.0, Option("a")),
+      (2L, "u", 24.0, None),
+      (3L, "u", 3.0, Option("c")),
+      (3L, "u", 3.0, Option("c"))
+    ).toDF("id", "k", "dim", "tag")
+    val right = Seq(("u", 5.0), ("u", 20.0), ("u", 40.0)).toDF("k", "rdim")
+    val out = AsOfJoin.asOfNearest(left, right, "k", "dim", "k", "rdim", "rdim")
+      .select("id", "rdim").collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(out.length == 4, s"expected all 4 left rows, got ${out.toSeq}")
+    assert(out.toMap == Map(1L -> Some(5.0), 2L -> Some(20.0), 3L -> Some(5.0)))
+    assert(out.count(_._1 == 3L) == 2, "duplicate left rows must both survive")
+  }
+
+  test("matched dim tracks the row that supplied the payload, skipping null payloads") {
+    import graft.operators.AsOfJoin
+    // right row at dim 9 has a NULL payload: it must not advance the matched
+    // dim, or tolerance would judge freshness against a row that contributed
+    // no price (dim 2's price 5.0 is 8 away -> outside tolerance 3)
+    val left = Seq((1L, 10.0)).toDF("k", "dim")
+    val right = Seq((1L, 2.0, Option(5.0)), (1L, 9.0, Option.empty[Double]))
+      .toDF("rk", "rdim", "price")
+    val out = AsOfJoin.asOfTolerance(left, right, "k", "dim", "rk", "rdim", "price", 3.0)
+      .select("price").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None))
+    val loose = AsOfJoin.asOfTolerance(left, right, "k", "dim", "rk", "rdim", "price", 8.0)
+      .select("price").as[Option[Double]].collect()
+    assert(loose.toSeq == Seq(Some(5.0)))
+  }
+
+  test("sketch SQL functions null out arrays containing null elements") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(Tuple1(1L)).toDF("x").select(
+      array(lit(1L), lit(null).cast("long")).as("bad"),
+      array(lit(1L), lit(2L)).as("good"))
+    val r = df.select(
+      call_function("jaccard_x1000", col("bad"), col("good")).as("j_bad"),
+      call_function("jaccard_x1000", col("good"), col("good")).as("j_good"),
+      call_function("minhash_sig", col("bad"), lit(4)).as("m_bad"),
+      call_function("simhash64", col("bad")).as("s_bad")).collect()(0)
+    assert(r.isNullAt(0), "jaccard over a null-element array must be null")
+    assert(r.getLong(1) == 1000L)
+    assert(r.isNullAt(2), "minhash over a null-element array must be null")
+    assert(r.isNullAt(3), "simhash over a null-element array must be null")
+  }
+
   test("shard packing closes a shard once the token budget is reached") {
     import org.apache.spark.sql.expressions.Window
     val docs = Seq(

@@ -91,6 +91,29 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SpaceSavingAgg merge keeps SS bounds when partials evict (mergeable-summaries floor)") {
+    // capacity far below distinct keys AND the stream split into several
+    // partials, so keys get evicted in one partial and reappear in another —
+    // the regime where a merge without floor seeding undercounts
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.frequency(
+        8 -> Gen.chooseNum(0, 2).map(i => s"hot$i"),
+        2 -> Gen.chooseNum(0, 400).map(i => s"cold$i"))),
+      Gen.chooseNum(2, 5))
+    forAllSampled(gen) { case (keys, nSplits) =>
+      val agg = new graft.functions.SpaceSavingAgg(capacity = 8, k = 8)
+      val partials = keys.grouped(math.max(1, keys.size / nSplits)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val out = agg.finish(partials.reduce(agg.merge))
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      out.foreach { case (k0, est, err) =>
+        val truth = exact.getOrElse(k0, 0L)
+        assert(truth <= est && est <= truth + err,
+          s"key=$k0 true=$truth est=$est err=$err splits=$nSplits keys=${keys.take(50)}")
+      }
+    }
+  }
+
   test("int8 quantization stays in [0,255] with min at 0 and max at 255 for any vector") {
     // pure-JVM reimplementation of the column algebra's contract, driven by
     // generated vectors (the Spark-side unit test pins exact values; this
