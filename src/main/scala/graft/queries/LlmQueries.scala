@@ -947,6 +947,72 @@ object LlmQueries {
         |  FROM u)
         |SELECT doc_id, n AS byte_len, bin, CAST(count(*) AS BIGINT) AS cnt
         |FROM b GROUP BY 1, 2, 3""".stripMargin)
+    )),
+
+    // Unigram-LM quality score: each doc's token-count and summed log
+    // probability under the corpus's own unigram distribution — the
+    // classic cheap perplexity proxy for filtering boilerplate/outlier
+    // text. All-integer output: per-token log-probs are floored to
+    // millionths FIRST (one double op per distinct token, identical in
+    // both engines), then summed as integers — so the aggregate is
+    // order-free and hash-stable, with no float summation anywhere.
+    // Scale shape: token explode + two hash aggs; the per-token score
+    // table is vocab-sized and broadcast back onto the token stream.
+    "text_unigram_loglik" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val tot = toks.agg(count(lit(1)).as("total"))
+        val logp = freq.crossJoin(broadcast(tot))
+          .select(col("tok"),
+            floor(lit(1e6) * log(col("cnt").cast("double") / col("total")))
+              .cast("long").as("lp"))
+        toks.join(broadcast(logp), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum("lp").cast("long").as("sum_logp_x1e6"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |freq AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM t),
+        |logp AS (SELECT tok,
+        |  CAST(floor(1e6 * ln(CAST(cnt AS DOUBLE) / total)) AS BIGINT) AS lp
+        |  FROM freq, tot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lp) AS BIGINT) AS sum_logp_x1e6
+        |FROM t JOIN logp ON t.tok = logp.tok GROUP BY t.doc_id""".stripMargin)
+    )),
+
+    // Temperature-smoothed source mixing weights (alpha = 0.5, the T5/mC4
+    // convention): w_i ∝ sqrt(tokens_i), normalized — upsamples small
+    // sources without letting giants dominate the training mix. Integer
+    // algebra throughout: sqrt is IEEE-exactly-rounded in both engines, so
+    // floor(1000*sqrt(n)) is bit-identical; the normalization then runs on
+    // integers (order-free sum, integer division) — no float summation.
+    "q_mix_weights" -> ((
+      (s: SparkSession, dir: String) => {
+        val per = docs(s, dir)
+          .groupBy("source")
+          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+          .withColumn("s", floor(lit(1000.0) * sqrt(col("tokens"))).cast("long"))
+        val tot = per.agg(sum("s").as("t"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("tokens").cast("long").as("tokens"),
+            expr("CAST(s * 1000000 AS BIGINT) div t").as("weight_x1e6"))
+      },
+      Some("""WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN length(text) = 0 THEN 0
+        |             ELSE len(string_split(text, ' ')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, tokens,
+        |  CAST(floor(1000 * sqrt(tokens)) AS BIGINT) AS sv FROM per),
+        |tot AS (SELECT CAST(sum(sv) AS BIGINT) AS t FROM s)
+        |SELECT source, tokens, sv * 1000000 // t AS weight_x1e6 FROM s, tot""".stripMargin)
     ))
   )
 }
