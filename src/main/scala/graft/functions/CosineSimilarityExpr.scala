@@ -116,12 +116,18 @@ object GraftFunctions {
     JaccardX1000Expr(exprs(0), exprs(1))
   }
 
+  val dotI64Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "dot_i64 expects (a, b)")
+    DotI64Expr(exprs(0), exprs(1))
+  }
+
   private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarityExpr], cosineSimBuilder),
     ("minhash_sig", classOf[MinHashSignatureExpr], minhashSigBuilder),
     ("simhash64", classOf[SimHash64Expr], simhash64Builder),
     ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder),
-    ("jaccard_x1000", classOf[JaccardX1000Expr], jaccardBuilder))
+    ("jaccard_x1000", classOf[JaccardX1000Expr], jaccardBuilder),
+    ("dot_i64", classOf[DotI64Expr], dotI64Builder))
 
   /** Idempotent per-session registration of graft's native functions.
     * Skips names already present: re-registering logs a replaced-function

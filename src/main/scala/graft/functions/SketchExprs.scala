@@ -99,6 +99,24 @@ object SketchMath {
   def simhash64Checked(hs: ArrayData): java.lang.Long =
     if (hasNullElement(hs)) null else java.lang.Long.valueOf(simhash64(hs))
 
+  /** Integer dot product of two equal-length `array<long>` columns — the
+    * scoring kernel for quantized (int8-coded) ANN candidate generation,
+    * where the HOF formulation (`aggregate(zip_with(...))`) would pay two
+    * interpreted lambda dispatches per element per candidate pair. Null for
+    * length mismatch or null elements (same malformed-input contract as
+    * [[hyperplaneSigChecked]]). Callers keep magnitudes small (quantized
+    * codes ≤ 255), so the i64 accumulator cannot overflow in practice.
+    */
+  def dotI64(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    if (hasNullElement(a) || hasNullElement(b)) return null
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    java.lang.Long.valueOf(s)
+  }
+
   /** Deterministic hyperplane bank for random-hyperplane LSH, flattened
     * row-major (plane b occupies [b*dim, (b+1)*dim)). xorshift64* stream —
     * the exact sequence `Vectors.deterministicPlanes` has always produced,
@@ -315,6 +333,46 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Long)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
     copy(child = newChild)
+}
+
+/** dot_i64(a: array<long>, b: array<long>) → bigint: integer dot product
+  * (see [[SketchMath.dotI64]]). Null on length mismatch or null elements —
+  * a silently truncated dot would rank a candidate wrong-but-plausibly.
+  */
+case class DotI64Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "dot_i64 expects (array<bigint>, array<bigint>)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_i64"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchMath.dotI64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dot")
+      s"""
+         |java.lang.Long $boxed = graft.functions.SketchMath.dotI64($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotI64Expr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** simhash64(hashes: array<long>) → bigint. */

@@ -245,6 +245,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.isNullAt(3), "simhash over a null-element array must be null")
   }
 
+  test("dot_i64 computes the integer dot product, nulling mismatch and null elements") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = Seq(Tuple1(1L)).toDF("x").select(
+      call_function("dot_i64",
+        array(lit(1L), lit(2L), lit(3L)), array(lit(4L), lit(5L), lit(6L))).as("ok"),
+      call_function("dot_i64",
+        array(lit(1L), lit(2L)), array(lit(4L))).as("mismatch"),
+      call_function("dot_i64",
+        array(lit(1L), lit(null).cast("long")), array(lit(1L), lit(2L))).as("nullel")
+    ).collect()(0)
+    assert(r.getLong(0) == 32L)
+    assert(r.isNullAt(1), "length mismatch must be null, not a truncated dot")
+    assert(r.isNullAt(2), "null element must be null, not garbage")
+  }
+
   test("shard packing closes a shard once the token budget is reached") {
     import org.apache.spark.sql.expressions.Window
     val docs = Seq(

@@ -45,6 +45,30 @@ class ScaleSpec extends SparkSpec {
     assertBucketShufflesCarryNoArrays(out.queryExecution.executedPlan)
   }
 
+  test("quantized ANN scores candidates without arrays in the ranking shuffle; recall >= 80%") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    val qz = Similarity.quantizedTopK(emb, queries, k = 5)
+    // the candidate-ranking exchange moves (query_id, neighbor_id, acos)
+    // scalars only — an array column there means float embeddings (or int8
+    // codes) are being shipped through the biggest shuffle of the plan
+    val offenders = qz.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name == "acos") &&
+            e.child.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(offenders.isEmpty,
+      s"quantized-ANN ranking shuffle carries an array column:\n${offenders.mkString("\n")}")
+    // int8 quantization error is far below the fixture's inter-neighbor
+    // gaps, so the re-ranked top-5 must heavily overlap the exact top-5
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = qz.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    assert(hits * 100 >= total * 80, s"quantized recall $hits/$total below 80%")
+  }
+
   test("repetition signals are a narrow plan (no shuffle)") {
     val docs = Sources.table(spark, sf0001, "documents")
     val plan = graft.operators.TextAnalysis.repetitionSignals(docs)
