@@ -431,4 +431,49 @@ object Dedup {
       .filter(call_function("cosine_sim", col("ea.embedding"), col("eb.embedding")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * space with a coarse KMeans quantizer, then compare cosine only WITHIN
+    * each cluster — the candidate-bounding trick that makes embedding-level
+    * dedup sub-quadratic at corpus scale. At 100 TB the cluster count
+    * scales with N so cells stay bounded (SemDeDup used 11k clusters for
+    * LAION); the within-cluster self-join shuffles each embedding once per
+    * side, keyed by cluster id — no ×bands explode, no all-pairs.
+    *
+    * Output of [[semanticAssignments]]: (vec_id, embedding, cluster).
+    */
+  def semanticAssignments(embeddings: DataFrame, nClusters: Int = 16,
+                          seed: Long = 42L, fitFraction: Double = 0.5,
+                          fitMaxRows: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = embeddings.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    Similarity.fitCoarseKMeans(featured, nClusters, seed, fitFraction, fitMaxRows)
+      .transform(featured)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+  }
+
+  /** Ids dropped by the SemDeDup rule: any vector with a lower-id
+    * in-cluster neighbor at cosine ≥ `tau` (the same keep-the-lowest-id
+    * convention as [[dropNearDuplicates]]). Deterministic given the
+    * cluster assignment.
+    */
+  def semanticDroppedIds(assigned: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    assigned.select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("cosine_sim", col("emb_a"), col("emb_b")) >= tau)
+      .select(col("id_b")).distinct()
+  }
+
+  /** SemDeDup survivors: the corpus minus [[semanticDroppedIds]]. */
+  def semanticSurvivors(embeddings: DataFrame, tau: Double,
+                        nClusters: Int = 16, seed: Long = 42L): DataFrame = {
+    val assigned = semanticAssignments(embeddings, nClusters, seed)
+    embeddings.join(
+      semanticDroppedIds(assigned, tau).withColumnRenamed("id_b", "vec_id"),
+      Seq("vec_id"), "left_anti")
+  }
 }

@@ -43,27 +43,26 @@ object Similarity {
     * broadcast; corpus assignment is one narrow ML transform; the probe
     * join is a broadcast hash join on cluster id.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              fitFraction: Double = 0.5, fitMaxRows: Int = 100000): DataFrame = {
+  /** Coarse KMeans quantizer fit on a bounded, deterministic sample —
+    * standard IVF/SemDeDup practice: KMeans makes `maxIter` full passes
+    * over its input, so fitting on the whole corpus would be ~10 corpus
+    * scans at index-build time and the dominant cost at 100 TB. Centroid
+    * quality saturates far below `fitMaxRows` points for coarse quantizers
+    * (cells only gate candidate generation), and downstream correctness is
+    * property-based, not centroid-exact.
+    *
+    * Cached because KMeans re-reads its input once per init round and once
+    * per iteration; fit() is eager, so the sample is dropped immediately
+    * after. Random init, not kmeans||: the parallel init makes several
+    * extra passes + a driver collect to seed centroids well — worth it for
+    * fine clustering, irrelevant for a coarse quantizer. 5 iterations:
+    * each KMeans iteration is ~2 scheduler rounds of fixed cost that
+    * dominate the query at small SF.
+    */
+  private[graft] def fitCoarseKMeans(
+      featured: DataFrame, nCentroids: Int, seed: Long,
+      fitFraction: Double, fitMaxRows: Int): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
-
-    val featured = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
-    // The quantizer is fit on a bounded, deterministic sample — standard IVF
-    // practice: KMeans makes setMaxIter full passes over its input, so
-    // fitting on the whole corpus would be ~10 corpus scans at index-build
-    // time and the dominant cost at 100 TB. Centroid quality saturates far
-    // below fitMaxRows points for coarse quantizers (nCentroids cells), and
-    // downstream correctness is property-based (probes are exact within
-    // cells), not centroid-exact.
-    // cached because KMeans re-reads its input once per init round and once
-    // per iteration — uncached, that is 10+ scan→sample re-reads of the
-    // corpus; fit() is eager, so the sample can be dropped immediately after
     val sampled = {
       val s = if (fitFraction >= 1.0) featured
         else featured.sample(withReplacement = false, fitFraction, seed)
@@ -81,20 +80,25 @@ object Similarity {
         featured.select("features").limit(fitMaxRows)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-    // random init, not kmeans||: the parallel init makes several extra
-    // passes + a driver collect to seed centroids well — worth it for fine
-    // clustering, irrelevant for a coarse quantizer whose cells only gate
-    // candidate generation (probes re-rank with exact cosine anyway)
-    val model = try {
-      // 5 iterations: a coarse quantizer's cells only gate candidate
-      // generation (probes re-rank with exact cosine), and each KMeans
-      // iteration is ~2 scheduler rounds of fixed cost that dominate the
-      // query at small SF — bench showed ~5 s of flat overhead at maxIter=10
+    try {
       new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
         .setInitMode("random")
         .setFeaturesCol("features").setPredictionCol("cluster")
         .fit(fitInput)
     } finally fitInput.unpersist()
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              fitFraction: Double = 0.5, fitMaxRows: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    val featured = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = fitCoarseKMeans(featured, nCentroids, seed, fitFraction, fitMaxRows)
     val assigned = model.transform(featured)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cluster"))
 

@@ -301,6 +301,49 @@ object LlmQueries {
         |UNION ALL SELECT 'recall_floor_50_met', CAST(1 AS BIGINT)""".stripMargin)
     )),
 
+    // SemDeDup: embedding-level dedup bounded by KMeans cells instead of
+    // all-pairs. The cluster assignment is data-dependent (not
+    // SQL-reproducible), so the query materializes its correctness
+    // contract as verdict rows: the kept set must contain NO in-cluster
+    // pair at cosine ≥ τ (re-checked by re-running the drop rule on the
+    // survivors), every drop must be witnessed by a GLOBAL cosine-≥-τ pair
+    // (cluster pairs ⊆ brute-force pairs — checks the cosine filter, not
+    // just the plumbing), and kept + dropped must partition the corpus.
+    "dedup_semantic" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val tau = 0.45
+        val assigned = Dedup.semanticAssignments(e)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dropped = Dedup.semanticDroppedIds(assigned, tau)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keptAssigned = assigned.join(
+          dropped.withColumnRenamed("id_b", "vec_id"), Seq("vec_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = e.agg(count(lit(1)).as("value"))
+          .select(lit("total_vectors").as("metric"), col("value").cast("long").as("value"))
+        val partitionOk = keptAssigned.agg(count(lit(1)).as("kc"))
+          .crossJoin(dropped.agg(count(lit(1)).as("dc")))
+          .crossJoin(e.agg(count(lit(1)).as("tc")))
+          .select(lit("kept_plus_dropped_is_total").as("metric"),
+            (col("kc") + col("dc") === col("tc")).cast("long").as("value"))
+        val keptViolations = Dedup.semanticDroppedIds(keptAssigned, tau)
+          .agg(count(lit(1)).as("value"))
+          .select(lit("kept_pair_violations").as("metric"), col("value").cast("long").as("value"))
+        val witnessed = dropped
+          .join(Dedup.embeddingCosinePairs(e, tau).select("id_b").distinct(), Seq("id_b"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("drops_without_global_witness").as("metric"),
+            col("value").cast("long").as("value"))
+        total.unionAll(partitionOk).unionAll(keptViolations).unionAll(witnessed)
+      },
+      Some("""SELECT 'total_vectors' AS metric,
+        |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS value
+        |UNION ALL SELECT 'kept_plus_dropped_is_total', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'kept_pair_violations', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'drops_without_global_witness', CAST(0 AS BIGINT)""".stripMargin)
+    )),
+
     // Vector column statistics per label: L2-norm distribution — the
     // sanity profile a pipeline computes before indexing embeddings.
     "vector_stats" -> ((

@@ -93,6 +93,24 @@ class DedupSpec extends SparkSpec {
     assert(lshCc == exactCc)
   }
 
+  test("semantic dedup survivors are near-dup-free within clusters and drops are witnessed") {
+    val tau = 0.45
+    val assigned = Dedup.semanticAssignments(emb).cache()
+    val dropped = Dedup.semanticDroppedIds(assigned, tau).cache()
+    val kept = assigned.join(
+      dropped.withColumnRenamed("id_b", "vec_id"), Seq("vec_id"), "left_anti").cache()
+    // partition: every vector is kept xor dropped
+    assert(kept.count() + dropped.count() == emb.count())
+    // the drop rule re-run on the survivors must find nothing
+    assert(Dedup.semanticDroppedIds(kept, tau).count() == 0)
+    // every drop has a global cosine>=tau witness (cluster pairs are a
+    // subset of the brute-force pair set)
+    val unwitnessed = dropped.join(
+      Dedup.embeddingCosinePairs(emb, tau).select("id_b").distinct(),
+      Seq("id_b"), "left_anti").count()
+    assert(unwitnessed == 0)
+  }
+
   test("simhash banding recalls every brute-force hamming<=3 pair (pigeonhole)") {
     val fp = Dedup.simhashFingerprints(docs).cache()
     val brute = Dedup.simhashBrutePairs(fp, maxHamming = 3)
