@@ -706,6 +706,54 @@ object AnalyticsQueries {
         |FROM orders""".stripMargin)
     )),
 
+    // Relative-rank window functions: percent_rank (rank-1)/(n-1) and
+    // cume_dist over the same deterministic ordering. Both are exact
+    // integer-ratio doubles (single exactly-rounded division), so they
+    // hash-compare across engines.
+    "q_percent_rank" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .drop("o_totalprice")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS cume
+        |FROM orders""".stripMargin)
+    )),
+
+    // Frame-edge window functions: first/last/nth order key per priority
+    // under an explicit full-partition frame (last_value defaults to a
+    // running frame — the classic silent-wrong-answer trap both engines
+    // share, avoided identically here).
+    "q_frame_edges" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("top_key", first_value(col("o_orderkey")).over(w))
+          .withColumn("bottom_key", last_value(col("o_orderkey")).over(w))
+          .withColumn("third_key", nth_value(col("o_orderkey"), 3).over(w))
+          .drop("o_totalprice")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS top_key,
+        |  last_value(o_orderkey) OVER w AS bottom_key,
+        |  nth_value(o_orderkey, 3) OVER w AS third_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
+    )),
+
     // Conversion funnel over the event stream: users with a 'view', and the
     // subset whose first view is followed by a 'purchase' within 24 h. Two
     // partial+final aggregates + one left-semi join on user_id; the
