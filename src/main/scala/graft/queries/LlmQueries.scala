@@ -1057,6 +1057,56 @@ object LlmQueries {
         |FROM t JOIN logp ON t.tok = logp.tok GROUP BY t.doc_id""".stripMargin)
     )),
 
+    // DSIR-style importance weights (Xie et al. 2023): per-doc log weight
+    // = Σ log( p_target(tok) / p_corpus(tok) ) with add-one smoothing,
+    // target = the English subset. Docs whose tokens look like the target
+    // domain get positive log-weights and are upsampled at selection time.
+    // Same integer discipline as text_unigram_loglik: one double op per
+    // DISTINCT token (identical expression both engines), floored to
+    // millionths, then order-free integer sums per doc. Scale shape: the
+    // log-ratio table is vocab-sized and broadcast; everything else is two
+    // hash aggregates over the token stream.
+    "text_dsir_weights" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val allC = toks.groupBy("tok").agg(count(lit(1)).as("ac"))
+        val tgtC = toks.filter(col("lang") === "en")
+          .groupBy("tok").agg(count(lit(1)).as("tc"))
+        val vocab = allC.agg(count(lit(1)).as("v"), sum("ac").as("atot"))
+        val ttot = toks.filter(col("lang") === "en").agg(count(lit(1)).as("tt"))
+        val lr = allC.join(tgtC, Seq("tok"), "left").na.fill(0L, Seq("tc"))
+          .crossJoin(broadcast(vocab)).crossJoin(broadcast(ttot))
+          .select(col("tok"),
+            floor(lit(1e6) * log(
+              ((col("tc") + 1).cast("double") / (col("tt") + col("v")).cast("double")) /
+                ((col("ac") + 1).cast("double") / (col("atot") + col("v")).cast("double"))
+            )).cast("long").as("lr"))
+        toks.join(broadcast(lr), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum("lr").cast("long").as("dsir_logw_x1e6"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, lang, tok FROM toks WHERE length(tok) > 0),
+        |allc AS (SELECT tok, count(*) AS ac FROM t GROUP BY tok),
+        |tgtc AS (SELECT tok, count(*) AS tc FROM t WHERE lang = 'en' GROUP BY tok),
+        |vocab AS (SELECT count(*) AS v, sum(ac) AS atot FROM allc),
+        |ttot AS (SELECT count(*) AS tt FROM t WHERE lang = 'en'),
+        |lr AS (SELECT a.tok,
+        |  CAST(floor(1e6 * ln(
+        |    (CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) /
+        |    (CAST(ac + 1 AS DOUBLE) / CAST(atot + v AS DOUBLE)))) AS BIGINT) AS lr
+        |  FROM allc a LEFT JOIN tgtc ON a.tok = tgtc.tok, vocab, ttot)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(lr) AS BIGINT) AS dsir_logw_x1e6
+        |FROM t JOIN lr ON t.tok = lr.tok GROUP BY t.doc_id""".stripMargin)
+    )),
+
     // Temperature-smoothed source mixing weights (alpha = 0.5, the T5/mC4
     // convention): w_i ∝ sqrt(tokens_i), normalized — upsamples small
     // sources without letting giants dominate the training mix. Integer
