@@ -706,6 +706,26 @@ object AnalyticsQueries {
         |FROM orders""".stripMargin)
     )),
 
+    // Streaming heavy hitters, batch analog: the Space-Saving sketch per
+    // tumbling event-time window (state O(capacity) per open window in the
+    // streaming run — StreamingSpec exercises the MemoryStream path). The
+    // fixture's event types are far below capacity, so the sketch is exact
+    // and DuckDB recomputes it; day buckets are epoch-aligned in both
+    // engines.
+    "stream_heavy_hitters" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.streaming.StreamOps.windowedHeavyHitters(
+          t(s, dir, "events").select(col("ts").as("timestamp"), col("event_type")),
+          keyCol = "event_type", capacity = 64, k = 5, windowLength = "1 day"),
+      Some("""WITH e AS (SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS d,
+        |              event_type FROM events),
+        |f AS (SELECT d, event_type, CAST(count(*) AS BIGINT) AS est FROM e GROUP BY 1, 2)
+        |SELECT epoch_ms(d) AS window_start_ms, event_type AS key, est,
+        |  CAST(0 AS BIGINT) AS err,
+        |  CAST(row_number() OVER (PARTITION BY d ORDER BY est DESC, event_type) AS BIGINT) AS rnk
+        |FROM f QUALIFY rnk <= 5""".stripMargin)
+    )),
+
     // Relative-rank window functions: percent_rank (rank-1)/(n-1) and
     // cume_dist over the same deterministic ordering. Both are exact
     // integer-ratio doubles (single exactly-rounded division), so they

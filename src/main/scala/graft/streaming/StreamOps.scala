@@ -33,6 +33,35 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("topic"), col("record_cnt"), col("value_bytes"), col("approx_keys"))
 
+  /** Windowed heavy hitters: the Space-Saving sketch as a streaming
+    * aggregate — top-`k` keys per tumbling window from a buffer bounded at
+    * `capacity` counters, regardless of key cardinality. The state the
+    * watermark must hold per open window is O(capacity), not O(distinct
+    * keys) — the property that makes "top URLs per hour" runnable forever
+    * on a billions-distinct stream where an exact groupBy's state grows
+    * without bound. On a batch frame the same plan runs as a normal
+    * aggregation (watermark is streaming-only), which is how the catalog
+    * entry oracles it: with `capacity ≥` the window's distinct keys the
+    * sketch is exact and DuckDB recomputes it.
+    *
+    * Output: (window_start_ms, key, est, err, rnk) — est desc, key asc.
+    */
+  def windowedHeavyHitters(records: DataFrame, keyCol: String,
+                           capacity: Int = 4096, k: Int = 10,
+                           windowLength: String = "1 hour",
+                           watermark: String = "10 minutes"): DataFrame = {
+    val in = if (records.isStreaming) records.withWatermark("timestamp", watermark)
+             else records
+    val ss = udaf(new graft.functions.SpaceSavingAgg(capacity, k),
+      org.apache.spark.sql.Encoders.STRING)
+    in.groupBy(window(col("timestamp"), windowLength))
+      .agg(ss(col(keyCol).cast("string")).as("hh"))
+      .select(expr("unix_micros(window.start) div 1000").as("window_start_ms"),
+        posexplode(col("hh")).as(Seq("i", "s")))
+      .select(col("window_start_ms"), col("s._1").as("key"), col("s._2").as("est"),
+        col("s._3").as("err"), (col("i") + 1).cast("long").as("rnk"))
+  }
+
   /** At-least-once → effectively-once: drop re-delivered records by their
     * (topic, partition, offset) identity, keeping state only within the
     * watermark horizon. This is the dedup the reference's

@@ -82,6 +82,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters ranks stream keys per window with bounded sketch state") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[KafkaRecord](spark)
+    val hh = StreamOps.windowedHeavyHitters(input.toDF(), keyCol = "topic",
+      capacity = 8, k = 2, windowLength = "1 hour")
+    val q = hh.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val h0 = 1234566000000L
+      input.addData(
+        KafkaRecord("t", 0, 0, new Timestamp(h0), "k".getBytes, "v".getBytes, Map.empty),
+        KafkaRecord("t", 0, 1, new Timestamp(h0 + 1000), "k".getBytes, "v".getBytes, Map.empty),
+        KafkaRecord("t", 0, 2, new Timestamp(h0 + 2000), "k".getBytes, "v".getBytes, Map.empty),
+        KafkaRecord("u", 0, 3, new Timestamp(h0 + 3000), "k".getBytes, "v".getBytes, Map.empty),
+        KafkaRecord("u", 0, 4, new Timestamp(h0 + 4000), "k".getBytes, "v".getBytes, Map.empty),
+        KafkaRecord("w", 0, 5, new Timestamp(h0 + 5000), "k".getBytes, "v".getBytes, Map.empty))
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("est"),
+          r.getAs[Long]("err"), r.getAs[Long]("rnk"))).toSet
+      // capacity covers the key space -> exact regime: top-2 of {t:3, u:2, w:1}
+      assert(rows == Set(("t", 3L, 0L, 1L), ("u", 2L, 0L, 2L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes redelivered records by identity") {
     import graft.streaming.StreamOps
     val input = MemoryStream[KafkaRecord](spark)
