@@ -78,6 +78,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("unigram log-prob and DSIR log-ratio tables broadcast onto the token stream") {
+    for (q <- Seq("text_unigram_loglik", "text_dsir_weights")) {
+      val plan = graft.queries.LlmQueries.defs(q)._1(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: the vocab-sized score table must broadcast\n${plan.take(2000)}")
+    }
+  }
+
+  test("mixing-weight normalization broadcasts the one-row total") {
+    val plan = graft.queries.LlmQueries.defs("q_mix_weights")._1(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "the total must ride a broadcast, not a cartesian shuffle")
+  }
+
   test("q1 aggregation is partial-then-final (map-side combine)") {
     val plan = planOf("q1_agg")
     // two HashAggregate nodes around the exchange = partial + final

@@ -82,6 +82,12 @@ class TopKPlanSpec extends SparkSpec {
       val lshPlan = lsh.queryExecution.executedPlan.toString
       assert(lshPlan.contains("TopKPerGroup "), lshPlan)
       assert(!lshPlan.contains("Window"), lshPlan)
+      // quantizedTopK has TWO row_number windows (candidate cut + final
+      // re-rank) — both must rewrite to bounded heaps
+      val qz = graft.operators.Similarity.quantizedTopK(emb, queries, k = 5)
+      val qzPlan = qz.queryExecution.executedPlan.toString
+      assert(qzPlan.contains("TopKPerGroup "), qzPlan)
+      assert(!qzPlan.contains("Window"), qzPlan)
       assert(brute.count() > 0)
     }
   }
