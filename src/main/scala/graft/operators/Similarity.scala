@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,13 +88,33 @@ object Similarity {
     } finally fitInput.unpersist()
   }
 
+  /** Each query's `nProbe` nearest cells by exact euclidean distance to
+    * the (driver-small, broadcast) centroid table — the probe set both IVF
+    * variants share. Output: (query_id, q_emb, cluster).
+    */
+  private def ivfProbes(model: org.apache.spark.ml.clustering.KMeansModel,
+                        queries: DataFrame, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cluster", "centroid")
+    val probeW = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cluster"),
+        Vectors.l2Distance(col("q_emb"), col("centroid")).as("dist"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cluster"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               fitFraction: Double = 0.5, fitMaxRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
 
     val featured = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
@@ -102,21 +122,7 @@ object Similarity {
     val assigned = model.transform(featured)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cluster"))
 
-    // centroids are tiny: ship as a broadcast frame of float arrays and
-    // rank each query's cells by exact euclidean distance (the KMeans
-    // training metric)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cluster", "centroid")
-    val probeW = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("q_emb"), col("cluster"),
-        Vectors.l2Distance(col("q_emb"), col("centroid")).as("dist"))
-      .withColumn("probe_rank", row_number().over(probeW))
-      .filter(col("probe_rank") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cluster"))
-
+    val probes = ivfProbes(model, queries, nProbe)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -199,57 +205,54 @@ object Similarity {
     * cosine's error is bounded by the quantization step — recall against
     * the exact ranking is asserted in ScaleSpec.
     */
-  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                    candidateFactor: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+  /** Per-vector quantization metadata: int8 codes + the four scalars the
+    * approximate dot needs (min, scale, code sum, code self-dot).
+    * NB: column names must differ by more than case — Spark resolution is
+    * case-insensitive, so e.g. `cs`/`cS` would silently collide.
+    */
+  private def quantMeta(df: DataFrame, idAs: String, p: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    df.select(col("vec_id").as(idAs),
+        Vectors.quantizeInt8(col("embedding")).as(s"${p}_code"),
+        array_min(v).as(s"${p}_mn"),
+        ((array_max(v) - array_min(v)) / 255.0).as(s"${p}_scale"),
+        size(col("embedding")).cast("double").as(s"${p}_dim"))
+      .withColumn(s"${p}_csum",
+        aggregate(col(s"${p}_code"), lit(0L), (acc, x) => acc + x).cast("double"))
+      .withColumn(s"${p}_cdot",
+        call_function("dot_i64", col(s"${p}_code"), col(s"${p}_code")).cast("double"))
+      .withColumn(s"${p}_nsq",
+        col(s"${p}_mn") * col(s"${p}_mn") * col(s"${p}_dim") +
+          lit(2.0) * col(s"${p}_mn") * col(s"${p}_scale") * col(s"${p}_csum") +
+          col(s"${p}_scale") * col(s"${p}_scale") * col(s"${p}_cdot"))
+  }
 
-    // per-vector quantization metadata: codes + the four scalars the
-    // approximate dot needs (min, scale, code sum, code self-dot).
-    // NB: column names must differ by more than case — Spark resolution is
-    // case-insensitive, so e.g. `cs`/`cS` would silently collide.
-    def meta(df: DataFrame, idAs: String, p: String): DataFrame = {
-      val v = col("embedding").cast("array<double>")
-      df.select(col("vec_id").as(idAs),
-          Vectors.quantizeInt8(col("embedding")).as(s"${p}_code"),
-          array_min(v).as(s"${p}_mn"),
-          ((array_max(v) - array_min(v)) / 255.0).as(s"${p}_scale"),
-          size(col("embedding")).cast("double").as(s"${p}_dim"))
-        .withColumn(s"${p}_csum",
-          aggregate(col(s"${p}_code"), lit(0L), (acc, x) => acc + x).cast("double"))
-        .withColumn(s"${p}_cdot",
-          call_function("dot_i64", col(s"${p}_code"), col(s"${p}_code")).cast("double"))
-        .withColumn(s"${p}_nsq",
-          col(s"${p}_mn") * col(s"${p}_mn") * col(s"${p}_dim") +
-            lit(2.0) * col(s"${p}_mn") * col(s"${p}_scale") * col(s"${p}_csum") +
-            col(s"${p}_scale") * col(s"${p}_scale") * col(s"${p}_cdot"))
-    }
-
-    // persisted: projection collapse would otherwise re-inline the whole
-    // quantization tree at every downstream column reference, recomputing
-    // the codes per candidate pair instead of once per vector (this is the
-    // same "captured subtree" economics as the HOF-lambda trap)
-    val c = meta(corpus, "neighbor_id", "c")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = meta(queries, "query_id", "q")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Approximate cosine from the affine reconstruction
+    * v̂ᵢ = mn + cᵢ·scale over two [[quantMeta]] prefixes `c`/`q`: one
+    * native `dot_i64` per pair plus scalar algebra.
+    */
+  private def approxCos: Column = {
     val approxDot =
       col("c_mn") * col("q_mn") * col("c_dim") +
         col("q_mn") * col("c_scale") * col("c_csum") +
         col("c_mn") * col("q_scale") * col("q_csum") +
         col("c_scale") * col("q_scale") *
           call_function("dot_i64", col("c_code"), col("q_code")).cast("double")
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .filter(col("c_nsq") > 0.0 && col("q_nsq") > 0.0)
-      .select(col("query_id"), col("neighbor_id"),
-        (approxDot / sqrt(col("c_nsq") * col("q_nsq"))).as("acos"))
+    approxDot / sqrt(col("c_nsq") * col("q_nsq"))
+  }
+
+  /** Top `k·candidateFactor` (query_id, neighbor_id) candidates by `acos`,
+    * exact-cosine re-ranked to the final top-k. Float embeddings enter by
+    * id here and ONLY here — never through the candidate-scoring stage;
+    * the query side stays broadcast.
+    */
+  private def rerankExact(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+                          k: Int, candidateFactor: Int): DataFrame = {
     val candW = Window.partitionBy("query_id")
       .orderBy(col("acos").desc, col("neighbor_id").asc)
     val cands = scored.withColumn("cr", row_number().over(candW))
       .filter(col("cr") <= k * candidateFactor)
       .select("query_id", "neighbor_id")
-
-    // bounded re-rank: float embeddings enter by id, never via the scoring
-    // stage; query side stays broadcast
     val rerank = cands
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb")), Seq("neighbor_id"))
@@ -261,5 +264,53 @@ object Similarity {
     rerank.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    candidateFactor: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // persisted: projection collapse would otherwise re-inline the whole
+    // quantization tree at every downstream column reference, recomputing
+    // the codes per candidate pair instead of once per vector (this is the
+    // same "captured subtree" economics as the HOF-lambda trap)
+    val c = quantMeta(corpus, "neighbor_id", "c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = quantMeta(queries, "query_id", "q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .filter(col("c_nsq") > 0.0 && col("q_nsq") > 0.0)
+      .select(col("query_id"), col("neighbor_id"), approxCos.as("acos"))
+    rerankExact(scored, corpus, queries, k, candidateFactor)
+  }
+
+  /** IVF × quantized scoring — the production ANN index shape (FAISS
+    * IVF-ADC): the coarse quantizer bounds WHICH vectors are scored
+    * (`nProbe/nCentroids` of the corpus per query), the int8 codes bound
+    * WHAT the scoring reads (one byte per dimension), and exact cosine
+    * re-ranks the bounded candidate set. At rest the index relation is
+    * `(vec_id, cluster, codes, 4 scalars)` — float embeddings are only
+    * fetched by id for the re-rank.
+    */
+  def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+                       candidateFactor: Int = 4, fitFraction: Double = 0.5,
+                       fitMaxRows: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val featured = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = fitCoarseKMeans(featured, nCentroids, seed, fitFraction, fitMaxRows)
+    val assigned = model.transform(featured).select(col("vec_id"), col("cluster"))
+    val c = quantMeta(corpus, "neighbor_id", "c")
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = quantMeta(queries, "query_id", "q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = ivfProbes(model, queries, nProbe).select("query_id", "cluster")
+    val scored = c.join(broadcast(probes.join(q, Seq("query_id"))), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("c_nsq") > 0.0 && col("q_nsq") > 0.0)
+      .select(col("query_id"), col("neighbor_id"), approxCos.as("acos"))
+    rerankExact(scored, corpus, queries, k, candidateFactor)
   }
 }

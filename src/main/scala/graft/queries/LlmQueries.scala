@@ -455,6 +455,32 @@ object LlmQueries {
         |UNION ALL SELECT 'off_top20_within_tolerance', CAST(1 AS BIGINT)""".stripMargin)
     )),
 
+    // IVF × quantized scoring (the FAISS IVF-ADC shape): cells bound WHICH
+    // vectors are scored, int8 codes bound WHAT the scoring reads, exact
+    // cosine re-ranks. Same self-verifying contract as the other ANN
+    // entries.
+    "ann_ivf_quantized_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val queries = e.filter(col("vec_id") < 8)
+        val ivfq = Similarity.ivfQuantizedTopK(e, queries, k = 5)
+        val truth = Similarity.bruteForceTopK(e, queries, k = 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val answered = ivfq
+          .agg(countDistinct(col("query_id")).as("value"))
+          .select(lit("queries_answered").as("metric"), col("value").cast("long").as("value"))
+        val offRanking = ivfq.join(truth, Seq("query_id", "neighbor_id"), "left_anti")
+          .agg(count(lit(1)).as("off"))
+          .crossJoin(ivfq.agg(count(lit(1)).as("total")))
+          .select(lit("off_top20_within_tolerance").as("metric"),
+            (col("off") * 5 <= col("total")).cast("long").as("value"))
+        answered.unionAll(offRanking)
+      },
+      Some("""SELECT 'queries_answered' AS metric,
+        |  CAST(count(DISTINCT vec_id) AS BIGINT) AS value FROM embeddings WHERE vec_id < 8
+        |UNION ALL SELECT 'off_top20_within_tolerance', CAST(1 AS BIGINT)""".stripMargin)
+    )),
+
     // IVF ANN over KMeans cells — same self-verifying contract as
     // ann_lsh_topk (the quantizer is data-dependent, so rankings can't be
     // reproduced in SQL; the properties can be checked).

@@ -114,6 +114,21 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dot_i64 equals the BigInt dot product on any same-length long arrays") {
+    val gen = Gen.chooseNum(1, 64).flatMap { n =>
+      Gen.zip(Gen.listOfN(n, Gen.chooseNum(0L, 255L)), Gen.listOfN(n, Gen.chooseNum(0L, 255L)))
+    }
+    forAllSampled(gen) { case (a, b) =>
+      val expect = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val got = SketchMath.dotI64(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      assert(BigInt(got.longValue()) == expect)
+    }
+    // length mismatch is null, not a truncated partial dot
+    assert(SketchMath.dotI64(
+      new GenericArrayData(Array(1L, 2L)), new GenericArrayData(Array(1L))) == null)
+  }
+
   test("int8 quantization stays in [0,255] with min at 0 and max at 255 for any vector") {
     // pure-JVM reimplementation of the column algebra's contract, driven by
     // generated vectors (the Spark-side unit test pins exact values; this
