@@ -706,6 +706,31 @@ object AnalyticsQueries {
         |FROM orders""".stripMargin)
     )),
 
+    // Full outer join: per-nation customer and supplier counts aligned on
+    // nation key, with the unmatched sides surfaced instead of dropped —
+    // two small pre-aggregates outer-joined, then COALESCE normalizes the
+    // null sides. Both engines produce identical null semantics.
+    "q_outer_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val custs = t(s, dir, "customer").groupBy("c_nationkey")
+          .agg(count(lit(1)).as("customers"))
+        val supps = t(s, dir, "supplier").groupBy("s_nationkey")
+          .agg(count(lit(1)).as("suppliers"))
+        custs.join(supps, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("customers"), lit(0L)).as("customers"),
+            coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+      },
+      Some("""WITH c AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS customers
+        |        FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers
+        |        FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(customers, 0) AS customers,
+        |  COALESCE(suppliers, 0) AS suppliers
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin)
+    )),
+
     // Streaming heavy hitters, batch analog: the Space-Saving sketch per
     // tumbling event-time window (state O(capacity) per open window in the
     // streaming run — StreamingSpec exercises the MemoryStream path). The
