@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table helpers for co-located joins — the 100 TB answer to
   * "this join shuffles both sides every run".
@@ -32,6 +33,52 @@ object Tables {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Morton (z-order) interleaving of two columns, each min-max normalized
+    * to `bits` bits against broadcast global extremes. Files written in
+    * z-value order are simultaneously clustered on BOTH columns, so parquet
+    * row-group min/max stats prune scans filtered on either one — the data
+    * layout that turns "full scan unless you filtered the partition column"
+    * into multi-column file skipping at 100 TB. Pure bit algebra
+    * (codegen'd), deterministic given the data.
+    */
+  def zOrderValue(a: Column, b: Column, mins: (Column, Column),
+                  maxs: (Column, Column), bits: Int = 16): Column = {
+    def norm(c: Column, mn: Column, mx: Column): Column = {
+      val span = mx.cast("double") - mn.cast("double")
+      val maxCode = (1L << bits) - 1
+      when(span === 0.0, lit(0L)).otherwise(
+        least(lit(maxCode),
+          floor((c.cast("double") - mn.cast("double")) * maxCode / span).cast("long")))
+    }
+    val x = norm(a, mins._1, maxs._1)
+    val y = norm(b, mins._2, maxs._2)
+    (0 until bits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` z-ordered on two numeric columns: compute the Morton value
+    * against the frame's global extremes (one tiny aggregate, broadcast),
+    * range-partition by it into `files` output partitions, sort within
+    * each, and write parquet. Each output file then covers a narrow
+    * rectangle of the (colA, colB) space.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int, bits: Int = 16): Unit = {
+    val ext = df.agg(
+      min(colA).as("mna"), max(colA).as("mxa"),
+      min(colB).as("mnb"), max(colB).as("mxb"))
+    val z = df.crossJoin(broadcast(ext))
+      .withColumn("_z", zOrderValue(col(colA), col(colB),
+        (col("mna"), col("mnb")), (col("mxa"), col("mxb")), bits))
+      .drop("mna", "mxa", "mnb", "mxb")
+    z.repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").format("parquet").save(path)
+  }
 
   // ---- table-format sink (Iceberg) decision record ----------------------
   //

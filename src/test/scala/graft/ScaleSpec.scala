@@ -132,6 +132,30 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-ordered layout clusters BOTH columns per file (multi-column skipping)") {
+    val li = Sources.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Tables.writeZOrdered(li, dir, "l_orderkey", "l_partkey", files = 16)
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("l_orderkey"), col("l_partkey"))
+      .cache()
+    val g = back.agg(
+      (max("l_orderkey") - min("l_orderkey")).as("ga"),
+      (max("l_partkey") - min("l_partkey")).as("gb")).collect()(0)
+    val per = back.groupBy("f")
+      .agg((max("l_orderkey") - min("l_orderkey")).as("ra"),
+        (max("l_partkey") - min("l_partkey")).as("rb"))
+      .agg(avg("ra").as("ma"), avg("rb").as("mb")).collect()(0)
+    // a single-column sort gives the OTHER column ~the full global range in
+    // every file; the morton layout must keep both well below it, which is
+    // what lets parquet row-group stats prune on either predicate
+    assert(per.getDouble(0) < g.getLong(0) * 0.6,
+      s"mean per-file l_orderkey range ${per.getDouble(0)} vs global ${g.getLong(0)}")
+    assert(per.getDouble(1) < g.getLong(1) * 0.6,
+      s"mean per-file l_partkey range ${per.getDouble(1)} vs global ${g.getLong(1)}")
+  }
+
   test("salted join equals direct join and spreads a hot key over salt buckets") {
     val li = Sources.table(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Sources.table(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")
