@@ -121,13 +121,25 @@ object GraftFunctions {
     DotI64Expr(exprs(0), exprs(1))
   }
 
+  val dotU8Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "dot_u8 expects (a, b)")
+    DotU8Expr(exprs(0), exprs(1))
+  }
+
+  val quantizeMetaBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "quantize_meta expects (embedding)")
+    QuantizeMetaExpr(exprs(0))
+  }
+
   private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarityExpr], cosineSimBuilder),
     ("minhash_sig", classOf[MinHashSignatureExpr], minhashSigBuilder),
     ("simhash64", classOf[SimHash64Expr], simhash64Builder),
     ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder),
     ("jaccard_x1000", classOf[JaccardX1000Expr], jaccardBuilder),
-    ("dot_i64", classOf[DotI64Expr], dotI64Builder))
+    ("dot_i64", classOf[DotI64Expr], dotI64Builder),
+    ("dot_u8", classOf[DotU8Expr], dotU8Builder),
+    ("quantize_meta", classOf[QuantizeMetaExpr], quantizeMetaBuilder))
 
   /** Idempotent per-session registration of graft's native functions.
     * Skips names already present: re-registering logs a replaced-function

@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -115,6 +116,56 @@ object SketchMath {
     var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
     java.lang.Long.valueOf(s)
+  }
+
+  /** Unsigned-byte dot product over two packed code arrays (`binary`
+    * columns) — the 1-byte-per-dimension ADC scoring kernel. Null on
+    * length mismatch (a truncated dot ranks wrong-but-plausibly).
+    */
+  def dotU8(a: Array[Byte], b: Array[Byte]): java.lang.Long = {
+    if (a.length != b.length) return null
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += (a(i) & 0xFF).toLong * (b(i) & 0xFF).toLong; i += 1 }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** One-pass int8 quantization metadata: min-max affine codes packed into
+    * a byte array plus every scalar the approximate-dot algebra needs.
+    * Returns null for empty vectors or null elements. Matches
+    * `Vectors.quantizeInt8`'s code values exactly (floor with clamp; a
+    * constant vector codes to all-zeros with scale 0).
+    *
+    * Output row: (code: binary, mn: double, scale: double,
+    * csum: bigint, cdot: bigint).
+    */
+  def quantizeMeta(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    if (n == 0 || hasNullElement(a)) return null
+    var mn = Double.MaxValue
+    var mx = Double.MinValue
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    val rng = mx - mn
+    val code = new Array[Byte](n)
+    var csum = 0L
+    var cdot = 0L
+    i = 0
+    while (i < n) {
+      val c =
+        if (rng == 0.0) 0L
+        else math.min(255L, math.floor((a.getFloat(i).toDouble - mn) * 255.0 / rng).toLong)
+      code(i) = (c & 0xFF).toByte
+      csum += c
+      cdot += c * c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](code, mn, rng / 255.0, csum, cdot))
   }
 
   /** Deterministic hyperplane bank for random-hyperplane LSH, flattened
@@ -406,5 +457,83 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** dot_u8(a: binary, b: binary) → bigint: unsigned-byte dot product over
+  * packed int8 code arrays (see [[SketchMath.dotU8]]). Null on length
+  * mismatch. With codes packed as binary, the ADC scoring path really is
+  * one byte per dimension in memory, in shuffles, and at rest — unlike
+  * `array<bigint>` codes, which cost 8 bytes per element everywhere.
+  */
+case class DotU8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure("dot_u8 expects (binary, binary)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_u8"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchMath.dotU8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dot")
+      s"""
+         |java.lang.Long $boxed = graft.functions.SketchMath.dotU8($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotU8Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** quantize_meta(embedding: array<float>) →
+  * struct<code: binary, mn: double, scale: double, csum: bigint,
+  * cdot: bigint> — the whole per-vector quantized-ANN index record in ONE
+  * pass (see [[SketchMath.quantizeMeta]]): codes bit-packed to one byte
+  * per dimension plus the four scalars the approximate-dot algebra needs.
+  * Null for empty vectors or null elements.
+  */
+case class QuantizeMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("quantize_meta expects array<float>")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", BinaryType, nullable = false),
+    StructField("mn", DoubleType, nullable = false),
+    StructField("scale", DoubleType, nullable = false),
+    StructField("csum", LongType, nullable = false),
+    StructField("cdot", LongType, nullable = false)))
+  override def prettyName: String = "quantize_meta"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    SketchMath.quantizeMeta(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.SketchMath.quantizeMeta($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeMetaExpr =
     copy(child = newChild)
 }

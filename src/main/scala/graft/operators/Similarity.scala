@@ -205,22 +205,26 @@ object Similarity {
     * cosine's error is bounded by the quantization step — recall against
     * the exact ranking is asserted in ScaleSpec.
     */
-  /** Per-vector quantization metadata: int8 codes + the four scalars the
-    * approximate dot needs (min, scale, code sum, code self-dot).
+  /** Per-vector quantization metadata via the one-pass `quantize_meta`
+    * native expression: codes BIT-PACKED into a `binary` column (truly one
+    * byte per dimension in memory, in shuffles, and at rest — an
+    * `array<bigint>` code column would cost 8 bytes/element everywhere)
+    * plus the four scalars the approximate dot needs.
     * NB: column names must differ by more than case — Spark resolution is
     * case-insensitive, so e.g. `cs`/`cS` would silently collide.
     */
   private def quantMeta(df: DataFrame, idAs: String, p: String): DataFrame = {
-    val v = col("embedding").cast("array<double>")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col("vec_id").as(idAs),
-        Vectors.quantizeInt8(col("embedding")).as(s"${p}_code"),
-        array_min(v).as(s"${p}_mn"),
-        ((array_max(v) - array_min(v)) / 255.0).as(s"${p}_scale"),
-        size(col("embedding")).cast("double").as(s"${p}_dim"))
-      .withColumn(s"${p}_csum",
-        aggregate(col(s"${p}_code"), lit(0L), (acc, x) => acc + x).cast("double"))
-      .withColumn(s"${p}_cdot",
-        call_function("dot_i64", col(s"${p}_code"), col(s"${p}_code")).cast("double"))
+        call_function("quantize_meta", col("embedding")).as("_qm"))
+      .filter(col("_qm").isNotNull)
+      .select(col(idAs),
+        col("_qm.code").as(s"${p}_code"),
+        col("_qm.mn").as(s"${p}_mn"),
+        col("_qm.scale").as(s"${p}_scale"),
+        octet_length(col("_qm.code")).cast("double").as(s"${p}_dim"),
+        col("_qm.csum").cast("double").as(s"${p}_csum"),
+        col("_qm.cdot").cast("double").as(s"${p}_cdot"))
       .withColumn(s"${p}_nsq",
         col(s"${p}_mn") * col(s"${p}_mn") * col(s"${p}_dim") +
           lit(2.0) * col(s"${p}_mn") * col(s"${p}_scale") * col(s"${p}_csum") +
@@ -229,7 +233,7 @@ object Similarity {
 
   /** Approximate cosine from the affine reconstruction
     * v̂ᵢ = mn + cᵢ·scale over two [[quantMeta]] prefixes `c`/`q`: one
-    * native `dot_i64` per pair plus scalar algebra.
+    * native `dot_u8` per pair plus scalar algebra.
     */
   private def approxCos: Column = {
     val approxDot =
@@ -237,7 +241,7 @@ object Similarity {
         col("q_mn") * col("c_scale") * col("c_csum") +
         col("c_mn") * col("q_scale") * col("q_csum") +
         col("c_scale") * col("q_scale") *
-          call_function("dot_i64", col("c_code"), col("q_code")).cast("double")
+          call_function("dot_u8", col("c_code"), col("q_code")).cast("double")
     approxDot / sqrt(col("c_nsq") * col("q_nsq"))
   }
 

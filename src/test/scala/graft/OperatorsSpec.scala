@@ -260,6 +260,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r.isNullAt(2), "null element must be null, not garbage")
   }
 
+  test("quantize_meta packs one byte per dim and agrees with quantizeInt8 and dot_u8") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, Array(0f, 1f, 2f, 4f)), (2L, Array(3f, 3f, 3f)))
+      .toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"),
+        call_function("quantize_meta", col("embedding")).as("qm"),
+        Vectors.quantizeInt8(col("embedding")).as("arr"))
+      .select(col("vec_id"), col("qm.code").as("code"), col("qm.mn"), col("qm.scale"),
+        col("qm.csum"), col("qm.cdot"), col("arr"),
+        call_function("dot_u8", col("qm.code"), col("qm.code")).as("selfdot"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    val code1 = r1.getAs[Array[Byte]]("code").map(b => (b & 0xFF).toLong).toSeq
+    assert(code1 == Seq(0L, 63L, 127L, 255L))
+    assert(code1 == r1.getSeq[Long](r1.fieldIndex("arr")).toSeq)
+    assert(r1.getAs[Double]("mn") == 0.0)
+    assert(math.abs(r1.getAs[Double]("scale") - 4.0 / 255.0) < 1e-12)
+    assert(r1.getAs[Long]("csum") == 445L)
+    assert(r1.getAs[Long]("cdot") == 0L + 63L * 63 + 127L * 127 + 255L * 255)
+    assert(r1.getAs[Long]("selfdot") == r1.getAs[Long]("cdot"))
+    val r2 = rows(2L)
+    assert(r2.getAs[Array[Byte]]("code").forall(_ == 0) &&
+      r2.getAs[Double]("scale") == 0.0, "constant vector codes to zeros with scale 0")
+  }
+
   test("shard packing closes a shard once the token budget is reached") {
     import org.apache.spark.sql.expressions.Window
     val docs = Seq(

@@ -50,12 +50,14 @@ class ScaleSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 4)
     val qz = Similarity.quantizedTopK(emb, queries, k = 5)
     // the candidate-ranking exchange moves (query_id, neighbor_id, acos)
-    // scalars only — an array column there means float embeddings (or int8
-    // codes) are being shipped through the biggest shuffle of the plan
+    // scalars only — an array or binary column there means float embeddings
+    // or packed codes are being shipped through the biggest shuffle of the
+    // plan
     val offenders = qz.queryExecution.executedPlan.collect {
       case e: ShuffleExchangeExec
           if e.child.output.exists(_.name == "acos") &&
-            e.child.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+            e.child.output.exists(a => a.dataType.isInstanceOf[ArrayType] ||
+              a.dataType == org.apache.spark.sql.types.BinaryType) => e
     }
     assert(offenders.isEmpty,
       s"quantized-ANN ranking shuffle carries an array column:\n${offenders.mkString("\n")}")
