@@ -301,6 +301,35 @@ object LlmQueries {
         |UNION ALL SELECT 'recall_floor_50_met', CAST(1 AS BIGINT)""".stripMargin)
     )),
 
+    // The one-pass packed quantization record (native quantize_meta): the
+    // per-vector ANN index row — codes packed to binary plus the
+    // min/scale/code-sum/self-dot scalars. The oracle recomputes every
+    // scalar from the same affine algebra (codes themselves are
+    // hash-compared by vector_quantize_int8, which quantize_meta matches
+    // byte-for-byte — asserted in OperatorsSpec).
+    "vector_quantize_meta" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        emb(s, dir)
+          .select(col("vec_id"), call_function("quantize_meta", col("embedding")).as("qm"))
+          .filter(col("qm").isNotNull)
+          .select(col("vec_id"), round(col("qm.mn"), 6).as("mn"),
+            round(col("qm.scale"), 8).as("scale"),
+            col("qm.csum").as("csum"), col("qm.cdot").as("cdot"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |c AS (SELECT vec_id, mn, (mx - mn) AS rng,
+        |  CASE WHEN mx = mn THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> least(CAST(255 AS BIGINT),
+        |              CAST(floor((x - mn) * 255 / (mx - mn)) AS BIGINT))) END AS codes
+        |  FROM m)
+        |SELECT vec_id, round(mn, 6) AS mn, round(rng / 255, 8) AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS csum,
+        |  CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS cdot
+        |FROM c""".stripMargin)
+    )),
+
     // SemDeDup: embedding-level dedup bounded by KMeans cells instead of
     // all-pairs. The cluster assignment is data-dependent (not
     // SQL-reproducible), so the query materializes its correctness

@@ -109,6 +109,8 @@ class DedupSpec extends SparkSpec {
       Dedup.embeddingCosinePairs(emb, tau).select("id_b").distinct(),
       Seq("id_b"), "left_anti").count()
     assert(unwitnessed == 0)
+    // the public one-call surface agrees (same deterministic seed)
+    assert(Dedup.semanticSurvivors(emb, tau).count() == kept.count())
   }
 
   test("simhash banding recalls every brute-force hamming<=3 pair (pigeonhole)") {
