@@ -1095,7 +1095,11 @@ object LlmQueries {
           .select(col("tok"),
             floor(lit(1e6) * log(col("cnt").cast("double") / col("total")))
               .cast("long").as("lp"))
-        toks.join(broadcast(logp), "tok")
+        // no broadcast hint on the score table: fixture vocabularies
+        // auto-broadcast, but a web-scale vocabulary (billions of distinct
+        // tokens) must be allowed to shuffle-join on tok — a forced
+        // broadcast is the thing that would NOT survive the 1000× scale-up
+        toks.join(logp, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_tokens"),
             sum("lp").cast("long").as("sum_logp_x1e6"))
@@ -1140,7 +1144,10 @@ object LlmQueries {
               ((col("tc") + 1).cast("double") / (col("tt") + col("v")).cast("double")) /
                 ((col("ac") + 1).cast("double") / (col("atot") + col("v")).cast("double"))
             )).cast("long").as("lr"))
-        toks.join(broadcast(lr), "tok")
+        // same as text_unigram_loglik: auto-broadcast at fixture scale,
+        // shuffle-join on tok when the vocabulary outgrows the broadcast
+        // limit (real DSIR hash-buckets the feature space for this reason)
+        toks.join(lr, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_tokens"),
             sum("lr").cast("long").as("dsir_logw_x1e6"))
