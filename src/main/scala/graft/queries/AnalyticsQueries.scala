@@ -50,14 +50,17 @@ object AnalyticsQueries {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
     )),
 
-    // TPC-H Q3-shaped: dimension filter broadcast into a fact join, top-10.
+    // TPC-H Q3-shaped: dimension filter into a fact join, top-10. No
+    // broadcast hint on customer: it auto-broadcasts at small SF but
+    // customer scales WITH the fact tables (billions of rows at SF-100k),
+    // where forcing a broadcast is what would break — AQE picks per run.
     "q3_top_orders" -> ((
       (s: SparkSession, dir: String) => {
         val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val orders = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
         val li = t(s, dir, "lineitem")
         li.join(orders, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
           .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
           .orderBy(col("rev").desc, col("o_orderkey").asc)
@@ -73,7 +76,10 @@ object AnalyticsQueries {
         |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10""".stripMargin)
     )),
 
-    // TPC-H Q5-shaped: five-way join, all dimensions broadcast.
+    // TPC-H Q5-shaped: five-way join. nation/region are FIXED-size
+    // dimensions (25/5 rows at any SF) — hinted broadcast is always right;
+    // customer/supplier scale with the facts, so they carry no hint and
+    // auto-broadcast only while they fit (AQE shuffles them at 100 TB).
     "q5_region_revenue" -> ((
       (s: SparkSession, dir: String) => {
         val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -84,8 +90,8 @@ object AnalyticsQueries {
           .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
         val li = t(s, dir, "lineitem")
         li.join(orders, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
