@@ -737,6 +737,44 @@ object AnalyticsQueries {
         |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin)
     )),
 
+    // Snapshot diff (CDC between two table versions): full outer join on
+    // the key comparing content hashes — added / removed / changed, the
+    // primitive behind incremental publishes and dataset-version audits.
+    // The two "snapshots" are carved deterministically from the fixture
+    // (cur drops doc_id%11, prev drops %7 and carries an older text for
+    // %5) so both engines derive identical versions. At 100 TB the join
+    // shuffles on the key once — or not at all when both snapshots are
+    // bucketed by it (Tables.writeBucketed).
+    "q_snapshot_diff" -> ((
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val cur = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("h"))
+        val prev = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
+              .otherwise(col("text"))).as("h"))
+        cur.as("n").join(prev.as("p"), col("n.doc_id") === col("p.doc_id"), "full_outer")
+          .select(coalesce(col("n.doc_id"), col("p.doc_id")).as("doc_id"),
+            when(col("p.doc_id").isNull, "added")
+              .when(col("n.doc_id").isNull, "removed")
+              .when(col("n.h") =!= col("p.h"), "changed")
+              .otherwise("unchanged").as("change"))
+          .filter(col("change") =!= "unchanged")
+      },
+      Some("""WITH cur AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+        |prev AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |d AS (SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
+        |  CASE WHEN prev.doc_id IS NULL THEN 'added'
+        |       WHEN cur.doc_id IS NULL THEN 'removed'
+        |       WHEN cur.h <> prev.h THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id)
+        |SELECT doc_id, change FROM d WHERE change <> 'unchanged'""".stripMargin)
+    )),
+
     // Streaming heavy hitters, batch analog: the Space-Saving sketch per
     // tumbling event-time window (state O(capacity) per open window in the
     // streaming run — StreamingSpec exercises the MemoryStream path). The
