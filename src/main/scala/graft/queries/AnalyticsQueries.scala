@@ -737,6 +737,40 @@ object AnalyticsQueries {
         |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin)
     )),
 
+    // A/B lift per event type: users hash-split into two variants, mean
+    // metric difference with its standard error and z-score — the
+    // experimentation readout. One partial+final aggregate per variant;
+    // round(4) absorbs the low-order-bit differences between the two
+    // engines' streaming moment algorithms (the q1 rounded-sum precedent).
+    "q_ab_lift" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"), (col("user_id") % 2).cast("long").as("variant"),
+            col("value"))
+        val per = e.groupBy("event_type", "variant")
+          .agg(count(lit(1)).as("n"), avg("value").as("m"), var_samp("value").as("v"))
+        val a = per.filter(col("variant") === 0)
+          .select(col("event_type"), col("n").as("n0"), col("m").as("m0"), col("v").as("v0"))
+        val b = per.filter(col("variant") === 1)
+          .select(col("event_type"), col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+        a.join(b, "event_type")
+          .select(col("event_type"), col("n0"), col("n1"),
+            round(col("m1") - col("m0"), 4).as("lift"),
+            round((col("m1") - col("m0")) /
+              sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 4).as("z"))
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(user_id % 2 AS BIGINT) AS variant, "value"
+        |            FROM events),
+        |per AS (SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+        |          avg("value") AS m, var_samp("value") AS v
+        |        FROM e GROUP BY 1, 2)
+        |SELECT a.event_type, a.n AS n0, b.n AS n1,
+        |  round(b.m - a.m, 4) AS lift,
+        |  round((b.m - a.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS z
+        |FROM per a JOIN per b ON a.event_type = b.event_type
+        |WHERE a.variant = 0 AND b.variant = 1""".stripMargin)
+    )),
+
     // Snapshot diff (CDC between two table versions): full outer join on
     // the key comparing content hashes — added / removed / changed, the
     // primitive behind incremental publishes and dataset-version audits.
