@@ -129,6 +129,37 @@ class SketchPropertySpec extends AnyFunSuite {
       new GenericArrayData(Array(1L, 2L)), new GenericArrayData(Array(1L))) == null)
   }
 
+  test("quantized approximate cosine stays within 0.05 of exact for random vectors") {
+    // the end-to-end guarantee behind ann_quantized_topk's candidate
+    // ranking: reconstruct the approx-cos formula from quantize_meta's
+    // fields exactly as Similarity.approxCos does and bound its error
+    // against the float-exact cosine
+    val vec = Gen.listOfN(64, Gen.chooseNum(-1.0f, 1.0f))
+    forAllSampled(Gen.zip(vec, vec)) { case (va, vb) =>
+      val a = va.toArray
+      val b = vb.toArray
+      def meta(x: Array[Float]) =
+        SketchMath.quantizeMeta(new GenericArrayData(x))
+      val (ma, mb) = (meta(a), meta(b))
+      val d = a.length.toDouble
+      def f(m: org.apache.spark.sql.catalyst.InternalRow) =
+        (m.getBinary(0), m.getDouble(1), m.getDouble(2),
+          m.getLong(3).toDouble, m.getLong(4).toDouble)
+      val (ca, mna, sa, csa, cda) = f(ma)
+      val (cb, mnb, sb, csb, cdb) = f(mb)
+      val approxDot = mna * mnb * d + mnb * sa * csa + mna * sb * csb +
+        sa * sb * SketchMath.dotU8(ca, cb).toDouble
+      val nsqA = mna * mna * d + 2.0 * mna * sa * csa + sa * sa * cda
+      val nsqB = mnb * mnb * d + 2.0 * mnb * sb * csb + sb * sb * cdb
+      val approxCos = approxDot / math.sqrt(nsqA * nsqB)
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val exactCos = dot / math.sqrt(
+        a.map(x => x.toDouble * x.toDouble).sum * b.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(approxCos - exactCos) < 0.05,
+        s"approx=$approxCos exact=$exactCos")
+    }
+  }
+
   test("int8 quantization stays in [0,255] with min at 0 and max at 255 for any vector") {
     // pure-JVM reimplementation of the column algebra's contract, driven by
     // generated vectors (the Spark-side unit test pins exact values; this
