@@ -70,6 +70,28 @@ object Encode {
   def toJsonLine(projected: DataFrame): DataFrame =
     projected.select(to_json(struct(projected.columns.map(col).toIndexedSeq: _*)).as("line"))
 
+  /** Inverse of [[jsonLinesProjection]]: recover the original record bytes
+    * from the sniffed/tagged form. Lossless by construction — the encoder
+    * emits the ORIGINAL string when the bytes were valid JSON (no
+    * reserialization) and unchunked base64 otherwise, so
+    * `decode(encode(x)) == x` for every payload; a null tag means the
+    * reference's "omitted empty field", which decodes back to empty bytes.
+    * This is what makes the sink format a real interchange format: the
+    * engine can re-ingest its own S3 output (`f2_roundtrip` proves it
+    * across the whole events fixture).
+    */
+  def fromJsonLinesProjection(projected: DataFrame): DataFrame = {
+    def decode(out: Column, fmt: Column): Column =
+      when(fmt.isNull, lit(Array.empty[Byte]))
+        .when(fmt === "base64", unbase64(out))
+        .otherwise(out.cast("binary"))
+    projected.select(
+      col("topic"), col("partition"), col("offset"), col("timestamp"),
+      decode(col("key_out"), col("key_format")).as("key"),
+      decode(col("value_out"), col("value_format")).as("value"),
+      col("headers"))
+  }
+
   /** F4: raw-bytes encoder (`s3.rs:674-688`) — concatenates record values per
     * output group, in offset order. The reference concatenates the buffer in
     * arrival order; offset order is the deterministic equivalent. Emits an

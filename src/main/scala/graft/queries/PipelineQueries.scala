@@ -95,6 +95,22 @@ object PipelineQueries {
         |FROM documents""".stripMargin)
     )),
 
+    // Encode→decode round trip across the whole events fixture: the
+    // output equals the INPUT records (oracle = the raw records CTE), so
+    // a hash match proves decode(encode(x)) == x — the sink format is a
+    // lossless interchange format the engine can re-ingest.
+    "f2_roundtrip" -> ((
+      (s: SparkSession, dir: String) => {
+        val enc = Encode.jsonLinesProjection(records(s, dir))
+        Encode.fromJsonLinesProjection(enc)
+          .select(col("topic"), col("partition").cast("long").as("partition"),
+            col("offset"), expr("unix_micros(timestamp) div 1000").as("ts_ms"),
+            col("key").cast("string").as("record_key"),
+            col("value").cast("string").as("record_value"))
+      },
+      Some(s"""$recordsCte SELECT topic, partition, "offset", ts_ms, record_key, record_value FROM records""")
+    )),
+
     // Variant-typed querying inside schema-less values (Spark 4's home for
     // the reference's opaque JSON payloads, SURVEY §1.2): parse once, then
     // typed extraction — aggregate the `k` field per partition.

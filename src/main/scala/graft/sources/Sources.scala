@@ -92,6 +92,20 @@ object Sources {
       map(lit("content-type"), lit("application/json")).as("headers")
     )
 
+  /** Read back the F2 JSON-lines sink output as records — the inverse of
+    * `Encode.jsonLinesProjection` + `toJsonLine`, so a pipeline can
+    * re-ingest its own object-store output (reprocessing, backfills,
+    * downstream jobs). Explicit schema: inference would need an extra
+    * pass and can mistype empty partitions.
+    */
+  def jsonLinesRecords(spark: SparkSession, path: String): DataFrame = {
+    val schema = "topic string, partition int, offset long, timestamp timestamp, " +
+      "key_out string, key_format string, value_out string, value_format string, " +
+      "headers map<string,string>"
+    graft.operators.Encode.fromJsonLinesProjection(
+      spark.read.schema(schema).json(path))
+  }
+
   /** Convenience readers for the driver-provided star schema. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)

@@ -51,6 +51,31 @@ class EncodeSpec extends SparkSpec {
     assert(line.contains(""""value_format":"json""""))
   }
 
+  test("F2: decode inverts encode for json, binary, and empty payloads") {
+    val recs = Seq(
+      rec(offset = 0, value = """{"id": 1}"""),          // json branch
+      rec(offset = 1, value = "not json ÿ bytes"),  // base64 branch
+      rec(offset = 2, key = "", value = ""))             // omitted branch
+    val back = Encode.fromJsonLinesProjection(
+      Encode.jsonLinesProjection(recs.toDF()))
+      .select(col("offset"), col("key").cast("string"), col("value").cast("string"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back(0) == ((0L, "key-1", """{"id": 1}""")))
+    assert(back(1) == ((1L, "key-1", "not json ÿ bytes")))
+    assert(back(2) == ((2L, "", "")))
+  }
+
+  test("F2: written JSON-lines files re-ingest via Sources.jsonLinesRecords") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonlines").toString
+    val recs = Seq(rec(offset = 10), rec(offset = 11, value = "raw  bytes"))
+    Encode.jsonLinesProjection(recs.toDF())
+      .write.mode("overwrite").json(dir)
+    val back = graft.sources.Sources.jsonLinesRecords(spark, dir)
+      .select(col("offset"), col("value").cast("string"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((10L, """{"id": 1}"""), (11L, "raw  bytes")))
+  }
+
   test("P2: default partitioner golden key prefix/test-topic/0_1234567890.json (s3.rs:836)") {
     val key = Seq(rec()).toDF()
       .select(OutputPartitioners.defaultKey("prefix", "json").as("k"))
