@@ -81,16 +81,26 @@ object StreamOps {
     * Column requirements: both frames need `ts` (timestamp) and the key.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-                   maxDelayMs: Long, watermark: String = "10 minutes"): DataFrame = {
+                   maxDelayMs: Long, watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
-    // fractional-second day-time interval: integer SECONDS would silently
-    // truncate sub-second bounds (1500 ms → 1 s, 500 ms → 0)
-    val delay = make_dt_interval(lit(0), lit(0), lit(0), lit(maxDelayMs / 1000.0))
+    // a literal MILLISECOND interval: keeps sub-second bounds exact
+    // (integer SECONDS would truncate 1500 ms → 1 s) AND stays analyzable
+    // by StreamingJoinHelper's state-watermark extraction — outer joins
+    // reject conditions it can't see through (make_dt_interval isn't
+    // foldable to it, a bare literal is)
+    val delay = expr(s"INTERVAL $maxDelayMs MILLISECOND")
+    // joinType "leftOuter": unmatched left rows ARE emitted, but only once
+    // the watermark has passed their interval — Spark must be sure no
+    // matching right row can still arrive. A test (or drained batch) that
+    // never advances the watermark past the interval will see inner-join
+    // results only; that's the streaming contract, not a bug.
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col("r.ts") >= col("l.ts") - delay &&
-        col("r.ts") <= col("l.ts") + delay)
+        col("r.ts") <= col("l.ts") + delay,
+      joinType)
   }
 
   /** Stream-static enrichment: join each streaming record against a batch

@@ -238,6 +238,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows once the watermark passes") {
+    import graft.streaming.StreamOps
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val l = clicks.toDF().toDF("user", "ts", "click")
+    val r = views.toDF().toDF("user", "ts", "view")
+    val joined = StreamOps.intervalJoin(l, r, "user",
+        maxDelayMs = 60000, watermark = "1 minute", joinType = "leftOuter")
+      .select(col("l.user"), col("click"), col("view"))
+    val q = joined.writeStream.format("memory").queryName("graft_ssjoin_outer")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def t(ms: Long) = new java.sql.Timestamp(ms)
+      val base = 1000000000L
+      clicks.addData((1L, t(base), "c1"), (2L, t(base), "c2"))
+      views.addData((1L, t(base + 30000), "v1")) // matches c1; c2 unmatched
+      q.processAllAvailable()
+      // advance both watermarks far past c2's interval so the engine can
+      // prove no matching view can still arrive, then null-emit c2
+      clicks.addData((9L, t(base + 3600000), "late"))
+      views.addData((9L, t(base + 3600000), "late"))
+      q.processAllAvailable()
+      clicks.addData((9L, t(base + 7200000), "later"))
+      views.addData((9L, t(base + 7200000), "later"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_ssjoin_outer").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(rows.contains((1L, "c1", Some("v1"))))
+      assert(rows.contains((2L, "c2", None)),
+        s"unmatched left row must null-emit after the watermark: $rows")
+    } finally q.stop()
+  }
+
   test("interval join honors sub-second bounds (1500ms is 1.5s, not 1s)") {
     import graft.streaming.StreamOps
     val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
