@@ -737,6 +737,34 @@ object AnalyticsQueries {
         |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""".stripMargin)
     )),
 
+    // Batch interval join — event correlation: each view paired with the
+    // purchases by the same user within the following hour (the batch
+    // analog of StreamOps.intervalJoin). Equi-join on user_id carries the
+    // range predicate as a post-join filter: one shuffle on the key, no
+    // time-explosion, the shape that survives any scale-up as long as the
+    // per-user event count is bounded.
+    "q_interval_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts) div 1000").as("ts_ms"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts_ms").as("view_ts"))
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_ms").as("buy_ts"))
+        views.join(buys, Seq("user_id"))
+          .filter(col("buy_ts") >= col("view_ts") &&
+            col("buy_ts") <= col("view_ts") + lit(3600000L))
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events)
+        |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM e v JOIN e p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts_ms >= v.ts_ms AND p.ts_ms <= v.ts_ms + 3600000""".stripMargin)
+    )),
+
     // A/B lift per event type: users hash-split into two variants, mean
     // metric difference with its standard error and z-score — the
     // experimentation readout. One partial+final aggregate per variant;
