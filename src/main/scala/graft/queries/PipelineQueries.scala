@@ -95,6 +95,27 @@ object PipelineQueries {
         |FROM documents""".stripMargin)
     )),
 
+    // Schema-drift report over the opaque JSON payloads: which keys occur,
+    // how often, and in what fraction of records — the monitoring query a
+    // schema-less ingestion pipeline runs to catch producers changing
+    // their payload shape. Narrow explode + one hash aggregate.
+    "f2_props_schema" -> ((
+      (s: SparkSession, dir: String) => {
+        val r = records(s, dir)
+        val total = r.agg(count(lit(1)).as("total"))
+        r.select(explode(json_object_keys(col("value").cast("string"))).as("key"))
+          .groupBy("key").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .select(col("key"), col("cnt"),
+            expr("CAST(cnt * 1000 AS BIGINT) div total").as("present_per_mille"))
+      },
+      Some(s"""$recordsCte, tot AS (SELECT count(*) AS total FROM records),
+        |k AS (SELECT unnest(json_keys(record_value)) AS key FROM records)
+        |SELECT key, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(*) AS BIGINT) * 1000 // total AS present_per_mille
+        |FROM k, tot GROUP BY key, total""".stripMargin)
+    )),
+
     // Encode→decode round trip across the whole events fixture: the
     // output equals the INPUT records (oracle = the raw records CTE), so
     // a hash match proves decode(encode(x)) == x — the sink format is a
