@@ -1074,6 +1074,35 @@ object LlmQueries {
         |FROM b GROUP BY 1, 2, 3""".stripMargin)
     )),
 
+    // Boilerplate share: the per-mille of a document's distinct shingles
+    // that also appear in at least one OTHER document — high values mean
+    // template/boilerplate text even when no pair clears the near-dup
+    // threshold. Inverted shingle index + document-frequency aggregate;
+    // the integer per-mille keeps the result hash-exact.
+    "text_boilerplate" -> ((
+      (s: SparkSession, dir: String) => {
+        val sh = docs(s, dir)
+          .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = sh.groupBy("sv").agg(countDistinct("doc_id").as("df"))
+        sh.join(df, "sv")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("df") > 1, 1L).otherwise(0L)).as("shared"))
+          .select(col("doc_id"), col("n_sh").cast("long").as("n_sh"),
+            expr("CAST(shared * 1000 AS BIGINT) div n_sh").as("shared_per_mille"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |df AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s),
+        |per AS (SELECT sh.doc_id, count(*) AS n_sh,
+        |          sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS shared
+        |        FROM sh JOIN df ON sh.s = df.s GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+        |  CAST(shared AS BIGINT) * 1000 // n_sh AS shared_per_mille FROM per""".stripMargin)
+    )),
+
     // Unigram-LM quality score: each doc's token-count and summed log
     // probability under the corpus's own unigram distribution — the
     // classic cheap perplexity proxy for filtering boilerplate/outlier
