@@ -1074,6 +1074,176 @@ object AnalyticsQueries {
         |  CASE WHEN value * 50 - o_totalprice <= 500.0 THEN o_totalprice END AS matched_price
         |FROM events ASOF LEFT JOIN orders
         |  ON user_id = o_custkey AND o_totalprice <= value * 50""".stripMargin)
+    )),
+
+    // TPC-H Q6 shape: tight range predicates + one global sum. The whole
+    // filter reaches the parquet scan as PushedFilters; at 100 TB this is
+    // the query partition pruning + min/max row-group skipping was made for.
+    "q6_forecast_revenue" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01") &&
+            col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin)
+    )),
+
+    // TPC-H Q14 shape: promo revenue share — fact×dim join with a
+    // conditional aggregate. `part` is a fixed-size dimension → broadcast.
+    "q14_promo_share" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
+        val promo = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type")))
+        li.join(promo, col("l_partkey") === col("p_partkey"))
+          .agg(round(
+            sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0))) * 100.0 /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"))
+      },
+      Some("""SELECT round(
+        |  100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'""".stripMargin)
+    )),
+
+    // TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    // predicates across the join. Catalyst extracts the common `p_partkey`
+    // equi-key and pushes the OR-of-ANDs as a join residual; each side of
+    // the OR still prunes its own scan columns.
+    "q19_brand_revenue" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+        val p = broadcast(t(s, dir, "part"))
+        li.join(p, col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#22" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#33" && col("p_size").between(1, 5) && col("l_quantity").between(20, 30))))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+    )),
+
+    // TPC-H Q4 shape: EXISTS with a non-equi correlation (a lineitem
+    // shipped >60 days after the order date) → left-semi hash join on the
+    // order key with the date comparison as the join residual.
+    "q4_priority_count" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin)
+    )),
+
+    // Statistical aggregates: Pearson correlation, sample covariance/
+    // stddev/variance per group — one partial-then-final hash aggregate,
+    // every moment mergeable across partitions.
+    "q_corr_stats" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(
+            round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price_corr"),
+            round(covar_samp("l_quantity", "l_extendedprice"), 2).as("qty_price_covar"),
+            round(stddev_samp("l_extendedprice"), 2).as("price_stddev"),
+            round(var_samp("l_quantity"), 4).as("qty_var")),
+      Some("""SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(var_samp(l_quantity), 4) AS qty_var
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    )),
+
+    // max_by/min_by: which order carries each priority's extreme price.
+    // Ties on o_totalprice exist in the fixture, so the ordering value is
+    // the (price, orderkey) struct — lexicographic comparison makes the
+    // winner deterministic on both engines.
+    "q_minmax_by" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders").groupBy("o_orderpriority")
+          .agg(
+            max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("priciest_order"),
+            min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order")),
+      Some("""WITH r AS (SELECT o_orderpriority, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order
+        |FROM r GROUP BY 1""".stripMargin)
+    )),
+
+    // Data-quality profile: per-column row/null/distinct counts in ONE
+    // pass (a single partial-then-final aggregate computes every column's
+    // moments, then `stack` unpivots to the report shape) — profiling a
+    // 100 TB table costs one scan, not one scan per column.
+    "dq_profile" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("o_orderkey")).as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
+            count(col("o_custkey")).as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
+            count(col("o_orderstatus")).as("nn3"), countDistinct(col("o_orderstatus")).as("nd3"),
+            count(col("o_totalprice")).as("nn4"), countDistinct(col("o_totalprice")).as("nd4"),
+            count(col("o_orderdate")).as("nn5"), countDistinct(col("o_orderdate")).as("nd5"),
+            count(col("o_orderpriority")).as("nn6"), countDistinct(col("o_orderpriority")).as("nd6"))
+          .select(expr("""stack(6,
+            'o_orderkey', n, n - nn1, nd1,
+            'o_custkey', n, n - nn2, nd2,
+            'o_orderstatus', n, n - nn3, nd3,
+            'o_totalprice', n, n - nn4, nd4,
+            'o_orderdate', n, n - nn5, nd5,
+            'o_orderpriority', n, n - nn6, nd6) AS (col_name, n_rows, n_null, n_distinct)""")),
+      Some("""SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        |UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice) FROM orders
+        |UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders""".stripMargin)
+    )),
+
+    // Per-key EWMA (α=0.5) as a linear fold over each user's event
+    // sequence — the batch form of streaming exponential smoothing. State
+    // per key is one double; the oracle cross-checks via the closed-form
+    // weighted sum, so the fold's recurrence is verified algebraically.
+    "q_ewma" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+          .select(col("user_id"),
+            round(aggregate(col("seq"), lit(Double.NaN),
+              (acc, x) => when(isnan(acc), x("value"))
+                .otherwise(acc * 0.5 + x("value") * 0.5)), 6).as("ewma")),
+      Some("""WITH o AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, round(sum(
+        |  CASE WHEN rn = 1 THEN power(0.5, n - 1) * value
+        |       ELSE power(0.5, n - rn + 1) * value END), 6) AS ewma
+        |FROM o GROUP BY user_id""".stripMargin)
     ))
   )
 }
