@@ -254,6 +254,35 @@ object Dedup {
     batch.join(matched, Seq("doc_id"), "left_anti")
   }
 
+  /** Blocked edit-distance near-dup pairs — the entity-resolution
+    * formulation: candidate pairs come from an equi-join on a cheap
+    * blocking key (source + length bucket), and only those pairs pay the
+    * Levenshtein DP. The distance runs on a bounded prefix with an
+    * early-exit threshold (Spark's 3-arg `levenshtein` is banded
+    * O(len·maxDist), returning -1 past the bound), so per-pair cost is
+    * capped regardless of document size.
+    *
+    * At scale: the blocking join is an ordinary shuffle equi-join on
+    * (source, bucket) — pair count is Σ block², controlled by the bucket
+    * width, never corpus². Pairs straddling a bucket boundary are missed
+    * by design (the declared blocking contract); run a second pass with
+    * buckets offset by half a width when boundary recall matters, or use
+    * [[minhashLshPairs]] when blocking keys aren't available.
+    */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 160, maxDist: Int = 90,
+                        bucketChars: Int = 50): DataFrame = {
+    val b = docs.select(col("doc_id"), col("source"),
+      expr(s"n_chars div $bucketChars").as("len_bucket"),
+      substring(col("text"), 1, prefixLen).as("prefix"))
+    b.as("a").join(b.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.len_bucket") === col("b.len_bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** The dedup *filter*: keep one representative per near-duplicate
     * cluster — the operation a training pipeline actually applies after
     * pair detection. Greedy by id: a document survives unless it is the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -1224,6 +1224,62 @@ object LlmQueries {
         |  CAST(floor(1000 * sqrt(tokens)) AS BIGINT) AS sv FROM per),
         |tot AS (SELECT CAST(sum(sv) AS BIGINT) AS t FROM s)
         |SELECT source, tokens, sv * 1000000 // t AS weight_x1e6 FROM s, tot""".stripMargin)
+    )),
+
+    // Blocked edit-distance near-dup pairs: candidates from an equi-join on
+    // (source, length-bucket), then a threshold-banded Levenshtein on a
+    // 160-char prefix — the entity-resolution dedup modality (char-level
+    // edits, where shingle Jaccard sees token-level overlap).
+    "dedup_edit_distance" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.editDistancePairs(docs(s, dir), prefixLen = 160, maxDist = 90, bucketChars = 50),
+      Some("""WITH b AS (SELECT doc_id, source, n_chars // 50 AS lb,
+        |  substr(text, 1, 160) AS p FROM documents)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |  CAST(levenshtein(a.p, c.p) AS BIGINT) AS dist
+        |FROM b a JOIN b c ON a.source = c.source AND a.lb = c.lb AND a.doc_id < c.doc_id
+        |WHERE levenshtein(a.p, c.p) <= 90""".stripMargin)
+    )),
+
+    // PageRank (3 unrolled power iterations, d=0.85) over the exact-Jaccard
+    // near-dup graph — scores the "hubs" of a duplication cluster, the
+    // signal for picking the canonical document instead of min-id. Fixed
+    // iteration count keeps it deterministic; the oracle replays the same
+    // three join+aggregate rounds as SQL CTEs.
+    "graph_pagerank" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.pageRank(Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+          .select(col("doc_a"), col("doc_b")), iters = 3, damping = 0.85),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |nodes AS (SELECT DISTINCT src AS v FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY 1),
+        |p0 AS (SELECT v, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS v, sum(p0.pr / deg.dg) AS w
+        |  FROM e JOIN p0 ON p0.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+        |p1 AS (SELECT nodes.v, 0.15 / nn.n + 0.85 * coalesce(c1.w, 0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.v = nodes.v),
+        |c2 AS (SELECT e.dst AS v, sum(p1.pr / deg.dg) AS w
+        |  FROM e JOIN p1 ON p1.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+        |p2 AS (SELECT nodes.v, 0.15 / nn.n + 0.85 * coalesce(c2.w, 0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.v = nodes.v),
+        |c3 AS (SELECT e.dst AS v, sum(p2.pr / deg.dg) AS w
+        |  FROM e JOIN p2 ON p2.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+        |p3 AS (SELECT nodes.v, 0.15 / nn.n + 0.85 * coalesce(c3.w, 0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.v = nodes.v)
+        |SELECT v AS doc_id, round(pr, 8) AS rank FROM p3""".stripMargin)
     ))
   )
 }
