@@ -269,8 +269,8 @@ object Dedup {
     * buckets offset by half a width when boundary recall matters, or use
     * [[minhashLshPairs]] when blocking keys aren't available.
     */
-  def editDistancePairs(docs: DataFrame, prefixLen: Int = 160, maxDist: Int = 90,
-                        bucketChars: Int = 50): DataFrame = {
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 100, maxDist: Int = 55,
+                        bucketChars: Int = 25): DataFrame = {
     val b = docs.select(col("doc_id"), col("source"),
       expr(s"n_chars div $bucketChars").as("len_bucket"),
       substring(col("text"), 1, prefixLen).as("prefix"))

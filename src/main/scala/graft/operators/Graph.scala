@@ -36,24 +36,23 @@ object Graph {
     // the rank column needs 1/n and (1-d)/n as plan-side values
     val nodes = edges.select(col("src").as("doc_id")).distinct().persist(lvl)
     val n = nodes.agg(count(lit(1)).as("n"))
+    // a FIXED iteration count needs no per-round materialization (nothing
+    // to inspect between rounds, unlike the CC fixpoint's convergence
+    // test): the `iters` rounds chain into ONE lazy plan and a single
+    // action evaluates them, reusing the persisted edges/nodes relations
+    // at each round instead of paying a job + persist per iteration.
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("rank"))
-      .persist(lvl)
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks, edges("src") === ranks("doc_id"))
         .join(deg, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("rank") / col("deg")).as("w"))
-      val next = nodes.crossJoin(broadcast(n))
+      ranks = nodes.crossJoin(broadcast(n))
         .join(contrib, nodes("doc_id") === contrib("dst"), "left")
         .select(nodes("doc_id"),
           ((lit(1.0) - damping) / col("n") + lit(damping) * coalesce(col("w"), lit(0.0))).as("rank"))
-        .persist(lvl)
-      next.count() // materialize before dropping the parent
-      ranks.unpersist()
-      ranks = next
     }
-    edges.unpersist()
     ranks.select(col("doc_id"), round(col("rank"), 8).as("rank"))
   }
 }

@@ -1232,13 +1232,13 @@ object LlmQueries {
     // edits, where shingle Jaccard sees token-level overlap).
     "dedup_edit_distance" -> ((
       (s: SparkSession, dir: String) =>
-        Dedup.editDistancePairs(docs(s, dir), prefixLen = 160, maxDist = 90, bucketChars = 50),
-      Some("""WITH b AS (SELECT doc_id, source, n_chars // 50 AS lb,
-        |  substr(text, 1, 160) AS p FROM documents)
+        Dedup.editDistancePairs(docs(s, dir), prefixLen = 100, maxDist = 55, bucketChars = 25),
+      Some("""WITH b AS (SELECT doc_id, source, n_chars // 25 AS lb,
+        |  substr(text, 1, 100) AS p FROM documents)
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
         |  CAST(levenshtein(a.p, c.p) AS BIGINT) AS dist
         |FROM b a JOIN b c ON a.source = c.source AND a.lb = c.lb AND a.doc_id < c.doc_id
-        |WHERE levenshtein(a.p, c.p) <= 90""".stripMargin)
+        |WHERE levenshtein(a.p, c.p) <= 55""".stripMargin)
     )),
 
     // PageRank (3 unrolled power iterations, d=0.85) over the exact-Jaccard

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** LLM-pipeline operators: approximate methods cross-validated against their
@@ -319,5 +319,37 @@ class DedupSpec extends SparkSpec {
     val out = TextAnalysis.languageId(docs)
     assert(out.filter(col("predicted_lang").isNull).count() == 0)
     assert(out.count() == docs.count())
+  }
+
+  test("edit-distance pairs respect the threshold and blocking contract") {
+    val d = Seq(
+      (1L, "srcA", "hello world this is a document", 31L),
+      (2L, "srcA", "hello world this is a documenx", 31L), // 1 edit from doc 1
+      (3L, "srcB", "hello world this is a document", 31L), // other source: blocked out
+      (4L, "srcA", "completely different text here!", 31L) // same block, far away
+    ).toDF("doc_id", "source", "text", "n_chars")
+    val pairs = Dedup.editDistancePairs(d, prefixLen = 100, maxDist = 5, bucketChars = 25)
+      .select("doc_a", "doc_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1L)))
+  }
+
+  test("edit-distance pair frame feeds the greedy dedup filter") {
+    val pairs = Dedup.editDistancePairs(docs)
+    val kept = Dedup.dropNearDuplicates(docs, pairs)
+    assert(kept.count() <= docs.count())
+    // survivors contain no doc that is the higher-id member of a pair
+    val dropped = pairs.select(col("doc_b").as("doc_id")).distinct()
+    assert(kept.join(dropped, Seq("doc_id")).count() == 0)
+  }
+
+  test("pageRank conserves total mass and ranks clique centers above leaves") {
+    // path graph 1-2-3 plus isolated pair 4-5: center 2 outranks leaves
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val pr = Graph.pageRank(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 5)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass not conserved: $pr")
+    assert(pr(2L) > pr(1L) && pr(2L) > pr(3L), s"center should outrank leaves: $pr")
+    assert(math.abs(pr(4L) - pr(5L)) < 1e-9, s"symmetric pair should tie: $pr")
   }
 }
