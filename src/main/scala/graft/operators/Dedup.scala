@@ -300,10 +300,22 @@ object Dedup {
     * graph by iterative min-label propagation (the DataFrame form of
     * large-star; no GraphX/RDDs — each round is a join + min-aggregate that
     * Catalyst plans like any other query). Near-dup graphs have tiny
-    * diameter, so rounds ≈ 3-5; each round persists its labels and drops
-    * the previous to keep lineage flat. The driver-side loop is the
-    * irreducible part of any iterative fixpoint (GraphX pays the same);
-    * everything per-round is distributed.
+    * diameter, so rounds ≈ 3-5. The driver-side loop is the irreducible
+    * part of any iterative fixpoint (GraphX pays the same); everything
+    * per-round is distributed.
+    *
+    * Each round CHECKPOINTS its labels rather than merely persisting them:
+    * a round's logical plan embeds two copies of the previous round's
+    * (once through the neighbor aggregate, once through the left join), so
+    * with persist alone the plan doubles per round and by round 5 every
+    * subsequent action re-analyzes 2⁵ copies of the upstream pair pipeline
+    * — driver-side optimizer cost was the dominant term, not execution.
+    * `localCheckpoint` truncates the lineage to the materialized blocks
+    * (the same fix GraphFrames ships for its CC loop). Local checkpoints
+    * trade fault-tolerance for speed — an executor loss mid-query forces a
+    * rerun — which is the right trade inside one query; jobs needing
+    * cross-query restartability should write labels to a table between
+    * rounds instead.
     *
     * Returns (doc_id, cluster_id) for every document incident to a pair,
     * cluster_id = min doc_id of its component.
@@ -319,7 +331,7 @@ object Dedup {
       .persist(lvl)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(false).as("moved"))
-      .persist(lvl)
+      .localCheckpoint(eager = true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -330,9 +342,8 @@ object Dedup {
         .select(labels("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("moved"))
-        .persist(lvl)
-      changed = next.filter(col("moved")).count() // also materializes `next`
-      labels.unpersist()
+        .localCheckpoint(eager = true) // materializes AND truncates lineage
+      changed = next.filter(col("moved")).count()
       labels = next
       i += 1
     }

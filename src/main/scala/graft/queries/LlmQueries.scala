@@ -1280,6 +1280,49 @@ object LlmQueries {
         |p3 AS (SELECT nodes.v, 0.15 / nn.n + 0.85 * coalesce(c3.w, 0) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.v = nodes.v)
         |SELECT v AS doc_id, round(pr, 8) AS rank FROM p3""".stripMargin)
+    )),
+
+    // Entity resolution end-to-end: blocking → edit-distance pairs →
+    // transitive closure → one golden record per entity (singletons
+    // included via the left join). The survivorship rules are aggregates
+    // over the cluster (min-id representative, longest member by
+    // deterministic (n_chars, doc_id) order, member count, total chars) —
+    // the whole workflow is three of this library's operators composed,
+    // and the oracle replays it with the recursive-CTE fixpoint.
+    "er_golden_record" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val cc = Dedup.connectedComponents(
+          Dedup.editDistancePairs(d).select(col("doc_a"), col("doc_b")))
+        d.join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .groupBy("cluster_id")
+          .agg(
+            count(lit(1)).as("n_members"),
+            min("doc_id").as("rep_doc_id"),
+            max_by(col("doc_id"), struct(col("n_chars"), col("doc_id"))).as("longest_doc"),
+            sum("n_chars").as("total_chars"))
+      },
+      Some("""WITH RECURSIVE b AS (SELECT doc_id, source, n_chars // 25 AS lb,
+        |  substr(text, 1, 100) AS p FROM documents),
+        |ep AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |  FROM b a JOIN b c ON a.source = c.source AND a.lb = c.lb AND a.doc_id < c.doc_id
+        |  WHERE levenshtein(a.p, c.p) <= 55),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM ep UNION SELECT doc_b, doc_a FROM ep),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, d.n_chars, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        |rk AS (SELECT *, row_number() OVER (
+        |  PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id DESC) AS r FROM lab)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  min(doc_id) AS rep_doc_id,
+        |  max(CASE WHEN r = 1 THEN doc_id END) AS longest_doc,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM rk GROUP BY 1""".stripMargin)
     ))
   )
 }
