@@ -200,4 +200,36 @@ object StreamOps {
           closed.reverseIterator
       }
   }
+
+  final case class EwmaState(lastTsMs: Long, ewma: Double, n: Long)
+  final case class EwmaRow(user_id: Long, ewma: Double, n: Long)
+
+  /** Per-key exponential smoothing as streaming state: one double per key,
+    * updated by the same `e ← (1-α)e + αx` fold the batch `q_ewma` catalog
+    * entry runs — StreamingSpec asserts stream and batch agree on the same
+    * data. Emits the refreshed EWMA for every key touched by a micro-batch
+    * (Update mode). State is O(1) per key and never grows with events;
+    * within a batch rows fold in event-time order so replays are
+    * deterministic. Late rows older than the key's last-seen timestamp are
+    * dropped (they would silently reorder the recurrence); a watermark on
+    * the caller's side bounds how late that can happen.
+    */
+  def ewmaPerKey(events: Dataset[SessionEvent], alpha: Double): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Double.NaN, 0L))
+          rows.toSeq.sortBy(_.ts_ms).foreach { ev =>
+            if (ev.ts_ms >= st.lastTsMs) {
+              val e = if (st.n == 0L) ev.value
+                      else (1 - alpha) * st.ewma + alpha * ev.value
+              st = EwmaState(ev.ts_ms, e, st.n + 1)
+            }
+          }
+          state.update(st)
+          EwmaRow(user, st.ewma, st.n)
+      }
+  }
 }

@@ -214,6 +214,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA state matches the batch fold across micro-batch boundaries") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.SessionEvent
+    val input = MemoryStream[SessionEvent](spark)
+    val ewma = StreamOps.ewmaPerKey(input.toDS(), alpha = 0.5)
+    val q = ewma.writeStream.format("memory").queryName("graft_ewma")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // values arrive split across micro-batches and out of order WITHIN one
+      input.addData(SessionEvent(1L, 1000L, 8.0), SessionEvent(1L, 3000L, 4.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1L, 4000L, 2.0), SessionEvent(2L, 1000L, 10.0))
+      q.processAllAvailable()
+      def latest(): Map[Long, (Double, Long)] = spark.table("graft_ewma")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1).map { case (u, rows) =>
+          val best = rows.maxBy(_._3); u -> (best._2, best._3)
+        }
+      // user 1: ((8*.5+4*.5)=6)*.5 + 2*.5 = 4.0 over 3 events; user 2: init 10.0
+      val last = latest()
+      assert(last(1L) == ((4.0, 3L)), s"got $last")
+      assert(last(2L) == ((10.0, 1L)), s"got $last")
+      // stale row (older than last-seen ts) is dropped, state unchanged
+      input.addData(SessionEvent(1L, 2000L, 100.0))
+      q.processAllAvailable()
+      val after = latest()
+      assert(after(1L) == ((4.0, 3L)), s"got $after")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs records within the time bound") {
     import graft.streaming.StreamOps
     val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
