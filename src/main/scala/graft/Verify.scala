@@ -5,14 +5,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query names — run (and emit
+    // oracles for) just that subset; used by tools/check.py for fast
+    // iteration on new entries
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def selected[A](m: Map[String, A]): Map[String, A] =
+      only.fold(m)(f => m.view.filterKeys(f).toMap)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the production session config — so the oracle gate checks the same
     // plans (AQE, injected strategy, native functions) users and Bench run
     val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected(SparkEntry.queries).foreach { case (name, fn) =>
       // the dedup/CC operators persist shingle/fingerprint relations they
       // can't unpersist before their lazy result materializes; without this
       // the ~70-query gate accumulates dead cached relations (Bench clears
@@ -36,11 +43,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected(SparkEntry.queries).keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

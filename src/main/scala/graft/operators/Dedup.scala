@@ -103,6 +103,45 @@ object Dedup {
         col("ca.n_sh").as("n_sh_a"), col("cb.n_sh").as("n_sh_b"))
   }
 
+  /** Asymmetric near-dup detection: shingle CONTAINMENT |A∩B| / |A|
+    * instead of Jaccard — the signal Jaccard misses when a small document
+    * is wholly quoted inside a much larger one (|A∩B|/|A∪B| stays low
+    * because the union is dominated by the big doc). This is the
+    * Broder containment measure, the standard test for "is this document
+    * subsumed by another" in training-data curation.
+    *
+    * Returns DIRECTED pairs (doc_in, doc_of, common, n_sh_in) where
+    * ≥ pct% of doc_in's distinct shingles appear in doc_of — integer
+    * threshold algebra (`common * 100 >= pct * |A|`), no floats, so any
+    * engine agrees exactly. Same inverted-index shape and `maxDf` skew
+    * cap as [[ngramJaccardPairs]]; the only structural difference is the
+    * one-sided denominator and `!=` instead of `<` (containment is not
+    * symmetric).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, pct: Int = 90,
+                       maxDf: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = if (maxDf <= 0) sh else {
+      val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select("h")
+      sh.join(heavy, Seq("h"), "left_anti")
+    }
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_of"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts.as("ca"), col("doc_in") === col("ca.doc_id"))
+      .filter(col("common") * 100 >= lit(pct) * col("ca.n_sh"))
+      .select(col("doc_in"), col("doc_of"), col("common"),
+        col("ca.n_sh").as("n_sh_in"))
+  }
+
   /** Pre-hashed distinct shingles for a document. */
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => xxhash64(s))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -54,5 +54,73 @@ object Graph {
           ((lit(1.0) - damping) / col("n") + lit(damping) * coalesce(col("w"), lit(0.0))).as("rank"))
     }
     ranks.select(col("doc_id"), round(col("rank"), 8).as("rank"))
+  }
+
+  /** Per-vertex triangle counts over an undirected pair graph — the
+    * clustering-structure readout for a near-dup graph (a document inside
+    * a dense triangle cluster is a much stronger dedup candidate than one
+    * on an isolated edge).
+    *
+    * Compact-forward orientation: every edge is directed from its
+    * lower-(degree, id) endpoint to the higher one, wedges are built only
+    * among out-neighbors, and each triangle is found exactly once at its
+    * lowest-rank vertex. Orienting by DEGREE (id only as tie-break) is
+    * what makes this survive scale-up: out-degree is bounded by ~sqrt(2m)
+    * for any graph, so the wedge self-join never explodes on a hub vertex
+    * the way id-ordering would when a low-id vertex happens to be a hub.
+    * The (deg, id) rank is deterministic, so a SQL twin chaining the same
+    * joins agrees exactly.
+    *
+    * Returns (doc_id, triangles) for every vertex in ≥ 1 triangle.
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    // canonical undirected edge set (guard against either input order)
+    val und = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist(lvl)
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient src -> dst by (deg, id) rank; read 3x (two wedge sides +
+    // closing edge), so persist the oriented relation, not the raw pairs
+    def rk(degc: Column, idc: Column) = struct(degc.as("d"), idc.as("v"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+      .select(
+        when(rk(col("dega"), col("a")) < rk(col("degb"), col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(rk(col("dega"), col("a")) < rk(col("degb"), col("b")),
+          rk(col("degb"), col("b"))).otherwise(rk(col("dega"), col("a"))).as("dstrk"))
+      .select(col("src"), col("dstrk").getField("v").as("dst"),
+        col("dstrk").as("dst_rank"))
+      .persist(lvl)
+    // wedges among out-neighbors, ordered by dst rank so each unordered
+    // {v, w} appears once; close with the oriented edge v->w
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst_rank") < col("e2.dst_rank"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .join(oriented.as("e3"),
+        col("v") === col("e3.src") && col("w") === col("e3.dst"))
+      .select("u", "v", "w")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Degree histogram of an undirected pair graph: how many vertices have
+    * each degree — the one-line shape check (heavy-tail vs uniform) that
+    * decides whether the pair-join downstream needs skew handling. Two
+    * hash aggregates, no joins.
+    */
+  def degreeHistogram(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("node_cnt"))
   }
 }

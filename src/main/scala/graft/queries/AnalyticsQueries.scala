@@ -1244,6 +1244,175 @@ object AnalyticsQueries {
         |  CASE WHEN rn = 1 THEN power(0.5, n - 1) * value
         |       ELSE power(0.5, n - rn + 1) * value END), 6) AS ewma
         |FROM o GROUP BY user_id""".stripMargin)
+    )),
+
+    // First-order Markov transition matrix over each user's event-type
+    // sequence: one lead() window + one hash aggregate, with the row
+    // probability as integer per-mille (`1000*cnt div row_total` — exact
+    // on any engine). The sequence-model readout for clickstream data;
+    // at 100 TB both the window and the aggregate partition by user/type
+    // keys and carry only two small string columns.
+    "q_markov_transitions" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("src_type"), col("next_type").as("dst_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("per_mille",
+            expr("cnt * 1000 div sum(cnt) over (partition by src_type)"))
+      },
+      Some("""WITH seq AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |  FROM events),
+        |c AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, cnt,
+        |  cnt * 1000 // sum(cnt) OVER (PARTITION BY src_type) AS per_mille
+        |FROM c""".stripMargin)
+    )),
+
+    // Exact rolling median of each user's last 7 values — the robust
+    // (outlier-immune) smoother `q_ewma` is not. Spark has no median
+    // window function; over a BOUNDED frame the right plan is
+    // collect_list over the frame + sort + middle element: per-row state
+    // is O(frame), independent of partition length, so a 1000x longer
+    // user history costs nothing extra per row.
+    "q_rolling_median" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-6, Window.currentRow)
+        val arr = array_sort(collect_list(col("value")).over(w))
+        val n = size(arr)
+        val mid = ((n + lit(1)) / lit(2)).cast("int")
+        val lo = (n / lit(2)).cast("int")
+        t(s, dir, "events")
+          .select(col("event_id"),
+            round(when(n % 2 === 1, element_at(arr, mid))
+              .otherwise((element_at(arr, lo) + element_at(arr, lo + 1)) / 2.0),
+              6).as("median_7"))
+      },
+      Some("""SELECT event_id,
+        |  round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS median_7
+        |FROM events""".stripMargin)
+    )),
+
+    // Per-type anomaly shortlist: the 3 events most deviant from their
+    // type's mean. Two passes over events (stats aggregate + broadcast
+    // back) and a bounded top-k window — the shape that stays two narrow
+    // shuffles at any scale. The deviation is rounded BEFORE ranking so a
+    // last-ulp difference in the two engines' mean cannot flip an order;
+    // event_id breaks exact ties deterministically.
+    "q_anomaly_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val stats = t(s, dir, "events").groupBy("event_type")
+          .agg(avg("value").as("mu"))
+        val dev = t(s, dir, "events").join(broadcast(stats), "event_type")
+          .withColumn("dev", round(abs(col("value") - col("mu")), 6))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("dev").desc, col("event_id"))
+        dev.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("event_type"), col("rnk").cast("long").as("rnk"),
+            col("event_id"), col("dev"))
+      },
+      Some("""WITH mu AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.event_id,
+        |        round(abs(e.value - mu.mu), 6) AS dev
+        |      FROM events e JOIN mu USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY dev DESC, event_id) AS rnk FROM d)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, dev
+        |FROM r WHERE rnk <= 3""".stripMargin)
+    )),
+
+    // Bloom-filter join pruning (operators/BloomJoin.scala): filter the
+    // orders fact table by high-balance customers WITHOUT shuffling it —
+    // the build side collapses to a ≤ m-row bit-position relation that
+    // broadcasts at any build cardinality, k semi-joins prune the probe
+    // side in place, and only survivors reach the exact join. The verdict
+    // row proves the contract: false_neg = 0 always (bloom property),
+    // false_pos is the small price the m/k sizing buys. DuckDB replays
+    // the same universal-hash positions bit-for-bit.
+    "q_bloom_join" -> ((
+      (s: SparkSession, dir: String) => {
+        import graft.operators.BloomJoin
+        val m = 8192; val k = 3
+        val hot = t(s, dir, "customer").filter(col("c_acctbal") > 7000)
+          .select(col("c_custkey"))
+        val bitsDf = BloomJoin.bits(hot, "c_custkey", m, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val passed = BloomJoin.prune(t(s, dir, "orders"), "o_custkey", bitsDf, m, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truth = passed.join(hot, col("o_custkey") === col("c_custkey"), "left_semi")
+        val falsePos = passed.join(hot, col("o_custkey") === col("c_custkey"), "left_anti")
+        // false negatives: true matches the bloom dropped — 0 by the bloom
+        // property, asserted by construction (truth-minus-passed on the
+        // UNPRUNED orders)
+        val falseNeg = t(s, dir, "orders")
+          .join(hot, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(passed.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        passed.agg(count(lit(1)).as("bloom_pass_cnt")).crossJoin(
+            truth.agg(count(lit(1)).as("true_cnt"),
+              round(sum("o_totalprice"), 2).as("true_revenue")))
+          .crossJoin(falsePos.agg(count(lit(1)).as("false_pos_cnt")))
+          .crossJoin(falseNeg.agg(count(lit(1)).as("false_neg_cnt")))
+      },
+      Some("""WITH hot AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
+        |bits AS (
+        |  SELECT DISTINCT ((a * c_custkey + b) % 2147483647) % 8192 AS bit
+        |  FROM hot, (VALUES (2654435761, 1013904223), (2246822519, 374761393),
+        |                    (3266489917, 2654435769)) AS h(a, b)),
+        |passed AS (
+        |  SELECT o.* FROM orders o
+        |  WHERE ((2654435761 * o_custkey + 1013904223) % 2147483647) % 8192 IN (SELECT bit FROM bits)
+        |    AND ((2246822519 * o_custkey + 374761393) % 2147483647) % 8192 IN (SELECT bit FROM bits)
+        |    AND ((3266489917 * o_custkey + 2654435769) % 2147483647) % 8192 IN (SELECT bit FROM bits)),
+        |truth AS (SELECT * FROM passed WHERE o_custkey IN (SELECT c_custkey FROM hot)),
+        |fpos AS (SELECT * FROM passed WHERE o_custkey NOT IN (SELECT c_custkey FROM hot)),
+        |fneg AS (SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM hot)
+        |         AND o_orderkey NOT IN (SELECT o_orderkey FROM passed))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM passed) AS bloom_pass_cnt,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS true_cnt,
+        |       (SELECT round(sum(o_totalprice), 2) FROM truth) AS true_revenue,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM fpos) AS false_pos_cnt,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM fneg) AS false_neg_cnt""".stripMargin)
+    )),
+
+    // Bucketed co-located join: both sides written bucketed-and-sorted on
+    // the join key, so the sort-merge join runs with NO exchange and NO
+    // sort on either side — the pre-shuffle pattern that turns every
+    // repeated fact-dim join at 100 TB into a scan-side merge. PlanSpec
+    // asserts the exchange-free physical plan; the oracle only checks the
+    // answer equals a plain join.
+    "q_bucketed_join" -> ((
+      (s: SparkSession, dir: String) => {
+        // the in-memory catalog forgets tables between sessions but their
+        // warehouse directories survive — clear both so the CREATE in
+        // saveAsTable never trips over a stale location
+        for (tbl <- Seq("graft_orders_bucketed", "graft_customer_bucketed")) {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tbl)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        t(s, dir, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable("graft_orders_bucketed")
+        t(s, dir, "customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable("graft_customer_bucketed")
+        s.table("graft_orders_bucketed").hint("merge")
+          .join(s.table("graft_customer_bucketed").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("order_cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS order_cnt,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin)
     ))
   )
 }

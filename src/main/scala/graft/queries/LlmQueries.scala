@@ -1323,6 +1323,91 @@ object LlmQueries {
         |  max(CASE WHEN r = 1 THEN doc_id END) AS longest_doc,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM rk GROUP BY 1""".stripMargin)
+    )),
+
+    // Per-vertex triangle counts over the near-dup graph
+    // (Graph.triangleCounts): compact-forward wedge join with degree-
+    // ordered orientation, so out-degree — and hence the wedge self-join
+    // fan-out — is bounded by ~sqrt(2m) even on hub vertices. The oracle
+    // replays the same (deg, id)-ranked joins with SQL row-value
+    // comparisons.
+    "graph_triangles" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.triangleCounts(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b"))),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a AS a, doc_b AS b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |deg AS (SELECT v, count(*) AS dg FROM
+        |  (SELECT a AS v FROM jp UNION ALL SELECT b FROM jp) GROUP BY 1),
+        |o AS (SELECT
+        |  CASE WHEN (da.dg, jp.a) < (db.dg, jp.b) THEN jp.a ELSE jp.b END AS src,
+        |  CASE WHEN (da.dg, jp.a) < (db.dg, jp.b) THEN jp.b ELSE jp.a END AS dst,
+        |  CASE WHEN (da.dg, jp.a) < (db.dg, jp.b) THEN db.dg ELSE da.dg END AS dst_dg
+        |  FROM jp JOIN deg da ON da.v = jp.a JOIN deg db ON db.v = jp.b),
+        |wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS x
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |  AND (e1.dst_dg, e1.dst) < (e2.dst_dg, e2.dst)),
+        |tri AS (SELECT u, v, x FROM wg JOIN o e3 ON e3.src = wg.v AND e3.dst = wg.x)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles FROM
+        |  (SELECT u AS doc_id FROM tri UNION ALL SELECT v FROM tri
+        |   UNION ALL SELECT x FROM tri)
+        |GROUP BY 1""".stripMargin)
+    )),
+
+    // Degree histogram of the near-dup graph (Graph.degreeHistogram) —
+    // the skew diagnostic run before any pair-join composition: a
+    // heavy-tailed histogram says the downstream CC/PageRank joins need
+    // salting, a flat one says they don't.
+    "graph_degrees" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.degreeHistogram(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b"))),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a AS a, doc_b AS b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT a AS v FROM jp UNION ALL SELECT b FROM jp) GROUP BY 1)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS node_cnt FROM deg GROUP BY 1""".stripMargin)
+    )),
+
+    // Asymmetric containment dedup (Dedup.containmentPairs): ≥90% of the
+    // contained document's shingles appear in the container — catches the
+    // small-doc-quoted-in-big-doc case Jaccard's union denominator hides.
+    // Directed pairs; same inverted-index scale shape as the Jaccard
+    // entry.
+    "text_containment" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.containmentPairs(docs(s, dir), n = 3, pct = 90, maxDf = 0),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_of, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_in, doc_of, common, ca.n_sh AS n_sh_in
+        |FROM prs p JOIN cnt ca ON ca.doc_id = p.doc_in
+        |WHERE common * 100 >= 90 * ca.n_sh""".stripMargin)
     ))
   )
 }

@@ -352,4 +352,45 @@ class DedupSpec extends SparkSpec {
     assert(pr(2L) > pr(1L) && pr(2L) > pr(3L), s"center should outrank leaves: $pr")
     assert(math.abs(pr(4L) - pr(5L)) < 1e-9, s"symmetric pair should tie: $pr")
   }
+
+  test("triangleCounts finds each triangle once per incident vertex") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each vertex is in exactly 3;
+    // pendant edge 4-5 adds no triangle; vertex 5 must not appear
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val pairs = (k4 :+ (4L, 5L)).toDF("doc_a", "doc_b")
+    val tc = Graph.triangleCounts(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $tc")
+    // duplicate and reversed input edges must not inflate counts
+    val noisy = (k4 ++ k4.map(_.swap) :+ (4L, 5L)).toDF("doc_a", "doc_b")
+    val tc2 = Graph.triangleCounts(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc2 == tc, s"canonicalization failed: $tc2")
+  }
+
+  test("degreeHistogram matches hand-computed degrees") {
+    // star 1-{2,3,4}: center degree 3, three leaves degree 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val h = Graph.degreeHistogram(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(3L -> 1L, 1L -> 3L), s"got $h")
+  }
+
+  test("containmentPairs is directional: quoted small doc found, not the reverse") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = s"intro words here $small closing words of a much longer document tail"
+    val d = Seq((1L, small), (2L, big), (3L, "unrelated text entirely different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d, n = 3, pct = 90, maxDf = 0)
+      .select("doc_in", "doc_of").as[(Long, Long)].collect().toSet
+    // every shingle of doc 1 appears in doc 2; doc 2 is NOT contained in 1
+    assert(out.contains((1L, 2L)), s"missing containment: $out")
+    assert(!out.contains((2L, 1L)), s"containment must not be symmetric: $out")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $out")
+    // Jaccard at the same threshold misses it: the union denominator is
+    // dominated by the big doc — the reason this operator exists
+    val jac = Dedup.ngramJaccardPairs(d, n = 3, pct = 90, maxDf = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), s"fixture too similar for the contrast: $jac")
+  }
 }
