@@ -33,6 +33,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Matryoshka (MRL-style) truncated-dimension top-k: score on only the
+    * first `dims` coordinates. For embeddings trained with
+    * matryoshka-representation loss the information is front-loaded, so
+    * truncation buys a `dims/full` factor on every byte moved, cached,
+    * and multiplied in the scoring scan — the cheapest ANN speedup there
+    * is because it's pure column algebra (a `slice`), no index build at
+    * all. Cosine on the slices IS the renormalized truncated similarity
+    * (cosine normalizes by the sliced norms). The catalog entry
+    * (`vector_matryoshka`) measures what truncation costs: top-k overlap
+    * vs the full-dimension ranking, per query.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, dims: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        call_function("cosine_sim",
+          slice(col("q.embedding"), 1, dims),
+          slice(col("c.embedding"), 1, dims)).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** IVF (inverted-file) top-k — the other classic ANN scale path: a
     * KMeans coarse quantizer partitions the corpus into `nCentroids`
     * cells; each query probes its `nProbe` nearest cells and scores

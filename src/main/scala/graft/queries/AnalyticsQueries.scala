@@ -1413,6 +1413,91 @@ object AnalyticsQueries {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin)
+    )),
+
+    // First-touch attribution: for every user who converted ('purchase'),
+    // which event type started their journey, and how many touches came
+    // strictly before the first purchase. One aggregate per side over a
+    // (ts, event_id)-ordered struct comparison — no self-join, no window
+    // over the full event log; at 100 TB both aggregates partition by
+    // user_id and carry three small columns.
+    "q_attribution" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        val firstPurchase = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(min(struct(col("ts"), col("event_id"))).as("p"))
+        ev.join(firstPurchase, "user_id")
+          .groupBy("user_id")
+          .agg(
+            min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_touch"),
+            min(struct(col("ts"), col("event_id"))).as("f"),
+            min(col("p")).as("pp"),
+            sum(when(struct(col("ts"), col("event_id")) < col("p"), lit(1L))
+              .otherwise(lit(0L))).as("touches_before"))
+          .select(col("user_id"), col("first_touch"),
+            col("f").getField("event_id").as("first_event"),
+            col("pp").getField("event_id").as("purchase_event"),
+            col("touches_before"))
+      },
+      Some("""WITH p AS (
+        |  SELECT user_id, event_id AS purchase_event, ts AS pts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |fp AS (SELECT user_id, purchase_event, pts FROM p WHERE rn = 1),
+        |f AS (
+        |  SELECT user_id, event_type AS first_touch, event_id AS first_event,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ff AS (SELECT user_id, first_touch, first_event FROM f WHERE rn = 1),
+        |cb AS (
+        |  SELECT e.user_id, CAST(sum(CASE WHEN (e.ts, e.event_id) < (fp.pts, fp.purchase_event)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS touches_before
+        |  FROM events e JOIN fp USING (user_id) GROUP BY 1)
+        |SELECT fp.user_id, ff.first_touch, ff.first_event, fp.purchase_event,
+        |  cb.touches_before
+        |FROM fp JOIN ff USING (user_id) JOIN cb USING (user_id)""".stripMargin)
+    )),
+
+    // Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+    // merged per event type — the two-level pattern that makes distinct
+    // counting reusable at 100 TB (daily sketches persist once, any
+    // rollup window is a cheap union of kilobyte sketches instead of a
+    // re-scan). The embedded exact twin turns the estimate into an
+    // oracle-checkable verdict: within ±5% or the row goes red.
+    "q_hll_merge" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        exact.join(merged, "event_type")
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("est") - col("exact_users")) * 20 <= col("exact_users"))
+              .as("est_within_5pct"))
+      },
+      Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS est_within_5pct
+        |FROM events GROUP BY 1""".stripMargin)
+    )),
+
+    // cume_dist window breadth: what fraction of same-priority orders are
+    // at or below this price. Tie semantics (all rows of an equal value
+    // share the proportion counting every one of them) are part of the
+    // contract and exactly comparable as a rational rounded late.
+    "q_cume_dist" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(cume_dist().over(w), 6).as("price_cume"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS price_cume
+        |FROM orders""".stripMargin)
     ))
   )
 }

@@ -1408,6 +1408,44 @@ object LlmQueries {
         |SELECT doc_in, doc_of, common, ca.n_sh AS n_sh_in
         |FROM prs p JOIN cnt ca ON ca.doc_id = p.doc_in
         |WHERE common * 100 >= 90 * ca.n_sh""".stripMargin)
+    )),
+
+    // Matryoshka truncation quality readout (Similarity.matryoshkaTopK):
+    // per query, how many of the full-64-dim top-10 survive when scoring
+    // on the first 32 dims only. The left join keeps zero-overlap queries
+    // visible — a silent dropout would otherwise read as "truncation is
+    // fine". The oracle recomputes both rankings on sliced DOUBLE lists.
+    "vector_matryoshka" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val full = Similarity.bruteForceTopK(e, q, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val trunc = Similarity.matryoshkaTopK(e, q, dims = 32, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val overlap = trunc.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("overlap_at_10"))
+        q.select(col("vec_id").as("query_id"))
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("overlap_at_10"), lit(0L)).as("overlap_at_10"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 8),
+        |fullr AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rnk
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id QUALIFY rnk <= 10),
+        |tr AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v[1:32], e.v[1:32]) DESC, e.vec_id) AS rnk
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id QUALIFY rnk <= 10),
+        |ov AS (SELECT tr.query_id, CAST(count(*) AS BIGINT) AS overlap_at_10
+        |  FROM tr JOIN fullr USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.vec_id AS query_id, coalesce(ov.overlap_at_10, 0) AS overlap_at_10
+        |FROM q LEFT JOIN ov ON ov.query_id = q.vec_id""".stripMargin)
     ))
   )
 }

@@ -376,6 +376,20 @@ class DedupSpec extends SparkSpec {
     assert(h == Map(3L -> 1L, 1L -> 3L), s"got $h")
   }
 
+  test("matryoshkaTopK at full width equals bruteForceTopK; truncation stays ranked") {
+    val q = emb.filter(col("vec_id") < 4)
+    val full = Similarity.bruteForceTopK(emb, q, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val same = Similarity.matryoshkaTopK(emb, q, dims = 64, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(same == full, "dims=64 must reproduce the full ranking exactly")
+    val half = Similarity.matryoshkaTopK(emb, q, dims = 32, k = 5)
+    // every query answered with exactly k ranked rows 1..k
+    val byQ = half.as[(Long, Long, Int)].collect().groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.values.foreach(rs => assert(rs.map(_._3).sorted.toSeq == (1 to 5)))
+  }
+
   test("containmentPairs is directional: quoted small doc found, not the reverse") {
     val small = "alpha beta gamma delta epsilon"
     val big = s"intro words here $small closing words of a much longer document tail"
