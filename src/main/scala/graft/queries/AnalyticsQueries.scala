@@ -1498,6 +1498,35 @@ object AnalyticsQueries {
       Some("""SELECT o_orderkey, o_orderpriority,
         |  round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS price_cume
         |FROM orders""".stripMargin)
+    )),
+
+    // Gaps-and-islands: maximal runs of the same event type per user
+    // (how long do users stay in one activity mode). The classic
+    // two-row_number difference groups a run under one (type, rn-rn_type)
+    // key — two windows over the same (user, ts, id) sort order, which
+    // Spark plans as ONE shuffle+sort pass, then a hash aggregate.
+    "q_gap_islands" -> ((
+      (s: SparkSession, dir: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val byType = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("grp",
+            row_number().over(byUser) - row_number().over(byType))
+          .groupBy("user_id", "event_type", "grp")
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy("event_type", "run_len")
+          .agg(count(lit(1)).as("n_runs"))
+      },
+      Some("""WITH r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) -
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp,
+        |    user_id
+        |  FROM events),
+        |runs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS run_len
+        |  FROM r GROUP BY user_id, event_type, grp)
+        |SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
+        |FROM runs GROUP BY 1, 2""".stripMargin)
     ))
   )
 }

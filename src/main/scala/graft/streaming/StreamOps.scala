@@ -232,4 +232,72 @@ object StreamOps {
           EwmaRow(user, st.ewma, st.n)
       }
   }
+
+  final case class TypedEvent(user_id: Long, ts_ms: Long, event_id: Long, event_type: String)
+  final case class TransState(lastTsMs: Long, lastEventId: Long, lastType: String)
+  final case class Transition(user_id: Long, src_type: String, dst_type: String)
+
+  /** Streaming first-order transitions: the event-sequence bigrams the
+    * batch `q_markov_transitions` entry computes with a lead() window,
+    * produced incrementally with O(1) state per key (the last event seen).
+    * Emits one Transition row per consecutive pair as it is observed —
+    * the running transition matrix is then a plain streaming count over
+    * this append stream. Within a micro-batch rows fold in
+    * (ts_ms, event_id) order; rows older than the key's last-seen
+    * position are dropped, same late-data contract as [[ewmaPerKey]].
+    * StreamingSpec proves stream and batch agree on the same data split
+    * across micro-batch boundaries.
+    */
+  def transitionsPerKey(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[TransState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer.empty[Transition]
+          rows.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { ev =>
+            if (st == null) {
+              st = TransState(ev.ts_ms, ev.event_id, ev.event_type)
+            } else if (ev.ts_ms > st.lastTsMs ||
+                       (ev.ts_ms == st.lastTsMs && ev.event_id >= st.lastEventId)) {
+              out += Transition(user, st.lastType, ev.event_type)
+              st = TransState(ev.ts_ms, ev.event_id, ev.event_type)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  final case class MomentsState(n: Long, mean: Double, m2: Double)
+  final case class MomentsRow(user_id: Long, n: Long, mean: Double, var_pop: Double)
+
+  /** Per-key running mean/variance via Welford's online update — the
+    * numerically stable O(1)-state form (naive sum-of-squares cancels
+    * catastrophically once mean² ≫ variance). This is the streaming state
+    * behind online anomaly scoring: each emitted row carries the moments
+    * a consumer needs to z-score the next value. Update order within a
+    * batch is value-arrival order after an event-time sort, and Welford
+    * is permutation-dependent only in the last ulps — StreamingSpec
+    * asserts agreement with the batch avg/var_pop to 1e-9.
+    */
+  def momentsPerKey(events: Dataset[SessionEvent]): Dataset[MomentsRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[MomentsState, MomentsRow](GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[MomentsState]) =>
+          var st = state.getOption.getOrElse(MomentsState(0L, 0.0, 0.0))
+          rows.toSeq.sortBy(_.ts_ms).foreach { ev =>
+            val n1 = st.n + 1
+            val d = ev.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = MomentsState(n1, mean1, st.m2 + d * (ev.value - mean1))
+          }
+          state.update(st)
+          MomentsRow(user, st.n, st.mean, if (st.n == 0) 0.0 else st.m2 / st.n)
+      }
+  }
 }

@@ -244,6 +244,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions match the batch lead() bigrams across micro-batches") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.TypedEvent
+    val input = MemoryStream[TypedEvent](spark)
+    val trans = StreamOps.transitionsPerKey(input.toDS())
+    val q = trans.writeStream.format("memory").queryName("graft_trans")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 1's sequence split across batches; batch 1 arrives out of order
+      input.addData(
+        TypedEvent(1L, 2000L, 2L, "click"),
+        TypedEvent(1L, 1000L, 1L, "view"),
+        TypedEvent(2L, 1000L, 3L, "signup"))
+      q.processAllAvailable()
+      input.addData(
+        TypedEvent(1L, 3000L, 4L, "purchase"),
+        TypedEvent(2L, 2000L, 5L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("graft_trans")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      // exactly the lead() bigrams of the full per-user (ts, id) order
+      assert(got == Map(
+        (1L, "view", "click") -> 1, (1L, "click", "purchase") -> 1,
+        (2L, "signup", "click") -> 1), s"got $got")
+      // a late row older than user 1's last-seen position is dropped
+      input.addData(TypedEvent(1L, 1500L, 9L, "error"))
+      q.processAllAvailable()
+      assert(spark.table("graft_trans").count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming Welford moments match batch avg/var_pop across micro-batches") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.SessionEvent
+    val input = MemoryStream[SessionEvent](spark)
+    val mom = StreamOps.momentsPerKey(input.toDS())
+    val q = mom.writeStream.format("memory").queryName("graft_moments")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0)
+      input.addData(vals.take(3).zipWithIndex.map { case (v, i) =>
+        SessionEvent(1L, 1000L * (i + 1), v) }: _*)
+      q.processAllAvailable()
+      input.addData(vals.drop(3).zipWithIndex.map { case (v, i) =>
+        SessionEvent(1L, 1000L * (i + 4), v) }: _*)
+      q.processAllAvailable()
+      val last = spark.table("graft_moments")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .filter(_._1 == 1L).maxBy(_._2)
+      val mean = vals.sum / vals.size
+      val varPop = vals.map(v => (v - mean) * (v - mean)).sum / vals.size
+      assert(last._2 == vals.size)
+      assert(math.abs(last._3 - mean) < 1e-9, s"mean ${last._3} vs $mean")
+      assert(math.abs(last._4 - varPop) < 1e-9, s"var ${last._4} vs $varPop")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs records within the time bound") {
     import graft.streaming.StreamOps
     val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
