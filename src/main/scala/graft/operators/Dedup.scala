@@ -131,11 +131,18 @@ object Dedup {
       sh.join(heavy, Seq("h"), "left_anti")
     }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    pruned.as("a")
+    // common-shingle counts are symmetric: join/aggregate the canonical
+    // a<b half once, then emit both directions — halves the heaviest
+    // stage vs a direct `<>` self-join, which would feed every pair twice
+    val half = pruned.as("a")
       .join(pruned.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_of"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
       .agg(count(lit(1)).as("common"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = half.select(col("x").as("doc_in"), col("y").as("doc_of"), col("common"))
+      .union(half.select(col("y").as("doc_in"), col("x").as("doc_of"), col("common")))
+    directed
       .join(counts.as("ca"), col("doc_in") === col("ca.doc_id"))
       .filter(col("common") * 100 >= lit(pct) * col("ca.n_sh"))
       .select(col("doc_in"), col("doc_of"), col("common"),

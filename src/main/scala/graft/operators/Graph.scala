@@ -115,10 +115,13 @@ object Graph {
     * hash aggregates, no joins.
     */
   def degreeHistogram(pairs: DataFrame): DataFrame = {
+    // both union branches read this — persist, or the upstream pair
+    // generation (typically a shingle self-join) runs twice
     val und = pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("node_cnt"))

@@ -1527,6 +1527,34 @@ object AnalyticsQueries {
         |  FROM r GROUP BY user_id, event_type, grp)
         |SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
         |FROM runs GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // SCD2 interval construction: compress each user's event stream into
+    // validity intervals of their current activity mode — change rows
+    // (lag differs) + lead() for the closing bound, the standard
+    // dimension-versioning build. Open intervals (the user's current
+    // state) carry a null valid_to, exactly as a warehouse dim would.
+    "q_scd2_intervals" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = t(s, dir, "events")
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        changes
+          .withColumn("valid_to_event", lead("event_id", 1).over(wc))
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("valid_from_event"), col("valid_to_event"))
+      },
+      Some("""WITH o AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |ch AS (SELECT user_id, event_type, event_id, ts FROM o
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, event_id AS valid_from_event,
+        |  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_event
+        |FROM ch""".stripMargin)
     ))
   )
 }

@@ -1446,6 +1446,54 @@ object LlmQueries {
         |  FROM tr JOIN fullr USING (query_id, neighbor_id) GROUP BY 1)
         |SELECT q.vec_id AS query_id, coalesce(ov.overlap_at_10, 0) AS overlap_at_10
         |FROM q LEFT JOIN ov ON ov.query_id = q.vec_id""".stripMargin)
+    )),
+
+    // Bigram-LM fluency scoring: per-doc Σ ln p(w2|w1) with conditionals
+    // fit on the corpus itself (every scored bigram is in the counts, so
+    // no smoothing term) — the sequence-aware upgrade of
+    // text_unigram_loglik: token-salad documents score far below fluent
+    // ones even when their unigram mix is identical. Same integer
+    // discipline: one double op per DISTINCT bigram (floored to
+    // millionths), then order-free integer sums. Scale shape: bigram
+    // explode + two hash aggs; the conditional table joins back on the
+    // bigram key and is free to shuffle at web-scale vocabularies.
+    "text_bigram_loglik" -> ((
+      (s: SparkSession, dir: String) => {
+        val bg = docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> length(x) > 0)").as("t"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> " +
+              "named_struct('w1', element_at(t, i), 'bg', " +
+              "concat(element_at(t, i), '|', element_at(t, i + 1))))")).as("x"))
+          .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        // the conditional table keys each distinct bigram by its first
+        // token so c2 and c1 meet on equi-joins (never a prefix test)
+        val cond = bg.select(col("bg"), col("w1")).distinct()
+          .join(c2, "bg").join(c1, "w1")
+          .select(col("bg"),
+            floor(lit(1e6) * log(col("c2").cast("double") / col("c1")))
+              .cast("long").as("lp"))
+        bg.join(cond, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            sum("lp").cast("long").as("sum_logp_x1e6"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d WHERE len(t) >= 2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i] || '|' || t[i+1] AS bg FROM u),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |cond AS (SELECT k.bg,
+        |  CAST(floor(1e6 * ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) AS BIGINT) AS lp
+        |  FROM (SELECT DISTINCT bg, w1 FROM bg) k JOIN c2 USING (bg) JOIN c1 USING (w1))
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(lp) AS BIGINT) AS sum_logp_x1e6
+        |FROM bg JOIN cond USING (bg) GROUP BY bg.doc_id""".stripMargin)
     ))
   )
 }

@@ -300,4 +300,49 @@ object StreamOps {
           MomentsRow(user, st.n, st.mean, if (st.n == 0) 0.0 else st.m2 / st.n)
       }
   }
+
+  final case class KeyedRecord(shard: Int, key: String, payload: String)
+
+  /** Streaming dedup with BOUNDED state: a bloom filter per shard instead
+    * of the exact seen-key set `dropDuplicates` keeps. Exact streaming
+    * dedup state grows with distinct keys forever (or needs a watermark
+    * that forgets); a bloom filter is a fixed `m/8`-byte array per shard
+    * no matter how many keys flow through — the trade every long-running
+    * 100 TB/day dedup makes. Guarantee direction: a key once admitted is
+    * NEVER admitted again (no duplicates downstream); a genuinely new key
+    * can be falsely dropped with probability ~(set_bits/m)^k, sized by
+    * m against expected cardinality. Emits admitted records (Append).
+    * Shard by `hash(key) mod nShards` upstream so state parallelizes and
+    * each filter sees ~1/nShards of the keyspace.
+    */
+  def bloomDedup(records: Dataset[KeyedRecord], mBits: Int = 1 << 16,
+                 k: Int = 3): Dataset[KeyedRecord] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Array[Byte], KeyedRecord](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[KeyedRecord], state: GroupState[Array[Byte]]) =>
+          val bits = state.getOption.getOrElse(new Array[Byte](mBits / 8))
+          def probe(key: String, set: Boolean): Boolean = {
+            var all = true
+            var j = 0
+            while (j < k) {
+              // xxhash-style avalanche over (key, seed) — cheap, stateless
+              var h = scala.util.hashing.MurmurHash3.stringHash(key, j * 0x9e3779b9)
+              h = (h & Int.MaxValue) % mBits
+              val (byte, bit) = (h >> 3, 1 << (h & 7))
+              if ((bits(byte) & bit) == 0) {
+                all = false
+                if (set) bits(byte) = (bits(byte) | bit).toByte
+              }
+              j += 1
+            }
+            all
+          }
+          val out = rows.filter(r => !probe(r.key, set = true)).toList
+          state.update(bits)
+          out.iterator
+      }
+  }
 }

@@ -302,6 +302,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom dedup never re-admits a key and keeps fixed state") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.KeyedRecord
+    val input = MemoryStream[KeyedRecord](spark)
+    val dd = StreamOps.bloomDedup(input.toDS(), mBits = 1 << 12, k = 3)
+    val q = dd.writeStream.format("memory").queryName("graft_bloomdedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        KeyedRecord(0, "a", "p1"), KeyedRecord(0, "b", "p2"),
+        KeyedRecord(0, "a", "p3"), KeyedRecord(1, "a", "p4"))
+      q.processAllAvailable()
+      // duplicate "a" in shard 0 dropped within the batch; shard 1 has its
+      // own filter so its "a" is independent
+      val r1 = spark.table("graft_bloomdedup")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      assert(r1 == Set((0, "a", "p1"), (0, "b", "p2"), (1, "a", "p4")), s"got $r1")
+      // cross-batch: the same keys never re-admit
+      input.addData(KeyedRecord(0, "a", "p5"), KeyedRecord(0, "c", "p6"))
+      q.processAllAvailable()
+      val r2 = spark.table("graft_bloomdedup")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      assert(r2 == r1 + ((0, "c", "p6")), s"got $r2")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs records within the time bound") {
     import graft.streaming.StreamOps
     val clicks = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
