@@ -1555,6 +1555,135 @@ object AnalyticsQueries {
         |SELECT user_id, event_type, event_id AS valid_from_event,
         |  lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_event
         |FROM ch""".stripMargin)
+    )),
+
+    // TPC-H Q7 shape: bilateral trade volume between supplier and
+    // customer nations by ship year. Two broadcast dim joins hang off
+    // the two fact keys; only the final (nation pair, year) aggregate
+    // shuffles — the fact table itself never repartitions.
+    "q7_nation_volume" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("snk"))
+          .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cnk"))
+          .filter(col("supp_nation") < col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("ship_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("volume"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name < cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin)
+    )),
+
+    // TPC-H Q10 shape: revenue lost to returned items per customer —
+    // returnflag filter pushed to the lineitem scan, then one shuffle
+    // join to orders and a broadcast customer/nation lookup; top 20 by
+    // (revenue, custkey) with the bounded-heap top-k idiom.
+    "q10_returned" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
+        rev.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 20)
+          .select(col("rnk").cast("long").as("rnk"), col("c_custkey"),
+            col("c_name"), col("n_name"), col("revenue"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS rnk,
+        |  c_custkey, c_name, n_name, revenue
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |QUALIFY rnk <= 20""".stripMargin)
+    )),
+
+    // TPC-H Q18 shape: large-volume orders (total quantity above a
+    // threshold) — the classic aggregate-then-semi-join; the HAVING
+    // aggregate runs first so the join input is already tiny.
+    "q18_large_orders" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+        val big = li.groupBy("l_orderkey")
+          .agg(round(sum("l_quantity"), 2).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_totalprice"), col("total_qty"))
+      },
+      Some("""WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin)
+    )),
+
+    // CDC upsert (MERGE INTO semantics, batch form): apply a deterministic
+    // update/insert batch to the orders base — latest version per key
+    // wins via one max_by per key, the merge shape that needs no sort and
+    // one shuffle at key cardinality. The batch here is synthesized from
+    // the base (every even order re-priced +1000, plus clones keyed above
+    // the max as inserts) so both engines construct it identically.
+    "q_merge_upsert" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), lit(0L).as("version"))
+        val updates = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), round(col("o_totalprice") + 1000, 2).as("o_totalprice"),
+            lit(1L).as("version"))
+        val inserts = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 1000 === 7)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), lit(1L).as("version"))
+        base.unionByName(updates).unionByName(inserts)
+          .groupBy("o_orderkey")
+          .agg(max_by(col("o_totalprice"), col("version")).as("o_totalprice"),
+            max("version").as("version"))
+          .groupBy("version")
+          .agg(count(lit(1)).as("n_rows"), round(sum("o_totalprice"), 2).as("total"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS version FROM orders),
+        |upd AS (SELECT o_orderkey, round(o_totalprice + 1000, 2) AS o_totalprice, 1 AS version
+        |        FROM orders WHERE o_orderkey % 2 = 0),
+        |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice, 1 AS version
+        |        FROM orders WHERE o_orderkey % 1000 = 7),
+        |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (SELECT o_orderkey, arg_max(o_totalprice, version) AS o_totalprice,
+        |  CAST(max(version) AS BIGINT) AS version FROM all_rows GROUP BY 1)
+        |SELECT version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM merged GROUP BY 1""".stripMargin)
     ))
   )
 }
