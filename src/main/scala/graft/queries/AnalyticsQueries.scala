@@ -1684,6 +1684,39 @@ object AnalyticsQueries {
         |SELECT version, CAST(count(*) AS BIGINT) AS n_rows,
         |  round(sum(o_totalprice), 2) AS total
         |FROM merged GROUP BY 1""".stripMargin)
+    )),
+
+    // Expectation suite (the dq_profile sibling): named data-quality
+    // rules evaluated in ONE pass over the fact table — each rule is a
+    // conditional count inside the same aggregate, so adding a rule adds
+    // zero scans — plus one referential-integrity anti-join. The shape a
+    // pipeline guardrail runs before promoting a batch at 100 TB: cost
+    // is one scan + one broadcast anti-join regardless of rule count.
+    "dq_expectations" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        val rules = o.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_totalprice") <= 0 || col("o_totalprice").isNull, 1L)
+            .otherwise(0L)).as("bad_price"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_date"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+            .otherwise(0L)).as("bad_status"),
+          sum(when(col("o_orderpriority").rlike("^[1-5]-"), 0L)
+            .otherwise(1L)).as("bad_priority"))
+        val orphans = o.join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_custkey"))
+        rules.crossJoin(orphans)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_date,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS bad_priority,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orphan_custkey
+        |FROM orders""".stripMargin)
     ))
   )
 }

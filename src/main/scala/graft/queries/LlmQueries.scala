@@ -1423,10 +1423,12 @@ object LlmQueries {
           .select(col("query_id"), col("neighbor_id"))
         val trunc = Similarity.matryoshkaTopK(e, q, dims = 32, k = 10)
           .select(col("query_id"), col("neighbor_id"))
-        val overlap = trunc.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        // both rankings are (|queries| * k)-row relations — broadcast them
+        // so the overlap check never shuffles
+        val overlap = trunc.join(broadcast(full), Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("overlap_at_10"))
         q.select(col("vec_id").as("query_id"))
-          .join(overlap, Seq("query_id"), "left")
+          .join(broadcast(overlap), Seq("query_id"), "left")
           .select(col("query_id"),
             coalesce(col("overlap_at_10"), lit(0L)).as("overlap_at_10"))
       },

@@ -49,6 +49,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q7 broadcasts all four dimension lookups; the fact join is the only shuffle join") {
+    val plan = planOf("q7_nation_volume")
+    // supplier/customer/nation×2 broadcast; lineitem↔orders may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+      s"dimension joins must broadcast:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("vector_matryoshka never sort-merge-joins its k-row rankings") {
+    val df = graft.queries.LlmQueries.defs("vector_matryoshka")._1(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"top-k overlap relations must broadcast:\n${plan.take(800)}")
+  }
+
+  test("dq_expectations evaluates all rules in a single orders scan + one anti-join") {
+    val df = AnalyticsQueries.defs("dq_expectations")._1(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE roots are leaf nodes, so count scans in the rendered plan: the
+    // path prints once per FileScan (rules pass + RI probe side)
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 2, s"one rules scan + one RI scan expected, got $ordersScans:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastHashJoin"), "RI check must broadcast")
+  }
+
   test("text_chunks is a narrow plan (no shuffle)") {
     val df = graft.queries.LlmQueries.defs("text_chunks")._1(spark, sf0001)
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
