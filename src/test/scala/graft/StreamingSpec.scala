@@ -302,6 +302,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch observe metrics ride the job and reach the tracker") {
+    import graft.streaming.BatchMetrics
+    val tracker = BatchMetrics.track(spark)
+    try {
+      val df = graft.sources.Sources.eventsAsRecords(spark, sf0001)
+      BatchMetrics.withRecordMetrics(df, "graft_test_metrics")
+        .write.format("noop").mode("overwrite").save()
+      // listener delivery is async relative to the action returning
+      val deadline = System.currentTimeMillis + 10000
+      var m = tracker.latest("graft_test_metrics")
+      while (m.isEmpty && System.currentTimeMillis < deadline) {
+        Thread.sleep(50); m = tracker.latest("graft_test_metrics")
+      }
+      assert(m.isDefined, "metrics row not delivered")
+      val row = m.get
+      assert(row.getAs[Long]("record_cnt") == 1000L, s"got $row")
+      assert(row.getAs[Long]("value_bytes") > 0L)
+      assert(row.getAs[Long]("null_keys") == 0L)
+    } finally spark.listenerManager.unregister(tracker)
+  }
+
   test("streaming bloom dedup never re-admits a key and keeps fixed state") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.KeyedRecord
