@@ -52,14 +52,12 @@ object Bench {
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
+        // freshSession() re-runs the same q1_agg + table-touch warmup the
+        // first block got, so every block starts from the SAME floor; the
+        // boundary query is NOT pre-run — that would hand it a uniquely
+        // warm (own-codegen-prepaid) measurement no other query gets
         spark = freshSession()
         sinceRecycle = 0
-        // the first query in a fresh session pays session-scoped codegen/
-        // broadcast setup the global warmup already paid for block one —
-        // run it once untimed so every block starts from the same floor
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        spark.catalog.clearCache()
       }
       sinceRecycle += 1
       // isolate queries: operators persist intermediate relations

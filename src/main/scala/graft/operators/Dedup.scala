@@ -63,26 +63,37 @@ object Dedup {
     * filter (`maxDf`), the standard trick, which also removes useless
     * evidence pairs.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, pct: Int = 80,
-                        maxDf: Int = 1000): DataFrame = {
-    // computed once, read three times (self-join both sides + per-doc
-    // counts): persist instead of recomputing the explode per consumer.
-    // MEMORY_AND_DISK so a 100 TB corpus spills rather than OOMs; ~16 bytes
-    // per (doc, shingle) — a fraction of the text it derives from.
+  /** Shared inverted-index preamble for the shingle-overlap operators:
+    * the exploded (doc_id, shingle-hash) relation (persisted — every
+    * caller reads it at least twice), its `maxDf`-pruned variant, and
+    * per-doc distinct-shingle counts.
+    *
+    * Persisted MEMORY_AND_DISK so a 100 TB corpus spills rather than
+    * OOMs; ~16 bytes per (doc, shingle) — a fraction of the text it
+    * derives from.
+    *
+    * maxDf <= 0 disables document-frequency pruning (exact mode). Heavy
+    * shingles are found with an aggregate (map-side partial counts,
+    * shuffle at distinct-shingle cardinality) and removed with an
+    * anti-join. No broadcast hint: the heavy-key count grows with corpus
+    * size (~total occurrences / maxDf in the worst case), so forcing a
+    * driver collect would be its own scale-killer — AQE broadcasts when
+    * the aggregate output is actually small and shuffles otherwise.
+    * Either way this beats the window count, which would shuffle AND
+    * sort the exploded shingle table (the biggest intermediate in the
+    * pipeline) just to compute document frequency.
+    *
+    * Note the deliberate asymmetry every caller shares: `counts` (the
+    * similarity denominators) come from the UNPRUNED relation, while
+    * pair evidence joins on the pruned one — pruning removes useless
+    * evidence, not set cardinality.
+    */
+  private def shingleIndex(docs: DataFrame, n: Int, maxDf: Int):
+      (DataFrame, DataFrame) = {
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // maxDf <= 0 disables document-frequency pruning (exact mode).
-    // Heavy shingles are found with an aggregate (map-side partial counts,
-    // shuffle at distinct-shingle cardinality) and removed with an
-    // anti-join. No broadcast hint: the heavy-key count grows with corpus
-    // size (~total occurrences / maxDf in the worst case), so forcing a
-    // driver collect would be its own scale-killer — AQE broadcasts when
-    // the aggregate output is actually small and shuffles otherwise.
-    // Either way this beats the window count, which would shuffle AND sort
-    // the exploded shingle table (the biggest intermediate in the
-    // pipeline) just to compute document frequency.
     val pruned = if (maxDf <= 0) sh else {
       val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
@@ -90,6 +101,12 @@ object Dedup {
       sh.join(heavy, Seq("h"), "left_anti")
     }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    (pruned, counts)
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, pct: Int = 80,
+                        maxDf: Int = 1000): DataFrame = {
+    val (pruned, counts) = shingleIndex(docs, n, maxDf)
     val pairs = pruned.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -120,17 +137,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int = 3, pct: Int = 90,
                        maxDf: Int = 1000): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = if (maxDf <= 0) sh else {
-      val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf)
-        .select("h")
-      sh.join(heavy, Seq("h"), "left_anti")
-    }
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val (pruned, counts) = shingleIndex(docs, n, maxDf)
     // common-shingle counts are symmetric: join/aggregate the canonical
     // a<b half once, then emit both directions — halves the heaviest
     // stage vs a direct `<>` self-join, which would feed every pair twice

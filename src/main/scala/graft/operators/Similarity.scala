@@ -20,12 +20,22 @@ object Similarity {
     * at 100 TB the corpus streams through one narrow scoring stage, and
     * only (query, k) rows survive into the per-query top-k window.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    scanScoredTopK(corpus, queries, k,
+      (q, c) => call_function("cosine_sim", q, c))
+
+  /** Shared scan-and-rank pipeline for the exhaustive ANN variants:
+    * broadcast the query set, stream the corpus through one narrow
+    * scoring stage, keep k rows per query with the bounded top-k window.
+    * `score` receives the (query, corpus) embedding columns.
+    */
+  private def scanScoredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                             score: (Column, Column) => Column): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val scored = corpus.as("c")
       .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        call_function("cosine_sim", col("q.embedding"), col("c.embedding")).as("cos"))
+        score(col("q.embedding"), col("c.embedding")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -44,20 +54,9 @@ object Similarity {
     * (`vector_matryoshka`) measures what truncation costs: top-k overlap
     * vs the full-dimension ranking, per query.
     */
-  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, dims: Int, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val scored = corpus.as("c")
-      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        call_function("cosine_sim",
-          slice(col("q.embedding"), 1, dims),
-          slice(col("c.embedding"), 1, dims)).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-  }
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, dims: Int, k: Int): DataFrame =
+    scanScoredTopK(corpus, queries, k,
+      (q, c) => call_function("cosine_sim", slice(q, 1, dims), slice(c, 1, dims)))
 
   /** IVF (inverted-file) top-k — the other classic ANN scale path: a
     * KMeans coarse quantizer partitions the corpus into `nCentroids`

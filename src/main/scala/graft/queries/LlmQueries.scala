@@ -1464,6 +1464,9 @@ object LlmQueries {
         val bg = docs(s, dir)
           .select(col("doc_id"),
             expr("filter(split(text, ' '), x -> length(x) > 0)").as("t"))
+          // sequence(1, size-1) is DESCENDING for size <= 1 and would
+          // evaluate element_at(t, 0) — guard like the oracle's len >= 2
+          .filter(size(col("t")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(t) - 1), i -> " +
               "named_struct('w1', element_at(t, i), 'bg', " +

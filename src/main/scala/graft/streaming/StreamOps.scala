@@ -261,7 +261,9 @@ object StreamOps {
             if (st == null) {
               st = TransState(ev.ts_ms, ev.event_id, ev.event_type)
             } else if (ev.ts_ms > st.lastTsMs ||
-                       (ev.ts_ms == st.lastTsMs && ev.event_id >= st.lastEventId)) {
+                       (ev.ts_ms == st.lastTsMs && ev.event_id > st.lastEventId)) {
+              // strict ordering: an at-least-once replay of the last-seen
+              // event must not emit a spurious self-transition
               out += Transition(user, st.lastType, ev.event_type)
               st = TransState(ev.ts_ms, ev.event_id, ev.event_type)
             }
@@ -317,6 +319,8 @@ object StreamOps {
     */
   def bloomDedup(records: Dataset[KeyedRecord], mBits: Int = 1 << 16,
                  k: Int = 3): Dataset[KeyedRecord] = {
+    require(mBits > 0 && mBits % 8 == 0, s"mBits must be a positive multiple of 8, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
     import records.sparkSession.implicits._
     records
       .groupByKey(_.shard)

@@ -269,8 +269,11 @@ class StreamingSpec extends SparkSpec {
       assert(got == Map(
         (1L, "view", "click") -> 1, (1L, "click", "purchase") -> 1,
         (2L, "signup", "click") -> 1), s"got $got")
-      // a late row older than user 1's last-seen position is dropped
-      input.addData(TypedEvent(1L, 1500L, 9L, "error"))
+      // a late row older than user 1's last-seen position is dropped, and
+      // an at-least-once REPLAY of the exact last event must not emit a
+      // self-transition
+      input.addData(TypedEvent(1L, 1500L, 9L, "error"),
+        TypedEvent(1L, 3000L, 4L, "purchase"))
       q.processAllAvailable()
       assert(spark.table("graft_trans").count() == 3)
     } finally q.stop()
