@@ -131,8 +131,18 @@ object GraftFunctions {
     QuantizeMetaExpr(exprs(0))
   }
 
+  val shingleHashesBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "shingle_hashes expects (text, n)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs(1) match {
+      case Literal(n: Int, IntegerType) => ShingleHashesExpr(exprs(0), n)
+      case _ => throw new IllegalArgumentException("shingle_hashes: n must be an int literal")
+    }
+  }
+
   private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarityExpr], cosineSimBuilder),
+    ("shingle_hashes", classOf[ShingleHashesExpr], shingleHashesBuilder),
     ("minhash_sig", classOf[MinHashSignatureExpr], minhashSigBuilder),
     ("simhash64", classOf[SimHash64Expr], simhash64Builder),
     ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder),

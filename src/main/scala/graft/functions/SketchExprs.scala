@@ -40,6 +40,74 @@ object SketchMath {
     false
   }
 
+  /** One-pass word-n-gram shingle hashing: tokenize on single spaces
+    * (keeping empty tokens, like `split(text, " ")`), hash each token
+    * once with XXH64, chain each n-token window's hashes with
+    * `XXH64.hashLong`, and emit FIRST-OCCURRENCE-ordered distinct window
+    * hashes. This replaces the four-stage column pipeline
+    * (split → zip_with-concat n-grams → array_distinct → per-shingle
+    * xxhash64) that allocated an intermediate string per window; here a
+    * window costs n chained multiplies and no allocation.
+    *
+    * Distinctness is by hash value, not by string — two different windows
+    * collide with probability ~2⁻⁶⁴, the usual sketch-hash contract.
+    * Chaining per-token hashes (not hashing the '|'-joined text) also
+    * removes the delimiter ambiguity a token containing '|' would cause.
+    * Empty text → empty array (TextAnalysis.tokens semantics).
+    */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val bytes = text.getBytes
+    val len = bytes.length
+    if (len == 0) return new GenericArrayData(Array.empty[Long])
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nTok = spaces + 1
+    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    // token k spans [starts(k), ends(k))
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var k = 0
+    starts(0) = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { ends(k) = i; k += 1; starts(k) = i + 1 }
+      i += 1
+    }
+    ends(k) = len
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val tokHash = new Array[Long](nTok)
+    k = 0
+    while (k < nTok) {
+      tokHash(k) = XXH64.hashUnsafeBytes(bytes, off + starts(k), ends(k) - starts(k), 42L)
+      k += 1
+    }
+    val nWin = nTok - n + 1
+    // first-occurrence dedupe via open addressing; 0 handled by a flag
+    var cap = 8
+    while (cap < nWin * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    var seenZero = false
+    val out = new Array[Long](nWin)
+    var m = 0
+    var w = 0
+    while (w < nWin) {
+      var h = 42L
+      var t = w
+      while (t < w + n) { h = XXH64.hashLong(tokHash(t), h); t += 1 }
+      if (h == 0L) {
+        if (!seenZero) { seenZero = true; out(m) = 0L; m += 1 }
+      } else {
+        var slot = (h.toInt & (cap - 1))
+        while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & (cap - 1)
+        if (table(slot) == 0L) { table(slot) = h; out(m) = h; m += 1 }
+      }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   def minhash(hs: ArrayData, numHashes: Int): ArrayData = {
     val n = hs.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -535,5 +603,31 @@ case class QuantizeMetaExpr(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeMetaExpr =
+    copy(child = newChild)
+}
+
+/** shingle_hashes(text: string, n: int-literal) → array<bigint>: distinct
+  * word-n-gram shingle hashes in one codegen'd pass (see
+  * [[SketchMath.shingleHashes]]) — the scan-side kernel under every
+  * shingle-overlap dedup operator. Null text → null.
+  */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("shingle_hashes expects (string, int literal)")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    SketchMath.shingleHashes(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.SketchMath.shingleHashes($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }

@@ -90,9 +90,10 @@ object Dedup {
     */
   private def shingleIndex(docs: DataFrame, n: Int, maxDf: Int):
       (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"), lit(n))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = if (maxDf <= 0) sh else {
       val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
@@ -156,9 +157,14 @@ object Dedup {
         col("ca.n_sh").as("n_sh_in"))
   }
 
-  /** Pre-hashed distinct shingles for a document. */
+  /** Pre-hashed distinct shingles for a document — the native one-pass
+    * kernel (`shingle_hashes`, SketchExprs.scala): tokenize, hash each
+    * token once, chain per window, dedupe; no intermediate n-gram
+    * strings. Callers must have graft functions registered (GraftSession
+    * does; operator entry points re-register defensively).
+    */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    call_function("shingle_hashes", text, lit(n))
 
   /** Passage-level duplication: pairs of documents sharing at least one
     * n-token span (default 16 — long enough that a shared span is copied
@@ -271,9 +277,11 @@ object Dedup {
     * streaming wrapper persists the corpus side once per query, not per
     * micro-batch.
     */
-  def shingleRelation(docs: DataFrame, n: Int = 3): DataFrame =
+  def shingleRelation(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
       .filter(size(col("hs")) > 0)
+  }
 
   def incrementalFilter(corpus: DataFrame, batch: DataFrame,
                         numHashes: Int = 64, bands: Int = 16,

@@ -25,6 +25,30 @@ class DedupSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("native shingle_hashes matches the string pipeline's set semantics") {
+    graft.functions.GraftFunctions.register(spark)
+    // same token sequence → same hash set, regardless of which doc
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z"), (4L, "a b"), (5L, ""))
+      .toDF("doc_id", "text")
+    val hs = d.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(hs(1L) == hs(2L), "identical texts must hash identically")
+    assert(hs(1L).toSet.intersect(hs(3L).toSet).isEmpty, "disjoint texts must not collide")
+    assert(hs(4L).isEmpty && hs(5L).isEmpty, "short/empty docs have no shingles")
+    // cardinality equals the distinct string n-gram count on real text
+    val both = docs.select(
+        size(Dedup.shingleHashes(col("text"), 3)).as("native"),
+        size(Dedup.shingles(col("text"), 3)).as("strings"))
+      .as[(Int, Int)].collect()
+    assert(both.forall { case (a, b) => a == b },
+      s"set cardinality diverged: ${both.find { case (a, b) => a != b }}")
+    // repeated shingles dedupe to first occurrence, like array_distinct
+    val rep = Seq((1L, "a b a b a b a b")).toDF("doc_id", "text")
+      .select(Dedup.shingleHashes(col("text"), 3).as("hs"))
+      .as[Seq[Long]].collect()(0)
+    assert(rep.length == 2 && rep.distinct.length == 2, s"got $rep")
+  }
+
   test("exact dedup groups identical texts and keeps min doc_id") {
     val d = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exact(d).orderBy("doc_id").collect()
