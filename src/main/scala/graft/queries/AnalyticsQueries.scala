@@ -1717,6 +1717,59 @@ object AnalyticsQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders
         |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orphan_custkey
         |FROM orders""".stripMargin)
+    )),
+
+    // Audience overlap matrix: distinct users shared by each ordered pair
+    // of event types — the segment-intersection readout behind "users who
+    // did X also did Y". One distinct projection, one self-join on
+    // user_id (key-partitioned both sides), one count-distinct aggregate;
+    // the |types|² output is tiny at any scale.
+    "q_audience_overlap" -> ((
+      (s: SparkSession, dir: String) => {
+        val tu = t(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+        tu.as("a").join(tu.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("shared_users"))
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS shared_users
+        |FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // Conversion latency: per user who viewed then later purchased, the
+    // delay between first view and first subsequent purchase, summarized
+    // per-mille-robustly (count, mean seconds, max). Two keyed min
+    // aggregates and one join — no windows over the raw log.
+    "q_conversion_latency" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        def firstOf(tpe: String, as: String) =
+          ev.filter(col("event_type") === tpe)
+            .groupBy("user_id").agg(min(col("ts")).as(as))
+        firstOf("view", "first_view")
+          .join(firstOf("purchase", "first_purchase"), "user_id")
+          .filter(col("first_purchase") > col("first_view"))
+          .select(col("user_id"),
+            expr("unix_micros(first_purchase) - unix_micros(first_view)").as("delay_us"))
+          .agg(count(lit(1)).as("converted_users"),
+            (sum("delay_us") / count(lit(1))).cast("long").as("mean_delay_us"),
+            max("delay_us").as("max_delay_us"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT user_id, min(ts) AS first_purchase FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT epoch_us(first_purchase) - epoch_us(first_view) AS delay_us
+        |      FROM v JOIN p USING (user_id) WHERE first_purchase > first_view)
+        |SELECT CAST(count(*) AS BIGINT) AS converted_users,
+        |  CAST(sum(delay_us) // count(*) AS BIGINT) AS mean_delay_us,
+        |  CAST(max(delay_us) AS BIGINT) AS max_delay_us
+        |FROM d""".stripMargin)
     ))
   )
 }
