@@ -1770,6 +1770,77 @@ object AnalyticsQueries {
         |  CAST(sum(delay_us) // count(*) AS BIGINT) AS mean_delay_us,
         |  CAST(max(delay_us) AS BIGINT) AS max_delay_us
         |FROM d""".stripMargin)
+    )),
+
+    // Market-basket affinity: part pairs co-ordered more often than their
+    // independent rates predict (lift > 1). Per-order part sets are
+    // bounded (≤ lines per order), so the intra-order pair explode is
+    // LINEAR in lineitems with a ~k² constant — the association-rule
+    // shape that works at any order count. Lift as integer per-mille:
+    // 1000·N·supp(ab) div (supp(a)·supp(b)), no floats.
+    "q_basket_lift" -> ((
+      (s: SparkSession, dir: String) => {
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nOrders = op.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n"))
+        val supp = op.groupBy("l_partkey").agg(count(lit(1)).as("supp"))
+        val pairs = op.as("a")
+          .join(op.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .filter(col("supp_ab") >= 3)
+        pairs
+          .join(supp.select(col("l_partkey").as("part_a"), col("supp").as("supp_a")), "part_a")
+          .join(supp.select(col("l_partkey").as("part_b"), col("supp").as("supp_b")), "part_b")
+          .crossJoin(broadcast(nOrders))
+          .select(col("part_a"), col("part_b"), col("supp_ab"),
+            expr("supp_ab * n * 1000 div (supp_a * supp_b)").as("lift_x1000"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n FROM op),
+        |supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM op GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS supp_ab
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, supp_ab,
+        |  supp_ab * n.n * 1000 // (sa.supp * sb.supp) AS lift_x1000
+        |FROM pairs JOIN supp sa ON sa.l_partkey = part_a
+        |JOIN supp sb ON sb.l_partkey = part_b CROSS JOIN n""".stripMargin)
+    )),
+
+    // Monthly revenue seasonality with month-over-month delta per-mille —
+    // one aggregate at month cardinality, then a 1-row lag window over
+    // the TINY aggregate (never over the fact table).
+    "q_seasonality" -> ((
+      (s: SparkSession, dir: String) => {
+        val monthly = t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(round(sum("o_totalprice"), 2).as("revenue"))
+        val w = Window.orderBy("yr", "mo")
+        monthly
+          .withColumn("prev", lag("revenue", 1).over(w))
+          .select(col("yr"), col("mo"), col("revenue"),
+            when(col("prev").isNull, lit(null).cast("long"))
+              .otherwise(expr("CAST(floor((revenue - prev) * 1000 / prev) AS BIGINT)"))
+              .as("mom_per_mille"))
+      },
+      Some("""WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT *, lag(revenue) OVER (ORDER BY yr, mo) AS prev FROM m)
+        |SELECT yr, mo, revenue,
+        |  CAST(floor((revenue - prev) * 1000 / prev) AS BIGINT) AS mom_per_mille
+        |FROM l""".stripMargin)
     ))
   )
 }
