@@ -135,8 +135,11 @@ object GraftFunctions {
     require(exprs.length == 2, "shingle_hashes expects (text, n)")
     import org.apache.spark.sql.catalyst.expressions.Literal
     exprs(1) match {
-      case Literal(n: Int, IntegerType) => ShingleHashesExpr(exprs(0), n)
-      case _ => throw new IllegalArgumentException("shingle_hashes: n must be an int literal")
+      // n < 1 must fail loudly at plan build: the kernel's window loop
+      // would otherwise emit the bare seed hash for every document,
+      // silently declaring the whole corpus one duplicate cluster
+      case Literal(n: Int, IntegerType) if n >= 1 => ShingleHashesExpr(exprs(0), n)
+      case _ => throw new IllegalArgumentException("shingle_hashes: n must be an int literal >= 1")
     }
   }
 

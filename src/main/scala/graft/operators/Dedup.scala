@@ -181,17 +181,10 @@ object Dedup {
     * keeps everything.
     */
   def sharedSpanPairs(docs: DataFrame, n: Int = 16, maxDf: Int = 1000): DataFrame = {
-    // read 2-3× (self-join sides + df prune) — persist like ngramJaccardPairs
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = if (maxDf <= 0) sh else {
-      val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf)
-        .select("h")
-      sh.join(heavy, Seq("h"), "left_anti")
-    }
+    // same native-kernel index as the document-level operators — at n=16
+    // spans the per-window string allocation the kernel removes is at its
+    // most expensive
+    val (pruned, _) = shingleIndex(docs, n, maxDf)
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

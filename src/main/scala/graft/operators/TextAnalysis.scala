@@ -113,9 +113,10 @@ object TextAnalysis {
     * semantics); pipelines anti-join the result against the corpus.
     */
   def contaminationReport(train: DataFrame, eval: DataFrame, n: Int = 13): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
     def spans(df: DataFrame) = df
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"),
+        explode(Dedup.shingleHashes(col("text"), n)).as("h"))
       .distinct()
     spans(train).as("t")
       .join(spans(eval).as("e"), col("t.h") === col("e.h"))

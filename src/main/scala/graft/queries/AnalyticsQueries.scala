@@ -1757,8 +1757,13 @@ object AnalyticsQueries {
           .select(col("user_id"),
             expr("unix_micros(first_purchase) - unix_micros(first_view)").as("delay_us"))
           .agg(count(lit(1)).as("converted_users"),
-            (sum("delay_us") / count(lit(1))).cast("long").as("mean_delay_us"),
+            sum("delay_us").as("sum_delay_us"),
             max("delay_us").as("max_delay_us"))
+          .select(col("converted_users"),
+            // integer floor division end-to-end — a double mean would
+            // diverge from the oracle's exact // once sums pass 2^53
+            expr("sum_delay_us div converted_users").as("mean_delay_us"),
+            col("max_delay_us"))
       },
       Some("""WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
         |       WHERE event_type = 'view' GROUP BY 1),
