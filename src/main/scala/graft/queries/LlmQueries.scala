@@ -1499,6 +1499,55 @@ object LlmQueries {
         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(lp) AS BIGINT) AS sum_logp_x1e6
         |FROM bg JOIN cond USING (bg) GROUP BY bg.doc_id""".stripMargin)
+    )),
+
+    // Novelty scoring: what fraction of a document's shingles appear
+    // NOWHERE else in the corpus (df = 1) — high novelty marks original
+    // content, low novelty marks boilerplate/near-dup mass; data-mixing
+    // pipelines upweight novel documents. One df aggregate over the
+    // shingle relation + one per-doc aggregate, integer per-mille.
+    "text_novelty" -> ((
+      (s: SparkSession, dir: String) => {
+        val sh = Dedup.shingleRelation(docs(s, dir), n = 3)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        sh.join(df, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel"))
+          .select(col("doc_id"), col("n_sh"),
+            expr("novel * 1000 div n_sh").as("novel_per_mille"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*) AS novel_per_mille
+        |FROM sh JOIN df USING (s) GROUP BY doc_id""".stripMargin)
+    )),
+
+    // The k-NN graph over the whole embedding corpus (k = 5) — the
+    // structure ANN-graph indexes, semantic-dedup clustering, and
+    // label-propagation all start from. Brute-force shape at fixture
+    // scale; the corpus streams against the broadcast id side and only
+    // (id, neighbor, rank) survives the bounded top-k window.
+    "vector_knn_graph" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.bruteForceTopK(e, e, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.v, e.v) AS c
+        |  FROM e q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin)
     ))
   )
 }
