@@ -1846,6 +1846,49 @@ object AnalyticsQueries {
         |SELECT yr, mo, revenue,
         |  CAST(floor((revenue - prev) * 1000 / prev) AS BIGINT) AS mom_per_mille
         |FROM l""".stripMargin)
+    )),
+
+    // Per-user value moments — the batch twin of the streaming Welford
+    // state (StreamOps.momentsPerKey): same (n, mean, var_pop) triple,
+    // one keyed aggregate, so stream and batch answer the same question
+    // and StreamingSpec's 1e-9 agreement test ties them together.
+    "q_moments" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"),
+            round(avg("value"), 6).as("mean_value"),
+            round(var_pop("value"), 6).as("var_value")),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(value), 6) AS mean_value,
+        |  round(var_pop(value), 6) AS var_value
+        |FROM events GROUP BY 1""".stripMargin)
+    )),
+
+    // Rolling 7-day active users (the DAU/WAU production metric): exact
+    // sliding-window distinct via the day-grain relation — distinct
+    // (day, user) first (shrinks the input to active-pairs), then a
+    // bounded 7-day range self-join and one count-distinct per day.
+    // Cross-window distinct doesn't decompose into per-day sketches
+    // exactly, so the exact form IS this join; the HLL-merge entry is
+    // the approximate alternative when 7x daily sketches are enough.
+    "q_rolling_actives" -> ((
+      (s: SparkSession, dir: String) => {
+        val du = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val days = du.select(col("day")).distinct()
+        days.as("d")
+          .join(du.as("a"),
+            col("a.day").between(date_sub(col("d.day"), 6), col("d.day")))
+          .groupBy(col("d.day").as("day"))
+          .agg(countDistinct(col("a.user_id")).as("actives_7d"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS actives_7d
+        |FROM days d JOIN du a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1""".stripMargin)
     ))
   )
 }
