@@ -1606,11 +1606,15 @@ object AnalyticsQueries {
         val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // orderBy+limit plans as TakeOrderedAndProject — a distributed
+        // per-partition top-20 merge, never a single-partition global
+        // window over every customer; the rank window then runs over 20
+        // rows only
+        val top = rev.orderBy(col("revenue").desc, col("o_custkey")).limit(20)
         val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
-        rev.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        top.join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 20)
           .select(col("rnk").cast("long").as("rnk"), col("c_custkey"),
             col("c_name"), col("n_name"), col("revenue"))
       },
