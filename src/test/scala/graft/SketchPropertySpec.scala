@@ -29,6 +29,34 @@ class SketchPropertySpec extends AnyFunSuite {
     (0 until n).map(s.getLong)
   }
 
+  test("shingleHashes preserves pairwise intersection cardinality vs string n-grams") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the property EVERY shingle-overlap operator depends on: for any two
+    // texts, |native(A) ∩ native(B)| must equal the distinct shared
+    // string n-grams — equal token windows hash equal, distinct windows
+    // hash distinct (w.h.p.), including empty tokens from repeated spaces
+    val word: Gen[String] = Gen.oneOf("a", "b", "cc", "dd", "", "ee", "longword")
+    val text: Gen[String] = Gen.listOfN(12, word).map(_.mkString(" "))
+    def native(t: String, n: Int): Set[Long] = {
+      val a = SketchMath.shingleHashes(UTF8String.fromString(t), n)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    def strings(t: String, n: Int): Set[String] =
+      if (t.isEmpty) Set.empty
+      else t.split(" ", -1).toList.sliding(n).filter(_.size == n)
+        .map(_.mkString("|")).toSet
+    forAllSampled(Gen.zip(text, text)) { case (ta, tb) =>
+      for (n <- Seq(2, 3)) {
+        val (na, nb) = (native(ta, n), native(tb, n))
+        val (sa, sb) = (strings(ta, n), strings(tb, n))
+        assert(na.size == sa.size, s"cardinality n=$n for '$ta'")
+        assert(nb.size == sb.size, s"cardinality n=$n for '$tb'")
+        assert(na.intersect(nb).size == sa.intersect(sb).size,
+          s"intersection n=$n for '$ta' × '$tb'")
+      }
+    }
+  }
+
   test("minhash is permutation- and duplicate-invariant (set semantics)") {
     forAllSampled(hashes) { xs =>
       val shuffled = new scala.util.Random(xs.hashCode).shuffle(xs)
