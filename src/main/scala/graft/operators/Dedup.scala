@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
@@ -151,6 +152,59 @@ object Dedup {
     val directed = half.select(col("x").as("doc_in"), col("y").as("doc_of"), col("common"))
       .union(half.select(col("y").as("doc_in"), col("x").as("doc_of"), col("common")))
     directed
+      .join(counts.as("ca"), col("doc_in") === col("ca.doc_id"))
+      .filter(col("common") * 100 >= lit(pct) * col("ca.n_sh"))
+      .select(col("doc_in"), col("doc_of"), col("common"),
+        col("ca.n_sh").as("n_sh_in"))
+  }
+
+  /** The scale path for [[containmentPairs]]: PPJoin-style PREFIX
+    * filtering with guaranteed total recall. A doc A is pct%-contained in
+    * B only if at most `miss = floor((100-pct)·|A|/100)` of A's shingles
+    * are absent from B — so ANY fixed subset of `miss + 1` of A's
+    * shingles must share at least one element with B (pigeonhole).
+    * Candidate generation therefore joins only A's first `miss + 1`
+    * shingles (in canonical hash order) against the inverted index —
+    * ~(100-pct)% of the probe volume instead of all of it — and the
+    * exact intersection count is then computed for candidate pairs only.
+    * Output EQUALS [[containmentPairs]] row-for-row; the driver checks it
+    * against the same exact-SQL oracle.
+    *
+    * Refinement at 100 TB: order the prefix by ascending document
+    * frequency (rarest shingles first, the PPJoin ordering) instead of
+    * raw hash — same recall guarantee, far fewer candidates when the
+    * corpus has heavy shingles. Hash order is kept here because it needs
+    * no df pass and is deterministic for the oracle.
+    */
+  def containmentPairsPrefix(docs: DataFrame, n: Int = 3, pct: Int = 90,
+                             maxDf: Int = 1000): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (pruned0, counts) = shingleIndex(docs, n, maxDf)
+    val pruned = pruned0.persist(lvl)
+    // prefix = first miss+1 shingles per doc: rk <= (100-pct)·n_sh/100 + 1
+    // ⟺ 100·rk <= (100-pct)·n_sh + 100 in pure integer algebra
+    val w = Window.partitionBy("doc_id").orderBy("h")
+    val prefix = pruned
+      .withColumn("rk", row_number().over(w))
+      .join(counts, "doc_id")
+      .filter(col("rk") * 100 <= (lit(100 - pct)) * col("n_sh") + lit(100))
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_of"))
+      .distinct()
+      .persist(lvl)
+    // exact verify for candidates only: A's shingles fanned onto the
+    // candidate pairs, kept when present in B (semi-join on (doc_of, h))
+    val common = cand
+      .join(pruned.as("x"), col("doc_in") === col("x.doc_id"))
+      .select(col("doc_in"), col("doc_of"), col("x.h").as("_ah"))
+      .join(pruned.as("y"),
+        col("doc_of") === col("y.doc_id") && col("_ah") === col("y.h"), "left_semi")
+      .groupBy("doc_in", "doc_of")
+      .agg(count(lit(1)).as("common"))
+    common
       .join(counts.as("ca"), col("doc_in") === col("ca.doc_id"))
       .filter(col("common") * 100 >= lit(pct) * col("ca.n_sh"))
       .select(col("doc_in"), col("doc_of"), col("common"),

@@ -1389,6 +1389,28 @@ object LlmQueries {
         |SELECT degree, CAST(count(*) AS BIGINT) AS node_cnt FROM deg GROUP BY 1""".stripMargin)
     )),
 
+    // The prefix-filtered scale twin of text_containment: PPJoin-style
+    // candidate generation probes only ~(100-pct)% of each doc's
+    // shingles with GUARANTEED total recall (pigeonhole on the miss
+    // budget), then verifies candidates exactly — so the output equals
+    // the exact operator's and the driver checks it against the SAME
+    // exact-SQL oracle.
+    "text_containment_prefix" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.containmentPairsPrefix(docs(s, dir), n = 3, pct = 90, maxDf = 0),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_of, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_in, doc_of, common, ca.n_sh AS n_sh_in
+        |FROM prs p JOIN cnt ca ON ca.doc_id = p.doc_in
+        |WHERE common * 100 >= 90 * ca.n_sh""".stripMargin)
+    )),
+
     // Asymmetric containment dedup (Dedup.containmentPairs): ≥90% of the
     // contained document's shingles appear in the container — catches the
     // small-doc-quoted-in-big-doc case Jaccard's union denominator hides.

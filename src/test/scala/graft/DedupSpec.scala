@@ -414,6 +414,18 @@ class DedupSpec extends SparkSpec {
     byQ.values.foreach(rs => assert(rs.map(_._3).sorted.toSeq == (1 to 5)))
   }
 
+  test("prefix-filtered containment equals the exact operator (total recall)") {
+    val exact = Dedup.containmentPairs(docs, n = 3, pct = 90, maxDf = 0)
+      .select("doc_in", "doc_of", "common", "n_sh_in")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val pref = Dedup.containmentPairsPrefix(docs, n = 3, pct = 90, maxDf = 0)
+      .select("doc_in", "doc_of", "common", "n_sh_in")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain containment pairs")
+    assert(pref == exact,
+      s"prefix path diverged: missing=${exact -- pref}, extra=${pref -- exact}")
+  }
+
   test("containmentPairs is directional: quoted small doc found, not the reverse") {
     val small = "alpha beta gamma delta epsilon"
     val big = s"intro words here $small closing words of a much longer document tail"
