@@ -180,15 +180,30 @@ object Dedup {
                              maxDf: Int = 1000): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (pruned0, counts) = shingleIndex(docs, n, maxDf)
-    val pruned = pruned0.persist(lvl)
-    // prefix = first miss+1 shingles per doc: rk <= (100-pct)·n_sh/100 + 1
-    // ⟺ 100·rk <= (100-pct)·n_sh + 100 in pure integer algebra
-    val w = Window.partitionBy("doc_id").orderBy("h")
-    val prefix = pruned
-      .withColumn("rk", row_number().over(w))
-      .join(counts, "doc_id")
-      .filter(col("rk") * 100 <= (lit(100 - pct)) * col("n_sh") + lit(100))
-      .select(col("doc_id"), col("h"))
+    // shingleIndex already persisted the unpruned relation; only the
+    // maxDf-pruned anti-join result is a new relation worth caching
+    val pruned = if (maxDf > 0) pruned0.persist(lvl) else pruned0
+    // prefix = first miss+1 shingles per doc in ascending-hash order:
+    // rk <= (100-pct)·n_sh/100 + 1 ⟺ 100·rk <= (100-pct)·n_sh + 100.
+    // maxDf <= 0 (the oracle path): derive it as a NARROW map over the
+    // per-doc distinct hash array — no shuffle/sort of the exploded
+    // shingle relation. maxDf > 0: the prefix must rank the PRUNED
+    // relation (a pruned heavy shingle has no postings, so keeping it in
+    // the prefix would silently spend miss budget on unmatchable keys),
+    // which costs one doc_id-partitioned window over the pruned rows.
+    val prefix =
+      if (maxDf <= 0)
+        shingleRelation(docs, n).select(col("doc_id"),
+          explode(expr(s"slice(array_sort(hs), 1, (size(hs) * ${100 - pct}) div 100 + 1)"))
+            .as("h"))
+      else {
+        val w = Window.partitionBy("doc_id").orderBy("h")
+        pruned
+          .withColumn("rk", row_number().over(w))
+          .join(counts, "doc_id")
+          .filter(col("rk") * 100 <= (lit(100 - pct)) * col("n_sh") + lit(100))
+          .select(col("doc_id"), col("h"))
+      }
     val cand = prefix.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))

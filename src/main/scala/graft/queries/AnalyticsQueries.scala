@@ -1871,22 +1871,26 @@ object AnalyticsQueries {
 
     // Rolling 7-day active users (the DAU/WAU production metric): exact
     // sliding-window distinct via the day-grain relation — distinct
-    // (day, user) first (shrinks the input to active-pairs), then a
-    // bounded 7-day range self-join and one count-distinct per day.
-    // Cross-window distinct doesn't decompose into per-day sketches
-    // exactly, so the exact form IS this join; the HLL-merge entry is
-    // the approximate alternative when 7x daily sketches are enough.
+    // (day, user) first (shrinks the input to active-pairs), then each
+    // pair EXPLODES into the ≤7 window days it contributes to and one
+    // hash aggregate counts distinct users per target day. All
+    // equi-joins/aggregates: a between-condition join here would plan as
+    // a nested-loop (O(days × pairs) predicate evaluations — the
+    // RangeJoin doc's scale-killer). Cross-window distinct doesn't
+    // decompose into per-day sketches exactly, so the exact form IS this
+    // shape; the HLL-merge entry is the approximate alternative.
     "q_rolling_actives" -> ((
       (s: SparkSession, dir: String) => {
         val du = t(s, dir, "events")
           .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val days = du.select(col("day")).distinct()
-        days.as("d")
-          .join(du.as("a"),
-            col("a.day").between(date_sub(col("d.day"), 6), col("d.day")))
-          .groupBy(col("d.day").as("day"))
-          .agg(countDistinct(col("a.user_id")).as("actives_7d"))
+        du.select(col("user_id"),
+            explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+          // only days that actually occur report (semi vs the tiny day set)
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy("day")
+          .agg(countDistinct(col("user_id")).as("actives_7d"))
       },
       Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |days AS (SELECT DISTINCT day FROM du)

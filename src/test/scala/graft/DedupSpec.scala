@@ -424,6 +424,17 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain containment pairs")
     assert(pref == exact,
       s"prefix path diverged: missing=${exact -- pref}, extra=${pref -- exact}")
+    // the production configuration (df pruning on) exercises the other
+    // prefix branch: ranked over the PRUNED relation, budget from the
+    // unpruned counts — equality must still hold at the same maxDf
+    val exactDf = Dedup.containmentPairs(docs, n = 3, pct = 90, maxDf = 5)
+      .select("doc_in", "doc_of", "common", "n_sh_in")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val prefDf = Dedup.containmentPairsPrefix(docs, n = 3, pct = 90, maxDf = 5)
+      .select("doc_in", "doc_of", "common", "n_sh_in")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(prefDf == exactDf,
+      s"pruned-path diverged: missing=${exactDf -- prefDf}, extra=${prefDf -- exactDf}")
   }
 
   test("containmentPairs is directional: quoted small doc found, not the reverse") {
