@@ -18,6 +18,33 @@ object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, n: String) = Sources.table(s, dir, n)
 
+  /** Order-independent money aggregation. `round(sum(double), 2)` is a trap:
+    * the partial sums land in engine- and partition-order-dependent order, and
+    * a half-ulp difference at the 2-decimal boundary shifts the round by one
+    * cent (q7_nation_volume lost 11 of 2090 groups exactly this way). Here the
+    * per-row expression is still evaluated in IEEE double — bit-identical in
+    * any engine — then snapped to DECIMAL(18,6), summed EXACTLY in decimal
+    * (order-independent), rounded to cents, and cast back to DOUBLE so output
+    * schemas are unchanged. Scale 6 is load-bearing: every money expression
+    * here is a product of ≤3 two-decimal factors, so its TRUE value has ≤6
+    * decimals and the nearest double sits within an ulp of it — far from any
+    * .5e-6 midpoint, so Spark's and DuckDB's double→decimal casts agree
+    * bit-for-bit. (At scale 4 the triple product price·(1−disc)·(1+tax) has
+    * true 6-decimal values landing EXACTLY on .xxxx50 ties, where the two
+    * engines' cast tie-breaks diverge — q1_pricing_summary's sum_charge lost
+    * 3 of 6 groups that way.) Spark widens the accumulator to DECIMAL(28,6) —
+    * overflow-safe past 10^22, i.e. at any SF.
+    */
+  private[graft] def moneySum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(e.cast("decimal(18,6)")), 2).cast("double")
+
+  /** DuckDB oracle twin of [[moneySum]] — the identical snap/sum/round/cast
+    * chain, so both engines produce the same exact decimal and therefore the
+    * same double, independent of summation order.
+    */
+  private[graft] def moneySumSql(e: String): String =
+    s"CAST(round(sum(CAST($e AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
   val defs: Map[String, (Q, Option[String])] = Map(
 
     // The contract's canonical smoke aggregation.
@@ -35,16 +62,16 @@ object AnalyticsQueries {
           .filter(col("l_shipdate") <= lit("2001-09-01"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            moneySum(col("l_quantity")).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_base_price"),
+            moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
             count(lit(1)).as("count_order")),
-      Some("""SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |  ${moneySumSql("l_quantity")} AS sum_qty,
+        |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+        |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        |  ${moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin)
@@ -62,18 +89,21 @@ object AnalyticsQueries {
         li.join(orders, col("l_orderkey") === col("o_orderkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
-          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          // exact decimal revenue so the top-10 ORDER BY itself is
+          // order-independent — a one-cent double drift here would swap
+          // membership of the cut, not just a printed digit
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")).as("rev"))
           .orderBy(col("rev").desc, col("o_orderkey").asc)
           .limit(10)
-          .select(col("o_orderkey"), col("o_orderdate"), round(col("rev"), 2).as("revenue"))
+          .select(col("o_orderkey"), col("o_orderdate"), round(col("rev"), 2).cast("double").as("revenue"))
       },
       Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
-        |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) DESC, o_orderkey LIMIT 10""".stripMargin)
     )),
 
     // TPC-H Q5-shaped: five-way join. nation/region are FIXED-size
@@ -96,9 +126,9 @@ object AnalyticsQueries {
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       },
-      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some(s"""SELECT n_name, ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -118,7 +148,10 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) => {
         Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
           .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
-        s.sql("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        // the identical SQL text runs on Spark and DuckDB — the money sum is
+        // spelled portably (CAST/round/DECIMAL are ANSI) so one string serves
+        // as both the query and its own oracle
+        s.sql(s"""SELECT n_name, ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
@@ -129,7 +162,7 @@ object AnalyticsQueries {
           |  AND o_orderdate < TIMESTAMP '1998-01-01'
           |GROUP BY n_name""".stripMargin)
       },
-      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some(s"""SELECT n_name, ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -190,17 +223,25 @@ object AnalyticsQueries {
     "q_above_avg_orders" -> ((
       (s: SparkSession, dir: String) => {
         val orders = t(s, dir, "orders")
+        // The group sum accumulates in EXACT decimal (order-independent), and
+        // the threshold 1.5·(sum/n) is then derived in double with the same
+        // operation sequence on both engines — identical inputs through
+        // identical IEEE ops give identical results, so a borderline order can
+        // never flip sides on a summation-order ulp
         val avgs = orders.groupBy(col("o_custkey").as("ck"))
-          .agg(avg("o_totalprice").as("avg_price"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("price_sum"),
+            count(lit(1)).as("n"))
         orders.join(avgs, col("o_custkey") === col("ck"))
-          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .filter(col("o_totalprice") > lit(1.5) * (col("price_sum").cast("double") / col("n")))
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("cnt"), min("o_orderkey").as("min_key"))
       },
-      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, min(o_orderkey) AS min_key
-        |FROM orders o
-        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
-        |                            WHERE i.o_custkey = o.o_custkey)
+      Some("""WITH a AS (SELECT o_custkey AS ck, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS price_sum,
+        |              count(*) AS n
+        |       FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, min(o_orderkey) AS min_key
+        |FROM orders JOIN a ON o_custkey = ck
+        |WHERE o_totalprice > 1.5 * (CAST(price_sum AS DOUBLE) / n)
         |GROUP BY o_orderstatus""".stripMargin)
     )),
 
@@ -212,13 +253,14 @@ object AnalyticsQueries {
           .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
         t(s, dir, "orders")
           .withColumn("running_total",
-            round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+            round(sum(col("o_totalprice").cast("decimal(18,6)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).cast("double"))
           .withColumn("prev_price", lag("o_totalprice", 1).over(w))
           .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("prev_price"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         |FROM orders""".stripMargin)
     )),
@@ -228,9 +270,9 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) =>
         t(s, dir, "orders")
           .cube("o_orderstatus", "o_orderpriority")
-          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total")),
-      Some("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
-        |  round(sum(o_totalprice), 2) AS total
+          .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("total")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  ${moneySumSql("o_totalprice")} AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)
     )),
 
@@ -239,9 +281,9 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) =>
         t(s, dir, "lineitem")
           .rollup("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty")),
-      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
-        |  round(sum(l_quantity), 2) AS sum_qty
+          .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  ${moneySumSql("l_quantity")} AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
     )),
 
@@ -252,12 +294,12 @@ object AnalyticsQueries {
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
           .pivot("l_linestatus", Seq("O", "F"))
-          .agg(round(sum("l_quantity"), 2))
+          .agg(moneySum(col("l_quantity")))
           .withColumnRenamed("O", "qty_o")
           .withColumnRenamed("F", "qty_f"),
-      Some("""SELECT l_returnflag,
-        |  round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_o,
-        |  round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_f
+      Some(s"""SELECT l_returnflag,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_linestatus = 'O'), 2) AS DOUBLE) AS qty_o,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (l_linestatus = 'F'), 2) AS DOUBLE) AS qty_f
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     )),
 
@@ -348,9 +390,9 @@ object AnalyticsQueries {
             sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("events"), min("ts_ms").as("session_start_ms"),
-            max("ts_ms").as("session_end_ms"), round(sum("value"), 2).as("value_sum"))
+            max("ts_ms").as("session_end_ms"), moneySum(col("value")).as("value_sum"))
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
         |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events),
         |b AS (
         |  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
@@ -363,7 +405,7 @@ object AnalyticsQueries {
         |  FROM b)
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS events,
         |  min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
-        |  round(sum(value), 2) AS value_sum
+        |  ${moneySumSql("value")} AS value_sum
         |FROM sids GROUP BY user_id, session_id""".stripMargin)
     )),
 
@@ -379,12 +421,12 @@ object AnalyticsQueries {
           .select(col("user_id"), timestamp_millis(expr("unix_micros(ts) div 1000")).as("tsm"),
             col("value"))
           .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
-          .agg(count(lit(1)).as("events"), round(sum("value"), 2).as("value_sum"))
+          .agg(count(lit(1)).as("events"), moneySum(col("value")).as("value_sum"))
           .select(col("user_id"),
             expr("unix_micros(session_window.start) div 1000").as("session_start_ms"),
             expr("unix_micros(session_window.end) div 1000").as("session_end_ms"),
             col("events"), col("value_sum")),
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
         |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events),
         |b AS (
         |  -- session_window splits at gap >= g (an event exactly at
@@ -399,7 +441,7 @@ object AnalyticsQueries {
         |  FROM b)
         |SELECT user_id, min(ts_ms) AS session_start_ms,
         |  max(ts_ms) + 1800000 AS session_end_ms,
-        |  CAST(count(*) AS BIGINT) AS events, round(sum(value), 2) AS value_sum
+        |  CAST(count(*) AS BIGINT) AS events, ${moneySumSql("value")} AS value_sum
         |FROM sids GROUP BY user_id, session_id""".stripMargin)
     )),
 
@@ -442,13 +484,13 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag")
-          .agg(round(sum("l_quantity"), 2).as("qty"),
-            round(sum("l_extendedprice"), 2).as("price"),
-            round(sum("l_discount"), 2).as("disc"))
+          .agg(moneySum(col("l_quantity")).as("qty"),
+            moneySum(col("l_extendedprice")).as("price"),
+            moneySum(col("l_discount")).as("disc"))
           .unpivot(Array(col("l_returnflag")),
             Array(col("qty"), col("price"), col("disc")), "measure", "value"),
-      Some("""WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
-        |  round(sum(l_extendedprice), 2) AS price, round(sum(l_discount), 2) AS disc
+      Some(s"""WITH a AS (SELECT l_returnflag, ${moneySumSql("l_quantity")} AS qty,
+        |  ${moneySumSql("l_extendedprice")} AS price, ${moneySumSql("l_discount")} AS disc
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
         |UNION ALL SELECT l_returnflag, 'price', price FROM a
@@ -991,9 +1033,9 @@ object AnalyticsQueries {
         t(s, dir, "lineitem")
           .filter(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(20)) === 0)
           .groupBy("l_linestatus")
-          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("qty")),
-      Some("""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
-        |  round(sum(l_quantity), 2) AS qty
+          .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("qty")),
+      Some(s"""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  ${moneySumSql("l_quantity")} AS qty
         |FROM lineitem WHERE (l_orderkey * 31 + l_linenumber) % 20 = 0
         |GROUP BY l_linestatus""".stripMargin)
     )),
@@ -1085,8 +1127,8 @@ object AnalyticsQueries {
           .filter(col("l_shipdate") >= lit("1996-01-01") &&
             col("l_shipdate") < lit("1997-01-01") &&
             col("l_discount").between(0.03, 0.05) && col("l_quantity") < 24)
-          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
-      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+          .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue")),
+      Some(s"""SELECT ${moneySumSql("l_extendedprice * l_discount")} AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24""".stripMargin)
@@ -1099,15 +1141,20 @@ object AnalyticsQueries {
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
         val promo = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type")))
+        // both sums accumulate in exact decimal (order-independent), then the
+        // ratio is ONE double division over identical inputs — identical IEEE
+        // ops on both engines, so the 4-decimal round can never straddle
         li.join(promo, col("l_partkey") === col("p_partkey"))
           .agg(round(
-            sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .otherwise(lit(0.0))) * 100.0 /
-            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"))
+            lit(100.0) * sum(when(col("p_type") === "PROMO",
+                col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(lit(0.0)).cast("decimal(18,6)")).cast("double") /
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+              .cast("double"), 4).as("promo_pct"))
       },
       Some("""SELECT round(
-        |  100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |  100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'""".stripMargin)
     )),
@@ -1124,9 +1171,9 @@ object AnalyticsQueries {
             (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
             (col("p_brand") === "Brand#22" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
             (col("p_brand") === "Brand#33" && col("p_size").between(1, 5) && col("l_quantity").between(20, 30))))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       },
-      Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some(s"""SELECT ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -1270,7 +1317,7 @@ object AnalyticsQueries {
         |c AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS cnt
         |      FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2)
         |SELECT src_type, dst_type, cnt,
-        |  cnt * 1000 // sum(cnt) OVER (PARTITION BY src_type) AS per_mille
+        |  CAST(cnt * 1000 // sum(cnt) OVER (PARTITION BY src_type) AS BIGINT) AS per_mille
         |FROM c""".stripMargin)
     )),
 
@@ -1357,11 +1404,11 @@ object AnalyticsQueries {
           .join(passed.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
         passed.agg(count(lit(1)).as("bloom_pass_cnt")).crossJoin(
             truth.agg(count(lit(1)).as("true_cnt"),
-              round(sum("o_totalprice"), 2).as("true_revenue")))
+              moneySum(col("o_totalprice")).as("true_revenue")))
           .crossJoin(falsePos.agg(count(lit(1)).as("false_pos_cnt")))
           .crossJoin(falseNeg.agg(count(lit(1)).as("false_neg_cnt")))
       },
-      Some("""WITH hot AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
+      Some(s"""WITH hot AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
         |bits AS (
         |  SELECT DISTINCT ((a * c_custkey + b) % 2147483647) % 8192 AS bit
         |  FROM hot, (VALUES (2654435761, 1013904223), (2246822519, 374761393),
@@ -1377,7 +1424,7 @@ object AnalyticsQueries {
         |         AND o_orderkey NOT IN (SELECT o_orderkey FROM passed))
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM passed) AS bloom_pass_cnt,
         |       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS true_cnt,
-        |       (SELECT round(sum(o_totalprice), 2) FROM truth) AS true_revenue,
+        |       (SELECT ${moneySumSql("o_totalprice")} FROM truth) AS true_revenue,
         |       (SELECT CAST(count(*) AS BIGINT) FROM fpos) AS false_pos_cnt,
         |       (SELECT CAST(count(*) AS BIGINT) FROM fneg) AS false_neg_cnt""".stripMargin)
     )),
@@ -1407,10 +1454,10 @@ object AnalyticsQueries {
           .join(s.table("graft_customer_bucketed").hint("merge"),
             col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("order_cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+          .agg(count(lit(1)).as("order_cnt"), moneySum(col("o_totalprice")).as("revenue"))
       },
-      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS order_cnt,
-        |  round(sum(o_totalprice), 2) AS revenue
+      Some(s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS order_cnt,
+        |  ${moneySumSql("o_totalprice")} AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin)
     )),
@@ -1578,11 +1625,11 @@ object AnalyticsQueries {
           .filter(col("supp_nation") < col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("ship_year"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("volume"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
       },
-      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        |  ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS volume
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1603,9 +1650,11 @@ object AnalyticsQueries {
         val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val c = t(s, dir, "customer")
         val n = t(s, dir, "nation")
+        // the top-20 cut orders by revenue itself, so the sum must be exact —
+        // a one-cent double drift here changes MEMBERSHIP, not just a digit
         val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         // orderBy+limit plans as TakeOrderedAndProject — a distributed
         // per-partition top-20 merge, never a single-partition global
         // window over every customer; the rank window then runs over 20
@@ -1618,8 +1667,8 @@ object AnalyticsQueries {
           .select(col("rnk").cast("long").as("rnk"), col("c_custkey"),
             col("c_name"), col("n_name"), col("revenue"))
       },
-      Some("""WITH rev AS (
-        |  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some(s"""WITH rev AS (
+        |  SELECT o_custkey, ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_returnflag = 'R' GROUP BY 1)
         |SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS rnk,
@@ -1635,9 +1684,12 @@ object AnalyticsQueries {
     "q18_large_orders" -> ((
       (s: SparkSession, dir: String) => {
         val li = t(s, dir, "lineitem")
+        // the HAVING threshold compares the EXACT decimal sum (not the
+        // rounded double) so borderline orders can't flip sides on a ulp
         val big = li.groupBy("l_orderkey")
-          .agg(round(sum("l_quantity"), 2).as("total_qty"))
-          .filter(col("total_qty") > 300)
+          .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty_dec"))
+          .filter(col("qty_dec") > 300)
+          .select(col("l_orderkey"), round(col("qty_dec"), 2).cast("double").as("total_qty"))
         t(s, dir, "orders")
           .join(big, col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
@@ -1645,8 +1697,10 @@ object AnalyticsQueries {
             col("o_totalprice"), col("total_qty"))
       },
       Some("""WITH big AS (
-        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |  SELECT l_orderkey,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
         |SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin)
@@ -1675,9 +1729,9 @@ object AnalyticsQueries {
           .agg(max_by(col("o_totalprice"), col("version")).as("o_totalprice"),
             max("version").as("version"))
           .groupBy("version")
-          .agg(count(lit(1)).as("n_rows"), round(sum("o_totalprice"), 2).as("total"))
+          .agg(count(lit(1)).as("n_rows"), moneySum(col("o_totalprice")).as("total"))
       },
-      Some("""WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS version FROM orders),
+      Some(s"""WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS version FROM orders),
         |upd AS (SELECT o_orderkey, round(o_totalprice + 1000, 2) AS o_totalprice, 1 AS version
         |        FROM orders WHERE o_orderkey % 2 = 0),
         |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice, 1 AS version
@@ -1686,7 +1740,7 @@ object AnalyticsQueries {
         |merged AS (SELECT o_orderkey, arg_max(o_totalprice, version) AS o_totalprice,
         |  CAST(max(version) AS BIGINT) AS version FROM all_rows GROUP BY 1)
         |SELECT version, CAST(count(*) AS BIGINT) AS n_rows,
-        |  round(sum(o_totalprice), 2) AS total
+        |  ${moneySumSql("o_totalprice")} AS total
         |FROM merged GROUP BY 1""".stripMargin)
     )),
 
@@ -1826,29 +1880,38 @@ object AnalyticsQueries {
 
     // Monthly revenue seasonality with month-over-month delta per-mille —
     // one aggregate at month cardinality, then a 1-row lag window over
-    // the TINY aggregate (never over the fact table).
+    // the TINY aggregate (never over the fact table). The delta runs on
+    // integer CENTS (exact decimal sum → BIGINT), so the only float op is
+    // one double division of exactly-representable integers (< 2^53) —
+    // identical IEEE result on both engines, and floor() can never flip
+    // on a summation-order ulp at an integer boundary.
     "q_seasonality" -> ((
       (s: SparkSession, dir: String) => {
         val monthly = t(s, dir, "orders")
           .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
             month(col("o_orderdate")).cast("long").as("mo"))
-          .agg(round(sum("o_totalprice"), 2).as("revenue"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev_dec"))
+          .select(col("yr"), col("mo"),
+            round(col("rev_dec"), 2).cast("double").as("revenue"),
+            (round(col("rev_dec"), 2) * 100).cast("long").as("cents"))
         val w = Window.orderBy("yr", "mo")
         monthly
-          .withColumn("prev", lag("revenue", 1).over(w))
+          .withColumn("prev_cents", lag("cents", 1).over(w))
           .select(col("yr"), col("mo"), col("revenue"),
-            when(col("prev").isNull, lit(null).cast("long"))
-              .otherwise(expr("CAST(floor((revenue - prev) * 1000 / prev) AS BIGINT)"))
+            when(col("prev_cents").isNull, lit(null).cast("long"))
+              .otherwise(floor(((col("cents") - col("prev_cents")) * 1000).cast("double")
+                / col("prev_cents")))
               .as("mom_per_mille"))
       },
       Some("""WITH m AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |    CAST(month(o_orderdate) AS BIGINT) AS mo,
-        |    round(sum(o_totalprice), 2) AS revenue
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS cents
         |  FROM orders GROUP BY 1, 2),
-        |l AS (SELECT *, lag(revenue) OVER (ORDER BY yr, mo) AS prev FROM m)
+        |l AS (SELECT *, lag(cents) OVER (ORDER BY yr, mo) AS prev_cents FROM m)
         |SELECT yr, mo, revenue,
-        |  CAST(floor((revenue - prev) * 1000 / prev) AS BIGINT) AS mom_per_mille
+        |  CAST(floor(CAST((cents - prev_cents) * 1000 AS DOUBLE) / prev_cents) AS BIGINT) AS mom_per_mille
         |FROM l""".stripMargin)
     )),
 

@@ -31,7 +31,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # Full precision: the driver compares a hash of exact values, so the
+        # local gate must never round away a difference the driver would see
+        # (a %.6g here once hid an 11-group cent drift in q7_nation_volume).
+        return repr(v)
     return str(v)
 
 def canon(cols, rows):
