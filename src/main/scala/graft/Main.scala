@@ -9,10 +9,13 @@ import graft.streaming.Engine
   * query dies or the process is signalled, clean stop on shutdown.
   *
   * The reference then stands up gRPC servers on `tcp_address` /
-  * `unix_socket_path`; those verbs live behind
-  * [[graft.streaming.ConnectorService]] here (transport-agnostic — see that
-  * file for why no wire runs offline), so the addresses are logged but not
-  * bound.
+  * `unix_socket_path` (`src/main.rs:101-157`); here BOTH addresses are
+  * served with the JSON-lines control protocol — TCP via
+  * [[graft.streaming.ControlServer]], the unix socket via
+  * [[graft.streaming.UnixControlServer]] — bound to the same
+  * transport-agnostic [[graft.streaming.ConnectorService]] verbs the gRPC
+  * front would dispatch (the proto wire needs ScalaPB codegen unavailable
+  * offline).
   *
   * Run: `sbt "runMain graft.Main [config.json [dataRoot [checkpointRoot]]]"`.
   * With the shipped `config/connect.json`, drop text files into the
@@ -36,23 +39,35 @@ object Main {
     // re-point ingestion, so the bind host comes from tcp_address and
     // should stay loopback (the shipped config's default); a wildcard bind
     // is honored but called out loudly as an operator decision.
+    val token = engine.config.flatMap(_.authToken)
+    lazy val svc = new graft.streaming.InProcessConnectorService(engine,
+      new graft.streaming.PushService(spark),
+      () => throw new IllegalStateException("daemon mode has no push sink"))
+
     val control = engine.config.flatMap(_.tcpAddress).map { a =>
       val host = a.split(":").dropRight(1).mkString(":") match {
         case "" => "127.0.0.1"
         case h => h
       }
       val port = a.split(":").last.toInt
-      val token = engine.config.flatMap(_.authToken)
       if ((host == "0.0.0.0" || host == "::") && token.isEmpty)
         println("[graft] WARNING: control plane binding ALL interfaces with no " +
           "authentication — any network peer can reconfigure this daemon; " +
           "use 127.0.0.1, set auth_token, or front it with an authenticating proxy")
-      val svc = new graft.streaming.InProcessConnectorService(engine,
-        new graft.streaming.PushService(spark),
-        () => throw new IllegalStateException("daemon mode has no push sink"))
       val srv = new graft.streaming.ControlServer(svc, port, host, token)
       val bound = srv.start()
       println(s"[graft] control plane listening on $host:$bound (JSON lines)")
+      srv
+    }
+
+    // second listener, reference parity: the same verbs on the configured
+    // unix socket path — the local-CLI surface, gated by filesystem
+    // permissions rather than a network boundary
+    val udsControl = engine.config.flatMap(_.unixSocketPath).map { p =>
+      val srv = new graft.streaming.UnixControlServer(
+        svc, java.nio.file.Paths.get(p), token)
+      srv.start()
+      println(s"[graft] control plane listening on unix:$p (JSON lines)")
       srv
     }
 
@@ -62,6 +77,7 @@ object Main {
     sys.addShutdownHook {
       println("[graft] shutting down")
       control.foreach(_.stop())
+      udsControl.foreach(_.stop())
       engine.stop()
     }
     // block like the reference's ctrl_c().await: runs until a query

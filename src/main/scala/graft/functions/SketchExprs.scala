@@ -54,6 +54,13 @@ object SketchMath {
     * Chaining per-token hashes (not hashing the '|'-joined text) also
     * removes the delimiter ambiguity a token containing '|' would cause.
     * Empty text → empty array (TextAnalysis.tokens semantics).
+    *
+    * ORACLE CONTRACT: the DuckDB oracles replay shingles as
+    * '|'-joined n-gram STRINGS, so a corpus token containing '|' would
+    * make the oracle merge windows this kernel keeps distinct (kernel is
+    * right, oracle diverges). The driver fixtures contain no '|' tokens —
+    * that is a documented constraint of the oracle encoding, not of this
+    * kernel; an oracle-side fix would hash per-token in SQL too.
     */
   def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64

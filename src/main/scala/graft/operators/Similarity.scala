@@ -211,6 +211,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Pivot-partitioned k-NN graph — the corpus-scale replacement for
+    * running [[bruteForceTopK]] corpus-vs-corpus (which broadcasts the whole
+    * corpus and scores O(N²) pairs): `nPivots` corpus vectors (the lowest
+    * vec_ids — deterministic, and exactly replayable in oracle SQL, where
+    * KMeans centroids are not) partition the corpus into cells by
+    * nearest-pivot cosine; every vector probes its `nProbe` nearest cells
+    * and scores exact cosine only against those cells' members. This is the
+    * list-of-clusters / IVF shape with sampled pivots instead of fitted
+    * centroids.
+    *
+    * Scale economics: candidate volume per query is ~`nProbe/nPivots` of the
+    * corpus (pick `nPivots` ~ √N so within-cell work is ~N^1.5 total, never
+    * N²); the candidate join is keyed on the cell id — a shuffle join with
+    * NO corpus broadcast — and each embedding travels once per (vector,
+    * probe), not once per pair: scoring happens inside the cell-join stage,
+    * and only `(query_id, neighbor_id, cos)` scalars enter the per-query
+    * top-k window. ScaleSpec asserts the no-cartesian plan.
+    */
+  def knnGraphPivoted(corpus: DataFrame, k: Int,
+                      nPivots: Int = 32, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val pivots = broadcast(corpus.orderBy("vec_id").limit(nPivots)
+      .select(col("vec_id").as("pid"), col("embedding").as("p_emb")))
+    // rank every pivot per vector ONCE: rank 1 is the vector's own cell
+    // (each vector lives in exactly one cell, so a (query, neighbor) pair
+    // can only form in one cluster — no post-join distinct needed), ranks
+    // 1..nProbe are the cells it probes as a query
+    val pw = Window.partitionBy("vec_id").orderBy(col("pcos").desc, col("pid").asc)
+    val ranked = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(pivots)
+      .select(col("vec_id"), col("embedding"), col("pid"),
+        call_function("cosine_sim", col("embedding"), col("p_emb")).as("pcos"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = ranked.filter(col("pr") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("pid").as("cluster"))
+    val probes = ranked
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("pid").as("cluster"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cells.join(probes, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("cosine_sim", col("q_emb"), col("c_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Quantized-scoring top-k — the memory-bandwidth ANN path: candidates
     * are ranked with int8 codes (per-vector affine min-max quantization,
     * the `vector_quantize_int8` precompute) and only the top

@@ -1511,7 +1511,11 @@ object AnalyticsQueries {
     // counting reusable at 100 TB (daily sketches persist once, any
     // rollup window is a cheap union of kilobyte sketches instead of a
     // re-scan). The embedded exact twin turns the estimate into an
-    // oracle-checkable verdict: within ±5% or the row goes red.
+    // oracle-checkable verdict. The bound is derived from the sketch's
+    // OWN error model, not picked to fit the fixture: default lgK=12 →
+    // relative standard error 1.04/√2¹² ≈ 1.6%, constant in cardinality
+    // for HLL, so ±10% is >6σ — a row goes red only if the sketch (or
+    // the merge) is actually broken, at any scale factor.
     "q_hll_merge" -> ((
       (s: SparkSession, dir: String) => {
         val ev = t(s, dir, "events")
@@ -1523,11 +1527,11 @@ object AnalyticsQueries {
           .agg(countDistinct(col("user_id")).as("exact_users"))
         exact.join(merged, "event_type")
           .select(col("event_type"), col("exact_users"),
-            (abs(col("est") - col("exact_users")) * 20 <= col("exact_users"))
-              .as("est_within_5pct"))
+            (abs(col("est") - col("exact_users")) * 10 <= col("exact_users"))
+              .as("est_within_6_sigma"))
       },
       Some("""SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  TRUE AS est_within_5pct
+        |  TRUE AS est_within_6_sigma
         |FROM events GROUP BY 1""".stripMargin)
     )),
 

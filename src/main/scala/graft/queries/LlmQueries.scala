@@ -1081,11 +1081,16 @@ object LlmQueries {
     // the integer per-mille keeps the result hash-exact.
     "text_boilerplate" -> ((
       (s: SparkSession, dir: String) => {
-        val sh = docs(s, dir)
-          .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sv"))
+        // native one-pass shingle kernel (hashes, not strings): hashes are
+        // distinct per doc, so df by plain count == df by distinct doc —
+        // and the exploded relation carries one i64 per shingle instead of
+        // the concatenated token text (this was the last string-shingle
+        // consumer; df > 1 is hash-equivalent)
+        val sh = Dedup.shingleRelation(docs(s, dir), n = 3)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val df = sh.groupBy("sv").agg(countDistinct("doc_id").as("df"))
-        sh.join(df, "sv")
+        val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        sh.join(df, "h")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_sh"),
             sum(when(col("df") > 1, 1L).otherwise(0L)).as("shared"))
@@ -1411,11 +1416,40 @@ object LlmQueries {
         |WHERE common * 100 >= 90 * ca.n_sh""".stripMargin)
     )),
 
+    // The PRODUCTION containment path: prefix filtering AND the `maxDf`
+    // skew cap engaged together. maxDf bounds the per-shingle posting
+    // list, so one boilerplate shingle shared by k documents costs at
+    // most cap·k join rows instead of k² — the difference between a
+    // skew-immune plan and a quadratic blowup at 100 TB. The cap is
+    // exactly replayable SQL (`WHERE df <= 5` on the shingle CTE, with
+    // denominators still counted on the UNPRUNED relation), so this
+    // pruned answer gets its own exact oracle; the maxDf=0 entries below
+    // remain the total-recall twins. maxDf=5 bites on the fixture (max
+    // df at sf0.01 is 7), so the gate genuinely checks the pruned path.
+    "text_containment_maxdf" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.containmentPairsPrefix(docs(s, dir), n = 3, pct = 90, maxDf = 5),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |pr AS (SELECT doc_id, s FROM sh JOIN df USING (s) WHERE df <= 5),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_of, CAST(count(*) AS BIGINT) AS common
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_in, doc_of, common, ca.n_sh AS n_sh_in
+        |FROM prs p JOIN cnt ca ON ca.doc_id = p.doc_in
+        |WHERE common * 100 >= 90 * ca.n_sh""".stripMargin)
+    )),
+
     // Asymmetric containment dedup (Dedup.containmentPairs): ≥90% of the
     // contained document's shingles appear in the container — catches the
     // small-doc-quoted-in-big-doc case Jaccard's union denominator hides.
     // Directed pairs; same inverted-index scale shape as the Jaccard
-    // entry.
+    // entry. ORACLE TWIN at maxDf=0 — text_containment_maxdf above is
+    // the skew-capped production plan.
     "text_containment" -> ((
       (s: SparkSession, dir: String) =>
         Dedup.containmentPairs(docs(s, dir), n = 3, pct = 90, maxDf = 0),
@@ -1552,9 +1586,9 @@ object LlmQueries {
 
     // The k-NN graph over the whole embedding corpus (k = 5) — the
     // structure ANN-graph indexes, semantic-dedup clustering, and
-    // label-propagation all start from. Brute-force shape at fixture
-    // scale; the corpus streams against the broadcast id side and only
-    // (id, neighbor, rank) survives the bounded top-k window.
+    // label-propagation all start from. This brute-force entry is the
+    // ORACLE TWIN (O(N²) corpus-vs-corpus — never the production plan);
+    // vector_knn_graph_pivoted below is the scale path.
     "vector_knn_graph" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
@@ -1569,6 +1603,39 @@ object LlmQueries {
         |  FROM e q JOIN e ON e.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
+    // The SCALE path for the corpus k-NN graph: pivot-partitioned cells
+    // (Similarity.knnGraphPivoted) — nearest-pivot assignment + nProbe
+    // probed cells bound the candidate set to ~nProbe/nPivots of the
+    // corpus per query, with no corpus broadcast and no N² product.
+    // Pivots are the 32 lowest vec_ids, so the ENTIRE celled plan —
+    // assignment, probes, candidates, ranking — replays exactly in the
+    // oracle; the brute-force entry above remains the recall reference.
+    "vector_knn_graph_pivoted" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.knnGraphPivoted(emb(s, dir), k = 5, nPivots = 32, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rnk")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p),
+        |cell AS (SELECT vec_id AS neighbor_id, pid AS cluster FROM r WHERE pr = 1),
+        |probes AS (SELECT vec_id AS query_id, pid AS cluster FROM r WHERE pr <= 4),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
     ))
   )

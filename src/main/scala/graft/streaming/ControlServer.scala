@@ -30,7 +30,7 @@ final class ControlServer(service: ConnectorService, port: Int,
                           host: String = "127.0.0.1",
                           authToken: Option[String] = None) {
 
-  private val mapper = new ObjectMapper()
+  private val protocol = new ControlProtocol(service, authToken)
   @volatile private var server: ServerSocket = null
   private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-control"); t.setDaemon(true); t
@@ -76,6 +76,19 @@ final class ControlServer(service: ConnectorService, port: Int,
       }
     } catch { case _: Exception => () }
     finally sock.close()
+
+  private[graft] def dispatch(line: String): String = protocol.dispatch(line)
+}
+
+/** The verb dispatch shared by every control transport (TCP
+  * [[ControlServer]], UDS [[UnixControlServer]], and a future gRPC front):
+  * one JSON request per line in, one JSON response per line out, with the
+  * optional shared-secret gate applied before any verb runs.
+  */
+private[graft] final class ControlProtocol(service: ConnectorService,
+                                           authToken: Option[String]) {
+
+  private val mapper = new ObjectMapper()
 
   private[graft] def dispatch(line: String): String =
     try {

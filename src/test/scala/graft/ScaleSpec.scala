@@ -71,6 +71,64 @@ class ScaleSpec extends SparkSpec {
     assert(hits * 100 >= total * 80, s"quantized recall $hits/$total below 80%")
   }
 
+  test("pivoted k-NN graph: no corpus×corpus product, candidates cell-keyed, recall floor") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val g = Similarity.knnGraphPivoted(emb, k = 5, nPivots = 8, nProbe = 2)
+    // AQE roots hide children from collect until execution — assert on the
+    // plan STRING (same convention as the scan-count checks)
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pivoted k-NN graph must never plan an unkeyed product:\n${plan.take(4000)}")
+    // the only nested-loop join allowed is corpus × the `nPivots`-row pivot
+    // table, and it lives INSIDE the persisted ranking relation (the plan
+    // string reprints the cached subtree under each InMemoryRelation, so
+    // count only the main plan above the first cache boundary): a BNLJ in
+    // the candidate/top-k stages would mean corpus-vs-corpus degenerated
+    val mainPlan = plan.split("InMemoryRelation", 2)(0)
+    assert(!mainPlan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join outside the cached pivot ranking:\n${plan.take(4000)}")
+    // candidate generation must join on the cell id, carrying both cell
+    // members and probes through a keyed join, not a broadcast of the corpus
+    assert(plan.contains("cluster"), s"candidate join must key on the cell id:\n${plan.take(4000)}")
+    // approximation quality: with 2 of 8 cells probed the graph still has
+    // to find most true neighbors on the fixture (deterministic: fixed
+    // pivots, fixed data) — a recall collapse means assignment broke
+    val exact = Similarity.bruteForceTopK(emb, emb, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = g.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    assert(hits * 100 >= total * 40, s"pivoted k-NN recall $hits/$total below 40%")
+  }
+
+  test("containment maxDf cap excludes heavy shingles from the candidate join") {
+    import spark.implicits._
+    // 8 copies of pure boilerplate (their ONLY shingle has df=8) plus one
+    // genuine containment pair sharing unique trigrams. With maxDf=5 the
+    // boilerplate shingle must vanish from the inverted index: the 8×7
+    // boilerplate-only pairs disappear, the real pair survives.
+    val boiler = (0L until 8L).map(i => (i, "b1 b2 b3"))
+    val a = (100L, (0 until 12).map(j => s"u$j").mkString(" "))
+    val b = (101L, (0 until 13).map(j => s"u$j").mkString(" "))
+    val docsDf = (boiler :+ a :+ b).toDF("doc_id", "text")
+    for (op <- Seq(Dedup.containmentPairs(_: org.apache.spark.sql.DataFrame, 3, 90, 5),
+                   Dedup.containmentPairsPrefix(_: org.apache.spark.sql.DataFrame, 3, 90, 5))) {
+      val rows = op(docsDf).select("doc_in", "doc_of").as[(Long, Long)].collect().toSet
+      assert(!rows.exists { case (i, o) => i < 8 && o < 8 },
+        s"boilerplate-only pairs must be pruned by the df cap, got $rows")
+      // doc 100's 10 shingles are all inside doc 101 (100% containment);
+      // 101 has 11 shingles of which 10 are in 100 (90.9% >= 90%)
+      assert(rows.contains((100L, 101L)) && rows.contains((101L, 100L)),
+        s"the genuine containment pair must survive pruning, got $rows")
+    }
+    // control: without the cap the boilerplate docs are 100%-contained in
+    // each other (their single shingle is shared), so the unpruned answer
+    // MUST include them — proving the cap, not the fixture, removed them
+    val unpruned = Dedup.containmentPairs(docsDf, 3, 90, 0)
+      .select("doc_in", "doc_of").as[(Long, Long)].collect().toSet
+    assert(unpruned.exists { case (i, o) => i < 8 && o < 8 })
+  }
+
   test("repetition signals are a narrow plan (no shuffle)") {
     val docs = Sources.table(spark, sf0001, "documents")
     val plan = graft.operators.TextAnalysis.repetitionSignals(docs)

@@ -182,6 +182,52 @@ class ServiceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("UDS control plane serves the same verbs over a unix socket path") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val root = Files.createTempDirectory("graft-uds")
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root.toString,
+      s"$root/ckpt")
+    val service = InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"))
+    val path = root.resolve("control.sock")
+    val srv = new graft.streaming.UnixControlServer(service, path)
+    srv.start()
+    try {
+      assert(Files.exists(path), "socket file must exist after start")
+      val ch = java.nio.channels.SocketChannel.open(
+        java.net.UnixDomainSocketAddress.of(path))
+      val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        java.nio.channels.Channels.newOutputStream(ch), UTF_8), true)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        java.nio.channels.Channels.newInputStream(ch), UTF_8))
+      out.println("""{"verb":"get_status","connector":"src-1"}""")
+      val status = in.readLine()
+      assert(status.contains("\"state\":\"Unassigned\""), status)
+      out.println("""{"verb":"get_config","connector":"sink-1"}""")
+      assert(in.readLine().contains("\"connector_class\":\"graft.FileSinkConnector\""))
+      out.println("""{"verb":"nope"}""")
+      assert(in.readLine().contains("unknown verb"))
+      ch.close()
+      // restart over the SAME path must succeed (stale-socket recovery)
+      srv.stop()
+      assert(!Files.exists(path), "stop must remove the socket file")
+      val srv2 = new graft.streaming.UnixControlServer(service, path)
+      srv2.start()
+      try {
+        val ch2 = java.nio.channels.SocketChannel.open(
+          java.net.UnixDomainSocketAddress.of(path))
+        val out2 = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          java.nio.channels.Channels.newOutputStream(ch2), UTF_8), true)
+        val in2 = new java.io.BufferedReader(new java.io.InputStreamReader(
+          java.nio.channels.Channels.newInputStream(ch2), UTF_8))
+        out2.println("""{"verb":"get_status","connector":"src-1"}""")
+        assert(in2.readLine().contains("\"state\""))
+        ch2.close()
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
+
   test("control plane with auth_token rejects untokened and wrong-token requests") {
     val root = Files.createTempDirectory("graft-ctl-auth").toString
     val engine = Engine.fromConfigJson(spark,
