@@ -1964,6 +1964,219 @@ object AnalyticsQueries {
         |SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS actives_7d
         |FROM days d JOIN du a ON a.day BETWEEN d.day - 6 AND d.day
         |GROUP BY 1""".stripMargin)
+    )),
+
+    // TPC-H Q8 shape: national market share — an 8-relation join where
+    // every dimension is broadcast-sized (part filter, supplier, both
+    // nation roles, region) and only lineitem⋈orders shuffles; the share
+    // is two exact decimal sums and ONE double division per year (the
+    // q14 pattern), so the 4-decimal round can never straddle a ulp.
+    "q8_market_share" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val n1 = t(s, dir, "nation").select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+        val r = t(s, dir, "region").filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+        val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        val n2 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("cnk"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("snk"))
+          .groupBy("o_year")
+          .agg(round(lit(100.0) *
+            sum(when(col("supp_nation") === "NATION_7", rev).otherwise(lit(0.0))
+              .cast("decimal(18,6)")).cast("double") /
+            sum(rev.cast("decimal(18,6)")).cast("double"), 4).as("mkt_share_pct"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(100.0 *
+        |    CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_7'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS mkt_share_pct
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin)
+    )),
+
+    // TPC-H Q13 shape: order count per customer INCLUDING zero-order
+    // customers (the left join is the point — an inner join silently
+    // drops the biggest bucket), then the distribution over that count.
+    // Two hash aggregates; the fixture has no o_comment column so the
+    // spec's comment filter is omitted.
+    "q13_order_distribution" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist")),
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin)
+    )),
+
+    // TPC-H Q15 shape: the top supplier(s) by quarterly revenue — the
+    // aggregate-then-max-then-equijoin pattern (the spec's revenue view).
+    // The max comparison runs on the EXACT decimal sum, so "equals the
+    // maximum" can never miss a tied supplier to a summation-order ulp.
+    "q15_top_supplier" -> ((
+      (s: SparkSession, dir: String) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1997-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).as("total_dec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val top = rev.agg(max(col("total_dec")).as("max_dec"))
+        rev.crossJoin(broadcast(top))
+          .filter(col("total_dec") === col("max_dec"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("total_dec"), 2).cast("double").as("total_revenue"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(round(total_dec, 2) AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_dec = (SELECT max(total_dec) FROM rev)""".stripMargin)
+    )),
+
+    // TPC-H Q17 shape: revenue from small-quantity orders of one brand —
+    // the per-part correlated average, decorrelated into one aggregate +
+    // one join. The threshold `qty < 0.2·avg(qty)` is evaluated as
+    // `qty·5·n < Σqty` in EXACT decimal, so no borderline line flips on
+    // float division. (No p_container in the fixture; brand only.)
+    "q17_small_qty_revenue" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey"))
+        val liB = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val perPart = liB.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qsum"),
+            count(lit(1)).as("n"))
+        liB.join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity").cast("decimal(18,6)") * col("n") * 5 < col("qsum"))
+          .agg(moneySum(col("l_extendedprice")).as("total_revenue"))
+      },
+      Some(s"""WITH liB AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |pp AS (SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,6))) AS qsum,
+        |         count(*) AS n
+        |       FROM liB GROUP BY 1)
+        |SELECT ${moneySumSql("l_extendedprice")} AS total_revenue
+        |FROM liB JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,6)) * n * 5 < qsum""".stripMargin)
+    )),
+
+    // TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    // finished multi-supplier order — the classic EXISTS + NOT EXISTS
+    // double correlation, planned as one left-semi and one left-anti
+    // join against id-only relations (never a per-row subquery). "Late"
+    // is shipped >90 days after the order date (the fixture carries no
+    // commit/receipt dates).
+    "q21_waiting_suppliers" -> ((
+      (s: SparkSession, dir: String) => {
+        val oF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val late = t(s, dir, "lineitem")
+          .join(oF, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val others = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")).distinct()
+        val lateOthers = late
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")).distinct()
+        late
+          .join(others, col("l_orderkey") === col("k2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("k3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(20)
+      },
+      Some("""WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+    )),
+
+    // TPC-H Q22 shape: well-funded customers gone idle — the
+    // scalar-average threshold + anti-join-to-fact pattern. "Idle" is no
+    // order since 2000-01-01 (every above-average fixture customer has
+    // ordered at least once, so the spec's literal never-ordered filter
+    // would return the empty relation). The average is derived from one
+    // exact decimal sum and one double division with the identical op
+    // sequence on both engines (q_above_avg_orders discipline); grouping
+    // is by nation key (no c_phone in the fixture).
+    "q22_idle_customers" -> ((
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer")
+        val thr = c.filter(col("c_acctbal") > 0)
+          .agg(sum(col("c_acctbal").cast("decimal(18,6)")).as("bal_sum"),
+            count(lit(1)).as("n"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey")).distinct()
+        c.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("bal_sum").cast("double") / col("n"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+      },
+      Some(s"""WITH thr AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS bal_sum, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  ${moneySumSql("c_acctbal")} AS totacctbal
+        |FROM customer, thr
+        |WHERE c_acctbal > CAST(bal_sum AS DOUBLE) / n
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin)
     ))
   )
 }
