@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   * the MIN — standard bench practice, and it neutralizes one-off box-stall
   * windows (r5's driver run charged single queries 20-100 s that probe at
   * ~1 s warm; min-of-N makes one bad window cost noise, not the record).
+  * The N runs are separate FULL PASSES over the catalog, not back-to-back
+  * repeats: this box's stalls cluster in multi-minute windows (an r6
+  * back-to-back run charged q_percentiles 65 s AND 84 s while the same
+  * query probes 5.3 s warm), so the two timings of one query must be
+  * minutes apart for the min to escape the window.
   *
   * Output contract, revised for parseability (r1-r5 all recorded
   * `"parsed": null` because the 157-entry JSON line outgrew the driver's
@@ -64,24 +69,25 @@ object Bench {
     val recycle = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECYCLE", "24").toInt
     var spark = freshSession()
     var sinceRecycle = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (sinceRecycle >= recycle) {
-        spark.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        // freshSession() re-runs the same q1_agg + table-touch warmup the
-        // first block got, so every block starts from the SAME floor; the
-        // boundary query is NOT pre-run — that would hand it a uniquely
-        // warm (own-codegen-prepaid) measurement no other query gets
-        spark = freshSession()
-        sinceRecycle = 0
-      }
-      sinceRecycle += 1
-      val runs = (1 to runsPerQuery).map { _ =>
-        // isolate runs AND queries: operators persist intermediate
-        // relations (shingle hashes, CC labels); without eviction each
-        // timing depends on what ran before it and the heap fills with
-        // dead caches. Clearing before EVERY run also means run 2+ re-does
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to runsPerQuery).map { _ =>
+      catalog.map { case (name, fn) =>
+        if (sinceRecycle >= recycle) {
+          spark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          // freshSession() re-runs the same q1_agg + table-touch warmup the
+          // first block got, so every block starts from the SAME floor; the
+          // boundary query is NOT pre-run — that would hand it a uniquely
+          // warm (own-codegen-prepaid) measurement no other query gets
+          spark = freshSession()
+          sinceRecycle = 0
+        }
+        sinceRecycle += 1
+        // isolate queries: operators persist intermediate relations
+        // (shingle hashes, CC labels); without eviction each timing
+        // depends on what ran before it and the heap fills with dead
+        // caches. Clearing before EVERY run also means every pass re-does
         // the full data path — min-of-N strips stall windows and first-run
         // codegen, not the actual work.
         spark.catalog.clearCache()
@@ -90,8 +96,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
+    }
+    val results = catalog.map { case (name, _) =>
+      val runs = passes.map(_.toMap.apply(name))
       (name, runs.min, runs)
     }
     val total = results.map(_._2).sum
