@@ -9,13 +9,18 @@ import graft.streaming.Engine
   * query dies or the process is signalled, clean stop on shutdown.
   *
   * The reference then stands up gRPC servers on `tcp_address` /
-  * `unix_socket_path` (`src/main.rs:101-157`); here BOTH addresses are
-  * served with the JSON-lines control protocol — TCP via
-  * [[graft.streaming.ControlServer]], the unix socket via
-  * [[graft.streaming.UnixControlServer]] — bound to the same
-  * transport-agnostic [[graft.streaming.ConnectorService]] verbs the gRPC
-  * front would dispatch (the proto wire needs ScalaPB codegen unavailable
-  * offline).
+  * `unix_socket_path` (`src/main.rs:101-157`). Parity here:
+  * `tcp_address` serves REAL gRPC — [[graft.streaming.GrpcControlServer]],
+  * the vendored proto spoken as standard HTTP/2 + proto3 binary over the
+  * Spark distribution's shaded grpc runtime, so the reference's own
+  * clients (`test_grpc_sink.py`, tonic) point here unchanged. The unix
+  * socket serves the JSON-lines protocol
+  * ([[graft.streaming.UnixControlServer]] — the local-CLI surface; netty's
+  * UDS transport needs the native epoll artifact this container lacks,
+  * a documented divergence), and an optional `json_tcp_address` keeps the
+  * `nc`-able JSON-lines TCP front ([[graft.streaming.ControlServer]]).
+  * All three fronts dispatch the same transport-agnostic
+  * [[graft.streaming.ConnectorService]] verbs.
   *
   * Run: `sbt "runMain graft.Main [config.json [dataRoot [checkpointRoot]]]"`.
   * With the shipped `config/connect.json`, drop text files into the
@@ -44,12 +49,31 @@ object Main {
       new graft.streaming.PushService(spark),
       () => throw new IllegalStateException("daemon mode has no push sink"))
 
-    val control = engine.config.flatMap(_.tcpAddress).map { a =>
+    def hostPort(a: String): (String, Int) = {
       val host = a.split(":").dropRight(1).mkString(":") match {
         case "" => "127.0.0.1"
         case h => h
       }
-      val port = a.split(":").last.toInt
+      (host, a.split(":").last.toInt)
+    }
+
+    // primary wire, reference parity: gRPC on tcp_address. The proto has
+    // no authentication (same as the reference), so a non-loopback bind is
+    // an explicit operator decision — warn loudly.
+    val grpcControl = engine.config.flatMap(_.tcpAddress).map { a =>
+      val (host, port) = hostPort(a)
+      if (host == "0.0.0.0" || host == "::")
+        println("[graft] WARNING: gRPC control plane binding ALL interfaces — " +
+          "the proto has no authentication and UpdateConfig re-points " +
+          "ingestion; use 127.0.0.1 or front it with an authenticating proxy")
+      val srv = new graft.streaming.GrpcControlServer(svc, port, host)
+      val bound = srv.start()
+      println(s"[graft] gRPC control plane listening on $host:$bound")
+      srv
+    }
+
+    val control = engine.config.flatMap(_.jsonTcpAddress).map { a =>
+      val (host, port) = hostPort(a)
       if ((host == "0.0.0.0" || host == "::") && token.isEmpty)
         println("[graft] WARNING: control plane binding ALL interfaces with no " +
           "authentication — any network peer can reconfigure this daemon; " +
@@ -76,6 +100,7 @@ object Main {
 
     sys.addShutdownHook {
       println("[graft] shutting down")
+      grpcControl.foreach(_.stop())
       control.foreach(_.stop())
       udsControl.foreach(_.stop())
       engine.stop()

@@ -24,8 +24,13 @@ final case class ConnectorConfig(
     config: Map[String, String])
 
 final case class GraftConfig(
+    /** gRPC bind (the reference's tonic address, `main.rs:101-127`). */
     tcpAddress: Option[String],
     unixSocketPath: Option[String],
+    /** Optional extra JSON-lines TCP bind — the pre-gRPC stand-in protocol,
+      * kept for `nc`-style scripting; not part of the reference surface.
+      */
+    jsonTcpAddress: Option[String],
     /** Shared-secret for the TCP control plane: when set, every request
       * line must carry a matching `"token"` field or is rejected without
       * dispatch. Defense for non-loopback binds (update_config re-points
@@ -71,6 +76,7 @@ object ConfigLoader {
     GraftConfig(
       tcpAddress = opt(root.get("tcp_address")),
       unixSocketPath = opt(root.get("unix_socket_path")),
+      jsonTcpAddress = opt(root.get("json_tcp_address")),
       authToken = opt(root.get("auth_token")),
       kafka = kafka,
       connectors = connectors)

@@ -8,10 +8,11 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
-/** Stand-in wire for the control plane: JSON-lines over TCP, binding the
-  * SAME [[ConnectorService]] the gRPC front would (the vendored proto's
-  * unary verbs — `src/main/protobuf/connector.proto`). One request object
-  * per line, one response object per line:
+/** JSON-lines control front: the `nc`-able scripting surface next to the
+  * REAL gRPC wire ([[GrpcControlServer]] — `tcp_address`), binding the
+  * SAME [[ConnectorService]] verbs (the vendored proto's unary subset —
+  * `src/main/protobuf/connector.proto`). One request object per line, one
+  * response object per line:
   *
   * {{{
   *   {"verb":"get_status","connector":"file-watch-source"}
@@ -20,10 +21,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *     "tasks_max":1,"config":{...}}}
   * }}}
   *
-  * No protobuf/grpc jars ship offline, so this line protocol is what makes
-  * the daemon actually controllable today (`echo '{"verb":"get_status",...}'
-  * | nc host port`); swapping in ScalaPB replaces this class and nothing
-  * else. Streaming verbs (sink/source streams) stay in-process — a
+  * Streaming verbs (sink/source streams) live on the gRPC wire — a
   * line-oriented transport is the wrong shape for them.
   */
 final class ControlServer(service: ConnectorService, port: Int,

@@ -182,6 +182,95 @@ class ServiceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("gRPC wire serves all verbs over real HTTP/2 with proto3 binary messages") {
+    import org.sparkproject.connect.protobuf.DynamicMessage
+    import graft.streaming.{ConnectorProto, GrpcControlClient, GrpcControlServer, GrpcWire}
+    val root = Files.createTempDirectory("graft-grpc").toString
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, s"$root/ckpt")
+    val service = InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"))
+    val srv = new GrpcControlServer(service, port = 0)
+    val port = srv.start()
+    val ch = GrpcControlClient.channel("127.0.0.1", port)
+    try {
+      // GetStatus: enum + worker id travel as real proto3 fields
+      val statusReq = {
+        val d = ConnectorProto.messageType("StatusRequest")
+        DynamicMessage.newBuilder(d)
+          .setField(d.findFieldByName("connector_name"), "src-1").build()
+      }
+      val status = GrpcControlClient.unary(ch, GrpcWire.getStatusMethod, statusReq)
+      val stateField = status.getDescriptorForType.findFieldByName("state")
+      assert(status.getField(stateField).toString == "UNASSIGNED", status)
+
+      // GetConfig: the map<string,string> round-trips through MapEntry
+      val cfgReq = {
+        val d = ConnectorProto.messageType("ConfigRequest")
+        DynamicMessage.newBuilder(d)
+          .setField(d.findFieldByName("connector_name"), "sink-1").build()
+      }
+      val cfg = GrpcControlClient.unary(ch, GrpcWire.getConfigMethod, cfgReq)
+      val cfgMsg = cfg.getField(cfg.getDescriptorForType.findFieldByName("config"))
+        .asInstanceOf[DynamicMessage]
+      assert(cfgMsg.getField(cfgMsg.getDescriptorForType.findFieldByName("connector_class"))
+        == "graft.FileSinkConnector")
+
+      // UpdateConfig: request carries a nested ConnectorConfig + map
+      val upd = {
+        val cd = ConnectorProto.messageType("ConnectorConfig")
+        val entry = cd.findNestedTypeByName("ConfigEntry")
+        val cc = DynamicMessage.newBuilder(cd)
+          .setField(cd.findFieldByName("connector_class"), "graft.FileSinkConnector")
+          .setField(cd.findFieldByName("name"), "sink-1")
+          .setField(cd.findFieldByName("tasks_max"), Int.box(3))
+          .addRepeatedField(cd.findFieldByName("config"),
+            DynamicMessage.newBuilder(entry)
+              .setField(entry.findFieldByName("key"), "s3.bucket.name")
+              .setField(entry.findFieldByName("value"), "b").build())
+          .build()
+        val d = ConnectorProto.messageType("ConfigUpdateRequest")
+        DynamicMessage.newBuilder(d).setField(d.findFieldByName("config"), cc).build()
+      }
+      val updated = GrpcControlClient.unary(ch, GrpcWire.updateConfigMethod, upd)
+      val updMsg = updated.getField(updated.getDescriptorForType.findFieldByName("config"))
+        .asInstanceOf[DynamicMessage]
+      assert(updMsg.getField(updMsg.getDescriptorForType.findFieldByName("tasks_max")) == 3)
+
+      // SinkStream bidi: a heartbeat echoes back with the same timestamp
+      import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
+      val got = new java.util.concurrent.LinkedBlockingQueue[DynamicMessage]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val reqObs = ClientCalls.asyncBidiStreamingCall(
+        ch.newCall(GrpcWire.sinkStreamMethod,
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT),
+        new StreamObserver[DynamicMessage] {
+          override def onNext(v: DynamicMessage): Unit = got.put(v)
+          override def onError(t: Throwable): Unit = done.countDown()
+          override def onCompleted(): Unit = done.countDown()
+        })
+      val hb = {
+        val hd = ConnectorProto.messageType("Heartbeat")
+        val sd = ConnectorProto.messageType("SinkRequest")
+        DynamicMessage.newBuilder(sd).setField(sd.findFieldByName("heartbeat"),
+          DynamicMessage.newBuilder(hd).setField(hd.findFieldByName("timestamp"),
+            Long.box(424242L)).build()).build()
+      }
+      reqObs.onNext(hb)
+      val echo = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(echo != null, "no heartbeat echo within 10s")
+      val echoedHb = echo.getField(echo.getDescriptorForType.findFieldByName("heartbeat"))
+        .asInstanceOf[DynamicMessage]
+      assert(echoedHb.getField(
+        echoedHb.getDescriptorForType.findFieldByName("timestamp")) == 424242L)
+      reqObs.onCompleted()
+      assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    } finally {
+      ch.shutdownNow()
+      srv.stop()
+    }
+  }
+
   test("UDS control plane serves the same verbs over a unix socket path") {
     import java.nio.charset.StandardCharsets.UTF_8
     val root = Files.createTempDirectory("graft-uds")
