@@ -163,10 +163,32 @@ object ConnectorProto {
         field("error_message", 1, Type.TYPE_STRING),
         field("error_code", 2, Type.TYPE_STRING),
         field("stack_trace", 3, Type.TYPE_STRING)))
+      .addService(DP.ServiceDescriptorProto.newBuilder()
+        .setName("ConnectorService")
+        .addMethod(DP.MethodDescriptorProto.newBuilder().setName("SourceStream")
+          .setInputType(".kafka.connect.SourceRequest")
+          .setOutputType(".kafka.connect.SourceResponse")
+          .setClientStreaming(true).setServerStreaming(true))
+        .addMethod(DP.MethodDescriptorProto.newBuilder().setName("SinkStream")
+          .setInputType(".kafka.connect.SinkRequest")
+          .setOutputType(".kafka.connect.SinkResponse")
+          .setClientStreaming(true).setServerStreaming(true))
+        .addMethod(DP.MethodDescriptorProto.newBuilder().setName("GetConfig")
+          .setInputType(".kafka.connect.ConfigRequest")
+          .setOutputType(".kafka.connect.ConfigResponse"))
+        .addMethod(DP.MethodDescriptorProto.newBuilder().setName("UpdateConfig")
+          .setInputType(".kafka.connect.ConfigUpdateRequest")
+          .setOutputType(".kafka.connect.ConfigResponse"))
+        .addMethod(DP.MethodDescriptorProto.newBuilder().setName("GetStatus")
+          .setInputType(".kafka.connect.StatusRequest")
+          .setOutputType(".kafka.connect.StatusResponse")))
       .build()
 
     Descriptors.FileDescriptor.buildFrom(fdp, Array.empty[Descriptors.FileDescriptor])
   }
+
+  def serviceDescriptor: Descriptors.ServiceDescriptor =
+    fileDescriptor.findServiceByName("ConnectorService")
 
   def messageType(name: String): Descriptors.Descriptor = {
     val d = fileDescriptor.findMessageTypeByName(name)
@@ -458,7 +480,25 @@ object GrpcWire {
             }
         })
 
-    ServerServiceDefinition.builder("kafka.connect.ConnectorService")
+    // the schema supplier is what makes server REFLECTION work
+    // (`main.rs:106-109` parity): grpcurl-style clients list the service
+    // and fetch this exact runtime-built descriptor
+    val schema = new org.sparkproject.connect.grpc.protobuf.ProtoFileDescriptorSupplier
+        with org.sparkproject.connect.grpc.protobuf.ProtoServiceDescriptorSupplier {
+      override def getFileDescriptor: Descriptors.FileDescriptor =
+        ConnectorProto.fileDescriptor
+      override def getServiceDescriptor: Descriptors.ServiceDescriptor =
+        ConnectorProto.serviceDescriptor
+    }
+    val sd = org.sparkproject.connect.grpc.ServiceDescriptor
+      .newBuilder("kafka.connect.ConnectorService")
+      .setSchemaDescriptor(schema)
+      .addMethod(getStatusMethod).addMethod(getConfigMethod)
+      .addMethod(updateConfigMethod).addMethod(sinkStreamMethod)
+      .addMethod(sourceStreamMethod)
+      .build()
+
+    ServerServiceDefinition.builder(sd)
       .addMethod(getStatusMethod,
         unary(m => statusResponseMsg(service.getStatus(toStatusRequest(m)))))
       .addMethod(getConfigMethod,
@@ -488,6 +528,9 @@ final class GrpcControlServer(service: ConnectorService, port: Int,
     server = NettyServerBuilder
       .forAddress(new java.net.InetSocketAddress(host, port))
       .addService(GrpcWire.serviceDefinition(service))
+      // reflection, as the reference daemon enables it (`main.rs:106-109`)
+      .addService(org.sparkproject.connect.grpc.protobuf.services
+        .ProtoReflectionServiceV1.newInstance())
       .build().start()
     server.getPort
   }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.{Format, KafkaRecord, SinkConfig}
@@ -268,6 +270,140 @@ class ServiceSpec extends SparkSpec {
     } finally {
       ch.shutdownNow()
       srv.stop()
+    }
+  }
+
+  test("gRPC server reflection lists the connector service and serves its descriptor") {
+    import org.sparkproject.connect.grpc.reflection.v1.{ServerReflectionGrpc, ServerReflectionRequest, ServerReflectionResponse}
+    import org.sparkproject.connect.grpc.stub.StreamObserver
+    import graft.streaming.{GrpcControlClient, GrpcControlServer}
+    val root = Files.createTempDirectory("graft-grpc-refl").toString
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, s"$root/ckpt")
+    val service = InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"))
+    val srv = new GrpcControlServer(service, port = 0)
+    val port = srv.start()
+    val ch = GrpcControlClient.channel("127.0.0.1", port)
+    try {
+      val got = new java.util.concurrent.LinkedBlockingQueue[ServerReflectionResponse]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val reqObs = ServerReflectionGrpc.newStub(ch).serverReflectionInfo(
+        new StreamObserver[ServerReflectionResponse] {
+          override def onNext(v: ServerReflectionResponse): Unit = got.put(v)
+          override def onError(t: Throwable): Unit = done.countDown()
+          override def onCompleted(): Unit = done.countDown()
+        })
+      reqObs.onNext(ServerReflectionRequest.newBuilder().setListServices("").build())
+      val listed = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(listed != null, "no reflection response within 10s")
+      val names = listed.getListServicesResponse.getServiceList.asScala.map(_.getName)
+      assert(names.contains("kafka.connect.ConnectorService"), names)
+
+      // fetch the descriptor by symbol — what grpcurl does before a call
+      reqObs.onNext(ServerReflectionRequest.newBuilder()
+        .setFileContainingSymbol("kafka.connect.ConnectorService").build())
+      val fileResp = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(fileResp != null && fileResp.hasFileDescriptorResponse, fileResp)
+      val fdBytes = fileResp.getFileDescriptorResponse.getFileDescriptorProtoList
+      assert(!fdBytes.isEmpty)
+      val fdp = org.sparkproject.connect.protobuf.DescriptorProtos.FileDescriptorProto
+        .parseFrom(fdBytes.get(0))
+      assert(fdp.getPackage == "kafka.connect")
+      assert(fdp.getServiceList.asScala.exists(_.getName == "ConnectorService"))
+      reqObs.onCompleted()
+      assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    } finally {
+      ch.shutdownNow()
+      srv.stop()
+    }
+  }
+
+  test("gRPC SinkStream moves record batches into the sink — the test_grpc_sink.py path") {
+    import org.sparkproject.connect.protobuf.{ByteString, DynamicMessage}
+    import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
+    import graft.streaming.{ConnectorProto, GrpcControlClient, GrpcControlServer, GrpcWire}
+    val svc = new PushService(spark)
+    val root = Files.createTempDirectory("graft-grpc-sink").toString
+    val ckpt = Files.createTempDirectory("graft-grpc-sink-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet)
+    val q = svc.records.writeStream
+      .queryName("graft-grpc-sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.FileSink.writeBatch(batch, cfg, root)
+        svc.ackOnCommit(batch.select("topic", "partition", "offset").collect().iterator
+          .map(r => svc.RecordId(r.getString(0), r.getInt(1), r.getLong(2))))
+      }.start()
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, ckpt)
+    val service = InProcessConnectorService(engine, svc, () => q)
+    val srv = new GrpcControlServer(service, port = 0)
+    val port = srv.start()
+    val ch = GrpcControlClient.channel("127.0.0.1", port)
+    try {
+      val sinkReqD = ConnectorProto.messageType("SinkRequest")
+      val recD = ConnectorProto.messageType("KafkaRecord")
+      val batchD = ConnectorProto.messageType("RecordBatch")
+      val flushD = ConnectorProto.messageType("FlushRequest")
+      def recordMsg(offset: Long, v: String): DynamicMessage =
+        DynamicMessage.newBuilder(recD)
+          .setField(recD.findFieldByName("topic"), "t")
+          .setField(recD.findFieldByName("partition"), Int.box(0))
+          .setField(recD.findFieldByName("offset"), Long.box(offset))
+          .setField(recD.findFieldByName("timestamp"), Long.box(1234567890000L))
+          .setField(recD.findFieldByName("key"), ByteString.copyFromUtf8("k"))
+          .setField(recD.findFieldByName("value"), ByteString.copyFromUtf8(v))
+          .build()
+      val pushMsg = {
+        val b = DynamicMessage.newBuilder(batchD)
+        b.addRepeatedField(batchD.findFieldByName("records"), recordMsg(0L, "wire-a"))
+        b.addRepeatedField(batchD.findFieldByName("records"), recordMsg(1L, "wire-b"))
+        DynamicMessage.newBuilder(sinkReqD)
+          .setField(sinkReqD.findFieldByName("record_batch"), b.build()).build()
+      }
+      val flushMsg = DynamicMessage.newBuilder(sinkReqD)
+        .setField(sinkReqD.findFieldByName("flush"),
+          DynamicMessage.newBuilder(flushD)
+            .setField(flushD.findFieldByName("request_id"), "wire-f1").build())
+        .build()
+
+      val got = new java.util.concurrent.LinkedBlockingQueue[DynamicMessage]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val reqObs = ClientCalls.asyncBidiStreamingCall(
+        ch.newCall(GrpcWire.sinkStreamMethod,
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT),
+        new StreamObserver[DynamicMessage] {
+          override def onNext(v: DynamicMessage): Unit = got.put(v)
+          override def onError(t: Throwable): Unit = done.countDown()
+          override def onCompleted(): Unit = done.countDown()
+        })
+      reqObs.onNext(pushMsg) // push produces no response (ack-on-commit)
+      reqObs.onNext(flushMsg)
+      val ack = got.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(ack != null, "no Ack within 30s")
+      val ackD = ack.getDescriptorForType
+      assert(ack.hasField(ackD.findFieldByName("ack")), ack)
+      val ackMsg = ack.getField(ackD.findFieldByName("ack")).asInstanceOf[DynamicMessage]
+      val ids = ackMsg.getField(ackMsg.getDescriptorForType.findFieldByName("record_ids"))
+        .asInstanceOf[java.util.List[_]]
+      assert(ids.size == 2, s"expected both pushed ids acked, got $ackMsg")
+      val flushed = got.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(flushed != null && flushed.hasField(
+        flushed.getDescriptorForType.findFieldByName("flush_response")), flushed)
+      reqObs.onCompleted()
+      assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // the records pushed over the wire are durably in the sink files
+      val written = spark.read.parquet(root)
+      assert(written.count() == 2)
+      val values = written.select("value").collect()
+        .map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSet
+      assert(values == Set("wire-a", "wire-b"))
+    } finally {
+      ch.shutdownNow()
+      srv.stop()
+      q.stop()
     }
   }
 
