@@ -14,13 +14,14 @@ import graft.streaming.Engine
   * the vendored proto spoken as standard HTTP/2 + proto3 binary over the
   * Spark distribution's shaded grpc runtime, so the reference's own
   * clients (`test_grpc_sink.py`, tonic) point here unchanged. The unix
-  * socket serves the JSON-lines protocol
-  * ([[graft.streaming.UnixControlServer]] — the local-CLI surface; netty's
-  * UDS transport needs the native epoll artifact this container lacks,
-  * a documented divergence), and an optional `json_tcp_address` keeps the
-  * `nc`-able JSON-lines TCP front ([[graft.streaming.ControlServer]]).
-  * All three fronts dispatch the same transport-agnostic
-  * [[graft.streaming.ConnectorService]] verbs.
+  * socket ALSO serves gRPC ([[graft.streaming.GrpcUdsControlServer]], via
+  * the netty epoll native transport the distribution ships; non-epoll
+  * platforms fall back to JSON lines there), with the JSON-lines
+  * local-CLI surface beside it at `<path>.jsonl`
+  * ([[graft.streaming.UnixControlServer]]), and an optional
+  * `json_tcp_address` keeps the `nc`-able JSON-lines TCP front
+  * ([[graft.streaming.ControlServer]]). Every front dispatches the same
+  * transport-agnostic [[graft.streaming.ConnectorService]] verbs.
   *
   * Run: `sbt "runMain graft.Main [config.json [dataRoot [checkpointRoot]]]"`.
   * With the shipped `config/connect.json`, drop text files into the
@@ -84,14 +85,25 @@ object Main {
       srv
     }
 
-    // second listener, reference parity: the same verbs on the configured
-    // unix socket path — the local-CLI surface, gated by filesystem
-    // permissions rather than a network boundary
+    // second listener, reference parity (`main.rs:128-157`): gRPC on the
+    // configured unix socket when the epoll native transport loads (this
+    // platform ships it), with the JSON-lines local-CLI surface beside it
+    // at `<path>.jsonl`; on non-epoll platforms the socket falls back to
+    // JSON lines. Either way access is gated by filesystem permissions.
+    val grpcUds = engine.config.flatMap(_.unixSocketPath)
+      .filter(_ => graft.streaming.GrpcUdsControlServer.available).map { p =>
+        val srv = new graft.streaming.GrpcUdsControlServer(
+          svc, java.nio.file.Paths.get(p))
+        srv.start()
+        println(s"[graft] gRPC control plane listening on unix:$p")
+        srv
+      }
     val udsControl = engine.config.flatMap(_.unixSocketPath).map { p =>
+      val jsonPath = if (grpcUds.isDefined) s"$p.jsonl" else p
       val srv = new graft.streaming.UnixControlServer(
-        svc, java.nio.file.Paths.get(p), token)
+        svc, java.nio.file.Paths.get(jsonPath), token)
       srv.start()
-      println(s"[graft] control plane listening on unix:$p (JSON lines)")
+      println(s"[graft] control plane listening on unix:$jsonPath (JSON lines)")
       srv
     }
 
@@ -101,6 +113,7 @@ object Main {
     sys.addShutdownHook {
       println("[graft] shutting down")
       grpcControl.foreach(_.stop())
+      grpcUds.foreach(_.stop())
       control.foreach(_.stop())
       udsControl.foreach(_.stop())
       engine.stop()

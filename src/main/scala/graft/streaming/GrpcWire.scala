@@ -544,13 +544,79 @@ final class GrpcControlServer(service: ConnectorService, port: Int,
   }
 }
 
+/** gRPC over the UNIX socket — full `main.rs:128-157` parity (the
+  * reference serves the same tonic service on `unix_socket_path`).
+  * grpc-netty's UDS support needs the epoll native transport; the Spark
+  * distribution ships it for this platform
+  * (`netty-transport-native-epoll-*-linux-x86_64.jar` on the same
+  * unmanaged classpath). Callers must gate on [[GrpcUdsControlServer
+  * .available]] — non-epoll platforms fall back to the JSON-lines UDS
+  * front.
+  */
+final class GrpcUdsControlServer(service: ConnectorService,
+                                 socketPath: java.nio.file.Path) {
+  import io.netty.channel.epoll.{EpollEventLoopGroup, EpollServerDomainSocketChannel}
+
+  @volatile private var server: org.sparkproject.connect.grpc.Server = null
+  private var boss: EpollEventLoopGroup = null
+  private var worker: EpollEventLoopGroup = null
+
+  def start(): java.nio.file.Path = synchronized {
+    require(server == null, "already started")
+    if (socketPath.getParent != null)
+      java.nio.file.Files.createDirectories(socketPath.getParent)
+    java.nio.file.Files.deleteIfExists(socketPath) // stale-socket recovery
+    boss = new EpollEventLoopGroup(1)
+    worker = new EpollEventLoopGroup()
+    server = NettyServerBuilder
+      .forAddress(new io.netty.channel.unix.DomainSocketAddress(socketPath.toString))
+      .channelType(classOf[EpollServerDomainSocketChannel])
+      .bossEventLoopGroup(boss)
+      .workerEventLoopGroup(worker)
+      .addService(GrpcWire.serviceDefinition(service))
+      .addService(org.sparkproject.connect.grpc.protobuf.services
+        .ProtoReflectionServiceV1.newInstance())
+      .build().start()
+    socketPath
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) {
+      server.shutdownNow()
+      server.awaitTermination()
+      server = null
+      boss.shutdownGracefully(); worker.shutdownGracefully()
+      boss = null; worker = null
+    }
+    java.nio.file.Files.deleteIfExists(socketPath)
+  }
+}
+
+object GrpcUdsControlServer {
+  /** Whether the epoll native transport loads on this platform. */
+  def available: Boolean =
+    try io.netty.channel.epoll.Epoll.isAvailable
+    catch { case _: Throwable => false }
+}
+
 /** Minimal generic client over the same shaded runtime — what the tests
-  * use to drive the real wire end-to-end (HTTP/2 over loopback, binary
-  * proto3); a stand-in for the reference's python/tonic clients.
+  * use to drive the real wire end-to-end (HTTP/2 over loopback or a unix
+  * socket, binary proto3); a stand-in for the reference's python/tonic
+  * clients.
   */
 object GrpcControlClient {
   def channel(host: String, port: Int): ManagedChannel =
     NettyChannelBuilder.forAddress(host, port).usePlaintext().build()
+
+  /** UDS channel (epoll platforms only — see [[GrpcUdsControlServer]]). */
+  def udsChannel(socketPath: java.nio.file.Path): ManagedChannel = {
+    import io.netty.channel.epoll.{EpollDomainSocketChannel, EpollEventLoopGroup}
+    NettyChannelBuilder
+      .forAddress(new io.netty.channel.unix.DomainSocketAddress(socketPath.toString))
+      .channelType(classOf[EpollDomainSocketChannel])
+      .eventLoopGroup(new EpollEventLoopGroup())
+      .usePlaintext().build()
+  }
 
   def unary(ch: ManagedChannel, m: MethodDescriptor[DynamicMessage, DynamicMessage],
             req: DynamicMessage): DynamicMessage =

@@ -319,6 +319,35 @@ class ServiceSpec extends SparkSpec {
     }
   }
 
+  test("gRPC serves over the unix socket via the epoll native transport") {
+    import org.sparkproject.connect.protobuf.DynamicMessage
+    import graft.streaming.{ConnectorProto, GrpcControlClient, GrpcUdsControlServer, GrpcWire}
+    assume(GrpcUdsControlServer.available, "epoll native transport not available")
+    val root = Files.createTempDirectory("graft-grpc-uds")
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root.toString,
+      s"$root/ckpt")
+    val service = InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"))
+    val path = root.resolve("grpc.sock")
+    val srv = new GrpcUdsControlServer(service, path)
+    srv.start()
+    val ch = GrpcControlClient.udsChannel(path)
+    try {
+      assert(Files.exists(path))
+      val d = ConnectorProto.messageType("StatusRequest")
+      val req = DynamicMessage.newBuilder(d)
+        .setField(d.findFieldByName("connector_name"), "src-1").build()
+      val status = GrpcControlClient.unary(ch, GrpcWire.getStatusMethod, req)
+      assert(status.getField(
+        status.getDescriptorForType.findFieldByName("state")).toString == "UNASSIGNED")
+    } finally {
+      ch.shutdownNow()
+      srv.stop()
+      assert(!Files.exists(path), "stop must remove the socket file")
+    }
+  }
+
   test("gRPC SinkStream moves record batches into the sink — the test_grpc_sink.py path") {
     import org.sparkproject.connect.protobuf.{ByteString, DynamicMessage}
     import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
