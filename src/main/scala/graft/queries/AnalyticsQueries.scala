@@ -2177,6 +2177,93 @@ object AnalyticsQueries {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin)
+    )),
+
+    // Z-order (Morton) layout zone maps: interleave two normalized key
+    // columns bit-by-bit ([[graft.sinks.Tables.zOrderValue]] — pure codegen
+    // bit algebra), bucket rows by the top 6 z bits (64 spatial cells), and
+    // emit each cell's min/max zone map for BOTH columns plus the verdict a
+    // scan planner would compute: does this cell survive a 40-60% band
+    // predicate on l_partkey — the column a single-column sort layout would
+    // NOT cluster. This is the oracle-checked twin of
+    // [[graft.sinks.Tables.writeZOrdered]] (ScaleSpec proves the written
+    // files cluster both columns); cell = z >> 26 keeps the whole plan a
+    // map + one hash aggregate — no global sort, nothing driver-side, the
+    // shape that still works at 100 TB. The DuckDB oracle replays the exact
+    // normalize + interleave arithmetic (identical IEEE double ops, then
+    // integer bit ops), so the layout itself — not just row counts — is
+    // verified.
+    "q_zorder_skipping" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val ext = li.agg(
+          min("l_orderkey").as("mna"), max("l_orderkey").as("mxa"),
+          min("l_partkey").as("mnb"), max("l_partkey").as("mxb"))
+        li.crossJoin(broadcast(ext))
+          .withColumn("_z", graft.sinks.Tables.zOrderValue(
+            col("l_orderkey"), col("l_partkey"),
+            (col("mna"), col("mnb")), (col("mxa"), col("mxb"))))
+          .withColumn("cell", shiftright(col("_z"), 26).cast("long"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+            min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+            first("mnb").as("mnb"), first("mxb").as("mxb"))
+          .select(col("cell"), col("n_rows"),
+            col("min_ok"), col("max_ok"), col("min_pk"), col("max_pk"),
+            (col("max_pk") >= col("mnb") + (col("mxb") - col("mnb")) * lit(0.4) &&
+              col("min_pk") <= col("mnb") + (col("mxb") - col("mnb")) * lit(0.6))
+              .as("scan_pk_band"))
+      },
+      Some {
+        // the 16-bit Morton interleave, unrolled to DuckDB bit operators —
+        // identical bit-for-bit to zOrderValue's shift/mask/sum chain
+        val zTerms = (0 until 16).map(i =>
+          s"(((nx >> $i) & 1) << ${2 * i}) | (((ny >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""WITH ext AS (SELECT min(l_orderkey) AS mna, max(l_orderkey) AS mxa,
+          |  min(l_partkey) AS mnb, max(l_partkey) AS mxb FROM lineitem),
+          |n AS (SELECT l_orderkey, l_partkey, mnb, mxb,
+          |  CASE WHEN CAST(mxa AS DOUBLE) - CAST(mna AS DOUBLE) = 0 THEN 0
+          |    ELSE least(65535, CAST(floor((CAST(l_orderkey AS DOUBLE) - CAST(mna AS DOUBLE))
+          |      * 65535 / (CAST(mxa AS DOUBLE) - CAST(mna AS DOUBLE))) AS BIGINT)) END AS nx,
+          |  CASE WHEN CAST(mxb AS DOUBLE) - CAST(mnb AS DOUBLE) = 0 THEN 0
+          |    ELSE least(65535, CAST(floor((CAST(l_partkey AS DOUBLE) - CAST(mnb AS DOUBLE))
+          |      * 65535 / (CAST(mxb AS DOUBLE) - CAST(mnb AS DOUBLE))) AS BIGINT)) END AS ny
+          |  FROM lineitem, ext),
+          |z AS (SELECT l_orderkey, l_partkey, mnb, mxb, ($zTerms) >> 26 AS cell FROM n)
+          |SELECT cell, CAST(count(*) AS BIGINT) AS n_rows,
+          |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+          |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+          |  (max(l_partkey) >= mnb + (mxb - mnb) * 0.4
+          |    AND min(l_partkey) <= mnb + (mxb - mnb) * 0.6) AS scan_pk_band
+          |FROM z GROUP BY cell, mnb, mxb""".stripMargin
+      }
+    )),
+
+    // Salted equi-join ([[graft.operators.Skew.saltedJoin]]): the skew
+    // pattern for when AQE's runtime skew splitting can't apply — the fact
+    // side gets a deterministic xxhash salt, the dimension side is
+    // replicated once per salt bucket, and the join key becomes
+    // (key, salt) so one hot orderkey spreads over 8 reducers instead of
+    // one straggler task. The oracle is the PLAIN join: salting must be
+    // invisible in the result, and the decimal money discipline makes the
+    // aggregate order-independent so the 8-way spread can't shift a cent.
+    "q_salted_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority"), col("o_totalprice"))
+        graft.operators.Skew.saltedJoin(li, ord, "l_orderkey", saltBuckets = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            moneySum(col("l_quantity") * col("o_totalprice")).as("qty_value"))
+      },
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  ${moneySumSql("l_quantity * o_totalprice")} AS qty_value
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin)
     ))
   )
 }

@@ -1637,6 +1637,57 @@ object LlmQueries {
         |SELECT query_id, neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
+    // Greedy sequence packing — the LLM-training "sample packing" step:
+    // fill a 256-token context window doc-by-doc in doc_id order within
+    // each source, opening a new bin when the next doc would overflow
+    // (next-fit; docs are never split, unlike q_pack_shards' offset-range
+    // sharding). The fold is inherently sequential PER GROUP, so the right
+    // distributed shape is groupByKey(source).flatMapSortedGroups(doc_id):
+    // sources pack in parallel across executors, each group streams through
+    // one sorted iterator with O(1) state — no window over a global sort,
+    // no collect. The oracle replays the same fold as a DuckDB recursive
+    // CTE stepping rn → rn+1 per source.
+    "q_pack_greedy" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("doc_id")) { (src, it) =>
+            var bin = 0L
+            var binTok = 0L
+            var first = true
+            it.map { case (_, docId, tk) =>
+              if (first) { binTok = tk; first = false }
+              else if (binTok + tk > 256L) { bin += 1; binTok = tk }
+              else binTok += tk
+              (src, docId, tk, bin)
+            }
+          }
+          .toDF("source", "doc_id", "tokens", "bin")
+      },
+      Some("""WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0
+        |         ELSE len(string_split(text, ' ')) END AS BIGINT) AS tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |rec AS (
+        |  SELECT source, rn, doc_id, tokens, CAST(0 AS BIGINT) AS bin,
+        |         tokens AS bin_tok
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.doc_id, t.tokens,
+        |    CASE WHEN rec.bin_tok + t.tokens > 256 THEN rec.bin + 1
+        |         ELSE rec.bin END,
+        |    CASE WHEN rec.bin_tok + t.tokens > 256 THEN t.tokens
+        |         ELSE rec.bin_tok + t.tokens END
+        |  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1)
+        |SELECT source, doc_id, tokens, bin FROM rec""".stripMargin)
     ))
   )
 }

@@ -301,6 +301,60 @@ object PipelineQueries {
         |       md5(string_agg(record_value, '' ORDER BY "offset")) AS payload_md5,
         |       CAST(count(*) AS BIGINT) AS record_count
         |FROM records GROUP BY topic, partition""".stripMargin)
+    )),
+
+    // Stream-stream interval join run in batch: the SAME
+    // [[graft.streaming.StreamOps.intervalJoin]] plan (watermarks are
+    // no-ops under batch execution — Catalyst's EliminateEventTimeWatermark
+    // removes them), pairing each purchase with that user's clicks within
+    // ±30 minutes, aggregated per purchase. StreamingSpec drives the
+    // identical operator over two MemoryStreams (state eviction, outer-join
+    // emission at watermark); this entry pins the join SEMANTICS to a
+    // DuckDB oracle. At scale both sides shuffle once on user_id and state
+    // is watermark-bounded — the streaming plan a 100 TB clickstream needs.
+    "stream_interval_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = Sources.table(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.streaming.StreamOps
+          .intervalJoin(purchases, clicks, "user_id", maxDelayMs = 1800000L)
+          .groupBy(col("l.event_id").as("purchase_event"))
+          .agg(count(lit(1)).as("n_clicks"),
+            min(col("r.event_id")).as("first_click"),
+            max(col("r.event_id")).as("last_click"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_event, CAST(count(*) AS BIGINT) AS n_clicks,
+        |       min(c.event_id) AS first_click, max(c.event_id) AS last_click
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |  AND c.ts <= p.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1""".stripMargin)
+    )),
+
+    // At-least-once → effectively-once, batch twin: re-deliver every third
+    // record (a second copy, the broker-retry shape) and drop the dups by
+    // (topic, partition, offset) identity — the batch semantics of
+    // [[graft.streaming.StreamOps.dedupWithinWatermark]], whose streaming
+    // form (dropDuplicatesWithinWatermark, state bounded by the watermark
+    // horizon) StreamingSpec exercises over a MemoryStream. The oracle is
+    // the ORIGINAL stream aggregated: redelivery must be invisible.
+    "stream_dedup_redelivery" -> ((
+      (s: SparkSession, dir: String) => {
+        val r = records(s, dir)
+        val redelivered = r.unionByName(r.filter(col("offset") % 3 === 0))
+        redelivered.dropDuplicates("topic", "partition", "offset")
+          .groupBy(col("topic"), col("partition").cast("long").as("partition"))
+          .agg(count(lit(1)).as("n_records"), sum(col("offset")).as("offset_sum"))
+      },
+      Some(s"""$recordsCte
+        |SELECT topic, partition, CAST(count(*) AS BIGINT) AS n_records,
+        |       CAST(sum("offset") AS BIGINT) AS offset_sum
+        |FROM records GROUP BY topic, partition""".stripMargin)
     ))
   )
 }
