@@ -292,4 +292,45 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
     assert(salted == direct)
   }
+
+  test("z-order zone-map entry never sorts or windows — map + hash aggregate only") {
+    val out = graft.SparkEntry.queries("q_zorder_skipping")(spark, sf0001)
+    out.write.format("noop").mode("overwrite").save()
+    // the cell bucketing must stay a projection feeding a hash aggregate; a
+    // SortExec or WindowExec would mean the layout computation degenerated
+    // into the global-sort shape (ntile et al.) that single-tasks at 100 TB
+    val offenders = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s.nodeName
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+    }
+    assert(offenders.isEmpty, s"zone-map plan sorts/windows: $offenders")
+  }
+
+  test("greedy packing runs as sorted-group streaming fold, not a global window") {
+    val out = graft.SparkEntry.queries("q_pack_greedy")(spark, sf0001)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan
+    // the sequential fold lives in MapGroups over groups sorted locally —
+    // every SortExec must be partition-local (global sort would serialize
+    // the whole corpus through one task)
+    assert(plan.toString.contains("MapGroups"), s"expected MapGroups:\n$plan")
+    val globalSorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"packing plan has a global sort:\n$globalSorts")
+    // bins are contiguous and capacity-respecting per source: replay the
+    // fold on the collected output
+    val rows = out.select("source", "doc_id", "tokens", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { case (src, docs) =>
+      var bin = 0L; var binTok = 0L; var first = true
+      docs.sortBy(_._2).foreach { case (_, _, tk, gotBin) =>
+        if (first) { binTok = tk; first = false }
+        else if (binTok + tk > 256L) { bin += 1; binTok = tk }
+        else binTok += tk
+        assert(gotBin == bin, s"$src: expected bin $bin, got $gotBin")
+      }
+    }
+  }
 }
