@@ -2264,6 +2264,60 @@ object AnalyticsQueries {
         |  ${moneySumSql("l_quantity * o_totalprice")} AS qty_value
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin)
+    )),
+
+    // Null-safe equi-join (`<=>`): NULL keys match each other instead of
+    // vanishing from the result — the semantics dimension tables with
+    // "unknown" buckets need. Both sides derive a nullable key (bucket 0
+    // → NULL via nullif), aggregate, then join with <=> so the NULL
+    // buckets pair up; a plain `=` would silently drop them. Still a
+    // hash-partitionable equi-join (Spark plans EqualNullSafe as a normal
+    // shuffle/broadcast hash join key) — no scale penalty for the
+    // null-safety. Oracle: IS NOT DISTINCT FROM.
+    "q_nullsafe_join" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        def side(kind: String, as: String) = ev
+          .filter(col("event_type") === kind)
+          .select(expr("nullif(user_id % 7, 0)").as("k"))
+          .groupBy("k").agg(count(lit(1)).as(as))
+        side("view", "n_view").as("l")
+          .join(side("click", "n_click").as("r"), col("l.k") <=> col("r.k"))
+          .select(col("l.k").as("k"), col("n_view"), col("n_click"))
+      },
+      Some("""WITH v AS (SELECT nullif(user_id % 7, 0) AS k, CAST(count(*) AS BIGINT) AS n_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT nullif(user_id % 7, 0) AS k, CAST(count(*) AS BIGINT) AS n_click
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT v.k, n_view, n_click
+        |FROM v JOIN c ON v.k IS NOT DISTINCT FROM c.k""".stripMargin)
+    )),
+
+    // Incremental aggregation (view maintenance): a nightly base aggregate
+    // plus today's delta merge WITHOUT rescanning the base — possible
+    // because count/sum partials are algebraic (re-aggregable). The 80/20
+    // split on event_id stands in for the batch boundary; the oracle is
+    // the full recompute, so the gate proves merge(base, delta) ==
+    // aggregate(all). Integer cents keep the sum order-free. At 100 TB
+    // this is the difference between re-reading the corpus nightly and
+    // touching only the new partition.
+    "q_incremental_agg" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        def partial(cond: org.apache.spark.sql.Column) = ev.filter(cond)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+        val base = partial(col("event_id") % 10 < 8)
+        val delta = partial(col("event_id") % 10 >= 8)
+        base.unionByName(delta)
+          .groupBy("event_type")
+          .agg(sum("n_events").as("n_events"), sum("value_cents").as("value_cents"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1""".stripMargin)
     ))
   )
 }

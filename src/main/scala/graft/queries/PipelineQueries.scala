@@ -355,6 +355,35 @@ object PipelineQueries {
         |SELECT topic, partition, CAST(count(*) AS BIGINT) AS n_records,
         |       CAST(sum("offset") AS BIGINT) AS offset_sum
         |FROM records GROUP BY topic, partition""".stripMargin)
+    )),
+
+    // Schema evolution at read time: half the record stream plays the OLD
+    // file schema (no record_key column), half the new one; a reader must
+    // union them with the missing column null-defaulted —
+    // `unionByName(allowMissingColumns = true)`, Spark's analog of parquet
+    // mergeSchema / Iceberg add-column evolution. The aggregate counts how
+    // many rows actually carry the evolved column, so a silent column drop
+    // or misalignment (positional union's classic failure) flips the gate.
+    "f6_schema_evolution" -> ((
+      (s: SparkSession, dir: String) => {
+        val r = records(s, dir)
+        val oldFiles = r.filter(col("offset") % 2 === 0)
+          .select(col("topic"), col("partition").cast("long").as("partition"),
+            col("offset"), col("ts_ms"))
+        val newFiles = r.filter(col("offset") % 2 === 1)
+          .select(col("topic"), col("partition").cast("long").as("partition"),
+            col("offset"), col("ts_ms"), col("key").as("record_key"))
+        oldFiles.unionByName(newFiles, allowMissingColumns = true)
+          .groupBy("topic", "partition")
+          .agg(count(lit(1)).as("n_records"),
+            count(col("record_key")).as("n_with_key"),
+            min(when(col("record_key").isNotNull, col("offset"))).as("first_keyed_offset"))
+      },
+      Some(s"""$recordsCte
+        |SELECT topic, partition, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(CASE WHEN "offset" % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_key,
+        |  min(CASE WHEN "offset" % 2 = 1 THEN "offset" END) AS first_keyed_offset
+        |FROM records GROUP BY topic, partition""".stripMargin)
     ))
   )
 }
