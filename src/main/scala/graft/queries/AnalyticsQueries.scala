@@ -2318,6 +2318,66 @@ object AnalyticsQueries {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1""".stripMargin)
+    )),
+
+    // Distribution drift between two batches — Population Stability Index
+    // per event_type over a 10-bucket equi-width histogram of `value`,
+    // with add-one smoothing so empty buckets stay finite. This is the
+    // batch-over-batch monitoring a training-data pipeline runs before
+    // accepting a new crawl dump: PSI > 0.2 means the feature moved. The
+    // per-bucket PSI term is floored to micros FIRST and summed as
+    // integers (the catalog's order-free float discipline), and the
+    // histogram edges come from one broadcast min/max aggregate, so the
+    // whole plan is two hash aggregates over a single scan — no quantile
+    // sketch, no sort, nothing that grows with scale but the scan. Only
+    // observed (event_type, bucket) rows enter the sum — identically in
+    // both engines.
+    "dq_drift_psi" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"))
+        val ext = ev.agg(min("value").as("mn"), max("value").as("mx"))
+        val span = col("mx") - col("mn")
+        val b = ev.crossJoin(broadcast(ext))
+          .select(col("event_type"), (col("event_id") % 10 < 8).as("is_a"),
+            when(span === 0.0, lit(0L)).otherwise(
+              least(lit(9L),
+                floor((col("value") - col("mn")) * 10 / span).cast("long")))
+              .as("bucket"))
+        val per = b.groupBy("event_type", "bucket")
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+        val tot = b.groupBy("event_type")
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ta"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("tb"))
+        val pa = (col("na") + 1).cast("double") / (col("ta") + 10)
+        val pb = (col("nb") + 1).cast("double") / (col("tb") + 10)
+        per.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("ta"), col("tb"),
+            floor(lit(1e6) * (pa - pb) * log(pa / pb)).cast("long").as("term_micro"))
+          .groupBy("event_type")
+          .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+            sum("term_micro").as("psi_micro"))
+      },
+      Some("""WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |b AS (SELECT event_type, event_id % 10 < 8 AS is_a,
+        |  CASE WHEN mx - mn = 0 THEN 0
+        |    ELSE least(9, CAST(floor((value - mn) * 10 / (mx - mn)) AS BIGINT)) END AS bucket
+        |  FROM events, ext),
+        |per AS (SELECT event_type, bucket,
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS tb
+        |  FROM b GROUP BY 1)
+        |SELECT per.event_type, max(ta) AS n_a, max(tb) AS n_b,
+        |  CAST(sum(CAST(floor(1e6
+        |    * (CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
+        |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10))))
+        |    AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM per JOIN tot USING (event_type) GROUP BY 1""".stripMargin)
     ))
   )
 }
