@@ -2378,6 +2378,181 @@ object AnalyticsQueries {
         |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10))))
         |    AS BIGINT)) AS BIGINT) AS psi_micro
         |FROM per JOIN tot USING (event_type) GROUP BY 1""".stripMargin)
+    )),
+
+    // Per-user activity bitmap: one BIGINT encodes which of the 63 days
+    // after the fixed epoch the user was active — the roaring-bitmap idea
+    // at its smallest. bit_or is a commutative integer aggregate (order-
+    // free, partial+final), and any retention/overlap question downstream
+    // becomes bitwise AND + popcount on 8-byte values instead of a
+    // row-level self-join — at 100 TB that turns "users active both
+    // weeks" into an aggregate over longs. Day offsets come from a fixed
+    // epoch literal so the bitmap is stable across partitions and runs.
+    "q_activity_bitmap" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+        t(s, dir, "events")
+          .select(col("user_id"), d.as("d"))
+          .filter(col("d") >= 0 && col("d") < 63)
+          .select(col("user_id"), expr("shiftleft(CAST(1 AS BIGINT), CAST(d AS INT))").as("bit"))
+          .groupBy("user_id")
+          .agg(expr("bit_or(bit)").as("bitmap"))
+          .select(col("user_id"), col("bitmap"),
+            expr("CAST(bit_count(bitmap) AS BIGINT)").as("active_days"))
+      },
+      Some("""WITH b AS (SELECT user_id,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |m AS (SELECT user_id, bit_or(CAST(1 AS BIGINT) << CAST(d AS INTEGER)) AS bitmap
+        |  FROM b WHERE d >= 0 AND d < 63 GROUP BY 1)
+        |SELECT user_id, bitmap, CAST(bit_count(bitmap) AS BIGINT) AS active_days
+        |FROM m""".stripMargin)
+    )),
+
+    // Revenue concentration: exact integer Gini coefficient of customer
+    // spend within each nation. Spend is summed in exact cents (the
+    // moneySum snap ×100), ranks come from one partitioned sort, and the
+    // closed-form Gini numerator/denominator are integer products carried
+    // in DECIMAL(38,0) (HUGEINT on the oracle side) so no float ever
+    // appears — the per-mille result is bit-stable at any summation
+    // order. Scale shape: one shuffle to aggregate spend, one partitioned
+    // window sort, one hash aggregate — partitions are nations, so the
+    // sort never funnels the corpus through a single task.
+    "q_gini_concentration" -> ((
+      (s: SparkSession, dir: String) => {
+        val spend = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)").as("c"))
+          .groupBy("o_custkey").agg(sum("c").as("cents"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+        val w = Window.partitionBy("nation").orderBy(col("cents").asc, col("c_custkey").asc)
+        spend.join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("nation"), col("cents"), col("c_custkey"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("nation")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s0"),
+            sum(col("i") * col("cents")).as("s1"))
+          .select(col("nation"), col("n").cast("long").as("n_customers"),
+            expr("""CAST(((2 * CAST(s1 AS DECIMAL(38,0)) - (n + 1) * CAST(s0 AS DECIMAL(38,0))) * 1000)
+                   | div (CAST(n AS DECIMAL(38,0)) * CAST(s0 AS DECIMAL(38,0))) AS BIGINT)""".stripMargin.replace("\n", " "))
+              .as("gini_per_mille"))
+      },
+      Some("""WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, cents, c_custkey
+        |  FROM spend JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT nation, cents,
+        |  row_number() OVER (PARTITION BY nation ORDER BY cents, c_custkey) AS i FROM j),
+        |g AS (SELECT nation, count(*) AS n, sum(cents) AS s0, sum(i * cents) AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT nation, CAST(n AS BIGINT) AS n_customers,
+        |  CAST(((2 * CAST(s1 AS HUGEINT) - (n + 1) * CAST(s0 AS HUGEINT)) * 1000)
+        |    // (CAST(n AS HUGEINT) * CAST(s0 AS HUGEINT)) AS BIGINT) AS gini_per_mille
+        |FROM g""".stripMargin)
+    )),
+
+    // Join-key skew diagnostic: for each fact-side foreign key, the row
+    // count, distinct-key count, and the heaviest key's share — exactly
+    // the numbers that decide between a plain shuffle join, a broadcast,
+    // and a salted join (q_salted_join) before the job runs. The heavy key
+    // is picked by lexicographic max over (count, key), which is
+    // deterministic under ties and computes as an ordinary partial+final
+    // aggregate — no global sort, no collect.
+    "dq_key_skew" -> ((
+      (s: SparkSession, dir: String) => {
+        def prof(df: DataFrame, table: String, column: String): DataFrame =
+          df.select(col(column).cast("long").as("k"))
+            .groupBy("k").agg(count(lit(1)).as("cnt"))
+            .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+              max(struct(col("cnt"), col("k"))).as("top"))
+            .select(lit(table).as("table_name"), lit(column).as("column_name"),
+              col("n_rows").cast("long").as("n_rows"),
+              col("n_keys").cast("long").as("n_keys"),
+              col("top.k").cast("long").as("top_key"),
+              col("top.cnt").cast("long").as("top_cnt"),
+              expr("CAST(top.cnt * 1000 div n_rows AS BIGINT)").as("top_share_per_mille"))
+        prof(t(s, dir, "orders"), "orders", "o_custkey")
+          .unionAll(prof(t(s, dir, "lineitem"), "lineitem", "l_orderkey"))
+          .unionAll(prof(t(s, dir, "lineitem"), "lineitem", "l_partkey"))
+      },
+      Some("""WITH p1 AS (SELECT CAST(o_custkey AS BIGINT) AS k, count(*) AS cnt FROM orders GROUP BY 1),
+        |p2 AS (SELECT CAST(l_orderkey AS BIGINT) AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |p3 AS (SELECT CAST(l_partkey AS BIGINT) AS k, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |  (SELECT k FROM p1 ORDER BY cnt DESC, k DESC LIMIT 1) AS top_key,
+        |  (SELECT cnt FROM p1 ORDER BY cnt DESC, k DESC LIMIT 1) AS top_cnt,
+        |  CAST((SELECT cnt FROM p1 ORDER BY cnt DESC, k DESC LIMIT 1) * 1000
+        |    // sum(cnt) AS BIGINT) AS top_share_per_mille
+        |FROM p1
+        |UNION ALL
+        |SELECT 'lineitem', 'l_orderkey', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+        |  (SELECT k FROM p2 ORDER BY cnt DESC, k DESC LIMIT 1),
+        |  (SELECT cnt FROM p2 ORDER BY cnt DESC, k DESC LIMIT 1),
+        |  CAST((SELECT cnt FROM p2 ORDER BY cnt DESC, k DESC LIMIT 1) * 1000
+        |    // sum(cnt) AS BIGINT)
+        |FROM p2
+        |UNION ALL
+        |SELECT 'lineitem', 'l_partkey', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+        |  (SELECT k FROM p3 ORDER BY cnt DESC, k DESC LIMIT 1),
+        |  (SELECT cnt FROM p3 ORDER BY cnt DESC, k DESC LIMIT 1),
+        |  CAST((SELECT cnt FROM p3 ORDER BY cnt DESC, k DESC LIMIT 1) * 1000
+        |    // sum(cnt) AS BIGINT)
+        |FROM p3""".stripMargin)
+    )),
+
+    // RFM segmentation: recency (days from last order to a fixed
+    // reference date), frequency (order count), monetary (exact cents),
+    // each cut into quintiles WITHIN the customer's market segment —
+    // partitioning the ntile windows by c_mktsegment is what keeps the
+    // sort distributed (a global ntile would funnel every customer
+    // through one task; per-partition quantiles over a bounded key set
+    // scale, the same trade q_percentiles_scalable documents). All three
+    // inputs are integers and every ntile order has the customer key as
+    // the tie-break, so the buckets are deterministic.
+    "q_rfm_segments" -> ((
+      (s: SparkSession, dir: String) => {
+        val agg = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+            count(lit(1)).as("frequency"),
+            sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)")).as("monetary_cents"))
+          .select(col("o_custkey"),
+            datediff(lit("2001-12-31"), col("last_day")).cast("long").as("recency_days"),
+            col("frequency").cast("long").as("frequency"), col("monetary_cents"))
+        val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        val j = agg.join(cust, col("o_custkey") === col("c_custkey"))
+        val wr = Window.partitionBy("c_mktsegment").orderBy(col("recency_days").asc, col("c_custkey").asc)
+        val wf = Window.partitionBy("c_mktsegment").orderBy(col("frequency").desc, col("c_custkey").asc)
+        val wm = Window.partitionBy("c_mktsegment").orderBy(col("monetary_cents").desc, col("c_custkey").asc)
+        j.select(col("c_custkey"), col("c_mktsegment"), col("recency_days"),
+            col("frequency"), col("monetary_cents"),
+            ntile(5).over(wr).cast("long").as("r_bucket"),
+            ntile(5).over(wf).cast("long").as("f_bucket"),
+            ntile(5).over(wm).cast("long").as("m_bucket"))
+          .withColumn("segment",
+            (col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket")).cast("long"))
+      },
+      Some("""WITH agg AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), DATE '2001-12-31') AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_custkey, c_mktsegment, recency_days, frequency,
+        |        CAST(monetary_cents AS BIGINT) AS monetary_cents
+        |      FROM agg JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary_cents,
+        |  CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY recency_days, c_custkey) AS BIGINT) AS r_bucket,
+        |  CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY frequency DESC, c_custkey) AS BIGINT) AS f_bucket,
+        |  CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY monetary_cents DESC, c_custkey) AS BIGINT) AS m_bucket,
+        |  CAST(ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY recency_days, c_custkey) * 100
+        |    + ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY frequency DESC, c_custkey) * 10
+        |    + ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY monetary_cents DESC, c_custkey) AS BIGINT) AS segment
+        |FROM j""".stripMargin)
     ))
   )
 }

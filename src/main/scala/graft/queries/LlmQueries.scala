@@ -1688,6 +1688,152 @@ object LlmQueries {
         |         ELSE rec.bin_tok + t.tokens END
         |  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1)
         |SELECT source, doc_id, tokens, bin FROM rec""".stripMargin)
+    )),
+
+    // BM25 retrieval scoring against a fixed query-term set — the lexical
+    // ranking half of every RAG/retrieval pipeline. Okapi BM25 with
+    // k1=1.2, b=0.75: idf from corpus document frequency, tf saturation
+    // with document-length normalization. Per-(doc, term) scores are one
+    // identical chain of IEEE double ops on integer inputs in both
+    // engines, floored to micros, then summed as integers — order-free
+    // and hash-exact. Scale shape: the idf table is |query-terms| rows
+    // (broadcast); doc length and tf are two hash aggregates over the
+    // token stream; nothing global.
+    "text_bm25" -> ((
+      (s: SparkSession, dir: String) => {
+        val terms = Seq("hash", "join", "scan")
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+        val tf = toks.filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val idf = df.crossJoin(broadcast(stats))
+          .select(col("tok"),
+            log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+              .as("idf"),
+            (col("sdl").cast("double") / col("n")).as("avgdl"))
+        tf.join(broadcast(idf), "tok").join(dl, "doc_id")
+          .select(col("doc_id"),
+            floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .cast("long").as("term_micro"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_terms"),
+            sum("term_micro").cast("long").as("bm25_micro"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+        |       WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+        |idf AS (SELECT tok,
+        |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+        |    CAST(sdl AS DOUBLE) / n AS avgdl
+        |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1), stats),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(floor(1e6 * idf * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS term_micro
+        |  FROM tf JOIN idf USING (tok) JOIN dl ON tf.doc_id = dl.doc_id)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(term_micro) AS BIGINT) AS bm25_micro
+        |FROM sc GROUP BY 1""".stripMargin)
+    )),
+
+    // Collocation mining: top-50 adjacent-bigram PMI over the corpus —
+    // the classic phrase-detection pass (Mikolov-style word2phrase) that
+    // decides which token pairs act as single units before tokenizer
+    // training. PMI is one identical double chain (ln of an
+    // integer-product ratio) floored to micros; candidates need count ≥ 5
+    // so rare-pair noise never reaches the ranking. The top-50 is
+    // sort+limit — TakeOrderedAndProject's per-partition bounded heaps,
+    // not a global window over the full bigram vocabulary.
+    "text_pmi_colloc" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), expr("filter(t, x -> length(x) > 0)").as("t"))
+        val uni = toks.select(explode(col("t")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val utot = uni.agg(sum("c").as("u"))
+        val bi = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val btot = bi.agg(sum("cab").as("btot"))
+        val ua = uni.select(col("tok").as("a"), col("c").as("ca"))
+        val ub = uni.select(col("tok").as("b"), col("c").as("cb"))
+        val w = Window.orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)
+        bi.filter(col("cab") >= 5)
+          .join(ua, "a").join(ub, "b")
+          .crossJoin(broadcast(utot)).crossJoin(broadcast(btot))
+          .select(col("a"), col("b"), col("cab"),
+            floor(lit(1e6) * log((col("cab").cast("double") * col("u") * col("u"))
+              / (col("btot").cast("double") * col("ca") * col("cb"))))
+              .cast("long").as("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc).limit(50)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        |             FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |utot AS (SELECT sum(c) AS u FROM uc),
+        |pairs AS (SELECT t[i] AS a, t[i + 1] AS b
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+        |bc AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2),
+        |btot AS (SELECT sum(cab) AS btot FROM bc),
+        |sc AS (SELECT a, b, CAST(cab AS BIGINT) AS cab,
+        |    CAST(floor(1e6 * ln((CAST(cab AS DOUBLE) * u * u)
+        |      / (CAST(btot AS DOUBLE) * ca.c * cb.c))) AS BIGINT) AS pmi_micro
+        |  FROM bc JOIN uc ca ON bc.a = ca.tok JOIN uc cb ON bc.b = cb.tok,
+        |       utot, btot
+        |  WHERE cab >= 5)
+        |SELECT a, b, cab, pmi_micro,
+        |  CAST(row_number() OVER (ORDER BY pmi_micro DESC, a, b) AS BIGINT) AS rnk
+        |FROM sc QUALIFY rnk <= 50""".stripMargin)
+    )),
+
+    // Training-mix diversity: Shannon entropy of each language's source
+    // distribution — the number a data-mixing pass watches to keep one
+    // crawl source from dominating a language bucket (compare
+    // text_dsir_weights, which reweights; this measures). Per-(lang,
+    // source) terms p·ln p are one identical double chain on two integer
+    // counts, floored to micros, then integer-summed — order-free. Two
+    // hash aggregates and a broadcast join; nothing scales with corpus
+    // size except the first count.
+    "q_mix_entropy" -> ((
+      (s: SparkSession, dir: String) => {
+        val c = docs(s, dir).groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = c.groupBy("lang")
+          .agg(sum("cnt").as("tot"), count(lit(1)).as("n_sources"))
+        c.join(broadcast(tot), "lang")
+          .select(col("lang"), col("tot"), col("n_sources"),
+            floor(lit(1e6) * (col("cnt").cast("double") / col("tot"))
+              * log(col("cnt").cast("double") / col("tot"))).cast("long").as("term"))
+          .groupBy("lang")
+          .agg(max("tot").cast("long").as("n_docs"),
+            max("n_sources").cast("long").as("n_sources"),
+            (-sum("term")).cast("long").as("entropy_micro"))
+      },
+      Some("""WITH c AS (SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(cnt) AS tot, count(*) AS n_sources FROM c GROUP BY 1),
+        |terms AS (SELECT c.lang, tot, n_sources,
+        |    CAST(floor(1e6 * (CAST(cnt AS DOUBLE) / tot)
+        |      * ln(CAST(cnt AS DOUBLE) / tot)) AS BIGINT) AS term
+        |  FROM c JOIN tot USING (lang))
+        |SELECT lang, CAST(max(tot) AS BIGINT) AS n_docs,
+        |  CAST(max(n_sources) AS BIGINT) AS n_sources,
+        |  CAST(-sum(term) AS BIGINT) AS entropy_micro
+        |FROM terms GROUP BY 1""".stripMargin)
     ))
   )
 }
