@@ -2504,6 +2504,96 @@ object AnalyticsQueries {
         |FROM p3""".stripMargin)
     )),
 
+    // Weekly cohort retention computed FROM the activity bitmaps — the
+    // downstream payoff of q_activity_bitmap: cohort membership is
+    // min-day÷7 and "active in week w" is one shift-and-mask against the
+    // user's BIGINT bitmap, so the whole retention matrix is integer
+    // algebra over 8-byte values (no row-level self-join between cohort
+    // and activity, which is the usual 100 TB retention query's cost).
+    // The 9-week explode is a constant fan-out; everything else is two
+    // hash aggregates.
+    "q_cohort_bitmap_retention" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+        val f = t(s, dir, "events")
+          .select(col("user_id"), d.as("d"))
+          .filter(col("d") >= 0 && col("d") < 63)
+          .groupBy("user_id")
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(d AS INT)))").as("bm"),
+            expr("CAST(min(d) div 7 AS BIGINT)").as("cohort_week"))
+        f.select(col("cohort_week"), col("bm"),
+            explode(expr("sequence(0L, 8L)")).as("week"))
+          .filter(col("week") >= col("cohort_week"))
+          .select(col("cohort_week"), col("week"),
+            expr("(shiftright(bm, CAST(7 * week AS INT)) & 127) != 0").as("act"))
+          .groupBy("cohort_week", "week")
+          .agg(count(lit(1)).cast("long").as("n_cohort"),
+            sum(when(col("act"), 1L).otherwise(0L)).cast("long").as("n_active"))
+          .withColumn("retained_per_mille",
+            expr("CAST(n_active * 1000 div n_cohort AS BIGINT)"))
+      },
+      Some("""WITH b AS (SELECT user_id,
+        |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, bit_or(CAST(1 AS BIGINT) << CAST(d AS INTEGER)) AS bm,
+        |        CAST(min(d) // 7 AS BIGINT) AS cohort_week
+        |      FROM b WHERE d >= 0 AND d < 63 GROUP BY 1),
+        |wk AS (SELECT cohort_week, CAST(w AS BIGINT) AS week,
+        |        ((bm >> CAST(7 * w AS INTEGER)) & 127) != 0 AS act
+        |       FROM f, (SELECT unnest(range(0, 9)) AS w) ws
+        |       WHERE w >= cohort_week)
+        |SELECT cohort_week, week,
+        |  CAST(count(*) AS BIGINT) AS n_cohort,
+        |  CAST(sum(CASE WHEN act THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN act THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+        |    AS retained_per_mille
+        |FROM wk GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // Robust outlier detection: median/MAD on daily event counts — the
+    // q_anomaly_topk sibling that a heavy-tailed metric needs (mean and
+    // stddev are themselves dragged by the outliers they're meant to
+    // catch; the median/MAD pair is unmoved by up to half the data).
+    // Exact medians double everything instead of halving: med2 = 2·median
+    // and mad4 = 4·MAD are exact integers in both engines (interpolated
+    // median of integers is a half-integer), and the 3σ flag
+    // (dev > 3·1.4826·mad) becomes the pure integer predicate
+    // 10000·dev2 > 22239·mad4 — no float division, no zero-MAD special
+    // case (a zero MAD flags every nonzero deviation, as it should).
+    // Scale: the per-type day counts are a hash aggregate; the exact
+    // median runs per event_type — a bounded key set, with
+    // percentile_approx as the documented unbounded-cardinality path.
+    "dq_anomaly_mad" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val med = daily.groupBy("event_type")
+          .agg(expr("CAST(2 * percentile(cnt, 0.5) AS BIGINT)").as("med2"))
+        val dev = daily.join(broadcast(med), "event_type")
+          .withColumn("dev2", abs(col("cnt") * 2 - col("med2")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("CAST(2 * percentile(dev2, 0.5) AS BIGINT)").as("mad4"))
+        dev.join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("day"), col("cnt").cast("long").as("cnt"),
+            col("dev2").cast("long").as("dev2"), col("mad4"),
+            (col("dev2") * 10000L > col("mad4") * 22239L).as("is_outlier"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, CAST(2 * median(cnt) AS BIGINT) AS med2
+        |  FROM daily GROUP BY 1),
+        |dev AS (SELECT event_type, day, cnt, abs(cnt * 2 - med2) AS dev2, med2
+        |  FROM daily JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(dev2 AS BIGINT) AS dev2, mad4,
+        |  dev2 * 10000 > mad4 * 22239 AS is_outlier
+        |FROM dev JOIN mad USING (event_type)""".stripMargin)
+    )),
+
     // RFM segmentation: recency (days from last order to a fixed
     // reference date), frequency (order count), monetary (exact cents),
     // each cut into quintiles WITHIN the customer's market segment —
