@@ -333,4 +333,39 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("aggregate-only entries never sort or window (bitmaps, MAD, BM25, entropy, skew)") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // each of these must stay hash-aggregate shaped: a Window or global
+    // Sort appearing anywhere means the plan grew a single-task funnel
+    for (name <- Seq("q_activity_bitmap", "q_cohort_bitmap_retention",
+        "dq_anomaly_mad", "text_bm25", "q_mix_entropy", "dq_key_skew")) {
+      val out = graft.SparkEntry.queries(name)(spark, sf0001)
+      val lp = out.queryExecution.optimizedPlan
+      val wins = lp.collect { case w: logical.Window => w }
+      val globalSorts = lp.collect { case s: logical.Sort if s.global => s }
+      assert(wins.isEmpty, s"$name grew a window:\n$lp")
+      assert(globalSorts.isEmpty, s"$name grew a global sort:\n$lp")
+    }
+  }
+
+  test("gini and RFM windows are all partitioned — no global ntile funnel") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (name <- Seq("q_gini_concentration", "q_rfm_segments")) {
+      val out = graft.SparkEntry.queries(name)(spark, sf0001)
+      val wins = out.queryExecution.optimizedPlan.collect { case w: logical.Window => w }
+      assert(wins.nonEmpty, s"$name should rank via windows")
+      wins.foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"$name has an unpartitioned window:\n$w"))
+    }
+  }
+
+  test("PMI top-50 ranks via per-partition heaps, not a vocabulary-wide window") {
+    val out = graft.SparkEntry.queries("text_pmi_colloc")(spark, sf0001)
+    out.write.format("noop").mode("overwrite").save()
+    // sort+limit must plan as TakeOrderedAndProject (bounded per-partition
+    // heaps); the only Window allowed is the rank over the 50 survivors
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
