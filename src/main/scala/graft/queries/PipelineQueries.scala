@@ -357,6 +357,35 @@ object PipelineQueries {
         |FROM records GROUP BY topic, partition""".stripMargin)
     )),
 
+    // CDC log compaction, batch twin: the SAME
+    // [[graft.streaming.StreamOps.latestByKey]] stateful operator run in
+    // batch execution — each user's newest change by (ts_ms, event_id)
+    // wins, 'error' ops are tombstones that stay visible (the downstream
+    // delete signal). The operator needs no within-batch sort (max is
+    // commutative/idempotent), so redelivery in any order converges —
+    // the oracle is a window-ranked QUALIFY over the SAME ms-truncated
+    // ordering key. StreamingSpec drives the streaming form across
+    // micro-batch boundaries (state carried, newer batch wins).
+    "stream_latest_by_key" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ch = Sources.table(s, dir, "events")
+          .select(col("user_id").as("key"),
+            expr("unix_micros(ts) div 1000").as("ts_ms"),
+            col("event_id").as("seq"),
+            col("event_type").as("op"),
+            col("props").as("payload"))
+          .as[graft.streaming.StreamOps.ChangeEvent]
+        graft.streaming.StreamOps.latestByKey(ch, tombstoneOp = "error").toDF()
+      },
+      Some("""SELECT user_id AS key, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  event_id AS seq, event_type AS op, props AS payload,
+        |  event_type = 'error' AS is_tombstone
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) = 1""".stripMargin)
+    )),
+
     // Schema evolution at read time: half the record stream plays the OLD
     // file schema (no record_key column), half the new one; a reader must
     // union them with the missing column null-defaulted —

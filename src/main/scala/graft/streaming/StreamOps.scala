@@ -349,4 +349,40 @@ object StreamOps {
           out.iterator
       }
   }
+
+  final case class ChangeEvent(key: Long, ts_ms: Long, seq: Long, op: String, payload: String)
+  final case class CompactState(ts_ms: Long, seq: Long, op: String, payload: String)
+  final case class CompactedRow(key: Long, ts_ms: Long, seq: Long, op: String,
+                                payload: String, is_tombstone: Boolean)
+
+  /** CDC log compaction: the materialized "current row per key" view of a
+    * change stream — Kafka compacted-topic / CDC-upsert semantics as one
+    * stateful operator. State is the newest change per key by the total
+    * order (ts_ms, seq); ties and replays are absorbed because max is
+    * idempotent and commutative — unlike the fold operators above, NO
+    * within-batch sort is needed, so at-least-once redelivery in any
+    * order converges to the same state. Emits the refreshed compacted row
+    * for every key a micro-batch touches (Update mode); a tombstone op
+    * keeps the key's burial visible downstream (the consumer deletes it
+    * from the serving store — dropping it here would lose the delete).
+    * O(1) state per key; the same operator in batch execution is the
+    * oracle-checked `stream_latest_by_key` catalog entry.
+    */
+  def latestByKey(changes: Dataset[ChangeEvent],
+                  tombstoneOp: String = "delete"): Dataset[CompactedRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .mapGroupsWithState[CompactState, CompactedRow](GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[ChangeEvent], state: GroupState[CompactState]) =>
+          var st = state.getOption.orNull
+          rows.foreach { ev =>
+            if (st == null || ev.ts_ms > st.ts_ms ||
+                (ev.ts_ms == st.ts_ms && ev.seq > st.seq))
+              st = CompactState(ev.ts_ms, ev.seq, ev.op, ev.payload)
+          }
+          state.update(st)
+          CompactedRow(key, st.ts_ms, st.seq, st.op, st.payload, st.op == tombstoneOp)
+      }
+  }
 }

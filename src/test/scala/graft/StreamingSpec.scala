@@ -244,6 +244,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC compaction keeps the newest change per key across micro-batches") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.ChangeEvent
+    val input = MemoryStream[ChangeEvent](spark)
+    val compacted = StreamOps.latestByKey(input.toDS())
+    val q = compacted.writeStream.format("memory").queryName("graft_compact")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def latest(): Map[Long, (Long, String, Boolean)] = spark.table("graft_compact")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getBoolean(5)))
+        .groupBy(_._1).map { case (k, rows) =>
+          val best = rows.maxBy(_._2); k -> (best._2, best._3, best._4)
+        }
+      input.addData(ChangeEvent(1L, 1000L, 1L, "insert", "a"),
+        ChangeEvent(1L, 2000L, 2L, "update", "b"), ChangeEvent(2L, 1000L, 3L, "insert", "c"))
+      q.processAllAvailable()
+      assert(latest() == Map(1L -> ((2L, "update", false)), 2L -> ((3L, "insert", false))))
+      // a LATER batch with an OLDER change must not regress the state; a
+      // same-ts replay with a higher seq wins; a delete becomes a tombstone
+      input.addData(ChangeEvent(1L, 1500L, 9L, "update", "stale"),
+        ChangeEvent(2L, 1000L, 4L, "update", "d"), ChangeEvent(2L, 3000L, 5L, "delete", ""))
+      q.processAllAvailable()
+      val after = latest()
+      assert(after(1L) == ((2L, "update", false)), s"stale change regressed state: $after")
+      assert(after(2L) == ((5L, "delete", true)), s"got $after")
+    } finally q.stop()
+  }
+
   test("streaming transitions match the batch lead() bigrams across micro-batches") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.TypedEvent
