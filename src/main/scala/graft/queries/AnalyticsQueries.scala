@@ -2504,6 +2504,76 @@ object AnalyticsQueries {
         |FROM p3""".stripMargin)
     )),
 
+    // Pareto skyline (minimize price, maximize recency) per order
+    // priority — the multi-objective "best offers" operator. The naive
+    // formulation is a dominance self-join (NOT EXISTS over N² pairs);
+    // this plan is the O(n log n) sweep composed from window frames: a
+    // point survives iff its day beats the best day at any STRICTLY
+    // lower price (integer RANGE frame ending at 1 PRECEDING — exact on
+    // cents) and it is the best of its own price tie-group. One
+    // partitioned sort, two frames over it, zero joins — identical
+    // dominance semantics, asserted against the NOT EXISTS oracle.
+    "q_skyline_pareto" -> ((
+      (s: SparkSession, dir: String) => {
+        val pts = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority").as("seg"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)").as("price_cents"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("day"))
+        val sweep = Window.partitionBy("seg").orderBy(col("price_cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val tieGroup = Window.partitionBy("seg", "price_cents")
+        pts
+          .withColumn("best_cheaper", max(col("day")).over(sweep))
+          .withColumn("best_tie", max(col("day")).over(tieGroup))
+          .filter((col("best_cheaper").isNull || col("day") > col("best_cheaper")) &&
+            col("day") === col("best_tie"))
+          .select(col("o_orderkey"), col("seg"), col("price_cents"), col("day"))
+      },
+      Some("""WITH pts AS (SELECT o_orderkey, o_orderpriority AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS price_cents,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders)
+        |SELECT o_orderkey, seg, price_cents, day FROM pts a
+        |WHERE NOT EXISTS (SELECT 1 FROM pts b WHERE b.seg = a.seg
+        |  AND b.price_cents <= a.price_cents AND b.day >= a.day
+        |  AND (b.price_cents < a.price_cents OR b.day > a.day))""".stripMargin)
+    )),
+
+    // Benford first-digit audit: the classic fabricated-numbers test on
+    // order totals. The first significant digit is scale-invariant, so
+    // it reads off exact cents (no float formatting); observed shares
+    // and the Benford expectation log10(1+1/d) are both emitted as
+    // floored micros — the auditor's deviation is an integer subtraction.
+    // One narrow scan + a 9-group aggregate; nothing scales with rows
+    // except the first hash aggregate.
+    "dq_benford" -> ((
+      (s: SparkSession, dir: String) => {
+        val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)")
+        val tot = t(s, dir, "orders").agg(count(lit(1)).as("n"))
+        t(s, dir, "orders")
+          .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs").cast("long").as("n_obs"),
+            expr("CAST(n_obs * 1000000 div n AS BIGINT)").as("share_micro"),
+            floor(lit(1e6) * log10(lit(1.0) + lit(1.0) / col("digit"))).cast("long")
+              .as("benford_micro"))
+          .withColumn("diff_micro",
+            (col("share_micro") - col("benford_micro")).cast("long"))
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+        |tot AS (SELECT count(*) AS n FROM d),
+        |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1)
+        |SELECT digit, n_obs,
+        |  CAST(n_obs * 1000000 // n AS BIGINT) AS share_micro,
+        |  CAST(floor(1e6 * log10(1.0 + 1.0 / digit)) AS BIGINT) AS benford_micro,
+        |  CAST(n_obs * 1000000 // n - floor(1e6 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+        |    AS diff_micro
+        |FROM obs, tot""".stripMargin)
+    )),
+
     // Weekly cohort retention computed FROM the activity bitmaps — the
     // downstream payoff of q_activity_bitmap: cohort membership is
     // min-day÷7 and "active in week w" is one shift-and-mask against the

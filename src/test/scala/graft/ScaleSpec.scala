@@ -360,6 +360,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("skyline sweeps with window frames — no dominance self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val out = graft.SparkEntry.queries("q_skyline_pareto")(spark, sf0001)
+    val lp = out.queryExecution.optimizedPlan
+    // the NOT EXISTS formulation would plan an N² dominance join; the
+    // sweep must be join-free (two frames over one partitioned sort)
+    val joins = lp.collect { case j: logical.Join => j }
+    assert(joins.isEmpty, s"skyline plan grew a join:\n$lp")
+    val wins = lp.collect { case w: logical.Window => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"skyline windows must be partitioned:\n$lp")
+  }
+
   test("PMI top-50 ranks via per-partition heaps, not a vocabulary-wide window") {
     val out = graft.SparkEntry.queries("text_pmi_colloc")(spark, sf0001)
     out.write.format("noop").mode("overwrite").save()
