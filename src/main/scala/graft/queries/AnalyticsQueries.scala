@@ -2664,6 +2664,59 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // CUSUM changepoint detection on daily counts: the drift-monitoring
+    // sibling of dq_drift_psi (distribution shift) and dq_anomaly_mad
+    // (point outliers) — CUSUM accumulates small sustained shifts that
+    // neither catches: s ← max(0, s + (x − ref)) per day, alarm when the
+    // cumulative excess tops 5 reference days. The fold is sequential
+    // per event_type, so it runs as groupByKey + flatMapSortedGroups —
+    // O(1) state, types fold in parallel, every sort partition-local
+    // (the q_pack_greedy shape). All-integer arithmetic; the oracle
+    // replays the recurrence as a recursive CTE.
+    "dq_cusum_shift" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val daily = t(s, dir, "events")
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        val ref = daily.groupBy("event_type")
+          .agg(expr("CAST(sum(cnt) div count(1) AS BIGINT)").as("ref"))
+        daily.join(broadcast(ref), "event_type")
+          .select(col("event_type"), col("day"), col("cnt").cast("long").as("cnt"), col("ref"))
+          .as[(String, Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("day")) { (tpe, it) =>
+            var s0 = 0L
+            it.map { case (_, day, cnt, ref) =>
+              s0 = math.max(0L, s0 + (cnt - ref))
+              (tpe, day, cnt, ref, s0, s0 > 5 * ref)
+            }
+          }
+          .toDF("event_type", "day", "cnt", "ref", "cusum", "alarm")
+      },
+      Some("""WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (SELECT event_type, CAST(sum(cnt) // count(*) AS BIGINT) AS ref
+        |  FROM daily GROUP BY 1),
+        |t AS (SELECT d.event_type, day, CAST(cnt AS BIGINT) AS cnt, ref,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY day) AS rn
+        |  FROM daily d JOIN ref USING (event_type)),
+        |rec AS (
+        |  SELECT event_type, day, cnt, ref, rn,
+        |    greatest(CAST(0 AS BIGINT), cnt - ref) AS cusum
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.event_type, t.day, t.cnt, t.ref, t.rn,
+        |    greatest(CAST(0 AS BIGINT), rec.cusum + t.cnt - t.ref)
+        |  FROM rec JOIN t ON t.event_type = rec.event_type AND t.rn = rec.rn + 1)
+        |SELECT event_type, day, cnt, ref, cusum, cusum > 5 * ref AS alarm
+        |FROM rec""".stripMargin)
+    )),
+
     // RFM segmentation: recency (days from last order to a fixed
     // reference date), frequency (order count), monetary (exact cents),
     // each cut into quintiles WITHIN the customer's market segment —
