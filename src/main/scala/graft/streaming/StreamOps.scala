@@ -350,6 +350,41 @@ object StreamOps {
       }
   }
 
+  final case class DailyCount(key: String, day: Long, cnt: Long, ref: Long)
+  final case class CusumState(lastDay: Long, s: Long)
+  final case class CusumRow(key: String, day: Long, cnt: Long, ref: Long,
+                            cusum: Long, alarm: Boolean)
+
+  /** Streaming CUSUM: the `dq_cusum_shift` recurrence s ← max(0, s+(x−ref))
+    * as O(1) per-key state — sustained-shift drift monitoring that raises
+    * the alarm while the stream runs instead of at the nightly batch. Rows
+    * fold in day order within a micro-batch; a day at or before the key's
+    * last-seen day is dropped (replaying it would double-count into the
+    * cumulative sum — the same late-data contract as [[ewmaPerKey]]).
+    * StreamingSpec asserts the stream agrees with the batch fold across
+    * micro-batch boundaries.
+    */
+  def cusumPerKey(counts: Dataset[DailyCount], alarmDays: Long = 5L): Dataset[CusumRow] = {
+    import counts.sparkSession.implicits._
+    counts
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyCount], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[CusumRow]
+          rows.toSeq.sortBy(_.day).foreach { r =>
+            if (r.day > st.lastDay) {
+              val s1 = math.max(0L, st.s + (r.cnt - r.ref))
+              st = CusumState(r.day, s1)
+              out += CusumRow(key, r.day, r.cnt, r.ref, s1, s1 > alarmDays * r.ref)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class ChangeEvent(key: Long, ts_ms: Long, seq: Long, op: String, payload: String)
   final case class CompactState(ts_ms: Long, seq: Long, op: String, payload: String)
   final case class CompactedRow(key: Long, ts_ms: Long, seq: Long, op: String,

@@ -244,6 +244,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM matches the batch recurrence across micro-batches") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.DailyCount
+    val input = MemoryStream[DailyCount](spark)
+    val cusum = StreamOps.cusumPerKey(input.toDS(), alarmDays = 2L)
+    val q = cusum.writeStream.format("memory").queryName("graft_cusum")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // ref=10: days 1..2 accumulate +5 each (no alarm at s=10 <= 2*10),
+      // day 3 pushes s to 25 > 20 → alarm; day 4's dip resets below
+      input.addData(DailyCount("a", 1L, 15L, 10L), DailyCount("a", 2L, 15L, 10L))
+      q.processAllAvailable()
+      input.addData(DailyCount("a", 3L, 25L, 10L), DailyCount("a", 4L, 2L, 10L),
+        DailyCount("b", 1L, 5L, 10L))
+      q.processAllAvailable()
+      val rows = spark.table("graft_cusum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(4), r.getBoolean(5))).toMap
+      assert(rows(("a", 1L)) == ((5L, false)))
+      assert(rows(("a", 2L)) == ((10L, false)))
+      assert(rows(("a", 3L)) == ((25L, true)), s"got $rows")
+      assert(rows(("a", 4L)) == ((17L, false)))
+      assert(rows(("b", 1L)) == ((0L, false))) // max(0, ...) floors at zero
+      // replaying an already-folded day must not double-count
+      input.addData(DailyCount("a", 3L, 25L, 10L))
+      q.processAllAvailable()
+      assert(spark.table("graft_cusum").count() == 5)
+    } finally q.stop()
+  }
+
   test("CDC compaction keeps the newest change per key across micro-batches") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.ChangeEvent
