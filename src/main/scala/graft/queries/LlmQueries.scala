@@ -1801,6 +1801,62 @@ object LlmQueries {
         |FROM sc QUALIFY rnk <= 50""".stripMargin)
     )),
 
+    // k-NN majority-vote label classifier over the pivoted-cell k-NN
+    // graph — the label-propagation / auto-labeling step a curation
+    // pipeline runs over partially-labeled embeddings. Composes the
+    // SQL-replayable celled candidate plan (deterministic pivots, no
+    // corpus×corpus product) with two hash aggregates: vote counts per
+    // (query, label), then a deterministic argmax via max(struct(votes,
+    // -label)) — ties break to the smallest label in both engines. The
+    // `correct` column makes the entry its own accuracy report.
+    "vector_knn_classifier" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val lbl = e.select(col("vec_id"), col("label").cast("long").as("lbl"))
+        val g = Similarity.knnGraphPivoted(e, k = 5, nPivots = 32, nProbe = 4)
+        val votes = g
+          .join(lbl.select(col("vec_id").as("neighbor_id"), col("lbl").as("n_lbl")),
+            "neighbor_id")
+          .groupBy("query_id", "n_lbl").agg(count(lit(1)).as("v"))
+        votes.groupBy("query_id")
+          .agg(max(struct(col("v"), (-col("n_lbl")).as("neg"))).as("m"))
+          .select(col("query_id"), (-col("m.neg")).cast("long").as("pred_label"),
+            col("m.v").cast("long").as("votes"))
+          .join(lbl.select(col("vec_id").as("query_id"), col("lbl").as("true_label")),
+            "query_id")
+          .select(col("query_id"), col("true_label"), col("pred_label"), col("votes"),
+            (col("pred_label") === col("true_label")).as("correct"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p),
+        |cell AS (SELECT vec_id AS neighbor_id, pid AS cluster FROM r WHERE pr = 1),
+        |probes AS (SELECT vec_id AS query_id, pid AS cluster FROM r WHERE pr <= 4),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id),
+        |knn AS (SELECT query_id, neighbor_id FROM scored
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cs DESC, neighbor_id) <= 5),
+        |votes AS (SELECT query_id, CAST(l.label AS BIGINT) AS n_lbl, count(*) AS v
+        |  FROM knn JOIN embeddings l ON l.vec_id = neighbor_id GROUP BY 1, 2),
+        |pred AS (SELECT query_id, n_lbl, v,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY v DESC, n_lbl) AS pr
+        |  FROM votes)
+        |SELECT query_id, CAST(q.label AS BIGINT) AS true_label, n_lbl AS pred_label,
+        |  CAST(v AS BIGINT) AS votes, n_lbl = CAST(q.label AS BIGINT) AS correct
+        |FROM pred JOIN embeddings q ON q.vec_id = query_id
+        |WHERE pr = 1""".stripMargin)
+    )),
+
     // Training-mix diversity: Shannon entropy of each language's source
     // distribution — the number a data-mixing pass watches to keep one
     // crawl source from dominating a language bucket (compare
