@@ -72,6 +72,62 @@ final class TopKSumAgg(k: Int) extends Aggregator[Double, Array[Double], Double]
   * Output: top-`k` (estimate desc, key asc) as (key, estimate, err) —
   * deterministic tie order so results are reproducible run to run.
   */
+/** Count-min sketch over long keys: the frequency twin of the HLL distinct
+  * sketch (`q_hll_merge`) — a depth×width grid of counters where every key
+  * increments one cell per row and a point estimate reads the MIN of its
+  * cells. Linearity makes it exactly mergeable (cellwise sum), so Spark's
+  * partial aggregation IS the sketch merge — per-partition sketches combine
+  * at reduce with no row ever leaving its partition. Guarantees: estimates
+  * NEVER undercount (each cell only ever adds), and overshoot exceeds
+  * e·N/width with probability ≤ e^-depth per query (Markov on the ≤N/width
+  * expected collision mass per cell, minimized over depth independent
+  * rows). Row hashes are splitmix64 finalizers over (key, row-seed) —
+  * deterministic across partitions, sessions, and engines.
+  */
+object CountMin {
+  def cellIndex(row: Int, key: Long, width: Int): Int = {
+    var h = key + 0x9e3779b97f4a7c15L * (row + 1)
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    row * width + ((h & Long.MaxValue) % width).toInt
+  }
+
+  def estimate(sketch: Array[Long], key: Long, width: Int, depth: Int): Long = {
+    var m = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = sketch(cellIndex(r, key, width))
+      if (c < m) m = c
+      r += 1
+    }
+    m
+  }
+}
+
+final class CountMinAgg(width: Int, depth: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(width > 0 && depth > 0, s"width/depth must be positive: $width/$depth")
+
+  override def zero: Array[Long] = new Array[Long](width * depth)
+
+  override def reduce(buf: Array[Long], key: Long): Array[Long] = {
+    var r = 0
+    while (r < depth) { buf(CountMin.cellIndex(r, key, width)) += 1; r += 1 }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
 final class SpaceSavingAgg(capacity: Int, k: Int)
     extends Aggregator[String, Map[String, (Long, Long)], Seq[(String, Long, Long)]] {
   require(capacity > 0 && k > 0 && k <= capacity)

@@ -2664,6 +2664,43 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // Count-min frequency sketch (the q_hll_merge pattern for COUNTS
+    // instead of distincts): one mergeable depth×width counter grid
+    // built by Spark's own partial aggregation — per-partition sketches
+    // cellwise-sum at reduce, so frequency estimation over 100 TB ships
+    // kilobytes per partition, and yesterday's sketch merges with
+    // today's without re-scanning either. The verdict bounds come from
+    // the sketch's own model, not the fixture: estimates can NEVER
+    // undercount (cells only add), and overshoot exceeds e·N/width with
+    // probability ≤ e⁻⁸ per query (Markov over 8 independent rows) —
+    // ~3·10⁻⁴, so a red row means the sketch is broken, not unlucky.
+    "q_countmin_freq" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val width = 4096
+        val depth = 8
+        val cms = udaf(new graft.functions.CountMinAgg(width, depth))
+        val ev = t(s, dir, "events")
+        val sketch = ev.agg(cms(col("user_id")).as("sk"))
+        val n = ev.agg(count(lit(1)).as("n"))
+        ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+          .crossJoin(broadcast(sketch)).crossJoin(broadcast(n))
+          .as[(Long, Long, Array[Long], Long)]
+          .map { case (uid, exact, sk, total) =>
+            val est = graft.functions.CountMin.estimate(sk, uid, width, depth)
+            val slack = math.ceil(math.E * total / width).toLong
+            (uid, exact, est >= exact, est - exact <= slack)
+          }
+          .toDF("user_id", "exact_cnt", "no_undercount", "within_eps")
+      },
+      Some("""WITH t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY 1
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 20)
+        |SELECT user_id, exact_cnt, TRUE AS no_undercount, TRUE AS within_eps
+        |FROM t""".stripMargin)
+    )),
+
     // CUSUM changepoint detection on daily counts: the drift-monitoring
     // sibling of dq_drift_psi (distribution shift) and dq_anomaly_mad
     // (point outliers) — CUSUM accumulates small sustained shifts that

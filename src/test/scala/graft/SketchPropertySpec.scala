@@ -97,6 +97,31 @@ class SketchPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CountMinAgg never undercounts and is split-agnostic (linearity)") {
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)),
+      Gen.chooseNum(0, 100))
+    forAllSampled(gen) { case (keys, splitSeed) =>
+      val width = 32 // deliberately tiny so collisions actually happen
+      val depth = 4
+      val agg = new graft.functions.CountMinAgg(width, depth)
+      val cut = splitSeed % (keys.size + 1)
+      val (l, r) = keys.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val whole = keys.foldLeft(agg.zero)(agg.reduce)
+      // linearity: merging partials == sketching the whole stream
+      assert(merged.toSeq == whole.toSeq, s"keys=$keys")
+      // one-sided error: the estimate can collide upward, never down
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.foreach { case (k0, c) =>
+        val est = graft.functions.CountMin.estimate(merged, k0, width, depth)
+        assert(est >= c, s"undercount for $k0: est=$est exact=$c")
+        assert(est <= keys.size, s"estimate above stream length for $k0")
+      }
+    }
+  }
+
   test("SpaceSavingAgg under eviction keeps the SS bounds: true <= est <= true + err") {
     // single-stream (reduce-only) path, capacity far below distinct keys;
     // a zipf-ish stream so there IS a head to find
