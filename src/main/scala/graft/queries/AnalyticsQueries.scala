@@ -2664,6 +2664,64 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // Equi-DEPTH histogram per event type (the q_histogram sibling:
+    // equal COUNT per bucket instead of equal width — the optimizer's
+    // standard statistics shape, robust to skew where equi-width piles
+    // everything into one bar). Buckets come from ntile over a window
+    // partitioned by event_type (bounded key set — the same distributed
+    // trade the RFM entry documents), with (value, event_id) total
+    // order so ties place deterministically; bucket edges are exact
+    // min/max of the values that landed in the bucket.
+    "q_histogram_equi_depth" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        t(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("bucket", ntile(10).over(w).cast("long"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).cast("long").as("n"),
+            round(min("value"), 6).as("lo"),
+            round(max("value"), 6).as("hi"))
+      },
+      Some("""WITH b AS (SELECT event_type, value, event_id,
+        |    CAST(ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS bucket
+        |  FROM events)
+        |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // Exponential time-decay scoring: each customer's recency-weighted
+    // spend, the feature-engineering staple behind churn/LTV features
+    // (yesterday's order counts ~e× more than a month-old one). The
+    // per-row weight exp(-age/90) is ONE identical double op on an
+    // integer age, floored to micros; weight × exact cents is integer
+    // arithmetic, so the per-customer sum is order-free — the same
+    // discipline as the log-score family. One broadcast-free aggregate
+    // over a narrow scan.
+    "q_time_decay_score" -> ((
+      (s: SparkSession, dir: String) => {
+        val age = datediff(lit("2001-12-31"), to_date(col("o_orderdate"))).cast("long")
+        t(s, dir, "orders")
+          .select(col("o_custkey"),
+            (floor(lit(1e6) * exp(-age.cast("double") / lit(90.0))).cast("long")
+              * expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)"))
+              .as("wc"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum("wc").cast("long").as("decayed_cents_micro"))
+      },
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(
+        |    CAST(floor(1e6 * exp(-CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      DATE '2001-12-31') AS BIGINT) / 90.0)) AS BIGINT)
+        |    * CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+        |  ) AS BIGINT) AS decayed_cents_micro
+        |FROM orders GROUP BY 1""".stripMargin)
+    )),
+
     // Count-min frequency sketch (the q_hll_merge pattern for COUNTS
     // instead of distincts): one mergeable depth×width counter grid
     // built by Spark's own partial aggregation — per-partition sketches
