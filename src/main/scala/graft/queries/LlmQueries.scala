@@ -1857,6 +1857,110 @@ object LlmQueries {
         |WHERE pr = 1""".stripMargin)
     )),
 
+    // Skipgram co-occurrence counts (window ±2, distance-weighted 2/1,
+    // direction-normalized) — the statistics a GloVe/word2vec-style
+    // embedding pretrain consumes, and the corpus-level companion to
+    // text_pmi_colloc's adjacency PMI. Pure integer weights, so the
+    // aggregate is order-free; pair generation is two positional
+    // transforms (no self-join on position), and the top-50 is
+    // TakeOrderedAndProject per-partition heaps.
+    "text_window_cooccur" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(expr("filter(split(text, ' '), x -> length(x) > 0)").as("t"))
+        val adj = toks.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS x, t[i + 1] AS y, 2L AS w))")).as("p"))
+        val skip = toks.filter(size(col("t")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 3), i -> struct(t[i] AS x, t[i + 2] AS y, 1L AS w))")).as("p"))
+        val w = Window.orderBy(col("w").desc, col("a").asc, col("b").asc)
+        adj.unionAll(skip)
+          .select(least(col("p.x"), col("p.y")).as("a"),
+            greatest(col("p.x"), col("p.y")).as("b"), col("p.w").as("pw"))
+          .groupBy("a", "b").agg(sum("pw").as("w"))
+          .orderBy(col("w").desc, col("a").asc, col("b").asc).limit(50)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+      },
+      Some("""WITH toks AS (SELECT list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        |             FROM documents),
+        |p1 AS (SELECT t[i] AS x, t[i + 1] AS y, 2 AS w
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)),
+        |p2 AS (SELECT t[i] AS x, t[i + 2] AS y, 1 AS w
+        |  FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3)),
+        |u AS (SELECT least(x, y) AS a, greatest(x, y) AS b, w
+        |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+        |c AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM u GROUP BY 1, 2)
+        |SELECT a, b, w,
+        |  CAST(row_number() OVER (ORDER BY w DESC, a, b) AS BIGINT) AS rnk
+        |FROM c QUALIFY rnk <= 50""".stripMargin)
+    )),
+
+    // The curation pipeline as ONE declarative plan — quality filter →
+    // normalized exact dedup (min-id survivorship) → greedy 256-token
+    // shard packing, ending in per-shard stats. Each stage is its own
+    // oracle-checked entry (text_quality_filter, dedup_exact_normalized,
+    // q_pack_greedy); this capstone proves they COMPOSE — Catalyst sees
+    // one tree, so the quality predicate reaches the scan below the
+    // dedup aggregate and the only sequential state is the per-source
+    // packing iterator. The oracle replays all three stages in one
+    // recursive-CTE query.
+    "pipeline_curate_pack" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val q = TextAnalysis.qualityFilter(docs(s, dir),
+          minTokens = 20, maxTokens = 5000, minUniqX1000 = 300)
+        val surv = TextAnalysis.normalize(q)
+          .groupBy("norm_text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        q.join(surv, "doc_id")
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("doc_id")) { (src, it) =>
+            var bin = 0L
+            var binTok = 0L
+            var first = true
+            it.map { case (_, _, tk) =>
+              if (first) { binTok = tk; first = false }
+              else if (binTok + tk > 256L) { bin += 1; binTok = tk }
+              else binTok += tk
+              (src, bin, tk)
+            }
+          }
+          .toDF("source", "bin", "tokens")
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("tokens").cast("long").as("tok_sum"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, source, text,
+        |    CASE WHEN length(text) = 0 THEN [] ELSE string_split(text, ' ') END AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, text, len(toks) AS ntok FROM t
+        |  WHERE len(toks) >= 20 AND len(toks) <= 5000
+        |    AND len(list_distinct(toks)) * 1000 >= 300 * len(toks)),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM q
+        |  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |d AS (SELECT q.source, q.doc_id, CAST(q.ntok AS BIGINT) AS tokens,
+        |    row_number() OVER (PARTITION BY q.source ORDER BY q.doc_id) AS rn
+        |  FROM q JOIN surv USING (doc_id)),
+        |rec AS (
+        |  SELECT source, rn, doc_id, tokens, CAST(0 AS BIGINT) AS bin,
+        |         tokens AS bin_tok
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.tokens,
+        |    CASE WHEN rec.bin_tok + d.tokens > 256 THEN rec.bin + 1
+        |         ELSE rec.bin END,
+        |    CASE WHEN rec.bin_tok + d.tokens > 256 THEN d.tokens
+        |         ELSE rec.bin_tok + d.tokens END
+        |  FROM rec JOIN d ON d.source = rec.source AND d.rn = rec.rn + 1)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tok_sum
+        |FROM rec GROUP BY 1, 2""".stripMargin)
+    )),
+
     // Training-mix diversity: Shannon entropy of each language's source
     // distribution — the number a data-mixing pass watches to keep one
     // crawl source from dominating a language bucket (compare
