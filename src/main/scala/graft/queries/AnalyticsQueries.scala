@@ -2664,6 +2664,33 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // Semi-structured extraction: pull a typed field out of the JSON
+    // props column and aggregate it relationally — the schema-on-read
+    // path every event pipeline needs (the f2 family sniffs and encodes
+    // payloads; this entry QUERIES into one). get_json_object is a
+    // per-row scalar (scan-speed, no shuffle beyond the final
+    // aggregate); a malformed document yields NULL, counted separately
+    // so parse failures are visible, never silent.
+    "q_props_extract" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            count(col("k")).cast("long").as("n_parsed"),
+            sum("k").cast("long").as("k_sum"),
+            min("k").cast("long").as("k_min"),
+            max("k").cast("long").as("k_max")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(k) AS BIGINT) AS n_parsed,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1""".stripMargin)
+    )),
+
     // Equi-DEPTH histogram per event type (the q_histogram sibling:
     // equal COUNT per bucket instead of equal width — the optimizer's
     // standard statistics shape, robust to skew where equi-width piles

@@ -374,11 +374,24 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("PMI top-50 ranks via per-partition heaps, not a vocabulary-wide window") {
-    val out = graft.SparkEntry.queries("text_pmi_colloc")(spark, sf0001)
+    for (name <- Seq("text_pmi_colloc", "text_window_cooccur")) {
+      val out = graft.SparkEntry.queries(name)(spark, sf0001)
+      out.write.format("noop").mode("overwrite").save()
+      // sort+limit must plan as TakeOrderedAndProject (bounded per-partition
+      // heaps); the only Window allowed is the rank over the 50 survivors
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$name:\n$plan")
+    }
+  }
+
+  test("curation capstone folds in MapGroups with only partition-local sorts") {
+    val out = graft.SparkEntry.queries("pipeline_curate_pack")(spark, sf0001)
     out.write.format("noop").mode("overwrite").save()
-    // sort+limit must plan as TakeOrderedAndProject (bounded per-partition
-    // heaps); the only Window allowed is the rank over the 50 survivors
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val plan = out.queryExecution.executedPlan
+    assert(plan.toString.contains("MapGroups"), s"expected MapGroups:\n$plan")
+    val globalSorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"capstone plan has a global sort:\n$globalSorts")
   }
 }
