@@ -2664,6 +2664,68 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // Cumulative distinct users by day — the "total users ever seen"
+    // curve. COUNT(DISTINCT) OVER a running frame is unsupported (and
+    // would re-scan per day anyway); the scalable identity is
+    // first-seen-day attribution: distinct-ever(d) = Σ new_users(d') for
+    // d' ≤ d, which is one hash aggregate per user, one per day, and a
+    // running sum over the DAY relation — whose cardinality is bounded
+    // by the calendar, not the corpus, so the single-partition window
+    // is a non-issue at any data scale.
+    "q_cumulative_distinct" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("new_users"))
+          .select(col("day"), col("new_users").cast("long").as("new_users"),
+            sum("new_users").over(w).cast("long").as("cum_users"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |p AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM p""".stripMargin)
+    )),
+
+    // Interval-overlap DURATION: how many seconds of each user's
+    // activity intervals (event start + 5 min) fall inside promo
+    // windows — interval algebra beyond the containment/exists joins
+    // (q_interval_join asks WHETHER intervals meet; this measures HOW
+    // MUCH). Overlap is pure integer epoch-second arithmetic
+    // (greatest(0, min(ends) − max(starts))), promo bounds are UTC
+    // epoch literals in both engines (no timezone parsing anywhere),
+    // and the promo side is 2 rows — a broadcast; a promo table that
+    // scales goes through the bucketed RangeJoin instead.
+    "q_interval_overlap_duration" -> ((
+      (s: SparkSession, dir: String) => {
+        val promos = s.createDataFrame(Seq(
+          (1L, 1704412800L, 1704844800L),   // 2024-01-05 .. 01-10 UTC
+          (2L, 1705708800L, 1705881600L))). // 2024-01-20 .. 01-22 UTC
+          toDF("promo_id", "ps", "pe")
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("st"))
+          .withColumn("en", col("st") + 300L)
+        ev.join(broadcast(promos), col("st") < col("pe") && col("en") > col("ps"))
+          .select(col("user_id"),
+            (least(col("en"), col("pe")) - greatest(col("st"), col("ps"))).as("ov"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_overlaps"),
+            sum("ov").cast("long").as("overlap_secs"))
+      },
+      Some("""WITH promos AS (
+        |  SELECT 1 AS promo_id, 1704412800 AS ps, 1704844800 AS pe
+        |  UNION ALL SELECT 2, 1705708800, 1705881600),
+        |ev AS (SELECT user_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS st
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(least(st + 300, pe) - greatest(st, ps)) AS BIGINT) AS overlap_secs
+        |FROM ev JOIN promos ON st < pe AND st + 300 > ps
+        |GROUP BY 1""".stripMargin)
+    )),
+
     // Semi-structured extraction: pull a typed field out of the JSON
     // props column and aggregate it relationally — the schema-on-read
     // path every event pipeline needs (the f2 family sniffs and encodes
