@@ -2664,6 +2664,49 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // grouping_id disambiguation for rollup consumers: a NULL group key
+    // in rollup output is ambiguous (real NULL data vs subtotal row);
+    // the grouping bitmask is the standard SQL answer and both engines
+    // encode it identically (first grouping column = most significant
+    // bit). Downstream report writers key on (gid, keys), never on
+    // NULL-ness.
+    "q_grouping_id" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .rollup("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).cast("long").as("n"),
+            expr("CAST(grouping_id() AS BIGINT)").as("gid")),
+      Some("""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin)
+    )),
+
+    // Discrete percentiles (the _disc twin of the percentile family):
+    // the answer must be an ACTUAL data value — the smallest value whose
+    // cumulative share reaches q — not an interpolation (medians of
+    // latencies, price points, SLA thresholds). Computed as one
+    // partitioned sort + cume_dist + conditional min: exactly the
+    // distributed shape of the scalable exact percentile, with the
+    // selection semantics DuckDB's quantile_disc defines.
+    "q_percentile_disc" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        val cd = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("cd", cume_dist().over(w))
+        cd.groupBy("o_orderpriority")
+          .agg(
+            min(when(col("cd") >= 0.25, col("o_totalprice"))).as("p25"),
+            min(when(col("cd") >= 0.5, col("o_totalprice"))).as("p50"),
+            min(when(col("cd") >= 0.75, col("o_totalprice"))).as("p75"))
+      },
+      Some("""SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.25) AS p25,
+        |  quantile_disc(o_totalprice, 0.50) AS p50,
+        |  quantile_disc(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY 1""".stripMargin)
+    )),
+
     // Cumulative distinct users by day — the "total users ever seen"
     // curve. COUNT(DISTINCT) OVER a running frame is unsupported (and
     // would re-scan per day anyway); the scalable identity is
