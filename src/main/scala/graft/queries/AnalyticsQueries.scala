@@ -2664,6 +2664,60 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // Three-valued-logic semantics pinned as data: NOT IN against a set
+    // containing NULL is vacuously empty (x <> NULL is UNKNOWN for every
+    // x), while NOT EXISTS anti-joins normally — the classic silent-
+    // empty-result trap. This entry runs BOTH formulations against a
+    // subquery with an injected NULL and emits their counts, so the
+    // engines' null-logic agreement is itself oracle-checked (a planner
+    // that "optimized" NOT IN into an anti-join without the null guard
+    // flips the first column from 0).
+    "q_not_in_null_semantics" -> ((
+      (s: SparkSession, dir: String) => {
+        val s1 = "SELECT o_custkey FROM orders_v WHERE o_orderstatus = 'F' UNION ALL SELECT CAST(NULL AS BIGINT)"
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        val notIn = s.sql(
+          s"SELECT count(*) AS c FROM customer_v WHERE c_custkey NOT IN ($s1)")
+        val notExists = s.sql(
+          """SELECT count(*) AS c FROM customer_v
+            |WHERE NOT EXISTS (SELECT 1 FROM orders_v
+            |  WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)""".stripMargin)
+        notIn.select(col("c").cast("long").as("n_not_in"))
+          .crossJoin(notExists.select(col("c").cast("long").as("n_not_exists")))
+      },
+      Some("""SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |                           UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_not_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders
+        |     WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)) AS n_not_exists""".stripMargin)
+    )),
+
+    // Relational division: customers whose orders span EVERY priority
+    // class — "for all" as two distinct-counting hash aggregates (per
+    // customer vs global) with no correlated subquery per row; the
+    // membership test broadcasts one scalar. The shape scales as two
+    // aggregates over the fact table regardless of divisor cardinality.
+    "q_relational_division" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        val total = o.agg(countDistinct("o_orderpriority").as("np"))
+        o.groupBy("o_custkey")
+          .agg(countDistinct("o_orderpriority").as("np_cust"),
+            count(lit(1)).cast("long").as("n_orders"))
+          .crossJoin(broadcast(total))
+          .filter(col("np_cust") === col("np"))
+          .select(col("o_custkey"), col("n_orders"))
+      },
+      Some("""WITH tot AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders, tot
+        |GROUP BY o_custkey, np
+        |HAVING count(DISTINCT o_orderpriority) = np""".stripMargin)
+    )),
+
     // grouping_id disambiguation for rollup consumers: a NULL group key
     // in rollup output is ambiguous (real NULL data vs subtotal row);
     // the grouping bitmask is the standard SQL answer and both engines
