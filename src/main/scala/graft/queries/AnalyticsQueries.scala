@@ -2664,6 +2664,62 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // Leave-one-out target encoding — the ML feature-prep staple that
+    // must EXCLUDE each row's own target to avoid leakage: per order,
+    // the mean spend of its priority class computed over every OTHER
+    // order, as (S − x)/(n − 1) from one whole-partition window sum.
+    // All-integer (exact cents, floor division), so there is no float
+    // anywhere to drift; the window partitions by a bounded key set.
+    "q_target_encode" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority")
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)").as("cents"))
+          .withColumn("s", sum("cents").over(w))
+          .withColumn("n", count(lit(1)).over(w))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+            expr("CAST((s - cents) div nullif(n - 1, 0) AS BIGINT)").as("loo_cents"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, sum(cents) AS s, count(*) AS n
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderkey, o.o_orderpriority, cents,
+        |  CAST((s - cents) // nullif(n - 1, 0) AS BIGINT) AS loo_cents
+        |FROM o JOIN g USING (o_orderpriority)""".stripMargin)
+    )),
+
+    // Exact mergeable moments: the sufficient statistics (n, Σx, Σx²)
+    // for mean/variance as EXACT integers — snap each value to 6
+    // decimals (micro units), then integer/decimal sums that are fully
+    // order-free and mergeable across partitions, days, and reruns (the
+    // q_moments twin trades this for rounded doubles that survive only
+    // because its groups are small). Σx² exceeds int64 so it rides
+    // DECIMAL(38,0)/HUGEINT and is emitted as a STRING — exact digits,
+    // no type-widening hash mismatch. Variance downstream is one
+    // arithmetic step on these integers.
+    "q_exact_moments" -> ((
+      (s: SparkSession, dir: String) => {
+        val x6 = expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+        t(s, dir, "events")
+          .select(col("event_type"), x6.as("x6"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("x6").cast("long").as("sum_x6"),
+            sum(expr("CAST(x6 * x6 AS DECIMAL(38,0))")).cast("decimal(38,0)")
+              .cast("string").as("ss_x12"))
+      },
+      Some("""WITH v AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x6) AS BIGINT) AS sum_x6,
+        |  CAST(sum(x6 * x6) AS VARCHAR) AS ss_x12
+        |FROM v GROUP BY 1""".stripMargin)
+    )),
+
     // Three-valued-logic semantics pinned as data: NOT IN against a set
     // containing NULL is vacuously empty (x <> NULL is UNKNOWN for every
     // x), while NOT EXISTS anti-joins normally — the classic silent-
