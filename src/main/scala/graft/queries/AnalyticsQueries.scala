@@ -2664,6 +2664,70 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // Weighted median — the quantile where each row counts its weight
+    // (price levels weighted by quantity here; sampling temperatures
+    // and importance weights in a training-mix pipeline): smallest
+    // value whose running weight reaches half the total. One
+    // partitioned sort + running sum + conditional min, all integer
+    // (cents × integer quantities, doubled to avoid the half-total
+    // fraction) — the percentile_disc machinery generalized to
+    // weights, which no built-in aggregate covers.
+    "q_weighted_median" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)").as("cents"),
+            col("l_quantity").cast("long").as("w"))
+        val run = Window.partitionBy("l_returnflag")
+          .orderBy(col("cents").asc, col("w").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("l_returnflag")
+        li.withColumn("cw", sum("w").over(run))
+          .withColumn("tw", sum("w").over(tot))
+          .groupBy("l_returnflag")
+          .agg(max("tw").cast("long").as("total_weight"),
+            min(when(col("cw") * 2 >= col("tw"), col("cents"))).cast("long")
+              .as("wmedian_cents"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, cents, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents, w
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM li)
+        |SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN cw * 2 >= tw THEN cents END) AS BIGINT) AS wmedian_cents
+        |FROM r GROUP BY 1""".stripMargin)
+    )),
+
+    // Dedup rate by source — the curation dashboard's first number:
+    // what fraction of each source is duplicate mass (docs minus
+    // normalized-distinct docs, per mille). High rates mark crawl
+    // sources whose text is boilerplate-heavy BEFORE any expensive
+    // near-dup pass runs on them. Two hash aggregates, integer output.
+    "dq_dedup_rate" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = Sources.table(s, dir, "documents")
+        d.select(col("source"),
+            trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("k"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            countDistinct("k").cast("long").as("n_distinct"))
+          .select(col("source"), col("n_docs"), col("n_distinct"),
+            expr("CAST((n_docs - n_distinct) * 1000 div n_docs AS BIGINT)")
+              .as("dup_per_mille"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_distinct,
+        |  CAST((count(*) - count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |    * 1000 // count(*) AS BIGINT) AS dup_per_mille
+        |FROM documents GROUP BY 1""".stripMargin)
+    )),
+
     // Leave-one-out target encoding — the ML feature-prep staple that
     // must EXCLUDE each row's own target to avoid leakage: per order,
     // the mean spend of its priority class computed over every OTHER
