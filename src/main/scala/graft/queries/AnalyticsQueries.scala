@@ -2664,6 +2664,83 @@ object AnalyticsQueries {
         |FROM dev JOIN mad USING (event_type)""".stripMargin)
     )),
 
+    // Longest activity streak from the bitmap: the classic bit trick
+    // x ← x & (x << 1) erases one day off every run per step, so the
+    // step count when x hits zero IS the longest consecutive-day run —
+    // O(longest streak) integer ops on an 8-byte value, no
+    // gaps-and-islands window over the raw rows (q_gap_islands does
+    // that shape; this shows the bitmap turns it into arithmetic).
+    // Spark folds the recurrence in a typed map over the per-user
+    // aggregate; the oracle replays it as a recursive CTE.
+    "q_activity_streak" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+        t(s, dir, "events")
+          .select(col("user_id"), d.as("d"))
+          .filter(col("d") >= 0 && col("d") < 63)
+          .select(col("user_id"), expr("shiftleft(CAST(1 AS BIGINT), CAST(d AS INT))").as("bit"))
+          .groupBy("user_id").agg(expr("bit_or(bit)").as("bm"))
+          .as[(Long, Long)]
+          .map { case (uid, bm0) =>
+            var bm = bm0
+            var k = 0L
+            while (bm != 0L) { bm &= (bm << 1); k += 1 }
+            (uid, java.lang.Long.bitCount(bm0).toLong, k)
+          }
+          .toDF("user_id", "active_days", "longest_streak")
+      },
+      Some("""WITH RECURSIVE b AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, bit_or(CAST(1 AS BIGINT) << CAST(d AS INTEGER)) AS bm
+        |  FROM b WHERE d >= 0 AND d < 63 GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, bm, CAST(0 AS BIGINT) AS k FROM f
+        |  UNION ALL
+        |  SELECT user_id, bm & (bm << 1), k + 1 FROM r WHERE bm <> 0)
+        |SELECT f.user_id, CAST(bit_count(f.bm) AS BIGINT) AS active_days,
+        |  (SELECT max(k) FROM r WHERE r.user_id = f.user_id) AS longest_streak
+        |FROM f""".stripMargin)
+    )),
+
+    // Pareto concentration (the 80/20 readout next to q_gini): what
+    // share of each nation's revenue the top spending decile holds.
+    // Deciles via segment-partitioned ntile with key tie-breaks, shares
+    // as per-mille integers on exact cents — two aggregates and one
+    // bounded-partition window.
+    "q_pareto_share" -> ((
+      (s: SparkSession, dir: String) => {
+        val spend = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)").as("c"))
+          .groupBy("o_custkey").agg(sum("c").as("cents"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+        val w = Window.partitionBy("nation").orderBy(col("cents").desc, col("c_custkey").asc)
+        spend.join(cust, col("o_custkey") === col("c_custkey"))
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("nation")
+          .agg(count(lit(1)).cast("long").as("n_customers"),
+            sum("cents").cast("long").as("total_cents"),
+            sum(when(col("decile") === 1, col("cents")).otherwise(0L)).as("top_cents"))
+          .select(col("nation"), col("n_customers"),
+            expr("CAST(top_cents * 1000 div total_cents AS BIGINT)").as("top_decile_per_mille"))
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, cents, c_custkey
+        |  FROM spend JOIN customer ON o_custkey = c_custkey),
+        |d AS (SELECT nation, cents,
+        |    ntile(10) OVER (PARTITION BY nation ORDER BY cents DESC, c_custkey) AS decile
+        |  FROM j)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN decile = 1 THEN cents ELSE 0 END) * 1000
+        |    // sum(cents) AS BIGINT) AS top_decile_per_mille
+        |FROM d GROUP BY 1""".stripMargin)
+    )),
+
     // Weighted median — the quantile where each row counts its weight
     // (price levels weighted by quantity here; sampling temperatures
     // and importance weights in a training-mix pipeline): smallest
