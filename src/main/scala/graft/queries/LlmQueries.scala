@@ -1857,6 +1857,42 @@ object LlmQueries {
         |WHERE pr = 1""".stripMargin)
     )),
 
+    // The BPE merge-step primitive: corpus-wide adjacent CHARACTER-pair
+    // frequencies inside distinct words, weighted by word frequency —
+    // exactly the statistic byte-pair-encoding tokenizer training
+    // maximizes at every merge (text_token_bpe applies a finished
+    // tokenizer; this computes what training needs). Pair explosion
+    // runs over the DISTINCT word table (vocabulary-sized, not
+    // corpus-sized) with integer weights joined back on — the
+    // aggregate-over-vocab shape that makes merge rounds affordable at
+    // 100 TB. Top-20 via bounded heaps.
+    "text_bpe_pairs" -> ((
+      (s: SparkSession, dir: String) => {
+        val words = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("wd"))
+          .filter(length(col("wd")) >= 2)
+          .groupBy("wd").agg(count(lit(1)).as("freq"))
+        val w = Window.orderBy(col("wsum").desc, col("pair").asc)
+        words
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, length(wd) - 1), i -> substr(wd, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("wsum"))
+          .orderBy(col("wsum").desc, col("pair").asc).limit(20)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+      },
+      Some("""WITH words AS (
+        |  SELECT wd, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+        |  WHERE length(wd) >= 2 GROUP BY wd),
+        |pairs AS (
+        |  SELECT substr(wd, i, 2) AS pair, freq
+        |  FROM (SELECT wd, freq, unnest(range(1, length(wd))) AS i FROM words)),
+        |c AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS wsum FROM pairs GROUP BY 1)
+        |SELECT pair, wsum,
+        |  CAST(row_number() OVER (ORDER BY wsum DESC, pair) AS BIGINT) AS rnk
+        |FROM c QUALIFY rnk <= 20""".stripMargin)
+    )),
+
     // Skipgram co-occurrence counts (window ±2, distance-weighted 2/1,
     // direction-normalized) — the statistics a GloVe/word2vec-style
     // embedding pretrain consumes, and the corpus-level companion to
