@@ -1,0 +1,278 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real image-content operators for the multimodal pillar: actual codec
+  * decode (`javax.imageio`, in the JDK — no external deps), perceptual
+  * hashing (dHash / aHash on integer block sums), container-header
+  * extraction, and band-LSH near-duplicate image detection.
+  *
+  * The test corpus has no real image files, so the *storage* side is
+  * synthesized: each document gets a deterministic grayscale bitmap whose
+  * pixel values follow a closed-form integer formula (below). The bitmap is
+  * serialized as a real 24-bpp BMP **by a hand-written encoder** and then
+  * decoded back through the real `ImageIO` BMP codec — so the decode path
+  * exercised here is the one a production pipeline runs on S3-resident
+  * images, and a bug in either the container writer or the pixel math shows
+  * up as an oracle hash mismatch (the DuckDB oracle recomputes the hashes
+  * from the pixel formula alone, never seeing the bytes).
+  *
+  * Pixel contract (all integer, exact in both engines):
+  * {{{
+  *   s      = doc_id % 256
+  *   v(x,y) = (s*31 + x*7 + y*13 + x*y*(s+3) + bump) % 256
+  *   bump   = 96 when doc_id % 5 == 0 && x == y && x < 6, else 0
+  * }}}
+  * The `x*y*(s+3)` term makes patterns seed-specific (so unrelated docs
+  * don't collide in the hash), while docs sharing `doc_id % 256` render the
+  * same base image — the planted near-duplicate classes. The diagonal bump
+  * perturbs one in five docs by a few blocks, planting hamming-1..8
+  * near-dups rather than only exact dups.
+  *
+  * At 100 TB the shape holds: decode + hash is embarrassingly parallel
+  * (mapPartitions, codec state per task, no shuffle), and near-dup pairing
+  * shuffles only `(band_key, doc_id, hash)` — 24 bytes/doc·band — never
+  * pixels. Perceptual hashes are the image-side analog of MinHash: content
+  * addressing that survives re-encode, resize and small edits.
+  */
+object Imaging {
+
+  /** Fixed canvas for the perceptual-hash entries: 18×16 so the 9×8 dHash
+    * grid is an exact 2×2 block sum — no resampling filter to disagree on.
+    */
+  val HashW = 18
+  val HashH = 16
+
+  final case class DecodedMeta(doc_id: Long, width: Long, height: Long, pix_sum: Long)
+  final case class ImageHashes(doc_id: Long, dhash: Long, ahash: Long)
+  final case class PngBytes(doc_id: Long, png: Array[Byte])
+
+  /** The pixel formula — the single source of truth the DuckDB oracle
+    * mirrors in SQL. Keep in lockstep with the query SQL in LlmQueries.
+    */
+  def pixel(docId: Long, x: Int, y: Int): Int = {
+    val s = (docId % 256).toInt
+    val bump = if (docId % 5 == 0 && x == y && x < 6) 96 else 0
+    ((s * 31 + x * 7 + y * 13 + x * y * (s + 3) + bump) % 256).toInt
+  }
+
+  /** Per-doc image dimensions for the variable-size entries. */
+  def dims(docId: Long): (Int, Int) =
+    (16 + (docId % 24).toInt, 12 + (docId % 18).toInt)
+
+  // ---------------------------------------------------------------------
+  // Container encode / decode
+  // ---------------------------------------------------------------------
+
+  /** Hand-written 24-bpp uncompressed BMP (BITMAPINFOHEADER, bottom-up
+    * rows, 4-byte row padding) — independent of Java's encoder, so the
+    * `ImageIO` *decode* below is tested against a foreign writer.
+    */
+  def encodeBmp(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * h
+    val fileSize = 54 + imageSize
+    val out = new Array[Byte](fileSize)
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, fileSize); put32(10, 54)
+    put32(14, 40); put32(18, w); put32(22, h)
+    put16(26, 1); put16(28, 24); put32(34, imageSize)
+    put32(38, 2835); put32(42, 2835)
+    var off = 54
+    var row = h - 1 // bottom-up: last image row first
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = (gray(x, row) & 0xFF).toByte
+        out(off) = v; out(off + 1) = v; out(off + 2) = v // B, G, R
+        off += 3; x += 1
+      }
+      off += pad
+      row -= 1
+    }
+    out
+  }
+
+  /** Real codec decode. Throws if the bytes aren't a readable image —
+    * production would route these to a quarantine sink; here a decode
+    * failure should fail the query loudly.
+    */
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image (${bytes.length} bytes)")
+    img
+  }
+
+  /** Real PNG encode via `ImageIO` (the JDK's zlib-backed writer). */
+  def encodePng(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = gray(x, y) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(1024)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Perceptual hashes (integer block sums — bit-exact across engines)
+  // ---------------------------------------------------------------------
+
+  /** 9×8 grid of 2×2 block sums over an 18×16 grayscale image (blue
+    * channel; the images are gray so any channel works).
+    */
+  private def blockSums(img: BufferedImage): Array[Array[Long]] = {
+    require(img.getWidth == HashW && img.getHeight == HashH,
+      s"hash canvas must be ${HashW}x$HashH, got ${img.getWidth}x${img.getHeight}")
+    val bs = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < HashH) {
+      var x = 0
+      while (x < HashW) {
+        bs(y / 2)(x / 2) += (img.getRGB(x, y) & 0xFF).toLong
+        x += 1
+      }
+      y += 1
+    }
+    bs
+  }
+
+  /** dHash: bit (by*8+bx) set iff block(bx,by) > block(bx+1,by) — gradient
+    * direction, robust to global brightness shifts.
+    */
+  def dHash64(img: BufferedImage): Long = {
+    val bs = blockSums(img)
+    var h = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (bs(by)(bx) > bs(by)(bx + 1)) h |= (1L << (by * 8 + bx))
+        bx += 1
+      }
+      by += 1
+    }
+    h
+  }
+
+  /** aHash over the left 8×8 blocks: bit set iff 64·block > Σblocks
+    * (integer cross-multiply — no division, no float mean).
+    */
+  def aHash64(img: BufferedImage): Long = {
+    val bs = blockSums(img)
+    var total = 0L
+    var by = 0
+    while (by < 8) { var bx = 0; while (bx < 8) { total += bs(by)(bx); bx += 1 }; by += 1 }
+    var h = 0L
+    by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (64L * bs(by)(bx) > total) h |= (1L << (by * 8 + bx))
+        bx += 1
+      }
+      by += 1
+    }
+    h
+  }
+
+  // ---------------------------------------------------------------------
+  // Dataset-level operators
+  // ---------------------------------------------------------------------
+
+  /** Variable-size BMP per doc → real `ImageIO` decode → decoded width /
+    * height / pixel sum. The oracle recomputes all three from the formula,
+    * so a mismatch means the BMP writer or the codec path is wrong.
+    */
+  def decodedMeta(docIds: Dataset[Long]): Dataset[DecodedMeta] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = dims(id)
+        val img = decode(encodeBmp(w, h, (x, y) => pixel(id, x, y)))
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+          y += 1
+        }
+        DecodedMeta(id, img.getWidth.toLong, img.getHeight.toLong, sum)
+      }
+    }
+  }
+
+  /** Fixed 18×16 BMP per doc → decode → dHash + aHash. */
+  def imageHashes(docIds: Dataset[Long]): Dataset[ImageHashes] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val img = decode(encodeBmp(HashW, HashH, (x, y) => pixel(id, x, y)))
+        ImageHashes(id, dHash64(img), aHash64(img))
+      }
+    }
+  }
+
+  /** Variable-size PNG per doc via the real `ImageIO` encoder; header
+    * fields are then parsed back out of the *bytes* with Spark binary
+    * functions downstream — the schema-on-read path for foreign media.
+    */
+  def pngColumn(docIds: Dataset[Long]): Dataset[PngBytes] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = dims(id)
+        PngBytes(id, encodePng(w, h, (x, y) => pixel(id, x, y)))
+      }
+    }
+  }
+
+  /** Band-LSH near-duplicate image pairs over dHash: 4 bands × 16 bits;
+    * candidates share ≥1 exact band; survivors have hamming ≤ `maxHamming`.
+    * Shuffles only (band_key, doc_id, dhash) — never pixels — and the band
+    * join is bucket-bounded exactly like MinHash-LSH on text. Returns the
+    * (hamming, pair_cnt) histogram: the operational near-dup signal.
+    */
+  def dhashNearDupHistogram(hashes: DataFrame, maxHamming: Int = 16): DataFrame = {
+    val bands = hashes.select(
+      col("doc_id"), col("dhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"shiftright(dhash, ${16 * b}) & 65535").as("bv"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bv"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(expr("ha ^ hb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("pair_cnt"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Imaging, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -56,6 +56,37 @@ object LlmQueries {
     """,cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin
+
+  /** DuckDB replay of the Imaging pixel formula → 2×2 block sums → dHash +
+    * aHash, shared by the perceptual-hash entries. Mirrors
+    * [[graft.operators.Imaging.pixel]] exactly (18×16 canvas, 9×8 grid);
+    * the Spark side computes the same hashes from ImageIO-DECODED pixels,
+    * so agreement proves the whole encode→decode→hash path.
+    */
+  private val dhashOracleCte =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s FROM documents),
+      |xs AS (SELECT doc_id, s, unnest(range(0, 18)) AS x FROM d),
+      |px AS (SELECT doc_id, s, x, unnest(range(0, 16)) AS y FROM xs),
+      |v AS (SELECT doc_id, x, y,
+      |        (s*31 + x*7 + y*13 + x*y*(s+3)
+      |         + CASE WHEN doc_id % 5 = 0 AND x = y AND x < 6 THEN 96 ELSE 0 END) % 256 AS v
+      |      FROM px),
+      |blk AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by, sum(v) AS bs FROM v GROUP BY 1, 2, 3),
+      |cmp AS (SELECT a.doc_id, a.bx, a.by, CASE WHEN a.bs > b.bs THEN 1 ELSE 0 END AS bit
+      |        FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+      |        WHERE a.bx < 8),
+      |dh AS (SELECT doc_id,
+      |         bit_or(CASE WHEN bit = 1 AND by*8 + bx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                     WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(by*8 + bx AS INT)
+      |                     ELSE CAST(0 AS BIGINT) END) AS dhash
+      |       FROM cmp GROUP BY doc_id),
+      |tot AS (SELECT doc_id, sum(bs) AS total FROM blk WHERE bx < 8 GROUP BY doc_id),
+      |ah AS (SELECT b.doc_id,
+      |         bit_or(CASE WHEN 64*b.bs > t.total AND b.by*8 + b.bx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                     WHEN 64*b.bs > t.total THEN CAST(1 AS BIGINT) << CAST(b.by*8 + b.bx AS INT)
+      |                     ELSE CAST(0 AS BIGINT) END) AS ahash
+      |       FROM blk b JOIN tot t ON b.doc_id = t.doc_id WHERE b.bx < 8 GROUP BY b.doc_id)
+      |""".stripMargin
 
   val defs: Map[String, (Q, Option[String])] = Map(
 
@@ -1072,6 +1103,85 @@ object LlmQueries {
         |  FROM u)
         |SELECT doc_id, n AS byte_len, bin, CAST(count(*) AS BIGINT) AS cnt
         |FROM b GROUP BY 1, 2, 3""".stripMargin)
+    )),
+
+    // --- Real image-content operators (graft.operators.Imaging) -------
+    // Each doc gets a deterministic grayscale bitmap (pixel formula in the
+    // Imaging scaladoc), serialized by a HAND-WRITTEN BMP encoder and
+    // decoded back through the real javax.imageio codec. The oracles
+    // recompute every output from the pixel formula alone — they never see
+    // the bytes — so a container-writer or codec-path bug is a hash
+    // mismatch, not a silent agreement.
+
+    // Decode → dimensions + pixel sum, variable-size images. Proves the
+    // real ImageIO decode path returns exactly the pixels that were
+    // encoded (width/height from the decoder, sum over decoded pixels).
+    "media_decode_meta" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.decodedMeta(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s,
+        |  16 + doc_id % 24 AS w, 12 + doc_id % 18 AS h FROM documents),
+        |xs AS (SELECT doc_id, s, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, s, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum((s*31 + x*7 + y*13 + x*y*(s+3)
+        |    + CASE WHEN doc_id % 5 = 0 AND x = y AND x < 6 THEN 96 ELSE 0 END) % 256) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin)
+    )),
+
+    // Perceptual hashes from DECODED pixels: dHash (2×2-block gradient
+    // direction over a 9×8 grid) + aHash (64·block > Σblocks) — all
+    // integer block sums, bit-exact in both engines.
+    "media_dhash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.imageHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some(dhashOracleCte +
+        """SELECT dh.doc_id, dh.dhash, ah.ahash
+          |FROM dh JOIN ah ON dh.doc_id = ah.doc_id""".stripMargin)
+    )),
+
+    // Container-header schema-on-read: real ImageIO PNG encode, then the
+    // IHDR width/height and signature parsed back out of the BYTES with
+    // Spark binary functions (substring/hex/conv) — the path a pipeline
+    // takes to extract metadata from foreign media without full decode.
+    "media_png_header" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.pngColumn(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+          .select(col("doc_id"),
+            expr("CAST(conv(hex(substring(png, 17, 4)), 16, 10) AS BIGINT)").as("png_w"),
+            expr("CAST(conv(hex(substring(png, 21, 4)), 16, 10) AS BIGINT)").as("png_h"),
+            (expr("hex(substring(png, 1, 8))") === lit("89504E470D0A1A0A")).as("sig_ok"))
+      },
+      Some("""SELECT doc_id, CAST(16 + doc_id % 24 AS BIGINT) AS png_w,
+        |  CAST(12 + doc_id % 18 AS BIGINT) AS png_h, true AS sig_ok
+        |FROM documents""".stripMargin)
+    )),
+
+    // Near-duplicate images via band-LSH on dHash: 4 bands × 16 bits,
+    // candidates share an exact band, survivors have hamming ≤ 16. The
+    // shuffle carries (band, doc_id, hash) — never pixels. Output is the
+    // (hamming, pair_cnt) histogram; the planted doc_id%256 classes give
+    // exact dups (hamming 0) and the diagonal-bump variants small-hamming
+    // near-dups.
+    "media_dhash_neardup" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.dhashNearDupHistogram(
+          Imaging.imageHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF())
+      },
+      Some(dhashOracleCte +
+        """,bands AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM dh),
+          |bk AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.dhash AS ha, b.dhash AS hb
+          |         FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          |ham AS (SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand)
+          |SELECT hamming, CAST(count(*) AS BIGINT) AS pair_cnt
+          |FROM ham WHERE hamming <= 16 GROUP BY hamming""".stripMargin)
     )),
 
     // Boilerplate share: the per-mille of a document's distinct shingles

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Imaging
+
+/** Real-codec imaging operators: hand-written BMP container → javax.imageio
+  * decode → perceptual hashes, PNG encode → binary header parse, and the
+  * dHash band-LSH near-dup join.
+  */
+class ImagingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BMP round-trip: ImageIO decode returns exactly the encoded pixels") {
+    for (id <- Seq(0L, 5L, 17L, 255L, 256L, 499L)) {
+      val (w, h) = Imaging.dims(id)
+      val img = Imaging.decode(Imaging.encodeBmp(w, h, (x, y) => Imaging.pixel(id, x, y)))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (x <- 0 until w; y <- 0 until h)
+        assert((img.getRGB(x, y) & 0xFF) == Imaging.pixel(id, x, y),
+          s"pixel mismatch doc=$id ($x,$y)")
+    }
+  }
+
+  test("BMP rows are bottom-up with 4-byte padding (odd widths decode right)") {
+    // w=17 → rowBytes 51 → pad 1; a decoder ignoring padding would shear rows
+    val img = Imaging.decode(Imaging.encodeBmp(17, 3, (x, y) => (x * 10 + y) % 256))
+    for (x <- 0 until 17; y <- 0 until 3)
+      assert((img.getRGB(x, y) & 0xFF) == (x * 10 + y) % 256)
+  }
+
+  test("dHash/aHash from decoded pixels match direct block-sum computation") {
+    for (id <- Seq(1L, 60L, 255L, 320L)) {
+      val img = Imaging.decode(
+        Imaging.encodeBmp(Imaging.HashW, Imaging.HashH, (x, y) => Imaging.pixel(id, x, y)))
+      // independent recomputation straight from the formula, no codec
+      val bs = Array.ofDim[Long](8, 9)
+      for (x <- 0 until Imaging.HashW; y <- 0 until Imaging.HashH)
+        bs(y / 2)(x / 2) += Imaging.pixel(id, x, y)
+      var dh = 0L
+      for (by <- 0 until 8; bx <- 0 until 8)
+        if (bs(by)(bx) > bs(by)(bx + 1)) dh |= 1L << (by * 8 + bx)
+      val total = (for (by <- 0 until 8; bx <- 0 until 8) yield bs(by)(bx)).sum
+      var ah = 0L
+      for (by <- 0 until 8; bx <- 0 until 8)
+        if (64L * bs(by)(bx) > total) ah |= 1L << (by * 8 + bx)
+      assert(Imaging.dHash64(img) == dh, s"dhash doc=$id")
+      assert(Imaging.aHash64(img) == ah, s"ahash doc=$id")
+    }
+  }
+
+  test("same doc_id % 256 class yields identical images; bump plants near-dups") {
+    val ids = spark.range(0, 500).select(col("id").as("doc_id")).as[Long]
+    val hashes = Imaging.imageHashes(ids).collect().map(h => h.doc_id -> h.dhash).toMap
+    // docs 7 and 263 share seed 7, neither is %5==0 → exact dup
+    assert(hashes(7L) == hashes(263L))
+    // doc 260 (%5==0, bumped) vs 4 (seed 4, unbumped): small nonzero hamming
+    val d = java.lang.Long.bitCount(hashes(260L) ^ hashes(4L))
+    assert(d > 0 && d <= 8, s"bump should plant a small-hamming near-dup, got $d")
+  }
+
+  test("PNG header parse recovers ImageIO-encoded dimensions from raw bytes") {
+    val ids = spark.range(0, 40).select(col("id").as("doc_id")).as[Long]
+    val parsed = Imaging.pngColumn(ids).toDF()
+      .select(col("doc_id"),
+        expr("CAST(conv(hex(substring(png, 17, 4)), 16, 10) AS BIGINT)").as("w"),
+        expr("CAST(conv(hex(substring(png, 21, 4)), 16, 10) AS BIGINT)").as("h"),
+        (expr("hex(substring(png, 1, 8))") === lit("89504E470D0A1A0A")).as("sig"))
+      .collect()
+    assert(parsed.length == 40)
+    parsed.foreach { r =>
+      val (w, h) = Imaging.dims(r.getLong(0))
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getBoolean(3))
+    }
+  }
+
+  test("near-dup histogram finds planted classes and carries no pixels through the shuffle") {
+    val ids = spark.range(0, 500).select(col("id").as("doc_id")).as[Long]
+    val hist = Imaging.dhashNearDupHistogram(Imaging.imageHashes(ids).toDF())
+    val rows = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 244 seed classes of 2 docs → pairs at hamming 0 (both or neither bumped)
+    assert(rows.getOrElse(0L, 0L) > 100, s"expected many exact-dup pairs, got $rows")
+    assert(rows.keys.exists(h => h > 0 && h <= 8), s"expected bump near-dups, got $rows")
+    // the join must shuffle (band, doc_id, hash) only — never the media column
+    val plan = hist.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("media"), "near-dup join must not carry media bytes")
+  }
+}
