@@ -13,6 +13,15 @@ import graft.SparkEntry
   *    anything that should broadcast;
   *  - `Exchange rangepartitioning` — a global sort; fine behind a
   *    `TakeOrdered`/write, suspicious mid-plan.
+  *  - `unpartitioned-window` — a logical `Window` with an empty
+  *    partition spec funnels the whole input through ONE task. Suppressed
+  *    when a `Limit` sits below the window (the catalog's benign pattern:
+  *    rank-over-top-50 after `orderBy().limit(50)`), so only the
+  *    scale-hostile case — an unbounded global window — flags.
+  *    Accepted instances: `q_cumulative_distinct` and `q_seasonality`,
+  *    whose window input is a day/month-grain aggregate (cardinality
+  *    bounded by the calendar, not the corpus). Any OTHER query joining
+  *    this list is a regression.
   *
   * Flags are informational (several catalog queries legitimately carry
   * them — e.g. q_pack_shards range-partitions by design); the value is
@@ -29,11 +38,18 @@ object PlanAudit {
     var flagged = 0
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if name.contains(pat)) {
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val qe = fn(spark, dir).queryExecution
+        val plan = qe.executedPlan.toString
+        import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+        val globalWindow = qe.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.isEmpty => w
+        }.nonEmpty
         val flags = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "SortMergeJoin" -> plan.contains("SortMergeJoin"),
-          "range-partition" -> plan.contains("Exchange rangepartitioning")
+          "range-partition" -> plan.contains("Exchange rangepartitioning"),
+          "unpartitioned-window" -> globalWindow
         ).collect { case (f, true) => f }
         if (doPrint) println(s"=== $name\n$plan")
         if (flags.nonEmpty) {
