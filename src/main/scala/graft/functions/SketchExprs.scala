@@ -56,11 +56,12 @@ object SketchMath {
     * Empty text → empty array (TextAnalysis.tokens semantics).
     *
     * ORACLE CONTRACT: the DuckDB oracles replay shingles as
-    * '|'-joined n-gram STRINGS, so a corpus token containing '|' would
-    * make the oracle merge windows this kernel keeps distinct (kernel is
-    * right, oracle diverges). The driver fixtures contain no '|' tokens —
-    * that is a documented constraint of the oracle encoding, not of this
-    * kernel; an oracle-side fix would hash per-token in SQL too.
+    * length-prefixed token concatenations (`len(tok) || ':' || tok` per
+    * token, no joiner) — an INJECTIVE encoding of the token tuple, so no
+    * token content (including '|' or ':') can make the oracle merge
+    * windows this kernel keeps distinct. Distinctness-by-string then
+    * equals distinctness-by-tuple, which equals this kernel's
+    * distinctness-by-chained-hash up to the ~2⁻⁶⁴ collision contract.
     */
   def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64

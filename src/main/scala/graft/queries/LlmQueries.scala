@@ -32,7 +32,7 @@ object LlmQueries {
   private val ccOracleSql =
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+      |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
       |rawpairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
@@ -103,7 +103,7 @@ object LlmQueries {
         Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
@@ -125,7 +125,7 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
@@ -228,7 +228,7 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
@@ -252,7 +252,7 @@ object LlmQueries {
       (s: SparkSession, dir: String) => Dedup.minhashLshPairs(docs(s, dir)),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
@@ -677,7 +677,7 @@ object LlmQueries {
         Dedup.sharedSpanPairs(docs(s, dir), n = 16, maxDf = 0),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 14)) AS i FROM toks WHERE len(t) >= 16),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i+15 AS INT)], '|') AS s FROM u)
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_transform(t[CAST(i AS INT):CAST(i+15 AS INT)], x -> CAST(len(x) AS VARCHAR) || ':' || x), '') AS s FROM u)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared_spans
         |FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin)
@@ -752,7 +752,7 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, CAST(count(*) AS BIGINT) AS common
@@ -797,7 +797,7 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i FROM toks WHERE len(t) >= 13),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i+12 AS INT)], '|') AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(list_transform(t[CAST(i AS INT):CAST(i+12 AS INT)], x -> CAST(len(x) AS VARCHAR) || ':' || x), '') AS s FROM u),
         |tr AS (SELECT * FROM sh WHERE doc_id % 23 != 0),
         |ev AS (SELECT * FROM sh WHERE doc_id % 23 = 0)
         |SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared_ngrams,
@@ -1209,7 +1209,7 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |df AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s),
         |per AS (SELECT sh.doc_id, count(*) AS n_sh,
         |          sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS shared
@@ -1367,7 +1367,7 @@ object LlmQueries {
           .select(col("doc_a"), col("doc_b")), iters = 3, damping = 0.85),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |prs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
@@ -1453,7 +1453,7 @@ object LlmQueries {
             .select(col("doc_a"), col("doc_b"))),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |prs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
@@ -1490,7 +1490,7 @@ object LlmQueries {
             .select(col("doc_a"), col("doc_b"))),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |prs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
@@ -1515,7 +1515,7 @@ object LlmQueries {
         Dedup.containmentPairsPrefix(docs(s, dir), n = 3, pct = 90, maxDf = 0),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |prs AS (
         |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_of, CAST(count(*) AS BIGINT) AS common
@@ -1541,7 +1541,7 @@ object LlmQueries {
         Dedup.containmentPairsPrefix(docs(s, dir), n = 3, pct = 90, maxDf = 5),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
         |pr AS (SELECT doc_id, s FROM sh JOIN df USING (s) WHERE df <= 5),
@@ -1565,7 +1565,7 @@ object LlmQueries {
         Dedup.containmentPairs(docs(s, dir), n = 3, pct = 90, maxDf = 0),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
         |prs AS (
         |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_of, CAST(count(*) AS BIGINT) AS common
@@ -1687,7 +1687,7 @@ object LlmQueries {
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || '|' || t[i+1] || '|' || t[i+2] AS s FROM u),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*) AS novel_per_mille
