@@ -60,9 +60,25 @@ object Main {
 
     // primary wire, reference parity: gRPC on tcp_address. The proto has
     // no authentication (same as the reference), so a non-loopback bind is
-    // an explicit operator decision — warn loudly.
+    // an explicit operator decision — and when the config sets auth_token,
+    // a non-loopback gRPC bind would SILENTLY drop the authentication the
+    // operator asked for (the token gates only the JSON-lines fronts).
+    // Refuse outright rather than downgrade: the operator either binds
+    // loopback, moves the remote surface to json_tcp_address (token
+    // enforced), or removes auth_token to acknowledge an open wire.
+    def isLoopback(host: String): Boolean =
+      host == "localhost" ||
+        (try java.net.InetAddress.getByName(host).isLoopbackAddress
+         catch { case _: java.net.UnknownHostException => false })
     val grpcControl = engine.config.flatMap(_.tcpAddress).map { a =>
       val (host, port) = hostPort(a)
+      if (!isLoopback(host) && token.isDefined)
+        throw new IllegalArgumentException(
+          s"refusing to bind the gRPC control plane on non-loopback $host: " +
+            "auth_token is set but the gRPC proto has no authentication, so " +
+            "this bind would silently drop it. Bind tcp_address to loopback, " +
+            "serve remote clients from json_tcp_address (which enforces the " +
+            "token), or remove auth_token to explicitly accept an open wire.")
       if (host == "0.0.0.0" || host == "::")
         println("[graft] WARNING: gRPC control plane binding ALL interfaces — " +
           "the proto has no authentication and UpdateConfig re-points " +

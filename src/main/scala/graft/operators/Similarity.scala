@@ -245,6 +245,14 @@ object Similarity {
         call_function("cosine_sim", col("embedding"), col("p_emb")).as("pcos"))
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)
+      // CALLER CONTRACT (shared by every persisting operator here): the
+      // cached pivot-ranking relation lives until the caller runs
+      // spark.catalog.clearCache() (Bench/Verify do per query) or the
+      // session ends — a long-lived session calling this repeatedly
+      // without clearing accumulates dead cached relations. The persist
+      // cannot be scoped inside: the plan reads it twice (cells + probes)
+      // and the result is lazy, so there is no safe unpersist point before
+      // the caller materializes it.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = ranked.filter(col("pr") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),

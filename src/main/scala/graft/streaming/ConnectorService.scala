@@ -87,6 +87,15 @@ object Wire {
   * both tonic and grpc-java's `StreamObserver` adapt to trivially), unary
   * verbs are plain calls. [[InProcessConnectorService]] is the one
   * implementation; a network front holds a reference to the same trait.
+  *
+  * CONTRACT — bidi streams must be per-message stateless: the gRPC front
+  * (GrpcWire) re-invokes `sinkStream`/`sourceStream` with a one-element
+  * iterator per inbound wire message, so an implementation MUST NOT carry
+  * state between messages through the iterator (state that must span a
+  * stream belongs in the engine/PushService behind the verb, where
+  * [[InProcessConnectorService]] keeps its flush/ack bookkeeping). An
+  * implementation that folds across the request iterator would work
+  * in-process but silently lose state over the wire.
   */
 trait ConnectorService {
   def sinkStream(requests: Iterator[Wire.SinkRequest]): Iterator[Wire.SinkResponse]

@@ -163,6 +163,37 @@ object ConnectorProto {
         field("error_message", 1, Type.TYPE_STRING),
         field("error_code", 2, Type.TYPE_STRING),
         field("stack_trace", 3, Type.TYPE_STRING)))
+      // service-unused in every verb signature, but part of the vendored
+      // IDL — included so server reflection serves the COMPLETE contract
+      // (clients build S3SinkConfig payloads for ConnectorConfig.config
+      // out-of-band; omitting it made the reflected descriptor drift from
+      // the field-for-field lockstep both files promise)
+      .addMessageType(DP.DescriptorProto.newBuilder()
+        .setName("S3SinkConfig")
+        .addEnumType(DP.EnumDescriptorProto.newBuilder().setName("Format")
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("JSON").setNumber(0))
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("AVRO").setNumber(1))
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("PARQUET").setNumber(2))
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("BYTES").setNumber(3)))
+        .addEnumType(DP.EnumDescriptorProto.newBuilder().setName("Partitioner")
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("DEFAULT").setNumber(0))
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("FIELD").setNumber(1))
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("TIME").setNumber(2)))
+        .addEnumType(DP.EnumDescriptorProto.newBuilder().setName("Compression")
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("NONE").setNumber(0))
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("GZIP").setNumber(1))
+          .addValue(DP.EnumValueDescriptorProto.newBuilder().setName("SNAPPY").setNumber(2)))
+        .addField(field("s3_bucket_name", 1, Type.TYPE_STRING))
+        .addField(field("s3_region", 2, Type.TYPE_STRING))
+        .addField(field("s3_prefix", 3, Type.TYPE_STRING))
+        .addField(field("format", 4, Type.TYPE_ENUM, ".kafka.connect.S3SinkConfig.Format"))
+        .addField(field("partitioner", 5, Type.TYPE_ENUM, ".kafka.connect.S3SinkConfig.Partitioner"))
+        .addField(field("partition_field", 6, Type.TYPE_STRING))
+        .addField(field("time_partition_pattern", 7, Type.TYPE_STRING))
+        .addField(field("flush_size", 8, Type.TYPE_INT32))
+        .addField(field("rotate_interval_ms", 9, Type.TYPE_INT32))
+        .addField(field("compression", 10, Type.TYPE_ENUM, ".kafka.connect.S3SinkConfig.Compression"))
+        .build())
       .addService(DP.ServiceDescriptorProto.newBuilder()
         .setName("ConnectorService")
         .addMethod(DP.MethodDescriptorProto.newBuilder().setName("SourceStream")
@@ -505,6 +536,10 @@ object GrpcWire {
         unary(m => configResponseMsg(service.getConfig(toConfigRequest(m)))))
       .addMethod(updateConfigMethod,
         unary(m => configResponseMsg(service.updateConfig(toConfigUpdateRequest(m)))))
+      // one service invocation per inbound wire message — sound because
+      // the ConnectorService trait CONTRACT (see its scaladoc) requires
+      // bidi verbs to be per-message stateless, with cross-message state
+      // held behind the verb (engine/PushService), never in the iterator
       .addMethod(sinkStreamMethod,
         bidi(m => service.sinkStream(Iterator.single(toSinkRequest(m))).map(sinkResponseMsg)))
       .addMethod(sourceStreamMethod,
@@ -565,7 +600,9 @@ final class GrpcUdsControlServer(service: ConnectorService,
     require(server == null, "already started")
     if (socketPath.getParent != null)
       java.nio.file.Files.createDirectories(socketPath.getParent)
-    java.nio.file.Files.deleteIfExists(socketPath) // stale-socket recovery
+    // stale-socket recovery with a liveness probe: refuses to hijack a
+    // socket a live daemon still answers on (see reclaimStaleSocket)
+    UnixControlServer.reclaimStaleSocket(socketPath)
     boss = new EpollEventLoopGroup(1)
     worker = new EpollEventLoopGroup()
     server = NettyServerBuilder

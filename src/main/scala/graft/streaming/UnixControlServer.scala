@@ -31,12 +31,14 @@ final class UnixControlServer(service: ConnectorService, socketPath: Path,
 
   /** Bind and serve; returns the bound socket path. A stale socket file
     * from a crashed prior run would make bind() throw AddressInUse, so it
-    * is removed first — same recovery the reference daemon does.
+    * is reclaimed first — but only after a connect probe proves no live
+    * daemon answers on it ([[UnixControlServer.reclaimStaleSocket]]); a
+    * second instance must fail loudly, not hijack the control socket.
     */
   def start(): Path = synchronized {
     require(server == null, "already started")
     if (socketPath.getParent != null) Files.createDirectories(socketPath.getParent)
-    Files.deleteIfExists(socketPath)
+    UnixControlServer.reclaimStaleSocket(socketPath)
     server = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
     server.bind(UnixDomainSocketAddress.of(socketPath))
     pool.submit(new Runnable {
@@ -69,4 +71,30 @@ final class UnixControlServer(service: ConnectorService, socketPath: Path,
       }
     } catch { case _: Exception => () }
     finally ch.close()
+}
+
+object UnixControlServer {
+  /** Reclaim a leftover socket file ONLY when it is provably stale: probe
+    * it with a connect attempt and delete on connection-refused (the
+    * crashed-daemon leftover). If something ANSWERS, another daemon owns
+    * the path — fail loudly instead of silently hijacking its control
+    * socket (the second instance would otherwise steal the CLI surface of
+    * a live daemon). Both UDS fronts (JSON lines here, gRPC in
+    * GrpcUdsControlServer) share this guard.
+    */
+  def reclaimStaleSocket(socketPath: Path): Unit = {
+    if (Files.exists(socketPath)) {
+      val live =
+        try {
+          val probe = SocketChannel.open(StandardProtocolFamily.UNIX)
+          try probe.connect(UnixDomainSocketAddress.of(socketPath))
+          finally probe.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (live)
+        throw new IllegalStateException(
+          s"socket $socketPath is in use by a live daemon; refusing to hijack it")
+      Files.deleteIfExists(socketPath)
+    }
+  }
 }
