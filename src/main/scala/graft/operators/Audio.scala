@@ -1,0 +1,150 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import javax.sound.sampled.AudioSystem
+
+import org.apache.spark.sql.Dataset
+
+/** Real audio-content operators — the audio half of the multimodal pillar,
+  * built the same way as [[Imaging]]: the test corpus has no audio files,
+  * so each document gets a deterministic PCM16 waveform from a closed-form
+  * integer formula, serialized as a real RIFF/WAV container **by a
+  * hand-written writer** and decoded back through the JDK's real audio
+  * codec (`javax.sound.sampled.AudioSystem` — in the JDK, no external
+  * deps). The DuckDB oracles recompute every output from the sample
+  * formula alone, never seeing the bytes, so a container-layout or
+  * decode-path bug is an oracle mismatch.
+  *
+  * Sample contract (all integer, exact in both engines):
+  * {{{
+  *   s           = doc_id % 256
+  *   n_samples   = 400 + (doc_id % 100) * 8
+  *   sample_rate = 8000 + (doc_id % 2) * 8000
+  *   amp(i)      = ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000
+  * }}}
+  * `(i*i) % 97` makes the wave noisy enough to have sign changes (zero
+  * crossings) while staying exactly replayable; amplitudes sit in
+  * [-2000, 2000], well inside PCM16.
+  *
+  * At 100 TB the shape is identical to image decode: embarrassingly
+  * parallel mapPartitions, codec state per task, no shuffle; only the
+  * per-doc integer stats leave the task.
+  */
+object Audio {
+
+  final case class WavMeta(doc_id: Long, sample_rate: Long, channels: Long,
+                           bits: Long, n_frames: Long)
+  final case class PcmStats(doc_id: Long, n_samples: Long, sum_amp: Long,
+                            max_abs: Long, zero_cross: Long)
+
+  /** The sample formula — the single source of truth the DuckDB oracle
+    * mirrors in SQL. Keep in lockstep with the query SQL in LlmQueries.
+    */
+  def sample(docId: Long, i: Int): Int = {
+    val s = (docId % 256).toInt
+    (((s + 1) * ((i.toLong * i % 97).toInt) + 13 * i) % 4001) - 2000
+  }
+
+  def nSamples(docId: Long): Int = 400 + (docId % 100).toInt * 8
+  def sampleRate(docId: Long): Int = 8000 + (docId % 2).toInt * 8000
+
+  /** Hand-written RIFF/WAV container (PCM_SIGNED, mono, 16-bit,
+    * little-endian) — independent of Java's writer, so the `AudioSystem`
+    * *decode* below is tested against a foreign writer, exactly like the
+    * BMP/ImageIO pair in [[Imaging]].
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putAscii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32(off: Int, v: Int): Unit = {
+      put16(off, v & 0xFFFF); put16(off + 2, (v >>> 16) & 0xFFFF)
+    }
+    putAscii(0, "RIFF"); put32(4, 36 + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); put32(16, 16)
+    put16(20, 1) // PCM
+    put16(22, 1) // mono
+    put32(24, sampleRate)
+    put32(28, sampleRate * 2) // byte rate = rate * channels * bits/8
+    put16(32, 2) // block align
+    put16(34, 16) // bits
+    putAscii(36, "data"); put32(40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + i * 2, samples(i) & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
+  /** Real codec decode: format fields come from `AudioSystem`'s parsed
+    * header, samples from the decoded stream (PCM16LE frames).
+    */
+  def decodeWav(bytes: Array[Byte]): (WavFormat, Array[Int]) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      val fmt = WavFormat(f.getSampleRate.toLong, f.getChannels.toLong,
+        f.getSampleSizeInBits.toLong, in.getFrameLength)
+      val data = in.readAllBytes()
+      val samples = new Array[Int](data.length / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      (fmt, samples)
+    } finally in.close()
+  }
+
+  final case class WavFormat(sampleRate: Long, channels: Long, bits: Long,
+                             frames: Long)
+
+  private def synth(docId: Long): Array[Byte] = {
+    val n = nSamples(docId)
+    val samples = Array.tabulate(n)(i => sample(docId, i))
+    encodeWav(sampleRate(docId), samples)
+  }
+
+  /** Per-doc WAV → real `AudioSystem` decode → the format fields the
+    * DECODER parsed out of the container (not the values we encoded).
+    */
+  def wavMeta(docIds: Dataset[Long]): Dataset[WavMeta] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val (fmt, _) = decodeWav(synth(id))
+        WavMeta(id, fmt.sampleRate, fmt.channels, fmt.bits, fmt.frames)
+      }
+    }
+  }
+
+  /** PCM stats over DECODED samples: count, amplitude sum, peak |amp|,
+    * and zero crossings (sign flips, zero counted as non-negative) — the
+    * silence/clipping/energy screens an audio curation pipeline runs.
+    */
+  def pcmStats(docIds: Dataset[Long]): Dataset[PcmStats] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val (_, samples) = decodeWav(synth(id))
+        var sum = 0L
+        var maxAbs = 0L
+        var zc = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i)
+          sum += v
+          if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
+          if (i > 0 && ((v >= 0) != (samples(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        PcmStats(id, samples.length.toLong, sum, maxAbs, zc)
+      }
+    }
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, Imaging, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Audio, Dedup, Graph, Imaging, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Sources
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -1182,6 +1182,42 @@ object LlmQueries {
           |ham AS (SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand)
           |SELECT hamming, CAST(count(*) AS BIGINT) AS pair_cnt
           |FROM ham WHERE hamming <= 16 GROUP BY hamming""".stripMargin)
+    )),
+
+    // Audio twin of media_decode_meta: hand-written RIFF/WAV container →
+    // real javax.sound decode → the format fields the DECODER parsed
+    // (sample rate / channels / bits / frame count), oracle-checked
+    // against the synthesis formula.
+    "media_wav_meta" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Audio.wavMeta(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some("""SELECT doc_id, CAST(8000 + (doc_id % 2) * 8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+        |  CAST(400 + (doc_id % 100) * 8 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin)
+    )),
+
+    // PCM content stats over DECODED samples — the silence/clipping/energy
+    // screens of audio curation: amplitude sum, peak |amp|, zero-crossing
+    // count. All integers; the oracle replays the waveform formula with a
+    // lag() window for the sign flips.
+    "media_pcm_stats" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Audio.pcmStats(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s,
+        |  400 + (doc_id % 100) * 8 AS n FROM documents),
+        |u AS (SELECT doc_id, s, unnest(range(0, n)) AS i FROM d),
+        |a AS (SELECT doc_id, i, ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000 AS amp FROM u),
+        |z AS (SELECT doc_id, amp, lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM a)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(amp) AS BIGINT) AS sum_amp,
+        |  CAST(max(abs(amp)) AS BIGINT) AS max_abs,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND (amp >= 0) != (prev >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM z GROUP BY doc_id""".stripMargin)
     )),
 
     // Boilerplate share: the per-mille of a document's distinct shingles
