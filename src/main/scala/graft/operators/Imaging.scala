@@ -196,6 +196,67 @@ object Imaging {
     h
   }
 
+  /** Integer-scaled DCT-II basis, `K(u,x) = round(10000·cos((2x+1)uπ/16))`.
+    * HARDCODED (not computed with `math.cos` at runtime) so the DuckDB
+    * oracle can inline the SAME integers — both engines then do pure
+    * integer matmul and the pHash is bit-exact by construction, with no
+    * dependence on either engine's cosine rounding.
+    */
+  val DctBasis: Array[Array[Long]] = Array(
+    Array(10000L, 10000L, 10000L, 10000L, 10000L, 10000L, 10000L, 10000L),
+    Array(9808L, 8315L, 5556L, 1951L, -1951L, -5556L, -8315L, -9808L),
+    Array(9239L, 3827L, -3827L, -9239L, -9239L, -3827L, 3827L, 9239L),
+    Array(8315L, -1951L, -9808L, -5556L, 5556L, 9808L, 1951L, -8315L),
+    Array(7071L, -7071L, -7071L, 7071L, 7071L, -7071L, -7071L, 7071L),
+    Array(5556L, -9808L, 1951L, 8315L, -8315L, -1951L, 9808L, -5556L),
+    Array(3827L, -9239L, 9239L, -3827L, -3827L, 9239L, -9239L, 3827L),
+    Array(1951L, -5556L, 8315L, -9808L, 9808L, -8315L, 5556L, -1951L))
+
+  /** pHash: 2D DCT (integer basis above) over the left 8×8 block sums,
+    * bit (v*8+u) set iff AC coefficient D(u,v) > median of the 63 AC
+    * coefficients (strict; DC bit (0,0) always 0). Median = the 32nd
+    * smallest (0-based index 31), which is exactly DuckDB's
+    * `quantile_disc(0.5)` over 63 rows — frequency-domain structure, the
+    * classic re-encode/resize-robust perceptual hash.
+    */
+  def pHash64(img: BufferedImage): Long = {
+    val bs = blockSums(img)
+    val d = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            acc += bs(y)(x) * DctBasis(u)(x) * DctBasis(v)(y)
+            y += 1
+          }
+          x += 1
+        }
+        d(u)(v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = (for (u2 <- 0 until 8; v2 <- 0 until 8 if u2 != 0 || v2 != 0)
+      yield d(u2)(v2)).sorted
+    val med = ac(31)
+    var h = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if ((u != 0 || v != 0) && d(u)(v) > med) h |= (1L << (v * 8 + u))
+        v += 1
+      }
+      u += 1
+    }
+    h
+  }
+
   // ---------------------------------------------------------------------
   // Dataset-level operators
   // ---------------------------------------------------------------------
@@ -229,6 +290,19 @@ object Imaging {
       ids.map { id =>
         val img = decode(encodeBmp(HashW, HashH, (x, y) => pixel(id, x, y)))
         ImageHashes(id, dHash64(img), aHash64(img))
+      }
+    }
+  }
+
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Fixed-canvas BMP per doc → decode → DCT pHash. */
+  def imagePHashes(docIds: Dataset[Long]): Dataset[PHashRow] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val img = decode(encodeBmp(HashW, HashH, (x, y) => pixel(id, x, y)))
+        PHashRow(id, pHash64(img))
       }
     }
   }

@@ -1184,6 +1184,44 @@ object LlmQueries {
           |FROM ham WHERE hamming <= 16 GROUP BY hamming""".stripMargin)
     )),
 
+    // DCT pHash from DECODED pixels: 2D DCT over the 8×8 block sums with
+    // an integer-scaled basis HARDCODED identically on both sides
+    // (Imaging.DctBasis = the VALUES table below), bit = AC coefficient >
+    // median-of-63 (quantile_disc(0.5) == sorted index 31 on both
+    // engines). Pure integer matmul — bit-exact with no cosine rounding
+    // dependence.
+    "media_phash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.imagePHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some(dhashOracleCte +
+        """,kt AS (SELECT * FROM (VALUES
+          |  (0,0,10000), (0,1,10000), (0,2,10000), (0,3,10000), (0,4,10000), (0,5,10000), (0,6,10000), (0,7,10000),
+          |  (1,0,9808), (1,1,8315), (1,2,5556), (1,3,1951), (1,4,-1951), (1,5,-5556), (1,6,-8315), (1,7,-9808),
+          |  (2,0,9239), (2,1,3827), (2,2,-3827), (2,3,-9239), (2,4,-9239), (2,5,-3827), (2,6,3827), (2,7,9239),
+          |  (3,0,8315), (3,1,-1951), (3,2,-9808), (3,3,-5556), (3,4,5556), (3,5,9808), (3,6,1951), (3,7,-8315),
+          |  (4,0,7071), (4,1,-7071), (4,2,-7071), (4,3,7071), (4,4,7071), (4,5,-7071), (4,6,-7071), (4,7,7071),
+          |  (5,0,5556), (5,1,-9808), (5,2,1951), (5,3,8315), (5,4,-8315), (5,5,-1951), (5,6,9808), (5,7,-5556),
+          |  (6,0,3827), (6,1,-9239), (6,2,9239), (6,3,-3827), (6,4,-3827), (6,5,9239), (6,6,-9239), (6,7,3827),
+          |  (7,0,1951), (7,1,-5556), (7,2,8315), (7,3,-9808), (7,4,9808), (7,5,-8315), (7,6,5556), (7,7,-1951)
+          |) AS t(u, x, k)),
+          |dct AS (SELECT b.doc_id, ku.u AS u, kv.u AS v,
+          |          CAST(sum(b.bs * ku.k * kv.k) AS BIGINT) AS dcoef
+          |        FROM blk b
+          |        JOIN kt ku ON ku.x = b.bx
+          |        JOIN kt kv ON kv.x = b.by
+          |        WHERE b.bx < 8
+          |        GROUP BY 1, 2, 3),
+          |med AS (SELECT doc_id, quantile_disc(dcoef, 0.5) AS med
+          |        FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id)
+          |SELECT dct.doc_id,
+          |  bit_or(CASE WHEN (u != 0 OR v != 0) AND dcoef > med AND v*8 + u = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+          |              WHEN (u != 0 OR v != 0) AND dcoef > med THEN CAST(1 AS BIGINT) << CAST(v*8 + u AS INT)
+          |              ELSE CAST(0 AS BIGINT) END) AS phash
+          |FROM dct JOIN med USING (doc_id) GROUP BY dct.doc_id""".stripMargin)
+    )),
+
     // Audio twin of media_decode_meta: hand-written RIFF/WAV container →
     // real javax.sound decode → the format fields the DECODER parsed
     // (sample rate / channels / bits / frame count), oracle-checked

@@ -59,6 +59,22 @@ class ImagingSpec extends SparkSpec {
     assert(d > 0 && d <= 8, s"bump should plant a small-hamming near-dup, got $d")
   }
 
+  test("pHash: DCT median split sets ~half the AC bits; planted dups collide") {
+    val ids = spark.range(0, 500).select(col("id").as("doc_id")).as[Long]
+    val ph = Imaging.imagePHashes(ids).collect().map(p => p.doc_id -> p.phash).toMap
+    // strict > against the 32nd-smallest of 63: between 0 and 31 bits set
+    ph.values.foreach { h =>
+      val bits = java.lang.Long.bitCount(h)
+      assert(bits >= 8 && bits <= 31, s"median split out of range: $bits bits")
+      assert((h & 1L) == 0L, "DC bit (0,0) must stay 0")
+    }
+    // same seed class, neither bumped → identical frequency structure
+    assert(ph(7L) == ph(263L))
+    // different seeds → hashes differ for at least most pairs probed
+    val distinct = Seq(1L, 2L, 3L, 4L, 6L, 8L, 9L, 11L).map(ph).distinct
+    assert(distinct.size >= 7)
+  }
+
   test("PNG header parse recovers ImageIO-encoded dimensions from raw bytes") {
     val ids = spark.range(0, 40).select(col("id").as("doc_id")).as[Long]
     val parsed = Imaging.pngColumn(ids).toDF()
