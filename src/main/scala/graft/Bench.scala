@@ -30,6 +30,19 @@ object Bench {
     "q6_forecast_revenue", "q7_nation_volume", "q10_returned",
     "q14_promo_share", "q18_large_orders", "q19_brand_revenue")
 
+  /** The declared oracle twins (SCALE.md "Known bounded costs"): the
+    * deliberately quadratic / unpruned baselines that exist to GATE the
+    * scale paths — each has a benched production counterpart (LSH, IVF,
+    * maxDf-capped, sketch). They stay in the bench for honesty, but their
+    * subtotal is broken out so the total isn't read as production
+    * throughput: `production_sec` = total − twins.
+    */
+  private val oracleTwins = Set(
+    "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "ann_bruteforce_topk", "vector_knn_graph",
+    "text_containment", "text_containment_prefix", "text_dup_spans",
+    "q_percentiles")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,6 +117,7 @@ object Bench {
       (name, runs.min, runs)
     }
     val total = results.map(_._2).sum
+    val twinsSec = results.filter(r => oracleTwins.contains(r._1)).map(_._2).sum
 
     // full record → file (never truncated), short line → stdout (always
     // parses). BENCH_LOCAL.json sits in the repo so the per-round judge
@@ -114,7 +128,10 @@ object Bench {
         f""""$name":{"min":$min%.3f,"runs":$rs}"""
       }.mkString(",")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
-        f""""runs_per_query":$runsPerQuery,"n_queries":${results.size},"queries":{$qs}}"""
+        f""""runs_per_query":$runsPerQuery,"n_queries":${results.size},""" +
+        f""""oracle_twins_sec":$twinsSec%.3f,"production_sec":${total - twinsSec}%.3f,""" +
+        f""""oracle_twins":${oracleTwins.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        f""""queries":{$qs}}"""
     }
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
@@ -124,6 +141,7 @@ object Bench {
       .map { case (name, min, _) => f""""$name":$min%.3f""" }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
       f""""n_queries":${results.size},"runs_per_query":$runsPerQuery,""" +
+      f""""oracle_twins_sec":$twinsSec%.3f,"production_sec":${total - twinsSec}%.3f,""" +
       f""""queries_file":"${outPath.toAbsolutePath}","queries":$inline}""")
     spark.stop()
   }
