@@ -116,7 +116,8 @@ trait ConnectorService {
   * FlushResponse. Heartbeats echo the client timestamp.
   */
 final class InProcessConnectorService(engine: Engine, push: PushService,
-                                      sinkQuery: () => StreamingQuery)
+                                      sinkQuery: () => StreamingQuery,
+                                      sourceTap: Option[SourceTap] = None)
     extends ConnectorService {
   import Wire._
 
@@ -141,13 +142,35 @@ final class InProcessConnectorService(engine: Engine, push: PushService,
         }
     }
 
-  /** The reference's source_stream panics (`unimplemented!`) on every real
-    * verb; mirrored here as a graceful per-call error so the daemon survives
-    * a client dialing the wrong direction. S7 is out of scope by design.
+  /** Default (no tap): the reference's source_stream panics
+    * (`unimplemented!`, `service.rs:71-80`) on every real verb; mirrored
+    * here as a graceful per-call error so the daemon survives a client
+    * dialing the wrong direction — S7 parity.
+    *
+    * With a [[SourceTap]] wired (opt-in), the source direction WORKS —
+    * exceeding the reference the way the field partitioner (P3) does:
+    * Heartbeat → echo + up to the channel-capacity of buffered
+    * RecordBatches (the keepalive doubles as flow-control credit), Ack →
+    * drop or requeue the in-flight batches (at-least-once redelivery),
+    * Commit → per-partition high-water bookkeeping. All cross-message
+    * state lives in the tap, honoring the per-message-stateless contract.
     */
   override def sourceStream(requests: Iterator[SourceRequest]): Iterator[SourceResponse] =
-    requests.map(_ => SourceResponse.Err(
-      ConnectorError("SourceStream is not implemented", "UNIMPLEMENTED")))
+    sourceTap match {
+      case None =>
+        requests.map(_ => SourceResponse.Err(
+          ConnectorError("SourceStream is not implemented", "UNIMPLEMENTED")))
+      case Some(tap) =>
+        requests.flatMap {
+          case SourceRequest.Beat(hb) =>
+            Iterator(SourceResponse.Beat(hb)) ++
+              tap.poll().iterator.map(SourceResponse.Batch(_))
+          case SourceRequest.Ack(a) =>
+            tap.ack(a); Iterator.empty
+          case SourceRequest.Commit(c) =>
+            tap.commit(c); Iterator.empty
+        }
+    }
 
   override def getConfig(req: ConfigRequest): ConfigResponse =
     ConfigResponse(for {

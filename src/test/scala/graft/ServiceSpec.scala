@@ -154,6 +154,114 @@ class ServiceSpec extends SparkSpec {
       Wire.ConnectorError("SourceStream is not implemented", "UNIMPLEMENTED"))))
   }
 
+  test("source tap: heartbeat drains batches, failed ack redelivers, commit bookkeeps") {
+    import graft.streaming.SourceTap
+    val root = Files.createTempDirectory("graft-svc-tap").toString
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, s"$root/ckpt")
+    val tap = new SourceTap(capacity = 2, drainMax = 1)
+    val service = new InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"), sourceTap = Some(tap))
+
+    assert(tap.offer(Seq(rec(0, "a"))))
+    assert(tap.offer(Seq(rec(1, "b"))))
+    assert(!tap.offer(Seq(rec(2, "c"))), "buffer at capacity must refuse (backpressure)")
+
+    // heartbeat = credit for at most drainMax batches, echo first
+    val out1 = service.sourceStream(Iterator(SourceRequest.Beat(Heartbeat(5L)))).toList
+    assert(out1.head == SourceResponse.Beat(Heartbeat(5L)))
+    val batch1 = out1.collect { case SourceResponse.Batch(b) => b }
+    assert(batch1.map(_.records.map(_.offset)) == Seq(Seq(0L)), s"drainMax=1, got $out1")
+    assert(tap.inFlightCount == 1)
+
+    // failed ack → redelivery at the FRONT, before the still-queued batch
+    val nack = RecordAck(Seq(RecordId("push-topic", 0, 0L)), success = false)
+    assert(service.sourceStream(Iterator(SourceRequest.Ack(nack))).isEmpty)
+    assert(tap.inFlightCount == 0 && tap.buffered == 2)
+    val redelivered = service.sourceStream(Iterator(SourceRequest.Beat(Heartbeat(6L))))
+      .collect { case SourceResponse.Batch(b) => b.records.map(_.offset) }.toList
+    assert(redelivered == List(Seq(0L)), "redelivery must preserve order")
+
+    // successful ack drops the in-flight batch for good
+    service.sourceStream(Iterator(SourceRequest.Ack(
+      RecordAck(Seq(RecordId("push-topic", 0, 0L)), success = true)))).toList
+    assert(tap.inFlightCount == 0 && tap.buffered == 1)
+
+    // commit keeps the per-partition high-water offset
+    service.sourceStream(Iterator(SourceRequest.Commit(OffsetCommit(Seq(
+      RecordId("push-topic", 0, 0L)))))).toList
+    assert(tap.committedOffset("push-topic", 0).contains(0L))
+  }
+
+  test("gRPC SourceStream serves buffered batches over the real wire — the working source data plane") {
+    import org.sparkproject.connect.protobuf.DynamicMessage
+    import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
+    import graft.streaming.{ConnectorProto, GrpcControlClient, GrpcControlServer, GrpcWire, SourceTap}
+    val root = Files.createTempDirectory("graft-grpc-src").toString
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, s"$root/ckpt")
+    val tap = new SourceTap()
+    val service = new InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"), sourceTap = Some(tap))
+    val srv = new GrpcControlServer(service, port = 0)
+    val port = srv.start()
+    val ch = GrpcControlClient.channel("127.0.0.1", port)
+    try {
+      tap.offer(Seq(rec(0, "src-a"), rec(1, "src-b")))
+      val srcReqD = ConnectorProto.messageType("SourceRequest")
+      val hbD = ConnectorProto.messageType("Heartbeat")
+      val ackD = ConnectorProto.messageType("RecordAck")
+      val ridD = ConnectorProto.messageType("RecordId")
+      val beatMsg = DynamicMessage.newBuilder(srcReqD)
+        .setField(srcReqD.findFieldByName("heartbeat"),
+          DynamicMessage.newBuilder(hbD)
+            .setField(hbD.findFieldByName("timestamp"), Long.box(42L)).build())
+        .build()
+      val ackMsg = {
+        val rid = DynamicMessage.newBuilder(ridD)
+          .setField(ridD.findFieldByName("topic"), "push-topic")
+          .setField(ridD.findFieldByName("partition"), Int.box(0))
+          .setField(ridD.findFieldByName("offset"), Long.box(0L)).build()
+        val a = DynamicMessage.newBuilder(ackD)
+        a.addRepeatedField(ackD.findFieldByName("record_ids"), rid)
+        a.setField(ackD.findFieldByName("success"), Boolean.box(true))
+        DynamicMessage.newBuilder(srcReqD)
+          .setField(srcReqD.findFieldByName("ack"), a.build()).build()
+      }
+
+      val got = new java.util.concurrent.LinkedBlockingQueue[DynamicMessage]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val reqObs = ClientCalls.asyncBidiStreamingCall(
+        ch.newCall(GrpcWire.sourceStreamMethod,
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT),
+        new StreamObserver[DynamicMessage] {
+          override def onNext(v: DynamicMessage): Unit = got.put(v)
+          override def onError(t: Throwable): Unit = done.countDown()
+          override def onCompleted(): Unit = done.countDown()
+        })
+      reqObs.onNext(beatMsg)
+      val beat = got.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(beat != null &&
+        beat.hasField(beat.getDescriptorForType.findFieldByName("heartbeat")), beat)
+      val batch = got.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(batch != null &&
+        batch.hasField(batch.getDescriptorForType.findFieldByName("record_batch")), batch)
+      val bm = batch.getField(
+        batch.getDescriptorForType.findFieldByName("record_batch"))
+        .asInstanceOf[DynamicMessage]
+      val recs = bm.getField(bm.getDescriptorForType.findFieldByName("records"))
+        .asInstanceOf[java.util.List[_]]
+      assert(recs.size == 2, s"expected the offered batch over the wire, got $bm")
+      reqObs.onNext(ackMsg) // successful ack clears the in-flight batch
+      reqObs.onCompleted()
+      assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      assert(tap.inFlightCount == 0 && tap.buffered == 0)
+    } finally {
+      ch.shutdownNow()
+      srv.stop()
+    }
+  }
+
   test("TCP control plane serves status/config/update as JSON lines") {
     import java.nio.charset.StandardCharsets.UTF_8
     val root = Files.createTempDirectory("graft-ctl").toString
