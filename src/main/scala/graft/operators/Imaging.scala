@@ -327,7 +327,7 @@ object Imaging {
     * join is bucket-bounded exactly like MinHash-LSH on text. Returns the
     * (hamming, pair_cnt) histogram: the operational near-dup signal.
     */
-  def dhashNearDupHistogram(hashes: DataFrame, maxHamming: Int = 16): DataFrame = {
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 16): DataFrame = {
     val bands = hashes.select(
       col("doc_id"), col("dhash"),
       explode(array((0 until 4).map { b =>
@@ -346,7 +346,10 @@ object Imaging {
       .select(col("doc_a"), col("doc_b"),
         bit_count(expr("ha ^ hb")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  def dhashNearDupHistogram(hashes: DataFrame, maxHamming: Int = 16): DataFrame =
+    dhashNearDupPairs(hashes, maxHamming)
       .groupBy("hamming")
       .agg(count(lit(1)).as("pair_cnt"))
-  }
 }

@@ -1222,6 +1222,38 @@ object LlmQueries {
           |FROM dct JOIN med USING (doc_id) GROUP BY dct.doc_id""".stripMargin)
     )),
 
+    // Image-level dedup end-to-end — the task perceptual hashes exist
+    // for: decode → dHash → band-LSH pairs → connected components →
+    // keep the min-id representative per cluster. Cross-family
+    // composition (Imaging pairs + Dedup.connectedComponents), recursive
+    // -CTE closure oracle over the SQL-replayed pair set.
+    "media_dedup_representatives" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        val pairs = Imaging.dhashNearDupPairs(Imaging.imageHashes(ids).toDF())
+        val cc = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+        docs(s, dir).select(col("doc_id"))
+          .join(cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+      },
+      Some("WITH RECURSIVE " + dhashOracleCte.stripPrefix("WITH ") +
+        """,bands AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM dh),
+          |bk AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.dhash AS ha, b.dhash AS hb
+          |         FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          |np AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 16),
+          |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+          |          UNION SELECT doc_b, doc_a FROM np),
+          |reach AS (
+          |  SELECT a AS node, b AS r FROM edges
+          |  UNION
+          |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+          |cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin)
+    )),
+
     // Audio twin of media_decode_meta: hand-written RIFF/WAV container →
     // real javax.sound decode → the format fields the DECODER parsed
     // (sample rate / channels / bits / frame count), oracle-checked
