@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus batched per-partition feature
   * extraction.
   *
-  * The decode step itself (JPEG/audio codecs) is STUBBED — no media
-  * libraries ship in this environment — behind [[FeatureExtractor]], with a
-  * deterministic byte-histogram fake standing in. Everything Spark-side is
-  * real and load-bearing: the schema, the binary column handling, the
-  * partition-batched extraction shape (mapPartitions with reusable
-  * per-partition state ≙ model/codec instantiated once per task, the same
-  * contract a Pandas-UDF/`mapInPandas` batch has in PySpark), and the
-  * downstream join of features back onto document ids.
+  * This file is the GENERIC plumbing layer (schema, binary columns, the
+  * mapPartitions batch shape with per-task extractor state — the Scala
+  * contract of a `mapInPandas` decoder); the pluggable
+  * [[FeatureExtractor]] here uses a deterministic byte-histogram for
+  * model-style float features. The REAL codec paths live beside it:
+  * [[Imaging]] (hand-written BMP container → `javax.imageio` decode →
+  * dHash/aHash/DCT-pHash, PNG header schema-on-read, band-LSH near-dup)
+  * and [[Audio]] (RIFF/WAV writer → `javax.sound` decode → PCM stats) —
+  * both oracle-checked against closed-form pixel/sample formulas. Only
+  * codecs absent from the JDK (JPEG-decode-free video, model inference)
+  * stay behind this extractor seam.
   */
 object Multimodal {
 
