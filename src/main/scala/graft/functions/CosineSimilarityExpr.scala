@@ -143,9 +143,20 @@ object GraftFunctions {
     }
   }
 
+  val shingleHashesPosBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "shingle_hashes_pos expects (text, n)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs(1) match {
+      // same n >= 1 plan-build guard as shingle_hashes
+      case Literal(n: Int, IntegerType) if n >= 1 => ShingleHashesPosExpr(exprs(0), n)
+      case _ => throw new IllegalArgumentException("shingle_hashes_pos: n must be an int literal >= 1")
+    }
+  }
+
   private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarityExpr], cosineSimBuilder),
     ("shingle_hashes", classOf[ShingleHashesExpr], shingleHashesBuilder),
+    ("shingle_hashes_pos", classOf[ShingleHashesPosExpr], shingleHashesPosBuilder),
     ("minhash_sig", classOf[MinHashSignatureExpr], minhashSigBuilder),
     ("simhash64", classOf[SimHash64Expr], simhash64Builder),
     ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder),

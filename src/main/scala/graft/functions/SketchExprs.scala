@@ -64,15 +64,58 @@ object SketchMath {
     * distinctness-by-chained-hash up to the ~2⁻⁶⁴ collision contract.
     */
   def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val win = windowHashes(text, n)
+    val nWin = win.length
+    if (nWin == 0) return new GenericArrayData(win)
+    // first-occurrence dedupe via open addressing; 0 handled by a flag
+    var cap = 8
+    while (cap < nWin * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    var seenZero = false
+    val out = new Array[Long](nWin)
+    var m = 0
+    var w = 0
+    while (w < nWin) {
+      val h = win(w)
+      if (h == 0L) {
+        if (!seenZero) { seenZero = true; out(m) = 0L; m += 1 }
+      } else {
+        var slot = (h.toInt & (cap - 1))
+        while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & (cap - 1)
+        if (table(slot) == 0L) { table(slot) = h; out(m) = h; m += 1 }
+      }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Positional variant of [[shingleHashes]]: EVERY window's hash, in
+    * window order (element w = the window starting at token w), no
+    * dedupe — the kernel under span-level operators where positions are
+    * the evidence (`posexplode` over this array yields the
+    * (position, window-hash) relation directly). Same per-token XXH64 +
+    * chained window hash and the same oracle contract as the distinct
+    * kernel.
+    */
+  def shingleHashesPos(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData =
+    new GenericArrayData(windowHashes(text, n))
+
+  /** The shared one-pass token-window hashing both shingle kernels sit
+    * on: tokenize on single spaces (keeping empty tokens), XXH64 each
+    * token once, chain each n-token window's token hashes with
+    * `XXH64.hashLong`. Returns one hash per window, in order; empty
+    * text or fewer than n tokens → empty.
+    */
+  private def windowHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val bytes = text.getBytes
     val len = bytes.length
-    if (len == 0) return new GenericArrayData(Array.empty[Long])
+    if (len == 0) return Array.empty[Long]
     var spaces = 0
     var i = 0
     while (i < len) { if (bytes(i) == ' ') spaces += 1; i += 1 }
     val nTok = spaces + 1
-    if (nTok < n) return new GenericArrayData(Array.empty[Long])
+    if (nTok < n) return Array.empty[Long]
     // token k spans [starts(k), ends(k))
     val starts = new Array[Int](nTok)
     val ends = new Array[Int](nTok)
@@ -92,28 +135,16 @@ object SketchMath {
       k += 1
     }
     val nWin = nTok - n + 1
-    // first-occurrence dedupe via open addressing; 0 handled by a flag
-    var cap = 8
-    while (cap < nWin * 2) cap <<= 1
-    val table = new Array[Long](cap)
-    var seenZero = false
-    val out = new Array[Long](nWin)
-    var m = 0
+    val win = new Array[Long](nWin)
     var w = 0
     while (w < nWin) {
       var h = 42L
       var t = w
       while (t < w + n) { h = XXH64.hashLong(tokHash(t), h); t += 1 }
-      if (h == 0L) {
-        if (!seenZero) { seenZero = true; out(m) = 0L; m += 1 }
-      } else {
-        var slot = (h.toInt & (cap - 1))
-        while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & (cap - 1)
-        if (table(slot) == 0L) { table(slot) = h; out(m) = h; m += 1 }
-      }
+      win(w) = h
       w += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+    win
   }
 
   def minhash(hs: ArrayData, numHashes: Int): ArrayData = {
@@ -637,5 +668,32 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
       s"${ev.value} = graft.functions.SketchMath.shingleHashes($t, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** shingle_hashes_pos(text: string, n: int-literal) → array<bigint>:
+  * ALL word-n-gram window hashes in window order, no dedupe (see
+  * [[SketchMath.shingleHashesPos]]) — the positional kernel under
+  * span-level dedup ([[graft.operators.Dedup.sharedSpans]]). Null text
+  * → null.
+  */
+case class ShingleHashesPosExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("shingle_hashes_pos expects (string, int literal)")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override def nullSafeEval(t: Any): Any =
+    SketchMath.shingleHashesPos(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.SketchMath.shingleHashesPos($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPosExpr =
     copy(child = newChild)
 }

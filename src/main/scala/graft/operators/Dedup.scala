@@ -261,6 +261,76 @@ object Dedup {
       .agg(count(lit(1)).as("shared_spans"))
   }
 
+  /** The MAXIMAL shared token span per document pair — the surgical-removal
+    * operator ("deduplicating training data makes language models better"):
+    * [[sharedSpanPairs]] says WHICH pairs share copied text; this says
+    * WHERE and HOW LONG, so a curation pipeline can cut the span instead of
+    * dropping a document. Output per (doc_a < doc_b) pair: the longest
+    * shared run's token length (`span_tokens`), its 0-based start token in
+    * each document (`start_a`/`start_b`, deterministic smallest-position
+    * tie-break), and the number of distinct shared runs (`n_spans`).
+    *
+    * Plan shape: the POSITIONAL shingle kernel (`shingle_hashes_pos` —
+    * every n-token window's chained hash, in order) explodes to a
+    * (doc_id, pos, h) index; matching windows join on the 64-bit hash
+    * (ids+positions only — the shuffle never carries text); a shared run
+    * is then a gaps-and-islands problem on the match diagonal: matches of
+    * one contiguous copied region all satisfy `pos_a - pos_b = const` with
+    * consecutive `pos_a`, so `pos_a - row_number()` within
+    * (pair, diagonal) labels islands, and an L-window island is an
+    * (L + n - 1)-token shared span. Every window is partitioned by
+    * (doc_a, doc_b[, diag]) — nothing global.
+    *
+    * At 100 TB the skew risk is boilerplate windows with huge document
+    * frequency (the within-window quadratic term of the hash join):
+    * `maxDf` drops window hashes seen in more than that many DOCUMENTS
+    * before the self-join, the same cap [[sharedSpanPairs]] applies — it
+    * truncates runs through boilerplate regions (those regions get their
+    * own heavy-span report) while bounding candidate volume by
+    * `df² · |distinct windows|`. maxDf <= 0 keeps everything (exact mode).
+    */
+  def sharedSpans(docs: DataFrame, n: Int = 16, maxDf: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val idx = docs
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_hashes_pos", col("text"), lit(n)))
+          .as(Seq("pos", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = if (maxDf <= 0) idx else {
+      // df = distinct DOCUMENTS containing the window (positions repeat
+      // within a doc); aggregate output is ~heavy-hash cardinality — AQE
+      // broadcasts the anti-join side when it is actually small
+      val heavy = idx.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > maxDf)
+        .select("h")
+      idx.join(heavy, Seq("h"), "left_anti")
+    }
+    val matches = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").cast("long").as("pa"), col("b.pos").cast("long").as("pb"))
+    // islands: within one (pair, diagonal), pa is unique (pb = pa - diag),
+    // so consecutive matched windows differ by exactly 1 in pa
+    val iw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy(col("pa").asc)
+    val islands = matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(iw))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(count(lit(1)).as("run_len"), min("pa").as("start_a"), min("pb").as("start_b"))
+    val bw = Window.partitionBy("doc_a", "doc_b")
+    val best = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("run_len").desc, col("start_a").asc, col("start_b").asc)
+    islands
+      .withColumn("n_spans", count(lit(1)).over(bw))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_a"), col("doc_b"),
+        (col("run_len") + lit(n - 1)).cast("long").as("span_tokens"),
+        col("start_a"), col("start_b"), col("n_spans"))
+  }
+
   /** MinHash + LSH banding: signature → `bands` buckets of `rows` hashes
     * each → explode (band, bucket-hash) → candidates share any bucket →
     * verified by exact Jaccard on shingle hashes. Output: candidate pairs

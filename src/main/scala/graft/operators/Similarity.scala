@@ -270,6 +270,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Graph-ANN top-k: one beam-search hop over the [[knnGraphPivoted]]
+    * k-NN graph — the recall tier between IVF-style cell probing and brute
+    * force. Seeds are the query's own graph edges (cell-bounded, graphK
+    * per query); the beam expands to neighbors-of-neighbors (the
+    * NSW/DiskANN expansion step, truncated to one hop so the plan stays
+    * one static DAG); exact cosine re-ranks the ≤ graphK + graphK²
+    * candidate set to the final top-k. The hop is what recovers misses the
+    * cell partition creates: a true neighbor in a non-probed cell is still
+    * reachable when any shared neighbor bridges the two cells.
+    *
+    * Everything is deterministic (lowest-id pivots, exact cosine,
+    * id tie-breaks), so unlike the KMeans-backed IVF entries this ranking
+    * is exactly replayable in oracle SQL. Queries must be graph vertices
+    * (corpus members) — the "expand from a known document" shape every
+    * corpus-curation search has; foreign query vectors enter via
+    * [[ivfTopK]]/[[lshTopK]] instead.
+    *
+    * Scale shape: the graph build is [[knnGraphPivoted]] (no corpus
+    * broadcast, cell-bounded candidates); edges are ids-only
+    * (N·graphK rows); seeds + hop are two self-joins of that ids-only
+    * relation; embeddings rejoin BY ID once, for the bounded re-rank.
+    * Inherits the caller-must-clear-cache contract of the graph build.
+    */
+  def graphTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nPivots: Int = 32, nProbe: Int = 4, graphK: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val edges = knnGraphPivoted(corpus, graphK, nPivots, nProbe)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qids = broadcast(queries.select(col("vec_id").as("query_id")))
+    val seeds = edges.join(qids, col("src") === col("query_id"))
+      .select(col("query_id"), col("dst").as("cand"))
+    val hop = seeds.as("s")
+      .join(edges.as("e"), col("s.cand") === col("e.src"))
+      .select(col("s.query_id").as("query_id"), col("e.dst").as("cand"))
+    val beam = seeds.unionAll(hop)
+      .filter(col("cand") =!= col("query_id"))
+      .distinct()
+    val rescored = beam
+      .join(corpus.select(col("vec_id").as("cand"), col("embedding").as("c_emb")),
+        Seq("cand"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        call_function("cosine_sim", col("q_emb"), col("c_emb")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Quantized-scoring top-k — the memory-bandwidth ANN path: candidates
     * are ranked with int8 codes (per-vector affine min-max quantization,
     * the `vector_quantize_int8` precompute) and only the top

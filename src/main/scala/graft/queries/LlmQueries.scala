@@ -683,6 +683,41 @@ object LlmQueries {
         |GROUP BY 1, 2""".stripMargin)
     )),
 
+    // The surgical-removal span report: per doc pair, the MAXIMAL shared
+    // token span (length + 0-based start in each doc) and the count of
+    // distinct shared runs — what a curation pipeline cuts instead of
+    // dropping whole documents. Positional shingle kernel → hash join on
+    // window hash → gaps-and-islands on the match diagonal; the df cap
+    // (production skew guard) is replayed in the oracle so the plan under
+    // test IS the scale plan. Windows all partition by (pair, diagonal).
+    "text_shared_spans" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.sharedSpans(docs(s, dir), n = 8, maxDf = 50),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8),
+        |sp AS (SELECT doc_id, i, array_to_string(list_transform(t[CAST(i AS INT):CAST(i+7 AS INT)], x -> CAST(len(x) AS VARCHAR) || ':' || x), '') AS s FROM u),
+        |heavy AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) > 50),
+        |pruned AS (SELECT * FROM sp WHERE s NOT IN (SELECT s FROM heavy)),
+        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        a.i - 1 AS pa, b.i - 1 AS pb
+        |      FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |runs AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+        |      FROM m),
+        |isla AS (SELECT doc_a, doc_b, diag, isl, count(*) AS run_len,
+        |        min(pa) AS sa, min(pb) AS sb
+        |      FROM runs GROUP BY 1, 2, 3, 4),
+        |ranked AS (SELECT doc_a, doc_b, run_len, sa, sb,
+        |        row_number() OVER (PARTITION BY doc_a, doc_b
+        |          ORDER BY run_len DESC, sa, sb) AS rn,
+        |        count(*) OVER (PARTITION BY doc_a, doc_b) AS n_spans
+        |      FROM isla)
+        |SELECT doc_a, doc_b, CAST(run_len + 7 AS BIGINT) AS span_tokens,
+        |  CAST(sa AS BIGINT) AS start_a, CAST(sb AS BIGINT) AS start_b,
+        |  CAST(n_spans AS BIGINT) AS n_spans
+        |FROM ranked WHERE rn = 1""".stripMargin)
+    )),
+
     // Deterministic stratified sampling: k docs per language, ordered by a
     // content hash — the replayable balanced-sampling primitive for mixture
     // tuning (md5 order is uniform-ish, engine-agnostic, and reproducible,
@@ -1853,6 +1888,55 @@ object LlmQueries {
         |SELECT query_id, neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
+    // Graph-ANN: one beam-search hop (neighbors-of-neighbors) over the
+    // pivoted k-NN graph, exact-cosine re-ranked — the recall tier between
+    // IVF probing and brute force. Fully deterministic (lowest-id pivots,
+    // id tie-breaks), so unlike the KMeans ANN entries the RANKING itself
+    // is replayed in SQL, not just its properties. ScaleSpec asserts the
+    // no-cartesian plan and recall >= the pure cell-probe graph at equal k.
+    "ann_graph_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.graphTopK(e, e.filter(col("vec_id") < 8), k = 5,
+            nPivots = 32, nProbe = 4, graphK = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p),
+        |cell AS (SELECT vec_id AS neighbor_id, pid AS cluster FROM r WHERE pr = 1),
+        |probes AS (SELECT vec_id AS query_id, pid AS cluster FROM r WHERE pr <= 4),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id),
+        |g AS (
+        |  SELECT query_id AS src, neighbor_id AS dst,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 5),
+        |seeds AS (SELECT src AS query_id, dst AS cand FROM g WHERE src < 8),
+        |hop AS (SELECT s.query_id, g2.dst AS cand FROM seeds s JOIN g g2 ON g2.src = s.cand),
+        |beam AS (
+        |  SELECT DISTINCT query_id, cand
+        |  FROM (SELECT * FROM seeds UNION ALL SELECT * FROM hop)
+        |  WHERE cand <> query_id),
+        |rescored AS (
+        |  SELECT b.query_id, b.cand AS neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM beam b JOIN e q ON q.vec_id = b.query_id
+        |  JOIN e n ON n.vec_id = b.cand)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM rescored QUALIFY rnk <= 5""".stripMargin)
     )),
 
     // Greedy sequence packing — the LLM-training "sample packing" step:

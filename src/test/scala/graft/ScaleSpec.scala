@@ -129,6 +129,65 @@ class ScaleSpec extends SparkSpec {
     assert(unpruned.exists { case (i, o) => i < 8 && o < 8 })
   }
 
+  test("shared-span maxDf cap prunes boilerplate windows; islands merge to the maximal span") {
+    import spark.implicits._
+    // docs 0/1 share one 12-token region at different offsets; docs 2..9
+    // all contain the same 4-token boilerplate window (df = 8). With
+    // maxDf = 5 the boilerplate window must vanish from the positional
+    // index — no pairs among 2..9 — while the genuine region's 9
+    // consecutive n=4 windows merge into ONE island of span 12.
+    val shared = (0 until 12).map(j => s"s$j").mkString(" ")
+    val docsDf = (Seq(
+      (0L, (0 until 4).map(j => s"x$j").mkString(" ") + " " + shared),
+      (1L, (0 until 6).map(j => s"y$j").mkString(" ") + " " + shared)) ++
+      (2L until 10L).map(i => (i, s"p$i b1 b2 b3 b4 q$i"))).toDF("doc_id", "text")
+    val rows = Dedup.sharedSpans(docsDf, n = 4, maxDf = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set((0L, 1L, 12L, 4L, 6L, 1L)),
+      s"expected exactly the merged maximal span (0,1,12,4,6,1), got $rows")
+    // control: uncapped, the boilerplate window produces pairs among 2..9 —
+    // proving the cap (not the fixture) removed them
+    val unpruned = Dedup.sharedSpans(docsDf, n = 4, maxDf = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(unpruned.exists { case (a, b) => a >= 2 && b >= 2 })
+    // scale contract: every window in the plan is partitioned (the island
+    // labeling and per-pair ranking both key on the pair) — an
+    // unpartitioned window here would serialize the corpus through one task
+    val plan = Dedup.sharedSpans(docsDf, n = 4, maxDf = 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"),
+      s"sharedSpans must not plan an unpartitioned window:\n${plan.take(4000)}")
+  }
+
+  test("graph-ANN beam: no product outside the cached pivot ranking, recall >= cell probing") {
+    val emb = Sources.table(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    val beam = Similarity.graphTopK(emb, queries, k = 5, nPivots = 8, nProbe = 2, graphK = 5)
+    val plan = beam.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"graph-ANN must never plan an unkeyed product:\n${plan.take(4000)}")
+    // same convention as the pivoted-graph test: the only nested-loop join
+    // allowed is corpus × pivots inside the cached ranking relation
+    val mainPlan = plan.split("InMemoryRelation", 2)(0)
+    assert(!mainPlan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join outside the cached pivot ranking:\n${plan.take(4000)}")
+    // the beam strictly adds candidates over pure cell probing, then
+    // re-ranks exactly — its recall can only match or beat the cell-probe
+    // graph at equal k (this is the operator's reason to exist)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val cellOnly = Similarity.knnGraphPivoted(emb, k = 5, nPivots = 8, nProbe = 2)
+      .join(queries.select(col("vec_id").as("query_id")), Seq("query_id"))
+      .select("query_id", "neighbor_id")
+    val beamHits = beam.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    val cellHits = cellOnly.join(exact, Seq("query_id", "neighbor_id")).count()
+    assert(beamHits >= cellHits,
+      s"beam recall $beamHits fell below cell-probe recall $cellHits")
+    val total = exact.count()
+    assert(beamHits * 100 >= total * 40, s"graph-ANN recall $beamHits/$total below 40%")
+  }
+
   test("repetition signals are a narrow plan (no shuffle)") {
     val docs = Sources.table(spark, sf0001, "documents")
     val plan = graft.operators.TextAnalysis.repetitionSignals(docs)
