@@ -461,13 +461,27 @@ object Dedup {
     * by design (the declared blocking contract); run a second pass with
     * buckets offset by half a width when boundary recall matters, or use
     * [[minhashLshPairs]] when blocking keys aren't available.
+    *
+    * The DP runs as the join's residual predicate (Catalyst pushes the
+    * `dist >= 0` filter into the join), so DP parallelism = join STREAM
+    * side width. The build side is bounded (ids + 100-char prefixes) and
+    * broadcasts, which leaves the stream side at SCAN-split width — a
+    * corpus that fits in one parquet split would run the only
+    * compute-bound loop of the pipeline single-task (measured: the whole
+    * sf0.1 DP serialized into one task behind a 594 KB scan). The
+    * explicit round-robin repartition pins the stream side to the
+    * configured shuffle width instead: it moves only the bounded
+    * projection (never full text), and AQE cannot coalesce an
+    * explicit-N repartition. CPU-bound stages size by cores, not bytes —
+    * size-based split/coalesce logic is the wrong ruler here.
     */
   def editDistancePairs(docs: DataFrame, prefixLen: Int = 100, maxDist: Int = 55,
                         bucketChars: Int = 25): DataFrame = {
     val b = docs.select(col("doc_id"), col("source"),
       expr(s"n_chars div $bucketChars").as("len_bucket"),
       substring(col("text"), 1, prefixLen).as("prefix"))
-    b.as("a").join(b.as("b"),
+    val shufflePartitions = docs.sparkSession.sessionState.conf.numShufflePartitions
+    b.repartition(shufflePartitions).as("a").join(b.as("b"),
         col("a.source") === col("b.source") &&
         col("a.len_bucket") === col("b.len_bucket") &&
         col("a.doc_id") < col("b.doc_id"))
