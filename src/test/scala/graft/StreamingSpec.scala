@@ -651,6 +651,78 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() == 3)
   }
 
+  test("stateful operator state survives a kill-and-restart from checkpoint") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{ChangeEvent, KeyedRecord}
+    // the reference commits offsets before flushing (kafka.rs:252-265 —
+    // a crash there replays or loses the window); this drives the
+    // documented stronger guarantee: state-store recovery makes a
+    // kill/restart invisible to both compaction and dedup semantics
+    // the memory sink refuses checkpoint recovery, so both halves sink
+    // through foreachBatch (which supports it) into a driver-side buffer
+    val ckLatest = Files.createTempDirectory("graft-ck-latest").toString
+    val inLatest = MemoryStream[ChangeEvent](spark)
+    val latestOut = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def startLatest() = StreamOps.latestByKey(inLatest.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamOps.CompactedRow], _: Long) =>
+        val rows = ds.collect().map(r => (r.key, r.ts_ms, r.payload))
+        latestOut.synchronized { latestOut ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckLatest)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q1 = startLatest()
+    inLatest.addData(
+      ChangeEvent(1L, 10L, 1L, "upsert", "v10"),
+      ChangeEvent(2L, 20L, 1L, "upsert", "v20"))
+    q1.processAllAvailable()
+    q1.stop()
+    // arrivals while the query is down: a STALE replay for key 1 (older
+    // than the checkpointed state — state loss would surface it as the
+    // current row) and a genuine update for key 2
+    inLatest.addData(
+      ChangeEvent(1L, 5L, 0L, "upsert", "stale"),
+      ChangeEvent(2L, 30L, 2L, "upsert", "v30"))
+    latestOut.synchronized(latestOut.clear())
+    val q2 = startLatest()
+    try {
+      q2.processAllAvailable()
+      val rows = latestOut.synchronized(latestOut.toList)
+        .map { case (k, ts, p) => k -> ((ts, p)) }.toMap
+      assert(rows(1L) == ((10L, "v10")), s"stale replay must lose to recovered state, got $rows")
+      assert(rows(2L) == ((30L, "v30")), s"genuine update must win, got $rows")
+    } finally q2.stop()
+
+    // bloom dedup: a key admitted before the crash must stay inadmissible
+    // after restart (recovered filter bits), while new keys still pass
+    val ckBloom = Files.createTempDirectory("graft-ck-bloom").toString
+    val inBloom = MemoryStream[KeyedRecord](spark)
+    val bloomOut = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def startBloom() = StreamOps.bloomDedup(inBloom.toDS(), mBits = 1 << 12, k = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamOps.KeyedRecord], _: Long) =>
+        val rows = ds.collect().map(r => (r.key, r.payload))
+        bloomOut.synchronized { bloomOut ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckBloom)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q3 = startBloom()
+    inBloom.addData(KeyedRecord(0, "a", "p1"))
+    q3.processAllAvailable()
+    q3.stop()
+    inBloom.addData(KeyedRecord(0, "a", "p2"), KeyedRecord(0, "b", "p3"))
+    bloomOut.synchronized(bloomOut.clear())
+    val q4 = startBloom()
+    try {
+      q4.processAllAvailable()
+      val admitted = bloomOut.synchronized(bloomOut.toSet)
+      assert(admitted == Set(("b", "p3")),
+        s"re-offered key must stay deduped across the restart, got $admitted")
+    } finally q4.stop()
+  }
+
   test("restart from checkpoint resumes without loss or duplication") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-restart").toString
