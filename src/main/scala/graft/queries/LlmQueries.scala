@@ -718,6 +718,64 @@ object LlmQueries {
         |FROM ranked WHERE rn = 1""".stripMargin)
     )),
 
+    // ...and the removal itself: each doc that is the LATER copy (doc_b)
+    // of some shared span gets its single worst span cut out — keep the
+    // earliest copy (doc_a), scrub the duplicate. Per doc_b the pair is
+    // chosen deterministically (longest span, then smallest doc_a /
+    // start_b); reconstruction is pure token-slice algebra on both
+    // engines. Composition of Dedup.sharedSpans — same df cap, same
+    // partitioned-window discipline; the text column rejoins by id only
+    // for the bounded reconstruction projection.
+    "text_span_removal" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val spans = Dedup.sharedSpans(d, n = 8, maxDf = 50)
+        val w = Window.partitionBy("doc_b")
+          .orderBy(col("span_tokens").desc, col("doc_a").asc, col("start_b").asc)
+        val best = spans.withColumn("rn2", row_number().over(w)).filter(col("rn2") === 1)
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("kept_in"),
+            col("span_tokens"), col("start_b"))
+        d.join(best, Seq("doc_id"))
+          .withColumn("t", split(col("text"), " "))
+          .select(col("doc_id"), col("kept_in"),
+            col("span_tokens").as("removed_tokens"),
+            array_join(concat(
+              slice(col("t"), lit(1), col("start_b").cast("int")),
+              slice(col("t"), (col("start_b") + col("span_tokens") + 1).cast("int"),
+                size(col("t")))), " ").as("scrubbed_text"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8),
+        |sp AS (SELECT doc_id, i, array_to_string(list_transform(t[CAST(i AS INT):CAST(i+7 AS INT)], x -> CAST(len(x) AS VARCHAR) || ':' || x), '') AS s FROM u),
+        |heavy AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) > 50),
+        |pruned AS (SELECT * FROM sp WHERE s NOT IN (SELECT s FROM heavy)),
+        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        a.i - 1 AS pa, b.i - 1 AS pb
+        |      FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |runs AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+        |      FROM m),
+        |isla AS (SELECT doc_a, doc_b, diag, isl, count(*) AS run_len,
+        |        min(pa) AS sa, min(pb) AS sb
+        |      FROM runs GROUP BY 1, 2, 3, 4),
+        |pair_best AS (SELECT doc_a, doc_b, run_len + 7 AS span_tokens, sa, sb,
+        |        row_number() OVER (PARTITION BY doc_a, doc_b
+        |          ORDER BY run_len DESC, sa, sb) AS rn
+        |      FROM isla),
+        |doc_best AS (SELECT doc_b, doc_a, span_tokens, sb,
+        |        row_number() OVER (PARTITION BY doc_b
+        |          ORDER BY span_tokens DESC, doc_a, sb) AS rn2
+        |      FROM pair_best WHERE rn = 1)
+        |SELECT r.doc_b AS doc_id, r.doc_a AS kept_in,
+        |  CAST(r.span_tokens AS BIGINT) AS removed_tokens,
+        |  coalesce(array_to_string(list_concat(
+        |    d.t[1:CAST(r.sb AS INT)],
+        |    d.t[CAST(r.sb + r.span_tokens + 1 AS INT):CAST(len(d.t) AS INT)]), ' '), '')
+        |    AS scrubbed_text
+        |FROM doc_best r JOIN toks d ON d.doc_id = r.doc_b
+        |WHERE r.rn2 = 1""".stripMargin)
+    )),
+
     // Deterministic stratified sampling: k docs per language, ordered by a
     // content hash — the replayable balanced-sampling primitive for mixture
     // tuning (md5 order is uniform-ish, engine-agnostic, and reproducible,
