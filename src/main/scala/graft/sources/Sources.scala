@@ -111,14 +111,23 @@ object Sources {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries a nanosecond parquet timestamp, which Spark 4
-    * rejects by default (TimestampType is microseconds). Read nanos as long
-    * and convert — truncation to micros matches what DuckDB's CAST(ts AS
-    * TIMESTAMP) does on the oracle side.
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: nanosecond parquet timestamps (which Spark 4 rejects by
+    * default — TimestampType is microseconds) and plain microsecond
+    * timestamps (read back as TIMESTAMP_NTZ). Normalize both to
+    * session-tz TimestampType: nanos as long → truncate to micros
+    * (matching DuckDB's CAST(ts AS TIMESTAMP) on the oracle side); NTZ →
+    * reinterpret in the session zone (UTC per GraftSession), which is the
+    * same instant DuckDB reads.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
