@@ -153,6 +153,18 @@ object GraftFunctions {
     }
   }
 
+  val boundedLevenshteinBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, "bounded_levenshtein expects (a, b, k)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprs(2) match {
+      // k < 0 would make every pair report -1 — a silently empty join
+      case Literal(k: Int, IntegerType) if k >= 0 =>
+        BoundedLevenshteinExpr(exprs(0), exprs(1), k)
+      case _ => throw new IllegalArgumentException(
+        "bounded_levenshtein: k must be an int literal >= 0")
+    }
+  }
+
   private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarityExpr], cosineSimBuilder),
     ("shingle_hashes", classOf[ShingleHashesExpr], shingleHashesBuilder),
@@ -163,7 +175,8 @@ object GraftFunctions {
     ("jaccard_x1000", classOf[JaccardX1000Expr], jaccardBuilder),
     ("dot_i64", classOf[DotI64Expr], dotI64Builder),
     ("dot_u8", classOf[DotU8Expr], dotU8Builder),
-    ("quantize_meta", classOf[QuantizeMetaExpr], quantizeMetaBuilder))
+    ("quantize_meta", classOf[QuantizeMetaExpr], quantizeMetaBuilder),
+    ("bounded_levenshtein", classOf[BoundedLevenshteinExpr], boundedLevenshteinBuilder))
 
   /** Idempotent per-session registration of graft's native functions.
     * Skips names already present: re-registering logs a replaced-function

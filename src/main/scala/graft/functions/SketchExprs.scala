@@ -351,6 +351,130 @@ object SketchMath {
     }
     fp
   }
+
+  /** Decode a UTF8String to an array of Unicode code points without
+    * materializing a java.lang.String — the unit Spark's own
+    * `levenshtein` compares, so swapping algorithms can't change which
+    * pairs match on non-ASCII text.
+    */
+  private def codePoints(s: org.apache.spark.unsafe.types.UTF8String): Array[Int] = {
+    val bytes = s.getBytes
+    val out = new Array[Int](s.numChars())
+    var i = 0
+    var o = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xFF
+      if (b0 < 0x80) { out(o) = b0; i += 1 }
+      else if (b0 < 0xE0) {
+        out(o) = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+      } else if (b0 < 0xF0) {
+        out(o) = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+          (bytes(i + 2) & 0x3F); i += 3
+      } else {
+        out(o) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+      }
+      o += 1
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  /** Bounded Levenshtein distance via Myers' bit-parallel algorithm
+    * (Myers, JACM 1999), with Hyyrö's block extension for patterns past
+    * one machine word: distance if ≤ k, else -1 — the same contract as
+    * Spark's 3-arg `levenshtein`, but ~an order of magnitude fewer ops
+    * per pair. The banded DP costs O(min(m, 2k+1)·n) cell updates; here a
+    * text character costs ~15 word ops per 64 pattern rows, so a
+    * 100×100 comparison is ~3k word ops instead of ~10k multi-op cells.
+    * This is the hot kernel of [[graft.operators.Dedup.editDistancePairs]],
+    * where it runs once per blocked candidate pair.
+    *
+    * Mechanics: one bit per pattern row tracks the vertical delta of the
+    * DP column (VP/VN = +1/-1); a text character updates all 64 rows of a
+    * block in a constant number of word ops, and blocks chain through the
+    * horizontal delta at their boundary row (hin/hout ∈ {-1,0,+1}). The
+    * score is maintained at the last pattern row only. Early exit: the
+    * score can drop by at most 1 per remaining text column, so
+    * `score - remaining > k` is unrecoverable.
+    */
+  def boundedLevenshtein(aS: org.apache.spark.unsafe.types.UTF8String,
+                         bS: org.apache.spark.unsafe.types.UTF8String,
+                         k: Int): Long = {
+    if (k < 0) return -1L
+    val aCp = codePoints(aS)
+    val bCp = codePoints(bS)
+    // pattern = shorter string: fewer blocks, and |n - m| prunes first
+    val (p, t) = if (aCp.length <= bCp.length) (aCp, bCp) else (bCp, aCp)
+    val m = p.length
+    val n = t.length
+    if (n - m > k) return -1L
+    if (m == 0) return n.toLong // n - 0 <= k already checked
+    val nb = (m + 63) >>> 6
+    // Peq: code point -> per-block bitmask of matching pattern rows,
+    // open-addressed (cap = pow2 >= 2m), parallel key/value-block arrays
+    var cap = 8
+    while (cap < m * 2) cap <<= 1
+    val keys = new Array[Int](cap)
+    val used = new Array[Boolean](cap)
+    val masks = new Array[Long](cap * nb)
+    var i = 0
+    while (i < m) {
+      val c = p(i)
+      val h = c * 0x9E3779B1
+      var slot = (h ^ (h >>> 15)) & (cap - 1)
+      while (used(slot) && keys(slot) != c) slot = (slot + 1) & (cap - 1)
+      used(slot) = true
+      keys(slot) = c
+      masks(slot * nb + (i >>> 6)) |= 1L << (i & 63)
+      i += 1
+    }
+    val vp = new Array[Long](nb)
+    val vn = new Array[Long](nb)
+    java.util.Arrays.fill(vp, -1L)
+    val lastBlock = nb - 1
+    val scoreBit = 1L << ((m - 1) & 63)
+    var score = m
+    var j = 0
+    while (j < n) {
+      val c = t(j)
+      val h = c * 0x9E3779B1
+      var slot = (h ^ (h >>> 15)) & (cap - 1)
+      while (used(slot) && keys(slot) != c) slot = (slot + 1) & (cap - 1)
+      val eqBase = if (used(slot)) slot * nb else -1
+      // hin: horizontal delta entering the block's row 0 boundary;
+      // +1 at block 0 every column (DP row 0 is D[0][j] = j)
+      var hin = 1
+      var bi = 0
+      while (bi < nb) {
+        val pv = vp(bi)
+        val mv = vn(bi)
+        var eq = if (eqBase >= 0) masks(eqBase + bi) else 0L
+        val xv = eq | mv
+        if (hin < 0) eq |= 1L
+        val xh = (((eq & pv) + pv) ^ pv) | eq
+        var ph = mv | ~(xh | pv)
+        var mh = pv & xh
+        if (bi == lastBlock) {
+          if ((ph & scoreBit) != 0L) score += 1
+          else if ((mh & scoreBit) != 0L) score -= 1
+        }
+        val hout = (if ((ph & 0x8000000000000000L) != 0L) 1 else 0) -
+          (if ((mh & 0x8000000000000000L) != 0L) 1 else 0)
+        ph <<= 1
+        mh <<= 1
+        if (hin > 0) ph |= 1L
+        else if (hin < 0) mh |= 1L
+        vp(bi) = mh | ~(xv | ph)
+        vn(bi) = ph & xv
+        hin = hout
+        bi += 1
+      }
+      j += 1
+      // each remaining column can lower the score by at most 1
+      if (score - (n - j) > k) return -1L
+    }
+    if (score <= k) score.toLong else -1L
+  }
 }
 
 /** minhash_sig(hashes: array<long>, numHashes: int-literal) → array<long>.
@@ -696,4 +820,39 @@ case class ShingleHashesPosExpr(child: Expression, n: Int) extends UnaryExpressi
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesPosExpr =
     copy(child = newChild)
+}
+
+/** bounded_levenshtein(a: string, b: string, k: int-literal) → bigint:
+  * Levenshtein distance over code points if ≤ k, else -1 — contract-
+  * identical to Spark's 3-arg `levenshtein`, computed with Myers'
+  * bit-parallel algorithm ([[SketchMath.boundedLevenshtein]]). The drop-in
+  * hot kernel for blocked edit-distance joins, where the distance runs as
+  * the join's residual predicate once per candidate pair. Null on null
+  * input (either side).
+  */
+case class BoundedLevenshteinExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "bounded_levenshtein expects (string, string, int literal)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bounded_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchMath.boundedLevenshtein(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchMath.boundedLevenshtein($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedLevenshteinExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -477,16 +477,21 @@ object Dedup {
     */
   def editDistancePairs(docs: DataFrame, prefixLen: Int = 100, maxDist: Int = 55,
                         bucketChars: Int = 25): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val b = docs.select(col("doc_id"), col("source"),
       expr(s"n_chars div $bucketChars").as("len_bucket"),
       substring(col("text"), 1, prefixLen).as("prefix"))
     val shufflePartitions = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // bounded_levenshtein = Myers bit-parallel kernel, contract-identical
+    // to levenshtein(a, b, maxDist): ~15 word ops per text char per 64
+    // pattern rows vs the banded DP's O(len·maxDist) cell updates
     b.repartition(shufflePartitions).as("a").join(b.as("b"),
         col("a.source") === col("b.source") &&
         col("a.len_bucket") === col("b.len_bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.prefix"), col("b.prefix"), maxDist).cast("long").as("dist"))
+        call_function("bounded_levenshtein",
+          col("a.prefix"), col("b.prefix"), lit(maxDist)).as("dist"))
       .filter(col("dist") >= 0)
   }
 

@@ -250,4 +250,77 @@ class SketchPropertySpec extends AnyFunSuite {
         s"k=$k xs=$xs got=$merged want=$expected")
     }
   }
+
+  test("boundedLevenshtein equals the classic DP, bounded, over random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def dp(a: String, b: String): Int = {
+      val (m, n) = (a.codePointCount(0, a.length), b.codePointCount(0, b.length))
+      val ac = a.codePoints().toArray
+      val bc = b.codePoints().toArray
+      val d = Array.tabulate(m + 1, n + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to m; j <- 1 to n)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (ac(i - 1) == bc(j - 1)) 0 else 1))
+      d(m)(n)
+    }
+    def bounded(a: String, b: String, k: Int): Long =
+      SketchMath.boundedLevenshtein(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+    // small alphabet → interesting distances; includes empty strings and
+    // non-ASCII (2- and 3-byte UTF-8) so the code-point decode is exercised
+    val ch: Gen[Char] = Gen.frequency(
+      (8, Gen.oneOf('a', 'b', 'c')), (1, Gen.oneOf('é', '中', '|', ' ')))
+    val str: Gen[String] = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, ch).map(_.mkString))
+    forAllSampled(Gen.zip(str, str, Gen.chooseNum(0, 45)), n = 300) {
+      case (a, b, k) =>
+        val exact = dp(a, b)
+        val expected = if (exact <= k) exact.toLong else -1L
+        assert(bounded(a, b, k) === expected,
+          s"a=$a b=$b k=$k exact=$exact")
+    }
+  }
+
+  test("boundedLevenshtein crosses the 64-bit block boundary correctly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bounded(a: String, b: String, k: Int): Long =
+      SketchMath.boundedLevenshtein(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+    // patterns of length 60..200 exercise 1, 2 and 4 blocks; mutate a base
+    // string with known numbers of edits and check exact distances
+    val base = ("abcdefghij" * 20).take(197) // length 197 → 4 blocks
+    assert(bounded(base, base, 0) === 0L)
+    assert(bounded(base, base.drop(3), 5) === 3L) // 3 deletions
+    val sub = base.updated(70, 'x').updated(130, 'y').updated(196, 'z')
+    assert(bounded(base, sub, 3) === 3L)
+    assert(bounded(base, sub, 2) === -1L)
+    val ins = base.substring(0, 65) + "qq" + base.substring(65)
+    assert(bounded(base, ins, 4) === 2L)
+    // length-difference prune: |n - m| > k
+    assert(bounded(base, base.take(10), 50) === -1L)
+    assert(bounded("", base.take(30), 29) === -1L)
+    assert(bounded("", base.take(30), 30) === 30L)
+  }
+
+  test("bounded_levenshtein expression matches Spark's 3-arg levenshtein end-to-end") {
+    val spark = SparkSpec.session
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, levenshtein, lit}
+    val ch: Gen[Char] = Gen.frequency(
+      (8, Gen.oneOf('a', 'b', 'c', 'd')), (1, Gen.oneOf('é', '中')))
+    val strGen: Gen[String] = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, ch).map(_.mkString))
+    val rows = Iterator.iterate(Seed(7L))(_.next).take(120)
+      .map(s => Gen.zip(strGen, strGen).pureApply(Gen.Parameters.default, s))
+      .toSeq
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        levenshtein(col("a"), col("b"), 55).cast("long").as("spark_lev"),
+        call_function("bounded_levenshtein", col("a"), col("b"), lit(55)).as("graft_lev"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
 }
