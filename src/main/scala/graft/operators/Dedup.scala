@@ -509,65 +509,108 @@ object Dedup {
       Seq("doc_id"), "left_anti")
 
   /** Transitive near-dup clustering: connected components over the pair
-    * graph by iterative min-label propagation (the DataFrame form of
-    * large-star; no GraphX/RDDs — each round is a join + min-aggregate that
-    * Catalyst plans like any other query). Near-dup graphs have tiny
-    * diameter, so rounds ≈ 3-5. The driver-side loop is the irreducible
-    * part of any iterative fixpoint (GraphX pays the same); everything
-    * per-round is distributed.
+    * graph by alternating large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"). Each round
+    * rewrites the canonical `(hi, lo)` edge set twice:
     *
-    * Each round CHECKPOINTS its labels rather than merely persisting them:
-    * a round's logical plan embeds two copies of the previous round's
-    * (once through the neighbor aggregate, once through the left join), so
-    * with persist alone the plan doubles per round and by round 5 every
-    * subsequent action re-analyzes 2⁵ copies of the upstream pair pipeline
-    * — driver-side optimizer cost was the dominant term, not execution.
-    * `localCheckpoint` truncates the lineage to the materialized blocks
-    * (the same fix GraphFrames ships for its CC loop). Local checkpoints
-    * trade fault-tolerance for speed — an executor loss mid-query forces a
-    * rerun — which is the right trade inside one query; jobs needing
-    * cross-query restartability should write labels to a table between
-    * rounds instead.
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its closed neighborhood, halving long paths;
+    *  - small-star: every node links its smaller neighbors (and itself)
+    *    to that minimum, collapsing the result toward a star.
+    *
+    * The edge set converges to a star forest rooted at each component's
+    * minimum id in ~log₂(diameter) rounds — vs the diameter-many rounds
+    * of plain min-label propagation, where a localCheckpoint barrier per
+    * round made long chains (and contended boxes) multiply a fixed
+    * scheduler cost. One `localCheckpoint` per round (after small-star)
+    * truncates lineage — a round's plan embeds several copies of the
+    * previous round's, so without truncation the driver-side optimizer
+    * cost doubles per round (the same fix GraphFrames ships for its CC
+    * loop). The intra-round large-star output is `persist`ed, consumed by
+    * small-star's two readers, and unpersisted before the next round.
+    * Local checkpoints trade fault-tolerance for speed — an executor loss
+    * mid-query forces a rerun — the right trade inside one query; jobs
+    * needing cross-query restartability should write labels to a table
+    * between rounds instead.
+    *
+    * Convergence = the edge multiset reproduces itself through a round
+    * (count + xxhash64 signature, confirmed structurally: the final edge
+    * set must be a star forest — no `lo` endpoint may appear as a `hi` —
+    * or this throws rather than returning plausible-but-wrong clusters).
     *
     * Returns (doc_id, cluster_id) for every document incident to a pair,
     * cluster_id = min doc_id of its component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds executed (including the final self-reproducing confirmation
+    * round) — exposed so ScaleSpec can assert the log-round guarantee on
+    * a planted long chain.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // the pair pipeline feeding this is typically the expensive part —
-    // persist it so the two union branches (and label init) don't each
-    // recompute the upstream near-dup join
-    val p = pairs.persist(lvl)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(lvl)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"), lit(false).as("moved"))
+    // canonical undirected edge set: hi > lo, deduped. Reads `pairs` once.
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
       .localCheckpoint(eager = true)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(neighborMin, labels("doc_id") === col("src"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("moved"))
-        .localCheckpoint(eager = true) // materializes AND truncates lineage
-      changed = next.filter(col("moved")).count()
-      labels = next
-      i += 1
+    // order-independent set signature (bit_xor cannot overflow under ANSI
+    // arithmetic, unlike sum); equal signatures across a round mean the
+    // round was an identity rewrite (a fixpoint)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo")))).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    edges.unpersist()
-    // a silent partial fixpoint would return plausible-but-wrong clusters;
-    // near-dup graphs have tiny diameter, so hitting the bound means the
-    // input is not the shape this operator is for — fail loudly
-    if (changed > 0)
+    var sig = signature(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // large-star over the symmetric adjacency: node u sends neighbors
+      // v > u to m = min(Γ(u) ∪ {u}); emitted (v, m) keeps hi > lo
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lmin, "u").where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .persist(lvl) // read by small-star's aggregate AND its join
+      // small-star: node hi sends its smaller neighbors (and itself) to
+      // m = min(Γ_small(hi)); both emissions keep hi > lo
+      val smin = large.groupBy("hi").agg(min("lo").as("m"))
+      val next = large.join(smin, "hi")
+        .select(col("lo").as("n"), col("m"))
+        .union(smin.select(col("hi").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint(eager = true) // one lineage barrier per round
+      large.unpersist()
+      val nsig = signature(next)
+      converged = nsig == sig
+      sig = nsig
+      e = next
+      rounds += 1
+    }
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          s"($changed labels still moving); raise maxIter for graphs with diameter > $maxIter")
-    labels.drop("moved")
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          s"two-phase CC needs ~log2(diameter) rounds — raise maxIter")
+    // structural confirmation: a star forest has no edge whose root (`lo`)
+    // is itself a child (`hi`) elsewhere. Guards both the 2^-64 signature
+    // collision and any algorithmic regression — fail loudly over
+    // returning plausible-but-wrong clusters.
+    val notStar = e.join(e.select(col("hi").as("lo")), Seq("lo"), "left_semi").count()
+    if (notStar > 0)
+      throw new IllegalStateException(
+        s"connectedComponents fixpoint is not a star forest ($notStar chained edges)")
+    val labels = e.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(e.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+      .distinct()
+    (labels, rounds)
   }
 
   // SimHash/MinHash signature math lives in graft.functions.SketchExprs as

@@ -93,15 +93,18 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connected components fail loudly instead of returning a partial fixpoint") {
-    // chain of diameter 6 with maxIter 2: min label cannot reach the end
-    val chain = (1L to 7L).sliding(2).map(p => (p(0), p(1))).toSeq
+    // chain of diameter 255 with maxIter 2: even two-phase star contraction
+    // (~log2(diameter) rounds) cannot finish — must throw, not return a
+    // partial clustering
+    val chain = (1L to 256L).sliding(2).map(p => (p(0), p(1))).toSeq
       .toDF("doc_a", "doc_b")
     assertThrows[IllegalStateException](
       Dedup.connectedComponents(chain, maxIter = 2).collect())
     // and with enough rounds the same chain converges to one cluster
-    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+    val ok = Dedup.connectedComponents(chain, maxIter = 25)
       .as[(Long, Long)].collect().toMap
     assert(ok.values.toSet == Set(1L))
+    assert(ok.keySet == (1L to 256L).toSet)
   }
 
   test("CC over LSH pairs equals CC over exact pairs (the 100 TB composition)") {

@@ -443,6 +443,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("two-phase CC converges in ~log2(diameter) rounds on a planted long chain") {
+    import spark.implicits._
+    // a 256-node path: the worst case for min-label propagation (needs
+    // diameter rounds); star contraction must finish in log rounds. The
+    // bound includes the final self-reproducing confirmation round.
+    val diameter = 255
+    val chain = (1L to 256L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val bound = math.ceil(math.log(diameter.toDouble) / math.log(2.0)).toInt + 2
+    assert(rounds <= bound, s"two-phase CC took $rounds rounds, bound $bound")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L) && got.keySet.size == 256)
+  }
+
   test("curation capstone folds in MapGroups with only partition-local sorts") {
     val out = graft.SparkEntry.queries("pipeline_curate_pack")(spark, sf0001)
     out.write.format("noop").mode("overwrite").save()
