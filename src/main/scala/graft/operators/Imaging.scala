@@ -2,7 +2,7 @@ package graft.operators
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.ImageIO
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -132,6 +132,134 @@ object Imaging {
     val bos = new ByteArrayOutputStream(1024)
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Real JPEG encode via the JDK's `ImageIO` JPEG writer at an explicit
+    * quality. Single-band grayscale (`TYPE_BYTE_GRAY`) so there is no
+    * chroma subsampling — the loss is DCT quantization only, which the
+    * tolerance-banded [[jpegMeta]] verdicts account for.
+    */
+  def encodeJpeg(w: Int, h: Int, gray: (Int, Int) => Int, quality: Float = 0.95f): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, gray(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream(1024)
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Hand-written EXIF APP1 segment (TIFF little-endian, one IFD with
+    * ImageWidth 0x0100 and Orientation 0x0112), spliced right after the
+    * SOI marker of `jpeg` — so the segment sits at a FIXED offset and the
+    * schema-on-read entry can parse it back out of the bytes with Spark
+    * binary functions, the way `media_png_header` reads IHDR. Layout
+    * (1-based byte offsets in the spliced file):
+    * {{{
+    *   1-2    FF D8            SOI
+    *   3-4    FF E1            APP1 marker
+    *   5-6    segment length (big-endian, = 2 + 6 + 8 + 2 + 24 + 4 = 44)
+    *   7-12   "Exif\0\0"
+    *   13-20  TIFF header: "II" 2A 00, IFD offset 8 (little-endian)
+    *   21-22  IFD entry count = 2 (LE)
+    *   23-34  entry: tag 0100 (ImageWidth), type 4 (LONG), count 1, value w
+    *   35-46  entry: tag 0112 (Orientation), type 3 (SHORT), count 1, value
+    *   47-50  next-IFD offset = 0
+    *   51-    the original JPEG stream minus its leading SOI
+    * }}}
+    */
+  def withExifApp1(jpeg: Array[Byte], width: Int, orientation: Int): Array[Byte] = {
+    val seg = new Array[Byte](48) // marker(2) + len(2) + payload(44)
+    def put16be(off: Int, v: Int): Unit = {
+      seg(off) = ((v >> 8) & 0xFF).toByte; seg(off + 1) = (v & 0xFF).toByte
+    }
+    def put16le(off: Int, v: Int): Unit = {
+      seg(off) = (v & 0xFF).toByte; seg(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def put32le(off: Int, v: Int): Unit = {
+      put16le(off, v & 0xFFFF); put16le(off + 2, (v >> 16) & 0xFFFF)
+    }
+    seg(0) = 0xFF.toByte; seg(1) = 0xE1.toByte
+    put16be(2, 44 + 2) // length counts itself + payload, not the marker
+    "Exif".getBytes("US-ASCII").copyToArray(seg, 4) // bytes 4-7, then 8-9 stay 0
+    seg(10) = 'I'.toByte; seg(11) = 'I'.toByte; put16le(12, 0x2A); put32le(14, 8)
+    put16le(18, 2) // IFD entry count
+    // entry 0: ImageWidth, LONG
+    put16le(20, 0x0100); put16le(22, 4); put32le(24, 1); put32le(28, width)
+    // entry 1: Orientation, SHORT (value left-justified in the 4-byte slot)
+    put16le(32, 0x0112); put16le(34, 3); put32le(36, 1); put16le(40, orientation)
+    put32le(44, 0) // next IFD
+    val out = new Array[Byte](2 + seg.length + (jpeg.length - 2))
+    out(0) = 0xFF.toByte; out(1) = 0xD8.toByte
+    seg.copyToArray(out, 2)
+    System.arraycopy(jpeg, 2, out, 2 + seg.length, jpeg.length - 2)
+    out
+  }
+
+  final case class JpegMeta(doc_id: Long, width: Long, height: Long, n_bands: Long,
+                            mean_err_x1000_le_3000: Boolean, max_err_le_24: Boolean)
+
+  /** JPEG triage: real `ImageIO` JPEG encode of the formula bitmap →
+    * real decode back → decoder-reported dimensions and band count
+    * (EXACT — a lossy codec still must preserve geometry) plus pixel
+    * stats banded for the lossy roundtrip: mean |err| ≤ 3.0 levels and
+    * max |err| ≤ 24 levels vs the closed-form pixels. The verdict-column
+    * pattern: the oracle states the verdicts as constants, so a codec
+    * drift beyond the band flips a boolean and fails the hash compare.
+    */
+  def jpegMeta(docIds: Dataset[Long]): Dataset[JpegMeta] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = dims(id)
+        val img = decode(encodeJpeg(w, h, (x, y) => pixel(id, x, y)))
+        val raster = img.getRaster
+        var sumErr = 0L
+        var maxErr = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val err = math.abs(raster.getSample(x, y, 0) - pixel(id, x, y)).toLong
+            sumErr += err
+            if (err > maxErr) maxErr = err
+            x += 1
+          }
+          y += 1
+        }
+        JpegMeta(id, img.getWidth.toLong, img.getHeight.toLong,
+          raster.getNumBands.toLong,
+          sumErr * 1000L <= 3000L * w * h, maxErr <= 24L)
+      }
+    }
+  }
+
+  final case class JpegBytes(doc_id: Long, jpeg: Array[Byte])
+
+  /** JPEG bytes with the hand-written EXIF APP1 spliced in — the input of
+    * the fixed-offset APP-segment parse entry (`media_exif_triage`).
+    */
+  def jpegExifColumn(docIds: Dataset[Long]): Dataset[JpegBytes] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = dims(id)
+        val raw = encodeJpeg(w, h, (x, y) => pixel(id, x, y))
+        JpegBytes(id, withExifApp1(raw, w, 1 + (id % 8).toInt))
+      }
+    }
   }
 
   // ---------------------------------------------------------------------

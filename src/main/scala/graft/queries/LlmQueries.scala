@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1345,6 +1345,56 @@ object LlmQueries {
           |cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
           |SELECT doc_id FROM documents
           |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin)
+    )),
+
+    // Lossy-codec triage — the codec real corpora actually use: real
+    // ImageIO JPEG encode (TYPE_BYTE_GRAY, q=0.95) of the formula bitmap,
+    // real decode back. Geometry (decoder-reported width/height/bands) is
+    // EXACT even under a lossy codec; pixel fidelity is tolerance-banded
+    // (mean |err| ≤ 3.0 levels ×1000, max |err| ≤ 24; measured worst over
+    // the corpus: 1.703 and 9 — ≥1.7× margin). The verdict-column
+    // pattern: the oracle states the verdicts as constants, so codec
+    // drift beyond the band flips a boolean and fails the hash compare.
+    "media_jpeg_meta" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.jpegMeta(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some("""SELECT doc_id, CAST(16 + doc_id % 24 AS BIGINT) AS width,
+        |  CAST(12 + doc_id % 18 AS BIGINT) AS height, CAST(1 AS BIGINT) AS n_bands,
+        |  true AS mean_err_x1000_le_3000, true AS max_err_le_24
+        |FROM documents""".stripMargin)
+    )),
+
+    // EXIF APP-segment schema-on-read: a hand-written EXIF APP1 (TIFF
+    // little-endian, IFD entries ImageWidth + Orientation) is spliced
+    // right after the JPEG SOI so it sits at fixed offsets, then parsed
+    // back out of the BYTES with Spark binary functions — SOI+APP1
+    // marker, "Exif\0\0" id, "II" byte order, IFD entry count, and the
+    // little-endian tag values — without any image decode. The
+    // orientation formula (1 + doc_id % 8) is the planted metadata the
+    // oracle recomputes.
+    "media_exif_triage" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        def leBytes(off: Int, n: Int): Column = (0 until n).map { i =>
+          expr(s"CAST(conv(hex(substring(jpeg, ${off + i}, 1)), 16, 10) AS BIGINT)") *
+            lit(1L << (8 * i))
+        }.reduce(_ + _)
+        Imaging.jpegExifColumn(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+          .select(col("doc_id"),
+            (expr("hex(substring(jpeg, 1, 4))") === lit("FFD8FFE1")).as("app1_ok"),
+            (expr("hex(substring(jpeg, 7, 6))") === lit("457869660000")).as("exif_ok"),
+            (expr("hex(substring(jpeg, 13, 4))") === lit("49492A00")).as("tiff_le_ok"),
+            leBytes(21, 2).as("ifd_entries"),
+            leBytes(31, 4).as("exif_width"),
+            leBytes(43, 2).as("orientation"))
+      },
+      Some("""SELECT doc_id, true AS app1_ok, true AS exif_ok, true AS tiff_le_ok,
+        |  CAST(2 AS BIGINT) AS ifd_entries,
+        |  CAST(16 + doc_id % 24 AS BIGINT) AS exif_width,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation
+        |FROM documents""".stripMargin)
     )),
 
     // Audio twin of media_decode_meta: hand-written RIFF/WAV container →

@@ -90,6 +90,50 @@ class ImagingSpec extends SparkSpec {
     }
   }
 
+  test("JPEG roundtrip: geometry exact, pixel error inside the tolerance band") {
+    for (id <- Seq(0L, 5L, 17L, 255L, 256L, 499L)) {
+      val (w, h) = Imaging.dims(id)
+      val img = Imaging.decode(Imaging.encodeJpeg(w, h, (x, y) => Imaging.pixel(id, x, y)))
+      // lossy codec, exact geometry: the decoder must report the encoded
+      // dims and a single gray band
+      assert(img.getWidth == w && img.getHeight == h)
+      assert(img.getRaster.getNumBands == 1)
+      var sumErr = 0L; var maxErr = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val err = math.abs(img.getRaster.getSample(x, y, 0) - Imaging.pixel(id, x, y)).toLong
+        sumErr += err; maxErr = math.max(maxErr, err)
+      }
+      // bands from the catalog entry, which carry >=1.7x margin over the
+      // measured corpus worst case (mean x1000 = 1703, max = 9)
+      assert(sumErr * 1000L <= 3000L * w * h, s"doc $id mean err out of band: $sumErr/${w * h}")
+      assert(maxErr <= 24L, s"doc $id max err out of band: $maxErr")
+    }
+  }
+
+  test("EXIF APP1 splice parses back at fixed offsets and still decodes") {
+    val ids = spark.range(0, 40).select(col("id").as("doc_id")).as[Long]
+    val parsed = graft.SparkEntry.queries("media_exif_triage")(spark, sf0001)
+    // catalog entry runs over the documents table; spot-check shape here
+    // with a direct pass over a small id range
+    val rows = Imaging.jpegExifColumn(ids).collect()
+    rows.foreach { r =>
+      val (w, _) = Imaging.dims(r.doc_id)
+      // the spliced stream must still be a decodable JPEG: decoders skip
+      // unknown APP segments
+      val img = Imaging.decode(r.jpeg)
+      assert(img.getWidth == w)
+      // APP1 at fixed offsets: marker, Exif id, TIFF LE header
+      assert((r.jpeg(2) & 0xFF) == 0xFF && (r.jpeg(3) & 0xFF) == 0xE1)
+      assert(new String(r.jpeg.slice(6, 10), "US-ASCII") == "Exif")
+      assert(r.jpeg(12) == 'I'.toByte && r.jpeg(13) == 'I'.toByte)
+      // little-endian values: orientation short at 1-based 43 (0-based 42)
+      val orient = (r.jpeg(42) & 0xFF) | ((r.jpeg(43) & 0xFF) << 8)
+      assert(orient == 1 + (r.doc_id % 8), s"doc ${r.doc_id}: orientation $orient")
+    }
+    assert(parsed.columns.toSeq == Seq("doc_id", "app1_ok", "exif_ok",
+      "tiff_le_ok", "ifd_entries", "exif_width", "orientation"))
+  }
+
   test("near-dup histogram finds planted classes and carries no pixels through the shuffle") {
     val ids = spark.range(0, 500).select(col("id").as("doc_id")).as[Long]
     val hist = Imaging.dhashNearDupHistogram(Imaging.imageHashes(ids).toDF())
