@@ -20,11 +20,16 @@ import org.apache.spark.sql.Dataset
   *   s           = doc_id % 256
   *   n_samples   = 400 + (doc_id % 100) * 8
   *   sample_rate = 8000 + (doc_id % 2) * 8000
-  *   amp(i)      = ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000
+  *   amp(i)      = ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000 + bump
+  *   bump        = 1500 when doc_id % 5 == 0 && i < 24, else 0
   * }}}
   * `(i*i) % 97` makes the wave noisy enough to have sign changes (zero
   * crossings) while staying exactly replayable; amplitudes sit in
-  * [-2000, 2000], well inside PCM16.
+  * [-2000, 3500], well inside PCM16. The first 256 samples depend only on
+  * `s` (and the bump), so docs sharing `doc_id % 256` are planted
+  * fingerprint-duplicate classes — and the bump perturbs one in five
+  * docs' first frame, planting small-hamming NEAR-dups, exactly like the
+  * diagonal bump in [[Imaging]].
   *
   * At 100 TB the shape is identical to image decode: embarrassingly
   * parallel mapPartitions, codec state per task, no shuffle; only the
@@ -42,7 +47,8 @@ object Audio {
     */
   def sample(docId: Long, i: Int): Int = {
     val s = (docId % 256).toInt
-    (((s + 1) * ((i.toLong * i % 97).toInt) + 13 * i) % 4001) - 2000
+    val bump = if (docId % 5 == 0 && i < 24) 1500 else 0
+    (((s + 1) * ((i.toLong * i % 97).toInt) + 13 * i) % 4001) - 2000 + bump
   }
 
   def nSamples(docId: Long): Int = 400 + (docId % 100).toInt * 8
@@ -119,6 +125,64 @@ object Audio {
       ids.map { id =>
         val (fmt, _) = decodeWav(synth(id))
         WavMeta(id, fmt.sampleRate, fmt.channels, fmt.bits, fmt.frames)
+      }
+    }
+  }
+
+  /** Spectral sign fingerprint — the audio analog of [[Imaging.dHash64]],
+    * and the shape of Philips-style robust audio hashing: an 8×8
+    * time-frequency grid over the first [[FpSamples]] DECODED samples
+    * (8 frames × 32 samples; per frame, 8 block sums of 4 samples pushed
+    * through the 8-point integer DCT basis shared with [[Imaging.DctBasis]]),
+    * bit (t·8+u) set iff coefficient (t,u) > 0. All integer, so the
+    * DuckDB oracle replays the exact bits from the waveform formula.
+    * Frame 0 covers the bump window (samples 0-23): bumped docs flip a
+    * few frame-0 signs and land at small hamming from their class base.
+    */
+  val FpSamples = 256
+  val FpFrames = 8
+  val FpFrameLen = 32
+
+  def spectralFp(samples: Array[Int]): Long = {
+    require(samples.length >= FpSamples,
+      s"fingerprint needs $FpSamples samples, got ${samples.length}")
+    var fp = 0L
+    var t = 0
+    while (t < FpFrames) {
+      val bs = new Array[Long](8)
+      var x = 0
+      while (x < 8) {
+        var j = 0
+        var acc = 0L
+        while (j < 4) { acc += samples(FpFrameLen * t + 4 * x + j); j += 1 }
+        bs(x) = acc
+        x += 1
+      }
+      var u = 0
+      while (u < 8) {
+        var acc = 0L
+        var x2 = 0
+        while (x2 < 8) { acc += bs(x2) * Imaging.DctBasis(u)(x2); x2 += 1 }
+        if (acc > 0) fp |= (1L << (t * 8 + u))
+        u += 1
+      }
+      t += 1
+    }
+    fp
+  }
+
+  final case class AudioFp(doc_id: Long, afp: Long)
+
+  /** Per-doc WAV → real decode → spectral sign fingerprint over the first
+    * 256 samples (every doc has ≥400). Embarrassingly parallel; only the
+    * 8-byte fingerprint leaves the task.
+    */
+  def spectralFingerprints(docIds: Dataset[Long]): Dataset[AudioFp] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val (_, samples) = decodeWav(synth(id))
+        AudioFp(id, spectralFp(samples))
       }
     }
   }

@@ -449,18 +449,19 @@ object Imaging {
     }
   }
 
-  /** Band-LSH near-duplicate image pairs over dHash: 4 bands × 16 bits;
+  /** Band-LSH near-duplicate pairs over any packed-64-bit perceptual
+    * hash (image dHash, audio spectral fingerprint): 4 bands × 16 bits;
     * candidates share ≥1 exact band; survivors have hamming ≤ `maxHamming`.
-    * Shuffles only (band_key, doc_id, dhash) — never pixels — and the band
-    * join is bucket-bounded exactly like MinHash-LSH on text. Returns the
-    * (hamming, pair_cnt) histogram: the operational near-dup signal.
+    * Shuffles only (band_key, doc_id, hash) — never pixels/samples — and
+    * the band join is bucket-bounded exactly like MinHash-LSH on text.
     */
-  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 16): DataFrame = {
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 16,
+                        hashCol: String = "dhash"): DataFrame = {
     val bands = hashes.select(
-      col("doc_id"), col("dhash"),
+      col("doc_id"), col(hashCol).as("dhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          expr(s"shiftright(dhash, ${16 * b}) & 65535").as("bv"))
+          expr(s"shiftright($hashCol, ${16 * b}) & 65535").as("bv"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bv"))
     val a = bands.as("a")
@@ -476,8 +477,9 @@ object Imaging {
       .filter(col("hamming") <= maxHamming)
   }
 
-  def dhashNearDupHistogram(hashes: DataFrame, maxHamming: Int = 16): DataFrame =
-    dhashNearDupPairs(hashes, maxHamming)
+  def dhashNearDupHistogram(hashes: DataFrame, maxHamming: Int = 16,
+                            hashCol: String = "dhash"): DataFrame =
+    dhashNearDupPairs(hashes, maxHamming, hashCol)
       .groupBy("hamming")
       .agg(count(lit(1)).as("pair_cnt"))
 }

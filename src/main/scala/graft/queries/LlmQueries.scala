@@ -1424,13 +1424,62 @@ object LlmQueries {
       Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s,
         |  400 + (doc_id % 100) * 8 AS n FROM documents),
         |u AS (SELECT doc_id, s, unnest(range(0, n)) AS i FROM d),
-        |a AS (SELECT doc_id, i, ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000 AS amp FROM u),
+        |a AS (SELECT doc_id, i, ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000
+        |  + CASE WHEN doc_id % 5 = 0 AND i < 24 THEN 1500 ELSE 0 END AS amp FROM u),
         |z AS (SELECT doc_id, amp, lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM a)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
         |  CAST(sum(amp) AS BIGINT) AS sum_amp,
         |  CAST(max(abs(amp)) AS BIGINT) AS max_abs,
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND (amp >= 0) != (prev >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         |FROM z GROUP BY doc_id""".stripMargin)
+    )),
+
+    // Audio near-dup — the audio analog of media_dhash_neardup: spectral
+    // sign fingerprint over the first 256 DECODED samples (8 frames × 8
+    // DCT coefficients, integer basis shared with the image pHash, bit =
+    // coefficient sign), then the same 4×16 band-LSH. Docs sharing
+    // doc_id % 256 plant fingerprint-dup classes; the bump term (1500 on
+    // samples 0-23 for doc_id % 5 = 0) flips a few frame-0 signs and
+    // plants small-hamming near-dups. The oracle replays waveform →
+    // block sums → DCT signs → banding entirely from the formula.
+    "media_audio_neardup" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.dhashNearDupHistogram(
+          Audio.spectralFingerprints(docs(s, dir).select(col("doc_id")).as[Long]).toDF(),
+          hashCol = "afp")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s FROM documents),
+        |u AS (SELECT doc_id, s, unnest(range(0, 256)) AS i FROM d),
+        |w AS (SELECT doc_id, i // 32 AS t, (i % 32) // 4 AS x,
+        |        ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000
+        |        + CASE WHEN doc_id % 5 = 0 AND i < 24 THEN 1500 ELSE 0 END AS amp
+        |      FROM u),
+        |bsum AS (SELECT doc_id, t, x, CAST(sum(amp) AS BIGINT) AS bs FROM w GROUP BY 1, 2, 3),
+        |kt AS (SELECT * FROM (VALUES
+        |  (0,0,10000), (0,1,10000), (0,2,10000), (0,3,10000), (0,4,10000), (0,5,10000), (0,6,10000), (0,7,10000),
+        |  (1,0,9808), (1,1,8315), (1,2,5556), (1,3,1951), (1,4,-1951), (1,5,-5556), (1,6,-8315), (1,7,-9808),
+        |  (2,0,9239), (2,1,3827), (2,2,-3827), (2,3,-9239), (2,4,-9239), (2,5,-3827), (2,6,3827), (2,7,9239),
+        |  (3,0,8315), (3,1,-1951), (3,2,-9808), (3,3,-5556), (3,4,5556), (3,5,9808), (3,6,1951), (3,7,-8315),
+        |  (4,0,7071), (4,1,-7071), (4,2,-7071), (4,3,7071), (4,4,7071), (4,5,-7071), (4,6,-7071), (4,7,7071),
+        |  (5,0,5556), (5,1,-9808), (5,2,1951), (5,3,8315), (5,4,-8315), (5,5,-1951), (5,6,9808), (5,7,-5556),
+        |  (6,0,3827), (6,1,-9239), (6,2,9239), (6,3,-3827), (6,4,-3827), (6,5,9239), (6,6,-9239), (6,7,3827),
+        |  (7,0,1951), (7,1,-5556), (7,2,8315), (7,3,-9808), (7,4,9808), (7,5,-8315), (7,6,5556), (7,7,-1951)
+        |) AS t(u, x, k)),
+        |c AS (SELECT b.doc_id, b.t, kt.u, CAST(sum(b.bs * kt.k) AS BIGINT) AS coef
+        |      FROM bsum b JOIN kt ON kt.x = b.x GROUP BY 1, 2, 3),
+        |fp AS (SELECT doc_id,
+        |         bit_or(CASE WHEN coef > 0 AND t*8 + u = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                     WHEN coef > 0 THEN CAST(1 AS BIGINT) << CAST(t*8 + u AS INT)
+        |                     ELSE CAST(0 AS BIGINT) END) AS afp
+        |       FROM c GROUP BY doc_id),
+        |bands AS (SELECT doc_id, afp, unnest(range(0, 4)) AS band FROM fp),
+        |bk AS (SELECT doc_id, afp, (afp >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.afp AS ha, b.afp AS hb
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand)
+        |SELECT hamming, CAST(count(*) AS BIGINT) AS pair_cnt
+        |FROM ham WHERE hamming <= 16 GROUP BY hamming""".stripMargin)
     )),
 
     // Boilerplate share: the per-mille of a document's distinct shingles

@@ -43,6 +43,23 @@ class AudioSpec extends SparkSpec {
     assert(stats.values.forall(_.zero_cross > 0))
   }
 
+  test("spectral fingerprint: class dups collide, bump plants small-hamming near-dups") {
+    val ids = spark.range(0, 500).select(col("id").as("doc_id")).as[Long]
+    val fps = Audio.spectralFingerprints(ids).collect().map(f => f.doc_id -> f.afp).toMap
+    // same doc_id % 256 AND same bump status → first 256 samples identical
+    // → identical fingerprint (ids 7 and 263: neither is % 5 == 0)
+    assert(fps(7L) == fps(263L))
+    // bumped vs unbumped members of one class differ in frame 0 only:
+    // hamming >= 1 and <= 8 (the bump window is inside frame 0's 8 bits)
+    val base = fps(90L) // 90 % 5 == 0 (bumped); 346 = 90 + 256, not bumped
+    val ham = java.lang.Long.bitCount(base ^ fps(346L))
+    assert(ham >= 1 && ham <= 8, s"bump hamming $ham outside (0, 8]")
+    // and the fingerprint matches a direct formula computation (no codec
+    // dependence in the planted bits)
+    val direct = Audio.spectralFp(Array.tabulate(Audio.FpSamples)(i => Audio.sample(90L, i)))
+    assert(direct == base)
+  }
+
   test("wavMeta reports what the decoder parsed, per doc") {
     val ids = spark.range(0, 20).select(col("id").as("doc_id")).as[Long]
     Audio.wavMeta(ids).collect().foreach { m =>

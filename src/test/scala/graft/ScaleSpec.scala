@@ -443,6 +443,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("audio near-dup candidates are band-bucketed — no all-pairs product") {
+    import spark.implicits._
+    val ids = spark.range(0, 200).select(col("id").as("doc_id")).as[Long]
+    val fps = graft.operators.Audio.spectralFingerprints(ids).toDF()
+    val hist = graft.operators.Imaging.dhashNearDupHistogram(fps, hashCol = "afp")
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"audio near-dup join must be band-keyed, not a product:\n${plan.take(2000)}")
+    val rows = hist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted classes: exact fingerprint dups at hamming 0, bump variants
+    // at small positive hamming
+    assert(rows.getOrElse(0L, 0L) > 0, s"expected exact-dup pairs, got $rows")
+  }
+
   test("two-phase CC converges in ~log2(diameter) rounds on a planted long chain") {
     import spark.implicits._
     // a 256-node path: the worst case for min-label propagation (needs
