@@ -482,4 +482,29 @@ object Imaging {
     dhashNearDupPairs(hashes, maxHamming, hashCol)
       .groupBy("hamming")
       .agg(count(lit(1)).as("pair_cnt"))
+
+  /** Incoming doc ids that have a near-duplicate (hamming ≤ `maxHamming`)
+    * in a CORPUS hash index — the cross-relation form of
+    * [[dhashNearDupPairs]], for incremental ingestion: both sides band-
+    * explode, candidates share an exact 16-bit band, survivors verify on
+    * full hamming. The join moves only (band, doc_id, hash); at scale the
+    * corpus side is the persisted index table, re-read per batch.
+    */
+  def dhashMatchedIds(corpusHashes: DataFrame, incomingHashes: DataFrame,
+                      maxHamming: Int = 16, hashCol: String = "dhash"): DataFrame = {
+    def explodeBands(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col(hashCol).as("h"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"shiftright($hashCol, ${16 * b}) & 65535").as("bv"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.bv"))
+    explodeBands(incomingHashes).as("i")
+      .join(explodeBands(corpusHashes).as("c"),
+        col("i.band") === col("c.band") && col("i.bv") === col("c.bv"))
+      .select(col("i.doc_id").as("doc_id"), col("i.h").as("hi"), col("c.h").as("hc"))
+      .distinct()
+      .filter(bit_count(expr("hi ^ hc")).cast("long") <= maxHamming)
+      .select("doc_id").distinct()
+  }
 }

@@ -1347,6 +1347,40 @@ object LlmQueries {
           |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin)
     )),
 
+    // Streaming incremental media dedup, batch twin: every tenth doc is
+    // the accepted corpus (its dHash index); the rest are the incoming
+    // stream, dropped when a band-LSH match at hamming ≤ 16 exists in
+    // the corpus index. The SAME Imaging.dhashMatchedIds cross-relation
+    // join runs per micro-batch inside
+    // [[graft.streaming.StreamOps.mediaDedupAgainstCorpus]], which
+    // StreamingSpec drives over MemoryStream batches and checks for
+    // parity with this batch result. Oracle replays formula → dHash →
+    // band join → anti-join.
+    "stream_media_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = docs(s, dir).select(col("doc_id"))
+        val corpusHs = Imaging.imageHashes(
+          d.filter(col("doc_id") % 10 === 0).as[Long]).toDF()
+        val incoming = d.filter(col("doc_id") % 10 =!= 0)
+        val matched = Imaging.dhashMatchedIds(corpusHs,
+          Imaging.imageHashes(incoming.as[Long]).toDF())
+        incoming.join(matched, Seq("doc_id"), "left_anti")
+      },
+      Some(dhashOracleCte +
+        """,corp AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 10 = 0),
+          |inc AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 10 != 0),
+          |cb AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band
+          |       FROM (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM corp)),
+          |ib AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band
+          |       FROM (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM inc)),
+          |m AS (SELECT DISTINCT i.doc_id FROM ib i JOIN cb c
+          |      ON i.band = c.band AND i.bv = c.bv
+          |      WHERE bit_count(xor(i.dhash, c.dhash)) <= 16)
+          |SELECT doc_id FROM inc
+          |WHERE doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)
+    )),
+
     // Lossy-codec triage — the codec real corpora actually use: real
     // ImageIO JPEG encode (TYPE_BYTE_GRAY, q=0.95) of the formula bitmap,
     // real decode back. Geometry (decoder-reported width/height/bands) is

@@ -145,6 +145,44 @@ object StreamOps {
       }
   }
 
+  /** Streaming incremental MEDIA dedup — the dHash twin of
+    * [[dedupAgainstCorpus]], composing the two r7 pillars: each
+    * micro-batch of image docs is decoded and perceptually hashed
+    * ([[graft.operators.Imaging.imageHashes]] — real codec, per-task
+    * state, no shuffle), then dropped when a band-LSH match with hamming
+    * ≤ `maxHamming` exists in the persisted corpus hash index
+    * ([[graft.operators.Imaging.dhashMatchedIds]] — the cross-relation
+    * band join, ids+hashes only). Survivors go to `sink`. Same
+    * `foreachBatch` rationale as the text form: the verdict is an
+    * anti-join, and per-batch semantics (dedup against the corpus as of
+    * this batch) are what ingestion wants. Batch-internal dups pass
+    * through, the nightly compaction's job.
+    *
+    * At scale `corpusHashes` is the persisted 16-bytes/doc index table —
+    * re-reading it per micro-batch picks up index rebuilds for free;
+    * pixels never cross a batch boundary or a shuffle.
+    */
+  def mediaDedupAgainstCorpus(docIds: DataFrame, corpusHashes: DataFrame,
+                              sink: DataFrame => Unit, maxHamming: Int = 16):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // static index: hash once per query, not per batch
+    val corpus = corpusHashes.persist(lvl)
+    docIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        // batch hashes are read twice (band join + anti-join); persist for
+        // the batch, release before the next — no cache growth
+        val hs = graft.operators.Imaging
+          .imageHashes(batch.select(col("doc_id")).as[Long]).toDF().persist(lvl)
+        try {
+          val matched = graft.operators.Imaging.dhashMatchedIds(corpus, hs, maxHamming)
+          sink(batch.join(matched, Seq("doc_id"), "left_anti"))
+        } finally hs.unpersist()
+      }
+  }
+
   // ---- custom state: gap-based sessionization --------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)

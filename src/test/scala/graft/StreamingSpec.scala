@@ -637,6 +637,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media dedup drops corpus near-dups across micro-batch boundaries") {
+    import graft.operators.Imaging
+    import graft.streaming.StreamOps
+    // corpus: every tenth id; planted classes make id and id+256 the same
+    // image (same doc_id % 256), so incoming near-dups of corpus images
+    // must be dropped, fresh classes kept — the batch twin of the
+    // stream_media_dedup catalog entry
+    val corpusHs = Imaging.imageHashes(
+      spark.range(0, 500, 10).select(col("id").as("doc_id")).as[Long]).toDF()
+    val input = MemoryStream[Long](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val q = StreamOps.mediaDedupAgainstCorpus(
+        input.toDF().toDF("doc_id"), corpusHs,
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // 266 = 10 + 256: same class as corpus id 10, differing only by the
+      // bump (corpus ids are all %5==0) — a planted near-dup, dropped.
+      // 501 (s = 245): corpus ids are even so their s values are even;
+      // odd-s classes have no corpus member and survive.
+      input.addData(266L, 501L)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(501L), s"batch 1: $survivors")
+      // second batch: state-free per-batch semantics — another corpus
+      // near-dup (276 = 20 + 256) still drops, another odd class survives
+      input.addData(276L, 503L)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(501L, 503L), s"batch 2: $survivors")
+    } finally q.stop()
+    // parity with the batch twin on the same ids
+    val incoming = Seq(266L, 501L, 276L, 503L).toDF("doc_id")
+    val matched = Imaging.dhashMatchedIds(corpusHs,
+      Imaging.imageHashes(incoming.select(col("doc_id")).as[Long]).toDF())
+    val batchSurvivors = incoming.join(matched, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchSurvivors == Set(501L, 503L))
+  }
+
   test("AvailableNow drain processes the backlog, terminates, and resumes incrementally") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-drain").toString
