@@ -50,11 +50,11 @@ object AsOfJoin {
   def asOfNearest(left: DataFrame, right: DataFrame,
                   keyL: String, dimL: String, keyR: String, dimR: String,
                   payload: String): DataFrame = {
-    // persisted: the id column is evaluated once per directional pass, and
-    // monotonically_increasing_id over a shuffled input can assign
-    // differently between two evaluations (reducer fetch order is not
-    // deterministic) — materializing the assignment makes both passes see
-    // the same ids regardless of what produced `left`
+    // persisted (caller-must-clear-cache): the id column is evaluated once
+    // per directional pass, and monotonically_increasing_id over a shuffled
+    // input can assign differently between two evaluations (reducer fetch
+    // order is not deterministic) — materializing the assignment makes both
+    // passes see the same ids regardless of what produced `left`
     val leftId = left.withColumn("_asof_id", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val back = directional(leftId, right, keyL, dimL, keyR, dimR, payload, forward = false)

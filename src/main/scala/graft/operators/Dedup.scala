@@ -20,12 +20,12 @@ import graft.functions.Vectors
   *    bounded by bucket size (salt/band-count tunes it).
   *  - The brute-force variants exist as correctness oracles and for small
   *    dimension tables; production entry points are the LSH ones.
-  *  - Cache lifetime: the near-dup operators persist their shingle-hash /
-  *    fingerprint relations (read 2-4× by one plan) and cannot unpersist
-  *    them before the lazily-consumed result is materialized. Long-lived
-  *    sessions running many corpora should `spark.catalog.clearCache()`
-  *    between batches (Bench does exactly this); one-shot jobs need
-  *    nothing.
+  *  - Cache lifetime (caller-must-clear-cache): the near-dup operators
+  *    persist their shingle-hash / fingerprint relations (read 2-4× by
+  *    one plan) and cannot unpersist them before the lazily-consumed
+  *    result is materialized. Long-lived sessions running many corpora
+  *    should `spark.catalog.clearCache()` between batches (Bench does
+  *    exactly this); one-shot jobs need nothing.
   */
 object Dedup {
 
@@ -295,6 +295,8 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(call_function("shingle_hashes_pos", col("text"), lit(n)))
           .as(Seq("pos", "h")))
+      // caller-must-clear-cache: read by both sides of the window join and
+      // by the df prune; lives until the lazy result materializes
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = if (maxDf <= 0) idx else {
       // df = distinct DOCUMENTS containing the window (positions repeat

@@ -7,6 +7,11 @@ import org.apache.spark.storage.StorageLevel
 /** Graph analytics over pair frames (the same (doc_a, doc_b) shape the
   * dedup pair generators emit). Connected components lives in [[Dedup]];
   * this holds the score-propagation side.
+  *
+  * Cache lifetime (caller-must-clear-cache): the operators persist their
+  * edge/degree relations, read by every unrolled round of one lazy plan —
+  * they cannot unpersist before the result materializes. Long-lived
+  * sessions should `spark.catalog.clearCache()` between corpora.
   */
 object Graph {
 

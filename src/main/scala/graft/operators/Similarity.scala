@@ -298,6 +298,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val edges = knnGraphPivoted(corpus, graphK, nPivots, nProbe)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      // caller-must-clear-cache: the seed and hop self-joins both read the
+      // edge relation; it cannot unpersist before the result materializes
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qids = broadcast(queries.select(col("vec_id").as("query_id")))
     val seeds = edges.join(qids, col("src") === col("query_id"))

@@ -132,6 +132,7 @@ object StreamOps {
                          sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the corpus index is static: shingle it ONCE per query, not per batch
+    // (caller-must-clear-cache: it lives as long as the streaming query)
     val corpusHs = graft.operators.Dedup.shingleRelation(corpus).persist(lvl)
     docs.writeStream
       .outputMode("append")
@@ -167,6 +168,7 @@ object StreamOps {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // static index: hash once per query, not per batch
+    // (caller-must-clear-cache: it lives as long as the streaming query)
     val corpus = corpusHashes.persist(lvl)
     docIds.writeStream
       .outputMode("append")

@@ -41,4 +41,28 @@ class CatalogContractSpec extends SparkSpec {
   test("every oracle-checked entry has a query and vice versa (keys align)") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("every persist in an operator file is unpersisted or carries the cache contract") {
+    // an operator that persists and neither releases the relation nor
+    // declares the documented caller-must-clear-cache contract leaks cache
+    // silently in long-lived sessions — make that a failing test, not a
+    // verdict finding. File granularity: persist/unpersist counts must
+    // balance, OR the file must state the contract marker.
+    import scala.jdk.CollectionConverters._
+    val roots = Seq(
+      java.nio.file.Paths.get("src/main/scala/graft/operators"),
+      java.nio.file.Paths.get("src/main/scala/graft/streaming"))
+    val offenders = roots.filter(java.nio.file.Files.isDirectory(_)).flatMap { root =>
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(_.toString.endsWith(".scala")).flatMap { p =>
+          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val persists = "\\.persist\\(".r.findAllIn(src).size
+          val unpersists = "\\.unpersist\\(".r.findAllIn(src).size
+          if (persists > unpersists && !src.contains("caller-must-clear-cache"))
+            Some(s"$p: $persists persist vs $unpersists unpersist, no contract marker")
+          else None
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
