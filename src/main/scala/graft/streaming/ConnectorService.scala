@@ -103,6 +103,12 @@ trait ConnectorService {
   def getConfig(req: Wire.ConfigRequest): Wire.ConfigResponse
   def updateConfig(req: Wire.ConfigUpdateRequest): Wire.ConfigResponse
   def getStatus(req: Wire.StatusRequest): Wire.StatusResponse
+
+  /** Invoked by the transport when a SourceStream call ends (completion,
+    * cancel, or network error) — the hook that lets delivery state rewind
+    * to the committed offsets for the next connection. Default no-op.
+    */
+  def onSourceDisconnect(): Unit = ()
 }
 
 /** The service wired to a live engine: [[PushService]] is the data plane,
@@ -171,6 +177,12 @@ final class InProcessConnectorService(engine: Engine, push: PushService,
             tap.commit(c); Iterator.empty
         }
     }
+
+  /** Stream teardown → requeue unacked deliveries past the committed
+    * high-water mark ([[SourceTap.onDisconnect]]); the next connection
+    * resumes exactly after the last Commit.
+    */
+  override def onSourceDisconnect(): Unit = sourceTap.foreach(_.onDisconnect())
 
   override def getConfig(req: ConfigRequest): ConfigResponse =
     ConfigResponse(for {

@@ -496,7 +496,12 @@ object GrpcWire {
               .withDescription(String.valueOf(e.getMessage)).asRuntimeException()) }
       })
 
-    def bidi(handle: DynamicMessage => Iterator[DynamicMessage]) =
+    // onStreamEnd fires on BOTH teardown paths — graceful onCompleted and
+    // onError (which is where a client cancel / network drop surfaces on
+    // the server's inbound observer) — so delivery state can rewind to the
+    // committed offsets no matter how the stream died
+    def bidi(handle: DynamicMessage => Iterator[DynamicMessage],
+             onStreamEnd: () => Unit = () => ()) =
       ServerCalls.asyncBidiStreamingCall(
         new ServerCalls.BidiStreamingMethod[DynamicMessage, DynamicMessage] {
           override def invoke(obs: StreamObserver[DynamicMessage]): StreamObserver[DynamicMessage] =
@@ -506,8 +511,11 @@ object GrpcWire {
                 catch { case e: Exception => obs.onError(
                   org.sparkproject.connect.grpc.Status.INTERNAL
                     .withDescription(String.valueOf(e.getMessage)).asRuntimeException()) }
-              override def onError(t: Throwable): Unit = ()
-              override def onCompleted(): Unit = obs.onCompleted()
+              override def onError(t: Throwable): Unit = onStreamEnd()
+              override def onCompleted(): Unit = {
+                onStreamEnd()
+                obs.onCompleted()
+              }
             }
         })
 
@@ -543,7 +551,8 @@ object GrpcWire {
       .addMethod(sinkStreamMethod,
         bidi(m => service.sinkStream(Iterator.single(toSinkRequest(m))).map(sinkResponseMsg)))
       .addMethod(sourceStreamMethod,
-        bidi(m => service.sourceStream(Iterator.single(toSourceRequest(m))).map(sourceResponseMsg)))
+        bidi(m => service.sourceStream(Iterator.single(toSourceRequest(m))).map(sourceResponseMsg),
+          onStreamEnd = () => service.onSourceDisconnect()))
       .build()
   }
 }

@@ -97,6 +97,29 @@ final class SourceTap(capacity: Int = 1000, drainMax: Int = 100) {
     try committed.get((topic, partition)) finally lock.unlock()
   }
 
+  /** Stream teardown (client cancel, network drop, graceful close): the
+    * reconnect-resume half of the manual-commit regime (`kafka.rs:357-390`
+    * — poll positions rewind to the committed offset, not the polled one).
+    * Every in-flight batch returns to the FRONT of the queue in original
+    * poll order, minus records at or below the committed high-water mark —
+    * so a reconnecting client resumes delivery exactly after its last
+    * Commit: acked-and-committed records never redeliver, polled-but-
+    * unacked ones do (at-least-once).
+    */
+  def onDisconnect(): Unit = {
+    lock.lock()
+    try {
+      // reverse iteration + prepend = original poll order at the head
+      val pending = inFlight.values.toSeq.reverse
+      inFlight.clear()
+      pending.foreach { b =>
+        val keep = b.records.filter(r =>
+          committed.getOrElse((r.topic, r.partition), -1L) < r.offset)
+        if (keep.nonEmpty) queue.prepend(RecordBatch(keep))
+      }
+    } finally lock.unlock()
+  }
+
   def buffered: Int = { lock.lock(); try queue.size finally lock.unlock() }
   def inFlightCount: Int = { lock.lock(); try inFlight.size finally lock.unlock() }
 }

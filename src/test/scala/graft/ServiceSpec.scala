@@ -262,6 +262,109 @@ class ServiceSpec extends SparkSpec {
     }
   }
 
+  test("SourceStream reconnect resumes delivery after the committed offset") {
+    import org.sparkproject.connect.protobuf.DynamicMessage
+    import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
+    import graft.streaming.{ConnectorProto, GrpcControlClient, GrpcControlServer, GrpcWire, SourceTap}
+    val root = Files.createTempDirectory("graft-grpc-resume").toString
+    val engine = Engine.fromConfigJson(spark,
+      engineConfig("io.rustconnect.KafkaSourceConnector"), root, s"$root/ckpt")
+    // drainMax=1: each heartbeat delivers one batch, so batch 1 can be
+    // acked+committed while batch 2 is polled-but-unacked at the drop
+    val tap = new SourceTap(drainMax = 1)
+    val service = new InProcessConnectorService(engine, new PushService(spark),
+      () => fail("unused"), sourceTap = Some(tap))
+    val srv = new GrpcControlServer(service, port = 0)
+    val port = srv.start()
+    val ch = GrpcControlClient.channel("127.0.0.1", port)
+    val srcReqD = ConnectorProto.messageType("SourceRequest")
+    val hbD = ConnectorProto.messageType("Heartbeat")
+    val ackD = ConnectorProto.messageType("RecordAck")
+    val ocD = ConnectorProto.messageType("OffsetCommit")
+    val ridD = ConnectorProto.messageType("RecordId")
+    def beat(ts: Long) = DynamicMessage.newBuilder(srcReqD)
+      .setField(srcReqD.findFieldByName("heartbeat"),
+        DynamicMessage.newBuilder(hbD)
+          .setField(hbD.findFieldByName("timestamp"), Long.box(ts)).build())
+      .build()
+    def rid(offset: Long) = DynamicMessage.newBuilder(ridD)
+      .setField(ridD.findFieldByName("topic"), "push-topic")
+      .setField(ridD.findFieldByName("partition"), Int.box(0))
+      .setField(ridD.findFieldByName("offset"), Long.box(offset)).build()
+    def ackReq(offset: Long) = {
+      val a = DynamicMessage.newBuilder(ackD)
+      a.addRepeatedField(ackD.findFieldByName("record_ids"), rid(offset))
+      a.setField(ackD.findFieldByName("success"), Boolean.box(true))
+      DynamicMessage.newBuilder(srcReqD)
+        .setField(srcReqD.findFieldByName("ack"), a.build()).build()
+    }
+    def commitReq(offset: Long) = {
+      val c = DynamicMessage.newBuilder(ocD)
+      c.addRepeatedField(ocD.findFieldByName("record_ids"), rid(offset))
+      DynamicMessage.newBuilder(srcReqD)
+        .setField(srcReqD.findFieldByName("commit"), c.build()).build()
+    }
+    def openStream() = {
+      val got = new java.util.concurrent.LinkedBlockingQueue[DynamicMessage]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val obs = ClientCalls.asyncBidiStreamingCall(
+        ch.newCall(GrpcWire.sourceStreamMethod,
+          org.sparkproject.connect.grpc.CallOptions.DEFAULT),
+        new StreamObserver[DynamicMessage] {
+          override def onNext(v: DynamicMessage): Unit = got.put(v)
+          override def onError(t: Throwable): Unit = done.countDown()
+          override def onCompleted(): Unit = done.countDown()
+        })
+      (obs, got, done)
+    }
+    def takeBatchOffsets(got: java.util.concurrent.LinkedBlockingQueue[DynamicMessage]): Seq[Long] = {
+      val m = got.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(m != null, "no message before timeout")
+      val f = m.getDescriptorForType.findFieldByName("record_batch")
+      if (!m.hasField(f)) return takeBatchOffsets(got) // skip heartbeat echo
+      val bm = m.getField(f).asInstanceOf[DynamicMessage]
+      val rf = bm.getDescriptorForType.findFieldByName("records")
+      (0 until bm.getRepeatedFieldCount(rf)).map { i =>
+        val r = bm.getRepeatedField(rf, i).asInstanceOf[DynamicMessage]
+        r.getField(r.getDescriptorForType.findFieldByName("offset")).asInstanceOf[Long]
+      }
+    }
+    try {
+      tap.offer(Seq(rec(0, "a")))
+      tap.offer(Seq(rec(1, "b")))
+      // connection 1: poll batch 1, ack + commit it, poll batch 2, then
+      // DROP the stream with batch 2 still unacked
+      val (obs1, got1, done1) = openStream()
+      obs1.onNext(beat(1L))
+      assert(takeBatchOffsets(got1) == Seq(0L))
+      obs1.onNext(ackReq(0L))
+      obs1.onNext(commitReq(0L))
+      obs1.onNext(beat(2L))
+      assert(takeBatchOffsets(got1) == Seq(1L))
+      assert(tap.inFlightCount == 1)
+      obs1.onError(new RuntimeException("client dropped")) // cancel, not close
+      assert(done1.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // teardown rewinds to the committed offset: the unacked batch is
+      // queued again, the committed record is not
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(
+          org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+        assert(tap.inFlightCount == 0 && tap.buffered == 1)
+      }
+      // connection 2: delivery resumes with exactly the unacked record
+      val (obs2, got2, done2) = openStream()
+      obs2.onNext(beat(3L))
+      assert(takeBatchOffsets(got2) == Seq(1L))
+      obs2.onNext(ackReq(1L))
+      obs2.onCompleted()
+      assert(done2.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      assert(tap.inFlightCount == 0 && tap.buffered == 0)
+    } finally {
+      ch.shutdownNow()
+      srv.stop()
+    }
+  }
+
   test("TCP control plane serves status/config/update as JSON lines") {
     import java.nio.charset.StandardCharsets.UTF_8
     val root = Files.createTempDirectory("graft-ctl").toString
