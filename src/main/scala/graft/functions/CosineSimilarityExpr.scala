@@ -155,14 +155,19 @@ object GraftFunctions {
 
   val boundedLevenshteinBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 3, "bounded_levenshtein expects (a, b, k)")
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    exprs(2) match {
-      // k < 0 would make every pair report -1 — a silently empty join
-      case Literal(k: Int, IntegerType) if k >= 0 =>
-        BoundedLevenshteinExpr(exprs(0), exprs(1), k)
-      case _ => throw new IllegalArgumentException(
-        "bounded_levenshtein: k must be an int literal >= 0")
-    }
+    // any FOLDABLE integer works — CAST(55 AS INT), 50+5, a named
+    // constant — matching what Spark's own 3-arg levenshtein accepts,
+    // not just a bare literal. k < 0 would make every pair report -1 —
+    // a silently empty join — so it still fails at plan build.
+    val kExpr = exprs(2)
+    if (kExpr.foldable && kExpr.dataType == IntegerType) {
+      kExpr.eval() match {
+        case k: Int if k >= 0 => BoundedLevenshteinExpr(exprs(0), exprs(1), k)
+        case _ => throw new IllegalArgumentException(
+          "bounded_levenshtein: k must be a foldable int >= 0")
+      }
+    } else throw new IllegalArgumentException(
+      "bounded_levenshtein: k must be a foldable int >= 0")
   }
 
   private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(

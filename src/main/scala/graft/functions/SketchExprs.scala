@@ -360,24 +360,75 @@ object SketchMath {
   private def codePoints(s: org.apache.spark.unsafe.types.UTF8String): Array[Int] = {
     val bytes = s.getBytes
     val out = new Array[Int](s.numChars())
+    // clamped continuation-byte read: a TRUNCATED multi-byte sequence at
+    // the end of the buffer (possible via binary→string cast, which Spark
+    // does not validate) must degrade gracefully like Spark's own
+    // levenshtein, not read past the array
+    def cont(idx: Int): Int = if (idx < bytes.length) bytes(idx) & 0x3F else 0
     var i = 0
     var o = 0
     while (i < bytes.length) {
       val b0 = bytes(i) & 0xFF
       if (b0 < 0x80) { out(o) = b0; i += 1 }
       else if (b0 < 0xE0) {
-        out(o) = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+        out(o) = ((b0 & 0x1F) << 6) | cont(i + 1); i += 2
       } else if (b0 < 0xF0) {
-        out(o) = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
-          (bytes(i + 2) & 0x3F); i += 3
+        out(o) = ((b0 & 0x0F) << 12) | (cont(i + 1) << 6) |
+          cont(i + 2); i += 3
       } else {
-        out(o) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
-          ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+        out(o) = ((b0 & 0x07) << 18) | (cont(i + 1) << 12) |
+          (cont(i + 2) << 6) | cont(i + 3); i += 4
       }
       o += 1
     }
     if (o == out.length) out else java.util.Arrays.copyOf(out, o)
   }
+
+  /** Classic banded Levenshtein DP — the long-string fallback of
+    * [[boundedLevenshtein]]: O(k·n) time, O(m) memory, same contract
+    * (distance if ≤ k, else -1). The Myers kernel's Peq table is
+    * O(m²/32) bytes per evaluation, fine for Dedup's 100-char prefixes
+    * but pathological when the session function meets full documents —
+    * past [[MyersMaxPattern]] code points this path takes over.
+    */
+  private def bandedLevenshtein(p: Array[Int], t: Array[Int], k: Int): Long = {
+    val m = p.length
+    val n = t.length
+    val INF = Int.MaxValue / 2
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i <= m) { prev(i) = if (i <= k) i else INF; i += 1 }
+    var j = 1
+    while (j <= n) {
+      java.util.Arrays.fill(cur, INF)
+      if (j <= k) cur(0) = j
+      val lo = math.max(1, j - k)
+      val hi = math.min(m, j + k)
+      var best = cur(0)
+      var ii = lo
+      while (ii <= hi) {
+        val sub = prev(ii - 1) + (if (p(ii - 1) == t(j - 1)) 0 else 1)
+        val del = prev(ii) + 1
+        val ins = cur(ii - 1) + 1
+        val v = math.min(sub, math.min(del, ins))
+        cur(ii) = v
+        if (v < best) best = v
+        ii += 1
+      }
+      if (best > k) return -1L
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    if (prev(m) <= k) prev(m).toLong else -1L
+  }
+
+  /** Pattern-length ceiling for the Myers kernel: at 4096 code points the
+    * Peq table is ≤ 8192·64 longs (4 MB) per evaluation; past it the
+    * banded DP (O(m) memory) takes over, and the Int overflow of
+    * `cap·nb` around m≈370k can never be reached.
+    */
+  private val MyersMaxPattern = 4096
 
   /** Bounded Levenshtein distance via Myers' bit-parallel algorithm
     * (Myers, JACM 1999), with Hyyrö's block extension for patterns past
@@ -409,6 +460,7 @@ object SketchMath {
     val n = t.length
     if (n - m > k) return -1L
     if (m == 0) return n.toLong // n - 0 <= k already checked
+    if (m > MyersMaxPattern) return bandedLevenshtein(p, t, k)
     val nb = (m + 63) >>> 6
     // Peq: code point -> per-block bitmask of matching pattern rows,
     // open-addressed (cap = pow2 >= 2m), parallel key/value-block arrays

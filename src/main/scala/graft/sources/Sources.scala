@@ -125,7 +125,19 @@ object Sources {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // the int64 branch assumes NANOseconds (the nanosAsLong
+        // generation). Guard the assumption: a future generation writing
+        // plain int64 MICROseconds would be silently truncated 1000×.
+        // Epoch-NANOS for any date after ~1973 exceed 1e17, while
+        // epoch-MICROS stay below 1e17 until year ~5138 — so a
+        // sub-threshold value fails the read loudly instead.
+        raw.withColumn("ts",
+          when(col("ts") >= lit(100000000000000000L),
+            timestamp_micros(expr("ts div 1000")))
+          .otherwise(raise_error(concat(
+            lit("events.ts int64 value not in the nanosecond epoch range "),
+            lit("(plain-microsecond generation?): "),
+            col("ts").cast("string"))).cast("timestamp")))
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }

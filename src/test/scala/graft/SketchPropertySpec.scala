@@ -304,6 +304,52 @@ class SketchPropertySpec extends AnyFunSuite {
     assert(bounded("", base.take(30), 30) === 30L)
   }
 
+  test("boundedLevenshtein survives malformed UTF-8 (truncated multi-byte tail)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // a truncated 3-byte sequence at the end of the buffer — reachable via
+    // binary→string cast, which Spark does not validate; must degrade
+    // gracefully (like Spark's levenshtein), not read past the array
+    val truncated = UTF8String.fromBytes(Array('a'.toByte, 'b'.toByte, 0xE4.toByte, 0xB8.toByte))
+    val whole = UTF8String.fromString("ab中")
+    assert(SketchMath.boundedLevenshtein(truncated, truncated, 5) === 0L)
+    assert(SketchMath.boundedLevenshtein(truncated, whole, 5) >= 0L)
+    val loneLead = UTF8String.fromBytes(Array('x'.toByte, 0xC3.toByte))
+    assert(SketchMath.boundedLevenshtein(loneLead, UTF8String.fromString("x"), 5) === 1L)
+  }
+
+  test("boundedLevenshtein long-pattern fallback equals the Myers kernel's contract") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bounded(a: String, b: String, k: Int): Long =
+      SketchMath.boundedLevenshtein(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+    // patterns past MyersMaxPattern (4096) take the O(m)-memory banded DP
+    // path; known-edit mutations must still give exact distances
+    val base = ("abcdefghij" * 500).take(4500)
+    assert(bounded(base, base, 0) === 0L)
+    assert(bounded(base, base.drop(4), 6) === 4L)
+    val sub = base.updated(100, 'x').updated(2500, 'y').updated(4400, 'z')
+    assert(bounded(base, sub, 3) === 3L)
+    assert(bounded(base, sub, 2) === -1L)
+    // and one side short keeps the short side as the pattern (Myers path)
+    assert(bounded(base.take(50), base.take(54), 10) === 4L)
+  }
+
+  test("bounded_levenshtein accepts any foldable int threshold, rejects negatives") {
+    val spark = SparkSpec.session
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val df = Seq(("kitten", "sitting")).toDF("a", "b")
+    // CAST(...) and arithmetic are foldable-but-not-literal — Spark's own
+    // 3-arg levenshtein accepts them, so must we
+    assert(df.select(expr("bounded_levenshtein(a, b, CAST(55 AS INT))"))
+      .collect().head.getLong(0) === 3L)
+    assert(df.select(expr("bounded_levenshtein(a, b, 50 + 5)"))
+      .collect().head.getLong(0) === 3L)
+    assertThrows[Exception](
+      df.select(expr("bounded_levenshtein(a, b, -1)")).collect())
+  }
+
   test("bounded_levenshtein expression matches Spark's 3-arg levenshtein end-to-end") {
     val spark = SparkSpec.session
     graft.functions.GraftFunctions.register(spark)
