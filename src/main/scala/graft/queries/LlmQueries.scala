@@ -1381,6 +1381,65 @@ object LlmQueries {
           |WHERE doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)
     )),
 
+    // Audio twin of stream_media_dedup: corpus = every tenth doc's
+    // spectral fingerprint; incoming docs drop on a band-LSH match at
+    // hamming ≤ 8 — tighter than the image threshold because 64
+    // sign-bits carry less entropy than a gradient dHash (cross-class
+    // waveforms share formula structure); the planted near-dups sit at
+    // hamming 1-5, well inside. Same cross-relation join
+    // (Imaging.dhashMatchedIds over the afp column), driven per
+    // micro-batch by StreamOps.audioDedupAgainstCorpus (StreamingSpec
+    // parity test). Oracle replays waveform → DCT signs → banding →
+    // anti-join.
+    "stream_audio_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = docs(s, dir).select(col("doc_id"))
+        val corpusFps = Audio.spectralFingerprints(
+          d.filter(col("doc_id") % 10 === 0).as[Long]).toDF()
+        val incoming = d.filter(col("doc_id") % 10 =!= 0)
+        val matched = Imaging.dhashMatchedIds(corpusFps,
+          Audio.spectralFingerprints(incoming.as[Long]).toDF(),
+          maxHamming = 8, hashCol = "afp")
+        incoming.join(matched, Seq("doc_id"), "left_anti")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s FROM documents),
+        |u AS (SELECT doc_id, s, unnest(range(0, 256)) AS i FROM d),
+        |w AS (SELECT doc_id, i // 32 AS t, (i % 32) // 4 AS x,
+        |        ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000
+        |        + CASE WHEN doc_id % 5 = 0 AND i < 24 THEN 1500 ELSE 0 END AS amp
+        |      FROM u),
+        |bsum AS (SELECT doc_id, t, x, CAST(sum(amp) AS BIGINT) AS bs FROM w GROUP BY 1, 2, 3),
+        |kt AS (SELECT * FROM (VALUES
+        |  (0,0,10000), (0,1,10000), (0,2,10000), (0,3,10000), (0,4,10000), (0,5,10000), (0,6,10000), (0,7,10000),
+        |  (1,0,9808), (1,1,8315), (1,2,5556), (1,3,1951), (1,4,-1951), (1,5,-5556), (1,6,-8315), (1,7,-9808),
+        |  (2,0,9239), (2,1,3827), (2,2,-3827), (2,3,-9239), (2,4,-9239), (2,5,-3827), (2,6,3827), (2,7,9239),
+        |  (3,0,8315), (3,1,-1951), (3,2,-9808), (3,3,-5556), (3,4,5556), (3,5,9808), (3,6,1951), (3,7,-8315),
+        |  (4,0,7071), (4,1,-7071), (4,2,-7071), (4,3,7071), (4,4,7071), (4,5,-7071), (4,6,-7071), (4,7,7071),
+        |  (5,0,5556), (5,1,-9808), (5,2,1951), (5,3,8315), (5,4,-8315), (5,5,-1951), (5,6,9808), (5,7,-5556),
+        |  (6,0,3827), (6,1,-9239), (6,2,9239), (6,3,-3827), (6,4,-3827), (6,5,9239), (6,6,-9239), (6,7,3827),
+        |  (7,0,1951), (7,1,-5556), (7,2,8315), (7,3,-9808), (7,4,9808), (7,5,-8315), (7,6,5556), (7,7,-1951)
+        |) AS t(u, x, k)),
+        |c AS (SELECT b.doc_id, b.t, kt.u, CAST(sum(b.bs * kt.k) AS BIGINT) AS coef
+        |      FROM bsum b JOIN kt ON kt.x = b.x GROUP BY 1, 2, 3),
+        |fp AS (SELECT doc_id,
+        |         bit_or(CASE WHEN coef > 0 AND t*8 + u = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |                     WHEN coef > 0 THEN CAST(1 AS BIGINT) << CAST(t*8 + u AS INT)
+        |                     ELSE CAST(0 AS BIGINT) END) AS afp
+        |       FROM c GROUP BY doc_id),
+        |corp AS (SELECT doc_id, afp FROM fp WHERE doc_id % 10 = 0),
+        |inc AS (SELECT doc_id, afp FROM fp WHERE doc_id % 10 != 0),
+        |cb AS (SELECT doc_id, afp, (afp >> CAST(16*band AS INT)) & 65535 AS bv, band
+        |       FROM (SELECT doc_id, afp, unnest(range(0, 4)) AS band FROM corp)),
+        |ib AS (SELECT doc_id, afp, (afp >> CAST(16*band AS INT)) & 65535 AS bv, band
+        |       FROM (SELECT doc_id, afp, unnest(range(0, 4)) AS band FROM inc)),
+        |m AS (SELECT DISTINCT i.doc_id FROM ib i JOIN cb c
+        |      ON i.band = c.band AND i.bv = c.bv
+        |      WHERE bit_count(xor(i.afp, c.afp)) <= 8)
+        |SELECT doc_id FROM inc
+        |WHERE doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)
+    )),
+
     // Lossy-codec triage — the codec real corpora actually use: real
     // ImageIO JPEG encode (TYPE_BYTE_GRAY, q=0.95) of the formula bitmap,
     // real decode back. Geometry (decoder-reported width/height/bands) is

@@ -185,6 +185,35 @@ object StreamOps {
       }
   }
 
+  /** Audio twin of [[mediaDedupAgainstCorpus]]: micro-batches of audio
+    * docs are decoded and spectrally fingerprinted
+    * ([[graft.operators.Audio.spectralFingerprints]]), then dropped when
+    * the band-LSH join finds a corpus fingerprint at hamming ≤
+    * `maxHamming` — default 8, tighter than the image threshold, because
+    * 64 sign-bits carry less entropy than a gradient dHash. Same
+    * per-batch semantics, same ids+hashes-only shuffle; the corpus index
+    * is 8 bytes/doc.
+    */
+  def audioDedupAgainstCorpus(docIds: DataFrame, corpusFps: DataFrame,
+                              sink: DataFrame => Unit, maxHamming: Int = 8):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (caller-must-clear-cache: lives as long as the streaming query)
+    val corpus = corpusFps.persist(lvl)
+    docIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        val fps = graft.operators.Audio
+          .spectralFingerprints(batch.select(col("doc_id")).as[Long]).toDF().persist(lvl)
+        try {
+          val matched = graft.operators.Imaging
+            .dhashMatchedIds(corpus, fps, maxHamming, hashCol = "afp")
+          sink(batch.join(matched, Seq("doc_id"), "left_anti"))
+        } finally fps.unpersist()
+      }
+  }
+
   // ---- custom state: gap-based sessionization --------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)

@@ -675,6 +675,37 @@ class StreamingSpec extends SparkSpec {
     assert(batchSurvivors == Set(501L, 503L))
   }
 
+  test("streaming audio dedup drops corpus fingerprint matches across micro-batches") {
+    import graft.operators.{Audio, Imaging}
+    import graft.streaming.StreamOps
+    val corpusFps = Audio.spectralFingerprints(
+      spark.range(0, 500, 10).select(col("id").as("doc_id")).as[Long]).toDF()
+    val input = MemoryStream[Long](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val q = StreamOps.audioDedupAgainstCorpus(
+        input.toDF().toDF("doc_id"), corpusFps,
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // 266 = 10 + 256: same waveform class as corpus id 10 modulo the
+      // bump (hamming 1-5) — dropped. 501 (s = 245, odd): corpus ids are
+      // even, odd-s classes have no corpus fingerprint — survives.
+      input.addData(266L, 501L)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(501L), s"batch 1: $survivors")
+      input.addData(276L, 503L)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(501L, 503L), s"batch 2: $survivors")
+    } finally q.stop()
+    // parity with the batch twin (same hamming <= 8 the operator defaults)
+    val incoming = Seq(266L, 501L, 276L, 503L).toDF("doc_id")
+    val matched = Imaging.dhashMatchedIds(corpusFps,
+      Audio.spectralFingerprints(incoming.select(col("doc_id")).as[Long]).toDF(),
+      maxHamming = 8, hashCol = "afp")
+    assert(incoming.join(matched, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet == Set(501L, 503L))
+  }
+
   test("AvailableNow drain processes the backlog, terminates, and resumes incrementally") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-drain").toString
