@@ -246,6 +246,31 @@ object Imaging {
     }
   }
 
+  final case class HashRobustness(doc_id: Long, dhash: Long,
+                                  dflips_le_24: Boolean, pflips_le_20: Boolean)
+
+  /** Measures the claim perceptual hashes exist for — that they survive
+    * lossy re-encode: the same canvas decoded losslessly (BMP) and
+    * through a JPEG roundtrip, hashed both ways, and the bit flips
+    * banded against the measured corpus worst case (dHash 16, pHash 12;
+    * bands 24/20 carry ≥1.5× margin). The lossless dHash is emitted
+    * EXACTLY (the oracle recomputes it from the pixel formula), so this
+    * entry pins both the stable path and the robustness envelope.
+    */
+  def jpegHashRobustness(docIds: Dataset[Long]): Dataset[HashRobustness] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        def px(x: Int, y: Int): Int = pixel(id, x, y)
+        val bmp = decode(encodeBmp(HashW, HashH, px))
+        val jpg = decode(encodeJpeg(HashW, HashH, px))
+        val dFlips = java.lang.Long.bitCount(dHash64(bmp) ^ dHash64(jpg))
+        val pFlips = java.lang.Long.bitCount(pHash64(bmp) ^ pHash64(jpg))
+        HashRobustness(id, dHash64(bmp), dFlips <= 24, pFlips <= 20)
+      }
+    }
+  }
+
   final case class JpegBytes(doc_id: Long, jpeg: Array[Byte])
 
   /** JPEG bytes with the hand-written EXIF APP1 spliced in — the input of

@@ -1459,6 +1459,22 @@ object LlmQueries {
         |FROM documents""".stripMargin)
     )),
 
+    // Hash re-encode robustness — the property perceptual hashes exist
+    // for, measured instead of asserted: dHash/pHash of the same canvas
+    // via lossless BMP decode vs a JPEG roundtrip; bit flips banded at
+    // 24/20 (probe-measured corpus worst: 16/12). The lossless dhash
+    // column is EXACT against the formula oracle, pinning the stable
+    // path while the verdicts pin the lossy envelope.
+    "media_jpeg_hash_robustness" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.jpegHashRobustness(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some(dhashOracleCte +
+        """SELECT doc_id, dhash, true AS dflips_le_24, true AS pflips_le_20
+          |FROM dh""".stripMargin)
+    )),
+
     // EXIF APP-segment schema-on-read: a hand-written EXIF APP1 (TIFF
     // little-endian, IFD entries ImageWidth + Orientation) is spliced
     // right after the JPEG SOI so it sits at fixed offsets, then parsed

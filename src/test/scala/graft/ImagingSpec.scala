@@ -110,6 +110,20 @@ class ImagingSpec extends SparkSpec {
     }
   }
 
+  test("perceptual hashes survive the JPEG roundtrip inside the measured bands") {
+    val ids = spark.range(0, 100).select(col("id").as("doc_id")).as[Long]
+    val rows = graft.operators.Imaging.jpegHashRobustness(ids).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      // lossless-path dHash must equal the direct formula hash
+      val img = Imaging.decode(Imaging.encodeBmp(Imaging.HashW, Imaging.HashH,
+        (x, y) => Imaging.pixel(r.doc_id, x, y)))
+      assert(r.dhash == Imaging.dHash64(img))
+      assert(r.dflips_le_24 && r.pflips_le_20,
+        s"doc ${r.doc_id} flips out of band")
+    }
+  }
+
   test("EXIF APP1 splice parses back at fixed offsets and still decodes") {
     val ids = spark.range(0, 40).select(col("id").as("doc_id")).as[Long]
     val parsed = graft.SparkEntry.queries("media_exif_triage")(spark, sf0001)
