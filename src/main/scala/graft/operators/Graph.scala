@@ -31,15 +31,24 @@ object Graph {
     * surface in the last printed digit.
     */
   def pageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
-    val p = pairs.persist(lvl)
+    // localCheckpoint, not persist: each unrolled round EMBEDS the edge
+    // relation's plan subtree (and under it the whole upstream pair
+    // pipeline — typically an LSH join) once more, so with persist alone
+    // the analyzer/optimizer re-walks ~iters copies of that subtree per
+    // action even though execution dedups through the cache. Truncating
+    // lineage makes every round's plan start at the materialized blocks
+    // (the same driver-cost fix as the CC loop; the iteration structure
+    // stays one lazy plan).
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(lvl)
+      .localCheckpoint(eager = true) // eager: p's cache fills here...
+    p.unpersist() // ...so the pair pipeline can release immediately
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // vertex count as a broadcast relation, not a driver-side collect —
     // the rank column needs 1/n and (1-d)/n as plan-side values
-    val nodes = edges.select(col("src").as("doc_id")).distinct().persist(lvl)
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(eager = true)
     val n = nodes.agg(count(lit(1)).as("n"))
     // a FIXED iteration count needs no per-round materialization (nothing
     // to inspect between rounds, unlike the CC fixpoint's convergence
