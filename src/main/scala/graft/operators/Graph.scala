@@ -89,11 +89,16 @@ object Graph {
     */
   def triangleCounts(pairs: DataFrame): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
-    // canonical undirected edge set (guard against either input order)
+    // canonical undirected edge set (guard against either input order).
+    // localCheckpoint, not persist: the oriented relation below embeds
+    // this subtree (and the pair pipeline under it) in each of its THREE
+    // wedge-join references — truncating here keeps those plans starting
+    // at materialized blocks (same driver-cost fix as pageRank).
     val und = pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().persist(lvl)
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true)
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient src -> dst by (deg, id) rank; read 3x (two wedge sides +
