@@ -1324,7 +1324,12 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         import s.implicits._
         val ids = docs(s, dir).select(col("doc_id")).as[Long]
-        val pairs = Imaging.dhashNearDupPairs(Imaging.imageHashes(ids).toDF())
+        // eager checkpoint: the band self-join references the hash
+        // relation twice and the CC init once more — without truncation
+        // each reference re-runs the codec decode of the whole corpus;
+        // the materialized relation is 24 bytes/doc
+        val hashes = Imaging.imageHashes(ids).toDF().localCheckpoint(true)
+        val pairs = Imaging.dhashNearDupPairs(hashes)
         val cc = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
         docs(s, dir).select(col("doc_id"))
           .join(cc.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
