@@ -113,23 +113,37 @@ object Pipeline {
 final class ConnectorManager(spark: SparkSession) {
   private case class Entry(start: () => StreamingQuery,
                            var query: Option[StreamingQuery],
-                           var paused: Boolean)
+                           var paused: Boolean,
+                           var stopRequested: Boolean = false)
   private val connectors = TrieMap.empty[String, Entry]
 
   def register(name: String)(start: () => StreamingQuery): Unit =
     connectors.put(name, Entry(start, None, paused = false))
 
   def start(name: String): Unit = connectors.get(name).foreach { e =>
-    if (e.query.forall(!_.isActive)) { e.query = Some(e.start()); e.paused = false }
+    // stop() waits for the execution thread by default
+    // (spark.sql.streaming.stopTimeout=0), but guard the restart against
+    // a non-zero-timeout config or a teardown still in flight: a restart
+    // racing the old instance would collide on the query name and leave
+    // the connector wedged in Paused. Only a stopped-but-not-yet-dead
+    // query is waited on — start() on a RUNNING connector stays a no-op.
+    if (e.stopRequested)
+      // awaitTermination rethrows a FAILED query's exception — swallow it
+      // here; restart-from-checkpoint after a failure is the point
+      try e.query.filter(_.isActive).foreach(_.awaitTermination(10000))
+      catch { case _: Exception => () }
+    if (e.query.forall(!_.isActive)) {
+      e.query = Some(e.start()); e.paused = false; e.stopRequested = false
+    }
   }
 
   def stop(name: String): Unit = connectors.get(name).foreach { e =>
-    e.query.foreach(_.stop()); e.paused = false
+    e.query.foreach(_.stop()); e.paused = false; e.stopRequested = true
   }
 
   /** Pause = stop the query but keep the checkpoint; restart resumes. */
   def pause(name: String): Unit = connectors.get(name).foreach { e =>
-    e.query.foreach(_.stop()); e.paused = true
+    e.query.foreach(_.stop()); e.paused = true; e.stopRequested = true
   }
 
   def startAll(): Unit = connectors.keys.foreach(start)

@@ -107,6 +107,37 @@ class DedupSpec extends SparkSpec {
     assert(ok.keySet == (1L to 256L).toSet)
   }
 
+  test("two-phase CC equals union-find on random graphs (property)") {
+    // the star-contraction rewrite is algorithmically subtle (large-star /
+    // small-star interplay); pin it against a trivially-correct
+    // driver-side union-find over random edge sets of varied shape
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 8) {
+      val n = 20 + rnd.nextInt(60)
+      val nEdges = 5 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonicalize union-find roots to the component MIN (the CC
+        // contract), which the max-links-to-min union above guarantees
+        val expected = nodes.map(v => v -> find(v)).toMap
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"trial $trial: n=$n edges=$edges")
+      }
+    }
+  }
+
   test("CC over LSH pairs equals CC over exact pairs (the 100 TB composition)") {
     // dedup_clusters_lsh's license: the scale-path pair generator feeds the
     // same fixpoint to the same clusters, so the exact recursive-CTE oracle

@@ -49,17 +49,26 @@ class StreamingSpec extends SparkSpec {
     mgr.register("s3-sink-0")(() =>
       Pipeline.streamToFiles(input.toDF(), cfg, root, ckpt, Trigger.ProcessingTime(0),
         name = "graft-mgr-sink"))
-    assert(mgr.status("s3-sink-0") == ConnectorState.Uninitialized)
+    // state transitions ride on the query's execution thread — assert
+    // with a grace window so a slow executor teardown/startup (seen under
+    // parallel-suite load) doesn't read as a lifecycle bug
+    import org.scalatest.concurrent.Eventually.{eventually, timeout}
+    import org.scalatest.time.{Seconds, Span}
+    def expectState(st: ConnectorState): Unit =
+      eventually(timeout(Span(15, Seconds))) {
+        assert(mgr.status("s3-sink-0") == st)
+      }
+    expectState(ConnectorState.Uninitialized)
     mgr.start("s3-sink-0")
-    assert(mgr.status("s3-sink-0") == ConnectorState.Running)
+    expectState(ConnectorState.Running)
     input.addData(rec(0, "x"))
     mgr.pause("s3-sink-0")
-    assert(mgr.status("s3-sink-0") == ConnectorState.Paused)
+    expectState(ConnectorState.Paused)
     // restart from checkpoint resumes (Paused realized as stop+restart)
     mgr.start("s3-sink-0")
-    assert(mgr.status("s3-sink-0") == ConnectorState.Running)
+    expectState(ConnectorState.Running)
     mgr.stop("s3-sink-0")
-    assert(mgr.status("s3-sink-0") == ConnectorState.Stopped)
+    expectState(ConnectorState.Stopped)
   }
 
   test("watermarked tumbling-window stats aggregate per topic and window") {
