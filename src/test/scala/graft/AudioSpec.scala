@@ -60,6 +60,20 @@ class AudioSpec extends SparkSpec {
     assert(direct == base)
   }
 
+  test("spectral fingerprint is volume-invariant (DCT linearity preserves signs)") {
+    // the property a robust audio hash exists for: re-mastering at a
+    // different gain must not change the fingerprint. Positive scaling is
+    // linear through block sums and the DCT, so every coefficient scales
+    // by the same positive factor and no sign flips — exact, not banded.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val samples = Array.fill(Audio.FpSamples)(rnd.nextInt(4001) - 2000)
+      val fp = Audio.spectralFp(samples)
+      assert(Audio.spectralFp(samples.map(_ * 2)) == fp)
+      assert(Audio.spectralFp(samples.map(_ * 7)) == fp)
+    }
+  }
+
   test("wavMeta reports what the decoder parsed, per doc") {
     val ids = spark.range(0, 20).select(col("id").as("doc_id")).as[Long]
     Audio.wavMeta(ids).collect().foreach { m =>

@@ -110,6 +110,21 @@ class ImagingSpec extends SparkSpec {
     }
   }
 
+  test("dHash is brightness-shift invariant (gradient direction, not level)") {
+    // the property dHash exists for: a global exposure change must not
+    // move the hash. Adding a constant to every pixel preserves every
+    // block-sum comparison — exact, not banded (until values clip).
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val base = Array.fill(Imaging.HashH, Imaging.HashW)(rnd.nextInt(200))
+      def img(shift: Int) = Imaging.decode(Imaging.encodeBmp(
+        Imaging.HashW, Imaging.HashH, (x, y) => base(y)(x) + shift))
+      val h0 = Imaging.dHash64(img(0))
+      assert(Imaging.dHash64(img(20)) == h0)
+      assert(Imaging.dHash64(img(55)) == h0)
+    }
+  }
+
   test("perceptual hashes survive the JPEG roundtrip inside the measured bands") {
     val ids = spark.range(0, 100).select(col("id").as("doc_id")).as[Long]
     val rows = graft.operators.Imaging.jpegHashRobustness(ids).collect()
