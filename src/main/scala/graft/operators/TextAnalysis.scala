@@ -247,4 +247,104 @@ object TextAnalysis {
         (acc, w) => xxhash64(acc, w)).as("rolling_fp")
     )
   }
+
+  /** One greedy left-to-right BPE merge application: every non-overlapping
+    * occurrence of adjacent tokens `(pa, pb)` in `toks` collapses into the
+    * concatenated token, scanning left to right (the Sennrich merge rule —
+    * in a run like `a a a` with merge `(a,a)` the FIRST pair merges and the
+    * survivor does not re-pair with the merged output). One `aggregate` HOF
+    * fold per word — partition-local, no shuffle; `pa`/`pb` are columns, so
+    * the same expression serves every round with the round's best pair
+    * cross-joined in (1 broadcast row — the plan stays fully lazy).
+    */
+  private val applyMergeExpr: Column = expr(
+    """aggregate(
+      |  sequence(0, size(toks) - 1),
+      |  named_struct('out', array_repeat('', 0), 'skip', false),
+      |  (acc, i) -> CASE
+      |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+      |    WHEN i < size(toks) - 1 AND toks[i] = pa AND toks[i + 1] = pb
+      |      THEN named_struct('out', concat(acc.out, array(concat(pa, pb))), 'skip', true)
+      |    ELSE named_struct('out', concat(acc.out, array(toks[i])), 'skip', false)
+      |  END,
+      |  acc -> acc.out)""".stripMargin)
+
+  /** Full BPE tokenizer TRAINING — the iterative merge loop, not just one
+    * pair-count step (`text_bpe_pairs` computes round 1's statistic; this
+    * runs the algorithm). Returns the ordered merge table
+    * `(round, pair_a, pair_b, wsum)` — the artifact a trained tokenizer IS.
+    *
+    * Algorithm (Sennrich et al. 2016, arXiv:1508.07909): words split to
+    * characters; each round counts corpus-frequency-weighted adjacent token
+    * pairs (every adjacent position, overlaps included — the classic
+    * `get_stats`), picks the most frequent pair (ties broken
+    * lexicographically so the run is deterministic), and applies the merge
+    * greedily left-to-right to every word.
+    *
+    * Scale shape: everything is VOCABULARY-sized, never corpus-sized — the
+    * corpus is read once to build `(word, freq)`; all `rounds` iterations
+    * run over the distinct-word relation with integer weights (the
+    * aggregate-over-vocab shape that makes merge rounds affordable at
+    * 100 TB, where vocab is ~1e7 rows against ~1e12 corpus tokens). Per
+    * round: one vocab-sized hash aggregate (pair counts), a 1-row top-1
+    * (TakeOrderedAndProject, no global sort), and a partition-local fold
+    * to apply the merge — no driver-side data beyond the per-round
+    * emptiness check on the 1-row best relation. Lineage is truncated with
+    * one eager localCheckpoint per round (the CC-fixpoint discipline);
+    * round count is a hyperparameter (real vocabularies: 3e4-1e5 merges),
+    * so the loop is bounded by construction.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame =
+    bpeLoop(docs, rounds)._2.reduce(_ unionAll _)
+
+  /** The vocabulary after [[bpeTrain]]'s merges: every distinct TOKEN the
+    * trained tokenizer can emit, with its corpus occurrence count — the
+    * second half of the tokenizer artifact (merge table + vocab).
+    */
+  def bpeVocab(docs: DataFrame, rounds: Int): DataFrame =
+    bpeLoop(docs, rounds)._1
+      .select(col("freq"), explode(col("toks")).as("token"))
+      .groupBy("token").agg(sum("freq").cast("long").as("occurrences"))
+
+  /** Shared merge loop: returns (final vocab relation `(wd, freq, toks)`,
+    * per-round 1-row merge relations). Stops early if the vocabulary merges
+    * to single tokens before `rounds` — the merge table just ends, exactly
+    * like real BPE training on a tiny corpus.
+    */
+  private def bpeLoop(docs: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
+    require(rounds >= 1, "BPE training needs at least one merge round")
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 1)
+      .groupBy("wd").agg(count(lit(1)).as("freq"))
+    var vocab = words
+      .select(col("wd"), col("freq"),
+        expr("transform(sequence(1, length(wd)), i -> substr(wd, i, 1))").as("toks"))
+      .localCheckpoint(true)
+    val merged = Seq.newBuilder[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = vocab
+        .filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS pa, toks[i + 1] AS pb))")).as("p"))
+        .groupBy("p.pa", "p.pb").agg(sum("freq").as("wsum"))
+      val best = pairs
+        .orderBy(col("wsum").desc, col("pa").asc, col("pb").asc).limit(1)
+        .localCheckpoint(true)
+      if (best.isEmpty) {
+        exhausted = true
+      } else {
+        merged += best.select(lit(r.toLong).as("round"), col("pa").as("pair_a"),
+          col("pb").as("pair_b"), col("wsum").cast("long").as("wsum"))
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+          .select(col("wd"), col("freq"), applyMergeExpr.as("toks"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    (vocab, merged.result())
+  }
 }

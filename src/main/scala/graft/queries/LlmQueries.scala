@@ -57,6 +57,61 @@ object LlmQueries {
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin
 
+  /** Merge-round count for the BPE training entries — a tokenizer
+    * hyperparameter (real runs use 3e4-1e5; 8 keeps the unrolled oracle
+    * readable while exercising multi-character merges-of-merges).
+    */
+  private val bpeRounds = 8
+
+  /** Generator for the unrolled BPE-training oracle: one CTE block per
+    * merge round, each replaying pair-count → deterministic best-pair →
+    * greedy left-to-right merge application RELATIONALLY — greedy
+    * non-overlap selection is gaps-and-islands over the match positions
+    * (in a maximal run of consecutive matching positions, the merges land
+    * on offsets 0, 2, 4, … — odd `row_number` within the island), and the
+    * rebuild concatenates via `lead()` then renumbers. Deliberately a
+    * DIFFERENT formulation from the Spark side's sequential fold, so the
+    * two agree only if the merge semantics themselves are right.
+    * `finalSelect` reads `b1..bR` (per-round best pairs) and `tR` (final
+    * tokenization).
+    */
+  private def bpeOracleSql(rounds: Int, finalSelect: String): String = {
+    // every per-round state CTE is MATERIALIZED: DuckDB inlines plain CTEs
+    // at each reference, and this chain references each round's state
+    // several times — un-materialized, the expansion is exponential in the
+    // round count (the first run died opening the parquet 5^8 times)
+    val head =
+      """WITH words AS MATERIALIZED (
+        |  SELECT wd, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+        |  WHERE length(wd) >= 1 GROUP BY wd),
+        |t0 AS MATERIALIZED (SELECT wd, freq, CAST(i AS BIGINT) AS pos, substr(wd, CAST(i AS INT), 1) AS tok
+        |       FROM (SELECT wd, freq, unnest(range(1, length(wd) + 1)) AS i FROM words))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s""",p$r AS (SELECT a.tok AS pa, b.tok AS pb, CAST(sum(a.freq) AS BIGINT) AS wsum
+         |  FROM t$p a JOIN t$p b ON b.wd = a.wd AND b.pos = a.pos + 1 GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT pa, pb, wsum FROM p$r ORDER BY wsum DESC, pa, pb LIMIT 1),
+         |m$r AS (SELECT t.wd, t.pos FROM t$p t JOIN t$p u ON u.wd = t.wd AND u.pos = t.pos + 1
+         |  JOIN b$r bb ON t.tok = bb.pa AND u.tok = bb.pb),
+         |s$r AS MATERIALIZED (SELECT wd, pos FROM (
+         |    SELECT wd, pos, row_number() OVER (PARTITION BY wd, grp ORDER BY pos) AS rn2
+         |    FROM (SELECT wd, pos, pos - row_number() OVER (PARTITION BY wd ORDER BY pos) AS grp
+         |          FROM m$r)) WHERE rn2 % 2 = 1),
+         |x$r AS (SELECT t.wd, t.freq, t.pos,
+         |    CASE WHEN s1.pos IS NOT NULL
+         |         THEN t.tok || lead(t.tok) OVER (PARTITION BY t.wd ORDER BY t.pos)
+         |         ELSE t.tok END AS tok,
+         |    s2.pos IS NOT NULL AS dropme
+         |  FROM t$p t
+         |  LEFT JOIN s$r s1 ON s1.wd = t.wd AND s1.pos = t.pos
+         |  LEFT JOIN s$r s2 ON s2.wd = t.wd AND s2.pos = t.pos - 1),
+         |t$r AS MATERIALIZED (SELECT wd, freq, CAST(row_number() OVER (PARTITION BY wd ORDER BY pos) AS BIGINT) AS pos, tok
+         |  FROM x$r WHERE NOT dropme)""".stripMargin
+    }.mkString("\n")
+    head + "\n" + roundCtes + "\n" + finalSelect
+  }
+
   /** DuckDB replay of the Imaging pixel formula → 2×2 block sums → dHash +
     * aHash, shared by the perceptual-hash entries. Mirrors
     * [[graft.operators.Imaging.pixel]] exactly (18×16 canvas, 9×8 grid);
@@ -2462,6 +2517,40 @@ object LlmQueries {
         |SELECT pair, wsum,
         |  CAST(row_number() OVER (ORDER BY wsum DESC, pair) AS BIGINT) AS rnk
         |FROM c QUALIFY rnk <= 20""".stripMargin)
+    )),
+
+    // FULL BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative
+    // merge loop, not one statistic: 8 rounds of count-weighted-pairs →
+    // pick-best → greedy left-to-right merge over the vocabulary relation.
+    // Output is the ordered merge table, i.e. the artifact a trained
+    // tokenizer IS. Spark applies each merge as a partition-local
+    // aggregate() fold per word (state = (out, skip) — the Sennrich
+    // non-overlap rule); the oracle replays every round relationally:
+    // greedy selection = gaps-and-islands on the match positions (in a run
+    // of consecutive matches, keep the odd offsets), rebuild via
+    // lead()+renumber. Two INDEPENDENT formulations of the same semantics,
+    // unrolled 8× in SQL by a generator. Everything after the one corpus
+    // scan is vocabulary-sized (the shape that makes training affordable
+    // at 100 TB); per-round lineage truncates with one eager
+    // localCheckpoint (the CC-fixpoint discipline).
+    "text_bpe_train" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpeTrain(docs(s, dir), rounds = bpeRounds),
+      Some(bpeOracleSql(bpeRounds,
+        (1 to bpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, pa AS pair_a, pb AS pair_b, wsum FROM b$r")
+          .mkString("", "\nUNION ALL ", "")))
+    )),
+
+    // The trained tokenizer's VOCABULARY: every distinct token the merge
+    // table can emit, with corpus occurrence counts — the second half of
+    // the tokenizer artifact, and the round-count diagnostic (vocab growth
+    // per merge). Same loop, same oracle chain, final state exploded.
+    "text_bpe_vocab" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpeVocab(docs(s, dir), rounds = bpeRounds),
+      Some(bpeOracleSql(bpeRounds,
+        s"SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS occurrences FROM t$bpeRounds GROUP BY tok"))
     )),
 
     // Skipgram co-occurrence counts (window ±2, distance-weighted 2/1,
