@@ -703,18 +703,28 @@ object Dedup {
     * the cosine verification, the same join-back-by-id shape
     * [[minhashLshPairs]] uses for its shingle sets.
     */
+  /** `(id, band, bucket)` rows for banded hyperplane-LSH — the ids-only
+    * relation every embedding-LSH join shuffles (never the embedding
+    * payload).
+    */
+  private def hyperplaneBuckets(embeddings: DataFrame, idAs: String, dim: Int,
+                                bits: Int, bands: Int): DataFrame = {
+    val rows = bits / bands
+    val mask = (1L << rows) - 1
+    embeddings
+      .select(col("vec_id").as(idAs),
+        Vectors.hyperplaneSignature(col("embedding"), dim, bits).as("sig"))
+      .select(col(idAs),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
+      .select(col(idAs), col("bb.band"), col("bb.bucket"))
+  }
+
   def embeddingLshPairs(embeddings: DataFrame, dim: Int, threshold: Double,
                         bits: Int = 32, bands: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val rows = bits / bands
-    val mask = (1L << rows) - 1
-    val sig = embeddings.select(col("vec_id"),
-      Vectors.hyperplaneSignature(col("embedding"), dim, bits).as("sig"))
-    val buckets = sig.select(col("vec_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val buckets = hyperplaneBuckets(embeddings, "vec_id", dim, bits, bands)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -727,6 +737,34 @@ object Dedup {
       .join(payload.as("eb"), col("id_b") === col("eb.vec_id"))
       .filter(call_function("cosine_sim", col("ea.embedding"), col("eb.embedding")) >= threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** Cross-relation embedding near-match — the vector analog of
+    * [[graft.operators.Imaging.dhashMatchedIds]]: incoming `batch` vec_ids
+    * that have ANY `corpus` vector at cosine ≥ `threshold`. Candidates come
+    * from shared hyperplane-LSH band buckets (same banding as
+    * [[embeddingLshPairs]], same signature bank on both relations), so the
+    * band join shuffles `(id, band, bucket)` only; float embeddings rejoin
+    * BY ID for the bounded exact-cosine verification. Approximate (banding
+    * recall < 1 by design), precision absolute (every emitted id is
+    * cosine-verified). The per-micro-batch engine under
+    * [[graft.streaming.StreamOps.embeddingDedupAgainstCorpus]].
+    */
+  def embeddingMatchedIds(corpus: DataFrame, batch: DataFrame, dim: Int,
+                          threshold: Double, bits: Int = 32,
+                          bands: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val cand = hyperplaneBuckets(batch, "vec_id", dim, bits, bands)
+      .join(hyperplaneBuckets(corpus, "corpus_id", dim, bits, bands),
+        Seq("band", "bucket"))
+      .select(col("vec_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(batch.select(col("vec_id"), col("embedding").as("b_emb")), Seq("vec_id"))
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("c_emb")), Seq("corpus_id"))
+      .filter(call_function("cosine_sim", col("b_emb"), col("c_emb")) >= threshold)
+      .select(col("vec_id")).distinct()
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding

@@ -1500,6 +1500,57 @@ object LlmQueries {
         |WHERE doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)
     )),
 
+    // Embedding twin of stream_media_dedup — the fourth member of the
+    // streaming incremental-dedup quartet (text shingles, image dHash,
+    // audio fingerprint, embedding cosine): corpus = every tenth vector;
+    // incoming vectors drop when Dedup.embeddingMatchedIds finds a corpus
+    // neighbor at cosine ≥ 0.45 through the shared hyperplane-LSH band
+    // index. The signature bank is seeded-xorshift (not SQL-expressible),
+    // so the entry materializes its correctness contract as verdict rows
+    // (the dedup_embedding_lsh pattern): precision is absolute (every
+    // emitted match re-verified ⊆ the brute-force cross match set),
+    // recall clears a floor, and survivors + matched partition the
+    // incoming set. StreamOps.embeddingDedupAgainstCorpus runs the same
+    // matcher per micro-batch (StreamingSpec parity test).
+    "stream_embedding_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val tau = 0.45
+        val corpus = e.filter(col("vec_id") % 10 === 0)
+        val incoming = e.filter(col("vec_id") % 10 =!= 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val matched = Dedup.embeddingMatchedIds(corpus, incoming, dim = 64, tau)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.functions.GraftFunctions.register(s)
+        val brute = incoming.as("b")
+          .crossJoin(corpus.select(col("vec_id").as("cid"),
+            col("embedding").as("c_emb")))
+          .filter(call_function("cosine_sim", col("b.embedding"), col("c_emb")) >= tau)
+          .select(col("b.vec_id")).distinct()
+        val total = incoming.agg(count(lit(1)).as("value"))
+          .select(lit("incoming_vectors").as("metric"), col("value").cast("long").as("value"))
+        val prec = matched.join(brute, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("precision_violations").as("metric"), col("value").cast("long").as("value"))
+        val recall = matched.agg(count(lit(1)).as("f"))
+          .crossJoin(brute.agg(count(lit(1)).as("t")))
+          .select(lit("recall_floor_50_met").as("metric"),
+            (col("f") * 100 >= col("t") * 50).cast("long").as("value"))
+        val partition = incoming.join(matched, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("s"))
+          .crossJoin(matched.agg(count(lit(1)).as("m")))
+          .crossJoin(incoming.agg(count(lit(1)).as("n")))
+          .select(lit("survivors_plus_matched_is_incoming").as("metric"),
+            (col("s") + col("m") === col("n")).cast("long").as("value"))
+        total.unionAll(prec).unionAll(recall).unionAll(partition)
+      },
+      Some("""SELECT 'incoming_vectors' AS metric,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 != 0) AS BIGINT) AS value
+        |UNION ALL SELECT 'precision_violations', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'recall_floor_50_met', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'survivors_plus_matched_is_incoming', CAST(1 AS BIGINT)""".stripMargin)
+    )),
+
     // Lossy-codec triage — the codec real corpora actually use: real
     // ImageIO JPEG encode (TYPE_BYTE_GRAY, q=0.95) of the formula bitmap,
     // real decode back. Geometry (decoder-reported width/height/bands) is

@@ -214,6 +214,43 @@ object StreamOps {
       }
   }
 
+  /** Vector twin of [[dedupAgainstCorpus]] — completes the streaming
+    * incremental-dedup quartet (text shingles, image dHash, audio
+    * fingerprint, embedding cosine): each micro-batch of `(vec_id,
+    * embedding)` rows is dropped when
+    * [[graft.operators.Dedup.embeddingMatchedIds]] finds a corpus vector at
+    * cosine ≥ `threshold` through the shared hyperplane-LSH band index.
+    * Survivors go to `sink`; per-batch semantics as the other three
+    * (batch-internal dups pass through — the nightly compaction's job).
+    *
+    * At scale `corpus` is the persisted embedding table next to its
+    * signature index; the band join shuffles ids+buckets only and the
+    * bounded verification joins embeddings back by id — a batch of new
+    * vectors never crosses a shuffle with its float payload replicated
+    * per band.
+    */
+  def embeddingDedupAgainstCorpus(vecs: DataFrame, corpus: DataFrame,
+                                  sink: DataFrame => Unit, dim: Int,
+                                  threshold: Double = 0.45):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // static index: signature-banded once per query, not per batch
+    // (caller-must-clear-cache: it lives as long as the streaming query)
+    val corpusRel = corpus.persist(lvl)
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch embeddings are read twice (band join + verify); persist for
+        // the batch, release before the next — no cache growth
+        val b = batch.persist(lvl)
+        try {
+          val matched = graft.operators.Dedup
+            .embeddingMatchedIds(corpusRel, b, dim, threshold)
+          sink(b.join(matched, Seq("vec_id"), "left_anti"))
+        } finally b.unpersist()
+      }
+  }
+
   // ---- custom state: gap-based sessionization --------------------------
 
   final case class SessionEvent(user_id: Long, ts_ms: Long, value: Double)

@@ -715,6 +715,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(501L, 503L))
   }
 
+  test("streaming embedding dedup drops corpus cosine matches across micro-batches") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamOps
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val dim = 8
+    val corpus = Seq(
+      (0L, vec(1, 0, 0, 0, 0, 0, 0, 0)),
+      (1L, vec(0, 1, 0, 0, 0, 0, 0, 0))).toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val q = StreamOps.embeddingDedupAgainstCorpus(
+        input.toDF().toDF("vec_id", "embedding"), corpus,
+        batch => survivors ++= batch.select("vec_id").collect().map(_.getLong(0)),
+        dim = dim)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // 100: near-dup of corpus vector 0 (cosine ≈ 0.995) — dropped;
+      // 101: orthogonal to both corpus vectors (cosine 0) — survives
+      input.addData(
+        (100L, vec(0.99, 0.1, 0, 0, 0, 0, 0, 0)),
+        (101L, vec(0, 0, 1, 0, 0, 0, 0, 0)))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(101L), s"batch 1: $survivors")
+      // per-batch semantics: a later batch still dedups against the corpus
+      input.addData(
+        (102L, vec(0.1, 0.99, 0, 0, 0, 0, 0, 0)),
+        (103L, vec(0, 0, 0, 1, 0, 0, 0, 0)))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(101L, 103L), s"batch 2: $survivors")
+    } finally q.stop()
+    // parity with the batch twin
+    val incoming = Seq(
+      (100L, vec(0.99, 0.1, 0, 0, 0, 0, 0, 0)),
+      (101L, vec(0, 0, 1, 0, 0, 0, 0, 0)),
+      (102L, vec(0.1, 0.99, 0, 0, 0, 0, 0, 0)),
+      (103L, vec(0, 0, 0, 1, 0, 0, 0, 0))).toDF("vec_id", "embedding")
+    val matched = Dedup.embeddingMatchedIds(corpus, incoming, dim, threshold = 0.45)
+    assert(incoming.join(matched, Seq("vec_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet == Set(101L, 103L))
+  }
+
   test("AvailableNow drain processes the backlog, terminates, and resumes incrementally") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-drain").toString
