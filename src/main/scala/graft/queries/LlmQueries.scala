@@ -387,6 +387,86 @@ object LlmQueries {
         |UNION ALL SELECT 'recall_floor_50_met', CAST(1 AS BIGINT)""".stripMargin)
     )),
 
+    // Transitive SEMANTIC clusters: connected components over the exact
+    // cosine pair graph — the embedding-space analog of dedup_clusters
+    // (paraphrase/translation groups instead of shingle-overlap groups).
+    // Same two-phase large-star/small-star CC, same recursive-CTE oracle
+    // shape, pair predicate = list_cosine_similarity ≥ 0.45.
+    "dedup_embedding_clusters" -> ((
+      (s: SparkSession, dir: String) => {
+        val pairs = Dedup.embeddingCosinePairs(emb(s, dir), threshold = 0.45)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        Dedup.connectedComponents(pairs)
+          .select(col("doc_id").as("vec_id"),
+            col("cluster_id").cast("long").as("cluster_id"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |np AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |       WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+        |edges AS (SELECT ia AS a, ib AS b FROM np UNION SELECT ib, ia FROM np),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a)
+        |SELECT node AS vec_id, least(node, min(r)) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin)
+    )),
+
+    // The 100 TB path for semantic clusters: CC over the hyperplane-LSH
+    // pair graph (no all-pairs stage in the production plan). LSH recall
+    // < 1 by design, so label equality with the exact clusters can't hold;
+    // instead the entry materializes the structural contract: LSH pairs
+    // are cosine-verified (⊆ exact pairs), therefore every LSH cluster
+    // must sit INSIDE one exact cluster — refinement_violations counts
+    // LSH clusters spanning two exact components (0 by that argument, and
+    // any CC bug that glues unrelated vectors breaks it). Coverage clears
+    // a floor, and exact_clustered_vectors is recomputed independently by
+    // the oracle's recursive CTE — a cross-engine check of the CC itself.
+    "dedup_embedding_clusters_lsh" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val tau = 0.45
+        val lshLabels = Dedup.connectedComponents(
+            Dedup.embeddingLshPairs(e, dim = 64, tau)
+              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+          .select(col("doc_id").as("vec_id"), col("cluster_id").as("lc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val exactLabels = Dedup.connectedComponents(
+            Dedup.embeddingCosinePairs(e, tau)
+              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+          .select(col("doc_id").as("vec_id"), col("cluster_id").as("xc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val refinement = lshLabels.join(exactLabels, Seq("vec_id"), "left")
+          .groupBy("lc").agg(countDistinct(col("xc")).as("nx"),
+            count(when(col("xc").isNull, 1)).as("missing"))
+          .agg(sum(when(col("nx") > 1, 1).otherwise(0) + col("missing")).as("value"))
+          .select(lit("refinement_violations").as("metric"),
+            coalesce(col("value"), lit(0)).cast("long").as("value"))
+        val exactCount = exactLabels.agg(count(lit(1)).as("value"))
+          .select(lit("exact_clustered_vectors").as("metric"),
+            col("value").cast("long").as("value"))
+        val coverage = lshLabels.agg(count(lit(1)).as("f"))
+          .crossJoin(exactLabels.agg(count(lit(1)).as("t")))
+          .select(lit("coverage_floor_50_met").as("metric"),
+            (col("f") * 100 >= col("t") * 50).cast("long").as("value"))
+        exactCount.unionAll(refinement).unionAll(coverage)
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |np AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |       WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+        |edges AS (SELECT ia AS a, ib AS b FROM np UNION SELECT ib, ia FROM np),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a)
+        |SELECT 'exact_clustered_vectors' AS metric,
+        |  CAST((SELECT count(DISTINCT node) FROM reach) AS BIGINT) AS value
+        |UNION ALL SELECT 'refinement_violations', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'coverage_floor_50_met', CAST(1 AS BIGINT)""".stripMargin)
+    )),
+
     // The one-pass packed quantization record (native quantize_meta): the
     // per-vector ANN index row — codes packed to binary plus the
     // min/scale/code-sum/self-dot scalars. The oracle recomputes every
