@@ -270,15 +270,18 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Graph-ANN top-k: one beam-search hop over the [[knnGraphPivoted]]
-    * k-NN graph — the recall tier between IVF-style cell probing and brute
-    * force. Seeds are the query's own graph edges (cell-bounded, graphK
-    * per query); the beam expands to neighbors-of-neighbors (the
-    * NSW/DiskANN expansion step, truncated to one hop so the plan stays
-    * one static DAG); exact cosine re-ranks the ≤ graphK + graphK²
-    * candidate set to the final top-k. The hop is what recovers misses the
-    * cell partition creates: a true neighbor in a non-probed cell is still
-    * reachable when any shared neighbor bridges the two cells.
+  /** Graph-ANN top-k: `hops` beam-search expansions over the
+    * [[knnGraphPivoted]] k-NN graph — the recall tier between IVF-style
+    * cell probing and brute force. Seeds are the query's own graph edges
+    * (cell-bounded, graphK per query); each hop expands the previous
+    * frontier to its neighbors (the NSW/DiskANN expansion step — the plan
+    * stays one static DAG with one ids-only self-join per hop); exact
+    * cosine re-ranks the ≤ Σ_{h≤hops} graphK^{h+1} candidate set to the
+    * final top-k. Hops recover misses the cell partition creates: a true
+    * neighbor in a non-probed cell is reachable when a chain of bridging
+    * neighbors spans the cells, and each extra hop lengthens the chain the
+    * search can follow (recall is monotone in `hops` by construction —
+    * the candidate set only grows).
     *
     * Everything is deterministic (lowest-id pivots, exact cosine,
     * id tie-breaks), so unlike the KMeans-backed IVF entries this ranking
@@ -294,7 +297,9 @@ object Similarity {
     * Inherits the caller-must-clear-cache contract of the graph build.
     */
   def graphTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                nPivots: Int = 32, nProbe: Int = 4, graphK: Int = 5): DataFrame = {
+                nPivots: Int = 32, nProbe: Int = 4, graphK: Int = 5,
+                hops: Int = 1): DataFrame = {
+    require(hops >= 1, "graphTopK needs at least one expansion hop")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val edges = knnGraphPivoted(corpus, graphK, nPivots, nProbe)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
@@ -304,10 +309,20 @@ object Similarity {
     val qids = broadcast(queries.select(col("vec_id").as("query_id")))
     val seeds = edges.join(qids, col("src") === col("query_id"))
       .select(col("query_id"), col("dst").as("cand"))
-    val hop = seeds.as("s")
-      .join(edges.as("e"), col("s.cand") === col("e.src"))
-      .select(col("s.query_id").as("query_id"), col("e.dst").as("cand"))
-    val beam = seeds.unionAll(hop)
+    // iterative beam expansion: each hop joins the previous frontier to the
+    // ids-only edge relation and dedupes — frontier stays ≤ graphK^(h+1)
+    // rows per query (distinct per hop keeps the blowup additive, not
+    // multiplicative, when hops share neighbors)
+    var frontier = seeds
+    var beam = seeds
+    for (_ <- 1 to hops) {
+      frontier = frontier.as("s")
+        .join(edges.as("e"), col("s.cand") === col("e.src"))
+        .select(col("s.query_id").as("query_id"), col("e.dst").as("cand"))
+        .distinct()
+      beam = beam.unionAll(frontier)
+    }
+    beam = beam
       .filter(col("cand") =!= col("query_id"))
       .distinct()
     val rescored = beam

@@ -2396,6 +2396,61 @@ object LlmQueries {
         |FROM rescored QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // Two-hop beam: the same graph search with one more frontier
+    // expansion — neighbors-of-neighbors-of-neighbors, ≤ graphK+graphK²
+    // +graphK³ candidates per query, still ids-only self-joins of the edge
+    // relation. Recall is monotone in hops by construction (the candidate
+    // set only grows — ScaleSpec asserts it against the 1-hop tier); this
+    // is the knob a 100 TB deployment turns instead of raising nProbe,
+    // because hops follow the neighborhood structure while probes re-scan
+    // whole cells. Ranking replays exactly in SQL (hop2 CTE added).
+    "ann_graph_multihop" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.graphTopK(e, e.filter(col("vec_id") < 8), k = 5,
+            nPivots = 32, nProbe = 4, graphK = 5, hops = 2)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p),
+        |cell AS (SELECT vec_id AS neighbor_id, pid AS cluster FROM r WHERE pr = 1),
+        |probes AS (SELECT vec_id AS query_id, pid AS cluster FROM r WHERE pr <= 4),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id),
+        |g AS (
+        |  SELECT query_id AS src, neighbor_id AS dst,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 5),
+        |seeds AS (SELECT src AS query_id, dst AS cand FROM g WHERE src < 8),
+        |hop1 AS (SELECT DISTINCT s.query_id, g2.dst AS cand
+        |         FROM seeds s JOIN g g2 ON g2.src = s.cand),
+        |hop2 AS (SELECT DISTINCT h.query_id, g3.dst AS cand
+        |         FROM hop1 h JOIN g g3 ON g3.src = h.cand),
+        |beam AS (
+        |  SELECT DISTINCT query_id, cand
+        |  FROM (SELECT * FROM seeds UNION ALL SELECT * FROM hop1
+        |        UNION ALL SELECT * FROM hop2)
+        |  WHERE cand <> query_id),
+        |rescored AS (
+        |  SELECT b.query_id, b.cand AS neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM beam b JOIN e q ON q.vec_id = b.query_id
+        |  JOIN e n ON n.vec_id = b.cand)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM rescored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
     // Greedy sequence packing — the LLM-training "sample packing" step:
     // fill a 256-token context window doc-by-doc in doc_id order within
     // each source, opening a new bin when the next doc would overflow

@@ -186,6 +186,15 @@ class ScaleSpec extends SparkSpec {
       s"beam recall $beamHits fell below cell-probe recall $cellHits")
     val total = exact.count()
     assert(beamHits * 100 >= total * 40, s"graph-ANN recall $beamHits/$total below 40%")
+    // the multi-hop tier only ADDS candidates (each hop unions another
+    // frontier expansion before the same exact re-rank), so recall is
+    // monotone in hops — the contract ann_graph_multihop rests on
+    val twoHop = Similarity.graphTopK(emb, queries, k = 5, nPivots = 8,
+      nProbe = 2, graphK = 5, hops = 2)
+    val twoHopHits = twoHop.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    assert(twoHopHits >= beamHits,
+      s"2-hop recall $twoHopHits fell below 1-hop recall $beamHits")
   }
 
   test("repetition signals are a narrow plan (no shuffle)") {
