@@ -1535,6 +1535,91 @@ object AnalyticsQueries {
         |FROM events GROUP BY 1""".stripMargin)
     )),
 
+    // Mergeable QUANTILE sketch — the q_hll_merge persist-daily/
+    // rollup-anywhere pattern for medians/percentiles: per-day log₂-bucket
+    // histograms (bucket = bit length of the value in cents — pure integer,
+    // so the sketch is deterministic and engine-portable, unlike
+    // KLL/t-digest whose compaction is randomized), merged per event type
+    // by plain addition — Spark's partial aggregation IS the merge. The
+    // median estimate is the first bucket whose cumulative count reaches
+    // rank ⌈n/2⌉, with a factor-of-2 guarantee by construction
+    // ([2^(b-1), 2^b-1] brackets the true median). Every output column —
+    // including the exact discrete median (same min-cents-at-rank rule both
+    // engines) and the containment verdict — is exactly SQL-replayable; at
+    // 100 TB the daily partials persist at ≤64 rows/key/day and any rollup
+    // window is integer addition, never a value re-scan.
+    "q_quantile_hist_merge" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        val cents = floor(col("value") * 100).cast("long")
+        val bucket = when(cents <= 0, lit(0L))
+          .otherwise(length(bin(cents)).cast("long"))
+        // level 1: per-day partial histograms (what a pipeline persists)
+        val daily = ev
+          .select(col("event_type"), to_date(col("ts")).as("day"), bucket.as("bucket"))
+          .groupBy("event_type", "day", "bucket").agg(count(lit(1)).as("pc"))
+        // level 2: merge across days = integer addition
+        val merged = daily.groupBy("event_type", "bucket").agg(sum("pc").as("cnt"))
+        val totals = merged.groupBy("event_type").agg(sum("cnt").as("n"))
+        val wb = Window.partitionBy("event_type").orderBy("bucket")
+        val medianBucket = merged
+          .withColumn("cum", sum("cnt").over(wb))
+          .join(totals, "event_type")
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy("event_type").agg(min("bucket").as("median_bucket"))
+        // exact discrete median, same rank rule (min value with cum >= r)
+        val wc = Window.partitionBy("event_type").orderBy("cents")
+        val exactMedian = ev
+          .select(col("event_type"), cents.as("cents"))
+          .groupBy("event_type", "cents").agg(count(lit(1)).as("cc"))
+          .withColumn("cum", sum("cc").over(wc))
+          .join(totals, "event_type")
+          .filter(col("cum") >= expr("(n + 1) div 2"))
+          .groupBy("event_type").agg(min("cents").as("exact_median_cents"))
+        totals.join(medianBucket, "event_type").join(exactMedian, "event_type")
+          .select(col("event_type"), col("n").cast("long").as("n_values"),
+            col("median_bucket"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(median_bucket - 1 AS INT))")
+              .as("bucket_lo_cents"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(median_bucket AS INT)) - 1")
+              .as("bucket_hi_cents"),
+            col("exact_median_cents"),
+            col("exact_median_cents").between(
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(median_bucket - 1 AS INT))"),
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(median_bucket AS INT)) - 1"))
+              .as("sketch_bounds_exact_median"))
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+        |              CAST(ts AS DATE) AS day FROM events),
+        |daily AS (SELECT event_type, day,
+        |    CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END AS bucket,
+        |    count(*) AS pc
+        |  FROM c GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(sum(pc) AS BIGINT) AS cnt FROM daily GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM merged GROUP BY 1),
+        |cum AS (SELECT event_type, bucket,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum FROM merged),
+        |medb AS (SELECT cum.event_type, min(cum.bucket) AS median_bucket
+        |  FROM cum JOIN tot USING (event_type)
+        |  WHERE cum.cum >= (tot.n + 1) // 2 GROUP BY 1),
+        |vc AS (SELECT event_type, cents, count(*) AS cc FROM c GROUP BY 1, 2),
+        |vcum AS (SELECT event_type, cents,
+        |    sum(cc) OVER (PARTITION BY event_type ORDER BY cents) AS cum FROM vc),
+        |med AS (SELECT vcum.event_type, min(vcum.cents) AS exact_median_cents
+        |  FROM vcum JOIN tot USING (event_type)
+        |  WHERE vcum.cum >= (tot.n + 1) // 2 GROUP BY 1)
+        |SELECT tot.event_type, tot.n AS n_values, medb.median_bucket,
+        |  CAST(1 AS BIGINT) << CAST(medb.median_bucket - 1 AS INT) AS bucket_lo_cents,
+        |  (CAST(1 AS BIGINT) << CAST(medb.median_bucket AS INT)) - 1 AS bucket_hi_cents,
+        |  med.exact_median_cents,
+        |  med.exact_median_cents
+        |    BETWEEN (CAST(1 AS BIGINT) << CAST(medb.median_bucket - 1 AS INT))
+        |    AND ((CAST(1 AS BIGINT) << CAST(medb.median_bucket AS INT)) - 1)
+        |    AS sketch_bounds_exact_median
+        |FROM tot JOIN medb USING (event_type) JOIN med USING (event_type)""".stripMargin)
+    )),
+
     // cume_dist window breadth: what fraction of same-priority orders are
     // at or below this price. Tie semantics (all rows of an equal value
     // share the proportion counting every one of them) are part of the
