@@ -306,6 +306,23 @@ object TextAnalysis {
       .select(col("freq"), explode(col("toks")).as("token"))
       .groupBy("token").agg(sum("freq").cast("long").as("occurrences"))
 
+  /** Corpus-scale application of the trained tokenizer: per-document BPE
+    * token and word counts. The trained per-word tokenization is
+    * VOCABULARY-sized, so it broadcasts; the corpus-sized side is one scan
+    * exploding words and a per-doc sum — tokenizing 100 TB is a broadcast
+    * hash join at scan speed, never a per-row merge loop.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val wordTokens = bpeLoop(docs, rounds)._1
+      .select(col("wd"), size(col("toks")).cast("long").as("wtoks"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 1)
+      .join(broadcast(wordTokens), "wd")
+      .groupBy("doc_id")
+      .agg(sum("wtoks").cast("long").as("bpe_tokens"),
+        count(lit(1)).cast("long").as("words"))
+  }
+
   /** Shared merge loop: returns (final vocab relation `(wd, freq, toks)`,
     * per-round 1-row merge relations). Stops early if the vocabulary merges
     * to single tokens before `rounds` — the merge table just ends, exactly

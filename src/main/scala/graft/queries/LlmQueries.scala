@@ -2739,6 +2739,26 @@ object LlmQueries {
         s"SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS occurrences FROM t$bpeRounds GROUP BY tok"))
     )),
 
+    // Applying the trained tokenizer at CORPUS scale: per-doc BPE token
+    // counts (the number a data-mixing/packing pipeline budgets by). The
+    // trained per-word tokenization is vocabulary-sized and BROADCASTS;
+    // the corpus side is one scan + a per-doc sum — so tokenizing 100 TB
+    // is a broadcast hash join at scan speed, never a per-row merge loop.
+    // Completes the family: pairs (statistic) → train (merge table) →
+    // vocab (tokens) → encode (application).
+    "text_bpe_encode" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpeEncode(docs(s, dir), rounds = bpeRounds),
+      Some(bpeOracleSql(bpeRounds,
+        s""",wt AS (SELECT wd, CAST(count(*) AS BIGINT) AS wtoks FROM t$bpeRounds GROUP BY wd),
+           |dw AS (SELECT doc_id, wd FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents)
+           |  WHERE length(wd) >= 1)
+           |SELECT doc_id, CAST(sum(wtoks) AS BIGINT) AS bpe_tokens,
+           |  CAST(count(*) AS BIGINT) AS words
+           |FROM dw JOIN wt USING (wd) GROUP BY doc_id""".stripMargin))
+    )),
+
     // Skipgram co-occurrence counts (window ±2, distance-weighted 2/1,
     // direction-normalized) — the statistics a GloVe/word2vec-style
     // embedding pretrain consumes, and the corpus-level companion to
