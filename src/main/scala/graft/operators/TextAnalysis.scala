@@ -78,6 +78,45 @@ object TextAnalysis {
         (size(array_distinct(t)).cast("long") * 1000L >= lit(minUniqX1000.toLong) * size(t)))
   }
 
+  /** Fixed-weight quality CLASSIFIER inference — the model-scoring shape a
+    * curation pipeline runs over every document (CCNet/fastText-style
+    * linear scoring, here over the interpretable Gopher/C4 signal family
+    * instead of hashed n-grams): logit = w·x over integer per-mille
+    * features, emitted in micros so the score is a pure integer linear
+    * combination — order-free, engine-exact, and the keep/drop class falls
+    * out of `logit > 0` without ever evaluating the (monotone) sigmoid.
+    * Pure column algebra: no shuffle, no UDF, codegen end-to-end — model
+    * inference at scan speed, which is the entire point of linear scorers
+    * at 100 TB.
+    */
+  def qualityLogit(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val stop = array(stopwords.map(lit): _*)
+    val tok = size(t).cast("long")
+    def pm(cnt: Column): Column =
+      when(tok === 0, lit(0L)).otherwise(floor(cnt * 1000L / tok)).cast("long")
+    val uniqPm = pm(size(array_distinct(t)).cast("long"))
+    val stopPm = pm(size(filter(t, w => array_contains(stop, w))).cast("long"))
+    val longPm = pm(size(filter(t, w => length(w) > 5)).cast("long"))
+    // dup bigram mass: 1000·(total − distinct)/total bigrams — the looping
+    // signal; 0 for docs too short to have bigrams
+    val grams = ngrams(col("text"), 2)
+    val ng = size(grams).cast("long")
+    val dupPm = when(ng <= 0, lit(0L))
+      .otherwise(floor((ng - size(array_distinct(grams)).cast("long")) * 1000L / ng))
+      .cast("long")
+    // published model weights (micros per per-mille unit); length enters
+    // saturated at 500 tokens so giant docs don't dominate the score
+    val logit = lit(-1100000L) +
+      lit(1000L) * least(tok, lit(500L)) +
+      lit(2000L) * uniqPm +
+      lit(900L) * stopPm +
+      lit(600L) * longPm -
+      lit(1500L) * dupPm
+    docs.select(col("doc_id"), logit.as("logit_micro"),
+      (logit > 0L).as("keep"))
+  }
+
   /** Intra-document repetition signals (the Gopher-rule family): total /
     * distinct word-n-gram counts and the count of the single most repeated
     * n-gram. High (total − distinct) or a dominant top gram marks the

@@ -729,6 +729,41 @@ object LlmQueries {
         |FROM t""".stripMargin)
     )),
 
+    // Quality-classifier INFERENCE (CCNet/fastText-shape linear scoring
+    // over the interpretable Gopher/C4 signal family): logit = w·x on
+    // integer per-mille features — saturated length, lexical diversity,
+    // stopword and long-word density, dup-bigram mass — emitted in micros
+    // so the score is one exact integer linear combination and the
+    // keep/drop class is `logit > 0` (sigmoid is monotone, never
+    // evaluated). Pure column algebra at scan speed, the reason linear
+    // scorers are the 100 TB curation workhorse. Both engines compute
+    // the dup-bigram statistic over the same '|'-joined representation,
+    // so the distinct-count agrees byte-for-byte.
+    "text_quality_logit" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.qualityLogit(docs(s, dir)),
+      Some("""WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN [] ELSE string_split(text, ' ') END AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       ELSE len(list_distinct(toks)) * 1000 // len(toks) END AS uniq_pm,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       ELSE len(list_filter(toks, w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1000 // len(toks) END AS stop_pm,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       ELSE len(list_filter(toks, w -> length(w) > 5)) * 1000 // len(toks) END AS long_pm,
+        |  CASE WHEN len(toks) < 2 THEN 0
+        |       ELSE (len(toks) - 1 - len(list_distinct(list_transform(range(1, len(toks)),
+        |              i -> toks[i] || '|' || toks[i + 1])))) * 1000 // (len(toks) - 1) END AS dup_pm
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(-1100000 + 1000 * least(tok, 500) + 2000 * uniq_pm + 900 * stop_pm
+        |       + 600 * long_pm - 1500 * dup_pm AS BIGINT) AS logit_micro,
+        |  (-1100000 + 1000 * least(tok, 500) + 2000 * uniq_pm + 900 * stop_pm
+        |       + 600 * long_pm - 1500 * dup_pm) > 0 AS keep
+        |FROM f""".stripMargin)
+    )),
+
     // BPE-ish token estimate: alnum runs + non-space symbol count — the
     // cheap pre-tokenizer count used for corpus budgeting.
     "text_token_bpe" -> ((
