@@ -326,15 +326,15 @@ object TextAnalysis {
     * aggregate-over-vocab shape that makes merge rounds affordable at
     * 100 TB, where vocab is ~1e7 rows against ~1e12 corpus tokens). Per
     * round: one vocab-sized hash aggregate (pair counts), a 1-row top-1
-    * (TakeOrderedAndProject, no global sort), and a partition-local fold
-    * to apply the merge — no driver-side data beyond the per-round
-    * emptiness check on the 1-row best relation. Lineage is truncated with
-    * one eager localCheckpoint per round (the CC-fixpoint discipline);
-    * round count is a hyperparameter (real vocabularies: 3e4-1e5 merges),
-    * so the loop is bounded by construction.
+    * (TakeOrderedAndProject, no global sort) collected to the driver — the
+    * merge table is driver-sized model state by nature, see [[bpeLoop]] —
+    * and a partition-local fold to apply the merge. Lineage is truncated
+    * with one eager localCheckpoint per round (the CC-fixpoint
+    * discipline); round count is a hyperparameter (real vocabularies:
+    * 3e4-1e5 merges), so the loop is bounded by construction.
     */
   def bpeTrain(docs: DataFrame, rounds: Int): DataFrame =
-    bpeLoop(docs, rounds)._2.reduce(_ unionAll _)
+    bpeLoop(docs, rounds)._2
 
   /** The vocabulary after [[bpeTrain]]'s merges: every distinct TOKEN the
     * trained tokenizer can emit, with its corpus occurrence count — the
@@ -363,12 +363,22 @@ object TextAnalysis {
   }
 
   /** Shared merge loop: returns (final vocab relation `(wd, freq, toks)`,
-    * per-round 1-row merge relations). Stops early if the vocabulary merges
-    * to single tokens before `rounds` — the merge table just ends, exactly
-    * like real BPE training on a tiny corpus.
+    * the merge table). Stops early if the vocabulary merges to single
+    * tokens before `rounds` — the merge table just ends, exactly like real
+    * BPE training on a tiny corpus.
+    *
+    * The per-round best pair is COLLECTED (one row per round): the merge
+    * table is driver-resident by nature — it IS the trained tokenizer
+    * artifact, 3e4-1e5 rows in a real run, the same driver-sized model
+    * state a KMeans fit or a bloom-filter build holds — and inlining the
+    * pair as literals halves the per-round job count versus keeping the
+    * 1-row relation distributed (no best-pair checkpoint, no separate
+    * emptiness action). The corpus- and vocabulary-sized relations never
+    * leave the cluster.
     */
-  private def bpeLoop(docs: DataFrame, rounds: Int): (DataFrame, Seq[DataFrame]) = {
+  private def bpeLoop(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "BPE training needs at least one merge round")
+    val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col("text"), " ")).as("wd"))
       .filter(length(col("wd")) >= 1)
@@ -377,30 +387,32 @@ object TextAnalysis {
       .select(col("wd"), col("freq"),
         expr("transform(sequence(1, length(wd)), i -> substr(wd, i, 1))").as("toks"))
       .localCheckpoint(true)
-    val merged = Seq.newBuilder[DataFrame]
+    val merged = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val pairs = vocab
+      val best = vocab
         .filter(size(col("toks")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS pa, toks[i + 1] AS pb))")).as("p"))
         .groupBy("p.pa", "p.pb").agg(sum("freq").as("wsum"))
-      val best = pairs
         .orderBy(col("wsum").desc, col("pa").asc, col("pb").asc).limit(1)
-        .localCheckpoint(true)
+        .collect()
       if (best.isEmpty) {
         exhausted = true
       } else {
-        merged += best.select(lit(r.toLong).as("round"), col("pa").as("pair_a"),
-          col("pb").as("pair_b"), col("wsum").cast("long").as("wsum"))
+        val (pa, pb, wsum) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merged += ((r.toLong, pa, pb, wsum))
         vocab = vocab
-          .crossJoin(broadcast(best.select(col("pa"), col("pb"))))
+          .withColumn("pa", lit(pa)).withColumn("pb", lit(pb))
           .select(col("wd"), col("freq"), applyMergeExpr.as("toks"))
           .localCheckpoint(true)
         r += 1
       }
     }
-    (vocab, merged.result())
+    val sess = spark
+    import sess.implicits._
+    (vocab, merged.result().toDF("round", "pair_a", "pair_b", "wsum"))
   }
 }
