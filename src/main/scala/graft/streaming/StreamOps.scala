@@ -62,6 +62,35 @@ object StreamOps {
         col("s._3").as("err"), (col("i") + 1).cast("long").as("rnk"))
   }
 
+  /** Streaming twin of the `q_quantile_hist_merge` sketch: per-window
+    * log₂-bucket histograms of an integer-cents value, maintained
+    * incrementally — each micro-batch's partial counts ADD into the open
+    * window's state (integer addition is the sketch merge, so streaming
+    * partials, daily batch partials, and any rollup are the same
+    * arithmetic). State per open window is ≤ 64 counters per key, the
+    * watermark closes windows, and a quantile read later brackets the true
+    * value within a factor of 2 exactly as in the batch entry. On a batch
+    * frame the same plan is a plain aggregation — how StreamingSpec proves
+    * stream/batch parity.
+    *
+    * Output: (window_start_ms, key, bucket, cnt).
+    */
+  def windowedBucketHistogram(events: DataFrame, keyCol: String,
+                              valueCol: String = "value",
+                              windowLength: String = "1 hour",
+                              watermark: String = "10 minutes"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermark)
+             else events
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val bucket = when(cents <= 0, lit(0L))
+      .otherwise(length(bin(cents)).cast("long"))
+    in.groupBy(window(col("ts"), windowLength), col(keyCol).as("key"),
+        bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(expr("unix_micros(window.start) div 1000").as("window_start_ms"),
+        col("key"), col("bucket"), col("cnt"))
+  }
+
   /** At-least-once → effectively-once: drop re-delivered records by their
     * (topic, partition, offset) identity, keeping state only within the
     * watermark horizon. This is the dedup the reference's

@@ -116,6 +116,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed bucket histogram accumulates sketch partials across micro-batches") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val hist = StreamOps.windowedBucketHistogram(
+      input.toDF().toDF("ts", "event_type", "value"), keyCol = "event_type")
+    val q = hist.writeStream.format("memory").queryName("qhist_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val h0 = 1234566000000L
+      // cents 100 -> bucket 7; cents 250 -> bucket 8; cents 3 -> bucket 2
+      input.addData(
+        (new Timestamp(h0), "click", 1.00),
+        (new Timestamp(h0 + 1000), "click", 2.50))
+      q.processAllAvailable()
+      // second micro-batch ADDS into the same open window (merge = addition)
+      input.addData(
+        (new Timestamp(h0 + 2000), "click", 1.00),
+        (new Timestamp(h0 + 3000), "view", 0.03))
+      q.processAllAvailable()
+      val rows = spark.table("qhist_stream").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+        .toSet
+      assert(rows == Set(("click", 7L, 2L), ("click", 8L, 1L), ("view", 2L, 1L)),
+        s"got $rows")
+      // batch parity: the same plan on a static frame gives the same counts
+      val batch = StreamOps.windowedBucketHistogram(
+        Seq((new Timestamp(h0), "click", 1.00),
+          (new Timestamp(h0 + 1000), "click", 2.50),
+          (new Timestamp(h0 + 2000), "click", 1.00),
+          (new Timestamp(h0 + 3000), "view", 0.03))
+          .toDF("ts", "event_type", "value"), keyCol = "event_type")
+        .select("key", "bucket", "cnt")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes redelivered records by identity") {
     import graft.streaming.StreamOps
     val input = MemoryStream[KafkaRecord](spark)
