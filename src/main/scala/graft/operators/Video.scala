@@ -1,0 +1,182 @@
+package graft.operators
+
+import java.awt.image.{BufferedImage, IndexColorModel}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Real video-content operators — the temporal third of the multimodal
+  * pillar (images: [[Imaging]], audio: [[Audio]]). A "video" here is a real
+  * multi-frame container: an animated GIF written and read through the
+  * JDK's `javax.imageio` GIF codec. GIF is palette-indexed LZW — lossless —
+  * so with an explicit 256-level gray palette the decoded frames reproduce
+  * the encoded samples bit-for-bit, and the DuckDB oracle can recompute
+  * every downstream number from the closed-form frame formula without ever
+  * seeing the bytes (the same codec-vs-formula cross-check the image and
+  * audio families use; reference's media surface is an opaque byte channel,
+  * `lib.rs` record value passthrough — frame semantics are this rebuild's
+  * extension).
+  *
+  * Frame contract (all integer, exact in both engines):
+  * {{{
+  *   n_frames = 3 + doc_id % 6                        (3..8 frames)
+  *   scene(f) = f / 3                                 (cut every 3 frames)
+  *   v(f,x,y) = (s*31 + x*7 + y*13 + x*y*(s + 3 + 11*scene(f))
+  *               + jitter) % 256,   s = doc_id % 256
+  *   jitter   = 64 when f % 3 == 1 && x == y && x < 4, else 0
+  * }}}
+  * Within a scene, consecutive frames differ only by the 4-pixel diagonal
+  * jitter (a few dHash bits — camera noise); across a scene boundary the
+  * `x*y` coefficient changes (most bits — a hard cut). That separation is
+  * what [[sceneCuts]] detects from hashes alone.
+  *
+  * At 100 TB the shape holds: encode/decode + per-frame hashing is
+  * embarrassingly parallel (`mapPartitions`, codec state per task, no
+  * shuffle, one decode per doc emitting all frames), and everything
+  * downstream — scene cuts, near-dup search — runs on `(doc_id, frame_idx,
+  * hash)` rows, 24 bytes/frame, never pixels. Scene-cut detection is a
+  * per-doc `lag` window: partitioned by doc_id, bounded by frames-per-doc.
+  */
+object Video {
+
+  /** Same fixed canvas as [[Imaging.HashW]]×[[Imaging.HashH]] so the 9×8
+    * dHash block grid is an exact 2×2 sum — no resampling to disagree on.
+    */
+  val W: Int = Imaging.HashW
+  val H: Int = Imaging.HashH
+
+  /** Hamming step between consecutive frame dHashes above which the
+    * transition counts as a hard cut. Within-scene jitter moves 2 block
+    * sums (≤ 3 bits); a scene change re-randomizes most of the 64.
+    */
+  val CutThreshold = 10
+
+  def nFrames(docId: Long): Int = 3 + (docId % 6).toInt
+
+  /** The frame formula — single source of truth, mirrored by the oracle
+    * SQL in LlmQueries. Keep in lockstep.
+    */
+  def framePixel(docId: Long, f: Int, x: Int, y: Int): Int = {
+    val s = (docId % 256).toInt
+    val scene = f / 3
+    val jitter = if (f % 3 == 1 && x == y && x < 4) 64 else 0
+    (s * 31 + x * 7 + y * 13 + x * y * (s + 3 + 11 * scene) + jitter) % 256
+  }
+
+  /** 256-level grayscale palette: index i → RGB(i,i,i). With samples
+    * written as palette indices the GIF LZW roundtrip is lossless.
+    */
+  private val grayPalette: IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Animated GIF for one doc via the JDK's sequence writer: one full-size
+    * indexed frame per `writeToSequence` call (no inter-frame deltas).
+    */
+  def encodeGif(docId: Long): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val n = nFrames(docId)
+    var f = 0
+    while (f < n) {
+      val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) { raster.setSample(x, y, 0, framePixel(docId, f, x, y)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Real codec read-back: all frames of a GIF byte array, decoded once. */
+  def decodeFrames(bytes: Array[Byte]): IndexedSeq[BufferedImage] = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read(_))
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  final case class GifMeta(doc_id: Long, n_frames: Long, width: Long,
+                           height: Long, pix_sum: Long)
+  final case class FrameHash(doc_id: Long, frame_idx: Long, dhash: Long)
+
+  /** Encode → real GIF decode → decoder-reported frame count + geometry +
+    * pixel sum over ALL frames. A container-writer or codec bug shows up
+    * against the formula oracle.
+    */
+  def gifMeta(docIds: Dataset[Long]): Dataset[GifMeta] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val frames = decodeFrames(encodeGif(id))
+        var sum = 0L
+        frames.foreach { img =>
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+            y += 1
+          }
+        }
+        GifMeta(id, frames.size.toLong, frames.head.getWidth.toLong,
+          frames.head.getHeight.toLong, sum)
+      }
+    }
+  }
+
+  /** One decode per doc → per-frame dHash rows. The video analog of
+    * [[Imaging.imageHashes]]; everything downstream is ids+hashes only.
+    */
+  def frameHashes(docIds: Dataset[Long]): Dataset[FrameHash] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodeFrames(encodeGif(id)).zipWithIndex.map { case (img, f) =>
+          FrameHash(id, f.toLong, Imaging.dHash64(img))
+        }
+      }
+    }
+  }
+
+  /** Hard-cut detection from frame hashes alone: hamming step between
+    * consecutive frame dHashes per doc (`lag` window keyed by doc_id —
+    * bounded by frames-per-doc, safe at scale), a step > `threshold` is a
+    * cut. Emits per-doc cut count, max step and total drift — the shot-
+    * boundary triage a video curation pipeline runs before sampling
+    * keyframes.
+    */
+  def sceneCuts(frameHashes: DataFrame, threshold: Int = CutThreshold): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frameHashes
+      .withColumn("prev", lag(col("dhash"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("step", bit_count(expr("dhash ^ prev")).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("step") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        max("step").as("max_step"),
+        sum("step").as("hamming_sum"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Audio, Dedup, Graph, Imaging, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Audio, Dedup, Graph, Imaging, Multimodal, Similarity, TextAnalysis, Video}
 import graft.sources.Sources
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -141,6 +141,34 @@ object LlmQueries {
       |                     WHEN 64*b.bs > t.total THEN CAST(1 AS BIGINT) << CAST(b.by*8 + b.bx AS INT)
       |                     ELSE CAST(0 AS BIGINT) END) AS ahash
       |       FROM blk b JOIN tot t ON b.doc_id = t.doc_id WHERE b.bx < 8 GROUP BY b.doc_id)
+      |""".stripMargin
+
+  /** DuckDB replay of the Video frame formula → per-frame 2×2 block sums →
+    * dHash, shared by the video entries. Mirrors
+    * [[graft.operators.Video.framePixel]] exactly (18×16 canvas, 3..8
+    * frames, scene shift every 3, 4-pixel diagonal jitter on f%3==1); the
+    * Spark side computes the same hashes from GIF-DECODED frames, so
+    * agreement proves the whole animated-container encode→decode→hash path.
+    */
+  private val videoFrameHashCte =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s,
+      |  3 + doc_id % 6 AS nf FROM documents),
+      |fr AS (SELECT doc_id, s, unnest(range(0, nf)) AS f FROM d),
+      |xs AS (SELECT doc_id, s, f, unnest(range(0, 18)) AS x FROM fr),
+      |px AS (SELECT doc_id, s, f, x, unnest(range(0, 16)) AS y FROM xs),
+      |v AS (SELECT doc_id, f, x, y,
+      |        (s*31 + x*7 + y*13 + x*y*(s + 3 + 11*(f // 3))
+      |         + CASE WHEN f % 3 = 1 AND x = y AND x < 4 THEN 64 ELSE 0 END) % 256 AS v
+      |      FROM px),
+      |blk AS (SELECT doc_id, f, x // 2 AS bx, y // 2 AS by, sum(v) AS bs FROM v GROUP BY 1, 2, 3, 4),
+      |cmp AS (SELECT a.doc_id, a.f, a.bx, a.by, CASE WHEN a.bs > b.bs THEN 1 ELSE 0 END AS bit
+      |        FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND a.f = b.f AND a.by = b.by AND b.bx = a.bx + 1
+      |        WHERE a.bx < 8),
+      |fh AS (SELECT doc_id, f,
+      |         bit_or(CASE WHEN bit = 1 AND by*8 + bx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                     WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(by*8 + bx AS INT)
+      |                     ELSE CAST(0 AS BIGINT) END) AS dhash
+      |       FROM cmp GROUP BY 1, 2)
       |""".stripMargin
 
   val defs: Map[String, (Q, Option[String])] = Map(
@@ -1815,6 +1843,65 @@ object LlmQueries {
         |ham AS (SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand)
         |SELECT hamming, CAST(count(*) AS BIGINT) AS pair_cnt
         |FROM ham WHERE hamming <= 16 GROUP BY hamming""".stripMargin)
+    )),
+
+    // --- Real video-content operators (graft.operators.Video) ---------
+    // A "video" is a real multi-frame container: animated GIF written and
+    // decoded through the JDK's javax.imageio GIF codec. GIF is palette-
+    // indexed LZW — lossless — so with an explicit 256-gray palette the
+    // oracle recomputes everything from the closed-form frame formula
+    // (Video scaladoc) without seeing the bytes: codec/container bugs
+    // surface as hash mismatches, never silent agreement.
+
+    // Encode → real GIF decode → decoder-reported frame count, geometry,
+    // and the pixel sum over ALL frames.
+    "media_gif_meta" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Video.gifMeta(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s,
+        |  3 + doc_id % 6 AS nf FROM documents),
+        |fr AS (SELECT doc_id, s, nf, unnest(range(0, nf)) AS f FROM d),
+        |xs AS (SELECT doc_id, s, nf, f, unnest(range(0, 18)) AS x FROM fr),
+        |px AS (SELECT doc_id, s, nf, f, x, unnest(range(0, 16)) AS y FROM xs)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(18 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(sum((s*31 + x*7 + y*13 + x*y*(s + 3 + 11*(f // 3))
+        |    + CASE WHEN f % 3 = 1 AND x = y AND x < 4 THEN 64 ELSE 0 END) % 256) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin)
+    )),
+
+    // One decode per doc → per-frame dHash rows: the content address every
+    // temporal operator (cuts, keyframes, video near-dup) runs on. The
+    // oracle replays frame pixels → 2×2 block sums → gradient bits.
+    "media_video_framehash" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Video.frameHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some(videoFrameHashCte +
+        """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, dhash FROM fh""".stripMargin)
+    )),
+
+    // Hard-cut detection from frame hashes alone: hamming step between
+    // consecutive frame dHashes; a step > 10 is a cut (within-scene
+    // jitter flips ≤ 3 bits, a scene change re-randomizes most of 64).
+    // Per-doc lag window — bounded by frames-per-doc, safe at scale.
+    "media_scene_cuts" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Video.sceneCuts(
+          Video.frameHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF())
+      },
+      Some(videoFrameHashCte +
+        """, steps AS (SELECT doc_id, f,
+          |  CAST(bit_count(xor(dhash, lag(dhash) OVER (PARTITION BY doc_id ORDER BY f))) AS BIGINT) AS step
+          |  FROM fh)
+          |SELECT doc_id,
+          |  CAST(sum(CASE WHEN step > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+          |  max(step) AS max_step, CAST(sum(step) AS BIGINT) AS hamming_sum
+          |FROM steps WHERE step IS NOT NULL GROUP BY doc_id""".stripMargin)
     )),
 
     // Boilerplate share: the per-mille of a document's distinct shingles
