@@ -2387,6 +2387,101 @@ object LlmQueries {
         |FROM bg JOIN cond USING (bg) GROUP BY bg.doc_id""".stripMargin)
     )),
 
+    // Trigram LM with stupid backoff (Brants et al. 2007, the web-scale
+    // LM used for perplexity-proxy corpus filtering): train on the even-
+    // doc_id half, score EVERY doc, so held-out docs genuinely fall
+    // through the tiers — trigram → 0.4·bigram → 0.16·unigram → OOV
+    // constant. All counts derive from one trigram-position relation
+    // (each tier normalizes over it), each position's log-prob is the
+    // identical double expression on identical integer inputs in both
+    // engines, floored to millionths, then summed order-free as integers.
+    // Per-tier position counts make the backoff structure itself part of
+    // the oracle. Scale shape: five equi-joins of the position stream
+    // against count tables — none broadcast-forced, because a web-scale
+    // trigram table must be allowed to shuffle-join (same reasoning as
+    // text_unigram_loglik's score table).
+    "text_trigram_backoff" -> ((
+      (s: SparkSession, dir: String) => {
+        val tri = docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> length(x) > 0)").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 2), i -> named_struct(" +
+              "'w1', element_at(t, i), 'w2', element_at(t, i + 1), " +
+              "'w3', element_at(t, i + 2)))")).as("x"))
+          .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"),
+            col("x.w3").as("w3"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val train = tri.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val c3t = train.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+        val ctx = train.groupBy("w1", "w2").agg(count(lit(1)).as("ctxc"))
+        val bo2 = train.groupBy("w2", "w3").agg(count(lit(1)).as("c2e"))
+        val mid = train.groupBy("w2").agg(count(lit(1)).as("c1m"))
+        val uni = train.groupBy("w3").agg(count(lit(1)).as("c1e"))
+        val tot = train.agg(count(lit(1)).as("n"))
+        val scored = tri
+          .join(c3t, Seq("w1", "w2", "w3"), "left")
+          .join(ctx, Seq("w1", "w2"), "left")
+          .join(bo2, Seq("w2", "w3"), "left")
+          .join(mid, Seq("w2"), "left")
+          .join(uni, Seq("w3"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            when(col("c3").isNotNull, lit(3))
+              .when(col("c2e").isNotNull, lit(2))
+              .when(col("c1e").isNotNull, lit(1))
+              .otherwise(lit(0)).as("tier"),
+            when(col("c3").isNotNull,
+              floor(lit(1e6) * log(col("c3").cast("double") / col("ctxc"))))
+              .when(col("c2e").isNotNull,
+                floor(lit(1e6) * log(lit(0.4) * (col("c2e").cast("double") / col("c1m")))))
+              .when(col("c1e").isNotNull,
+                floor(lit(1e6) * log(lit(0.16) * (col("c1e").cast("double") / col("n")))))
+              .otherwise(floor(lit(1e6) * log(lit(0.16) / (col("n") + lit(1)))))
+              .cast("long").as("lp"))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_pos"),
+            sum(when(col("tier") === 3, 1L).otherwise(0L)).as("n_tri"),
+            sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_bi"),
+            sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_uni"),
+            sum(when(col("tier") === 0, 1L).otherwise(0L)).as("n_oov"),
+            sum("lp").cast("long").as("sum_logp_x1e6"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM d WHERE len(t) >= 3),
+        |p AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3 FROM u),
+        |tr AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, count(*) AS ctxc FROM tr GROUP BY 1, 2),
+        |bo2 AS (SELECT w2, w3, count(*) AS c2e FROM tr GROUP BY 1, 2),
+        |mid AS (SELECT w2, count(*) AS c1m FROM tr GROUP BY 1),
+        |uni AS (SELECT w3, count(*) AS c1e FROM tr GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM tr),
+        |sc AS (SELECT p.doc_id,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 3
+        |         WHEN bo2.c2e IS NOT NULL THEN 2
+        |         WHEN uni.c1e IS NOT NULL THEN 1 ELSE 0 END AS tier,
+        |    CASE WHEN c3.c3 IS NOT NULL
+        |           THEN CAST(floor(1e6 * ln(CAST(c3.c3 AS DOUBLE) / ctx.ctxc)) AS BIGINT)
+        |         WHEN bo2.c2e IS NOT NULL
+        |           THEN CAST(floor(1e6 * ln(0.4 * (CAST(bo2.c2e AS DOUBLE) / mid.c1m))) AS BIGINT)
+        |         WHEN uni.c1e IS NOT NULL
+        |           THEN CAST(floor(1e6 * ln(0.16 * (CAST(uni.c1e AS DOUBLE) / tot.n))) AS BIGINT)
+        |         ELSE CAST(floor(1e6 * ln(0.16 / (tot.n + 1))) AS BIGINT) END AS lp
+        |  FROM p LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2)
+        |         LEFT JOIN bo2 USING (w2, w3) LEFT JOIN mid USING (w2)
+        |         LEFT JOIN uni USING (w3) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+        |  CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+        |  CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+        |  CAST(sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(lp) AS BIGINT) AS sum_logp_x1e6
+        |FROM sc GROUP BY doc_id""".stripMargin)
+    )),
+
     // Novelty scoring: what fraction of a document's shingles appear
     // NOWHERE else in the corpus (df = 1) — high novelty marks original
     // content, low novelty marks boilerplate/near-dup mass; data-mixing
