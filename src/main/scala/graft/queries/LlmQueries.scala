@@ -2613,6 +2613,77 @@ object LlmQueries {
         |FROM rescored QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // Recall@k evaluation of the ANN index against brute-force ground
+    // truth — the measurement a pipeline runs before trusting an index at
+    // corpus scale. Uses the graph-beam tier because BOTH rankings replay
+    // exactly in SQL (deterministic pivots + cosine + id tie-breaks), so
+    // unlike the tolerance-band ANN oracles the recall numbers themselves
+    // are oracle-exact per query. Scale shape: the expensive side (exact
+    // ground truth) is restricted to the query sample — the standard
+    // recall-audit design — while the index side stays candidate-bounded.
+    "ann_recall_eval" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val approx = Similarity.graphTopK(e, q, k = 5,
+            nPivots = 32, nProbe = 4, graphK = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val truth = Similarity.bruteForceTopK(e, q, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).cast("long").as("k"),
+            sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          .select(col("query_id"), col("k"), col("n_hit"),
+            expr("n_hit * 100 div k").as("recall_pct"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p),
+        |cell AS (SELECT vec_id AS neighbor_id, pid AS cluster FROM r WHERE pr = 1),
+        |probes AS (SELECT vec_id AS query_id, pid AS cluster FROM r WHERE pr <= 4),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id),
+        |g AS (
+        |  SELECT query_id AS src, neighbor_id AS dst,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 5),
+        |seeds AS (SELECT src AS query_id, dst AS cand FROM g WHERE src < 8),
+        |hop AS (SELECT s.query_id, g2.dst AS cand FROM seeds s JOIN g g2 ON g2.src = s.cand),
+        |beam AS (
+        |  SELECT DISTINCT query_id, cand
+        |  FROM (SELECT * FROM seeds UNION ALL SELECT * FROM hop)
+        |  WHERE cand <> query_id),
+        |rescored AS (
+        |  SELECT b.query_id, b.cand AS neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM beam b JOIN e q ON q.vec_id = b.query_id
+        |  JOIN e n ON n.vec_id = b.cand),
+        |approx AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM rescored QUALIFY rnk <= 5),
+        |truth AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8 QUALIFY rnk <= 5)
+        |SELECT a.query_id, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+        |    // count(*) AS BIGINT) AS recall_pct
+        |FROM approx a LEFT JOIN truth t USING (query_id, neighbor_id)
+        |GROUP BY a.query_id""".stripMargin)
+    )),
+
     // Two-hop beam: the same graph search with one more frontier
     // expansion — neighbors-of-neighbors-of-neighbors, ≤ graphK+graphK²
     // +graphK³ candidates per query, still ids-only self-joins of the edge
