@@ -160,6 +160,30 @@ object Video {
     }
   }
 
+  /** Video-level near-duplicate pairs from frame hashes alone — the clip/
+    * containment detector: two videos are near-dups when they share many
+    * distinct frame hashes, and `containment_pct` (shared ÷ the smaller
+    * video's distinct-frame count) is 100 when one video's content is a
+    * subset of the other's (a clip). The join key IS the frame hash — the
+    * natural bucket, already content-addressed — and the shuffle carries
+    * only (doc_id, dhash). Distinct-per-doc first, so a frame repeated
+    * within one video (static scenes) can't inflate pair multiplicity.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+    val dh = frameHashes.select(col("doc_id"), col("dhash")).distinct()
+    val sizes = dh.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    dh.as("a")
+      .join(dh.as("b"),
+        col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nd").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nd").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared").cast("long").as("n_shared"),
+        expr("n_shared * 100 div least(na, nb)").as("containment_pct"))
+  }
+
   /** Hard-cut detection from frame hashes alone: hamming step between
     * consecutive frame dHashes per doc (`lag` window keyed by doc_id —
     * bounded by frames-per-doc, safe at scale), a step > `threshold` is a

@@ -1904,6 +1904,30 @@ object LlmQueries {
           |FROM steps WHERE step IS NOT NULL GROUP BY doc_id""".stripMargin)
     )),
 
+    // Video-level near-dup / clip containment: pairs sharing >= 2 distinct
+    // frame hashes; containment_pct = shared / smaller video's distinct
+    // frames (100 = one video's content is a subset of the other — a
+    // clip). Join key is the frame hash itself; the shuffle carries only
+    // (doc_id, dhash). The doc_id%256 classes plant whole-video dups and
+    // the 3..8 frame-count spread plants genuine clip-containment pairs.
+    "media_video_neardup" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Video.videoNearDupPairs(
+          Video.frameHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF())
+      },
+      Some(videoFrameHashCte +
+        """, dh AS (SELECT DISTINCT doc_id, dhash FROM fh),
+          |sz AS (SELECT doc_id, count(*) AS nd FROM dh GROUP BY doc_id),
+          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          |       FROM dh a JOIN dh b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+          |  CAST(n_shared * 100 // least(sa.nd, sb.nd) AS BIGINT) AS containment_pct
+          |FROM pr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+          |WHERE n_shared >= 2""".stripMargin)
+    )),
+
     // Boilerplate share: the per-mille of a document's distinct shingles
     // that also appear in at least one OTHER document — high values mean
     // template/boilerplate text even when no pair clears the near-dup

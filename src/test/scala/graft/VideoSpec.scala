@@ -77,6 +77,17 @@ class VideoSpec extends SparkSpec {
     }
   }
 
+  test("videoNearDupPairs: same doc_id%256 class gives 100% containment") {
+    // docs 3 and 259 share s = 3: the shorter video's distinct frames are
+    // a subset of the longer's (same per-scene content, same jitter)
+    val ids = Seq(3L, 259L, 7L).toDS()
+    val pairs = Video.videoNearDupPairs(Video.frameHashes(ids).toDF()).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 3L && p.getLong(1) == 259L)
+    assert(p.getLong(3) == 100L, s"containment ${p.getLong(3)}")
+  }
+
   test("scene-cut plan shuffles hashes, never frames or media bytes") {
     val ids = spark.range(0, 20).as[Long]
     val plan = Video.sceneCuts(Video.frameHashes(ids).toDF())
