@@ -184,6 +184,22 @@ object Video {
         expr("n_shared * 100 div least(na, nb)").as("containment_pct"))
   }
 
+  /** Incoming doc ids whose videos share ≥ `minShared` distinct frame
+    * hashes with a CORPUS frame-hash index — the cross-relation form of
+    * [[videoNearDupPairs]], for incremental ingestion. The corpus side
+    * needs only its distinct hash set (8 bytes/frame-content); the join
+    * moves (doc_id, dhash) rows only.
+    */
+  def videoMatchedIds(corpusFrameHashes: DataFrame, incomingFrameHashes: DataFrame,
+                      minShared: Int = 2): DataFrame = {
+    val corpus = corpusFrameHashes.select(col("dhash")).distinct()
+    incomingFrameHashes.select(col("doc_id"), col("dhash")).distinct()
+      .join(corpus, "dhash")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("doc_id")
+  }
+
   /** Hard-cut detection from frame hashes alone: hamming step between
     * consecutive frame dHashes per doc (`lag` window keyed by doc_id —
     * bounded by frames-per-doc, safe at scale), a step > `threshold` is a

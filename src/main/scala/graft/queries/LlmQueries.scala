@@ -1904,6 +1904,32 @@ object LlmQueries {
           |FROM steps WHERE step IS NOT NULL GROUP BY doc_id""".stripMargin)
     )),
 
+    // Video twin of stream_media_dedup: corpus = every tenth doc's frame
+    // hashes; an incoming video drops when >= 2 of its distinct frame
+    // hashes appear in the corpus index — clip-level dedup, so trimmed or
+    // extended re-uploads still match. Driven per micro-batch by
+    // StreamOps.videoDedupAgainstCorpus (StreamingSpec parity test).
+    // Oracle replays frame formula -> dHash -> distinct -> count-join.
+    "stream_video_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = docs(s, dir).select(col("doc_id"))
+        val corpusFh = Video.frameHashes(
+          d.filter(col("doc_id") % 10 === 0).as[Long]).toDF()
+        val incoming = d.filter(col("doc_id") % 10 =!= 0)
+        val matched = Video.videoMatchedIds(corpusFh,
+          Video.frameHashes(incoming.as[Long]).toDF())
+        incoming.join(matched, Seq("doc_id"), "left_anti")
+      },
+      Some(videoFrameHashCte +
+        """, corp AS (SELECT DISTINCT dhash FROM fh WHERE doc_id % 10 = 0),
+          |inc AS (SELECT DISTINCT doc_id, dhash FROM fh WHERE doc_id % 10 != 0),
+          |m AS (SELECT doc_id FROM inc JOIN corp USING (dhash)
+          |      GROUP BY doc_id HAVING count(*) >= 2)
+          |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM inc)
+          |WHERE doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)
+    )),
+
     // Video-level near-dup / clip containment: pairs sharing >= 2 distinct
     // frame hashes; containment_pct = shared / smaller video's distinct
     // frames (100 = one video's content is a subset of the other — a

@@ -243,6 +243,36 @@ object StreamOps {
       }
   }
 
+  /** Video twin of [[mediaDedupAgainstCorpus]] — the fifth member of the
+    * streaming incremental-dedup family (text shingles, image dHash,
+    * audio fingerprint, embedding cosine, video frame hashes): each
+    * micro-batch of video doc ids is decoded frame-by-frame (one GIF
+    * decode per doc), and a doc drops when
+    * [[graft.operators.Video.videoMatchedIds]] finds ≥ `minShared` of its
+    * distinct frame hashes in the corpus index — clip-level dedup, so a
+    * re-upload that trims or extends a known video still matches. The
+    * corpus index is the distinct frame-hash set: 8 bytes per distinct
+    * frame content.
+    */
+  def videoDedupAgainstCorpus(docIds: DataFrame, corpusFrameHashes: DataFrame,
+                              sink: DataFrame => Unit, minShared: Int = 2):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (caller-must-clear-cache: lives as long as the streaming query)
+    val corpus = corpusFrameHashes.persist(lvl)
+    docIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        val fh = graft.operators.Video
+          .frameHashes(batch.select(col("doc_id")).as[Long]).toDF().persist(lvl)
+        try {
+          val matched = graft.operators.Video.videoMatchedIds(corpus, fh, minShared)
+          sink(batch.join(matched, Seq("doc_id"), "left_anti"))
+        } finally fh.unpersist()
+      }
+  }
+
   /** Vector twin of [[dedupAgainstCorpus]] — completes the streaming
     * incremental-dedup quartet (text shingles, image dHash, audio
     * fingerprint, embedding cosine): each micro-batch of `(vec_id,

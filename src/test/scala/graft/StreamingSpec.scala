@@ -752,6 +752,41 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(501L, 503L))
   }
 
+  test("streaming video dedup drops corpus frame-hash matches across micro-batches") {
+    import graft.operators.Video
+    import graft.streaming.StreamOps
+    val corpusFh = Video.frameHashes(
+      spark.range(0, 500, 10).select(col("id").as("doc_id")).as[Long]).toDF()
+    val input = MemoryStream[Long](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val q = StreamOps.videoDedupAgainstCorpus(
+        input.toDF().toDF("doc_id"), corpusFh,
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // 266 = 10 + 256: same frame class as corpus id 10 — its distinct
+      // frame hashes all appear in the index, dropped. 501 (s = 245,
+      // odd): corpus ids are even, odd-s frame classes are absent —
+      // survives.
+      input.addData(266L, 501L)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(501L), s"batch 1: $survivors")
+      // 296 = 40 + 256: 5 frames / 2 scenes, 4 distinct hashes all in the
+      // corpus via id 40 — dropped. (276 would SURVIVE by design: 3
+      // frames whose scene-0 base and jitter hashes coincide for s=20 —
+      // one distinct hash is below the minShared=2 evidence bar.)
+      input.addData(296L, 503L)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(501L, 503L), s"batch 2: $survivors")
+    } finally q.stop()
+    // parity with the batch twin
+    val incoming = Seq(266L, 501L, 296L, 503L).toDF("doc_id")
+    val matched = Video.videoMatchedIds(corpusFh,
+      Video.frameHashes(incoming.select(col("doc_id")).as[Long]).toDF())
+    assert(incoming.join(matched, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet == Set(501L, 503L))
+  }
+
   test("streaming embedding dedup drops corpus cosine matches across micro-batches") {
     import graft.operators.Dedup
     import graft.streaming.StreamOps
