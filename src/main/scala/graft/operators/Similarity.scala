@@ -469,4 +469,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), approxCos.as("acos"))
     rerankExact(scored, corpus, queries, k, candidateFactor)
   }
+
+  /** Exact-arithmetic Lloyd k-means over integer-quantized embeddings —
+    * the fully-deterministic clustering tier beside the Spark-ML cells of
+    * [[fitCoarseKMeans]] (whose float means are seed- and order-dependent
+    * and can only carry property oracles). Here every number is integer:
+    * vectors quantize to `floor(x·scale)`, squared distances are integer
+    * sums, and centroid updates floor the integer mean — so two unrolled
+    * Lloyd rounds replay bit-for-bit in SQL, assignments included.
+    * (`floor(sum/n)` via double division is exact: |sum| ≤ n·scale·|x| ≪
+    * 2^53 and a non-divisible quotient sits ≥ 1/n away from any integer.)
+    *
+    * Init = the k lowest vec_ids (deterministic); ties in assignment
+    * break toward the lower cluster id; empty clusters drop, as in
+    * textbook Lloyd. Fixed `iters` keeps the plan static — no driver
+    * loop state. Scale shape: assignment is the honest O(n·d·k) join on
+    * the dimension index with an ids-only shuffle; at corpus scale the
+    * cell-restricted variant ([[graft.operators.Dedup.semanticAssignments]])
+    * bounds candidates instead — this operator is the exact tier you run
+    * on the sampled fit set, and the oracle-grade audit of any cheaper
+    * clustering.
+    *
+    * Returns (vec_id, cluster, d2) after `iters` update rounds and a
+    * final assignment. (caller-must-clear-cache: the quantized relation
+    * stays persisted until the result materializes.)
+    */
+  def lloydKMeansQ(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                   scale: Int = 10000): DataFrame = {
+    val u = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * scale).cast("long").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cent: DataFrame): DataFrame = {
+      val d = u.join(cent, "idx")
+        .groupBy(col("vec_id"), col("cl"))
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl"), col("d2"))
+    }
+    var cent = u.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("idx"), col("qv").as("cv"))
+    var a = assign(cent)
+    var i = 0
+    while (i < iters) {
+      cent = u.join(a.select("vec_id", "cl"), "vec_id")
+        .groupBy("cl", "idx")
+        .agg(floor(sum("qv").cast("double") / count(lit(1))).cast("long").as("cv"))
+      a = assign(cent)
+      i += 1
+    }
+    a.select(col("vec_id"), col("cl").as("cluster"), col("d2"))
+  }
 }

@@ -160,6 +160,21 @@ object Video {
     }
   }
 
+  /** Keyframe selection from frame hashes alone: frame 0 plus every frame
+    * whose hamming step from its predecessor exceeds `threshold` (a scene
+    * start) — the frames a vision-training pipeline actually decodes and
+    * embeds, chosen without re-decoding anything. Emits (doc_id,
+    * frame_idx, dhash); same per-doc `lag` window shape as [[sceneCuts]].
+    */
+  def keyframes(frameHashes: DataFrame, threshold: Int = CutThreshold): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frameHashes
+      .withColumn("prev", lag(col("dhash"), 1).over(w))
+      .filter(col("prev").isNull ||
+        bit_count(expr("dhash ^ prev")).cast("long") > threshold)
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+  }
+
   /** Video-level near-duplicate pairs from frame hashes alone — the clip/
     * containment detector: two videos are near-dups when they share many
     * distinct frame hashes, and `containment_pct` (shared ÷ the smaller

@@ -1142,6 +1142,44 @@ object LlmQueries {
     // distributed pipeline computes (the float mean is qsum/n/10⁴
     // downstream). Integer sums are order-independent, so the compare is
     // exact where a float mean would depend on reduction order.
+    // Exact-arithmetic Lloyd k-means, 2 unrolled rounds: init = the 8
+    // lowest vec_ids, integer-quantized vectors, integer squared
+    // distances, floored-integer-mean centroid updates — so the FULL
+    // clustering (assignments AND distances) replays bit-for-bit in SQL,
+    // unlike the Spark-ML KMeans entries whose float means only admit
+    // property oracles. The oracle unrolls c0→a0→c1→a1→c2→final.
+    "vector_kmeans_lloyd" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.lloydKMeansQ(emb(s, dir), k = 8, iters = 2),
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+        |c0 AS (SELECT vec_id AS cl, idx, qv AS cv FROM u WHERE vec_id < 8),
+        |s0 AS (SELECT u.vec_id, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
+        |       FROM u JOIN c0 c USING (idx) GROUP BY 1, 2),
+        |a0 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cl, u.idx,
+        |         CAST(floor(CAST(sum(u.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |       FROM u JOIN a0 a USING (vec_id) GROUP BY 1, 2),
+        |s1 AS (SELECT u.vec_id, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
+        |       FROM u JOIN c1 c USING (idx) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM s1)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT a.cl, u.idx,
+        |         CAST(floor(CAST(sum(u.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |       FROM u JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        |s2 AS (SELECT u.vec_id, c.cl, CAST(sum((u.qv - c.cv) * (u.qv - c.cv)) AS BIGINT) AS d2
+        |       FROM u JOIN c2 c USING (idx) GROUP BY 1, 2)
+        |SELECT vec_id, cl AS cluster, d2 FROM (SELECT vec_id, cl, d2,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM s2)
+        |WHERE rn = 1""".stripMargin)
+    )),
+
     "vector_centroids" -> ((
       (s: SparkSession, dir: String) =>
         emb(s, dir)
@@ -1928,6 +1966,22 @@ object LlmQueries {
           |      GROUP BY doc_id HAVING count(*) >= 2)
           |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM inc)
           |WHERE doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)
+    )),
+
+    // Keyframe selection: frame 0 + every scene start (hamming step > 10
+    // from the previous frame) — the frames a vision pipeline decodes and
+    // embeds downstream, selected from hashes without re-decoding.
+    "media_keyframes" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Video.keyframes(
+          Video.frameHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF())
+      },
+      Some(videoFrameHashCte +
+        """, st AS (SELECT doc_id, f, dhash,
+          |    lag(dhash) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM fh)
+          |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, dhash FROM st
+          |WHERE prev IS NULL OR bit_count(xor(dhash, prev)) > 10""".stripMargin)
     )),
 
     // Video-level near-dup / clip containment: pairs sharing >= 2 distinct
