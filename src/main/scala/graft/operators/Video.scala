@@ -215,6 +215,40 @@ object Video {
       .select("doc_id")
   }
 
+  /** Clip alignment — the video twin of the span-level text dedup
+    * (`Dedup.sharedSpans`): for each near-dup pair, the longest run of
+    * CONSECUTIVE frames matching at a constant index offset. Matches are
+    * (a_idx, b_idx) hash-equality pairs; a run lives on one diagonal
+    * (diag = a_idx − b_idx), found with gaps-and-islands keyed by (pair,
+    * diag) — exactly the diagonal trick the text operator uses on shingle
+    * positions. Emits the best alignment per pair (longest, then lowest
+    * diag/start): where the shared clip sits in both videos — the
+    * surgical coordinates a curation pipeline needs to cut a duplicated
+    * segment rather than drop a whole video. Runs ≥ `minLen` frames.
+    * Shuffles only (ids, frame indices); the hash is the join bucket.
+    */
+  def clipAlignments(frameHashes: DataFrame, minLen: Int = 2): DataFrame = {
+    val fh = frameHashes.select(col("doc_id"), col("frame_idx"), col("dhash"))
+    val m = fh.as("a")
+      .join(fh.as("b"),
+        col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.frame_idx").as("ai"),
+        (col("a.frame_idx") - col("b.frame_idx")).as("diag"))
+      .distinct()
+    val wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ai")
+    val islands = m
+      .withColumn("grp", col("ai") - row_number().over(wd))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("ai").as("start_a"), count(lit(1)).as("len"))
+      .filter(col("len") >= minLen)
+    val wp = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("len").desc, col("diag"), col("start_a"))
+    islands.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("doc_a"), col("doc_b"), col("len").cast("long").as("len"),
+        col("diag").cast("long").as("diag"), col("start_a").cast("long").as("start_a"))
+  }
+
   /** Hard-cut detection from frame hashes alone: hamming step between
     * consecutive frame dHashes per doc (`lag` window keyed by doc_id —
     * bounded by frames-per-doc, safe at scale), a step > `threshold` is a

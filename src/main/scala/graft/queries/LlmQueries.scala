@@ -2008,6 +2008,33 @@ object LlmQueries {
           |WHERE n_shared >= 2""".stripMargin)
     )),
 
+    // Clip alignment — the video twin of text_shared_spans: per near-dup
+    // pair, the longest run of consecutive frames matching at a constant
+    // offset (gaps-and-islands on the match diagonal), i.e. WHERE the
+    // shared clip sits in both videos — the coordinates for cutting a
+    // duplicated segment instead of dropping a whole video.
+    "media_clip_alignment" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Video.clipAlignments(
+          Video.frameHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF())
+      },
+      Some(videoFrameHashCte +
+        """, m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    a.f AS ai, a.f - b.f AS diag
+          |  FROM fh a JOIN fh b ON a.dhash = b.dhash AND a.doc_id < b.doc_id),
+          |isl AS (SELECT doc_a, doc_b, diag,
+          |    ai - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY ai) AS grp,
+          |    ai FROM m),
+          |runs AS (SELECT doc_a, doc_b, diag, grp, min(ai) AS start_a, count(*) AS len
+          |  FROM isl GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+          |SELECT doc_a, doc_b, CAST(len AS BIGINT) AS len,
+          |  CAST(diag AS BIGINT) AS diag, CAST(start_a AS BIGINT) AS start_a
+          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+          |        ORDER BY len DESC, diag, start_a) AS rn FROM runs)
+          |WHERE rn = 1""".stripMargin)
+    )),
+
     // Boilerplate share: the per-mille of a document's distinct shingles
     // that also appear in at least one OTHER document — high values mean
     // template/boilerplate text even when no pair clears the near-dup
