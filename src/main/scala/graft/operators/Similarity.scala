@@ -522,4 +522,46 @@ object Similarity {
     }
     a.select(col("vec_id"), col("cl").as("cluster"), col("d2"))
   }
+
+  /** Product-quantization codebook training: [[lloydKMeansQ]]'s exact
+    * integer Lloyd run independently in each of `nSub` contiguous
+    * `subDim`-dimensional subspaces — one grouped plan, `sub` riding
+    * every key, NOT nSub separate jobs. The per-(vector, subspace) code
+    * assignment IS the PQ encoding; `d2` is that subspace's exact
+    * integer quantization error. Complements `vector_quantize_int8`
+    * (scalar) and `ann_quantized_topk` (which consumes codebooks):
+    * codes take nSub·log₂(k) bits/vector. Same determinism contract as
+    * [[lloydKMeansQ]] — every round replays bit-for-bit in SQL.
+    * (caller-must-clear-cache: the quantized relation stays persisted
+    * until the result materializes.)
+    */
+  def pqTrainQ(emb: DataFrame, nSub: Int = 4, subDim: Int = 16, k: Int = 4,
+               iters: Int = 1, scale: Int = 10000): DataFrame = {
+    val u = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), expr(s"CAST(idx div $subDim AS BIGINT)").as("sub"),
+        col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * scale).cast("long").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assign(cent: DataFrame): DataFrame = {
+      val d = u.join(cent, Seq("sub", "idx"))
+        .groupBy(col("vec_id"), col("sub"), col("cl"))
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cl"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cl"), col("d2"))
+    }
+    var cent = u.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("sub"), col("idx"), col("qv").as("cv"))
+    var a = assign(cent)
+    var i = 0
+    while (i < iters) {
+      cent = u.join(a.select("vec_id", "sub", "cl"), Seq("vec_id", "sub"))
+        .groupBy("cl", "sub", "idx")
+        .agg(floor(sum("qv").cast("double") / count(lit(1))).cast("long").as("cv"))
+      a = assign(cent)
+      i += 1
+    }
+    a.select(col("vec_id"), col("sub").as("subspace"), col("cl").as("code"), col("d2"))
+  }
 }

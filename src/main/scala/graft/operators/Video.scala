@@ -121,6 +121,8 @@ object Video {
   final case class GifMeta(doc_id: Long, n_frames: Long, width: Long,
                            height: Long, pix_sum: Long)
   final case class FrameHash(doc_id: Long, frame_idx: Long, dhash: Long)
+  final case class FrameStats(doc_id: Long, frame_idx: Long,
+                              px_sum: Long, px_sq_sum: Long)
 
   /** Encode → real GIF decode → decoder-reported frame count + geometry +
     * pixel sum over ALL frames. A container-writer or codec bug shows up
@@ -160,6 +162,35 @@ object Video {
     }
   }
 
+  /** One decode per doc → per-frame pixel sum and sum of squares — the
+    * integer moments behind frame-quality triage: contrast
+    * `n·Σx² − (Σx)²` (scaled population variance) is 0 exactly for a
+    * blank frame and low for near-blank ones, the frames a vision
+    * pipeline drops before embedding. All integer, so the quality
+    * numbers replay exactly from the frame formula.
+    */
+  def frameStats(docIds: Dataset[Long]): Dataset[FrameStats] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.flatMap { id =>
+        decodeFrames(encodeGif(id)).zipWithIndex.map { case (img, f) =>
+          var s = 0L
+          var s2 = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = (img.getRGB(x, y) & 0xFF).toLong
+              s += v; s2 += v * v; x += 1
+            }
+            y += 1
+          }
+          FrameStats(id, f.toLong, s, s2)
+        }
+      }
+    }
+  }
+
   /** Keyframe selection from frame hashes alone: frame 0 plus every frame
     * whose hamming step from its predecessor exceeds `threshold` (a scene
     * start) — the frames a vision-training pipeline actually decodes and
@@ -185,7 +216,11 @@ object Video {
     * within one video (static scenes) can't inflate pair multiplicity.
     */
   def videoNearDupPairs(frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+    // the distinct hash relation feeds both sides of the self-join AND the
+    // per-doc sizes — without this the GIF decode pass runs three times
+    // (caller-must-clear-cache: released when the session cache clears)
     val dh = frameHashes.select(col("doc_id"), col("dhash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = dh.groupBy("doc_id").agg(count(lit(1)).as("nd"))
     dh.as("a")
       .join(dh.as("b"),
@@ -228,7 +263,10 @@ object Video {
     * Shuffles only (ids, frame indices); the hash is the join bucket.
     */
   def clipAlignments(frameHashes: DataFrame, minLen: Int = 2): DataFrame = {
+    // both sides of the self-join read this — persist or decode twice
+    // (caller-must-clear-cache: released when the session cache clears)
     val fh = frameHashes.select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = fh.as("a")
       .join(fh.as("b"),
         col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))

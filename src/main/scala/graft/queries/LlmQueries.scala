@@ -1180,6 +1180,37 @@ object LlmQueries {
         |WHERE rn = 1""".stripMargin)
     )),
 
+    // PQ codebook training: the exact Lloyd tier run independently in 4
+    // contiguous 16-dim subspaces as ONE grouped plan (sub rides every
+    // key). The per-(vector, subspace) code IS the PQ encoding (4×2
+    // bits/vector at k=4); d2 is the exact integer quantization error.
+    // One update round unrolled in the oracle: c0→a0→c1→final.
+    "vector_pq_train" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.pqTrainQ(emb(s, dir), nSub = 4, subDim = 16, k = 4, iters = 1),
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
+        |        CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM u WHERE vec_id < 4),
+        |s0 AS (SELECT u.vec_id, u.sub, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
+        |       FROM u JOIN c0 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3),
+        |a0 AS (SELECT vec_id, sub, cl FROM (SELECT vec_id, sub, cl,
+        |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cl) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cl, u.sub, u.idx,
+        |         CAST(floor(CAST(sum(u.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |       FROM u JOIN a0 a ON a.vec_id = u.vec_id AND a.sub = u.sub GROUP BY 1, 2, 3),
+        |s1 AS (SELECT u.vec_id, u.sub, c.cl,
+        |         CAST(sum((u.qv - c.cv) * (u.qv - c.cv)) AS BIGINT) AS d2
+        |       FROM u JOIN c1 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3)
+        |SELECT vec_id, sub AS subspace, cl AS code, d2 FROM (SELECT vec_id, sub, cl, d2,
+        |  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cl) AS rn FROM s1)
+        |WHERE rn = 1""".stripMargin)
+    )),
+
     "vector_centroids" -> ((
       (s: SparkSession, dir: String) =>
         emb(s, dir)
@@ -1966,6 +1997,32 @@ object LlmQueries {
           |      GROUP BY doc_id HAVING count(*) >= 2)
           |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM inc)
           |WHERE doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)
+    )),
+
+    // Frame-quality triage: integer contrast n*sum(x^2) - sum(x)^2 per
+    // frame (0 exactly for a blank frame), the filter a vision pipeline
+    // applies before embedding. All-integer, replayed from the formula.
+    "media_frame_quality" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Video.frameStats(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("px_sum"),
+            (lit(Video.W.toLong * Video.H) * col("px_sq_sum")
+              - col("px_sum") * col("px_sum")).as("contrast"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s,
+        |  3 + doc_id % 6 AS nf FROM documents),
+        |fr AS (SELECT doc_id, s, unnest(range(0, nf)) AS f FROM d),
+        |xs AS (SELECT doc_id, s, f, unnest(range(0, 18)) AS x FROM fr),
+        |px AS (SELECT doc_id, s, f, x, unnest(range(0, 16)) AS y FROM xs),
+        |v AS (SELECT doc_id, f,
+        |        (s*31 + x*7 + y*13 + x*y*(s + 3 + 11*(f // 3))
+        |         + CASE WHEN f % 3 = 1 AND x = y AND x < 4 THEN 64 ELSE 0 END) % 256 AS v
+        |      FROM px)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(288 * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS contrast
+        |FROM v GROUP BY 1, 2""".stripMargin)
     )),
 
     // Keyframe selection: frame 0 + every scene start (hamming step > 10
