@@ -537,6 +537,19 @@ object Similarity {
     */
   def pqTrainQ(emb: DataFrame, nSub: Int = 4, subDim: Int = 16, k: Int = 4,
                iters: Int = 1, scale: Int = 10000): DataFrame = {
+    val (_, _, codes) = pqChainQ(emb, subDim, k, iters, scale)
+    codes.select(col("vec_id"), col("sub").as("subspace"),
+      col("cl").as("code"), col("d2"))
+  }
+
+  /** The shared PQ training chain: quantized relation `u`, final
+    * centroid table `cent` (cl, sub, idx, cv) and final assignments
+    * `codes` (vec_id, sub, cl, d2) after `iters` update rounds.
+    * (caller-must-clear-cache: `u` stays persisted until a result
+    * materializes.)
+    */
+  private def pqChainQ(emb: DataFrame, subDim: Int, k: Int, iters: Int,
+                       scale: Int): (DataFrame, DataFrame, DataFrame) = {
     val u = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
       .select(col("vec_id"), expr(s"CAST(idx div $subDim AS BIGINT)").as("sub"),
@@ -562,6 +575,36 @@ object Similarity {
       a = assign(cent)
       i += 1
     }
-    a.select(col("vec_id"), col("sub").as("subspace"), col("cl").as("code"), col("d2"))
+    (u, cent, a)
+  }
+
+  /** PQ search by asymmetric distance computation (Jégou et al. 2011) —
+    * the tier the codebook exists for. Per query: one tiny integer
+    * distance table (nSub × k entries: exact squared distance from the
+    * query's sub-vector to each centroid), broadcast against the corpus
+    * CODES — the corpus embeddings are never touched at query time,
+    * which is the PQ promise (nSub·log₂k bits per vector in the index).
+    * Every number is integer, so the ranking — approximate by
+    * construction, exact in arithmetic — replays bit-for-bit in SQL,
+    * unlike float-ADC implementations that can only be property-tested.
+    * Tie-breaks: lowest distance, then lowest neighbor id.
+    */
+  def pqAdcTopK(emb: DataFrame, k: Int = 5, nSub: Int = 4, subDim: Int = 16,
+                kCodes: Int = 4, iters: Int = 1, scale: Int = 10000): DataFrame = {
+    val (u, cent, codes) = pqChainQ(emb, subDim, kCodes, iters, scale)
+    val dtab = u.filter(col("vec_id") < 8)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cent, Seq("sub", "idx"))
+      .groupBy(col("query_id"), col("sub"), col("cl"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dq"))
+    val scored = codes.select(col("vec_id"), col("sub"), col("cl"))
+      .join(broadcast(dtab), Seq("sub", "cl"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum("dq").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk").cast("long").as("rnk"), col("adist"))
   }
 }

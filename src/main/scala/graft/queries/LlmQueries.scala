@@ -1211,6 +1211,49 @@ object LlmQueries {
         |WHERE rn = 1""".stripMargin)
     )),
 
+    // PQ search by asymmetric distance computation over the trained
+    // codebook: per query a tiny integer (sub, code) distance table,
+    // broadcast against the corpus CODES — embeddings never touched at
+    // query time (the PQ promise). All-integer, so the approximate
+    // ranking replays bit-for-bit: oracle extends the training chain
+    // with codes -> distance table -> lookup-join -> rank.
+    "ann_pq_adc_topk" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.pqAdcTopK(emb(s, dir), k = 5, nSub = 4, subDim = 16,
+          kCodes = 4, iters = 1),
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
+        |        CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM u WHERE vec_id < 4),
+        |s0 AS (SELECT u.vec_id, u.sub, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
+        |       FROM u JOIN c0 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3),
+        |a0 AS (SELECT vec_id, sub, cl FROM (SELECT vec_id, sub, cl,
+        |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cl) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cl, u.sub, u.idx,
+        |         CAST(floor(CAST(sum(u.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |       FROM u JOIN a0 a ON a.vec_id = u.vec_id AND a.sub = u.sub GROUP BY 1, 2, 3),
+        |s1 AS (SELECT u.vec_id, u.sub, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
+        |       FROM u JOIN c1 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cl FROM (SELECT vec_id, sub, cl,
+        |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cl) AS rn FROM s1)
+        |       WHERE rn = 1),
+        |dtab AS (SELECT q.vec_id AS query_id, c.sub, c.cl,
+        |           sum((q.qv - c.cv) * (q.qv - c.cv)) AS dq
+        |         FROM u q JOIN c1 c ON c.sub = q.sub AND c.idx = q.idx
+        |         WHERE q.vec_id < 8 GROUP BY 1, 2, 3),
+        |sc AS (SELECT d.query_id, k.vec_id, CAST(sum(d.dq) AS BIGINT) AS adist
+        |       FROM codes k JOIN dtab d ON d.sub = k.sub AND d.cl = k.cl
+        |       WHERE d.query_id != k.vec_id GROUP BY 1, 2)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS BIGINT) AS rnk,
+        |  adist
+        |FROM sc QUALIFY rnk <= 5""".stripMargin)
+    )),
+
     "vector_centroids" -> ((
       (s: SparkSession, dir: String) =>
         emb(s, dir)
