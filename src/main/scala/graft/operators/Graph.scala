@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -144,5 +145,41 @@ object Graph {
     und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("node_cnt"))
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), a FIXED number of unrolled rounds — deterministic by
+    * construction: every vertex simultaneously adopts the most frequent
+    * label among its neighbors, ties broken toward the LOWEST label (no
+    * RNG, no visit order), so the rounds replay as plain SQL CTEs.
+    * Communities are finer than connected components (a CC splits where
+    * neighborhood majorities disagree) — the triage between "same
+    * component" and "same template cluster" in a near-dup graph.
+    *
+    * Synchronous LPA can oscillate on bipartite structures; a fixed
+    * round count makes that a defined, replayable output rather than a
+    * convergence hazard. Each round is one shuffle join (labels →
+    * edges) + one (vertex, label) count + one per-vertex arg-max window
+    * keyed by vertex — bounded by degree, never global.
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true) // one lazy plan over `iters` rounds
+    p.unpersist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("community"))
+    for (_ <- 1 to iters) {
+      val counted = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"), col("community"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("community"))
+      labels = counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("community"))
+    }
+    labels
   }
 }

@@ -2434,6 +2434,42 @@ object LlmQueries {
     // the skew diagnostic run before any pair-join composition: a
     // heavy-tailed histogram says the downstream CC/PageRank joins need
     // salting, a flat one says they don't.
+    // Community detection by synchronous label propagation over the
+    // exact-Jaccard near-dup graph, 3 unrolled rounds, ties toward the
+    // lowest label - fully deterministic, so communities replay as SQL
+    // CTEs. Finer than connected components: a CC splits where
+    // neighborhood majorities disagree.
+    "graph_communities_lp" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.labelPropagation(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b")), iters = 3),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |l0 AS (SELECT DISTINCT src AS v, src AS c FROM e),
+        |k1 AS (SELECT e.dst AS v, l.c, count(*) AS cnt FROM e JOIN l0 l ON l.v = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT v, c FROM (SELECT v, c,
+        |  row_number() OVER (PARTITION BY v ORDER BY cnt DESC, c) AS rn FROM k1) WHERE rn = 1),
+        |k2 AS (SELECT e.dst AS v, l.c, count(*) AS cnt FROM e JOIN l1 l ON l.v = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT v, c FROM (SELECT v, c,
+        |  row_number() OVER (PARTITION BY v ORDER BY cnt DESC, c) AS rn FROM k2) WHERE rn = 1),
+        |k3 AS (SELECT e.dst AS v, l.c, count(*) AS cnt FROM e JOIN l2 l ON l.v = e.src GROUP BY 1, 2),
+        |l3 AS (SELECT v, c FROM (SELECT v, c,
+        |  row_number() OVER (PARTITION BY v ORDER BY cnt DESC, c) AS rn FROM k3) WHERE rn = 1)
+        |SELECT v AS doc_id, CAST(c AS BIGINT) AS community FROM l3""".stripMargin)
+    )),
+
     "graph_degrees" -> ((
       (s: SparkSession, dir: String) =>
         Graph.degreeHistogram(
