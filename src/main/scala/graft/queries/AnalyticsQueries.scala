@@ -1241,6 +1241,20 @@ object AnalyticsQueries {
     // pass (a single partial-then-final aggregate computes every column's
     // moments, then `stack` unpivots to the report shape) — profiling a
     // 100 TB table costs one scan, not one scan per column.
+    // k-anonymity triage: quasi-identifier groups (lang, source) with
+    // fewer than k=5 members — the re-identification risk surface a
+    // compliance pass flags before releasing a corpus (complements the
+    // PII scrub, which removes direct identifiers). One hash aggregate.
+    "dq_k_anonymity" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") < 5),
+      Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY lang, source HAVING count(*) < 5""".stripMargin)
+    )),
+
     "dq_profile" -> ((
       (s: SparkSession, dir: String) =>
         t(s, dir, "orders")

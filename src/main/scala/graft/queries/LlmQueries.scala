@@ -2749,6 +2749,28 @@ object LlmQueries {
         |FROM sc GROUP BY doc_id""".stripMargin)
     )),
 
+    // Feature hashing (the hashing trick): tokens folded into 16 buckets
+    // by the first hex digit of md5 — an engine-portable stand-in for the
+    // xxhash bucket a production featurizer uses (Spark's and DuckDB's
+    // md5 agree; their native hashes don't). Emits the sparse count
+    // vector rows a linear model trains on; one narrow scan + aggregate.
+    "text_feature_hashing" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .select(col("doc_id"),
+            expr("CAST(instr('123456789abcdef', substring(md5(tok), 1, 1)) AS BIGINT)").as("bucket"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("cnt")),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0)
+        |SELECT doc_id,
+        |  CAST(strpos('123456789abcdef', substr(md5(tok), 1, 1)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM t GROUP BY 1, 2""".stripMargin)
+    )),
+
     // Novelty scoring: what fraction of a document's shingles appear
     // NOWHERE else in the corpus (df = 1) — high novelty marks original
     // content, low novelty marks boilerplate/near-dup mass; data-mixing

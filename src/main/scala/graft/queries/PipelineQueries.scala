@@ -132,6 +132,36 @@ object PipelineQueries {
       Some(s"""$recordsCte SELECT topic, partition, "offset", ts_ms, record_key, record_value FROM records""")
     )),
 
+    // CSV container roundtrip: write the record relation as CSV (header,
+    // default quoting — the JSON payload column carries commas, quotes and
+    // braces, exactly what CSV escaping must survive), read it back with
+    // an explicit schema, and aggregate. The oracle aggregates the
+    // original relation directly, so any quoting/parsing corruption in
+    // the Spark CSV writer+reader pair breaks the hash. Completes the
+    // format surface beside JSON lines, Avro, parquet and raw bytes.
+    "f7_csv_roundtrip" -> ((
+      (s: SparkSession, dir: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        records(s, dir)
+          .select(col("topic"), col("partition").cast("long").as("partition"),
+            col("offset"), col("ts_ms"), col("key").cast("string").as("record_key"),
+            col("value").cast("string").as("record_value"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("topic STRING, partition BIGINT, offset BIGINT, ts_ms BIGINT, " +
+            "record_key STRING, record_value STRING")
+          .csv(out)
+          .groupBy("partition")
+          .agg(count(lit(1)).as("cnt"), sum("offset").as("sum_offset"),
+            sum(length(col("record_value"))).as("value_chars"))
+      },
+      Some(s"""$recordsCte
+        |SELECT partition, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum("offset") AS BIGINT) AS sum_offset,
+        |  CAST(sum(length(record_value)) AS BIGINT) AS value_chars
+        |FROM records GROUP BY partition""".stripMargin)
+    )),
+
     // Variant-typed querying inside schema-less values (Spark 4's home for
     // the reference's opaque JSON payloads, SURVEY §1.2): parse once, then
     // typed extraction — aggregate the `k` field per partition.
