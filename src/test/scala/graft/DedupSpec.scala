@@ -411,6 +411,47 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pr(4L) - pr(5L)) < 1e-9, s"symmetric pair should tie: $pr")
   }
 
+  test("labelPropagation: two cliques joined by a bridge split into two communities") {
+    // cliques {1,2,3} and {10,11,12} with bridge 3-10: LPA separates them
+    // (each side's majority is internal) where CC would merge all six
+    val clique = (s: Seq[Long]) => for { a <- s; b <- s if a < b } yield (a, b)
+    val pairs = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) :+ (3L, 10L))
+      .toDF("doc_a", "doc_b")
+    val lp = Graph.labelPropagation(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp.size == 6)
+    assert(Set(lp(1L), lp(2L), lp(3L)).size == 1, s"left clique split: $lp")
+    assert(Set(lp(10L), lp(11L), lp(12L)).size == 1, s"right clique split: $lp")
+    assert(lp(1L) != lp(10L), s"bridge merged the cliques: $lp")
+    // invariant: labels only travel along edges, so every community sits
+    // inside one connected component
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val commToCc = lp.groupBy(_._2).view.mapValues(_.keys.map(cc).toSet)
+    assert(commToCc.values.forall(_.size == 1), s"community crosses components: $commToCc")
+  }
+
+  test("lloydKMeansQ assignment is the exact integer argmin; planted clusters recover") {
+    import graft.operators.Similarity
+    // two tight groups far apart in 4-d; seeds 0 and 1 fall one per group
+    val rows = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (2L, Array(0.01f, 0f, 0f, 0f)),
+      (4L, Array(0f, 0.01f, 0f, 0f)),
+      (1L, Array(1f, 1f, 1f, 1f)), (3L, Array(0.99f, 1f, 1f, 1f)),
+      (5L, Array(1f, 0.99f, 1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.lloydKMeansQ(rows, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = out.map { case (v, c, _) => v -> c }.toMap
+    assert(Set(byId(0L), byId(2L), byId(4L)).size == 1)
+    assert(Set(byId(1L), byId(3L), byId(5L)).size == 1)
+    assert(byId(0L) != byId(1L))
+    // d2 of a member of the zero group vs its centroid: quantized points
+    // (0,0,0,0),(100,0,0,0),(0,100,0,0) → floored mean (33,33,0,0);
+    // vec 0's exact distance is 33²+33² = 2178
+    val d0 = out.find(_._1 == 0L).get._3
+    assert(d0 == 2178L, s"got $d0")
+  }
+
   test("triangleCounts finds each triangle once per incident vertex") {
     // K4 on {1,2,3,4}: C(4,3)=4 triangles, each vertex is in exactly 3;
     // pendant edge 4-5 adds no triangle; vertex 5 must not appear
