@@ -3336,6 +3336,35 @@ object LlmQueries {
            |FROM dw JOIN wt USING (wd) GROUP BY doc_id""".stripMargin))
     )),
 
+    // Tokenizer fertility by language: bytes per BPE token under the
+    // corpus-trained tokenizer — the standard audit for multilingual
+    // under-tokenization (a language whose fertility is far off the
+    // corpus norm is being shredded into bytes and will train poorly).
+    // Integer micro ratio; reuses the trained-merges encode chain.
+    "text_bpe_fertility" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpeEncode(docs(s, dir), rounds = bpeRounds)
+          .join(docs(s, dir).select(col("doc_id"), col("lang"),
+            octet_length(col("text")).cast("long").as("bytes")), "doc_id")
+          .groupBy("lang")
+          .agg(sum("bpe_tokens").as("tokens"), sum("bytes").as("bytes"))
+          .select(col("lang"), col("tokens").cast("long").as("tokens"),
+            col("bytes").cast("long").as("bytes"),
+            expr("bytes * 1000000 div tokens").as("bytes_per_token_x1e6")),
+      Some(bpeOracleSql(bpeRounds,
+        s""",wt AS (SELECT wd, CAST(count(*) AS BIGINT) AS wtoks FROM t$bpeRounds GROUP BY wd),
+           |dw AS (SELECT doc_id, wd FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents)
+           |  WHERE length(wd) >= 1),
+           |pd AS (SELECT doc_id, CAST(sum(wtoks) AS BIGINT) AS toks
+           |  FROM dw JOIN wt USING (wd) GROUP BY doc_id),
+           |ld AS (SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS bytes FROM documents)
+           |SELECT lang, CAST(sum(toks) AS BIGINT) AS tokens,
+           |  CAST(sum(bytes) AS BIGINT) AS bytes,
+           |  CAST(sum(bytes) * 1000000 // sum(toks) AS BIGINT) AS bytes_per_token_x1e6
+           |FROM pd JOIN ld USING (doc_id) GROUP BY lang""".stripMargin))
+    )),
+
     // Skipgram co-occurrence counts (window ±2, distance-weighted 2/1,
     // direction-normalized) — the statistics a GloVe/word2vec-style
     // embedding pretrain consumes, and the corpus-level companion to
