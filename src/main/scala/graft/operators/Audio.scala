@@ -3,7 +3,8 @@ package graft.operators
 import java.io.ByteArrayInputStream
 import javax.sound.sampled.AudioSystem
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /** Real audio-content operators — the audio half of the multimodal pillar,
   * built the same way as [[Imaging]]: the test corpus has no audio files,
@@ -185,6 +186,80 @@ object Audio {
         AudioFp(id, spectralFp(samples))
       }
     }
+  }
+
+  final case class AudioWin(doc_id: Long, t: Long, sig: Array[Long])
+
+  /** Windowed spectral signatures over the FULL decoded track (not just
+    * the fingerprint prefix): per 32-sample window, 8 block sums pushed
+    * through the shared integer DCT basis — the signature is the exact
+    * 8-coefficient tuple, not its sign bits, so distinct audio content
+    * essentially never collides while identical content matches exactly.
+    * Trailing samples short of a full window are dropped (n/32 windows).
+    */
+  def windowSignatures(docIds: Dataset[Long]): Dataset[AudioWin] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.flatMap { id =>
+        val (_, samples) = decodeWav(synth(id))
+        val nW = samples.length / FpFrameLen
+        (0 until nW).map { t =>
+          val bs = new Array[Long](8)
+          var x = 0
+          while (x < 8) {
+            var acc = 0L
+            var j = 0
+            while (j < 4) { acc += samples(FpFrameLen * t + 4 * x + j); j += 1 }
+            bs(x) = acc
+            x += 1
+          }
+          val sig = new Array[Long](8)
+          var u = 0
+          while (u < 8) {
+            var acc = 0L
+            var x2 = 0
+            while (x2 < 8) { acc += bs(x2) * Imaging.DctBasis(u)(x2); x2 += 1 }
+            sig(u) = acc
+            u += 1
+          }
+          AudioWin(id, t.toLong, sig)
+        }
+      }
+    }
+  }
+
+  /** Audio clip alignment — the Shazam-shaped sync detector, and the
+    * audio twin of `Video.clipAlignments`: for each pair of tracks, the
+    * longest run of consecutive windows whose spectral signatures match
+    * at a constant offset (gaps-and-islands on the diag = a_t − b_t
+    * match diagonal). Emits the best alignment per pair (longest, then
+    * lowest diag/start) for runs ≥ `minLen` windows. The signature tuple
+    * is the join bucket; the shuffle carries ids, window indices and the
+    * 64-byte signature — never samples.
+    */
+  def audioAlignments(docIds: Dataset[Long], minLen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // both sides of the self-join read this — persist or decode twice
+    // (caller-must-clear-cache: released when the session cache clears)
+    val wins = windowSignatures(docIds).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = wins.as("a")
+      .join(wins.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.t").as("ai"), (col("a.t") - col("b.t")).as("diag"))
+      .distinct()
+    val wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ai")
+    val islands = m
+      .withColumn("grp", col("ai") - row_number().over(wd))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("ai").as("start_a"), count(lit(1)).as("len"))
+      .filter(col("len") >= minLen)
+    val wp = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("len").desc, col("diag"), col("start_a"))
+    islands.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("doc_a"), col("doc_b"), col("len").cast("long").as("len"),
+        col("diag").cast("long").as("diag"), col("start_a").cast("long").as("start_a"))
   }
 
   /** PCM stats over DECODED samples: count, amplitude sum, peak |amp|,

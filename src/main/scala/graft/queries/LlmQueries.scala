@@ -2135,6 +2135,54 @@ object LlmQueries {
           |WHERE rn = 1""".stripMargin)
     )),
 
+    // Audio clip alignment — the Shazam-shaped sync detector and audio
+    // twin of media_clip_alignment: per pair of tracks, the longest run
+    // of consecutive 32-sample windows whose exact 8-coefficient DCT
+    // signatures match at a constant offset (islands on the match
+    // diagonal). Same-class tracks align from window 0; a bumped track
+    // (doc%5=0, samples 0-23) against its unbumped classmate aligns from
+    // window 1 — the planted "same recording, different head" case.
+    "media_audio_alignment" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Audio.audioAlignments(docs(s, dir).select(col("doc_id")).as[Long])
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s,
+        |  400 + (doc_id % 100) * 8 AS n FROM documents),
+        |u AS (SELECT doc_id, s, unnest(range(0, (n // 32) * 32)) AS i FROM d),
+        |w AS (SELECT doc_id, i // 32 AS t, (i % 32) // 4 AS x,
+        |        ((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000
+        |        + CASE WHEN doc_id % 5 = 0 AND i < 24 THEN 1500 ELSE 0 END AS amp
+        |      FROM u),
+        |bsum AS (SELECT doc_id, t, x, CAST(sum(amp) AS BIGINT) AS bs FROM w GROUP BY 1, 2, 3),
+        |kt AS (SELECT * FROM (VALUES
+        |  (0,0,10000), (0,1,10000), (0,2,10000), (0,3,10000), (0,4,10000), (0,5,10000), (0,6,10000), (0,7,10000),
+        |  (1,0,9808), (1,1,8315), (1,2,5556), (1,3,1951), (1,4,-1951), (1,5,-5556), (1,6,-8315), (1,7,-9808),
+        |  (2,0,9239), (2,1,3827), (2,2,-3827), (2,3,-9239), (2,4,-9239), (2,5,-3827), (2,6,3827), (2,7,9239),
+        |  (3,0,8315), (3,1,-1951), (3,2,-9808), (3,3,-5556), (3,4,5556), (3,5,9808), (3,6,1951), (3,7,-8315),
+        |  (4,0,7071), (4,1,-7071), (4,2,-7071), (4,3,7071), (4,4,7071), (4,5,-7071), (4,6,-7071), (4,7,7071),
+        |  (5,0,5556), (5,1,-9808), (5,2,1951), (5,3,8315), (5,4,-8315), (5,5,-1951), (5,6,9808), (5,7,-5556),
+        |  (6,0,3827), (6,1,-9239), (6,2,9239), (6,3,-3827), (6,4,-3827), (6,5,9239), (6,6,-9239), (6,7,3827),
+        |  (7,0,1951), (7,1,-5556), (7,2,8315), (7,3,-9808), (7,4,9808), (7,5,-8315), (7,6,5556), (7,7,-1951)
+        |) AS t(u, x, k)),
+        |c AS (SELECT b.doc_id, b.t, kt.u, CAST(sum(b.bs * kt.k) AS BIGINT) AS coef
+        |      FROM bsum b JOIN kt ON kt.x = b.x GROUP BY 1, 2, 3),
+        |sig AS (SELECT doc_id, t, list(coef ORDER BY u) AS sg FROM c GROUP BY 1, 2),
+        |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        a.t AS ai, a.t - b.t AS diag
+        |      FROM sig a JOIN sig b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, diag,
+        |    ai - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY ai) AS grp,
+        |    ai FROM m),
+        |runs AS (SELECT doc_a, doc_b, diag, grp, min(ai) AS start_a, count(*) AS len
+        |  FROM isl GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, CAST(len AS BIGINT) AS len,
+        |  CAST(diag AS BIGINT) AS diag, CAST(start_a AS BIGINT) AS start_a
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+        |        ORDER BY len DESC, diag, start_a) AS rn FROM runs)
+        |WHERE rn = 1""".stripMargin)
+    )),
+
     // Boilerplate share: the per-mille of a document's distinct shingles
     // that also appear in at least one OTHER document — high values mean
     // template/boilerplate text even when no pair clears the near-dup
