@@ -2819,6 +2819,47 @@ object LlmQueries {
         |FROM t GROUP BY 1, 2""".stripMargin)
     )),
 
+    // Batch twin of StreamOps.lmFilterStream (model-based quality filter
+    // in-stream): unigram LM trained on the even-doc_id half, odd docs
+    // kept only when their mean token log-prob clears the threshold,
+    // unseen tokens scoring a floor penalty. The dedup stream twins drop
+    // KNOWN content; this drops IMPROBABLE content - the two halves of
+    // ingestion-time curation. 152 of 250 held-out docs survive at
+    // sf0.01, so the filter genuinely separates.
+    "stream_lm_filter" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tr = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val lm = tr.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tr.agg(count(lit(1)).as("total"))))
+          .select(col("tok"),
+            floor(lit(1e6) * log(col("cnt").cast("double") / col("total")))
+              .cast("long").as("lp"))
+        toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .join(lm, Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("lp"), lit(-15000000L))).as("slp"))
+          .filter(col("slp") >= col("n") * lit(-3405000L))
+          .select("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |tr AS (SELECT tok FROM t WHERE doc_id % 2 = 0),
+        |freq AS (SELECT tok, count(*) AS cnt FROM tr GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM tr),
+        |lm AS (SELECT tok, CAST(floor(1e6 * ln(CAST(cnt AS DOUBLE) / total)) AS BIGINT) AS lp
+        |       FROM freq, tot),
+        |sc AS (SELECT t.doc_id, count(*) AS n,
+        |         sum(coalesce(lm.lp, -15000000)) AS slp
+        |       FROM t LEFT JOIN lm USING (tok) WHERE t.doc_id % 2 = 1 GROUP BY 1)
+        |SELECT doc_id FROM sc WHERE slp >= n * -3405000""".stripMargin)
+    )),
+
     // Novelty scoring: what fraction of a document's shingles appear
     // NOWHERE else in the corpus (df = 1) — high novelty marks original
     // content, low novelty marks boilerplate/near-dup mass; data-mixing

@@ -175,6 +175,39 @@ object StreamOps {
       }
   }
 
+  /** Streaming model-based quality filter: each micro-batch of (doc_id,
+    * text) rows is scored against a STATIC unigram log-prob table (the
+    * LM trained batch-side on a reference corpus, floored-micro integer
+    * log-probs) and docs whose mean token log-prob falls below
+    * `minAvgLogpX1e6` are dropped — the in-stream form of perplexity
+    * filtering, where dedup twins drop known content and this drops
+    * improbable content. Tokens absent from the LM score `oovLpX1e6`
+    * (a floor penalty). The LM table is persisted once per query and
+    * broadcast into each batch join; per-batch state is nothing.
+    * (caller-must-clear-cache: the LM table lives as long as the query.)
+    */
+  def lmFilterStream(docs: DataFrame, lmTable: DataFrame,
+                     sink: DataFrame => Unit, minAvgLogpX1e6: Long,
+                     oovLpX1e6: Long):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lm = lmTable.persist(lvl)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = batch
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .join(broadcast(lm), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("lp"), lit(oovLpX1e6))).as("sum_logp_x1e6"))
+          .filter(col("sum_logp_x1e6") >= col("n_tokens") * minAvgLogpX1e6)
+          .select("doc_id")
+        sink(batch.join(scored, Seq("doc_id"), "left_semi"))
+      }
+  }
+
   /** Streaming incremental MEDIA dedup — the dHash twin of
     * [[dedupAgainstCorpus]], composing the two r7 pillars: each
     * micro-batch of image docs is decoded and perceptually hashed

@@ -787,6 +787,52 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(501L, 503L))
   }
 
+  test("streaming LM filter drops improbable docs and matches its batch twin") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.functions.{broadcast, coalesce, count, explode, floor, length, lit, log, pmod, split, sum}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tr = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val lm = tr.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tr.agg(count(lit(1)).as("total"))))
+      .select(col("tok"),
+        floor(lit(1e6) * log(col("cnt").cast("double") / col("total")))
+          .cast("long").as("lp"))
+    val minAvg = -3405000L
+    val oov = -15000000L
+    // batch twin: the survivor set computed in one shot
+    val expected = toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .join(lm, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("lp"), lit(oov))).as("slp"))
+      .filter(col("slp") >= col("n") * lit(minAvg))
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture should keep some docs")
+    val oddDocs = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(oddDocs.length > expected.size, "fixture should drop some docs")
+    // stream the held-out docs in two micro-batches
+    val input = MemoryStream[(Long, String)](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val q = StreamOps.lmFilterStream(
+        input.toDF().toDF("doc_id", "text"), lm,
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)),
+        minAvgLogpX1e6 = minAvg, oovLpX1e6 = oov)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      val (first, rest) = oddDocs.splitAt(oddDocs.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rest.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(survivors.toSet == expected,
+      s"stream/batch divergence: extra=${survivors.toSet -- expected} missing=${expected -- survivors}")
+  }
+
   test("streaming embedding dedup drops corpus cosine matches across micro-batches") {
     import graft.operators.Dedup
     import graft.streaming.StreamOps
