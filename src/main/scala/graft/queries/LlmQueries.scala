@@ -1448,6 +1448,42 @@ object LlmQueries {
         |FROM sc""".stripMargin)
     )),
 
+    // Classifier evaluation for the langid heuristic: the confusion
+    // matrix against the gold lang column — the same measured-quality
+    // pattern as ann_recall_eval (an eval you can trust because the
+    // classifier itself replays exactly in SQL). Diagonal mass = correct;
+    // 'fr' has no scoring rule, so its row documents the known blind spot
+    // instead of hiding it.
+    "text_langid_confusion" -> ((
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.languageId(docs(s, dir))
+          .groupBy("labeled_lang", "predicted_lang")
+          .agg(count(lit(1)).as("cnt")),
+      Some("""WITH s AS (SELECT doc_id, lang AS labeled_lang, lower(text) AS t FROM documents),
+        |sc AS (SELECT doc_id, labeled_lang,
+        |  (CASE WHEN t LIKE '%ei%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%ch%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%en%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%un%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%sch%' THEN 1 ELSE 0 END) AS s_de,
+        |  (CASE WHEN t LIKE '%th%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%he%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%in%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%er%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%an%' THEN 1 ELSE 0 END) AS s_en,
+        |  (CASE WHEN t LIKE '%de%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%la%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%os%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%el%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%ar%' THEN 1 ELSE 0 END) AS s_es,
+        |  (CASE WHEN t LIKE '%zh%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%sh%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%ng%' THEN 1 ELSE 0 END + CASE WHEN t LIKE '%xi%' THEN 1 ELSE 0 END
+        |   + CASE WHEN t LIKE '%qi%' THEN 1 ELSE 0 END) AS s_zh
+        |FROM s),
+        |p AS (SELECT labeled_lang,
+        |  CASE WHEN s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS predicted_lang
+        |FROM sc)
+        |SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2""".stripMargin)
+    )),
+
     // Multimodal: binary media column + typed metadata (decode stubbed).
     "media_meta" -> ((
       (s: SparkSession, dir: String) =>
