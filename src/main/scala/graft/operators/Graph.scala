@@ -71,6 +71,44 @@ object Graph {
     ranks.select(col("doc_id"), round(col("rank"), 8).as("rank"))
   }
 
+  /** Personalized PageRank: teleport mass flows only to a SEED set (the
+    * retrieval/expansion primitive — "rank everything by proximity to
+    * these documents"), same fixed-iteration unrolled power method as
+    * [[pageRank]]. `seedPred` selects seeds by doc_id; non-seeds start at
+    * 0 and receive mass only through edges, so the result ranks the
+    * seed-rooted neighborhood. Total mass stays 1 (pair graphs have no
+    * dangling vertices). Deterministic — the DuckDB twin chains the same
+    * rounds as CTEs.
+    */
+  def personalizedPageRank(pairs: DataFrame, seedPred: Column, iters: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true)
+    p.unpersist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("is_seed", seedPred)
+      .localCheckpoint(eager = true)
+    val nS = nodes.filter(col("is_seed")).agg(count(lit(1)).as("ns"))
+    var ranks = nodes.crossJoin(broadcast(nS))
+      .select(col("doc_id"),
+        when(col("is_seed"), lit(1.0) / col("ns")).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("doc_id"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("rank") / col("deg")).as("w"))
+      ranks = nodes.crossJoin(broadcast(nS))
+        .join(contrib, nodes("doc_id") === contrib("dst"), "left")
+        .select(nodes("doc_id"),
+          (when(col("is_seed"), (lit(1.0) - damping) / col("ns")).otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("w"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("doc_id"), round(col("rank"), 8).as("rank"))
+  }
+
   /** Per-vertex triangle counts over an undirected pair graph — the
     * clustering-structure readout for a near-dup graph (a document inside
     * a dense triangle cluster is a much stronger dedup candidate than one

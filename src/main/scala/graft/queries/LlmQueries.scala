@@ -2432,6 +2432,54 @@ object LlmQueries {
         |SELECT v AS doc_id, round(pr, 8) AS rank FROM p3""".stripMargin)
     )),
 
+    // Personalized PageRank: teleport mass restricted to a seed set
+    // (doc_id % 50 = 0) - "rank everything by graph proximity to these
+    // documents", the expansion primitive for retrieval and curation
+    // (grow a trusted set through the near-dup/citation graph). Same
+    // unrolled 3-round power method as graph_pagerank; non-seeds start
+    // at 0 and earn mass only through edges.
+    "graph_ppr" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.personalizedPageRank(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b")),
+          seedPred = pmod(col("doc_id"), lit(50)) === 0, iters = 3),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |nodes AS (SELECT DISTINCT src AS v, src % 50 = 0 AS is_seed FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes WHERE is_seed),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg FROM e GROUP BY 1),
+        |p0 AS (SELECT v, CASE WHEN is_seed THEN 1.0 / ns ELSE 0.0 END AS pr
+        |  FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS v, sum(p0.pr / deg.dg) AS w
+        |  FROM e JOIN p0 ON p0.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+        |p1 AS (SELECT nodes.v, CASE WHEN is_seed THEN 0.15 / nn.ns ELSE 0.0 END
+        |    + 0.85 * coalesce(c1.w, 0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.v = nodes.v),
+        |c2 AS (SELECT e.dst AS v, sum(p1.pr / deg.dg) AS w
+        |  FROM e JOIN p1 ON p1.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+        |p2 AS (SELECT nodes.v, CASE WHEN is_seed THEN 0.15 / nn.ns ELSE 0.0 END
+        |    + 0.85 * coalesce(c2.w, 0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.v = nodes.v),
+        |c3 AS (SELECT e.dst AS v, sum(p2.pr / deg.dg) AS w
+        |  FROM e JOIN p2 ON p2.v = e.src JOIN deg ON deg.src = e.src GROUP BY 1),
+        |p3 AS (SELECT nodes.v, CASE WHEN is_seed THEN 0.15 / nn.ns ELSE 0.0 END
+        |    + 0.85 * coalesce(c3.w, 0) AS pr
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.v = nodes.v)
+        |SELECT v AS doc_id, round(pr, 8) AS rank FROM p3""".stripMargin)
+    )),
+
     // Entity resolution end-to-end: blocking → edit-distance pairs →
     // transitive closure → one golden record per entity (singletons
     // included via the left join). The survivorship rules are aggregates
@@ -2894,6 +2942,42 @@ object LlmQueries {
         |         sum(coalesce(lm.lp, -15000000)) AS slp
         |       FROM t LEFT JOIN lm USING (tok) WHERE t.doc_id % 2 = 1 GROUP BY 1)
         |SELECT doc_id FROM sc WHERE slp >= n * -3405000""".stripMargin)
+    )),
+
+    // Train/test split leakage: hash-split the corpus 80/20, then find
+    // test docs with a near-duplicate in train — the leakage that
+    // inflates eval scores when dedup runs before splitting but not
+    // ACROSS the split. Complements text_decontaminate (which checks
+    // n-gram overlap against a fixed eval set); this audits the split
+    // itself via the exact-Jaccard pair graph. Emits each leaked test
+    // doc with its train-side witness count.
+    "q_split_leakage" -> ((
+      (s: SparkSession, dir: String) => {
+        val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+          .select(col("doc_a"), col("doc_b"))
+        val sym = pairs.unionAll(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        // doc_a = candidate test doc, doc_b = potential train witness
+        sym.filter(pmod(col("doc_a"), lit(10)) >= 8)
+          .filter(pmod(col("doc_b"), lit(10)) < 8)
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(count(lit(1)).as("train_witnesses"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |sym AS (SELECT doc_a, doc_b FROM jp UNION ALL SELECT doc_b, doc_a FROM jp)
+        |SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT) AS train_witnesses
+        |FROM sym WHERE doc_a % 10 >= 8 AND doc_b % 10 < 8
+        |GROUP BY 1""".stripMargin)
     )),
 
     // Novelty scoring: what fraction of a document's shingles appear
