@@ -3182,6 +3182,112 @@ object LlmQueries {
         |GROUP BY a.query_id""".stripMargin)
     )),
 
+    // Reciprocal-rank fusion of three ANN tiers (brute exact, graph
+    // beam, PQ-ADC): contribution 1e6 div (60 + rank) per tier, summed,
+    // re-ranked - the standard production trick for combining retrieval
+    // channels without score calibration. All three input rankings
+    // replay exactly in SQL, so the FUSED ranking is oracle-exact too:
+    // the whole retrieval stack is checked end-to-end.
+    "ann_rrf_fusion" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val brute = Similarity.bruteForceTopK(e, q, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("r"))
+        val beam = Similarity.graphTopK(e, q, k = 5, nPivots = 32, nProbe = 4, graphK = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("r"))
+        val adc = Similarity.pqAdcTopK(e, k = 5, nSub = 4, subDim = 16, kCodes = 4, iters = 1)
+          .select(col("query_id"), col("neighbor_id"), col("rnk").as("r"))
+        val fused = brute.unionAll(beam).unionAll(adc)
+          .select(col("query_id"), col("neighbor_id"),
+            expr("1000000 div (60 + r)").as("c"))
+          .groupBy("query_id", "neighbor_id").agg(sum("c").as("rrf"))
+        val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("neighbor_id"))
+        fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rnk").cast("long").as("rnk"), col("rrf"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p),
+        |cell AS (SELECT vec_id AS neighbor_id, pid AS cluster FROM r WHERE pr = 1),
+        |probes AS (SELECT vec_id AS query_id, pid AS cluster FROM r WHERE pr <= 4),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id),
+        |scoredg AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id),
+        |g AS (
+        |  SELECT query_id AS src, neighbor_id AS dst,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scoredg QUALIFY rnk <= 5),
+        |seeds AS (SELECT src AS query_id, dst AS cand FROM g WHERE src < 8),
+        |hop AS (SELECT s.query_id, g2.dst AS cand FROM seeds s JOIN g g2 ON g2.src = s.cand),
+        |beam AS (
+        |  SELECT DISTINCT query_id, cand
+        |  FROM (SELECT * FROM seeds UNION ALL SELECT * FROM hop)
+        |  WHERE cand <> query_id),
+        |rescored AS (
+        |  SELECT b.query_id, b.cand AS neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM beam b JOIN e q ON q.vec_id = b.query_id
+        |  JOIN e n ON n.vec_id = b.cand),
+        |approx AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM rescored QUALIFY rnk <= 5),
+        |bt AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8 QUALIFY rnk <= 5),
+        |eq AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |uq AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
+        |        CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |      FROM eq, unnest(range(1, len(q) + 1)) AS t(i)),
+        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM uq WHERE vec_id < 4),
+        |s0 AS (SELECT u.vec_id, u.sub, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
+        |       FROM uq u JOIN c0 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3),
+        |a0 AS (SELECT vec_id, sub, cl FROM (SELECT vec_id, sub, cl,
+        |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cl) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cl, u.sub, u.idx,
+        |         CAST(floor(CAST(sum(u.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |       FROM uq u JOIN a0 a ON a.vec_id = u.vec_id AND a.sub = u.sub GROUP BY 1, 2, 3),
+        |s1 AS (SELECT u.vec_id, u.sub, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
+        |       FROM uq u JOIN c1 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cl FROM (SELECT vec_id, sub, cl,
+        |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cl) AS rn FROM s1)
+        |       WHERE rn = 1),
+        |dtab AS (SELECT q.vec_id AS query_id, c.sub, c.cl,
+        |           sum((q.qv - c.cv) * (q.qv - c.cv)) AS dq
+        |         FROM uq q JOIN c1 c ON c.sub = q.sub AND c.idx = q.idx
+        |         WHERE q.vec_id < 8 GROUP BY 1, 2, 3),
+        |scq AS (SELECT d.query_id, k.vec_id, CAST(sum(d.dq) AS BIGINT) AS adist
+        |       FROM codes k JOIN dtab d ON d.sub = k.sub AND d.cl = k.cl
+        |       WHERE d.query_id != k.vec_id GROUP BY 1, 2),
+        |adcr AS (SELECT query_id, vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+        |  FROM scq QUALIFY rnk <= 5),
+        |allr AS (SELECT query_id, neighbor_id, rnk FROM approx
+        |  UNION ALL SELECT query_id, neighbor_id, rnk FROM bt
+        |  UNION ALL SELECT query_id, neighbor_id, rnk FROM adcr),
+        |fused AS (SELECT query_id, neighbor_id,
+        |    CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf
+        |  FROM allr GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rnk,
+        |  rrf
+        |FROM fused QUALIFY rnk <= 5""".stripMargin)
+    )),
+
     // Two-hop beam: the same graph search with one more frontier
     // expansion — neighbors-of-neighbors-of-neighbors, ≤ graphK+graphK²
     // +graphK³ candidates per query, still ids-only self-joins of the edge
