@@ -144,27 +144,43 @@ object Audio {
   val FpFrames = 8
   val FpFrameLen = 32
 
+  /** The 8 integer DCT coefficients of frame `t` (8 block sums of 4
+    * samples against the shared [[Imaging.DctBasis]]) — the one per-frame
+    * kernel behind BOTH the sign fingerprint and the windowed alignment
+    * signatures, so the framing/basis math cannot diverge between them.
+    */
+  private def frameCoeffs(samples: Array[Int], t: Int): Array[Long] = {
+    val bs = new Array[Long](8)
+    var x = 0
+    while (x < 8) {
+      var acc = 0L
+      var j = 0
+      while (j < 4) { acc += samples(FpFrameLen * t + 4 * x + j); j += 1 }
+      bs(x) = acc
+      x += 1
+    }
+    val out = new Array[Long](8)
+    var u = 0
+    while (u < 8) {
+      var acc = 0L
+      var x2 = 0
+      while (x2 < 8) { acc += bs(x2) * Imaging.DctBasis(u)(x2); x2 += 1 }
+      out(u) = acc
+      u += 1
+    }
+    out
+  }
+
   def spectralFp(samples: Array[Int]): Long = {
     require(samples.length >= FpSamples,
       s"fingerprint needs $FpSamples samples, got ${samples.length}")
     var fp = 0L
     var t = 0
     while (t < FpFrames) {
-      val bs = new Array[Long](8)
-      var x = 0
-      while (x < 8) {
-        var j = 0
-        var acc = 0L
-        while (j < 4) { acc += samples(FpFrameLen * t + 4 * x + j); j += 1 }
-        bs(x) = acc
-        x += 1
-      }
+      val coefs = frameCoeffs(samples, t)
       var u = 0
       while (u < 8) {
-        var acc = 0L
-        var x2 = 0
-        while (x2 < 8) { acc += bs(x2) * Imaging.DctBasis(u)(x2); x2 += 1 }
-        if (acc > 0) fp |= (1L << (t * 8 + u))
+        if (coefs(u) > 0) fp |= (1L << (t * 8 + u))
         u += 1
       }
       t += 1
@@ -203,27 +219,7 @@ object Audio {
       ids.flatMap { id =>
         val (_, samples) = decodeWav(synth(id))
         val nW = samples.length / FpFrameLen
-        (0 until nW).map { t =>
-          val bs = new Array[Long](8)
-          var x = 0
-          while (x < 8) {
-            var acc = 0L
-            var j = 0
-            while (j < 4) { acc += samples(FpFrameLen * t + 4 * x + j); j += 1 }
-            bs(x) = acc
-            x += 1
-          }
-          val sig = new Array[Long](8)
-          var u = 0
-          while (u < 8) {
-            var acc = 0L
-            var x2 = 0
-            while (x2 < 8) { acc += bs(x2) * Imaging.DctBasis(u)(x2); x2 += 1 }
-            sig(u) = acc
-            u += 1
-          }
-          AudioWin(id, t.toLong, sig)
-        }
+        (0 until nW).map(t => AudioWin(id, t.toLong, frameCoeffs(samples, t)))
       }
     }
   }
@@ -238,7 +234,6 @@ object Audio {
     * 64-byte signature — never samples.
     */
   def audioAlignments(docIds: Dataset[Long], minLen: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // both sides of the self-join read this — persist or decode twice
     // (caller-must-clear-cache: released when the session cache clears)
     val wins = windowSignatures(docIds).toDF()
@@ -249,17 +244,9 @@ object Audio {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.t").as("ai"), (col("a.t") - col("b.t")).as("diag"))
       .distinct()
-    val wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ai")
-    val islands = m
-      .withColumn("grp", col("ai") - row_number().over(wd))
-      .groupBy("doc_a", "doc_b", "diag", "grp")
-      .agg(min("ai").as("start_a"), count(lit(1)).as("len"))
-      .filter(col("len") >= minLen)
-    val wp = Window.partitionBy("doc_a", "doc_b")
-      .orderBy(col("len").desc, col("diag"), col("start_a"))
-    islands.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
-      .select(col("doc_a"), col("doc_b"), col("len").cast("long").as("len"),
-        col("diag").cast("long").as("diag"), col("start_a").cast("long").as("start_a"))
+    // island/tie-break tail shared with the video aligner — one place to
+    // fix run semantics for both modalities
+    Video.bestAlignments(m, minLen)
   }
 
   /** PCM stats over DECODED samples: count, amplitude sum, peak |amp|,

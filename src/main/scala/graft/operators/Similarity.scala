@@ -509,7 +509,10 @@ object Similarity {
       d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("cl"), col("d2"))
     }
-    var cent = u.filter(col("vec_id") < k)
+    // seeds = the k LOWEST vec_ids present (not `vec_id < k`, which is
+    // empty on a sampled fit set whose ids don't start at 0)
+    val seedIds = u.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    var cent = u.join(seedIds, Seq("vec_id"))
       .select(col("vec_id").as("cl"), col("idx"), col("qv").as("cv"))
     var a = assign(cent)
     var i = 0
@@ -537,21 +540,26 @@ object Similarity {
     */
   def pqTrainQ(emb: DataFrame, nSub: Int = 4, subDim: Int = 16, k: Int = 4,
                iters: Int = 1, scale: Int = 10000): DataFrame = {
-    val (_, _, codes) = pqChainQ(emb, subDim, k, iters, scale)
+    val (_, _, codes) = pqChainQ(emb, nSub, subDim, k, iters, scale)
     codes.select(col("vec_id"), col("sub").as("subspace"),
       col("cl").as("code"), col("d2"))
   }
 
-  /** The shared PQ training chain: quantized relation `u`, final
-    * centroid table `cent` (cl, sub, idx, cv) and final assignments
-    * `codes` (vec_id, sub, cl, d2) after `iters` update rounds.
+  /** The shared PQ training chain: quantized relation `u` (truncated to
+    * the first nSub·subDim dimensions, so `nSub` is enforced rather than
+    * silently derived), final centroid table `cent` (cl, sub, idx, cv)
+    * and final assignments `codes` (vec_id, sub, cl, d2) after `iters`
+    * update rounds. Seeds are the k LOWEST vec_ids actually present —
+    * not `vec_id < k`, which would return an empty clustering on any
+    * sampled fit set whose ids don't start at 0.
     * (caller-must-clear-cache: `u` stays persisted until a result
     * materializes.)
     */
-  private def pqChainQ(emb: DataFrame, subDim: Int, k: Int, iters: Int,
-                       scale: Int): (DataFrame, DataFrame, DataFrame) = {
+  private def pqChainQ(emb: DataFrame, nSub: Int, subDim: Int, k: Int,
+                       iters: Int, scale: Int): (DataFrame, DataFrame, DataFrame) = {
     val u = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .filter(col("idx") < nSub * subDim)
       .select(col("vec_id"), expr(s"CAST(idx div $subDim AS BIGINT)").as("sub"),
         col("idx").cast("long").as("idx"),
         floor(col("x").cast("double") * scale).cast("long").as("qv"))
@@ -564,7 +572,8 @@ object Similarity {
       d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("sub"), col("cl"), col("d2"))
     }
-    var cent = u.filter(col("vec_id") < k)
+    val seedIds = u.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    var cent = u.join(seedIds, Seq("vec_id"))
       .select(col("vec_id").as("cl"), col("sub"), col("idx"), col("qv").as("cv"))
     var a = assign(cent)
     var i = 0
@@ -589,10 +598,12 @@ object Similarity {
     * unlike float-ADC implementations that can only be property-tested.
     * Tie-breaks: lowest distance, then lowest neighbor id.
     */
-  def pqAdcTopK(emb: DataFrame, k: Int = 5, nSub: Int = 4, subDim: Int = 16,
-                kCodes: Int = 4, iters: Int = 1, scale: Int = 10000): DataFrame = {
-    val (u, cent, codes) = pqChainQ(emb, subDim, kCodes, iters, scale)
-    val dtab = u.filter(col("vec_id") < 8)
+  def pqAdcTopK(emb: DataFrame, queries: DataFrame, k: Int = 5, nSub: Int = 4,
+                subDim: Int = 16, kCodes: Int = 4, iters: Int = 1,
+                scale: Int = 10000): DataFrame = {
+    val (u, cent, codes) = pqChainQ(emb, nSub, subDim, kCodes, iters, scale)
+    val dtab = u
+      .join(broadcast(queries.select(col("vec_id"))), Seq("vec_id"))
       .withColumnRenamed("vec_id", "query_id")
       .join(cent, Seq("sub", "idx"))
       .groupBy(col("query_id"), col("sub"), col("cl"))

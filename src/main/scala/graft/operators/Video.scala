@@ -82,25 +82,28 @@ object Video {
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new ByteArrayOutputStream()
     val ios = new MemoryCacheImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    val n = nFrames(docId)
-    var f = 0
-    while (f < n) {
-      val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
-      val raster = img.getRaster
-      var y = 0
-      while (y < H) {
-        var x = 0
-        while (x < W) { raster.setSample(x, y, 0, framePixel(docId, f, x, y)); x += 1 }
-        y += 1
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val n = nFrames(docId)
+      var f = 0
+      while (f < n) {
+        val img = new BufferedImage(W, H, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) { raster.setSample(x, y, 0, framePixel(docId, f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
       }
-      writer.writeToSequence(new IIOImage(img, null, null), null)
-      f += 1
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
     }
-    writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
     bos.toByteArray
   }
 
@@ -274,8 +277,18 @@ object Video {
         col("a.frame_idx").as("ai"),
         (col("a.frame_idx") - col("b.frame_idx")).as("diag"))
       .distinct()
+    bestAlignments(m, minLen)
+  }
+
+  /** Shared gaps-and-islands best-alignment tail, used by the video AND
+    * audio aligners so their run/tie-break semantics cannot diverge:
+    * from a `(doc_a, doc_b, ai, diag)` match relation, the longest
+    * constant-offset run per pair (ties toward lowest diag, then lowest
+    * start), keeping runs ≥ `minLen`.
+    */
+  private[operators] def bestAlignments(matches: DataFrame, minLen: Int): DataFrame = {
     val wd = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ai")
-    val islands = m
+    val islands = matches
       .withColumn("grp", col("ai") - row_number().over(wd))
       .groupBy("doc_a", "doc_b", "diag", "grp")
       .agg(min("ai").as("start_a"), count(lit(1)).as("len"))

@@ -1156,7 +1156,8 @@ object LlmQueries {
         |  FROM embeddings),
         |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
         |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
-        |c0 AS (SELECT vec_id AS cl, idx, qv AS cv FROM u WHERE vec_id < 8),
+        |c0 AS (SELECT vec_id AS cl, idx, qv AS cv FROM u
+        |       WHERE vec_id IN (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT 8)),
         |s0 AS (SELECT u.vec_id, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
         |       FROM u JOIN c0 c USING (idx) GROUP BY 1, 2),
         |a0 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
@@ -1194,7 +1195,8 @@ object LlmQueries {
         |u AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
         |        CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
         |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
-        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM u WHERE vec_id < 4),
+        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM u
+        |       WHERE vec_id IN (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT 4)),
         |s0 AS (SELECT u.vec_id, u.sub, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
         |       FROM u JOIN c0 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3),
         |a0 AS (SELECT vec_id, sub, cl FROM (SELECT vec_id, sub, cl,
@@ -1218,16 +1220,19 @@ object LlmQueries {
     // ranking replays bit-for-bit: oracle extends the training chain
     // with codes -> distance table -> lookup-join -> rank.
     "ann_pq_adc_topk" -> ((
-      (s: SparkSession, dir: String) =>
-        Similarity.pqAdcTopK(emb(s, dir), k = 5, nSub = 4, subDim = 16,
-          kCodes = 4, iters = 1),
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 8), k = 5, nSub = 4,
+          subDim = 16, kCodes = 4, iters = 1)
+      },
       Some("""WITH e AS (SELECT vec_id,
         |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
         |  FROM embeddings),
         |u AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
         |        CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
         |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
-        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM u WHERE vec_id < 4),
+        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM u
+        |       WHERE vec_id IN (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT 4)),
         |s0 AS (SELECT u.vec_id, u.sub, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
         |       FROM u JOIN c0 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3),
         |a0 AS (SELECT vec_id, sub, cl FROM (SELECT vec_id, sub, cl,
@@ -3123,12 +3128,16 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
         val q = e.filter(col("vec_id") < 8)
+        // recall = found ÷ |ground truth|, counted FROM the truth side —
+        // dividing by the index's own answer size would report precision
+        // and overstate recall exactly when the index returns few or no
+        // candidates (a truth-side left join keeps those queries at 0)
         val approx = Similarity.graphTopK(e, q, k = 5,
             nPivots = 32, nProbe = 4, graphK = 5)
-          .select(col("query_id"), col("neighbor_id"))
-        val truth = Similarity.bruteForceTopK(e, q, k = 5)
           .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-        approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+        val truth = Similarity.bruteForceTopK(e, q, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left")
           .groupBy("query_id")
           .agg(count(lit(1)).cast("long").as("k"),
             sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
@@ -3174,12 +3183,12 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
         |  FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8 QUALIFY rnk <= 5)
-        |SELECT a.query_id, CAST(count(*) AS BIGINT) AS k,
-        |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
+        |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100
         |    // count(*) AS BIGINT) AS recall_pct
-        |FROM approx a LEFT JOIN truth t USING (query_id, neighbor_id)
-        |GROUP BY a.query_id""".stripMargin)
+        |FROM truth t LEFT JOIN approx a USING (query_id, neighbor_id)
+        |GROUP BY t.query_id""".stripMargin)
     )),
 
     // Reciprocal-rank fusion of three ANN tiers (brute exact, graph
@@ -3196,7 +3205,8 @@ object LlmQueries {
           .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("r"))
         val beam = Similarity.graphTopK(e, q, k = 5, nPivots = 32, nProbe = 4, graphK = 5)
           .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("r"))
-        val adc = Similarity.pqAdcTopK(e, k = 5, nSub = 4, subDim = 16, kCodes = 4, iters = 1)
+        val adc = Similarity.pqAdcTopK(e, q, k = 5, nSub = 4, subDim = 16,
+            kCodes = 4, iters = 1)
           .select(col("query_id"), col("neighbor_id"), col("rnk").as("r"))
         val fused = brute.unionAll(beam).unionAll(adc)
           .select(col("query_id"), col("neighbor_id"),
@@ -3252,7 +3262,8 @@ object LlmQueries {
         |uq AS (SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
         |        CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
         |      FROM eq, unnest(range(1, len(q) + 1)) AS t(i)),
-        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM uq WHERE vec_id < 4),
+        |c0 AS (SELECT vec_id AS cl, sub, idx, qv AS cv FROM uq
+        |       WHERE vec_id IN (SELECT DISTINCT vec_id FROM uq ORDER BY vec_id LIMIT 4)),
         |s0 AS (SELECT u.vec_id, u.sub, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
         |       FROM uq u JOIN c0 c ON c.sub = u.sub AND c.idx = u.idx GROUP BY 1, 2, 3),
         |a0 AS (SELECT vec_id, sub, cl FROM (SELECT vec_id, sub, cl,

@@ -141,7 +141,10 @@ object PipelineQueries {
     // format surface beside JSON lines, Avro, parquet and raw bytes.
     "f7_csv_roundtrip" -> ((
       (s: SparkSession, dir: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        // fixed scratch path + overwrite: repeated bench/verify passes
+        // reuse one directory instead of accumulating temp copies
+        val out = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-csv-roundtrip").toString
         records(s, dir)
           .select(col("topic"), col("partition").cast("long").as("partition"),
             col("offset"), col("ts_ms"), col("key").cast("string").as("record_key"),
