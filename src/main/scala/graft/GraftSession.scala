@@ -38,6 +38,9 @@ object GraftSession {
     // bounded-heap top-k replaces Exchange→Sort→Window→Filter for the
     // row_number()<=k idiom (k-capped; see plans/TopKPerGroup.scala)
     spark.experimental.extraStrategies = Seq(plans.TopKPerGroupStrategy())
+    // thresholded levenshtein predicates run the banded kernel
+    // (plans/RewriteRules.scala)
+    spark.experimental.extraOptimizations = Seq(plans.BoundedLevenshteinRewrite)
     spark
   }
 }

@@ -207,5 +207,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy())
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRewrite)
   }
 }
