@@ -109,6 +109,38 @@ object Graph {
     ranks.select(col("doc_id"), round(col("rank"), 8).as("rank"))
   }
 
+  /** Minimum hop distance (≤ `maxHops`) from a seed set — k-hop
+    * neighborhood materialization, the exact-distance companion to
+    * [[personalizedPageRank]]'s soft proximity: BFS by `maxHops` unrolled
+    * frontier expansions, each one semi-join-shaped (frontier → edges →
+    * new vertices minus visited). Vertices beyond `maxHops` are absent —
+    * the bounded-output contract of a k-hop query (materializing the
+    * whole component would be [[graft.operators.Dedup.connectedComponents]]'
+    * job). Deterministic; each round replays as a SQL CTE.
+    */
+  def hopDistances(pairs: DataFrame, seedPred: Column, maxHops: Int = 3): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true)
+    p.unpersist()
+    var visited = edges.select(col("src").as("doc_id")).distinct()
+      .filter(seedPred)
+      .select(col("doc_id"), lit(0L).as("hops"))
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = edges
+        .join(frontier.select(col("doc_id").as("src")), "src")
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(h.toLong).as("hops"))
+        .localCheckpoint(eager = true) // visited feeds every later round
+      visited = visited.unionAll(next)
+      frontier = next
+    }
+    visited
+  }
+
   /** Per-vertex triangle counts over an undirected pair graph — the
     * clustering-structure readout for a near-dup graph (a document inside
     * a dense triangle cluster is a much stronger dedup candidate than one

@@ -496,11 +496,25 @@ object Similarity {
     */
   def lloydKMeansQ(emb: DataFrame, k: Int = 8, iters: Int = 2,
                    scale: Int = 10000): DataFrame = {
-    val u = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
-      .select(col("vec_id"), col("idx").cast("long").as("idx"),
-        floor(col("x").cast("double") * scale).cast("long").as("qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, _, a) = lloydChainQ(
+      emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+        .select(col("vec_id"), col("idx").cast("long").as("idx"),
+          floor(col("x").cast("double") * scale).cast("long").as("qv")),
+      k, iters)
+    a.select(col("vec_id"), col("cl").as("cluster"), col("d2"))
+  }
+
+  /** The shared exact-Lloyd chain over an integer `(vec_id, idx, qv)`
+    * relation: (persisted quantized relation, final centroids
+    * (cl, idx, cv), final assignments (vec_id, cl, d2)). Seeds are the k
+    * LOWEST vec_ids present (not `vec_id < k`, which is empty on a
+    * sampled fit set whose ids don't start at 0). Backs [[lloydKMeansQ]]
+    * and the residual quantizer. (caller-must-clear-cache: the input
+    * relation stays persisted until a result materializes.)
+    */
+  private def lloydChainQ(quant: DataFrame, k: Int,
+                          iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val u = quant.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def assign(cent: DataFrame): DataFrame = {
       val d = u.join(cent, "idx")
         .groupBy(col("vec_id"), col("cl"))
@@ -509,8 +523,6 @@ object Similarity {
       d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("cl"), col("d2"))
     }
-    // seeds = the k LOWEST vec_ids present (not `vec_id < k`, which is
-    // empty on a sampled fit set whose ids don't start at 0)
     val seedIds = u.select("vec_id").distinct().orderBy("vec_id").limit(k)
     var cent = u.join(seedIds, Seq("vec_id"))
       .select(col("vec_id").as("cl"), col("idx"), col("qv").as("cv"))
@@ -523,7 +535,46 @@ object Similarity {
       a = assign(cent)
       i += 1
     }
-    a.select(col("vec_id"), col("cl").as("cluster"), col("d2"))
+    (u, cent, a)
+  }
+
+  /** Residual vector quantization — the two-level codebook scheme behind
+    * modern neural audio/embedding codecs, in the same exact-integer
+    * discipline: level 1 is one Lloyd update round ([[lloydChainQ]]),
+    * level 2 quantizes the integer RESIDUALS `qv − cv₁` against a
+    * codebook of the ZERO vector (code −1: "keep the level-1
+    * reconstruction") plus the k2−1 lowest vec_ids' residual vectors.
+    * The zero codeword makes the stage monotone by construction —
+    * `d2_res ≤ d2_l1` for every vector, with equality exactly when no
+    * codeword beats keeping the residual — so the emitted distortion
+    * pair states precisely what the extra log₂(k2) bits buy. Fully
+    * SQL-replayable.
+    */
+  def residualQuantizeQ(emb: DataFrame, k1: Int = 8, k2: Int = 4,
+                        scale: Int = 10000): DataFrame = {
+    val quant = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * scale).cast("long").as("qv"))
+    val (u, cent1, a1) = lloydChainQ(quant, k1, iters = 1)
+    val res = u
+      .join(a1.select(col("vec_id"), col("cl")), "vec_id")
+      .join(cent1, Seq("cl", "idx"))
+      .select(col("vec_id"), col("cl").as("code1"), col("idx"),
+        (col("qv") - col("cv")).as("rv"))
+    val seeds2 = res.select("vec_id").distinct().orderBy("vec_id").limit(k2 - 1)
+    val cent2 = res.join(seeds2, Seq("vec_id"))
+      .select(col("vec_id").as("cl2"), col("idx"), col("rv").as("cv2"))
+      .unionAll(res.select("idx").distinct()
+        .select(lit(-1L).as("cl2"), col("idx"), lit(0L).as("cv2")))
+    val d2 = res.join(cent2, "idx")
+      .groupBy(col("vec_id"), col("code1"), col("cl2"))
+      .agg(sum((col("rv") - col("cv2")) * (col("rv") - col("cv2"))).as("d2_res"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2_res"), col("cl2"))
+    d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(a1.select(col("vec_id"), col("d2").as("d2_l1")), "vec_id")
+      .select(col("vec_id"), col("code1"), col("cl2").as("code2"),
+        col("d2_l1"), col("d2_res"))
   }
 
   /** Product-quantization codebook training: [[lloydKMeansQ]]'s exact

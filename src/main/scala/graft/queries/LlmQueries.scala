@@ -1259,6 +1259,54 @@ object LlmQueries {
         |FROM sc QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // Residual vector quantization: level 1 = one exact Lloyd round,
+    // level 2 quantizes the integer residuals against the ZERO codeword
+    // (code -1, "keep the level-1 reconstruction") plus 3 seed residuals
+    // - the two-stage scheme of modern neural codecs, monotone by
+    // construction (d2_res <= d2_l1 for every vector). Fully unrolled in
+    // the oracle: lloyd chain -> residuals -> codebook -> argmin.
+    "vector_rvq" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.residualQuantizeQ(emb(s, dir), k1 = 8, k2 = 4),
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+        |c0 AS (SELECT vec_id AS cl, idx, qv AS cv FROM u
+        |       WHERE vec_id IN (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT 8)),
+        |s0 AS (SELECT u.vec_id, c.cl, sum((u.qv - c.cv) * (u.qv - c.cv)) AS d2
+        |       FROM u JOIN c0 c USING (idx) GROUP BY 1, 2),
+        |a0 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cl, u.idx,
+        |         CAST(floor(CAST(sum(u.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |       FROM u JOIN a0 a USING (vec_id) GROUP BY 1, 2),
+        |s1 AS (SELECT u.vec_id, c.cl, CAST(sum((u.qv - c.cv) * (u.qv - c.cv)) AS BIGINT) AS d2
+        |       FROM u JOIN c1 c USING (idx) GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cl, d2 FROM (SELECT vec_id, cl, d2,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM s1)
+        |       WHERE rn = 1),
+        |res AS (SELECT u.vec_id, a.cl AS code1, u.idx, u.qv - c.cv AS rv
+        |        FROM u JOIN a1 a USING (vec_id)
+        |        JOIN c1 c ON c.cl = a.cl AND c.idx = u.idx),
+        |c2 AS (SELECT vec_id AS cl2, idx, rv AS cv2 FROM res
+        |       WHERE vec_id IN (SELECT DISTINCT vec_id FROM res ORDER BY vec_id LIMIT 3)
+        |       UNION ALL
+        |       SELECT CAST(-1 AS BIGINT), idx, CAST(0 AS BIGINT)
+        |       FROM (SELECT DISTINCT idx FROM res)),
+        |s2 AS (SELECT r.vec_id, r.code1, c.cl2,
+        |         CAST(sum((r.rv - c.cv2) * (r.rv - c.cv2)) AS BIGINT) AS d2_res
+        |       FROM res r JOIN c2 c USING (idx) GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, code1, cl2, d2_res FROM (SELECT vec_id, code1, cl2, d2_res,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2_res, cl2) AS rn FROM s2)
+        |       WHERE rn = 1)
+        |SELECT a2.vec_id, a2.code1, a2.cl2 AS code2,
+        |  a1.d2 AS d2_l1, a2.d2_res
+        |FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id""".stripMargin)
+    )),
+
     "vector_centroids" -> ((
       (s: SparkSession, dir: String) =>
         emb(s, dir)
@@ -2483,6 +2531,42 @@ object LlmQueries {
         |    + 0.85 * coalesce(c3.w, 0) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.v = nodes.v)
         |SELECT v AS doc_id, round(pr, 8) AS rank FROM p3""".stripMargin)
+    )),
+
+    // k-hop BFS layers from the same seed set as graph_ppr: exact
+    // minimum hop distance <= 3, the bounded-output neighborhood
+    // materialization (beyond-k vertices are absent by contract).
+    "graph_hops" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.hopDistances(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b")),
+          seedPred = pmod(col("doc_id"), lit(50)) === 0, maxHops = 3),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |l0 AS (SELECT DISTINCT src AS doc_id FROM e WHERE src % 50 = 0),
+        |l1 AS (SELECT DISTINCT e.dst AS doc_id FROM e JOIN l0 ON l0.doc_id = e.src
+        |       WHERE e.dst NOT IN (SELECT doc_id FROM l0)),
+        |l2 AS (SELECT DISTINCT e.dst AS doc_id FROM e JOIN l1 ON l1.doc_id = e.src
+        |       WHERE e.dst NOT IN (SELECT doc_id FROM l0 UNION ALL SELECT doc_id FROM l1)),
+        |l3 AS (SELECT DISTINCT e.dst AS doc_id FROM e JOIN l2 ON l2.doc_id = e.src
+        |       WHERE e.dst NOT IN (SELECT doc_id FROM l0 UNION ALL SELECT doc_id FROM l1
+        |                           UNION ALL SELECT doc_id FROM l2))
+        |SELECT doc_id, CAST(0 AS BIGINT) AS hops FROM l0
+        |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) FROM l1
+        |UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM l2
+        |UNION ALL SELECT doc_id, CAST(3 AS BIGINT) FROM l3""".stripMargin)
     )),
 
     // Entity resolution end-to-end: blocking → edit-distance pairs →
