@@ -121,8 +121,18 @@ object Video {
     }
   }
 
+  final case class GifBytes(doc_id: Long, gif: Array[Byte])
   final case class GifMeta(doc_id: Long, n_frames: Long, width: Long,
                            height: Long, pix_sum: Long)
+
+  /** The raw container bytes as a binary column — for schema-on-read
+    * header parsing downstream (signature + logical screen descriptor),
+    * the path a pipeline takes to triage foreign media without decoding.
+    */
+  def gifColumn(docIds: Dataset[Long]): Dataset[GifBytes] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions(ids => ids.map(id => GifBytes(id, encodeGif(id))))
+  }
   final case class FrameHash(doc_id: Long, frame_idx: Long, dhash: Long)
   final case class FrameStats(doc_id: Long, frame_idx: Long,
                               px_sum: Long, px_sq_sum: Long)

@@ -2131,6 +2131,25 @@ object LlmQueries {
           |WHERE doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)
     )),
 
+    // Container-header schema-on-read for the video container, the GIF
+    // sibling of media_png_header: signature + logical-screen W/H parsed
+    // from the BYTES with Spark binary functions (little-endian u16),
+    // no decode. Completes header triage across PNG/JPEG+EXIF/WAV/GIF.
+    "media_gif_header" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Video.gifColumn(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+          .select(col("doc_id"),
+            (expr("CAST(gif AS STRING)").substr(1, 6) === "GIF89a").as("sig_ok"),
+            expr("CAST(conv(hex(substring(gif, 8, 1)), 16, 10) AS BIGINT) * 256 " +
+              "+ CAST(conv(hex(substring(gif, 7, 1)), 16, 10) AS BIGINT)").as("gif_w"),
+            expr("CAST(conv(hex(substring(gif, 10, 1)), 16, 10) AS BIGINT) * 256 " +
+              "+ CAST(conv(hex(substring(gif, 9, 1)), 16, 10) AS BIGINT)").as("gif_h"))
+      },
+      Some("""SELECT doc_id, true AS sig_ok, CAST(18 AS BIGINT) AS gif_w,
+        |  CAST(16 AS BIGINT) AS gif_h FROM documents""".stripMargin)
+    )),
+
     // Frame-quality triage: integer contrast n*sum(x^2) - sum(x)^2 per
     // frame (0 exactly for a blank frame), the filter a vision pipeline
     // applies before embedding. All-integer, replayed from the formula.
