@@ -217,6 +217,69 @@ object Graph {
       .groupBy("degree").agg(count(lit(1)).as("node_cnt"))
   }
 
+  /** k-core decomposition (restricted to one k): the maximal subgraph in
+    * which every vertex keeps degree ≥ k, by iterative peeling — each
+    * round recomputes degrees over the surviving edge set and drops
+    * vertices below k, converging when a round removes nothing. The
+    * density triage for a near-dup graph: a 2-core vertex sits in a
+    * cycle-bearing cluster (template families), while tree-shaped chains
+    * of borderline matches peel away entirely — a cheaper, structural
+    * complement to [[triangleCounts]].
+    *
+    * Peeling is monotone (the edge set only shrinks), so edge-COUNT
+    * equality across a round IS the fixpoint test — no content signature
+    * needed, unlike the CC loop. Each round is two hash aggregates and
+    * one semi join, `localCheckpoint`ed to keep round r's plan from
+    * embedding rounds 1..r-1 (the same driver-cost fix as the CC loop).
+    * Rounds are bounded by the graph's degeneracy ordering depth, ~O(log
+    * n) on near-dup graphs; `maxRounds` guards pathological chains and
+    * the throw keeps an unrolled SQL twin honest (never a silently
+    * deeper loop than the oracle replays).
+    *
+    * Returns (doc_id, core_degree) for the k-core's vertices, with the
+    * vertex's degree INSIDE the core.
+    */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 30): DataFrame =
+    kCoreWithRounds(pairs, k, maxRounds)._1
+
+  /** [[kCore]] plus the number of peel rounds executed (including the
+    * final nothing-removed confirmation round) — exposed for ScaleSpec's
+    * round-count assertion.
+    */
+  def kCoreWithRounds(pairs: DataFrame, k: Int, maxRounds: Int = 30): (DataFrame, Int) = {
+    var edges = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true)
+    var nEdges = edges.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val deg = edges.select(col("a").as("v")).union(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      val next = edges
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(eager = true)
+      val n = next.count()
+      converged = n == nEdges
+      nEdges = n
+      edges = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds peel rounds — " +
+          "raise maxRounds (and the oracle's unrolled depth)")
+    val core = edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("core_degree"))
+    (core, rounds)
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007), a FIXED number of unrolled rounds — deterministic by
     * construction: every vertex simultaneously adopts the most frequent

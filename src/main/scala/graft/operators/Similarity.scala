@@ -577,6 +577,59 @@ object Similarity {
         col("d2_l1"), col("d2_res"))
   }
 
+  /** Top principal direction of the embedding cloud by fixed-point power
+    * iteration — the whitening/decorrelation primitive (ABTT-style "remove
+    * the dominant direction" post-processing, drift monitoring of an
+    * embedding space over time) in the same exact-integer discipline as
+    * [[lloydKMeansQ]]: quantize to `scale` fixed-point, center by the
+    * floored integer mean, accumulate the d×d covariance as exact integer
+    * sums (one self-join on vec_id + one hash aggregate — the standard
+    * outer-product aggregate, partial-aggregated map-side), then `iters`
+    * unrolled matrix-vector rounds. Each round renormalizes to ~`scale`
+    * by POSITIVE integer division (sign split off first — Spark `div`
+    * truncates toward zero while DuckDB `//` floors, so negative
+    * numerators would diverge between engines; positive operands agree).
+    * Deterministic by construction: the rounds replay bit-for-bit as SQL
+    * CTEs.
+    *
+    * Overflow audit at long width: |centered| ≤ 2·scale, cov ≤
+    * n·4·scale², round product ≤ d·cov·scale — at scale 10⁴, d = 64 this
+    * holds to n ≈ 3.5·10⁸ vectors; beyond that drop `scale` a decade.
+    *
+    * Returns (dim_idx, weight): the `iters`-round direction at fixed
+    * point scale (max |weight| ≈ scale).
+    */
+  def pcaPowerQ(emb: DataFrame, iters: Int = 3, scale: Int = 10000): DataFrame = {
+    val u = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * scale).cast("long").as("qv"))
+    val mu = u.groupBy("idx")
+      .agg(floor(sum("qv").cast("double") / count(lit(1))).cast("long").as("mu"))
+    val c = u.join(mu, "idx")
+      .select(col("vec_id"), col("idx"), (col("qv") - col("mu")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // d×d integer covariance (unnormalized second moment of the centered
+    // cloud — the power direction is invariant to the 1/n factor)
+    val cov = c.as("a").join(c.as("b"), "vec_id")
+      .groupBy(col("a.idx").as("i"), col("b.idx").as("j"))
+      .agg(sum(col("a.cv") * col("b.cv")).as("cov"))
+      .localCheckpoint(eager = true) // read by every unrolled round
+    c.unpersist()
+    var v = cov.select(col("j")).distinct()
+      .select(col("j"), lit(scale.toLong).as("v"))
+    for (_ <- 1 to iters) {
+      val w = cov.join(v, "j")
+        .groupBy(col("i").as("j")).agg(sum(col("cov") * col("v")).as("w"))
+      val m = w.agg(greatest(expr(s"max(abs(w)) div ${scale.toLong}"), lit(1L)).as("m"))
+      v = w.crossJoin(broadcast(m))
+        .select(col("j"),
+          when(col("w") < 0, -expr("abs(w) div m")).otherwise(expr("abs(w) div m"))
+            .cast("long").as("v"))
+    }
+    v.select(col("j").as("dim_idx"), col("v").as("weight"))
+  }
+
   /** Product-quantization codebook training: [[lloydKMeansQ]]'s exact
     * integer Lloyd run independently in each of `nSub` contiguous
     * `subDim`-dimensional subspaces — one grouped plan, `sub` riding

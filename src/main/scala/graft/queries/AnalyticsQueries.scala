@@ -1549,6 +1549,86 @@ object AnalyticsQueries {
         |FROM events GROUP BY 1""".stripMargin)
     )),
 
+    // KMV/theta sketch with set INTERSECTION — the estimator family HLL
+    // can't serve (HLL unions cheaply but can't intersect): per event
+    // type, the k = 64 minimum values of a 48-bit md5-derived hash over
+    // distinct user-days; θ = the kth minimum, estimate = (k−1)·2⁴⁸ div θ.
+    // Pairwise intersection à la theta sketches: θ∩ = min(θ_A, θ_B),
+    // estimate = |sk_A ∩ sk_B < θ∩| · 2⁴⁸ div θ∩. Unlike HLL the whole
+    // sketch is DETERMINISTIC (md5 is engine-portable, kth-min has no
+    // tie ambiguity at 48 bits), so estimates — not just verdicts —
+    // replay exactly in SQL, alongside the exact intersection for the
+    // accuracy readout. Scale shape: sketches are k rows/key (the
+    // mergeable persist-daily form), the pair stage joins 64-row
+    // sketches, never raw data.
+    "q_theta_sketch" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        val elems = ev.select(col("event_type").as("t"),
+            (col("user_id") * 1000 +
+              datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")).as("elem"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hashed = elems.select(col("t"),
+          conv(substring(md5(col("elem").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h")).distinct()
+        val w = Window.partitionBy("t").orderBy("h")
+        val sk = hashed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val theta = sk.filter(col("rn") === 64).select(col("t"), col("h").as("theta"))
+        val est = theta.select(col("t"),
+          expr("63 * 281474976710656 div theta").as("est"))
+        val pairs = theta.as("a").join(theta.as("b"), col("a.t") < col("b.t"))
+          .select(col("a.t").as("type_a"), col("b.t").as("type_b"),
+            least(col("a.theta"), col("b.theta")).as("th"))
+        val common = sk.as("x").join(sk.as("y"),
+            col("x.h") === col("y.h") && col("x.t") < col("y.t"))
+          .select(col("x.t").as("type_a"), col("y.t").as("type_b"), col("x.h"))
+        val mcnt = pairs.join(common, Seq("type_a", "type_b"), "left")
+          .groupBy("type_a", "type_b", "th")
+          .agg(sum(when(col("h") < col("th"), 1L).otherwise(0L)).as("m"))
+        val exact = elems.as("p").join(elems.as("q"),
+            col("p.elem") === col("q.elem") && col("p.t") < col("q.t"))
+          .groupBy(col("p.t").as("type_a"), col("q.t").as("type_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+        mcnt
+          .join(est.select(col("t").as("type_a"), col("est").as("est_a")), "type_a")
+          .join(est.select(col("t").as("type_b"), col("est").as("est_b")), "type_b")
+          .join(exact, Seq("type_a", "type_b"), "left")
+          .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+            expr("m * 281474976710656 div th").as("est_inter"),
+            coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      },
+      Some("""WITH el AS (SELECT DISTINCT event_type AS t,
+        |    user_id * 1000 + date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS elem
+        |  FROM events),
+        |hd AS (SELECT DISTINCT t, CAST(list_sum(list_transform(range(1, 13),
+        |    i -> (strpos('0123456789abcdef',
+        |           substr(md5(CAST(elem AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * 16.0 ** (12 - i))) AS BIGINT) AS h
+        |  FROM el),
+        |sk AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+        |  FROM hd QUALIFY rn <= 64),
+        |theta AS (SELECT t, h AS theta FROM sk WHERE rn = 64),
+        |est AS (SELECT t, 63 * 281474976710656 // theta AS est FROM theta),
+        |pr AS (SELECT a.t AS type_a, b.t AS type_b, least(a.theta, b.theta) AS th
+        |  FROM theta a JOIN theta b ON a.t < b.t),
+        |cm AS (SELECT x.t AS type_a, y.t AS type_b, x.h
+        |  FROM sk x JOIN sk y ON x.h = y.h AND x.t < y.t),
+        |mc AS (SELECT pr.type_a, pr.type_b, pr.th,
+        |    sum(CASE WHEN cm.h < pr.th THEN 1 ELSE 0 END) AS m
+        |  FROM pr LEFT JOIN cm ON cm.type_a = pr.type_a AND cm.type_b = pr.type_b
+        |  GROUP BY 1, 2, 3),
+        |ex AS (SELECT p.t AS type_a, q.t AS type_b, CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM el p JOIN el q ON p.elem = q.elem AND p.t < q.t GROUP BY 1, 2)
+        |SELECT mc.type_a, mc.type_b, ea.est AS est_a, eb.est AS est_b,
+        |  CAST(m * 281474976710656 // th AS BIGINT) AS est_inter,
+        |  coalesce(ex.exact_inter, 0) AS exact_inter
+        |FROM mc JOIN est ea ON ea.t = mc.type_a JOIN est eb ON eb.t = mc.type_b
+        |LEFT JOIN ex ON ex.type_a = mc.type_a AND ex.type_b = mc.type_b""".stripMargin)
+    )),
+
     // Mergeable QUANTILE sketch — the q_hll_merge persist-daily/
     // rollup-anywhere pattern for medians/percentiles: per-day log₂-bucket
     // histograms (bucket = bit length of the value in cents — pure integer,

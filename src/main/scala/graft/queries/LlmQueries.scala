@@ -1181,6 +1181,40 @@ object LlmQueries {
         |WHERE rn = 1""".stripMargin)
     )),
 
+    // Top principal direction by exact fixed-point power iteration
+    // (Similarity.pcaPowerQ): quantize, center by floored integer means,
+    // d×d integer covariance via the outer-product aggregate, 3 unrolled
+    // matrix-vector rounds renormalized by positive integer division
+    // (sign split off — Spark div truncates, DuckDB // floors; positive
+    // operands agree). The whitening/"remove the dominant direction"
+    // primitive, bit-for-bit replayable.
+    "vector_pca_power" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.pcaPowerQ(emb(s, dir), iters = 3),
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""w$t AS (SELECT cov.i AS j, CAST(sum(cov.cv * v${t - 1}.v) AS BIGINT) AS w
+             |  FROM cov JOIN v${t - 1} ON v${t - 1}.j = cov.j GROUP BY 1),
+             |m$t AS (SELECT greatest(max(abs(w)) // 10000, 1) AS m FROM w$t),
+             |v$t AS (SELECT j, CAST(CASE WHEN w < 0 THEN -(abs(w) // m)
+             |  ELSE abs(w) // m END AS BIGINT) AS v FROM w$t, m$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+           |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+           |mu AS (SELECT idx, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+           |       FROM u GROUP BY 1),
+           |c AS (SELECT vec_id, idx, qv - mu AS cv FROM u JOIN mu USING (idx)),
+           |cov AS (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.cv * b.cv) AS BIGINT) AS cv
+           |        FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+           |v0 AS (SELECT DISTINCT idx AS j, CAST(10000 AS BIGINT) AS v FROM u),
+           |$rounds
+           |SELECT j AS dim_idx, v AS weight FROM v3""".stripMargin
+      }
+    )),
+
     // PQ codebook training: the exact Lloyd tier run independently in 4
     // contiguous 16-dim subspaces as ONE grouped plan (sub rides every
     // key). The per-(vector, subspace) code IS the PQ encoding (4×2
@@ -2729,6 +2763,47 @@ object LlmQueries {
         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS degree FROM
         |  (SELECT a AS v FROM jp UNION ALL SELECT b FROM jp) GROUP BY 1)
         |SELECT degree, CAST(count(*) AS BIGINT) AS node_cnt FROM deg GROUP BY 1""".stripMargin)
+    )),
+
+    // 2-core of the near-dup graph (Graph.kCore): iterative peeling until
+    // every surviving vertex keeps degree >= 2 — the structural density
+    // triage (cycle-bearing template clusters survive, tree-shaped chains
+    // of borderline matches peel away). Peeling is monotone, so the
+    // oracle replays a FIXED unrolled depth (6 peel rounds — identity
+    // once the fixpoint is reached) while the operator's convergence
+    // throw guarantees it never silently needs more rounds than the
+    // oracle replays.
+    "graph_kcore" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.kCore(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b")), k = 2, maxRounds = 7),
+      Some {
+        // every s_r is referenced three times by round r+1 (degree count +
+        // both endpoint filters) — MATERIALIZED, or DuckDB's CTE inlining
+        // replicates the shingle self-join 3^rounds times (fd exhaustion)
+        val peels = (1 to 6).map { r =>
+          s"""d$r AS MATERIALIZED (SELECT v, count(*) AS dg FROM
+             |  (SELECT a AS v FROM s${r - 1} UNION ALL SELECT b FROM s${r - 1}) GROUP BY 1),
+             |k$r AS MATERIALIZED (SELECT v FROM d$r WHERE dg >= 2),
+             |s$r AS MATERIALIZED (SELECT a, b FROM s${r - 1}
+             |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+           |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+           |prs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |s0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM prs p
+           |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+           |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+           |$peels
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS core_degree FROM
+           |  (SELECT a AS doc_id FROM s6 UNION ALL SELECT b FROM s6) GROUP BY 1""".stripMargin
+      }
     )),
 
     // The prefix-filtered scale twin of text_containment: PPJoin-style

@@ -467,6 +467,48 @@ class DedupSpec extends SparkSpec {
     assert(tc2 == tc, s"canonicalization failed: $tc2")
   }
 
+  test("kCore: chains peel away, cycles survive with their core degrees") {
+    // triangle {1,2,3} + chain 3-4-5-6: the chain is tree-shaped so 2-core
+    // peeling removes it layer by layer; the triangle survives, each
+    // vertex at core degree 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val (core, rounds) = Graph.kCoreWithRounds(pairs, k = 2)
+    val m = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $m")
+    // chain of length 3 hanging off the core: one peel per layer + confirm
+    assert(rounds <= 5, s"took $rounds rounds")
+    // k above the max degree empties the graph — and still converges
+    val (empty, _) = Graph.kCoreWithRounds(pairs, k = 4)
+    assert(empty.count() == 0)
+    // duplicate and reversed edges must not inflate degrees into the core
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val m2 = Graph.kCore(noisy, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"canonicalization failed: $m2")
+  }
+
+  test("pcaPowerQ recovers a planted dominant direction at fixed point") {
+    import graft.operators.Similarity
+    // points spread along (0.6, 0.8, 0, 0) with a small orthogonal wiggle:
+    // the top principal direction is the spread axis, so the fixed-point
+    // weights should land at ~(6000, 8000) with dims 2,3 near zero
+    val rows = (-5 to 5).map { t =>
+      (t + 5).toLong -> Array(0.06f * t, 0.08f * t, if (t % 2 == 0) 0.001f else -0.001f, 0f)
+    }.toDF("vec_id", "embedding")
+    val w = Similarity.pcaPowerQ(rows, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 4)
+    val (a, b) = (w(0L), w(1L))
+    // sign is deterministic (all-ones start has positive overlap with the
+    // axis) and the component ratio matches 0.6 : 0.8 within quantization
+    assert(a > 0 && b > 0, s"got $w")
+    assert(math.abs(a * 4 - b * 3) <= 40, s"ratio off: $w")
+    assert(math.max(a, b) >= 9900 && math.max(a, b) <= 10100, s"normalization off: $w")
+    assert(math.abs(w(2L)) < 500 && w(3L) == 0L, s"orthogonal dims leaked: $w")
+  }
+
   test("degreeHistogram matches hand-computed degrees") {
     // star 1-{2,3,4}: center degree 3, three leaves degree 1
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
