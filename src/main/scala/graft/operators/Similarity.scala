@@ -43,6 +43,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Filtered exact top-k — the metadata-constrained vector search every
+    * retrieval stack needs ("nearest neighbors WHERE license = permissive
+    * AND lang = en"): `cond` is evaluated against the `q`/`c` aliases and
+    * rides the scoring join itself, so ineligible corpus rows are pruned
+    * BEFORE the distance computation (filter-then-score — the plan that
+    * survives selective predicates; score-then-filter can return < k rows
+    * AND wastes the scoring scan). Same broadcast-queries / stream-corpus
+    * / bounded-window shape as [[bruteForceTopK]]; at 100 TB a static
+    * predicate additionally pushes into the parquet scan (asserted for
+    * the catalog entry by PlanAudit's pushdown checks).
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   cond: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id") && cond)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        call_function("cosine_sim", col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Matryoshka (MRL-style) truncated-dimension top-k: score on only the
     * first `dims` coordinates. For embeddings trained with
     * matryoshka-representation loss the information is front-loaded, so

@@ -624,6 +624,121 @@ object LlmQueries {
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // Filtered vector search (Similarity.filteredTopK): top-5 neighbors
+    // constrained by a metadata predicate — here cross-label retrieval
+    // (corpus label ≠ query label, the "show me near-dups from OTHER
+    // sources" shape). The predicate rides the scoring join, pruning
+    // ineligible rows BEFORE any distance math; the exact ranking
+    // replays in SQL.
+    "ann_filtered_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.filteredTopK(e, e.filter(col("vec_id") < 8), k = 5,
+            cond = col("q.label") =!= col("c.label"))
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.v, e.v) AS c
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id AND e.label <> q.label)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
+    // Hybrid retrieval — the RAG-era flagship composition: BM25 lexical
+    // top-10 (same integer-floored Okapi chain as text_bm25, query terms
+    // = the query doc's distinct tokens) fused with dense cosine top-10
+    // (doc_id = vec_id across the documents/embeddings tables) by
+    // reciprocal-rank fusion. Both legs are deterministic, so the FUSED
+    // ranking replays exactly in SQL — the end-to-end guarantee a
+    // retrieval stack wants before it trusts either leg. Scale shape:
+    // the idf table broadcasts, the lexical join fans out only on shared
+    // terms, the dense leg broadcasts the query set, ranks fuse on
+    // (query, doc) — nothing global.
+    "ann_hybrid_bm25" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("tok"),
+            log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+              .as("idf"),
+            (col("sdl").cast("double") / col("n")).as("avgdl"))
+        val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .select(col("doc_id").as("query_id"), col("tok")).distinct()
+        val lex = qterms.join(tf, "tok")
+          .filter(col("doc_id") =!= col("query_id"))
+          .join(broadcast(idf), "tok").join(dl, "doc_id")
+          .select(col("query_id"), col("doc_id"),
+            floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .cast("long").as("tm"))
+          .groupBy("query_id", "doc_id").agg(sum("tm").as("lex"))
+        val wl = Window.partitionBy("query_id").orderBy(col("lex").desc, col("doc_id"))
+        val lexTop = lex.withColumn("r", row_number().over(wl))
+          .filter(col("r") <= 10)
+          .select(col("query_id"), col("doc_id"), col("r").cast("long").as("r"))
+        val e = emb(s, dir)
+        val dense = Similarity.bruteForceTopK(
+            e, e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("r"))
+        val fused = lexTop.unionAll(dense)
+          .select(col("query_id"), col("doc_id"),
+            expr("1000000 div (60 + r)").as("c"))
+          .groupBy("query_id", "doc_id").agg(sum("c").as("rrf"))
+        val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+        fused.withColumn("rnk", row_number().over(wf)).filter(col("rnk") <= 5)
+          .select(col("query_id"), col("doc_id"),
+            col("rnk").cast("long").as("rnk"), col("rrf"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |idf AS (SELECT tok,
+        |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+        |    CAST(sdl AS DOUBLE) / n AS avgdl
+        |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1), stats),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf WHERE doc_id % 100 = 0),
+        |ls AS (SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(1e6 * idf * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS tm
+        |  FROM qt JOIN tf USING (tok) JOIN idf USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  WHERE tf.doc_id <> qt.query_id),
+        |lex AS (SELECT query_id, doc_id, CAST(sum(tm) AS BIGINT) AS lex FROM ls GROUP BY 1, 2),
+        |lt AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY lex DESC, doc_id) AS r
+        |  FROM lex QUALIFY r <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dt AS (SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS r
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 100 = 0 QUALIFY r <= 10),
+        |allr AS (SELECT query_id, doc_id, r FROM lt
+        |  UNION ALL SELECT query_id, doc_id, r FROM dt),
+        |fused AS (SELECT query_id, doc_id,
+        |    CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf
+        |  FROM allr GROUP BY 1, 2)
+        |SELECT query_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk,
+        |  rrf
+        |FROM fused QUALIFY rnk <= 5""".stripMargin)
+    )),
+
     // LSH-bucketed ANN. Ranks under approximate candidate generation can't
     // equal the brute-force ranking, so the query emits its correctness
     // contract: every query vector answered (DuckDB independently counts the
