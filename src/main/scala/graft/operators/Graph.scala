@@ -280,6 +280,56 @@ object Graph {
     (core, rounds)
   }
 
+  /** Adamic–Adar link prediction: score every NON-adjacent pair that
+    * shares ≥ 1 neighbor by Σ_z 1/ln(deg(z)) over the common neighbors z
+    * — rare shared neighbors say more than hub-shared ones. In a
+    * near-dup graph the top predictions are the pairs the threshold
+    * *just* missed (cluster-completion candidates worth a second, more
+    * expensive verification pass).
+    *
+    * Per-center contributions are floored micros summed as integers
+    * (ln(deg) is one identical IEEE chain on integer degrees in either
+    * engine), so the ranking replays exactly in SQL. Wedge centers with
+    * one neighbor generate nothing, so deg ≥ 2 and ln > 0 wherever a
+    * contribution exists.
+    *
+    * Scale shape: the wedge self-join fans out deg² per CENTER — unlike
+    * [[triangleCounts]] no orientation trick bounds it, because AA needs
+    * every wedge; production at 100 TB caps or samples hub centers
+    * (`maxDeg`), the declared accuracy trade (dropping a hub center
+    * removes only its ~0 contributions). Top-N is sort+limit — bounded
+    * per-partition heaps, no global window.
+    */
+  def adamicAdar(pairs: DataFrame, topN: Int = 20, maxDeg: Long = Long.MaxValue): DataFrame = {
+    val und = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true) // read by adjacency AND the anti join
+    val adj = und.select(col("a").as("z"), col("b").as("n"))
+      .union(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg)
+    // deg-1 centers produce no wedges, but their ln(1) = 0 would trip
+    // ANSI divide-by-zero while the contribution column evaluates — keep
+    // the expression total by scoring only wedge-capable centers
+    val contrib = deg.filter(col("deg") >= 2).select(col("z"),
+      floor(lit(1e6) / log(col("deg").cast("double"))).cast("long").as("c"))
+    // cap rides the adjacency BEFORE wedge fan-out, so an over-cap hub
+    // never materializes its deg² wedges at all
+    val adjC = adj.join(deg.select("z"), "z")
+    val wedges = adjC.as("l").join(adjC.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.z").as("z"), col("l.n").as("a"), col("r.n").as("b"))
+    val scored = wedges
+      .join(und, Seq("a", "b"), "left_anti") // predictions, not existing edges
+      .join(contrib, "z")
+      .groupBy("a", "b").agg(sum("c").as("aa_micro"))
+    scored
+      .orderBy(col("aa_micro").desc, col("a"), col("b")).limit(topN)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("aa_micro"))
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007), a FIXED number of unrolled rounds — deterministic by
     * construction: every vertex simultaneously adopts the most frequent

@@ -1629,6 +1629,39 @@ object AnalyticsQueries {
         |LEFT JOIN ex ON ex.type_a = mc.type_a AND ex.type_b = mc.type_b""".stripMargin)
     )),
 
+    // Streaming twin of q_theta_sketch (StreamOps.kmvDistinctPerKey, batch
+    // analog here): per-key k-minimum-values state whose micro-batch merge
+    // is order-insensitive, so the stream converges to EXACTLY this batch
+    // sketch — StreamingSpec proves split-parity across batches; the
+    // oracle replays the saturated sketch's θ and estimate.
+    "stream_theta_sketch" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val elems = t(s, dir, "events")
+          .select(col("event_type").as("key"),
+            conv(substring(md5((col("user_id") * 1000 +
+              datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
+              .cast("string")), 1, 12), 16, 10).cast("long").as("h"))
+          .as[graft.streaming.StreamOps.HashedElem]
+        graft.streaming.StreamOps.kmvDistinctPerKey(elems, k = 64).toDF()
+      },
+      Some("""WITH el AS (SELECT DISTINCT event_type AS key,
+        |    user_id * 1000 + date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS elem
+        |  FROM events),
+        |hd AS (SELECT DISTINCT key, CAST(list_sum(list_transform(range(1, 13),
+        |    i -> (strpos('0123456789abcdef',
+        |           substr(md5(CAST(elem AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * 16.0 ** (12 - i))) AS BIGINT) AS h
+        |  FROM el),
+        |sk AS (SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+        |  FROM hd QUALIFY rn <= 64),
+        |agg AS (SELECT key, count(*) AS n, max(h) AS kmin FROM sk GROUP BY 1)
+        |SELECT key, CAST(n AS BIGINT) AS n_mins,
+        |  CAST(CASE WHEN n < 64 THEN 0 ELSE kmin END AS BIGINT) AS theta,
+        |  CAST(CASE WHEN n < 64 THEN n ELSE 63 * 281474976710656 // kmin END AS BIGINT) AS estimate
+        |FROM agg""".stripMargin)
+    )),
+
     // Mergeable QUANTILE sketch — the q_hll_merge persist-daily/
     // rollup-anywhere pattern for medians/percentiles: per-day log₂-bucket
     // histograms (bucket = bit length of the value in cents — pure integer,

@@ -2921,6 +2921,44 @@ object LlmQueries {
       }
     )),
 
+    // Adamic–Adar link prediction (Graph.adamicAdar): top-20 NON-adjacent
+    // pairs sharing neighbors, weighted 1/ln(deg) per common neighbor.
+    // The substrate is a k-NN graph (top-3 exact cosine over a 1-in-10
+    // embedding sample) — k-NN is NOT transitive, so open wedges abound
+    // and the top predictions are the "neighbors of my neighbors" worth
+    // an exact second pass (the text near-dup graph is useless here: its
+    // threshold clusters are fully transitive cliques with zero open
+    // wedges). Floored-micro integer sums, exact SQL replay.
+    "graph_adamic_adar" -> ((
+      (s: SparkSession, dir: String) => {
+        val sub = emb(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
+        Graph.adamicAdar(
+          Similarity.bruteForceTopK(sub, sub, k = 3)
+            .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b")),
+          topN = 20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |knn AS (SELECT q.vec_id AS qa, n.vec_id AS qb,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id QUALIFY rnk <= 3),
+        |und AS MATERIALIZED (SELECT DISTINCT least(qa, qb) AS a, greatest(qa, qb) AS b
+        |  FROM knn),
+        |adj AS (SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+        |contrib AS (SELECT z, CAST(floor(1e6 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS c
+        |  FROM deg),
+        |wedges AS (SELECT l.z, l.n AS a, r.n AS b FROM adj l JOIN adj r
+        |  ON l.z = r.z AND l.n < r.n),
+        |pred AS (SELECT w.z, w.a, w.b FROM wedges w
+        |  LEFT JOIN und ON und.a = w.a AND und.b = w.b WHERE und.a IS NULL),
+        |sc AS (SELECT a, b, CAST(sum(c) AS BIGINT) AS aa_micro
+        |  FROM pred JOIN contrib USING (z) GROUP BY 1, 2)
+        |SELECT a AS doc_a, b AS doc_b, aa_micro FROM sc
+        |ORDER BY aa_micro DESC, a, b LIMIT 20""".stripMargin)
+    )),
+
     // The prefix-filtered scale twin of text_containment: PPJoin-style
     // candidate generation probes only ~(100-pct)% of each doc's
     // shingles with GUARANTEED total recall (pigeonhole on the miss

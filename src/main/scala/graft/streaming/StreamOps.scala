@@ -501,6 +501,41 @@ object StreamOps {
       }
   }
 
+  final case class HashedElem(key: String, h: Long)
+  final case class KmvRow(key: String, n_mins: Long, theta: Long, estimate: Long)
+
+  /** Streaming KMV ("theta") distinct-count sketch: per-key state is the
+    * k minimum hash values seen (sorted, distinct) — a k-bounded merge
+    * per micro-batch that is ORDER-INSENSITIVE by construction, so any
+    * split of the stream into batches (and any replay/reshard) produces
+    * the identical sketch the batch twin (`q_theta_sketch`) computes;
+    * StreamingSpec asserts that split-parity. This is the streaming leg
+    * of the persist-daily/rollup-anywhere sketch family: unlike the HLL
+    * state Spark's own `approx_count_distinct` would keep, a KMV sketch
+    * also INTERSECTS downstream (the batch entry's pairwise estimates).
+    *
+    * Estimate: exact count while the sketch holds < k values (θ emitted
+    * as 0 — "sketch not yet saturated"), else (k−1)·2⁴⁸ div θ with θ the
+    * kth minimum — callers feed 48-bit hashes (the md5-derived portable
+    * hash the batch twin uses) so the division stays in long range.
+    */
+  def kmvDistinctPerKey(elems: Dataset[HashedElem], k: Int = 64): Dataset[KmvRow] = {
+    import elems.sparkSession.implicits._
+    elems
+      .groupByKey(_.key)
+      .mapGroupsWithState[Array[Long], KmvRow](GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[HashedElem], state: GroupState[Array[Long]]) =>
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (prev ++ rows.map(_.h)).distinct.sorted.take(k)
+          state.update(merged)
+          if (merged.length < k)
+            KmvRow(key, merged.length.toLong, 0L, merged.length.toLong)
+          else
+            KmvRow(key, k.toLong, merged.last,
+              (k - 1).toLong * 281474976710656L / merged.last)
+      }
+  }
+
   final case class KeyedRecord(shard: Int, key: String, payload: String)
 
   /** Streaming dedup with BOUNDED state: a bloom filter per shard instead

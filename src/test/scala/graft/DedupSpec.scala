@@ -489,6 +489,20 @@ class DedupSpec extends SparkSpec {
     assert(m2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"canonicalization failed: $m2")
   }
 
+  test("adamicAdar scores non-adjacent pairs by inverse-log common-neighbor degree") {
+    // 4-cycle 1-2-3-4-1: the only non-adjacent pairs are the diagonals
+    // (1,3) and (2,4), each sharing two degree-2 neighbors →
+    // 2·floor(1e6/ln 2) = 2 885 390; existing edges must not appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val aa = Graph.adamicAdar(pairs, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(aa == Map((1L, 3L) -> 2885390L, (2L, 4L) -> 2885390L), s"got $aa")
+    // a hub cap below the center degree removes its wedges entirely
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("doc_a", "doc_b")
+    assert(Graph.adamicAdar(star, topN = 10, maxDeg = 2L).count() == 0)
+    assert(Graph.adamicAdar(star, topN = 10).count() == 3) // leaves pair up via 9
+  }
+
   test("pcaPowerQ recovers a planted dominant direction at fixed point") {
     import graft.operators.Similarity
     // points spread along (0.6, 0.8, 0, 0) with a small orthogonal wiggle:

@@ -319,6 +319,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch merges to the batch sketch regardless of batch split") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.HashedElem
+    // 10 distinct hashes for key "a" (with cross-batch duplicates), 3 for
+    // "b"; k=4 saturates "a" (θ = 4th min = 40, est = 3·2⁴⁸/40) while "b"
+    // stays exact-count
+    val aHashes = (1L to 10L).map(_ * 10L)
+    val input = MemoryStream[HashedElem](spark)
+    val q = StreamOps.kmvDistinctPerKey(input.toDS(), k = 4)
+      .writeStream.format("memory").queryName("graft_kmv")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // deliberately adversarial split: the k-min values arrive LAST
+      input.addData(aHashes.drop(5).map(HashedElem("a", _)) :+ HashedElem("b", 7L): _*)
+      q.processAllAvailable()
+      input.addData(aHashes.take(5).map(HashedElem("a", _)) ++
+        Seq(HashedElem("a", 60L), HashedElem("b", 7L), HashedElem("b", 3L)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("graft_kmv").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      // θ only ever decreases and n_mins only grows, so the final state is
+      // order-free: a's smallest saturated θ, b's largest count
+      val aFinal = rows.collect { case ("a", t) if t._1 == 4L => t }.minBy(_._2)
+      assert(aFinal == ((4L, 40L, 3L * 281474976710656L / 40L)), s"got ${rows.toList}")
+      val bFinal = rows.collect { case ("b", t) => t }.maxBy(_._1)
+      assert(bFinal == ((2L, 0L, 2L)), s"got ${rows.toList}")
+    } finally q.stop()
+  }
+
   test("CDC compaction keeps the newest change per key across micro-batches") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.ChangeEvent
