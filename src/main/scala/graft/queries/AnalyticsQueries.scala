@@ -1255,6 +1255,40 @@ object AnalyticsQueries {
         |FROM documents GROUP BY lang, source HAVING count(*) < 5""".stripMargin)
     )),
 
+    // l-diversity — k-anonymity's companion: a quasi-identifier group can
+    // be large (k-anonymous) yet still leak if the SENSITIVE attribute
+    // (here the n_chars-century bucket as the stand-in) is near-constant
+    // within it. Per (lang, source): member count, distinct sensitive
+    // values (distinct-l), and entropy-l as floored-micro integer terms
+    // summed order-free (per-bucket floor THEN sum — a double entropy
+    // sum would be reduction-order-dependent). Two hash aggregates.
+    "dq_l_diversity" -> ((
+      (s: SparkSession, dir: String) => {
+        val b = t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("CAST(n_chars div 100 AS BIGINT)").as("sens"))
+          .groupBy("lang", "source", "sens").agg(count(lit(1)).as("c"))
+        val g = b.groupBy("lang", "source")
+          .agg(sum("c").as("cnt"), count(lit(1)).as("l_distinct"))
+        b.join(g, Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("cnt"), col("l_distinct"),
+            floor(lit(-1e6) * (col("c").cast("double") / col("cnt"))
+              * log(col("c").cast("double") / col("cnt"))).cast("long").as("term"))
+          .groupBy("lang", "source", "cnt", "l_distinct")
+          .agg(sum("term").as("entropy_micro"))
+      },
+      Some("""WITH b AS (SELECT lang, source, n_chars // 100 AS sens, count(*) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS cnt,
+        |    CAST(count(*) AS BIGINT) AS l_distinct
+        |  FROM b GROUP BY 1, 2)
+        |SELECT b.lang, b.source, g.cnt, g.l_distinct,
+        |  CAST(sum(CAST(floor(-1e6 * (CAST(c AS DOUBLE) / cnt)
+        |    * ln(CAST(c AS DOUBLE) / cnt)) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |FROM b JOIN g ON b.lang = g.lang AND b.source = g.source
+        |GROUP BY 1, 2, 3, 4""".stripMargin)
+    )),
+
     "dq_profile" -> ((
       (s: SparkSession, dir: String) =>
         t(s, dir, "orders")

@@ -954,6 +954,57 @@ object LlmQueries {
         |  AND len(list_distinct(toks)) * 1000 >= 300 * len(toks)""".stripMargin)
     )),
 
+    // Score-band agreement audit: the linear classifier's logit banded
+    // into fixed 0.5-unit bins (fixed-width, NOT ntile — decile windows
+    // need a global sort; fixed bins are a scan) against the independent
+    // rule-based filter's keep decision per band. A calibrated classifier
+    // shows keep-rate rising monotonically with the band — the check run
+    // before swapping the rule filter for the model. floor() of the
+    // double division on both sides (Spark div truncates negatives,
+    // DuckDB // floors — floor() agrees).
+    "text_quality_calibration" -> ((
+      (s: SparkSession, dir: String) => {
+        val lg = TextAnalysis.qualityLogit(docs(s, dir))
+        val kept = TextAnalysis.qualityFilter(docs(s, dir), minTokens = 20,
+            maxTokens = 5000, minUniqX1000 = 300)
+          .select(col("doc_id"), lit(1L).as("rk"))
+        lg.join(kept, Seq("doc_id"), "left")
+          .select(floor(col("logit_micro").cast("double") / lit(5e5)).cast("long").as("bin"),
+            coalesce(col("rk"), lit(0L)).as("rk"), col("logit_micro"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("rk").as("n_rule_keep"),
+            expr("sum(rk) * 1000 div count(1)").as("rule_keep_pm"),
+            sum("logit_micro").as("sum_logit"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN [] ELSE string_split(text, ' ') END AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       ELSE len(list_distinct(toks)) * 1000 // len(toks) END AS uniq_pm,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       ELSE len(list_filter(toks, w -> list_contains(['the','a','and','of','to','in','is','it'], w))) * 1000 // len(toks) END AS stop_pm,
+        |  CASE WHEN len(toks) = 0 THEN 0
+        |       ELSE len(list_filter(toks, w -> length(w) > 5)) * 1000 // len(toks) END AS long_pm,
+        |  CASE WHEN len(toks) < 2 THEN 0
+        |       ELSE (len(toks) - 1 - len(list_distinct(list_transform(range(1, len(toks)),
+        |              i -> toks[i] || '|' || toks[i + 1])))) * 1000 // (len(toks) - 1) END AS dup_pm,
+        |  CASE WHEN len(toks) >= 20 AND len(toks) <= 5000
+        |            AND len(list_distinct(toks)) * 1000 >= 300 * len(toks)
+        |       THEN 1 ELSE 0 END AS rk
+        |  FROM t),
+        |sc AS (SELECT doc_id, rk,
+        |    -1100000 + 1000 * least(tok, 500) + 2000 * uniq_pm + 900 * stop_pm
+        |      + 600 * long_pm - 1500 * dup_pm AS logit_micro
+        |  FROM f)
+        |SELECT CAST(floor(logit_micro / 500000.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(rk) AS BIGINT) AS n_rule_keep,
+        |  CAST(sum(rk) * 1000 // count(*) AS BIGINT) AS rule_keep_pm,
+        |  CAST(sum(logit_micro) AS BIGINT) AS sum_logit
+        |FROM sc GROUP BY 1""".stripMargin)
+    )),
+
     // Context-window chunking: 128-token windows, 32-token overlap.
     "text_chunks" -> ((
       (s: SparkSession, dir: String) =>
@@ -2778,6 +2829,50 @@ object LlmQueries {
         |  max(CASE WHEN r = 1 THEN doc_id END) AS longest_doc,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM rk GROUP BY 1""".stripMargin)
+    )),
+
+    // Blocking-quality audit for the ER pipeline — the two standard
+    // metrics (Christen): PAIRS COMPLETENESS (what fraction of true
+    // matches the (source, length-band) blocking keys capture) and
+    // REDUCTION RATIO (what fraction of the n² comparison space they
+    // prune), measured on a 1-in-10 sample where exhaustive all-pairs
+    // edit distance is affordable. The thresholded levenshtein predicate
+    // triggers the banded-kernel rewrite rule, so "exhaustive" still
+    // runs the O(k·m/64) kernel, not full DP. This is the audit that
+    // decides whether er_golden_record's blocking is safe to trust at
+    // full scale.
+    "er_blocking_eval" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("source"),
+            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
+            substring(col("text"), 1, 100).as("p"))
+        val pr = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(
+            when(expr("levenshtein(a.p, b.p) <= 55"), 1L).otherwise(0L).as("tr"),
+            when(col("a.source") === col("b.source") && col("a.lb") === col("b.lb"), 1L)
+              .otherwise(0L).as("cd"))
+        pr.agg(count(lit(1)).as("total"), sum("tr").as("n_true"),
+            sum("cd").as("n_cand"), sum(col("tr") * col("cd")).as("n_captured"))
+          .select(col("n_true"), col("n_cand"), col("n_captured"),
+            expr("CASE WHEN n_true = 0 THEN 1000 ELSE n_captured * 1000 div n_true END")
+              .as("completeness_pm"),
+            expr("1000 - n_cand * 1000 div total").as("reduction_pm"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb, substr(text, 1, 100) AS p
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |pr AS (SELECT
+        |    CASE WHEN levenshtein(a.p, b.p) <= 55 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN a.source = b.source AND a.lb = b.lb THEN 1 ELSE 0 END AS cd
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        |agg AS (SELECT count(*) AS total, sum(tr) AS n_true, sum(cd) AS n_cand,
+        |    sum(tr * cd) AS n_captured FROM pr)
+        |SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+        |  CAST(n_captured AS BIGINT) AS n_captured,
+        |  CAST(CASE WHEN n_true = 0 THEN 1000 ELSE n_captured * 1000 // n_true END AS BIGINT)
+        |    AS completeness_pm,
+        |  CAST(1000 - n_cand * 1000 // total AS BIGINT) AS reduction_pm
+        |FROM agg""".stripMargin)
     )),
 
     // Per-vertex triangle counts over the near-dup graph
