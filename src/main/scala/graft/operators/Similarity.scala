@@ -655,6 +655,41 @@ object Similarity {
     v.select(col("j").as("dim_idx"), col("v").as("weight"))
   }
 
+  /** All-but-the-top whitening (Mu & Viswanath 2018): subtract each
+    * vector's projection on the [[pcaPowerQ]] dominant direction — the
+    * post-processing that removes the common-direction bias inflating
+    * every cosine similarity. Same fixed-point discipline: with u the
+    * integer direction and uu = Σu², the projection term per coordinate
+    * is sign-split positive division (dot·uᵢ) div uu, so the whitened
+    * coordinates replay bit-for-bit in SQL. Output restricted to
+    * `idPred` (the corpus-wide transform is the same plan without the
+    * filter; the catalog entry bounds its dump).
+    *
+    * Overflow: |dot| ≤ d·scale², |dot·uᵢ| ≤ d·scale³ — 6.4·10¹³ at
+    * d = 64, scale = 10⁴, far inside long range.
+    * (caller-must-clear-cache: the quantized sample relation stays
+    * persisted until the result materializes.)
+    */
+  def abttWhitenQ(emb: DataFrame, idPred: Column, iters: Int = 3,
+                  scale: Int = 10000): DataFrame = {
+    val u = pcaPowerQ(emb, iters, scale)
+      .select(col("dim_idx").as("idx"), col("weight").as("uw"))
+      .localCheckpoint(eager = true) // read by uu, dots, and the projection
+    val uu = u.agg(sum(col("uw") * col("uw")).as("uu"))
+    val q = emb.filter(idPred)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * scale).cast("long").as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dots = q.join(u, "idx").groupBy("vec_id")
+      .agg(sum(col("qv") * col("uw")).as("dot"))
+    q.join(u, "idx").join(dots, "vec_id").crossJoin(broadcast(uu))
+      .select(col("vec_id"), col("idx").as("dim_idx"),
+        (col("qv") - when(col("dot") * col("uw") < 0,
+            -expr("abs(dot * uw) div uu"))
+          .otherwise(expr("abs(dot * uw) div uu"))).cast("long").as("whitened"))
+  }
+
   /** Product-quantization codebook training: [[lloydKMeansQ]]'s exact
     * integer Lloyd run independently in each of `nSub` contiguous
     * `subDim`-dimensional subspaces — one grouped plan, `sub` riding

@@ -1381,6 +1381,45 @@ object LlmQueries {
       }
     )),
 
+    // All-but-the-top whitening (Similarity.abttWhitenQ): subtract the
+    // pcaPowerQ dominant direction from each vector — the cosine-bias
+    // fix — in the same sign-split fixed-point algebra, dumped for the
+    // vec_id < 8 sample. The oracle replays covariance, three power
+    // rounds, AND the projection, end to end.
+    "vector_abtt_whiten" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.abttWhitenQ(emb(s, dir), idPred = col("vec_id") < 8, iters = 3),
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""w$t AS (SELECT cov.i AS j, CAST(sum(cov.cv * v${t - 1}.v) AS BIGINT) AS w
+             |  FROM cov JOIN v${t - 1} ON v${t - 1}.j = cov.j GROUP BY 1),
+             |m$t AS (SELECT greatest(max(abs(w)) // 10000, 1) AS m FROM w$t),
+             |v$t AS (SELECT j, CAST(CASE WHEN w < 0 THEN -(abs(w) // m)
+             |  ELSE abs(w) // m END AS BIGINT) AS v FROM w$t, m$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+           |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+           |mu AS (SELECT idx, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+           |       FROM u GROUP BY 1),
+           |c AS (SELECT vec_id, idx, qv - mu AS cv FROM u JOIN mu USING (idx)),
+           |cov AS (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.cv * b.cv) AS BIGINT) AS cv
+           |        FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+           |v0 AS (SELECT DISTINCT idx AS j, CAST(10000 AS BIGINT) AS v FROM u),
+           |$rounds,
+           |uu AS (SELECT sum(v * v) AS uu FROM v3),
+           |dots AS (SELECT vec_id, sum(u.qv * v3.v) AS dot
+           |  FROM u JOIN v3 ON v3.j = u.idx WHERE vec_id < 8 GROUP BY 1)
+           |SELECT u.vec_id, u.idx AS dim_idx,
+           |  CAST(u.qv - CASE WHEN d.dot * v3.v < 0 THEN -(abs(d.dot * v3.v) // uu)
+           |    ELSE abs(d.dot * v3.v) // uu END AS BIGINT) AS whitened
+           |FROM u JOIN v3 ON v3.j = u.idx JOIN dots d ON d.vec_id = u.vec_id, uu
+           |WHERE u.vec_id < 8""".stripMargin
+      }
+    )),
+
     // PQ codebook training: the exact Lloyd tier run independently in 4
     // contiguous 16-dim subspaces as ONE grouped plan (sub rides every
     // key). The per-(vector, subspace) code IS the PQ encoding (4×2

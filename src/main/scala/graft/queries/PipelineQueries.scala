@@ -165,6 +165,39 @@ object PipelineQueries {
         |FROM records GROUP BY partition""".stripMargin)
     )),
 
+    // ORC container roundtrip — the remaining columnar interchange format
+    // beside parquet/Avro/CSV/JSON-lines (Hive shops hand ORC to a
+    // training pipeline as readily as parquet): write the record relation
+    // as ORC (zlib default), read it back, aggregate. ORC stores its own
+    // schema, so unlike CSV no re-parse schema is injected — a type
+    // mangled by the writer surfaces as a changed aggregate, not a read
+    // error. Oracle aggregates the original relation (roundtrip
+    // identity).
+    "f8_orc_roundtrip" -> ((
+      (s: SparkSession, dir: String) => {
+        val out = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-orc-roundtrip").toString
+        records(s, dir)
+          .select(col("topic"), col("partition").cast("long").as("partition"),
+            col("offset"), col("ts_ms"), col("key").cast("string").as("record_key"),
+            col("value").cast("string").as("record_value"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("topic")
+          .agg(count(lit(1)).as("cnt"), sum("offset").as("sum_offset"),
+            sum("ts_ms").as("sum_ts"),
+            sum(length(col("record_key"))).as("key_chars"),
+            sum(length(col("record_value"))).as("value_chars"))
+      },
+      Some(s"""$recordsCte
+        |SELECT topic, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum("offset") AS BIGINT) AS sum_offset,
+        |  CAST(sum(ts_ms) AS BIGINT) AS sum_ts,
+        |  CAST(sum(length(record_key)) AS BIGINT) AS key_chars,
+        |  CAST(sum(length(record_value)) AS BIGINT) AS value_chars
+        |FROM records GROUP BY topic""".stripMargin)
+    )),
+
     // Variant-typed querying inside schema-less values (Spark 4's home for
     // the reference's opaque JSON payloads, SURVEY §1.2): parse once, then
     // typed extraction — aggregate the `k` field per partition.
