@@ -1317,6 +1317,44 @@ object AnalyticsQueries {
         |UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders""".stripMargin)
     )),
 
+    // Referential-integrity audit across the star schema in one report:
+    // orphan counts for each FK edge (lineitem→orders, orders→customer,
+    // customer→nation, supplier→nation) via left-anti joins — the DQ
+    // check run before trusting any join-based metric, since an orphan
+    // silently vanishes from inner joins and silently survives outer
+    // ones. Each edge is a distinct-key anti join; dimension sides
+    // broadcast.
+    "dq_referential_integrity" -> ((
+      (s: SparkSession, dir: String) => {
+        def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+                    edge: String): DataFrame =
+          fact.select(col(fk).as("k")).distinct()
+            .join(broadcast(dim.select(col(pk).as("k"))), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("orphan_keys"))
+            .select(lit(edge).as("fk_edge"), col("orphan_keys").cast("long").as("orphan_keys"))
+        orphans(t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey",
+            "lineitem.l_orderkey -> orders")
+          .unionAll(orphans(t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"),
+            "c_custkey", "orders.o_custkey -> customer"))
+          .unionAll(orphans(t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"),
+            "n_nationkey", "customer.c_nationkey -> nation"))
+          .unionAll(orphans(t(s, dir, "supplier"), "s_nationkey", t(s, dir, "nation"),
+            "n_nationkey", "supplier.s_nationkey -> nation"))
+      },
+      Some("""SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))) AS BIGINT) AS orphan_keys
+        |UNION ALL SELECT 'orders.o_custkey -> customer',
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))) AS BIGINT)
+        |UNION ALL SELECT 'customer.c_nationkey -> nation',
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer
+        |    WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))) AS BIGINT)
+        |UNION ALL SELECT 'supplier.s_nationkey -> nation',
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT s_nationkey FROM supplier
+        |    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))) AS BIGINT)""".stripMargin)
+    )),
+
     // Per-key EWMA (α=0.5) as a linear fold over each user's event
     // sequence — the batch form of streaming exponential smoothing. State
     // per key is one double; the oracle cross-checks via the closed-form
