@@ -447,6 +447,49 @@ object Imaging {
     }
   }
 
+  /** dHash of the HORIZONTALLY MIRRORED canvas, computed from the same
+    * block sums without re-decoding: mirroring maps pixel x → 17−x, so
+    * block bx → 8−bx, and the mirrored gradient bit (by, bx) tests
+    * bs(8−bx) > bs(7−bx). A mirrored re-upload flips most dHash bits
+    * (gradient directions reverse), so plain dHash misses it entirely —
+    * the canonical flip-invariant form is min(dhash, mirror).
+    */
+  def dHashMirror64(img: BufferedImage): Long = {
+    val bs = blockSums(img)
+    var h = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (bs(by)(8 - bx) > bs(by)(7 - bx)) h |= (1L << (by * 8 + bx))
+        bx += 1
+      }
+      by += 1
+    }
+    h
+  }
+
+  final case class FlipHashes(doc_id: Long, dhash: Long, dhash_mirror: Long,
+                              dhash_canon: Long)
+
+  /** Fixed-canvas decode → dHash + mirrored dHash + the flip-invariant
+    * canonical form min(dhash, mirror) (signed min — both engines compare
+    * BIGINT identically). Index the canonical column and a mirrored
+    * re-upload collides with its original in the same LSH band structure
+    * the plain dHash entries use.
+    */
+  def flipInvariantHashes(docIds: Dataset[Long]): Dataset[FlipHashes] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val img = decode(encodeBmp(HashW, HashH, (x, y) => pixel(id, x, y)))
+        val d = dHash64(img)
+        val m = dHashMirror64(img)
+        FlipHashes(id, d, m, math.min(d, m))
+      }
+    }
+  }
+
   final case class PHashRow(doc_id: Long, phash: Long)
 
   /** Fixed-canvas BMP per doc → decode → DCT pHash. */

@@ -1875,6 +1875,33 @@ object LlmQueries {
           |FROM dh JOIN ah ON dh.doc_id = ah.doc_id""".stripMargin)
     )),
 
+    // Flip-invariant perceptual hash: a horizontally mirrored re-upload
+    // reverses every gradient direction, so plain dHash misses it; the
+    // canonical form min(dhash, mirror-dhash) collides mirrored copies.
+    // The mirror hash comes from the SAME block sums (mirroring maps
+    // block bx → 8−bx) — no second decode. The oracle recomputes both
+    // orientations from the pixel formula.
+    "media_dhash_flip" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Imaging.flipInvariantHashes(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some(dhashOracleCte +
+        """,cmpm AS (SELECT a.doc_id, 8 - a.bx AS bx, a.by,
+          |         CASE WHEN a.bs > b.bs THEN 1 ELSE 0 END AS bit
+          |       FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND a.by = b.by
+          |         AND b.bx = a.bx - 1
+          |       WHERE a.bx >= 1),
+          |dhm AS (SELECT doc_id,
+          |         bit_or(CASE WHEN bit = 1 AND by*8 + bx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+          |                     WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(by*8 + bx AS INT)
+          |                     ELSE CAST(0 AS BIGINT) END) AS dhash_mirror
+          |       FROM cmpm GROUP BY doc_id)
+          |SELECT dh.doc_id, dh.dhash, dhm.dhash_mirror,
+          |  least(dh.dhash, dhm.dhash_mirror) AS dhash_canon
+          |FROM dh JOIN dhm ON dh.doc_id = dhm.doc_id""".stripMargin)
+    )),
+
     // Container-header schema-on-read: real ImageIO PNG encode, then the
     // IHDR width/height and signature parsed back out of the BYTES with
     // Spark binary functions (substring/hex/conv) — the path a pipeline

@@ -139,6 +139,25 @@ class ImagingSpec extends SparkSpec {
     }
   }
 
+  test("mirror dHash equals the dHash of the actually mirrored image") {
+    for (id <- Seq(3L, 10L, 77L, 200L)) {
+      val orig = Imaging.decode(Imaging.encodeBmp(
+        Imaging.HashW, Imaging.HashH, (x, y) => Imaging.pixel(id, x, y)))
+      // encode the truly mirrored canvas (x → 17−x) and hash it plainly
+      val mirrored = Imaging.decode(Imaging.encodeBmp(
+        Imaging.HashW, Imaging.HashH,
+        (x, y) => Imaging.pixel(id, Imaging.HashW - 1 - x, y)))
+      assert(Imaging.dHashMirror64(orig) == Imaging.dHash64(mirrored), s"doc=$id")
+      // involution: the mirror of the mirror is the original hash
+      assert(Imaging.dHashMirror64(mirrored) == Imaging.dHash64(orig), s"doc=$id")
+      // the canonical form is identical for an image and its mirror —
+      // the property that makes it the dedup index key
+      val canonA = math.min(Imaging.dHash64(orig), Imaging.dHashMirror64(orig))
+      val canonB = math.min(Imaging.dHash64(mirrored), Imaging.dHashMirror64(mirrored))
+      assert(canonA == canonB, s"doc=$id")
+    }
+  }
+
   test("EXIF APP1 splice parses back at fixed offsets and still decodes") {
     val ids = spark.range(0, 40).select(col("id").as("doc_id")).as[Long]
     val parsed = graft.SparkEntry.queries("media_exif_triage")(spark, sf0001)
