@@ -1651,10 +1651,13 @@ object AnalyticsQueries {
         val theta = sk.filter(col("rn") === 64).select(col("t"), col("h").as("theta"))
         val est = theta.select(col("t"),
           expr("63 * 281474976710656 div theta").as("est"))
-        val pairs = theta.as("a").join(theta.as("b"), col("a.t") < col("b.t"))
+        // sketch relations are k rows per key by construction — broadcast
+        // them; only the exact-intersection join below is legitimately
+        // fact-fact (it exists to measure the sketch, not to serve it)
+        val pairs = theta.as("a").join(broadcast(theta.as("b")), col("a.t") < col("b.t"))
           .select(col("a.t").as("type_a"), col("b.t").as("type_b"),
             least(col("a.theta"), col("b.theta")).as("th"))
-        val common = sk.as("x").join(sk.as("y"),
+        val common = sk.as("x").join(broadcast(sk.as("y")),
             col("x.h") === col("y.h") && col("x.t") < col("y.t"))
           .select(col("x.t").as("type_a"), col("y.t").as("type_b"), col("x.h"))
         val mcnt = pairs.join(common, Seq("type_a", "type_b"), "left")
