@@ -469,14 +469,27 @@ object Imaging {
     h
   }
 
+  /** dHash of the VERTICALLY flipped canvas — a pure bit permutation of
+    * the original hash: flipping maps row by → 7−by and leaves each
+    * row's horizontal gradient untouched, and row by occupies byte by of
+    * the hash, so the flipped hash is exactly `Long.reverseBytes`. The
+    * 180° rotation is mirror ∘ flip, i.e. `reverseBytes(mirror)`.
+    */
+  def dHashFlipV64(h: Long): Long = java.lang.Long.reverseBytes(h)
+
   final case class FlipHashes(doc_id: Long, dhash: Long, dhash_mirror: Long,
+                              dhash_flip_v: Long, dhash_rot180: Long,
                               dhash_canon: Long)
 
-  /** Fixed-canvas decode → dHash + mirrored dHash + the flip-invariant
-    * canonical form min(dhash, mirror) (signed min — both engines compare
-    * BIGINT identically). Index the canonical column and a mirrored
-    * re-upload collides with its original in the same LSH band structure
-    * the plain dHash entries use.
+  /** Fixed-canvas decode → dHash in all four axis-aligned orientations
+    * (identity, horizontal mirror, vertical flip, 180° rotation — the
+    * dihedral orientations that keep a non-square canvas's shape) + the
+    * orientation-canonical form min of the four (signed min — both
+    * engines compare BIGINT identically). Only the mirror needs block
+    * sums; the vertical pair are byte permutations. Index the canonical
+    * column and any axis-flipped or upside-down re-upload collides with
+    * its original in the same LSH band structure the plain dHash
+    * entries use.
     */
   def flipInvariantHashes(docIds: Dataset[Long]): Dataset[FlipHashes] = {
     import docIds.sparkSession.implicits._
@@ -485,7 +498,9 @@ object Imaging {
         val img = decode(encodeBmp(HashW, HashH, (x, y) => pixel(id, x, y)))
         val d = dHash64(img)
         val m = dHashMirror64(img)
-        FlipHashes(id, d, m, math.min(d, m))
+        val v = dHashFlipV64(d)
+        val r = dHashFlipV64(m)
+        FlipHashes(id, d, m, v, r, math.min(math.min(d, m), math.min(v, r)))
       }
     }
   }

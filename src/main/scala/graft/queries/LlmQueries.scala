@@ -1875,12 +1875,15 @@ object LlmQueries {
           |FROM dh JOIN ah ON dh.doc_id = ah.doc_id""".stripMargin)
     )),
 
-    // Flip-invariant perceptual hash: a horizontally mirrored re-upload
-    // reverses every gradient direction, so plain dHash misses it; the
-    // canonical form min(dhash, mirror-dhash) collides mirrored copies.
-    // The mirror hash comes from the SAME block sums (mirroring maps
-    // block bx → 8−bx) — no second decode. The oracle recomputes both
-    // orientations from the pixel formula.
+    // Orientation-invariant perceptual hash: a mirrored or upside-down
+    // re-upload reverses gradient directions, so plain dHash misses it;
+    // the canonical form min over the four axis-aligned orientations
+    // (identity, horizontal mirror, vertical flip, 180°) collides them
+    // all. The mirror hash comes from the SAME block sums (mirroring
+    // maps block bx → 8−bx); the vertical pair are pure row (byte)
+    // permutations — one decode total. The oracle recomputes every
+    // orientation from the pixel formula at the BIT level (row by →
+    // 7−by for the vertical pair), never bit-twiddling signed longs.
     "media_dhash_flip" -> ((
       (s: SparkSession, dir: String) => {
         import s.implicits._
@@ -1895,11 +1898,23 @@ object LlmQueries {
           |dhm AS (SELECT doc_id,
           |         bit_or(CASE WHEN bit = 1 AND by*8 + bx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
           |                     WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST(by*8 + bx AS INT)
-          |                     ELSE CAST(0 AS BIGINT) END) AS dhash_mirror
+          |                     ELSE CAST(0 AS BIGINT) END) AS h
+          |       FROM cmpm GROUP BY doc_id),
+          |dhv AS (SELECT doc_id,
+          |         bit_or(CASE WHEN bit = 1 AND (7-by)*8 + bx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+          |                     WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST((7-by)*8 + bx AS INT)
+          |                     ELSE CAST(0 AS BIGINT) END) AS h
+          |       FROM cmp GROUP BY doc_id),
+          |dhr AS (SELECT doc_id,
+          |         bit_or(CASE WHEN bit = 1 AND (7-by)*8 + bx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+          |                     WHEN bit = 1 THEN CAST(1 AS BIGINT) << CAST((7-by)*8 + bx AS INT)
+          |                     ELSE CAST(0 AS BIGINT) END) AS h
           |       FROM cmpm GROUP BY doc_id)
-          |SELECT dh.doc_id, dh.dhash, dhm.dhash_mirror,
-          |  least(dh.dhash, dhm.dhash_mirror) AS dhash_canon
-          |FROM dh JOIN dhm ON dh.doc_id = dhm.doc_id""".stripMargin)
+          |SELECT dh.doc_id, dh.dhash, dhm.h AS dhash_mirror,
+          |  dhv.h AS dhash_flip_v, dhr.h AS dhash_rot180,
+          |  least(dh.dhash, dhm.h, dhv.h, dhr.h) AS dhash_canon
+          |FROM dh JOIN dhm USING (doc_id) JOIN dhv USING (doc_id)
+          |  JOIN dhr USING (doc_id)""".stripMargin)
     )),
 
     // Container-header schema-on-read: real ImageIO PNG encode, then the

@@ -150,11 +150,27 @@ class ImagingSpec extends SparkSpec {
       assert(Imaging.dHashMirror64(orig) == Imaging.dHash64(mirrored), s"doc=$id")
       // involution: the mirror of the mirror is the original hash
       assert(Imaging.dHashMirror64(mirrored) == Imaging.dHash64(orig), s"doc=$id")
-      // the canonical form is identical for an image and its mirror —
+      // vertical flip is a pure row permutation of the hash: flipping the
+      // canvas (y → 15−y) must equal reverseBytes of the plain hash
+      val flipped = Imaging.decode(Imaging.encodeBmp(
+        Imaging.HashW, Imaging.HashH,
+        (x, y) => Imaging.pixel(id, x, Imaging.HashH - 1 - y)))
+      assert(Imaging.dHashFlipV64(Imaging.dHash64(orig)) == Imaging.dHash64(flipped),
+        s"doc=$id")
+      // 180° = mirror ∘ flip
+      val rotated = Imaging.decode(Imaging.encodeBmp(
+        Imaging.HashW, Imaging.HashH,
+        (x, y) => Imaging.pixel(id, Imaging.HashW - 1 - x, Imaging.HashH - 1 - y)))
+      assert(Imaging.dHashFlipV64(Imaging.dHashMirror64(orig)) == Imaging.dHash64(rotated),
+        s"doc=$id")
+      // the canonical form is identical across all four orientations —
       // the property that makes it the dedup index key
-      val canonA = math.min(Imaging.dHash64(orig), Imaging.dHashMirror64(orig))
-      val canonB = math.min(Imaging.dHash64(mirrored), Imaging.dHashMirror64(mirrored))
-      assert(canonA == canonB, s"doc=$id")
+      def canon(img: java.awt.image.BufferedImage): Long = {
+        val d = Imaging.dHash64(img); val m = Imaging.dHashMirror64(img)
+        math.min(math.min(d, m),
+          math.min(Imaging.dHashFlipV64(d), Imaging.dHashFlipV64(m)))
+      }
+      assert(Seq(mirrored, flipped, rotated).forall(canon(_) == canon(orig)), s"doc=$id")
     }
   }
 
