@@ -1262,6 +1262,68 @@ object LlmQueries {
         |FROM tr JOIN ev ON tr.s = ev.s GROUP BY 1""".stripMargin)
     )),
 
+    // The SCALE path for decontamination: a Bloom filter over the eval
+    // set's 13-grams instead of the exact gram join — at 100 TB the eval
+    // side compresses to a bit RELATION (≤ 2²⁰ rows, broadcast) probed
+    // by three semi joins, never a gram-to-gram shuffle. Deterministic
+    // md5-derived bit positions (3 × 20-bit hex fields) make the filter
+    // itself SQL-replayable, so the oracle recomputes the SAME bits —
+    // and the exact counts ride along, exposing the false-positive rate
+    // the filter trades for its size (false negatives are structurally
+    // impossible: a present gram's bits are all set). Per train doc with
+    // any bloom hit: bloom-flagged vs exactly-shared gram counts.
+    "text_decontaminate_bloom" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val withBits = d
+          .select(col("doc_id"), explode(Dedup.shingles(col("text"), 13)).as("g"))
+          .select(col("doc_id"), col("g"),
+            expr("CAST(conv(substring(md5(g), 1, 5), 16, 10) AS BIGINT)").as("b1"),
+            expr("CAST(conv(substring(md5(g), 6, 5), 16, 10) AS BIGINT)").as("b2"),
+            expr("CAST(conv(substring(md5(g), 11, 5), 16, 10) AS BIGINT)").as("b3"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ev = withBits.filter(pmod(col("doc_id"), lit(23)) === 0)
+        val bloom = ev.select(explode(array(col("b1"), col("b2"), col("b3"))).as("bit"))
+          .distinct()
+        val train = withBits.filter(pmod(col("doc_id"), lit(23)) =!= 0)
+        val flagged = train
+          .join(broadcast(bloom.select(col("bit").as("b1"))), Seq("b1"), "left_semi")
+          .join(broadcast(bloom.select(col("bit").as("b2"))), Seq("b2"), "left_semi")
+          .join(broadcast(bloom.select(col("bit").as("b3"))), Seq("b3"), "left_semi")
+        val nb = flagged.groupBy("doc_id").agg(countDistinct(col("g")).as("n_bloom_grams"))
+        val nx = train.join(ev.select("g").distinct(), Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(countDistinct(col("g")).as("n_exact_grams"))
+        nb.join(nx, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_bloom_grams"),
+            coalesce(col("n_exact_grams"), lit(0L)).as("n_exact_grams"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i FROM toks WHERE len(t) >= 13),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i+12 AS INT)], '|') AS g FROM u),
+        |hb AS (SELECT doc_id, g, md5(g) AS h FROM sh),
+        |wb AS (SELECT doc_id, g,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1))-1)*65536 + (strpos('0123456789abcdef', substr(h, 2, 1))-1)*4096 + (strpos('0123456789abcdef', substr(h, 3, 1))-1)*256 + (strpos('0123456789abcdef', substr(h, 4, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 5, 1))-1) AS b1,
+        |    (strpos('0123456789abcdef', substr(h, 6, 1))-1)*65536 + (strpos('0123456789abcdef', substr(h, 7, 1))-1)*4096 + (strpos('0123456789abcdef', substr(h, 8, 1))-1)*256 + (strpos('0123456789abcdef', substr(h, 9, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 10, 1))-1) AS b2,
+        |    (strpos('0123456789abcdef', substr(h, 11, 1))-1)*65536 + (strpos('0123456789abcdef', substr(h, 12, 1))-1)*4096 + (strpos('0123456789abcdef', substr(h, 13, 1))-1)*256 + (strpos('0123456789abcdef', substr(h, 14, 1))-1)*16 + (strpos('0123456789abcdef', substr(h, 15, 1))-1) AS b3
+        |  FROM hb),
+        |bloom AS (SELECT DISTINCT bit FROM (
+        |  SELECT b1 AS bit FROM wb WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT b2 FROM wb WHERE doc_id % 23 = 0
+        |  UNION ALL SELECT b3 FROM wb WHERE doc_id % 23 = 0)),
+        |tr AS (SELECT * FROM wb WHERE doc_id % 23 != 0),
+        |fl AS (SELECT tr.doc_id, tr.g FROM tr
+        |  WHERE tr.b1 IN (SELECT bit FROM bloom)
+        |    AND tr.b2 IN (SELECT bit FROM bloom)
+        |    AND tr.b3 IN (SELECT bit FROM bloom)),
+        |nb AS (SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_bloom_grams
+        |  FROM fl GROUP BY 1),
+        |nx AS (SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_exact_grams
+        |  FROM tr WHERE g IN (SELECT g FROM wb WHERE doc_id % 23 = 0) GROUP BY 1)
+        |SELECT nb.doc_id, nb.n_bloom_grams,
+        |  coalesce(nx.n_exact_grams, 0) AS n_exact_grams
+        |FROM nb LEFT JOIN nx ON nb.doc_id = nx.doc_id""".stripMargin)
+    )),
+
     // Characteristic terms per doc by integer tf/df weight — two
     // partial+final aggregates + a bounded-heap top-k, no floats so the
     // cross-engine compare is exact.
