@@ -2667,6 +2667,70 @@ object AnalyticsQueries {
         |FROM per JOIN tot USING (event_type) GROUP BY 1""".stripMargin)
     )),
 
+    // PSI for the EMBEDDING space: distribution of exact integer vector
+    // norms (Σ floor(x·10⁴)², order-free) between the even/odd vec_id
+    // halves, per label — the drift monitor a vector store runs when the
+    // upstream embedding model changes (a silent model swap shifts the
+    // norm distribution long before cosine quality visibly degrades).
+    // Same smoothed-PSI algebra as dq_drift_psi: per-bucket floored-micro
+    // terms summed as integers.
+    "dq_embedding_drift" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.select(col("label").cast("long").as("label"),
+          (pmod(col("vec_id"), lit(2)) === 0).as("is_a"),
+          aggregate(
+            transform(col("embedding"), x => floor(x.cast("double") * 10000).cast("long")),
+            lit(0L), (acc, v) => acc + v * v).as("norm2"))
+        val ext = q.groupBy("label").agg(min("norm2").as("mn"), max("norm2").as("mx"))
+        val b = q.join(broadcast(ext), "label")
+          .select(col("label"), col("is_a"),
+            when(col("mx") - col("mn") === 0L, lit(0L)).otherwise(
+              least(lit(9L),
+                floor((col("norm2") - col("mn")).cast("double") * 10
+                  / (col("mx") - col("mn"))).cast("long"))).as("bucket"))
+        val per = b.groupBy("label", "bucket")
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+        val tot = b.groupBy("label")
+          .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ta"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("tb"))
+        val pa = (col("na") + 1).cast("double") / (col("ta") + 10)
+        val pb = (col("nb") + 1).cast("double") / (col("tb") + 10)
+        per.join(broadcast(tot), "label")
+          .select(col("label"), col("ta"), col("tb"),
+            floor(lit(1e6) * (pa - pb) * log(pa / pb)).cast("long").as("term_micro"))
+          .groupBy("label")
+          .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+            sum("term_micro").as("psi_micro"))
+      },
+      Some("""WITH q AS (SELECT CAST(label AS BIGINT) AS label, vec_id % 2 = 0 AS is_a,
+        |  CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 10000) AS BIGINT) * CAST(floor(x * 10000) AS BIGINT)))
+        |    AS BIGINT) AS norm2
+        |  FROM embeddings),
+        |ext AS (SELECT label, min(norm2) AS mn, max(norm2) AS mx FROM q GROUP BY 1),
+        |b AS (SELECT q.label, is_a,
+        |  CASE WHEN mx - mn = 0 THEN 0
+        |    ELSE least(9, CAST(floor(CAST(norm2 - mn AS DOUBLE) * 10 / (mx - mn)) AS BIGINT))
+        |  END AS bucket
+        |  FROM q JOIN ext ON q.label = ext.label),
+        |per AS (SELECT label, bucket,
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT label,
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS tb
+        |  FROM b GROUP BY 1)
+        |SELECT per.label, max(ta) AS n_a, max(tb) AS n_b,
+        |  CAST(sum(CAST(floor(1e6
+        |    * (CAST(na + 1 AS DOUBLE) / (ta + 10) - CAST(nb + 1 AS DOUBLE) / (tb + 10))
+        |    * ln((CAST(na + 1 AS DOUBLE) / (ta + 10)) / (CAST(nb + 1 AS DOUBLE) / (tb + 10))))
+        |    AS BIGINT)) AS BIGINT) AS psi_micro
+        |FROM per JOIN tot USING (label) GROUP BY 1""".stripMargin)
+    )),
+
     // Per-user activity bitmap: one BIGINT encodes which of the 63 days
     // after the fixed epoch the user was active — the roaring-bitmap idea
     // at its smallest. bit_or is a commutative integer aggregate (order-
