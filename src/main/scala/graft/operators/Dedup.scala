@@ -122,6 +122,35 @@ object Dedup {
         col("ca.n_sh").as("n_sh_a"), col("cb.n_sh").as("n_sh_b"))
   }
 
+  /** Near-dup pairs TOUCHING a new-document batch: the probe side of the
+    * shingle join is restricted to `isNew` docs while the index side
+    * stays the full corpus — the daily-increment shape (cost ∝ batch ×
+    * affected postings, not corpus²). Emits each qualifying pair once:
+    * new-new pairs via the canonical `<` half, new-old pairs with the
+    * new doc on the probe side regardless of id order. Old-old pairs are
+    * deliberately ABSENT — an incremental consumer already holds
+    * yesterday's labels for them (see `dedup_cc_incremental`, which
+    * proves labels(labelEdges ∪ these pairs) == labels(all pairs)).
+    * Same integer Jaccard threshold as [[ngramJaccardPairs]].
+    */
+  def incrementalPairs(docs: DataFrame, isNew: Column => Column, n: Int = 3,
+                       pct: Int = 80, maxDf: Int = 0): DataFrame = {
+    val (pruned, counts) = shingleIndex(docs, n, maxDf)
+    val probe = pruned.filter(isNew(col("doc_id")))
+    val pairs = probe.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
+          (col("a.doc_id") < col("b.doc_id") || !isNew(col("b.doc_id"))))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(col("common") * 100 >= lit(pct) * (col("ca.n_sh") + col("cb.n_sh") - col("common")))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Asymmetric near-dup detection: shingle CONTAINMENT |A∩B| / |A|
     * instead of Jaccard — the signal Jaccard misses when a small document
     * is wholly quoted inside a much larger one (|A∩B|/|A∪B| stays low

@@ -1223,6 +1223,47 @@ object LlmQueries {
         |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT batch_id FROM dups)""".stripMargin)
     )),
 
+    // Incremental connected components — the daily-update contract a
+    // 100 TB dedup graph actually runs: yesterday's labels become STAR
+    // EDGES (doc → cluster root, preserving all old connectivity), the
+    // pair generator probes ONLY the new batch against the full index
+    // (Dedup.incrementalPairs — old-old pairs never recomputed), and CC
+    // over (label edges ∪ new-touching pairs) must equal batch CC over
+    // ALL pairs. The oracle IS the full batch recomputation (recursive
+    // CTE), so the equality — the whole point of the incremental
+    // contract — is what the driver hash-checks.
+    "dedup_cc_incremental" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val isNew = (c: Column) => pmod(c, lit(3)) === 2
+        val oldLabels = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(d.filter(!isNew(col("doc_id"))), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b")))
+        val labelEdges = oldLabels
+          .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        val newPairs = Dedup.incrementalPairs(d, isNew, n = 3, pct = 80, maxDf = 0)
+        Dedup.connectedComponents(labelEdges.unionAll(newPairs))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+        |reach AS (
+        |  SELECT a AS node, b AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |FROM reach GROUP BY node""".stripMargin)
+    )),
+
     // Intra-document repetition (the Gopher-rule family): total/distinct
     // bigram counts and the most-repeated bigram's count, all integers.
     // Narrow per-row array algebra — no shuffle, runs at scan speed.

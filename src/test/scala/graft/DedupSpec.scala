@@ -467,6 +467,30 @@ class DedupSpec extends SparkSpec {
     assert(tc2 == tc, s"canonicalization failed: $tc2")
   }
 
+  test("incrementalPairs probes only the new batch; old-old pairs absent, no double emission") {
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val d = Seq((1L, txt), (2L, txt), (3L, txt), (4L, txt))
+      .toDF("doc_id", "text")
+    val isNew = (c: org.apache.spark.sql.Column) => c >= 3L
+    val pairs = Dedup.incrementalPairs(d, isNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // new-old pairs (1,3),(1,4),(2,3),(2,4) + the new-new pair (3,4)
+    // exactly once each; the old-old pair (1,2) must NOT appear
+    assert(pairs == Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)), s"got $pairs")
+    // and CC over (old labels ∪ incremental pairs) equals batch CC
+    val oldLabels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(d.filter(col("doc_id") < 3), maxDf = 0)
+        .select(col("doc_a"), col("doc_b")))
+    val inc = Dedup.connectedComponents(
+      oldLabels.select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+        .unionAll(Dedup.incrementalPairs(d, isNew)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(d, maxDf = 0).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == batch, s"incremental $inc != batch $batch")
+  }
+
   test("kCore: chains peel away, cycles survive with their core degrees") {
     // triangle {1,2,3} + chain 3-4-5-6: the chain is tree-shaped so 2-core
     // peeling removes it layer by layer; the triangle survives, each
