@@ -402,6 +402,31 @@ object Dedup {
       .filter(col("jaccard_x1000") >= jaccardPctX10)
   }
 
+  /** Estimator audit for the minhash family: every verified near-dup
+    * pair scored BOTH ways — signature agreement (matching components ×
+    * 1000 / numHashes, the estimate LSH banding is built on) beside the
+    * exact Jaccard the verification already computed. The absolute error
+    * is binomial: σ = √(j(1−j)/numHashes) ≈ 0.05 at j = 0.8, n = 64, so
+    * the catalog entry's 250‰ band is 5σ — a violation means the
+    * signature kernel (not sampling noise) is broken. One zip_with fold
+    * per pair over already-verified pairs only — the audit costs nothing
+    * at corpus scale.
+    */
+  def minhashEstimateError(docs: DataFrame, numHashes: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = docs
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
+    minhashLshPairs(docs, numHashes)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard_x1000"),
+        expr(s"""aggregate(zip_with(siga, sigb, (a, b) -> IF(a = b, 1L, 0L)),
+          0L, (acc, x) -> acc + x) * 1000 div $numHashes""").as("est_x1000"))
+  }
+
   /** (doc_id, band, bucket) LSH band buckets from a (doc_id, hs) relation —
     * ids only, the payload joins back by id (the shuffle-volume rule every
     * LSH operator here follows). Shared by the self-join pair finder and the

@@ -347,6 +347,41 @@ object LlmQueries {
         |WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)""".stripMargin)
     )),
 
+    // Estimator audit for the minhash pipeline: signature-agreement
+    // estimates vs exact Jaccard on every verified pair. The xxhash
+    // signatures aren't DuckDB-expressible, so the entry materializes
+    // its contract as verdict rows (the dedup_simhash pattern):
+    // pairs_scored is independently countable by the oracle; the 250‰
+    // error band is 5σ of the binomial estimator at n = 64, so
+    // violations = 0 fails only if the signature kernel is broken, at
+    // any scale factor.
+    "dedup_minhash_est_error" -> ((
+      (s: SparkSession, dir: String) => {
+        val scored = Dedup.minhashEstimateError(docs(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = scored.agg(count(lit(1)).as("value"))
+          .select(lit("pairs_scored").as("metric"), col("value").cast("long").as("value"))
+        val viol = scored
+          .filter(abs(col("est_x1000") - col("jaccard_x1000")) > 250)
+          .agg(count(lit(1)).as("value"))
+          .select(lit("err_band_violations").as("metric"), col("value").cast("long").as("value"))
+        n.unionAll(viol)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a FROM pairs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common))
+        |SELECT 'pairs_scored' AS metric, CAST(count(*) AS BIGINT) AS value FROM jp
+        |UNION ALL SELECT 'err_band_violations', CAST(0 AS BIGINT)""".stripMargin)
+    )),
+
     // SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding). The
     // xxhash64-chained fingerprints aren't DuckDB-expressible, so the query
     // materializes its own correctness contract as verdict rows (the
@@ -646,6 +681,70 @@ object LlmQueries {
         |SELECT query_id, neighbor_id,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
+    // The nProbe TUNING CURVE — recall@5 of pivot-cell probing at
+    // nProbe ∈ {1, 2, 4} against brute-force truth, per query: the table
+    // an operator reads before fixing the probe budget at scale (recall
+    // is monotone in nProbe by construction — probe sets nest, and any
+    // true top-5 member reaching the candidate set survives the exact
+    // re-rank). The pivot quantizer is deterministic (lowest-id pivots),
+    // so the whole curve replays exactly in SQL — unlike a KMeans IVF,
+    // this tuning table is oracle-checkable.
+    "ann_probe_recall_curve" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val qids = e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
+        val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        Seq(1, 2, 4).map { p =>
+          val hits = Similarity.knnGraphPivoted(e, k = 5, nPivots = 32, nProbe = p)
+            .filter(col("query_id") < 8)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy("query_id").agg(count(lit(1)).as("hits"))
+          qids.join(hits, Seq("query_id"), "left")
+            .select(lit(p.toLong).as("n_probe"), col("query_id"),
+              (coalesce(col("hits"), lit(0L)) * 200).as("recall_pm"))
+        }.reduce(_ unionAll _)
+      },
+      Some {
+        val tiers = Seq(1, 2, 4).map { p =>
+          s"""knn$p AS (
+             |  SELECT probes.vec_id AS query_id, cell.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY probes.vec_id
+             |      ORDER BY list_cosine_similarity(probes.v, cell.v) DESC, cell.vec_id) AS rnk
+             |  FROM (SELECT e.vec_id, e.v, r.pid FROM e JOIN r ON r.vec_id = e.vec_id
+             |        AND r.pr <= $p) probes
+             |  JOIN (SELECT e.vec_id, e.v, r.pid FROM e JOIN r ON r.vec_id = e.vec_id
+             |        AND r.pr = 1) cell
+             |    ON cell.pid = probes.pid AND cell.vec_id <> probes.vec_id
+             |  WHERE probes.vec_id < 8 QUALIFY rnk <= 5),
+             |rec$p AS (SELECT q.query_id, CAST($p AS BIGINT) AS n_probe,
+             |    200 * (SELECT count(*) FROM knn$p k
+             |           JOIN bt ON bt.query_id = k.query_id
+             |             AND bt.neighbor_id = k.neighbor_id
+             |           WHERE k.query_id = q.query_id) AS recall_pm
+             |  FROM (SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < 8) q)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+           |r AS MATERIALIZED (
+           |  SELECT e.vec_id, p.pid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+           |  FROM e CROSS JOIN p QUALIFY pr <= 4),
+           |bt AS MATERIALIZED (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+           |  FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8
+           |  QUALIFY rnk <= 5),
+           |$tiers
+           |SELECT n_probe, query_id, CAST(recall_pm AS BIGINT) AS recall_pm FROM rec1
+           |UNION ALL SELECT n_probe, query_id, CAST(recall_pm AS BIGINT) FROM rec2
+           |UNION ALL SELECT n_probe, query_id, CAST(recall_pm AS BIGINT) FROM rec4""".stripMargin
+      }
     )),
 
     // Hybrid retrieval — the RAG-era flagship composition: BM25 lexical
