@@ -683,6 +683,71 @@ object LlmQueries {
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // Binary quantization ANN — the most aggressive tier of the
+    // quantization ladder (int8 → PQ → RVQ → this): each 64-dim vector
+    // collapses to ONE BIGINT of sign bits, candidate generation is
+    // xor + popcount per pair (64 bytes → 8 bytes per corpus vector in
+    // the scan — the memory-bandwidth play modern vector stores ship as
+    // "BQ"), and the top-10 hamming candidates re-rank with exact
+    // cosine to the final top-5. Sign bits and hamming are pure integer
+    // algebra, so the ENTIRE ranking — candidates and re-rank — replays
+    // in SQL. Bit 63 is set via the explicit min-long literal in both
+    // engines (DuckDB's 1<<63 overflows).
+    "ann_binary_hamming" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val sig = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+          .groupBy("vec_id")
+          .agg(sum(when(col("x") > 0,
+            when(col("idx") === 63, lit(Long.MinValue))
+              .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")))
+            .otherwise(0L)).as("sig"))
+        val q = sig.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+        val cand = sig.as("c").join(broadcast(q), col("query_id") =!= col("c.vec_id"))
+          .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+            expr("CAST(bit_count(qsig ^ sig) AS BIGINT)").as("hamming"))
+        val wc = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
+        val top = cand.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 10)
+          .select(col("query_id"), col("neighbor_id"), col("hamming"))
+        val rescored = top
+          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+            Seq("neighbor_id"))
+          .join(broadcast(e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+            Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"), col("hamming"),
+            call_function("cosine_sim", col("q_emb"), col("c_emb")).as("cos"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        rescored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("hamming"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ux AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, v[i] AS x
+        |  FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+        |sig AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN x > 0 AND idx = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |                  WHEN x > 0 THEN CAST(CAST(1 AS BIGINT) << CAST(idx AS INT) AS HUGEINT)
+        |                  ELSE 0 END) AS BIGINT) AS sig
+        |  FROM ux GROUP BY 1),
+        |q AS (SELECT vec_id AS query_id, sig AS qsig FROM sig WHERE vec_id < 8),
+        |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(qsig, c.sig)) AS BIGINT) AS hamming
+        |  FROM sig c JOIN q ON q.query_id <> c.vec_id),
+        |top AS (SELECT query_id, neighbor_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS cr
+        |  FROM cand QUALIFY cr <= 10),
+        |rescored AS (SELECT t.query_id, t.neighbor_id, t.hamming,
+        |    list_cosine_similarity(qe.v, ne.v) AS cos
+        |  FROM top t JOIN e qe ON qe.vec_id = t.query_id
+        |  JOIN e ne ON ne.vec_id = t.neighbor_id)
+        |SELECT query_id, neighbor_id, hamming,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM rescored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
     // The nProbe TUNING CURVE — recall@5 of pivot-cell probing at
     // nProbe ∈ {1, 2, 4} against brute-force truth, per query: the table
     // an operator reads before fixing the probe budget at scale (recall
