@@ -1737,6 +1737,55 @@ object AnalyticsQueries {
         |FROM agg""".stripMargin)
     )),
 
+    // Streaming Count-Min sketch, batch analog (StreamOps.countMinPerKey):
+    // the FREQUENCY twin of the KMV distinct sketch — 4×256 counts per
+    // event type, md5-hex bucket rows, purely additive state so any
+    // micro-batch split converges to this exact matrix (StreamingSpec
+    // split-parity). Probes five user ids; the oracle recomputes every
+    // bucket count and the min-over-rows upper bound exactly, alongside
+    // the true count — the CM overestimate (est ≥ exact, collisions
+    // only) is part of the checked output, not a tolerance.
+    "stream_countmin" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val items = t(s, dir, "events")
+          .select(col("event_type").as("key"), col("user_id").cast("string").as("item"))
+          .as[graft.streaming.StreamOps.CmsItem]
+        val probes = (0L to 4L).map(_.toString)
+        val est = graft.streaming.StreamOps.countMinPerKey(items, probes).toDF()
+        val exact = t(s, dir, "events")
+          .filter(col("user_id") <= 4)
+          .groupBy(col("event_type").as("key"), col("user_id").cast("string").as("probe"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        est.join(exact, Seq("key", "probe"), "left")
+          .select(col("key"), col("probe"), col("est"),
+            coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"))
+      },
+      Some("""WITH hx AS (SELECT event_type AS key, md5(CAST(user_id AS VARCHAR)) AS h,
+        |    CAST(user_id AS VARCHAR) AS item FROM events),
+        |bk AS (SELECT key, item, j,
+        |    (strpos('0123456789abcdef', substr(h, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h, CAST(j*2+2 AS INT), 1)) - 1) AS b
+        |  FROM hx, unnest(range(0, 4)) AS t(j)),
+        |mat AS (SELECT key, j, b, count(*) AS c FROM bk GROUP BY 1, 2, 3),
+        |pb AS (SELECT CAST(u AS VARCHAR) AS probe,
+        |    md5(CAST(u AS VARCHAR)) AS h FROM unnest(range(0, 5)) AS t(u)),
+        |pbk AS (SELECT probe, j,
+        |    (strpos('0123456789abcdef', substr(h, CAST(j*2+1 AS INT), 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(h, CAST(j*2+2 AS INT), 1)) - 1) AS b
+        |  FROM pb, unnest(range(0, 4)) AS t(j)),
+        |keys AS (SELECT DISTINCT event_type AS key FROM events),
+        |est AS (SELECT k.key, p.probe, CAST(min(coalesce(m.c, 0)) AS BIGINT) AS est
+        |  FROM keys k CROSS JOIN pbk p
+        |  LEFT JOIN mat m ON m.key = k.key AND m.j = p.j AND m.b = p.b
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT event_type AS key, CAST(user_id AS VARCHAR) AS probe,
+        |    CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM events WHERE user_id <= 4 GROUP BY 1, 2)
+        |SELECT est.key, est.probe, est.est, coalesce(ex.exact_cnt, 0) AS exact_cnt
+        |FROM est LEFT JOIN ex ON ex.key = est.key AND ex.probe = est.probe""".stripMargin)
+    )),
+
     // Mergeable QUANTILE sketch — the q_hll_merge persist-daily/
     // rollup-anywhere pattern for medians/percentiles: per-day log₂-bucket
     // histograms (bucket = bit length of the value in cents — pure integer,

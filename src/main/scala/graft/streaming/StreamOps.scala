@@ -536,6 +536,49 @@ object StreamOps {
       }
   }
 
+  final case class CmsItem(key: String, item: String)
+  final case class CmsEstimate(key: String, probe: String, est: Long)
+
+  /** Streaming Count-Min sketch per key: 4 rows × 256 buckets of counts,
+    * bucket j of an item = two hex digits of its md5 (engine-portable,
+    * like the KMV sketch's hash) — the FREQUENCY complement to
+    * [[kmvDistinctPerKey]]'s distinct counting. State updates are pure
+    * addition, so micro-batch merge is commutative: any split or replay
+    * order produces the identical matrix, and the batch twin's exact SQL
+    * replay IS the stream's converged answer (StreamingSpec asserts
+    * split-parity). Per batch, emits the current estimate — min over the
+    * 4 rows, the classic CM upper bound: est ≥ true count, inflated only
+    * by collisions — for each of the fixed `probes`.
+    *
+    * Scale: state is 4·256 longs (8 KB) per key forever; the emitted
+    * relation is |probes| rows per key per batch.
+    */
+  def countMinPerKey(items: Dataset[CmsItem], probes: Seq[String]): Dataset[CmsEstimate] = {
+    import items.sparkSession.implicits._
+    def buckets(item: String): Array[Int] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(item.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Array.tabulate(4)(j => Integer.parseInt(hex.substring(j * 2, j * 2 + 2), 16))
+    }
+    items
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Array[Long], CmsEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[CmsItem], state: GroupState[Array[Long]]) =>
+          val m = state.getOption.getOrElse(new Array[Long](4 * 256))
+          rows.foreach { r =>
+            val bs = buckets(r.item)
+            var j = 0
+            while (j < 4) { m(j * 256 + bs(j)) += 1L; j += 1 }
+          }
+          state.update(m)
+          probes.iterator.map { p =>
+            val bs = buckets(p)
+            CmsEstimate(key, p, (0 until 4).map(j => m(j * 256 + bs(j))).min)
+          }
+      }
+  }
+
   final case class KeyedRecord(shard: Int, key: String, payload: String)
 
   /** Streaming dedup with BOUNDED state: a bloom filter per shard instead

@@ -348,6 +348,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Count-Min matrix is split-invariant; estimates upper-bound true counts") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.CmsItem
+    val input = MemoryStream[CmsItem](spark)
+    val probes = Seq("x", "y", "never")
+    val q = StreamOps.countMinPerKey(input.toDS(), probes)
+      .writeStream.format("memory").queryName("graft_cms")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // x appears 5 times, y twice, split adversarially across batches
+      input.addData(CmsItem("a", "x"), CmsItem("a", "x"), CmsItem("a", "y"))
+      q.processAllAvailable()
+      input.addData(CmsItem("a", "x"), CmsItem("a", "x"), CmsItem("a", "x"),
+        CmsItem("a", "y"), CmsItem("b", "x"))
+      q.processAllAvailable()
+      val rows = spark.table("graft_cms").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      // counts only grow, so the final estimate per (key, probe) is the max
+      val last = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      // 8 distinct items per key is far under 256 buckets — no collisions,
+      // estimates are exact here; the CM guarantee is est >= true anyway
+      assert(last(("a", "x")) == 5L, s"got $last")
+      assert(last(("a", "y")) == 2L, s"got $last")
+      assert(last(("a", "never")) == 0L, s"got $last")
+      assert(last(("b", "x")) == 1L, s"got $last")
+    } finally q.stop()
+  }
+
   test("CDC compaction keeps the newest change per key across micro-batches") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.ChangeEvent
