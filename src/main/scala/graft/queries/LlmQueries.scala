@@ -347,6 +347,75 @@ object LlmQueries {
         |WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)""".stripMargin)
     )),
 
+    // The curation FUNNEL REPORT — the one-page readout every corpus run
+    // produces: documents and tokens surviving each pipeline stage
+    // (raw → rule quality filter → exact dedup → near-dup drop →
+    // decontamination), stages composed in sequence over the previous
+    // stage's survivors, every count replayed by the oracle through the
+    // same five-stage SQL. This is the library's dedup/quality/
+    // decontaminate operators composed end-to-end — the number the
+    // tokens-per-dollar conversation starts from.
+    "pipeline_funnel_report" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val corpus = d.filter(pmod(col("doc_id"), lit(23)) =!= 0)
+        val evalSet = d.filter(pmod(col("doc_id"), lit(23)) === 0)
+        val s2 = TextAnalysis.qualityFilter(corpus, minTokens = 20,
+          maxTokens = 5000, minUniqX1000 = 300)
+        val reps = Dedup.exact(s2).select(col("doc_id"))
+        val s3 = s2.join(reps, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val s4 = Dedup.dropNearDuplicates(s3, Dedup.minhashLshPairs(s3))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val contaminated = TextAnalysis.contaminationReport(s4, evalSet)
+          .select(col("doc_id"))
+        val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
+        def stage(name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(size(TextAnalysis.tokens(col("text")))), lit(0))
+                .cast("long").as("n_tokens"))
+            .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        stage("1_raw", corpus)
+          .unionAll(stage("2_quality", s2))
+          .unionAll(stage("3_exact_dedup", s3))
+          .unionAll(stage("4_neardup_drop", s4))
+          .unionAll(stage("5_decontaminated", s5))
+      },
+      Some("""WITH base AS (SELECT doc_id, text,
+        |    CASE WHEN length(text) = 0 THEN [] ELSE string_split(text, ' ') END AS toks
+        |  FROM documents),
+        |corpus AS (SELECT * FROM base WHERE doc_id % 23 != 0),
+        |s2 AS MATERIALIZED (SELECT * FROM corpus
+        |  WHERE len(toks) >= 20 AND len(toks) <= 5000
+        |    AND len(list_distinct(toks)) * 1000 >= 300 * len(toks)),
+        |reps AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+        |s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM reps)),
+        |u AS (SELECT doc_id, toks AS t, unnest(range(1, len(toks) - 1)) AS i
+        |  FROM s3 WHERE len(toks) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dups AS (SELECT DISTINCT doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 1000 >= 800 * (ca.n_sh + cb.n_sh - common)),
+        |s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_b FROM dups)),
+        |ev AS (SELECT doc_id, toks AS t FROM base WHERE doc_id % 23 = 0),
+        |u4 AS (SELECT doc_id, toks AS t, unnest(range(1, len(toks) - 11)) AS i
+        |  FROM s4 WHERE len(toks) >= 13),
+        |g4 AS (SELECT DISTINCT doc_id, array_to_string(list_transform(t[CAST(i AS INT):CAST(i+12 AS INT)], x -> CAST(len(x) AS VARCHAR) || ':' || x), '') AS g FROM u4),
+        |ue AS (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i FROM ev WHERE len(t) >= 13),
+        |ge AS (SELECT DISTINCT array_to_string(list_transform(t[CAST(i AS INT):CAST(i+12 AS INT)], x -> CAST(len(x) AS VARCHAR) || ':' || x), '') AS g FROM ue),
+        |cont AS (SELECT DISTINCT doc_id FROM g4 WHERE g IN (SELECT g FROM ge)),
+        |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens FROM corpus
+        |UNION ALL SELECT '2_quality', count(*), CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM s2
+        |UNION ALL SELECT '3_exact_dedup', count(*), CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM s3
+        |UNION ALL SELECT '4_neardup_drop', count(*), CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM s4
+        |UNION ALL SELECT '5_decontaminated', count(*), CAST(coalesce(sum(len(toks)), 0) AS BIGINT) FROM s5""".stripMargin)
+    )),
+
     // Estimator audit for the minhash pipeline: signature-agreement
     // estimates vs exact Jaccard on every verified pair. The xxhash
     // signatures aren't DuckDB-expressible, so the entry materializes
