@@ -752,6 +752,66 @@ object LlmQueries {
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // The ANN index AS A TABLE LAYOUT: cell assignments written to
+    // parquet PARTITIONED BY cluster, then the probe join reads back
+    // only the probed cells' files — Spark's dynamic partition pruning
+    // fires off the broadcast probe side (PlanSpec asserts the pruning
+    // subquery in the scan), so at 100 TB a 2-of-32-cell probe touches
+    // ~1/16 of the index bytes ON DISK, not post-scan. Deterministic
+    // pivot quantizer → the whole ranking replays in SQL; output equals
+    // in-memory cell probing at nProbe = 2, which is exactly what the
+    // oracle computes.
+    "ann_index_partitioned" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val pivots = broadcast(e.orderBy("vec_id").limit(32)
+          .select(col("vec_id").as("pid"), col("embedding").as("p_emb")))
+        val pw = Window.partitionBy("vec_id").orderBy(col("pcos").desc, col("pid").asc)
+        val ranked = e.crossJoin(pivots)
+          .select(col("vec_id"), col("embedding"), col("pid"),
+            call_function("cosine_sim", col("embedding"), col("p_emb")).as("pcos"))
+          .withColumn("pr", row_number().over(pw))
+          .filter(col("pr") <= 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft-ann-index").toString
+        ranked.filter(col("pr") === 1)
+          .select(col("vec_id"), col("embedding"), col("pid").as("cluster"))
+          .write.mode("overwrite").partitionBy("cluster").parquet(out)
+        val probes = ranked.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("pid").as("cluster"))
+        val index = s.read.parquet(out)
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        index.join(broadcast(probes), Seq("cluster"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            call_function("cosine_sim", col("q_emb"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS MATERIALIZED (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p QUALIFY pr <= 2),
+        |cell AS (SELECT r.vec_id AS neighbor_id, e.v AS nv, r.pid AS cluster
+        |  FROM r JOIN e ON e.vec_id = r.vec_id WHERE r.pr = 1),
+        |probes AS (SELECT r.vec_id AS query_id, e.v AS qv, r.pid AS cluster
+        |  FROM r JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 8),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qv, nv) AS cos
+        |  FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
     // Binary quantization ANN — the most aggressive tier of the
     // quantization ladder (int8 → PQ → RVQ → this): each 64-dim vector
     // collapses to ONE BIGINT of sign bits, candidate generation is

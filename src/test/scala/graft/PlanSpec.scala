@@ -36,6 +36,19 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("l_extendedprice"), s"over-wide ReadSchema: $scan")
   }
 
+  test("ann_index_partitioned prunes index partitions dynamically off the probe side") {
+    val df = graft.queries.LlmQueries.defs("ann_index_partitioned")._1(spark, sf0001)
+    // the entry writes the partitioned index as a side effect of plan
+    // construction, so the read scan below refers to real files
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("graft-ann-index"))
+      .getOrElse(fail("no scan over the partitioned index"))
+    assert(scan.contains("dynamicpruning") || scan.contains("PartitionFilters: [dynamic"),
+      s"probe join should prune index partitions dynamically: $scan")
+    // and the result itself is correct at this scale (cells cover queries)
+    assert(df.count() > 0)
+  }
+
   test("q_range_window shuffles once on user_id and keeps the RANGE frame") {
     val plan = planOf("q_range_window")
     assert(plan.contains("RangeFrame"), "must be a range frame, not rows")
