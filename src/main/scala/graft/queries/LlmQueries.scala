@@ -812,6 +812,82 @@ object LlmQueries {
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // MMR diversification (Carbonell & Goldstein): greedy re-ranking
+    // that balances relevance against redundancy — score = 0.7·rel −
+    // 0.3·max cos(d, already-picked) — the answer to "my top-5 are five
+    // near-duplicates". Three greedy picks unrolled over the exact
+    // top-8 candidate set; every pick is an argmax over deterministic
+    // double chains with id tie-breaks, so the SELECTION AND its
+    // floored-micro scores replay exactly in SQL. Bounded per query:
+    // each round joins ≤ 8 candidate rows to ≤ 2 picked embeddings.
+    "q_mmr_diversify" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 4)
+        val cand = Similarity.bruteForceTopK(e, q, k = 8)
+          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+            Seq("neighbor_id"))
+          .join(broadcast(q.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"))), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id").as("did"), col("c_emb"),
+            call_function("cosine_sim", col("q_emb"), col("c_emb")).as("rel"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def argmax(df: DataFrame, score: Column): DataFrame = {
+          val w = Window.partitionBy("query_id").orderBy(score.desc, col("did").asc)
+          df.withColumn("score", score).withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("query_id"), col("did"), col("c_emb"), col("score"))
+        }
+        val p1 = argmax(cand, col("rel") * lit(0.7))
+        val c2 = cand.join(p1.select(col("query_id"), col("did").as("p1d"),
+            col("c_emb").as("p1e")), "query_id")
+          .filter(col("did") =!= col("p1d"))
+          .withColumn("msim", call_function("cosine_sim", col("c_emb"), col("p1e")))
+        val p2 = argmax(c2, col("rel") * lit(0.7) - col("msim") * lit(0.3))
+        val c3 = c2.join(p2.select(col("query_id"), col("did").as("p2d"),
+            col("c_emb").as("p2e")), "query_id")
+          .filter(col("did") =!= col("p2d"))
+          .withColumn("msim2",
+            greatest(col("msim"), call_function("cosine_sim", col("c_emb"), col("p2e"))))
+        val p3 = argmax(c3, col("rel") * lit(0.7) - col("msim2") * lit(0.3))
+        Seq((p1, 1), (p2, 2), (p3, 3)).map { case (p, r) =>
+          p.select(col("query_id"), lit(r.toLong).as("pick_rank"), col("did").as("doc_id"),
+            floor(col("score") * lit(1e6)).cast("long").as("score_micro"))
+        }.reduce(_ unionAll _)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cand AS (SELECT q.vec_id AS query_id, n.vec_id AS did,
+        |    list_cosine_similarity(q.v, n.v) AS rel,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rk
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 4 QUALIFY rk <= 8),
+        |p1 AS (SELECT query_id, did, 0.7 * rel AS score FROM (
+        |    SELECT query_id, did, rel, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY 0.7 * rel DESC, did) AS rn FROM cand) WHERE rn = 1),
+        |c2 AS (SELECT c.query_id, c.did, c.rel,
+        |    list_cosine_similarity(ce.v, pe.v) AS msim
+        |  FROM cand c JOIN p1 ON p1.query_id = c.query_id AND c.did <> p1.did
+        |  JOIN e ce ON ce.vec_id = c.did JOIN e pe ON pe.vec_id = p1.did),
+        |p2 AS (SELECT query_id, did, score FROM (
+        |    SELECT query_id, did, 0.7 * rel - 0.3 * msim AS score,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY 0.7 * rel - 0.3 * msim DESC, did) AS rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT c.query_id, c.did, c.rel,
+        |    greatest(c.msim, list_cosine_similarity(ce.v, pe.v)) AS msim2
+        |  FROM c2 c JOIN p2 ON p2.query_id = c.query_id AND c.did <> p2.did
+        |  JOIN e ce ON ce.vec_id = c.did JOIN e pe ON pe.vec_id = p2.did),
+        |p3 AS (SELECT query_id, did, score FROM (
+        |    SELECT query_id, did, 0.7 * rel - 0.3 * msim2 AS score,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY 0.7 * rel - 0.3 * msim2 DESC, did) AS rn FROM c3) WHERE rn = 1)
+        |SELECT query_id, CAST(1 AS BIGINT) AS pick_rank, did AS doc_id,
+        |  CAST(floor(score * 1e6) AS BIGINT) AS score_micro FROM p1
+        |UNION ALL SELECT query_id, 2, did, CAST(floor(score * 1e6) AS BIGINT) FROM p2
+        |UNION ALL SELECT query_id, 3, did, CAST(floor(score * 1e6) AS BIGINT) FROM p3""".stripMargin)
+    )),
+
     // Binary quantization ANN — the most aggressive tier of the
     // quantization ladder (int8 → PQ → RVQ → this): each 64-dim vector
     // collapses to ONE BIGINT of sign bits, candidate generation is
@@ -875,6 +951,89 @@ object LlmQueries {
         |SELECT query_id, neighbor_id, hamming,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM rescored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
+    // Hard-negative mining — the contrastive-training data op behind
+    // every dense retriever (DPR/Contriever recipe): documents that
+    // score HIGH lexically for a query but are NOT among its semantic
+    // neighbors. Lexical top-10 (the ann_hybrid_bm25 BM25 leg) anti-
+    // joined against dense cosine top-10, ranked by lexical strength,
+    // top-3 per query. Both legs deterministic → the mined set replays
+    // exactly in SQL.
+    "q_hard_negatives" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("tok"),
+            log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+              .as("idf"),
+            (col("sdl").cast("double") / col("n")).as("avgdl"))
+        val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .select(col("doc_id").as("query_id"), col("tok")).distinct()
+        val lex = qterms.join(tf, "tok")
+          .filter(col("doc_id") =!= col("query_id"))
+          .join(broadcast(idf), "tok").join(dl, "doc_id")
+          .select(col("query_id"), col("doc_id"),
+            floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .cast("long").as("tm"))
+          .groupBy("query_id", "doc_id").agg(sum("tm").as("lex"))
+        val wl = Window.partitionBy("query_id").orderBy(col("lex").desc, col("doc_id"))
+        val lexTop = lex.withColumn("lex_rank", row_number().over(wl))
+          .filter(col("lex_rank") <= 10)
+        val e = emb(s, dir)
+        val dense = Similarity.bruteForceTopK(
+            e, e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"))
+        val wh = Window.partitionBy("query_id").orderBy(col("lex_rank").asc, col("doc_id"))
+        lexTop.join(dense, Seq("query_id", "doc_id"), "left_anti")
+          .withColumn("hn_rank", row_number().over(wh))
+          .filter(col("hn_rank") <= 3)
+          .select(col("query_id"), col("doc_id"),
+            col("lex_rank").cast("long").as("lex_rank"),
+            col("hn_rank").cast("long").as("hn_rank"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+        |idf AS (SELECT tok,
+        |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+        |    CAST(sdl AS DOUBLE) / n AS avgdl
+        |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1), stats),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf WHERE doc_id % 100 = 0),
+        |ls AS (SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(1e6 * idf * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS tm
+        |  FROM qt JOIN tf USING (tok) JOIN idf USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  WHERE tf.doc_id <> qt.query_id),
+        |lex AS (SELECT query_id, doc_id, CAST(sum(tm) AS BIGINT) AS lex FROM ls GROUP BY 1, 2),
+        |lt AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY lex DESC, doc_id) AS lex_rank
+        |  FROM lex QUALIFY lex_rank <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dt AS (SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS r
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 100 = 0 QUALIFY r <= 10),
+        |hn AS (SELECT lt.query_id, lt.doc_id, lt.lex_rank,
+        |    row_number() OVER (PARTITION BY lt.query_id
+        |      ORDER BY lt.lex_rank, lt.doc_id) AS hn_rank
+        |  FROM lt LEFT JOIN dt ON dt.query_id = lt.query_id AND dt.doc_id = lt.doc_id
+        |  WHERE dt.doc_id IS NULL QUALIFY hn_rank <= 3)
+        |SELECT query_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+        |  CAST(hn_rank AS BIGINT) AS hn_rank FROM hn""".stripMargin)
     )),
 
     // The nProbe TUNING CURVE — recall@5 of pivot-cell probing at
