@@ -4305,6 +4305,84 @@ object LlmQueries {
         |GROUP BY t.query_id""".stripMargin)
     )),
 
+    // Ranking-QUALITY eval (nDCG@5) of the graph-ANN tier — recall says
+    // whether the right documents appear, nDCG says whether they appear
+    // in the right ORDER: graded relevance = 6 − true rank (5..1, 0
+    // off-list), per-POSITION terms floored to micros and summed as
+    // integers (a double DCG sum would be reduction-order-dependent),
+    // normalized by the same-algebra ideal DCG. Both rankings replay in
+    // SQL, so the per-query nDCG is oracle-exact — the companion metric
+    // to ann_recall_eval.
+    "ann_ndcg_eval" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val approx = Similarity.graphTopK(e, q, k = 5,
+            nPivots = 32, nProbe = 4, graphK = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("pos"))
+        val truth = Similarity.bruteForceTopK(e, q, k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            (lit(6L) - col("rank")).as("rel"))
+        val idcg = (1 to 5).map(i => math.floor(1e6 * (6 - i) / (math.log(i + 1) / math.log(2))).toLong).sum
+        approx.join(truth, Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id"),
+            floor(lit(1e6) * coalesce(col("rel"), lit(0L))
+              / (log(col("pos") + 1) / log(lit(2.0)))).cast("long").as("term_micro"))
+          .groupBy("query_id")
+          .agg(sum("term_micro").as("dcg_micro"))
+          .select(col("query_id"), col("dcg_micro"),
+            expr(s"dcg_micro * 1000 div ${idcg}L").as("ndcg_pm"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p),
+        |cell AS (SELECT vec_id AS neighbor_id, pid AS cluster FROM r WHERE pr = 1),
+        |probes AS (SELECT vec_id AS query_id, pid AS cluster FROM r WHERE pr <= 4),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id),
+        |g AS (
+        |  SELECT query_id AS src, neighbor_id AS dst,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 5),
+        |seeds AS (SELECT src AS query_id, dst AS cand FROM g WHERE src < 8),
+        |hop AS (SELECT s.query_id, g2.dst AS cand FROM seeds s JOIN g g2 ON g2.src = s.cand),
+        |beam AS (
+        |  SELECT DISTINCT query_id, cand
+        |  FROM (SELECT * FROM seeds UNION ALL SELECT * FROM hop)
+        |  WHERE cand <> query_id),
+        |rescored AS (
+        |  SELECT b.query_id, b.cand AS neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM beam b JOIN e q ON q.vec_id = b.query_id
+        |  JOIN e n ON n.vec_id = b.cand),
+        |approx AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS pos
+        |  FROM rescored QUALIFY pos <= 5),
+        |truth AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    6 - row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rel
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8
+        |  QUALIFY rel >= 1),
+        |terms AS (SELECT a.query_id,
+        |    CAST(floor(1e6 * coalesce(t.rel, 0) / (ln(a.pos + 1) / ln(2.0))) AS BIGINT) AS tm
+        |  FROM approx a LEFT JOIN truth t USING (query_id, neighbor_id)),
+        |idcg AS (SELECT CAST(sum(CAST(floor(1e6 * (6 - i) / (ln(i + 1) / ln(2.0))) AS BIGINT)) AS BIGINT) AS v
+        |  FROM unnest(range(1, 6)) AS t(i))
+        |SELECT query_id, CAST(sum(tm) AS BIGINT) AS dcg_micro,
+        |  CAST(sum(tm) * 1000 // (SELECT v FROM idcg) AS BIGINT) AS ndcg_pm
+        |FROM terms GROUP BY 1""".stripMargin)
+    )),
+
     // Reciprocal-rank fusion of three ANN tiers (brute exact, graph
     // beam, PQ-ADC): contribution 1e6 div (60 + rank) per tier, summed,
     // re-ranked - the standard production trick for combining retrieval
