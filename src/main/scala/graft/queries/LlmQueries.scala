@@ -3814,6 +3814,36 @@ object LlmQueries {
         |WHERE common * 100 >= 90 * ca.n_sh""".stripMargin)
     )),
 
+    // The containment FILTER — the curation action on the containment
+    // signal: drop every document ≥90% shingle-contained in a LOWER-id
+    // document (greedy by id, the dropNearDuplicates discipline — the
+    // quoted/subsumed copy goes, the original stays; a higher-id
+    // containER never rescues a lower-id containEE). Same inverted-index
+    // plan as text_containment; the extra stage is one distinct + anti
+    // join on ids.
+    "text_containment_drop" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val contained = Dedup.containmentPairs(d, n = 3, pct = 90, maxDf = 0)
+          .filter(col("doc_of") < col("doc_in"))
+          .select(col("doc_in").as("doc_id")).distinct()
+        d.join(contained, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_of, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT doc_in FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_in
+        |  WHERE p.doc_of < p.doc_in AND common * 100 >= 90 * ca.n_sh)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_in FROM dropped)""".stripMargin)
+    )),
+
     // Matryoshka truncation quality readout (Similarity.matryoshkaTopK):
     // per query, how many of the full-64-dim top-10 survive when scoring
     // on the first 32 dims only. The left join keeps zero-overlap queries
