@@ -893,7 +893,8 @@ object LlmQueries {
     // collapses to ONE BIGINT of sign bits, candidate generation is
     // xor + popcount per pair (64 bytes → 8 bytes per corpus vector in
     // the scan — the memory-bandwidth play modern vector stores ship as
-    // "BQ"), and the top-10 hamming candidates re-rank with exact
+    // "BQ"), and the top-40 hamming candidates (8× oversampling — the
+    // rescore multiple production BQ ships with) re-rank with exact
     // cosine to the final top-5. Sign bits and hamming are pure integer
     // algebra, so the ENTIRE ranking — candidates and re-rank — replays
     // in SQL. Bit 63 is set via the explicit min-long literal in both
@@ -914,7 +915,7 @@ object LlmQueries {
           .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
             expr("CAST(bit_count(qsig ^ sig) AS BIGINT)").as("hamming"))
         val wc = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
-        val top = cand.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 10)
+        val top = cand.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 40)
           .select(col("query_id"), col("neighbor_id"), col("hamming"))
         val rescored = top
           .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
@@ -943,7 +944,7 @@ object LlmQueries {
         |  FROM sig c JOIN q ON q.query_id <> c.vec_id),
         |top AS (SELECT query_id, neighbor_id, hamming,
         |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS cr
-        |  FROM cand QUALIFY cr <= 10),
+        |  FROM cand QUALIFY cr <= 40),
         |rescored AS (SELECT t.query_id, t.neighbor_id, t.hamming,
         |    list_cosine_similarity(qe.v, ne.v) AS cos
         |  FROM top t JOIN e qe ON qe.vec_id = t.query_id

@@ -491,4 +491,54 @@ class ScaleSpec extends SparkSpec {
     }
     assert(globalSorts.isEmpty, s"capstone plan has a global sort:\n$globalSorts")
   }
+
+  test("theta-sketch estimates land within the KMV error envelope on real data") {
+    // k = 64 → relative standard error 1/√(k−2) ≈ 12.7%; 3σ ≈ 38%. The
+    // per-type estimates must sit inside that envelope against the exact
+    // distinct counts — a regression in the hash or kth-min logic throws
+    // estimates far outside it.
+    val out = graft.SparkEntry.queries("q_theta_sketch")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (estA, exactI) = (r.getLong(2), r.getLong(5))
+      val estI = r.getLong(4)
+      assert(estA > 0, s"degenerate sketch estimate: $r")
+      // intersection estimate vs exact intersection (both present per pair)
+      if (exactI >= 20) { // envelope only meaningful above tiny counts
+        assert(math.abs(estI - exactI).toDouble / exactI <= 0.6,
+          s"intersection estimate outside envelope: $r")
+      }
+    }
+  }
+
+  test("ABTT-whitened vectors are near-orthogonal to the removed direction") {
+    import spark.implicits._
+    val e = Sources.table(spark, sf0001, "embeddings")
+    val u = Similarity.pcaPowerQ(e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val w = Similarity.abttWhitenQ(e, idPred = col("vec_id") < 8, iters = 3)
+      .as[(Long, Long, Long)].collect()
+    val uu = u.values.map(v => v * v).sum
+    // per vector: |dot(whitened, u)| must be tiny relative to |u|² times
+    // the fixed-point scale — the projection removed the component up to
+    // integer-floor residue (≤ d/2 per coordinate rounding)
+    w.groupBy(_._1).foreach { case (vid, rows) =>
+      val dot = rows.map { case (_, idx, wv) => wv * u(idx) }.sum
+      assert(math.abs(dot) <= uu / 100,
+        s"vec $vid keeps a dominant-direction component: dot=$dot uu=$uu")
+    }
+  }
+
+  test("binary-hamming candidates recover most of the exact top-5") {
+    val e = Sources.table(spark, sf0001, "embeddings")
+    val out = graft.SparkEntry.queries("ann_binary_hamming")(spark, sf0001)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = out.join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = truth.count()
+    // 1-bit-per-dim candidates then exact re-rank: recall floor 50% on the
+    // fixture guards against a broken sign/hamming kernel (measured ~0.8+)
+    assert(hit * 2 >= total, s"binary-hamming recall collapsed: $hit of $total")
+  }
 }
