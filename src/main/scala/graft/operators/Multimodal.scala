@@ -45,6 +45,34 @@ object Multimodal {
       ).as("meta")
     )
 
+  final case class SniffRow(doc_id: Long, media: Array[Byte])
+
+  /** A MIXED-container binary column — each doc carries a real encoded
+    * payload in one of the five container formats this library decodes
+    * (BMP, PNG, JPEG, animated GIF, RIFF/WAV), chosen by doc_id % 5.
+    * This is the ingest-side reality a sniffing dispatcher faces: a
+    * binary column of unknown per-row format. All five payloads come
+    * from the REAL encoders (hand-written BMP/WAV, ImageIO PNG/JPEG,
+    * the GIF sequence writer), so magic-byte detection downstream tests
+    * actual container headers, not fixtures.
+    */
+  def mixedContainers(docIds: Dataset[Long]): Dataset[SniffRow] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = (id % 5) match {
+          case 0 => Imaging.encodeBmp(8, 6, (x, y) => Imaging.pixel(id, x, y))
+          case 1 => Imaging.encodePng(8, 6, (x, y) => Imaging.pixel(id, x, y))
+          case 2 => Imaging.encodeJpeg(8, 6, (x, y) => Imaging.pixel(id, x, y))
+          case 3 => Video.encodeGif(id)
+          case _ => Audio.encodeWav(8000,
+            Array.tabulate(64)(i => ((id % 97) * i % 2000).toInt))
+        }
+        SniffRow(id, bytes)
+      }
+    }
+  }
+
   /** The stubbed decoder: a real implementation would decode the media
     * bytes (image decode / audio PCM) and emit model features. The
     * deterministic fake — a 16-bin byte histogram, L1-normalized — keeps

@@ -2780,6 +2780,54 @@ object AnalyticsQueries {
         |FROM per JOIN tot USING (label) GROUP BY 1""".stripMargin)
     )),
 
+    // Changepoint LOCALIZATION by binary segmentation (first split): the
+    // companion to dq_cusum_shift's detection — per event type, the day
+    // maximizing the integer CUSUM statistic |n·S_i − i·S_n| (the scaled
+    // |S_i − (i/n)·S_n|, the standard binary-segmentation objective).
+    // Prefix sums via one partitioned window, argmax with day tie-break;
+    // min segment length 3 keeps edge splits out. All integers — exact
+    // replay.
+    "q_changepoint_binseg" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+        val pre = daily
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("cum", sum("cnt").over(w))
+        val tot = daily.groupBy("event_type")
+          .agg(sum("cnt").as("total"), count(lit(1)).as("n"))
+        val scored = pre.join(broadcast(tot), "event_type")
+          .filter(col("i") >= 3 && col("i") <= col("n") - 3)
+          .select(col("event_type"), col("d"), col("cum"),
+            abs(col("cum") * col("n") - col("i") * col("total")).as("score"))
+        val wa = Window.partitionBy("event_type").orderBy(col("score").desc, col("d").asc)
+        scored.withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+          .select(col("event_type"), col("d").as("split_day"),
+            col("cum").as("prefix_cnt"), col("score"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (SELECT event_type, d, cnt,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS i,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS cum
+        |  FROM daily),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+        |scored AS (SELECT p.event_type, p.d, p.cum,
+        |    abs(p.cum * t.n - p.i * t.total) AS score
+        |  FROM pre p JOIN tot t USING (event_type)
+        |  WHERE p.i >= 3 AND p.i <= t.n - 3)
+        |SELECT event_type, d AS split_day, cum AS prefix_cnt, CAST(score AS BIGINT) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY score DESC, d) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin)
+    )),
+
     // Per-user activity bitmap: one BIGINT encodes which of the 63 days
     // after the fixed epoch the user was active — the roaring-bitmap idea
     // at its smallest. bit_or is a commutative integer aggregate (order-

@@ -2473,6 +2473,32 @@ object LlmQueries {
           |  JOIN dhr USING (doc_id)""".stripMargin)
     )),
 
+    // Format sniffing over a MIXED binary column — the dispatch a real
+    // ingest pipeline runs before any decode: each doc carries one of
+    // the five REAL container payloads (doc_id % 5 → BMP / PNG / JPEG /
+    // GIF / WAV, all from the actual encoders), and magic-byte tests
+    // with Spark binary functions recover the format without decoding.
+    // The oracle replays the planting rule, so every encoder's header
+    // AND the dispatcher's precedence are checked per row.
+    "media_format_sniff" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Multimodal.mixedContainers(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+          .select(col("doc_id"),
+            when(expr("hex(substring(media, 1, 2))") === "424D", "bmp")
+              .when(expr("hex(substring(media, 1, 8))") === "89504E470D0A1A0A", "png")
+              .when(expr("hex(substring(media, 1, 2))") === "FFD8", "jpeg")
+              .when(expr("hex(substring(media, 1, 3))") === "474946", "gif")
+              .when(expr("hex(substring(media, 1, 4))") === "52494646" &&
+                expr("hex(substring(media, 9, 4))") === "57415645", "wav")
+              .otherwise("unknown").as("format"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+        |    WHEN 3 THEN 'gif' ELSE 'wav' END AS format
+        |FROM documents""".stripMargin)
+    )),
+
     // Container-header schema-on-read: real ImageIO PNG encode, then the
     // IHDR width/height and signature parsed back out of the BYTES with
     // Spark binary functions (substring/hex/conv) — the path a pipeline
