@@ -1017,6 +1017,42 @@ class StreamingSpec extends SparkSpec {
     } finally q4.stop()
   }
 
+  test("KMV sketch state survives a kill-and-restart from checkpoint") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{HashedElem, KmvRow}
+    // the sketch's k minima accumulate across the restart: values seen
+    // BEFORE the kill must still cap the post-restart kth minimum —
+    // state loss would reset θ to the post-restart arrivals only
+    val ck = Files.createTempDirectory("graft-ck-kmv").toString
+    val in = MemoryStream[HashedElem](spark)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    def start() = StreamOps.kmvDistinctPerKey(in.toDS(), k = 4)
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[KmvRow], _: Long) =>
+        val rows = ds.collect().map(r => (r.key, r.n_mins, r.theta, r.estimate))
+        out.synchronized { out ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val q1 = start()
+    in.addData(HashedElem("a", 10L), HashedElem("a", 20L), HashedElem("a", 30L))
+    q1.processAllAvailable()
+    q1.stop()
+    // post-restart arrivals alone would give mins {5,100,200,300} (θ=300);
+    // with recovered state the sketch is {5,10,20,30} → θ = 30
+    in.addData(HashedElem("a", 5L), HashedElem("a", 100L),
+      HashedElem("a", 200L), HashedElem("a", 300L))
+    out.synchronized(out.clear())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val last = out.synchronized(out.toList).last
+      assert(last == (("a", 4L, 30L, 3L * 281474976710656L / 30L)),
+        s"recovered sketch must keep pre-kill minima, got $last")
+    } finally q2.stop()
+  }
+
   test("restart from checkpoint resumes without loss or duplication") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-restart").toString
