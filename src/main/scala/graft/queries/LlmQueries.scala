@@ -840,13 +840,13 @@ object LlmQueries {
             .select(col("query_id"), col("did"), col("c_emb"), col("score"))
         }
         val p1 = argmax(cand, col("rel") * lit(0.7))
-        val c2 = cand.join(p1.select(col("query_id"), col("did").as("p1d"),
-            col("c_emb").as("p1e")), "query_id")
+        val c2 = cand.join(broadcast(p1.select(col("query_id"), col("did").as("p1d"),
+            col("c_emb").as("p1e"))), "query_id")
           .filter(col("did") =!= col("p1d"))
           .withColumn("msim", call_function("cosine_sim", col("c_emb"), col("p1e")))
         val p2 = argmax(c2, col("rel") * lit(0.7) - col("msim") * lit(0.3))
-        val c3 = c2.join(p2.select(col("query_id"), col("did").as("p2d"),
-            col("c_emb").as("p2e")), "query_id")
+        val c3 = c2.join(broadcast(p2.select(col("query_id"), col("did").as("p2d"),
+            col("c_emb").as("p2e"))), "query_id")
           .filter(col("did") =!= col("p2d"))
           .withColumn("msim2",
             greatest(col("msim"), call_function("cosine_sim", col("c_emb"), col("p2e"))))
