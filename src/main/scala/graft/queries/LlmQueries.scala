@@ -2499,6 +2499,53 @@ object LlmQueries {
         |FROM documents""".stripMargin)
     )),
 
+    // CROSS-MODAL dup evidence — the agreement table between the text
+    // near-dup graph and the image perceptual-hash near-dup graph over
+    // the same corpus: a pair flagged in BOTH modalities is the
+    // strongest dedup candidate there is; single-modality pairs are the
+    // triage queue (template text with fresh images, re-encoded images
+    // with rewritten captions). Full-outer join of two ids-only pair
+    // relations; the oracle replays both generators (shingle Jaccard +
+    // pixel-formula dHash banding) and the join.
+    "media_text_dup_agreement" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val txt = Dedup.ngramJaccardPairs(d, n = 3, pct = 80, maxDf = 0)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("in_text"))
+        val img = Imaging.dhashNearDupPairs(
+            Imaging.imageHashes(d.select(col("doc_id")).as[Long]).toDF(),
+            maxHamming = 16)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("in_image"))
+        txt.join(img, Seq("doc_a", "doc_b"), "full_outer")
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("in_text"), lit(false)).as("in_text"),
+            coalesce(col("in_image"), lit(false)).as("in_image"))
+      },
+      Some(dhashOracleCte +
+        """,bands AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM dh),
+          |bk AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |icand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.dhash AS ha, b.dhash AS hb
+          |         FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+          |ipairs AS (SELECT doc_a, doc_b FROM icand
+          |  WHERE bit_count(xor(ha, hb)) <= 16),
+          |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+          |sh2 AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh2 GROUP BY doc_id),
+          |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+          |  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          |tpairs AS (SELECT doc_a, doc_b FROM prs p
+          |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+          |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common))
+          |SELECT coalesce(t.doc_a, i.doc_a) AS doc_a,
+          |  coalesce(t.doc_b, i.doc_b) AS doc_b,
+          |  t.doc_a IS NOT NULL AS in_text,
+          |  i.doc_a IS NOT NULL AS in_image
+          |FROM tpairs t FULL OUTER JOIN ipairs i
+          |  ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b""".stripMargin)
+    )),
+
     // Container-header schema-on-read: real ImageIO PNG encode, then the
     // IHDR width/height and signature parsed back out of the BYTES with
     // Spark binary functions (substring/hex/conv) — the path a pipeline
