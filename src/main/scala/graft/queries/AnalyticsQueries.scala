@@ -812,6 +812,77 @@ object AnalyticsQueries {
     // experimentation readout. One partial+final aggregate per variant;
     // round(4) absorbs the low-order-bit differences between the two
     // engines' streaming moment algorithms (the q1 rounded-sum precedent).
+    // CUPED variance reduction (Deng et al. 2013) — q_ab_lift's modern
+    // production form: the post-period per-user metric adjusted by its
+    // pre-period covariate, θ = cov(pre, post)/var(pre), which shrinks
+    // the variance the experiment must overcome by the pre/post
+    // correlation². Per-user cents are exact integers; every moment
+    // (Σx, Σy, Σxy, Σx², per-arm sums) is an exact integer aggregate,
+    // and the final θ / raw-lift / adjusted-lift are ONE fixed double
+    // chain over those scalars, floored to micros — order-free and
+    // engine-exact end to end.
+    "q_cuped_lift" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("d"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val per = ev.groupBy("user_id")
+          .agg(sum(when(col("d") < 15, col("cents")).otherwise(0L)).as("x"),
+            sum(when(col("d") >= 15, col("cents")).otherwise(0L)).as("y"))
+          .withColumn("trt", pmod(col("user_id"), lit(2)) === 0)
+        per.agg(
+            count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+            sum(when(col("trt"), 1L).otherwise(0L)).as("nt"),
+            sum(when(col("trt"), col("x")).otherwise(0L)).as("sxt"),
+            sum(when(col("trt"), col("y")).otherwise(0L)).as("syt"))
+          .select(col("nt"), (col("n") - col("nt")).as("nc"),
+            floor(lit(1e6) * (col("syt").cast("double") / col("nt")
+              - (col("sy") - col("syt")).cast("double") / (col("n") - col("nt"))))
+              .cast("long").as("lift_raw_micro"),
+            floor(lit(1e6)
+              * (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")))
+              .cast("long").as("theta_micro"),
+            floor(lit(1e6) * ((col("syt").cast("double") / col("nt")
+              - (col("sy") - col("syt")).cast("double") / (col("n") - col("nt")))
+              - ((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+                / (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")))
+                * (col("sxt").cast("double") / col("nt")
+                  - (col("sx") - col("sxt")).cast("double") / (col("n") - col("nt")))))
+              .cast("long").as("lift_cuped_micro"))
+      },
+      Some("""WITH ev AS (SELECT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |per AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN d < 15 THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN d >= 15 THEN cents ELSE 0 END) AS BIGINT) AS y,
+        |    user_id % 2 = 0 AS trt
+        |  FROM ev GROUP BY user_id),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(CASE WHEN trt THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN trt THEN x ELSE 0 END) AS BIGINT) AS sxt,
+        |    CAST(sum(CASE WHEN trt THEN y ELSE 0 END) AS BIGINT) AS syt
+        |  FROM per)
+        |SELECT nt, n - nt AS nc,
+        |  CAST(floor(1e6 * (CAST(syt AS DOUBLE) / nt
+        |    - CAST(sy - syt AS DOUBLE) / (n - nt))) AS BIGINT) AS lift_raw_micro,
+        |  CAST(floor(1e6
+        |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) AS BIGINT) AS theta_micro,
+        |  CAST(floor(1e6 * ((CAST(syt AS DOUBLE) / nt
+        |    - CAST(sy - syt AS DOUBLE) / (n - nt))
+        |    - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+        |      * (CAST(sxt AS DOUBLE) / nt
+        |        - CAST(sx - sxt AS DOUBLE) / (n - nt)))) AS BIGINT) AS lift_cuped_micro
+        |FROM agg""".stripMargin)
+    )),
+
     "q_ab_lift" -> ((
       (s: SparkSession, dir: String) => {
         val e = t(s, dir, "events")
