@@ -4755,6 +4755,53 @@ object LlmQueries {
         |FROM sc GROUP BY 1""".stripMargin)
     )),
 
+    // Corpus conditional-entropy rate H(w'|w) from the bigram model —
+    // the compressibility/diversity scalar a corpus report leads with
+    // (a template-heavy corpus has low entropy rate; dedup raises it):
+    // H = −Σ_{w,w'} p(w,w') · log p(w'|w), computed as per-bigram
+    // floored-micro terms −c(w,w')·ln(c(w,w')/c(w·)) summed as exact
+    // integers, then divided by the total bigram count in one double
+    // step. Two hash aggregates + one join — a scan-shaped statistic.
+    "text_entropy_rate" -> ((
+      (s: SparkSession, dir: String) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(expr("filter(t, x -> length(x) > 0)").as("t"))
+          .filter(size(col("t")) >= 2)
+        val bi = toks
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("cab"))
+        val ua = bi.groupBy("a").agg(sum("cab").as("ca"))
+        bi.join(ua, "a")
+          .select(
+            floor(lit(-1e6) * col("cab")
+              * log(col("cab").cast("double") / col("ca"))).cast("long").as("term"),
+            col("cab"))
+          .agg(sum("term").as("sum_term_micro"), sum("cab").as("n_bigrams"))
+          .select(col("n_bigrams"), col("sum_term_micro"),
+            floor(col("sum_term_micro").cast("double") / col("n_bigrams"))
+              .cast("long").as("entropy_rate_micro"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bi AS (SELECT t[i] AS a, t[i+1] AS b, CAST(count(*) AS BIGINT) AS cab
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2 GROUP BY 1, 2),
+        |ua AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bi GROUP BY 1),
+        |terms AS (SELECT
+        |    CAST(floor(-1e6 * cab * ln(CAST(cab AS DOUBLE) / ca)) AS BIGINT) AS term,
+        |    cab
+        |  FROM bi JOIN ua USING (a)),
+        |agg AS (SELECT CAST(sum(term) AS BIGINT) AS sum_term_micro,
+        |    CAST(sum(cab) AS BIGINT) AS n_bigrams FROM terms)
+        |SELECT n_bigrams, sum_term_micro,
+        |  CAST(floor(CAST(sum_term_micro AS DOUBLE) / n_bigrams) AS BIGINT) AS entropy_rate_micro
+        |FROM agg""".stripMargin)
+    )),
+
     // Collocation mining: top-50 adjacent-bigram PMI over the corpus —
     // the classic phrase-detection pass (Mikolov-style word2phrase) that
     // decides which token pairs act as single units before tokenizer
