@@ -273,4 +273,45 @@ object Audio {
       }
     }
   }
+
+  final case class VadStats(doc_id: Long, n_windows: Long, n_active: Long,
+                            n_segments: Long, longest_run: Long)
+
+  /** Energy-gated activity screen over DECODED samples — the decision
+    * layer of silence trimming / speech-segment extraction: full
+    * 64-sample windows, a window is ACTIVE when Σ|amp| clears the
+    * threshold, segments are maximal runs of active windows
+    * (gaps-and-islands over the window sequence). Same decode shape as
+    * [[pcmStats]] (mapPartitions, codec per task, integers out); the
+    * oracle replays window energies from the waveform formula.
+    */
+  def vadStats(docIds: Dataset[Long], window: Int = 64,
+               threshold: Long = 66000L): Dataset[VadStats] = {
+    import docIds.sparkSession.implicits._
+    docIds.mapPartitions { ids =>
+      ids.map { id =>
+        val (_, samples) = decodeWav(synth(id))
+        val nWin = samples.length / window
+        var active = 0L
+        var segs = 0L
+        var run = 0L
+        var longest = 0L
+        var w = 0
+        while (w < nWin) {
+          var en = 0L
+          var i = w * window
+          val end = i + window
+          while (i < end) { en += math.abs(samples(i)); i += 1 }
+          if (en > threshold) {
+            active += 1
+            if (run == 0) segs += 1
+            run += 1
+            if (run > longest) longest = run
+          } else run = 0
+          w += 1
+        }
+        VadStats(id, nWin.toLong, active, segs, longest)
+      }
+    }
+  }
 }

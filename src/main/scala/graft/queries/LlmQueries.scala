@@ -2908,6 +2908,39 @@ object LlmQueries {
         |FROM z GROUP BY doc_id""".stripMargin)
     )),
 
+    // Energy-gated activity screen (Audio.vadStats) — silence trimming's
+    // decision layer: full 64-sample windows of decoded PCM, active when
+    // Σ|amp| > 66 000, segments = maximal active runs (gaps-and-islands
+    // over the window sequence). The oracle replays window energies from
+    // the waveform formula and rebuilds the runs with the islands trick.
+    "media_audio_vad" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        Audio.vadStats(docs(s, dir).select(col("doc_id")).as[Long]).toDF()
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS s,
+        |  400 + (doc_id % 100) * 8 AS n FROM documents),
+        |u AS (SELECT doc_id, s, n, unnest(range(0, (n // 64) * 64)) AS i FROM d),
+        |a AS (SELECT doc_id, n, i // 64 AS wi,
+        |  abs(((s + 1) * ((i*i) % 97) + 13*i) % 4001 - 2000
+        |    + CASE WHEN doc_id % 5 = 0 AND i < 24 THEN 1500 ELSE 0 END) AS aa FROM u),
+        |e AS (SELECT doc_id, max(n) AS n, wi, CAST(sum(aa) AS BIGINT) AS en
+        |  FROM a GROUP BY doc_id, wi),
+        |act AS (SELECT doc_id, wi FROM e WHERE en > 66000),
+        |runs AS (SELECT doc_id, wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi) AS grp
+        |  FROM act),
+        |segs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM runs GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(max(len) AS BIGINT) AS longest_run FROM segs GROUP BY 1),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_active FROM act GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.n // 64 AS BIGINT) AS n_windows,
+        |  coalesce(na.n_active, 0) AS n_active,
+        |  coalesce(per.n_segments, 0) AS n_segments,
+        |  coalesce(per.longest_run, 0) AS longest_run
+        |FROM d LEFT JOIN na USING (doc_id) LEFT JOIN per USING (doc_id)""".stripMargin)
+    )),
+
     // Audio near-dup — the audio analog of media_dhash_neardup: spectral
     // sign fingerprint over the first 256 DECODED samples (8 frames × 8
     // DCT coefficients, integer basis shared with the image pHash, bit =
