@@ -812,6 +812,86 @@ object AnalyticsQueries {
     // experimentation readout. One partial+final aggregate per variant;
     // round(4) absorbs the low-order-bit differences between the two
     // engines' streaming moment algorithms (the q1 rounded-sum precedent).
+    // Mann–Whitney U — the rank-based (distribution-free) A/B test
+    // beside q_ab_lift's parametric mean gap: per event type, the U
+    // statistic between the user-parity arms computed EXACTLY from the
+    // value histogram (doubled to absorb tie halves: U2 = Σ_v n1(v)·
+    // (2·#{arm0 < v} + n0(v))) — one histogram aggregate + one
+    // partitioned prefix-sum window over DISTINCT cents values, never a
+    // row-level rank. Integer end to end.
+    "q_mann_whitney_u" -> ((
+      (s: SparkSession, dir: String) => {
+        val h = t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            pmod(col("user_id"), lit(2)).as("arm"))
+          .groupBy("event_type", "cents")
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        val w = Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum0", sum("n0").over(w))
+          .select(col("event_type"), col("n0"), col("n1"),
+            (col("n1") * (lit(2) * (col("cum0") - col("n0")) + col("n0"))).as("u2term"))
+          .groupBy("event_type")
+          .agg(sum("n0").as("n_arm0"), sum("n1").as("n_arm1"),
+            sum("u2term").as("u2"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, n0, n1,
+        |    CAST(sum(n0) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum0
+        |  FROM h)
+        |SELECT event_type, CAST(sum(n0) AS BIGINT) AS n_arm0,
+        |  CAST(sum(n1) AS BIGINT) AS n_arm1,
+        |  CAST(sum(n1 * (2 * (cum0 - n0) + n0)) AS BIGINT) AS u2
+        |FROM c GROUP BY 1""".stripMargin)
+    )),
+
+    // Kolmogorov–Smirnov distance between the arms — the shape-level
+    // companion to q_mann_whitney_u's location test: max CDF gap over
+    // the value histogram, cross-multiplied to stay integer
+    // (D_scaled = max |cum0·N1 − cum1·N0|; divide by N0·N1 downstream).
+    // Same histogram + partitioned prefix-sum shape.
+    "q_ks_distance" -> ((
+      (s: SparkSession, dir: String) => {
+        val h = t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            pmod(col("user_id"), lit(2)).as("arm"))
+          .groupBy("event_type", "cents")
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        val w = Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = h.groupBy("event_type")
+          .agg(sum("n0").as("t0"), sum("n1").as("t1"))
+        h.withColumn("cum0", sum("n0").over(w))
+          .withColumn("cum1", sum("n1").over(w))
+          .join(broadcast(tot), "event_type")
+          .groupBy("event_type")
+          .agg(max("t0").as("n_arm0"), max("t1").as("n_arm1"),
+            max(abs(col("cum0") * col("t1") - col("cum1") * col("t0"))).as("d_scaled"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, n0, n1,
+        |    CAST(sum(n0) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum0,
+        |    CAST(sum(n1) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum1
+        |  FROM h),
+        |t AS (SELECT event_type, CAST(sum(n0) AS BIGINT) AS t0,
+        |    CAST(sum(n1) AS BIGINT) AS t1 FROM h GROUP BY 1)
+        |SELECT c.event_type, max(t.t0) AS n_arm0, max(t.t1) AS n_arm1,
+        |  CAST(max(abs(c.cum0 * t.t1 - c.cum1 * t.t0)) AS BIGINT) AS d_scaled
+        |FROM c JOIN t USING (event_type) GROUP BY 1""".stripMargin)
+    )),
+
     // CUPED variance reduction (Deng et al. 2013) — q_ab_lift's modern
     // production form: the post-period per-user metric adjusted by its
     // pre-period covariate, θ = cov(pre, post)/var(pre), which shrinks
