@@ -3749,6 +3749,68 @@ object LlmQueries {
         |SELECT v AS doc_id, CAST(c AS BIGINT) AS community FROM l3""".stripMargin)
     )),
 
+    // Modularity of the label-propagation communities — the quality
+    // scalar that says whether a partition is BETTER than chance:
+    // Q = Σ_c [L_c/m − (D_c/2m)²], emitted ×4m² to stay integer
+    // (q4m2 = Σ_c [4m·L_c − D_c²]; divide by 4m² downstream). Composes
+    // graph_communities_lp with two hash aggregates over the edge set;
+    // the oracle replays the LP rounds AND the modularity algebra.
+    "graph_modularity" -> ((
+      (s: SparkSession, dir: String) => {
+        val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val comm = Graph.labelPropagation(pairs, iters = 3)
+        val m = pairs.agg(count(lit(1)).as("m"))
+        val withC = pairs
+          .join(comm.select(col("doc_id").as("doc_a"), col("community").as("ca")), "doc_a")
+          .join(comm.select(col("doc_id").as("doc_b"), col("community").as("cb")), "doc_b")
+        val lIn = withC.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_in"))
+        val degSum = withC.select(col("ca").as("community"))
+          .unionAll(withC.select(col("cb").as("community")))
+          .groupBy("community").agg(count(lit(1)).as("d_sum"))
+        degSum.join(lIn, Seq("community"), "left").crossJoin(broadcast(m))
+          .select((lit(4) * col("m") * coalesce(col("l_in"), lit(0L))
+            - col("d_sum") * col("d_sum")).as("term"), col("m"))
+          .agg(max("m").as("m"), count(lit(1)).as("n_communities"),
+            sum("term").as("q_x4m2"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS MATERIALIZED (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |l0 AS (SELECT DISTINCT src AS v, src AS c FROM e),
+        |k1 AS (SELECT e.dst AS v, l.c, count(*) AS cnt FROM e JOIN l0 l ON l.v = e.src GROUP BY 1, 2),
+        |l1 AS (SELECT v, c FROM (SELECT v, c,
+        |  row_number() OVER (PARTITION BY v ORDER BY cnt DESC, c) AS rn FROM k1) WHERE rn = 1),
+        |k2 AS (SELECT e.dst AS v, l.c, count(*) AS cnt FROM e JOIN l1 l ON l.v = e.src GROUP BY 1, 2),
+        |l2 AS (SELECT v, c FROM (SELECT v, c,
+        |  row_number() OVER (PARTITION BY v ORDER BY cnt DESC, c) AS rn FROM k2) WHERE rn = 1),
+        |k3 AS (SELECT e.dst AS v, l.c, count(*) AS cnt FROM e JOIN l2 l ON l.v = e.src GROUP BY 1, 2),
+        |l3 AS MATERIALIZED (SELECT v, c FROM (SELECT v, c,
+        |  row_number() OVER (PARTITION BY v ORDER BY cnt DESC, c) AS rn FROM k3) WHERE rn = 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM jp),
+        |wc AS (SELECT jp.doc_a, jp.doc_b, la.c AS ca, lb.c AS cb
+        |  FROM jp JOIN l3 la ON la.v = jp.doc_a JOIN l3 lb ON lb.v = jp.doc_b),
+        |lin AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS l_in
+        |  FROM wc WHERE ca = cb GROUP BY 1),
+        |ds AS (SELECT community, CAST(count(*) AS BIGINT) AS d_sum FROM (
+        |  SELECT ca AS community FROM wc UNION ALL SELECT cb FROM wc) GROUP BY 1)
+        |SELECT max(m.m) AS m, CAST(count(*) AS BIGINT) AS n_communities,
+        |  CAST(sum(4 * m.m * coalesce(lin.l_in, 0) - ds.d_sum * ds.d_sum) AS BIGINT) AS q_x4m2
+        |FROM ds LEFT JOIN lin USING (community), m""".stripMargin)
+    )),
+
     "graph_degrees" -> ((
       (s: SparkSession, dir: String) =>
         Graph.degreeHistogram(
