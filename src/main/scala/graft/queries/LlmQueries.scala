@@ -4850,6 +4850,36 @@ object LlmQueries {
         |FROM sc GROUP BY 1""".stripMargin)
     )),
 
+    // Lognormal fit of document lengths per source (method of moments on
+    // ln n): the distributional fact every corpus report states — web
+    // text lengths are lognormal-ish, and a source whose (μ, σ) moves is
+    // a changed crawler. Emitted as exact integer moment sums of
+    // floored-micro ln terms (s1 = Σ⌊10⁶·ln n⌋, s2 = Σ⌊10⁶·ln n⌋² —
+    // order-free; μ̂, σ̂² are one division downstream) plus the per-mille
+    // mean for direct reading.
+    "text_length_lognormal" -> ((
+      (s: SparkSession, dir: String) => {
+        val n = size(TextAnalysis.tokens(col("text")))
+        docs(s, dir).filter(n >= 1)
+          .select(col("source"),
+            floor(lit(1e6) * log(n.cast("double"))).cast("long").as("l"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("l").as("s1"),
+            sum(col("l") * col("l")).as("s2"))
+          .select(col("source"), col("n_docs"), col("s1"), col("s2"),
+            expr("s1 div n_docs").as("mu_micro"))
+      },
+      Some("""WITH t AS (SELECT source,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE len(string_split(text, ' ')) END AS n
+        |  FROM documents),
+        |l AS (SELECT source, CAST(floor(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS l
+        |  FROM t WHERE n >= 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(l) AS BIGINT) AS s1, CAST(sum(l * l) AS BIGINT) AS s2,
+        |  CAST(sum(l) // count(*) AS BIGINT) AS mu_micro
+        |FROM l GROUP BY 1""".stripMargin)
+    )),
+
     // Corpus conditional-entropy rate H(w'|w) from the bigram model —
     // the compressibility/diversity scalar a corpus report leads with
     // (a template-heavy corpus has low entropy rate; dedup raises it):
