@@ -1047,106 +1047,49 @@ object LlmQueries {
     // dedup-across-teams, and credit attribution are identical. Six
     // dependent argmin steps, each over ≤ 5-row-per-query relations.
     "q_interleave_teamdraft" -> ((
-      (s: SparkSession, dir: String) => {
-        val toks = docs(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .filter(length(col("tok")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
-        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(stats))
-          .select(col("tok"),
-            log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-              .as("idf"),
-            (col("sdl").cast("double") / col("n")).as("avgdl"))
-        val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
-          .select(col("doc_id").as("query_id"), col("tok")).distinct()
-        val lex = qterms.join(tf, "tok")
-          .filter(col("doc_id") =!= col("query_id"))
-          .join(broadcast(idf), "tok").join(dl, "doc_id")
-          .select(col("query_id"), col("doc_id"),
-            floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
-              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              .cast("long").as("tm"))
-          .groupBy("query_id", "doc_id").agg(sum("tm").as("lexs"))
-        val wl = Window.partitionBy("query_id").orderBy(col("lexs").desc, col("doc_id"))
-        val rA = lex.withColumn("ra", row_number().over(wl)).filter(col("ra") <= 5)
-          .select(col("query_id"), col("doc_id"), col("ra"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val e = emb(s, dir)
-        val rB = Similarity.bruteForceTopK(
-            e, e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 5)
-          .select(col("query_id"), col("neighbor_id").as("doc_id"),
-            col("rank").as("rb"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def draft(src: DataFrame, rankCol: String, picked: DataFrame): DataFrame = {
-          val base = if (picked == null) src
-            else src.join(picked.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "left_anti")
-          val w = Window.partitionBy("query_id").orderBy(col(rankCol), col("doc_id"))
-          base.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select(col("query_id"), col("doc_id"))
-        }
-        var picked: DataFrame = null
-        val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        for (round <- 0 until 3; (src, rk, team) <- Seq((rA, "ra", "lex"), (rB, "rb", "dense"))) {
-          val p = draft(src, rk, picked)
-            .select(col("query_id"), col("doc_id"),
-              lit(round * 2 + (if (team == "lex") 1 else 2)).cast("long").as("pos"),
-              lit(team).as("team"))
-          out += p
-          picked = if (picked == null) p else picked.unionAll(p)
-          picked = picked.localCheckpoint(eager = true) // 6 dependent steps
-        }
-        out.reduce(_ unionAll _)
-      },
-      Some {
-        val steps = (1 to 6).map { k =>
-          val (src, rk, team) = if (k % 2 == 1) ("la", "ra", "lex") else ("db", "rb", "dense")
-          val excl = if (k == 1) ""
-            else s"""WHERE NOT EXISTS (SELECT 1 FROM pk${k - 1} p
-                    |      WHERE p.query_id = $src.query_id AND p.doc_id = $src.doc_id)""".stripMargin
-          val prev = if (k == 1) "" else s"SELECT * FROM pk${k - 1} UNION ALL "
-          s"""s$k AS MATERIALIZED (SELECT query_id, doc_id, CAST($k AS BIGINT) AS pos,
-             |  '$team' AS team FROM (
-             |    SELECT $src.query_id, $src.doc_id, row_number() OVER (
-             |      PARTITION BY $src.query_id ORDER BY $src.$rk, $src.doc_id) AS rn
-             |    FROM $src $excl) WHERE rn = 1),
-             |pk$k AS MATERIALIZED (${prev}SELECT query_id, doc_id, pos, team FROM s$k)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-           |t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
-           |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
-           |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
-           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
-           |idf AS (SELECT tok,
-           |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
-           |    CAST(sdl AS DOUBLE) / n AS avgdl
-           |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1), stats),
-           |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf WHERE doc_id % 100 = 0),
-           |ls AS (SELECT qt.query_id, tf.doc_id,
-           |    CAST(floor(1e6 * idf * (tf * 2.2)
-           |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS tm
-           |  FROM qt JOIN tf USING (tok) JOIN idf USING (tok)
-           |  JOIN dl ON dl.doc_id = tf.doc_id
-           |  WHERE tf.doc_id <> qt.query_id),
-           |lex AS (SELECT query_id, doc_id, CAST(sum(tm) AS BIGINT) AS lexs FROM ls GROUP BY 1, 2),
-           |la AS MATERIALIZED (SELECT query_id, doc_id,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY lexs DESC, doc_id) AS ra
-           |  FROM lex QUALIFY ra <= 5),
-           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |db AS MATERIALIZED (SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
-           |    row_number() OVER (PARTITION BY q.vec_id
-           |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rb
-           |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
-           |  WHERE q.vec_id % 100 = 0 QUALIFY rb <= 5),
-           |$steps
-           |SELECT query_id, doc_id, pos, team FROM pk6""".stripMargin
-      }
+      (s: SparkSession, dir: String) => interleaveDraft(s, dir),
+      Some(teamDraftOracle("SELECT query_id, doc_id, pos, team FROM pk6"))
     )),
 
+    // The interleaving CREDIT readout under a deterministic click model
+    // (the user clicks the truly-most-similar drafted document — exact
+    // cosine against the query): the clicked doc's team wins the query,
+    // and the per-team win counts are the A/B verdict interleaving
+    // exists to produce. The cosine click model structurally favors the
+    // dense team — which is the point: the readout shows the draft +
+    // credit machinery turning a click stream into a ranker comparison,
+    // end-to-end replayable.
+    "q_interleave_winrate" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val drafted = interleaveDraft(s, dir)
+        val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("doc_id").asc)
+        val clicked = drafted
+          .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("d_emb")), "doc_id")
+          .join(broadcast(e.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"))), "query_id")
+          .select(col("query_id"), col("doc_id"), col("team"),
+            call_function("cosine_sim", col("q_emb"), col("d_emb")).as("cs"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val n = clicked.agg(countDistinct("query_id").as("nq"))
+        clicked.groupBy("team").agg(count(lit(1)).as("wins"))
+          .crossJoin(broadcast(n))
+          .select(col("team"), col("wins"), col("nq").as("n_queries"),
+            expr("wins * 1000 div nq").as("win_pm"))
+      },
+      Some(teamDraftOracle(
+        """clicked AS (SELECT query_id, team FROM (
+          |  SELECT pk6.query_id, pk6.team,
+          |    row_number() OVER (PARTITION BY pk6.query_id
+          |      ORDER BY list_cosine_similarity(qe.v, de.v) DESC, pk6.doc_id) AS rn
+          |  FROM pk6 JOIN e qe ON qe.vec_id = pk6.query_id
+          |  JOIN e de ON de.vec_id = pk6.doc_id) WHERE rn = 1),
+          |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq FROM clicked)
+          |SELECT team, CAST(count(*) AS BIGINT) AS wins, max(nq.nq) AS n_queries,
+          |  CAST(count(*) * 1000 // max(nq.nq) AS BIGINT) AS win_pm
+          |FROM clicked, nq GROUP BY team""".stripMargin, extraCte = true))
+    )),
     // The nProbe TUNING CURVE — recall@5 of pivot-cell probing at
     // nProbe ∈ {1, 2, 4} against brute-force truth, per query: the table
     // an operator reads before fixing the probe budget at scale (recall
@@ -5408,4 +5351,114 @@ object LlmQueries {
         |FROM terms GROUP BY 1""".stripMargin)
     ))
   )
+
+  /** The shared team-draft pipeline behind the interleaving entries:
+    * lexical (BM25 over the query doc's terms) and dense (exact cosine)
+    * top-5 rankings merged by alternating drafts with a fixed coin
+    * (lexical first each round), six dependent argmin steps with a
+    * localCheckpoint per pick. Returns (query_id, doc_id, pos 1-6, team).
+    */
+  private def interleaveDraft(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"),
+        (col("sdl").cast("double") / col("n")).as("avgdl"))
+    val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"), col("tok")).distinct()
+    val lex = qterms.join(tf, "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(idf), "tok").join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast("long").as("tm"))
+      .groupBy("query_id", "doc_id").agg(sum("tm").as("lexs"))
+    val wl = Window.partitionBy("query_id").orderBy(col("lexs").desc, col("doc_id"))
+    val rA = lex.withColumn("ra", row_number().over(wl)).filter(col("ra") <= 5)
+      .select(col("query_id"), col("doc_id"), col("ra"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = emb(s, dir)
+    val rB = Similarity.bruteForceTopK(
+        e, e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def draft(src: DataFrame, rankCol: String, picked: DataFrame): DataFrame = {
+      val base = if (picked == null) src
+        else src.join(picked.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "left_anti")
+      val w = Window.partitionBy("query_id").orderBy(col(rankCol), col("doc_id"))
+      base.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"))
+    }
+    var picked: DataFrame = null
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (round <- 0 until 3; (src, rk, team) <- Seq((rA, "ra", "lex"), (rB, "rb", "dense"))) {
+      val pick = draft(src, rk, picked)
+        .select(col("query_id"), col("doc_id"),
+          lit(round * 2 + (if (team == "lex") 1 else 2)).cast("long").as("pos"),
+          lit(team).as("team"))
+      out += pick
+      picked = if (picked == null) pick else picked.unionAll(pick)
+      picked = picked.localCheckpoint(eager = true) // 6 dependent steps
+    }
+    out.reduce(_ unionAll _)
+  }
+
+  /** DuckDB replay of the team-draft pipeline through the `pk6` CTE
+    * (all six picks with positions and teams); `tail` is appended as the
+    * final SELECT, or — with `extraCte` — as further CTEs ending in the
+    * final SELECT. */
+  private def teamDraftOracle(tail: String, extraCte: Boolean = false): String = {
+    val steps = (1 to 6).map { k =>
+      val (src, rk, team) = if (k % 2 == 1) ("la", "ra", "lex") else ("db", "rb", "dense")
+      val excl = if (k == 1) ""
+        else s"""WHERE NOT EXISTS (SELECT 1 FROM pk${k - 1} p
+                |      WHERE p.query_id = $src.query_id AND p.doc_id = $src.doc_id)""".stripMargin
+      val prev = if (k == 1) "" else s"SELECT * FROM pk${k - 1} UNION ALL "
+      s"""s$k AS MATERIALIZED (SELECT query_id, doc_id, CAST($k AS BIGINT) AS pos,
+         |  '$team' AS team FROM (
+         |    SELECT $src.query_id, $src.doc_id, row_number() OVER (
+         |      PARTITION BY $src.query_id ORDER BY $src.$rk, $src.doc_id) AS rn
+         |    FROM $src $excl) WHERE rn = 1),
+         |pk$k AS MATERIALIZED (${prev}SELECT query_id, doc_id, pos, team FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val base = s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |t AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+       |idf AS (SELECT tok,
+       |    ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+       |    CAST(sdl AS DOUBLE) / n AS avgdl
+       |  FROM (SELECT tok, count(*) AS df FROM tf GROUP BY 1), stats),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf WHERE doc_id % 100 = 0),
+       |ls AS (SELECT qt.query_id, tf.doc_id,
+       |    CAST(floor(1e6 * idf * (tf * 2.2)
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS tm
+       |  FROM qt JOIN tf USING (tok) JOIN idf USING (tok)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  WHERE tf.doc_id <> qt.query_id),
+       |lex AS (SELECT query_id, doc_id, CAST(sum(tm) AS BIGINT) AS lexs FROM ls GROUP BY 1, 2),
+       |la AS MATERIALIZED (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY lexs DESC, doc_id) AS ra
+       |  FROM lex QUALIFY ra <= 5),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |db AS MATERIALIZED (SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rb
+       |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 100 = 0 QUALIFY rb <= 5),
+       |$steps""".stripMargin
+    base + (if (extraCte) ",\n" else "\n") + tail
+  }
 }
