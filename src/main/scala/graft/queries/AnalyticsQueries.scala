@@ -812,6 +812,31 @@ object AnalyticsQueries {
     // experimentation readout. One partial+final aggregate per variant;
     // round(4) absorbs the low-order-bit differences between the two
     // engines' streaming moment algorithms (the q1 rounded-sum precedent).
+    // Sample-ratio-mismatch check — the sanity gate every experiment
+    // readout runs FIRST (a biased assignment invalidates q_ab_lift /
+    // q_cuped_lift before any metric is read): per event type, the
+    // 2-arm chi-square statistic (n0−n1)²/(n0+n1) against the expected
+    // 50/50 split, floored micros from one integer expression. One hash
+    // aggregate.
+    "q_ab_srm" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n1"))
+          .select(col("event_type"), col("n0"), col("n1"),
+            expr("(n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1)").as("chi2_micro")),
+      Some("""SELECT event_type,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST((sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END))
+        |    * (sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END))
+        |    * 1000000 // count(*) AS BIGINT) AS chi2_micro
+        |FROM events GROUP BY 1""".stripMargin)
+    )),
+
     // Mann–Whitney U — the rank-based (distribution-free) A/B test
     // beside q_ab_lift's parametric mean gap: per event type, the U
     // statistic between the user-parity arms computed EXACTLY from the
