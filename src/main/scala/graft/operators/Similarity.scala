@@ -655,6 +655,75 @@ object Similarity {
     v.select(col("j").as("dim_idx"), col("v").as("weight"))
   }
 
+  /** Top-TWO principal directions: the dominant one exactly as
+    * [[pcaPowerQ]], the second by DEFLATED power iteration — after each
+    * matrix-vector round the iterate is (1) normalized to ~`scale` and
+    * (2) re-orthogonalized against the first direction with the same
+    * sign-split integer projection ABTT uses, so the iteration converges
+    * inside u⊥ toward the second eigenvector. Normalizing BEFORE the
+    * projection keeps every product inside long range (the raw matvec ×
+    * u dot would overflow); a second max-abs normalization after the
+    * projection restores the fixed-point scale when the residual is
+    * small. All integer, all replayable — the 2-D embedding-cloud
+    * coordinate frame (visualization, whitening, drift monitoring in
+    * two directions).
+    *
+    * Returns (dim_idx, w1, w2).
+    */
+  def pca2PowerQ(emb: DataFrame, iters: Int = 3, scale: Int = 10000): DataFrame = {
+    val u = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * scale).cast("long").as("qv"))
+    val mu = u.groupBy("idx")
+      .agg(floor(sum("qv").cast("double") / count(lit(1))).cast("long").as("mu"))
+    val c = u.join(mu, "idx")
+      .select(col("vec_id"), col("idx"), (col("qv") - col("mu")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cov = c.as("a").join(c.as("b"), "vec_id")
+      .groupBy(col("a.idx").as("i"), col("b.idx").as("j"))
+      .agg(sum(col("a.cv") * col("b.cv")).as("cov"))
+      .localCheckpoint(eager = true)
+    c.unpersist()
+    // localCheckpoint per produced iterate: each round EMBEDS the previous
+    // round's plan several times (matvec + the two scalar crossJoins), so
+    // without truncation the analyzer re-walks an exponentially growing
+    // tree — the same driver-cost fix as the CC/PageRank loops. Seven
+    // barriers over 64-row relations cost milliseconds each.
+    def normalize(w: DataFrame): DataFrame = {
+      val m = w.agg(greatest(expr(s"max(abs(w)) div ${scale.toLong}"), lit(1L)).as("m"))
+      w.crossJoin(broadcast(m))
+        .select(col("j"),
+          when(col("w") < 0, -expr("abs(w) div m")).otherwise(expr("abs(w) div m"))
+            .cast("long").as("v"))
+        .localCheckpoint(eager = true)
+    }
+    def round(v: DataFrame): DataFrame =
+      normalize(cov.join(v, "j")
+        .groupBy(col("i").as("j")).agg(sum(col("cov") * col("v")).as("w")))
+    var v1 = cov.select(col("j")).distinct().select(col("j"), lit(scale.toLong).as("v"))
+    for (_ <- 1 to iters) v1 = round(v1)
+    val u1 = v1.localCheckpoint(eager = true) // read by every deflation round
+    val uu = u1.agg(sum(col("v") * col("v")).as("uu"))
+    def deflate(v: DataFrame): DataFrame = {
+      val dot = v.join(u1.select(col("j"), col("v").as("uv")), "j")
+        .agg(sum(col("v") * col("uv")).as("dot"))
+      val o = v.join(u1.select(col("j"), col("v").as("uv")), "j")
+        .crossJoin(broadcast(dot)).crossJoin(broadcast(uu))
+        .select(col("j"),
+          (col("v") - when(col("dot") * col("uv") < 0, -expr("abs(dot * uv) div uu"))
+            .otherwise(expr("abs(dot * uv) div uu"))).as("w"))
+      normalize(o)
+    }
+    var v2 = cov.select(col("j")).distinct().select(col("j"), lit(scale.toLong).as("v"))
+    // seed the deflated iteration off u's span before the first matvec,
+    // or the first round is dominated by the top direction
+    v2 = deflate(v2)
+    for (_ <- 1 to iters) v2 = deflate(round(v2))
+    u1.select(col("j").as("dim_idx"), col("v").as("w1"))
+      .join(v2.select(col("j").as("dim_idx"), col("v").as("w2")), "dim_idx")
+  }
+
   /** All-but-the-top whitening (Mu & Viswanath 2018): subtract each
     * vector's projection on the [[pcaPowerQ]] dominant direction — the
     * post-processing that removes the common-direction bias inflating

@@ -529,6 +529,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("second principal direction is near-orthogonal to the first and non-degenerate") {
+    import spark.implicits._
+    val e = Sources.table(spark, sf0001, "embeddings")
+    val w = Similarity.pca2PowerQ(e, iters = 3)
+      .as[(Long, Long, Long)].collect()
+    val uu = w.map { case (_, w1, _) => w1 * w1 }.sum
+    val dot = w.map { case (_, w1, w2) => w1 * w2 }.sum
+    // deflation each round bounds the surviving u-component to the
+    // integer-floor residue, same envelope as the ABTT test
+    assert(math.abs(dot) <= uu / 100, s"w2 keeps a w1 component: dot=$dot uu=$uu")
+    val maxAbs2 = w.map { case (_, _, w2) => math.abs(w2) }.max
+    assert(maxAbs2 >= 5000, s"w2 degenerate (collapsed to zero): $maxAbs2")
+  }
+
   test("binary-hamming candidates recover most of the exact top-5") {
     val e = Sources.table(spark, sf0001, "embeddings")
     val out = graft.SparkEntry.queries("ann_binary_hamming")(spark, sf0001)
