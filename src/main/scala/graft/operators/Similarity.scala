@@ -724,6 +724,41 @@ object Similarity {
       .join(v2.select(col("j").as("dim_idx"), col("v").as("w2")), "dim_idx")
   }
 
+  /** 2-D projection histogram over the [[pca2PowerQ]] frame: every
+    * vector's integer coordinates along (w1, w2) — sign-split division
+    * by the direction norms keeps them in fixed point — binned into a
+    * coarse grid. This IS the embedding-cloud scatter plot as a
+    * relation: ~grid² rows regardless of corpus size, the artifact a
+    * monitoring dashboard renders. Projection is two broadcast joins of
+    * the 64-row frame against the exploded corpus — one scan.
+    */
+  def pcaScatterBins(emb: DataFrame, iters: Int = 3, scale: Int = 10000,
+                     binWidth: Long = 1000L): DataFrame = {
+    val frame = pca2PowerQ(emb, iters, scale)
+      .localCheckpoint(eager = true) // read by the norms AND the projection
+    val norms = frame.agg(sum(col("w1") * col("w1")).as("n1"),
+      sum(col("w2") * col("w2")).as("n2"))
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * scale).cast("long").as("qv"))
+    val dots = q.join(broadcast(frame.select(col("dim_idx").as("idx"),
+        col("w1"), col("w2"))), "idx")
+      .groupBy("vec_id")
+      .agg(sum(col("qv") * col("w1")).as("d1"), sum(col("qv") * col("w2")).as("d2"))
+    // coordinate = scale·dot div norm (sign-split), then floor-binned —
+    // binning by floor(double division) so Spark div and DuckDB // agree
+    dots.crossJoin(broadcast(norms))
+      .select(
+        when(col("d1") < 0, -expr(s"abs(d1) * ${scale.toLong} div n1"))
+          .otherwise(expr(s"abs(d1) * ${scale.toLong} div n1")).as("p1"),
+        when(col("d2") < 0, -expr(s"abs(d2) * ${scale.toLong} div n2"))
+          .otherwise(expr(s"abs(d2) * ${scale.toLong} div n2")).as("p2"))
+      .select(floor(col("p1").cast("double") / binWidth).cast("long").as("bx"),
+        floor(col("p2").cast("double") / binWidth).cast("long").as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+  }
+
   /** All-but-the-top whitening (Mu & Viswanath 2018): subtract each
     * vector's projection on the [[pcaPowerQ]] dominant direction — the
     * post-processing that removes the common-direction bias inflating

@@ -2000,51 +2000,38 @@ object LlmQueries {
     "vector_pca_top2" -> ((
       (s: SparkSession, dir: String) =>
         Similarity.pca2PowerQ(emb(s, dir), iters = 3),
-      Some {
-        // every iterate is read by the next round AND (for v3) by every
-        // deflation step — MATERIALIZED, or DuckDB's inlining re-expands
-        // the whole upstream chain per reference (fd exhaustion)
-        def norm(src: String, out: String) =
-          s"""m_$out AS (SELECT greatest(max(abs(w)) // 10000, 1) AS m FROM $src),
-             |$out AS MATERIALIZED (SELECT j, CAST(CASE WHEN w < 0 THEN -(abs(w) // m)
-             |  ELSE abs(w) // m END AS BIGINT) AS v FROM $src, m_$out)""".stripMargin
-        val v1rounds = (1 to 3).map { t =>
-          s"""w$t AS (SELECT cov.i AS j, CAST(sum(cov.cv * v${t - 1}.v) AS BIGINT) AS w
-             |  FROM cov JOIN v${t - 1} ON v${t - 1}.j = cov.j GROUP BY 1),
-             |${norm(s"w$t", s"v$t")}""".stripMargin
-        }.mkString(",\n")
-        def deflate(src: String, r: Int) =
-          s"""dot$r AS (SELECT CAST(sum($src.v * v3.v) AS BIGINT) AS dot
-             |  FROM $src JOIN v3 ON v3.j = $src.j),
-             |o$r AS (SELECT $src.j,
-             |    $src.v - CASE WHEN dot * v3.v < 0 THEN -(abs(dot * v3.v) // uu)
-             |      ELSE abs(dot * v3.v) // uu END AS w
-             |  FROM $src JOIN v3 ON v3.j = $src.j, dot$r, uuv),
-             |${norm(s"o$r", s"z$r")}""".stripMargin
-        val v2rounds = (1 to 3).map { r =>
-          s"""y$r AS (SELECT cov.i AS j, CAST(sum(cov.cv * z${r - 1}.v) AS BIGINT) AS w
-             |  FROM cov JOIN z${r - 1} ON z${r - 1}.j = cov.j GROUP BY 1),
-             |${norm(s"y$r", s"ny$r")},
-             |${deflate(s"ny$r", r)}""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id,
-           |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
-           |  FROM embeddings),
-           |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
-           |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
-           |mu AS (SELECT idx, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mu
-           |       FROM u GROUP BY 1),
-           |c AS (SELECT vec_id, idx, qv - mu AS cv FROM u JOIN mu USING (idx)),
-           |cov AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.cv * b.cv) AS BIGINT) AS cv
-           |        FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
-           |v0 AS (SELECT DISTINCT idx AS j, CAST(10000 AS BIGINT) AS v FROM u),
-           |$v1rounds,
-           |uuv AS (SELECT CAST(sum(v * v) AS BIGINT) AS uu FROM v3),
-           |${deflate("v0", 0)},
-           |$v2rounds
-           |SELECT v3.j AS dim_idx, v3.v AS w1, z3.v AS w2
-           |FROM v3 JOIN z3 ON z3.j = v3.j""".stripMargin
-      }
+      Some(pca2Oracle(
+        """SELECT v3.j AS dim_idx, v3.v AS w1, z3.v AS w2
+          |FROM v3 JOIN z3 ON z3.j = v3.j""".stripMargin))
+    )),
+
+    // The embedding-cloud scatter plot AS A RELATION
+    // (Similarity.pcaScatterBins): every vector's fixed-point
+    // coordinates in the top-2 frame, floor-binned into a coarse grid —
+    // ~grid² rows regardless of corpus size, the artifact a monitoring
+    // dashboard renders and diffs between snapshots. Projection = two
+    // broadcast joins of the 64-row frame against one corpus scan.
+    "vector_pca_scatter" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.pcaScatterBins(emb(s, dir), iters = 3, binWidth = 1000L),
+      Some(pca2Oracle(
+        """norms AS (SELECT CAST(sum(v3.v * v3.v) AS BIGINT) AS n1,
+          |    (SELECT CAST(sum(v * v) AS BIGINT) FROM z3) AS n2 FROM v3),
+          |dots AS (SELECT u.vec_id,
+          |    CAST(sum(u.qv * v3.v) AS BIGINT) AS d1,
+          |    CAST(sum(u.qv * z3.v) AS BIGINT) AS d2
+          |  FROM u JOIN v3 ON v3.j = u.idx JOIN z3 ON z3.j = u.idx
+          |  GROUP BY 1),
+          |proj AS (SELECT
+          |    CASE WHEN d1 < 0 THEN -(abs(d1) * 10000 // n1)
+          |      ELSE abs(d1) * 10000 // n1 END AS p1,
+          |    CASE WHEN d2 < 0 THEN -(abs(d2) * 10000 // n2)
+          |      ELSE abs(d2) * 10000 // n2 END AS p2
+          |  FROM dots, norms)
+          |SELECT CAST(floor(CAST(p1 AS DOUBLE) / 1000) AS BIGINT) AS bx,
+          |  CAST(floor(CAST(p2 AS DOUBLE) / 1000) AS BIGINT) AS by,
+          |  CAST(count(*) AS BIGINT) AS cnt
+          |FROM proj GROUP BY 1, 2""".stripMargin, extraCte = true))
     )),
 
     // All-but-the-top whitening (Similarity.abttWhitenQ): subtract the
@@ -5516,6 +5503,52 @@ object LlmQueries {
        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
        |  WHERE q.vec_id % 100 = 0 QUALIFY rb <= 5),
        |$steps""".stripMargin
+    base + (if (extraCte) ",\n" else "\n") + tail
+  }
+
+  /** DuckDB replay of the deflated top-2 power iteration through the
+    * `v3` (first direction) and `z3` (second direction) CTEs; `tail` is
+    * the final SELECT (or further CTEs + SELECT when it starts with a
+    * CTE definition — callers pass `extraCte = true` then). */
+  private def pca2Oracle(tail: String, extraCte: Boolean = false): String = {
+    def norm(src: String, out: String) =
+      s"""m_$out AS (SELECT greatest(max(abs(w)) // 10000, 1) AS m FROM $src),
+         |$out AS MATERIALIZED (SELECT j, CAST(CASE WHEN w < 0 THEN -(abs(w) // m)
+         |  ELSE abs(w) // m END AS BIGINT) AS v FROM $src, m_$out)""".stripMargin
+    val v1rounds = (1 to 3).map { t =>
+      s"""w$t AS (SELECT cov.i AS j, CAST(sum(cov.cv * v${t - 1}.v) AS BIGINT) AS w
+         |  FROM cov JOIN v${t - 1} ON v${t - 1}.j = cov.j GROUP BY 1),
+         |${norm(s"w$t", s"v$t")}""".stripMargin
+    }.mkString(",\n")
+    def deflate(src: String, r: Int) =
+      s"""dot$r AS (SELECT CAST(sum($src.v * v3.v) AS BIGINT) AS dot
+         |  FROM $src JOIN v3 ON v3.j = $src.j),
+         |o$r AS (SELECT $src.j,
+         |    $src.v - CASE WHEN dot * v3.v < 0 THEN -(abs(dot * v3.v) // uu)
+         |      ELSE abs(dot * v3.v) // uu END AS w
+         |  FROM $src JOIN v3 ON v3.j = $src.j, dot$r, uuv),
+         |${norm(s"o$r", s"z$r")}""".stripMargin
+    val v2rounds = (1 to 3).map { r =>
+      s"""y$r AS (SELECT cov.i AS j, CAST(sum(cov.cv * z${r - 1}.v) AS BIGINT) AS w
+         |  FROM cov JOIN z${r - 1} ON z${r - 1}.j = cov.j GROUP BY 1),
+         |${norm(s"y$r", s"ny$r")},
+         |${deflate(s"ny$r", r)}""".stripMargin
+    }.mkString(",\n")
+    val base = s"""WITH e AS (SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+       |      FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+       |mu AS (SELECT idx, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+       |       FROM u GROUP BY 1),
+       |c AS (SELECT vec_id, idx, qv - mu AS cv FROM u JOIN mu USING (idx)),
+       |cov AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.cv * b.cv) AS BIGINT) AS cv
+       |        FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT idx AS j, CAST(10000 AS BIGINT) AS v FROM u),
+       |$v1rounds,
+       |uuv AS (SELECT CAST(sum(v * v) AS BIGINT) AS uu FROM v3),
+       |${deflate("v0", 0)},
+       |$v2rounds""".stripMargin
     base + (if (extraCte) ",\n" else "\n") + tail
   }
 }
