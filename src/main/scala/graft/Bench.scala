@@ -15,7 +15,13 @@ import org.apache.spark.sql.SparkSession
   * repeats: this box's stalls cluster in multi-minute windows (an r6
   * back-to-back run charged q_percentiles 65 s AND 84 s while the same
   * query probes 5.3 s warm), so the two timings of one query must be
-  * minutes apart for the min to escape the window.
+  * minutes apart for the min to escape the window. Each pass walks the
+  * catalog in a SEEDED-SHUFFLED order (r8: both sorted-order passes put
+  * the ann_* block in the same loaded window — 2-4× inflation on one
+  * contiguous block; shuffling decorrelates position from weather,
+  * reproducibly via the recorded seed), and any entry whose fastest pass
+  * STARTED at loadavg above the retry threshold gets one targeted extra
+  * run at the end.
   *
   * Output contract, revised for parseability (r1-r5 all recorded
   * `"parsed": null` because the 157-entry JSON line outgrew the driver's
@@ -100,40 +106,74 @@ object Bench {
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val benchStartMs = System.currentTimeMillis()
-    // per measurement: (seconds, epoch-second start, 1-min loadavg at start)
-    val passes = (1 to runsPerQuery).map { _ =>
-      catalog.map { case (name, fn) =>
-        if (sinceRecycle >= recycle) {
-          spark.stop()
-          SparkSession.clearActiveSession()
-          SparkSession.clearDefaultSession()
-          // freshSession() re-runs the same q1_agg + table-touch warmup the
-          // first block got, so every block starts from the SAME floor; the
-          // boundary query is NOT pre-run — that would hand it a uniquely
-          // warm (own-codegen-prepaid) measurement no other query gets
-          spark = freshSession()
-          sinceRecycle = 0
-        }
-        sinceRecycle += 1
-        // isolate queries: operators persist intermediate relations
-        // (shingle hashes, CC labels); without eviction each timing
-        // depends on what ran before it and the heap fills with dead
-        // caches. Clearing before EVERY run also means every pass re-does
-        // the full data path — min-of-N strips stall windows and first-run
-        // codegen, not the actual work.
-        spark.catalog.clearCache()
-        val load = loadAvg1()
-        val wallStart = System.currentTimeMillis() / 1000
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> ((System.nanoTime() - t0) / 1e9, wallStart, load)
+
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Double) = {
+      if (sinceRecycle >= recycle) {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        // freshSession() re-runs the same q1_agg + table-touch warmup the
+        // first block got, so every block starts from the SAME floor; the
+        // boundary query is NOT pre-run — that would hand it a uniquely
+        // warm (own-codegen-prepaid) measurement no other query gets
+        spark = freshSession()
+        sinceRecycle = 0
       }
+      sinceRecycle += 1
+      // isolate queries: operators persist intermediate relations
+      // (shingle hashes, CC labels); without eviction each timing
+      // depends on what ran before it and the heap fills with dead
+      // caches. Clearing before EVERY run also means every pass re-does
+      // the full data path — min-of-N strips stall windows and first-run
+      // codegen, not the actual work.
+      spark.catalog.clearCache()
+      val load = loadAvg1()
+      val wallStart = System.currentTimeMillis() / 1000
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      ((System.nanoTime() - t0) / 1e9, wallStart, load)
     }
-    val results = catalog.map { case (name, _) =>
+
+    // Seeded per-pass shuffle: the r8 driver record charged the whole
+    // alphabetically-contiguous ann_* block 2-4× because both passes
+    // walked the catalog in the SAME sorted order and a load spike
+    // covered the same wall-clock window both times. Shuffling each pass
+    // with a recorded seed de-correlates catalog position from box
+    // weather (a spike now hits a DIFFERENT random subset per pass, so
+    // min-of-N escapes it) while staying reproducible: same seed, same
+    // orders.
+    val seed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "42").toLong
+    // per measurement: (seconds, epoch-second start, 1-min loadavg at start)
+    val passes = (1 to runsPerQuery).map { p =>
+      val order = new scala.util.Random(seed * 1000 + p).shuffle(catalog)
+      order.map { case (name, fn) => name -> timeOne(name, fn) }
+    }
+    val firstResults = catalog.map { case (name, _) =>
       val obs = passes.map(_.toMap.apply(name))
+      (name, obs)
+    }
+    // Targeted third run: an entry whose FASTEST pass still started at
+    // loadavg > threshold never got a quiet measurement — grant it one
+    // more, so a sustained spike can inflate at most the retry budget,
+    // not a whole block's record. Bounded cost: only the affected
+    // entries re-run, in seeded-shuffled order.
+    val retryLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_LOAD", "4.0").toDouble
+    val needRetry = firstResults.collect {
+      case (name, obs) if obs.minBy(_._1)._3 > retryLoad => name
+    }.toSet
+    val retryObs: Map[String, (Double, Long, Double)] =
+      if (needRetry.isEmpty || runsPerQuery < 2) Map.empty
+      else {
+        val order = new scala.util.Random(seed * 1000 - 1)
+          .shuffle(catalog.filter(c => needRetry.contains(c._1)))
+        order.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+      }
+    val results = firstResults.map { case (name, obs0) =>
+      val obs = obs0 ++ retryObs.get(name).toSeq
       (name, obs.map(_._1).min, obs)
     }
     val total = results.map(_._2).sum
@@ -163,6 +203,8 @@ object Bench {
       }.mkString(",")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
         f""""runs_per_query":$runsPerQuery,"n_queries":${results.size},""" +
+        f""""shuffle_seed":$seed,"retry_load_threshold":$retryLoad%.1f,""" +
+        f""""retried":${needRetry.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         f""""started_epoch":${benchStartMs / 1000},"wall_sec":${(System.currentTimeMillis() - benchStartMs) / 1000},""" +
         f""""median_dispersion":$medianDispersion%.3f,"contended":$contended,""" +
         f""""oracle_twins_sec":$twinsSec%.3f,"production_sec":${total - twinsSec}%.3f,""" +

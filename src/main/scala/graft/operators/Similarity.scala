@@ -617,13 +617,40 @@ object Similarity {
     * Deterministic by construction: the rounds replay bit-for-bit as SQL
     * CTEs.
     *
-    * Overflow audit at long width: |centered| ≤ 2·scale, cov ≤
-    * n·4·scale², round product ≤ d·cov·scale — at scale 10⁴, d = 64 this
-    * holds to n ≈ 3.5·10⁸ vectors; beyond that drop `scale` a decade.
+    * Overflow audit at long width: |centered| ≤ 2·scale, so the RAW
+    * second-moment sum is ≤ n·4·scale² — in long range to n ≈ 2.3·10¹⁰
+    * vectors at scale 10⁴. The covariance is then NORMALIZED by n
+    * (sign-split integer division — the power direction is invariant to
+    * the 1/n factor), so each matvec round's product is ≤ d·4·scale³ =
+    * 2.56·10¹⁴ at d = 64, scale 10⁴ — n-INDEPENDENT. Without the
+    * normalization the round product d·(n·4·scale²)·scale would wrap
+    * silently past n ≈ 3.6·10⁴ (non-ANSI Spark); the binding constraint
+    * is now the raw sum, comfortably beyond a 100 TB corpus.
     *
     * Returns (dim_idx, weight): the `iters`-round direction at fixed
     * point scale (max |weight| ≈ scale).
     */
+  /** The shared d×d integer covariance of a centered quantized cloud `c`
+    * (vec_id, idx, cv), NORMALIZED by the vector count with sign-split
+    * integer division (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — positive operands agree). Normalizing here is what keeps
+    * every downstream matvec product n-independent — see the overflow
+    * audit on [[pcaPowerQ]]. One outer-product hash aggregate
+    * (partial-aggregated map-side, ≤ d² result rows) + one scalar
+    * crossJoin; checkpointed because every unrolled round re-reads it.
+    */
+  private def covQ(emb: DataFrame, c: DataFrame): DataFrame = {
+    val n = emb.agg(count(lit(1)).as("n"))
+    c.as("a").join(c.as("b"), "vec_id")
+      .groupBy(col("a.idx").as("i"), col("b.idx").as("j"))
+      .agg(sum(col("a.cv") * col("b.cv")).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        when(col("s") < 0, -expr("abs(s) div n")).otherwise(expr("abs(s) div n"))
+          .cast("long").as("cov"))
+      .localCheckpoint(eager = true) // read by every unrolled round
+  }
+
   def pcaPowerQ(emb: DataFrame, iters: Int = 3, scale: Int = 10000): DataFrame = {
     val u = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
@@ -634,12 +661,7 @@ object Similarity {
     val c = u.join(mu, "idx")
       .select(col("vec_id"), col("idx"), (col("qv") - col("mu")).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // d×d integer covariance (unnormalized second moment of the centered
-    // cloud — the power direction is invariant to the 1/n factor)
-    val cov = c.as("a").join(c.as("b"), "vec_id")
-      .groupBy(col("a.idx").as("i"), col("b.idx").as("j"))
-      .agg(sum(col("a.cv") * col("b.cv")).as("cov"))
-      .localCheckpoint(eager = true) // read by every unrolled round
+    val cov = covQ(emb, c)
     c.unpersist()
     var v = cov.select(col("j")).distinct()
       .select(col("j"), lit(scale.toLong).as("v"))
@@ -680,10 +702,7 @@ object Similarity {
     val c = u.join(mu, "idx")
       .select(col("vec_id"), col("idx"), (col("qv") - col("mu")).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cov = c.as("a").join(c.as("b"), "vec_id")
-      .groupBy(col("a.idx").as("i"), col("b.idx").as("j"))
-      .agg(sum(col("a.cv") * col("b.cv")).as("cov"))
-      .localCheckpoint(eager = true)
+    val cov = covQ(emb, c)
     c.unpersist()
     // localCheckpoint per produced iterate: each round EMBEDS the previous
     // round's plan several times (matvec + the two scalar crossJoins), so

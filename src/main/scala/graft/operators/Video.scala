@@ -40,6 +40,13 @@ import org.apache.spark.sql.functions._
   * downstream — scene cuts, near-dup search — runs on `(doc_id, frame_idx,
   * hash)` rows, 24 bytes/frame, never pixels. Scene-cut detection is a
   * per-doc `lag` window: partitioned by doc_id, bounded by frames-per-doc.
+  *
+  * CODEC BOUNDARY (see SCALE.md "Video" for the full statement): animated
+  * GIF is the only multi-frame codec the JDK ships; production H.264/MP4
+  * needs an ffmpeg/JNI frame extractor at the decode seam. Everything
+  * downstream of the `(doc_id, frame_idx, hash)` relation is
+  * codec-agnostic — the claim is "temporal media over JDK codecs", not
+  * "video solved".
   */
 object Video {
 

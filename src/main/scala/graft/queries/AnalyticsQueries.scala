@@ -1311,12 +1311,14 @@ object AnalyticsQueries {
     )),
 
     // TPC-H Q14 shape: promo revenue share — fact×dim join with a
-    // conditional aggregate. `part` is a fixed-size dimension → broadcast.
+    // conditional aggregate. `part` scales WITH the facts (SF×200k —
+    // billions of rows at the 100 TB point), so it carries NO broadcast
+    // hint: AQE auto-broadcasts while it fits and shuffles when it won't.
     "q14_promo_share" -> ((
       (s: SparkSession, dir: String) => {
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
-        val promo = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type")))
+        val promo = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
         // both sums accumulate in exact decimal (order-independent), then the
         // ratio is ONE double division over identical inputs — identical IEEE
         // ops on both engines, so the 4-decimal round can never straddle
@@ -1342,7 +1344,8 @@ object AnalyticsQueries {
     "q19_brand_revenue" -> ((
       (s: SparkSession, dir: String) => {
         val li = t(s, dir, "lineitem")
-        val p = broadcast(t(s, dir, "part"))
+        // no hint on part (SF-proportional) — AQE decides per run
+        val p = t(s, dir, "part")
         li.join(p, col("l_partkey") === col("p_partkey") && (
             (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
             (col("p_brand") === "Brand#22" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
@@ -1510,12 +1513,17 @@ object AnalyticsQueries {
           .select(lit("dup_rate_pm_lt_150").as("check"),
             expr("dups * 1000 div n").as("value"),
             expr("dups * 1000 div n < 150").as("passed"))
+        // a REAL threshold (≤ 64 small quasi-identifier groups — fixture floor 55 at sf0.01, 0 at sf0.1), not a
+        // hard-coded TRUE: a regression that adds small (lang, source)
+        // groups must FAIL the ship/no-ship row, or the gate is theater
         val kanon = d.groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") < 5).agg(count(lit(1)).as("v"))
           .select(lit("k_anon_small_groups").as("check"),
-            col("v").cast("long").as("value"), lit(true).as("passed"))
+            col("v").cast("long").as("value"), (col("v") <= 64).as("passed"))
+        // NO broadcast hint on the orders key set — it is SF-proportional
+        // (billions of keys at 100 TB); AQE broadcasts it only while small
         val orphans = t(s, dir, "lineitem").select(col("l_orderkey").as("k")).distinct()
-          .join(broadcast(t(s, dir, "orders").select(col("o_orderkey").as("k"))),
+          .join(t(s, dir, "orders").select(col("o_orderkey").as("k")),
             Seq("k"), "left_anti")
           .agg(count(lit(1)).as("v"))
           .select(lit("fk_orphans_eq_0").as("check"),
@@ -1533,7 +1541,9 @@ object AnalyticsQueries {
         |    * 1000 // (SELECT count(*) FROM documents) < 150 AS passed
         |UNION ALL SELECT 'k_anon_small_groups',
         |  CAST((SELECT count(*) FROM (SELECT 1 FROM documents GROUP BY lang, source
-        |    HAVING count(*) < 5)) AS BIGINT), TRUE
+        |    HAVING count(*) < 5)) AS BIGINT),
+        |  (SELECT count(*) FROM (SELECT 1 FROM documents GROUP BY lang, source
+        |    HAVING count(*) < 5)) <= 64
         |UNION ALL SELECT 'fk_orphans_eq_0',
         |  CAST((SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem
         |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))) AS BIGINT),
@@ -1551,14 +1561,16 @@ object AnalyticsQueries {
     // customer→nation, supplier→nation) via left-anti joins — the DQ
     // check run before trusting any join-based metric, since an orphan
     // silently vanishes from inner joins and silently survives outer
-    // ones. Each edge is a distinct-key anti join; dimension sides
-    // broadcast.
+    // ones. Each edge is a distinct-key anti join. The referenced side
+    // carries NO broadcast hint: two of the four edges point at orders
+    // and customer, which scale WITH the facts — AQE auto-broadcasts the
+    // genuinely small sides (nation) and shuffles the rest at scale.
     "dq_referential_integrity" -> ((
       (s: SparkSession, dir: String) => {
         def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
                     edge: String): DataFrame =
           fact.select(col(fk).as("k")).distinct()
-            .join(broadcast(dim.select(col(pk).as("k"))), Seq("k"), "left_anti")
+            .join(dim.select(col(pk).as("k")), Seq("k"), "left_anti")
             .agg(count(lit(1)).as("orphan_keys"))
             .select(lit(edge).as("fk_edge"), col("orphan_keys").cast("long").as("orphan_keys"))
         orphans(t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey",
@@ -2184,9 +2196,10 @@ object AnalyticsQueries {
         val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
         val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
         val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        // supplier/customer are SF-proportional — no hint, AQE decides
         li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
             col("s_nationkey") === col("snk"))
           .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
@@ -2230,7 +2243,9 @@ object AnalyticsQueries {
         // rows only
         val top = rev.orderBy(col("revenue").desc, col("o_custkey")).limit(20)
         val w = Window.orderBy(col("revenue").desc, col("o_custkey"))
-        top.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // `top` is 20 rows — AQE broadcasts IT into customer; hinting the
+        // SF-proportional customer side instead would OOM at scale
+        top.join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .withColumn("rnk", row_number().over(w))
           .select(col("rnk").cast("long").as("rnk"), col("c_custkey"),
@@ -2259,9 +2274,11 @@ object AnalyticsQueries {
           .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qty_dec"))
           .filter(col("qty_dec") > 300)
           .select(col("l_orderkey"), round(col("qty_dec"), 2).cast("double").as("total_qty"))
+        // customer is SF-proportional — no hint; the HAVING output `big`
+        // is the naturally tiny side and AQE broadcasts it instead
         t(s, dir, "orders")
           .join(big, col("o_orderkey") === col("l_orderkey"))
-          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_totalprice"), col("total_qty"))
       },
@@ -2331,7 +2348,8 @@ object AnalyticsQueries {
             .otherwise(0L)).as("bad_status"),
           sum(when(col("o_orderpriority").rlike("^[1-5]-"), 0L)
             .otherwise(1L)).as("bad_priority"))
-        val orphans = o.join(broadcast(t(s, dir, "customer")),
+        // customer is SF-proportional — no broadcast hint on the anti side
+        val orphans = o.join(t(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"), "left_anti")
           .agg(count(lit(1)).as("orphan_custkey"))
         rules.crossJoin(orphans)
@@ -2552,12 +2570,14 @@ object AnalyticsQueries {
           .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
         val p = t(s, dir, "part").filter(col("p_type") === "PROMO").select(col("p_partkey"))
         val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // part/supplier are SF-proportional → no hint (AQE decides);
+        // nation/region are fixed-size → hinted broadcast is always right
+        li.join(p, col("l_partkey") === col("p_partkey"))
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n1), col("c_nationkey") === col("cnk"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n2), col("s_nationkey") === col("snk"))
           .groupBy("o_year")
           .agg(round(lit(100.0) *
@@ -2621,7 +2641,9 @@ object AnalyticsQueries {
         val top = rev.agg(max(col("total_dec")).as("max_dec"))
         rev.crossJoin(broadcast(top))
           .filter(col("total_dec") === col("max_dec"))
-          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          // supplier is SF-proportional — the equals-max survivors are the
+          // tiny side; AQE broadcasts them, not supplier
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
             round(col("total_dec"), 2).cast("double").as("total_revenue"))
       },
@@ -2646,7 +2668,8 @@ object AnalyticsQueries {
         val li = t(s, dir, "lineitem")
         val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
           .select(col("p_partkey"))
-        val liB = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // filtered part is still SF-proportional — no hint, AQE decides
+        val liB = li.join(p, col("l_partkey") === col("p_partkey"))
         val perPart = liB.groupBy(col("l_partkey").as("pk"))
           .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("qsum"),
             count(lit(1)).as("n"))
@@ -2690,7 +2713,8 @@ object AnalyticsQueries {
             col("l_suppkey") =!= col("s2"), "left_semi")
           .join(lateOthers, col("l_orderkey") === col("k3") &&
             col("l_suppkey") =!= col("s3"), "left_anti")
-          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          // supplier is SF-proportional — no hint, AQE decides
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(count(lit(1)).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name").asc)

@@ -365,6 +365,13 @@ object LlmQueries {
         val reps = Dedup.exact(s2).select(col("doc_id"))
         val s3 = s2.join(reps, Seq("doc_id"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ORACLE CONTRACT (like dedup_simhash's): stage 4 runs LSH-banded
+        // candidates exact-Jaccard-verified, while the oracle replays
+        // EXHAUSTIVE exact Jaccard at the same 80% cutoff — equality
+        // holds iff the banding has zero false negatives on the fixture
+        // (true here: every ≥0.8-Jaccard pair shares a band). A fixture
+        // change adding a pair just above 0.8 that straddles every band
+        // would surface as a count mismatch HERE, not a code bug.
         val s4 = Dedup.dropNearDuplicates(s3, Dedup.minhashLshPairs(s3))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val contaminated = TextAnalysis.contaminationReport(s4, evalSet)
@@ -426,6 +433,12 @@ object LlmQueries {
     // any scale factor.
     "dedup_minhash_est_error" -> ((
       (s: SparkSession, dir: String) => {
+        // ORACLE CONTRACT: pairs_scored counts LSH-banded candidates; the
+        // oracle counts the exhaustive qualifying pairs — equal iff the
+        // banding drops no qualifying pair on the fixture (currently
+        // true). A fixture change can break this count without any code
+        // regression; see pipeline_funnel_report stage 4 for the same
+        // declared zero-false-negative assumption.
         val scored = Dedup.minhashEstimateError(docs(s, dir))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = scored.agg(count(lit(1)).as("value"))
@@ -714,7 +727,7 @@ object LlmQueries {
     "ann_bruteforce_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8).limit(8), k = 5)
           .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -737,7 +750,7 @@ object LlmQueries {
     "ann_filtered_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        Similarity.filteredTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        Similarity.filteredTopK(e, e.filter(col("vec_id") < 8).limit(8), k = 5,
             cond = col("q.label") =!= col("c.label"))
           .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
       },
@@ -774,11 +787,15 @@ object LlmQueries {
           .withColumn("pr", row_number().over(pw))
           .filter(col("pr") <= 2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val out = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft-ann-index").toString
+        // per-run path (app id): two concurrent sessions (bench + gate,
+        // parallel test forks) must never overwrite each other's index
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft-ann-index-${s.sparkContext.applicationId}").toString
         ranked.filter(col("pr") === 1)
           .select(col("vec_id"), col("embedding"), col("pid").as("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(out)
+        // 2 probe cells per query → 16 rows, NOT 8: no limit here (the
+        // subtree is already bounded in-plan by the 32-pivot limit above)
         val probes = ranked.filter(col("vec_id") < 8)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
             col("pid").as("cluster"))
@@ -824,7 +841,7 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         graft.functions.GraftFunctions.register(s)
         val e = emb(s, dir)
-        val q = e.filter(col("vec_id") < 4)
+        val q = e.filter(col("vec_id") < 4).limit(4)
         val cand = Similarity.bruteForceTopK(e, q, k = 8)
           .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
             Seq("neighbor_id"))
@@ -909,7 +926,7 @@ object LlmQueries {
             when(col("idx") === 63, lit(Long.MinValue))
               .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))")))
             .otherwise(0L)).as("sig"))
-        val q = sig.filter(col("vec_id") < 8)
+        val q = sig.filter(col("vec_id") < 8).limit(8)
           .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
         val cand = sig.as("c").join(broadcast(q), col("query_id") =!= col("c.vec_id"))
           .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
@@ -920,7 +937,7 @@ object LlmQueries {
         val rescored = top
           .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
             Seq("neighbor_id"))
-          .join(broadcast(e.filter(col("vec_id") < 8)
+          .join(broadcast(e.filter(col("vec_id") < 8).limit(8)
             .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
             Seq("query_id"))
           .select(col("query_id"), col("neighbor_id"), col("hamming"),
@@ -992,7 +1009,7 @@ object LlmQueries {
           .filter(col("lex_rank") <= 10)
         val e = emb(s, dir)
         val dense = Similarity.bruteForceTopK(
-            e, e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 10)
+            e, e.filter(pmod(col("vec_id"), lit(100)) === 0).limit(1024), k = 10)
           .select(col("query_id"), col("neighbor_id").as("doc_id"))
         val wh = Window.partitionBy("query_id").orderBy(col("lex_rank").asc, col("doc_id"))
         lexTop.join(dense, Seq("query_id", "doc_id"), "left_anti")
@@ -1065,10 +1082,13 @@ object LlmQueries {
         val e = emb(s, dir)
         val drafted = interleaveDraft(s, dir)
         val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("doc_id").asc)
+        // no hint: hinting e (corpus-proportional) would force a 100 TB
+        // broadcast; the drafted relation is the small side and AQE
+        // broadcasts IT into both embedding lookups
         val clicked = drafted
           .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("d_emb")), "doc_id")
-          .join(broadcast(e.select(col("vec_id").as("query_id"),
-            col("embedding").as("q_emb"))), "query_id")
+          .join(e.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb")), "query_id")
           .select(col("query_id"), col("doc_id"), col("team"),
             call_function("cosine_sim", col("q_emb"), col("d_emb")).as("cs"))
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -1101,8 +1121,8 @@ object LlmQueries {
     "ann_probe_recall_curve" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val qids = e.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
-        val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        val qids = e.filter(col("vec_id") < 8).limit(8).select(col("vec_id").as("query_id"))
+        val brute = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8).limit(8), k = 5)
           .select(col("query_id"), col("neighbor_id"))
         Seq(1, 2, 4).map { p =>
           val hits = Similarity.knnGraphPivoted(e, k = 5, nPivots = 32, nProbe = p)
@@ -1196,7 +1216,7 @@ object LlmQueries {
           .select(col("query_id"), col("doc_id"), col("r").cast("long").as("r"))
         val e = emb(s, dir)
         val dense = Similarity.bruteForceTopK(
-            e, e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 10)
+            e, e.filter(pmod(col("vec_id"), lit(100)) === 0).limit(1024), k = 10)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rank").cast("long").as("r"))
         val fused = lexTop.unionAll(dense)
@@ -1253,7 +1273,7 @@ object LlmQueries {
     "ann_lsh_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val queries = e.filter(col("vec_id") < 8)
+        val queries = e.filter(col("vec_id") < 8).limit(8)
         val lsh = Similarity.lshTopK(e, queries, dim = 64, k = 5)
         val truth = Similarity.bruteForceTopK(e, queries, k = 20)
           .select(col("query_id"), col("neighbor_id"))
@@ -1280,7 +1300,7 @@ object LlmQueries {
     "ann_quantized_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val queries = e.filter(col("vec_id") < 8)
+        val queries = e.filter(col("vec_id") < 8).limit(8)
         val qz = Similarity.quantizedTopK(e, queries, k = 5)
         val truth = Similarity.bruteForceTopK(e, queries, k = 20)
           .select(col("query_id"), col("neighbor_id"))
@@ -1306,7 +1326,7 @@ object LlmQueries {
     "ann_ivf_quantized_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val queries = e.filter(col("vec_id") < 8)
+        val queries = e.filter(col("vec_id") < 8).limit(8)
         val ivfq = Similarity.ivfQuantizedTopK(e, queries, k = 5)
         val truth = Similarity.bruteForceTopK(e, queries, k = 20)
           .select(col("query_id"), col("neighbor_id"))
@@ -1331,7 +1351,7 @@ object LlmQueries {
     "ann_ivf_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val queries = e.filter(col("vec_id") < 8)
+        val queries = e.filter(col("vec_id") < 8).limit(8)
         val ivf = Similarity.ivfTopK(e, queries, k = 5)
         val truth = Similarity.bruteForceTopK(e, queries, k = 20)
           .select(col("query_id"), col("neighbor_id"))
@@ -1982,8 +2002,12 @@ object LlmQueries {
            |mu AS (SELECT idx, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mu
            |       FROM u GROUP BY 1),
            |c AS (SELECT vec_id, idx, qv - mu AS cv FROM u JOIN mu USING (idx)),
-           |cov AS (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.cv * b.cv) AS BIGINT) AS cv
-           |        FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+           |cov AS (SELECT i, j, CAST(CASE WHEN s < 0 THEN -(abs(s) // nn)
+           |          ELSE abs(s) // nn END AS BIGINT) AS cv
+           |        FROM (SELECT a.idx AS i, b.idx AS j,
+           |                CAST(sum(a.cv * b.cv) AS BIGINT) AS s
+           |              FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+           |             (SELECT count(*) AS nn FROM embeddings)),
            |v0 AS (SELECT DISTINCT idx AS j, CAST(10000 AS BIGINT) AS v FROM u),
            |$rounds
            |SELECT j AS dim_idx, v AS weight FROM v3""".stripMargin
@@ -2058,8 +2082,12 @@ object LlmQueries {
            |mu AS (SELECT idx, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mu
            |       FROM u GROUP BY 1),
            |c AS (SELECT vec_id, idx, qv - mu AS cv FROM u JOIN mu USING (idx)),
-           |cov AS (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.cv * b.cv) AS BIGINT) AS cv
-           |        FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+           |cov AS (SELECT i, j, CAST(CASE WHEN s < 0 THEN -(abs(s) // nn)
+           |          ELSE abs(s) // nn END AS BIGINT) AS cv
+           |        FROM (SELECT a.idx AS i, b.idx AS j,
+           |                CAST(sum(a.cv * b.cv) AS BIGINT) AS s
+           |              FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+           |             (SELECT count(*) AS nn FROM embeddings)),
            |v0 AS (SELECT DISTINCT idx AS j, CAST(10000 AS BIGINT) AS v FROM u),
            |$rounds,
            |uu AS (SELECT sum(v * v) AS uu FROM v3),
@@ -2114,7 +2142,7 @@ object LlmQueries {
     "ann_pq_adc_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 8), k = 5, nSub = 4,
+        Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 8).limit(8), k = 5, nSub = 4,
           subDim = 16, kCodes = 4, iters = 1)
       },
       Some("""WITH e AS (SELECT vec_id,
@@ -4118,7 +4146,7 @@ object LlmQueries {
     "vector_matryoshka" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 8).limit(8)
         val full = Similarity.bruteForceTopK(e, q, k = 10)
           .select(col("query_id"), col("neighbor_id"))
         val trunc = Similarity.matryoshkaTopK(e, q, dims = 32, k = 10)
@@ -4486,7 +4514,7 @@ object LlmQueries {
     "ann_graph_topk" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        Similarity.graphTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        Similarity.graphTopK(e, e.filter(col("vec_id") < 8).limit(8), k = 5,
             nPivots = 32, nProbe = 4, graphK = 5)
           .select(col("query_id"), col("neighbor_id"),
             col("rank").cast("long").as("rnk"))
@@ -4537,7 +4565,7 @@ object LlmQueries {
     "ann_recall_eval" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 8).limit(8)
         // recall = found ÷ |ground truth|, counted FROM the truth side —
         // dividing by the index's own answer size would report precision
         // and overstate recall exactly when the index returns few or no
@@ -4612,7 +4640,7 @@ object LlmQueries {
     "ann_ndcg_eval" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 8).limit(8)
         val approx = Similarity.graphTopK(e, q, k = 5,
             nPivots = 32, nProbe = 4, graphK = 5)
           .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("pos"))
@@ -4688,7 +4716,7 @@ object LlmQueries {
     "ann_rrf_fusion" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val q = e.filter(col("vec_id") < 8)
+        val q = e.filter(col("vec_id") < 8).limit(8)
         val brute = Similarity.bruteForceTopK(e, q, k = 5)
           .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("r"))
         val beam = Similarity.graphTopK(e, q, k = 5, nPivots = 32, nProbe = 4, graphK = 5)
@@ -4798,7 +4826,7 @@ object LlmQueries {
     "ann_graph_multihop" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        Similarity.graphTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        Similarity.graphTopK(e, e.filter(col("vec_id") < 8).limit(8), k = 5,
             nPivots = 32, nProbe = 4, graphK = 5, hops = 2)
           .select(col("query_id"), col("neighbor_id"),
             col("rank").cast("long").as("rnk"))
@@ -5433,7 +5461,7 @@ object LlmQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = emb(s, dir)
     val rB = Similarity.bruteForceTopK(
-        e, e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 5)
+        e, e.filter(pmod(col("vec_id"), lit(100)) === 0).limit(1024), k = 5)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -5542,8 +5570,12 @@ object LlmQueries {
        |mu AS (SELECT idx, CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mu
        |       FROM u GROUP BY 1),
        |c AS (SELECT vec_id, idx, qv - mu AS cv FROM u JOIN mu USING (idx)),
-       |cov AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.cv * b.cv) AS BIGINT) AS cv
-       |        FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (SELECT i, j, CAST(CASE WHEN s < 0 THEN -(abs(s) // nn)
+       |          ELSE abs(s) // nn END AS BIGINT) AS cv
+       |        FROM (SELECT a.idx AS i, b.idx AS j,
+       |                CAST(sum(a.cv * b.cv) AS BIGINT) AS s
+       |              FROM c a JOIN c b USING (vec_id) GROUP BY 1, 2),
+       |             (SELECT count(*) AS nn FROM embeddings)),
        |v0 AS (SELECT DISTINCT idx AS j, CAST(10000 AS BIGINT) AS v FROM u),
        |$v1rounds,
        |uuv AS (SELECT CAST(sum(v * v) AS BIGINT) AS uu FROM v3),

@@ -141,10 +141,10 @@ object PipelineQueries {
     // format surface beside JSON lines, Avro, parquet and raw bytes.
     "f7_csv_roundtrip" -> ((
       (s: SparkSession, dir: String) => {
-        // fixed scratch path + overwrite: repeated bench/verify passes
-        // reuse one directory instead of accumulating temp copies
-        val out = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft-csv-roundtrip").toString
+        // per-run path (app id): repeated passes in ONE session reuse the
+        // directory, concurrent sessions never race on it
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft-csv-roundtrip-${s.sparkContext.applicationId}").toString
         records(s, dir)
           .select(col("topic"), col("partition").cast("long").as("partition"),
             col("offset"), col("ts_ms"), col("key").cast("string").as("record_key"),
@@ -175,8 +175,9 @@ object PipelineQueries {
     // identity).
     "f8_orc_roundtrip" -> ((
       (s: SparkSession, dir: String) => {
-        val out = new java.io.File(
-          System.getProperty("java.io.tmpdir"), "graft-orc-roundtrip").toString
+        // per-run path (app id) — concurrent sessions must not race on it
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft-orc-roundtrip-${s.sparkContext.applicationId}").toString
         records(s, dir)
           .select(col("topic"), col("partition").cast("long").as("partition"),
             col("offset"), col("ts_ms"), col("key").cast("string").as("record_key"),

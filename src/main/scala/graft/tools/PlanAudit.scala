@@ -22,6 +22,21 @@ import graft.SparkEntry
   *    whose window input is a day/month-grain aggregate (cardinality
   *    bounded by the calendar, not the corpus). Any OTHER query joining
   *    this list is a regression.
+  *  - `unbounded-broadcast` — an EXPLICIT `broadcast()` hint whose input
+  *    subtree is not provably bounded. A hint is the author asserting
+  *    "this always fits in one executor's memory"; that assertion is only
+  *    safe when the subtree contains an Aggregate or Limit (output
+  *    cardinality decoupled from input), is a LocalRelation, carries a
+  *    constant equality/range/isin filter on a key column (a fixed key
+  *    set at any SF), or reads only the fixed-size dimensions
+  *    nation/region (25/5 rows at EVERY scale factor). A hint on an
+  *    SF-proportional relation (customer, orders, part, supplier,
+  *    documents, embeddings…) is correct on the fixture and an OOM at
+  *    100 TB — exactly the failure AQE's size-checked auto-broadcast
+  *    exists to prevent. Accepted instance: `vector_knn_graph`, the
+  *    DECLARED brute-force twin whose query set IS the corpus (scale
+  *    path: `vector_knn_graph_pivoted`) — the flag is that declaration
+  *    made visible. Any OTHER query joining this list is a regression.
   *
   * Flags are informational (several catalog queries legitimately carry
   * them — e.g. q_pack_shards range-partitions by design); the value is
@@ -29,6 +44,57 @@ import graft.SparkEntry
   * regression the bench may be too noisy to show.
   */
 object PlanAudit {
+
+  /** True iff the analyzed plan carries an explicit broadcast hint whose
+    * input subtree is NOT provably bounded. Bounded means the subtree:
+    * contains an `Aggregate`, `Limit`, or `Deduplicate` (output
+    * cardinality decoupled from scan size — a distinct key set or an
+    * aggregate is the author asserting a key-set bound, with the
+    * cardinality argument at the entry); or every leaf is a
+    * `LocalRelation`/`OneRowRelation` or a parquet scan of the fixed-size
+    * dimensions nation/region (25/5 rows at any SF). Anything else —
+    * customer, orders, part, supplier, documents, embeddings, with or
+    * without a filter — scales with the corpus, and forcing its
+    * broadcast is a 100 TB OOM that AQE's size check would have caught.
+    * Catalog idiom: a query set like `filter(vec_id < 8)` carries a
+    * trailing `.limit(8)` — a fixture no-op whose sole purpose is to
+    * state the bound IN the plan where this audit (and a reader) can see
+    * it.
+    */
+  def hasUnboundedBroadcastHint(analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+    def boundedLeaf(l: LogicalPlan): Boolean = l match {
+      case _: LocalRelation | _: OneRowRelation => true
+      // a localCheckpoint boundary: the catalog checkpoints only
+      // driver-bounded relations (BPE vocab, power-iteration frames,
+      // interleave pick sets), so checkpoint + explicit hint is a
+      // double author assertion of boundedness — accepted
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.forall { p =>
+              val s = p.toString
+              s.contains("nation") || s.contains("region")
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => ()
+      }.nonEmpty || p.collectLeaves().forall(boundedLeaf)
+
+    analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.exists(
+          _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) && !bounded(h.child) => h
+    }.nonEmpty
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,7 +115,8 @@ object PlanAudit {
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "SortMergeJoin" -> plan.contains("SortMergeJoin"),
           "range-partition" -> plan.contains("Exchange rangepartitioning"),
-          "unpartitioned-window" -> globalWindow
+          "unpartitioned-window" -> globalWindow,
+          "unbounded-broadcast" -> hasUnboundedBroadcastHint(qe.analyzed)
         ).collect { case (f, true) => f }
         if (doPrint) println(s"=== $name\n$plan")
         if (flags.nonEmpty) {

@@ -1053,6 +1053,88 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stateful ops run and recover on the RocksDB state store (kill-and-restart)") {
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.{ChangeEvent, HashedElem, KmvRow}
+    // same latestByKey + KMV recovery contracts as the default-provider
+    // tests above, on Spark's RocksDB provider (GraftSession's 100 TB
+    // keyed-state setting): state must survive a stop/start from the
+    // checkpoint, and the state operator must REALLY be RocksDB-backed
+    // (asserted via the provider's custom metrics, not just the conf).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, graft.GraftSession.RocksDbProvider)
+    spark.conf.set(changelogKey, "true")
+    try {
+      // --- latestByKey: stale replay loses to recovered state
+      val ckLatest = Files.createTempDirectory("graft-ck-latest-rocks").toString
+      val inLatest = MemoryStream[ChangeEvent](spark)
+      val latestOut = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      def startLatest() = StreamOps.latestByKey(inLatest.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamOps.CompactedRow], _: Long) =>
+          val rows = ds.collect().map(r => (r.key, r.ts_ms, r.payload))
+          latestOut.synchronized { latestOut ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckLatest)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val q1 = startLatest()
+      inLatest.addData(ChangeEvent(1L, 10L, 1L, "upsert", "v10"))
+      q1.processAllAvailable()
+      val metrics = q1.lastProgress.stateOperators.apply(0).customMetrics
+      assert(metrics.containsKey("rocksdbGetCount"),
+        s"state operator must be RocksDB-backed, metrics: ${metrics.keySet()}")
+      q1.stop()
+      inLatest.addData(ChangeEvent(1L, 5L, 0L, "upsert", "stale"))
+      latestOut.synchronized(latestOut.clear())
+      val q2 = startLatest()
+      try {
+        q2.processAllAvailable()
+        val rows = latestOut.synchronized(latestOut.toList)
+          .map { case (k, ts, p) => k -> ((ts, p)) }.toMap
+        assert(rows(1L) == ((10L, "v10")),
+          s"stale replay must lose to RocksDB-recovered state, got $rows")
+      } finally q2.stop()
+
+      // --- KMV sketch: pre-kill minima survive the restart
+      val ck = Files.createTempDirectory("graft-ck-kmv-rocks").toString
+      val in = MemoryStream[HashedElem](spark)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      def start() = StreamOps.kmvDistinctPerKey(in.toDS(), k = 4)
+        .writeStream.outputMode("update")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[KmvRow], _: Long) =>
+          val rows = ds.collect().map(r => (r.key, r.n_mins, r.theta, r.estimate))
+          out.synchronized { out ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val q3 = start()
+      in.addData(HashedElem("a", 10L), HashedElem("a", 20L), HashedElem("a", 30L))
+      q3.processAllAvailable()
+      q3.stop()
+      in.addData(HashedElem("a", 5L), HashedElem("a", 100L),
+        HashedElem("a", 200L), HashedElem("a", 300L))
+      out.synchronized(out.clear())
+      val q4 = start()
+      try {
+        q4.processAllAvailable()
+        val last = out.synchronized(out.toList).last
+        assert(last == (("a", 4L, 30L, 3L * 281474976710656L / 30L)),
+          s"RocksDB-recovered sketch must keep pre-kill minima, got $last")
+      } finally q4.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      spark.conf.unset(changelogKey)
+    }
+  }
+
   test("restart from checkpoint resumes without loss or duplication") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-restart").toString
