@@ -43,7 +43,7 @@ object Bench {
     * subtotal is broken out so the total isn't read as production
     * throughput: `production_sec` = total − twins.
     */
-  private val oracleTwins = Set(
+  val oracleTwins: Set[String] = Set(
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "ann_bruteforce_topk", "vector_knn_graph",
     "text_containment", "text_containment_prefix", "text_dup_spans",
@@ -214,6 +214,14 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
+    // keep the generated catalog index's quiet-seconds column in sync with
+    // the record just written (full catalog runs to the default path only —
+    // an ONLY-subset or redirected run would blank the other entries)
+    if (only.isEmpty && outPath.toString == "BENCH_LOCAL.json")
+      try graft.tools.CatalogIndex.write()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] catalog index: ${e.getMessage}")
+      }
 
     if (contended)
       // parseable on its own line: the timings in this record are box

@@ -64,6 +64,13 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       selected(SparkEntry.queries).keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // full runs refresh the generated catalog index (entry → file:line →
+    // oracle kind → quiet seconds); CatalogContractSpec fails on drift
+    if (only.isEmpty)
+      try graft.tools.CatalogIndex.write()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] catalog index: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

@@ -1,0 +1,100 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkEntry
+
+/** Generated catalog index: 300+ oracle-checked entries across three
+  * 4-5.5 kLoC query files navigate by grep alone — this emits CATALOG.md
+  * (entry → defining file:line → oracle kind → latest quiet-box seconds
+  * from the committed BENCH_LOCAL.json) so a reader can go from an entry
+  * name to its code and its cost in one hop.
+  *
+  * Regeneration points: `graft.Verify` (full runs) and `graft.Bench`
+  * rewrite it after updating their records, and `runMain
+  * graft.tools.CatalogIndex` does it standalone (no SparkSession — only
+  * the catalog MAPS are touched, never the query lambdas). Drift is
+  * machine-checked: CatalogContractSpec fails when the committed file
+  * differs from a fresh render, with this main as the fix.
+  */
+object CatalogIndex {
+
+  private val queryFiles = Seq(
+    "src/main/scala/graft/queries/AnalyticsQueries.scala",
+    "src/main/scala/graft/queries/LlmQueries.scala",
+    "src/main/scala/graft/queries/PipelineQueries.scala")
+
+  /** entry name → "file.scala:line" of its catalog definition, scanned
+    * from the query sources (the `"name" -> ((` idiom). */
+  def locations(root: String = "."): Map[String, String] = {
+    val entryDef = """^\s*"([a-z0-9_]+)" -> \(""".r
+    queryFiles.flatMap { rel =>
+      val p = Paths.get(root, rel)
+      if (!Files.exists(p)) Seq.empty
+      else Files.readAllLines(p).asScala.zipWithIndex.collect {
+        case (line, i) if entryDef.findFirstMatchIn(line).isDefined =>
+          val m = entryDef.findFirstMatchIn(line).get
+          m.group(1) -> s"${rel.split('/').last}:${i + 1}"
+      }
+    }.toMap
+  }
+
+  /** entry name → min seconds from the committed BENCH_LOCAL.json
+    * (regex-parsed — the file is written by Bench in a fixed shape). */
+  def quietSeconds(root: String = "."): Map[String, Double] = {
+    val p = Paths.get(root, "BENCH_LOCAL.json")
+    if (!Files.exists(p)) Map.empty
+    else {
+      val txt = Files.readString(p)
+      """"([a-z0-9_]+)":\{"min":([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  def render(root: String = "."): String = {
+    val locs = locations(root)
+    val secs = quietSeconds(root)
+    val twins = graft.Bench.oracleTwins
+    val rows = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val where = locs.getOrElse(name, "?")
+      val kind = (if (SparkEntry.oracleSql.contains(name)) "exact" else "rows-only") +
+        (if (twins.contains(name)) " (twin)" else "")
+      val sec = secs.get(name).map(s => f"$s%.3f").getOrElse("—")
+      s"| `$name` | $where | $kind | $sec |"
+    }
+    val nExact = SparkEntry.oracleSql.size
+    // rows are appended AFTER stripMargin — their leading `|` is table
+    // syntax, not a margin marker
+    s"""# Catalog index (generated — do not edit)
+       |
+       |One row per `SparkEntry.queries` entry: where it is defined, its
+       |oracle kind (`exact` = DuckDB SQL replay compared row-for-row;
+       |`rows-only` = driver checks rows > 0; `(twin)` = declared
+       |brute-force oracle twin, benched apart from production paths),
+       |and its min seconds from the committed quiet-box bench record
+       |(`BENCH_LOCAL.json`; `—` = not in the current record).
+       |
+       |Regenerate with `sbt "runMain graft.tools.CatalogIndex"` (also
+       |rewritten by full `Verify`/`Bench` runs). CatalogContractSpec
+       |fails if this file is stale.
+       |
+       |Entries: ${SparkEntry.queries.size} ($nExact exact-oracle).
+       |
+       |""".stripMargin +
+      "| entry | defined at | oracle | quiet sec |\n|---|---|---|---|\n" +
+      rows.mkString("\n") + "\n"
+  }
+
+  /** Rewrite CATALOG.md at `root` if the render differs. */
+  def write(root: String = "."): Unit = {
+    val p = Paths.get(root, "CATALOG.md")
+    val next = render(root)
+    if (!Files.exists(p) || Files.readString(p) != next) {
+      Files.writeString(p, next)
+      println(s"[catalog] wrote ${p.toAbsolutePath}")
+    }
+  }
+
+  def main(args: Array[String]): Unit = write(args.headOption.getOrElse("."))
+}

@@ -65,4 +65,18 @@ class CatalogContractSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("CATALOG.md matches a fresh render (generated index is not stale)") {
+    // the index is the only navigation aid over 300+ entries in three
+    // multi-kLoC files — a stale one misdirects to wrong lines. Committed
+    // content must equal a fresh render; fix = `sbt "runMain
+    // graft.tools.CatalogIndex"` (Verify/Bench full runs also rewrite it).
+    val p = java.nio.file.Paths.get("CATALOG.md")
+    assert(java.nio.file.Files.exists(p),
+      "CATALOG.md missing — run `sbt \"runMain graft.tools.CatalogIndex\"`")
+    val committed = java.nio.file.Files.readString(p)
+    val fresh = graft.tools.CatalogIndex.render()
+    assert(committed == fresh,
+      "CATALOG.md is stale — regenerate with `sbt \"runMain graft.tools.CatalogIndex\"`")
+  }
 }
