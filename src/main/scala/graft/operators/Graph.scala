@@ -109,6 +109,65 @@ object Graph {
     ranks.select(col("doc_id"), round(col("rank"), 8).as("rank"))
   }
 
+  /** HITS hubs-and-authorities over a DIRECTED pair graph, `iters`
+    * unrolled rounds in exact integer fixed point — the link-analysis
+    * companion to [[pageRank]] that separates "points at good content"
+    * (hub) from "is pointed at" (authority). Direction contract: pair
+    * frames arrive as (doc_a < doc_b); the edge is doc_a → doc_b (the
+    * lower id — the earlier/original document — endorses the higher).
+    *
+    * Each round is the standard double matvec: authority = Σ hub over
+    * in-edges, renormalized; hub = Σ authority over out-edges,
+    * renormalized. Scores are non-negative integers at `scale` fixed
+    * point and the renormalizer is `max(score) div scale` — all sums
+    * exact, all divisions on non-negative operands where Spark `div` and
+    * DuckDB `//` agree, so every round replays bit-for-bit as a CTE (the
+    * same discipline as [[graft.operators.Similarity.pcaPowerQ]], without
+    * even needing the sign split). Overflow: score ≤ ~scale after each
+    * normalize, so a matvec sum is ≤ deg·scale ≤ n·10⁴ — long-safe past
+    * 10¹⁴ vertices.
+    *
+    * Per round: two shuffle join + hash-aggregate pairs over the edge
+    * relation (ids and integer scores only — never payloads), the same
+    * scale shape as PageRank. Returns (doc_id, hub, authority).
+    */
+  def hits(pairs: DataFrame, iters: Int = 2, scale: Long = 10000L): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint(eager = true) // read by every unrolled round
+    p.unpersist()
+    val nodes = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst").as("doc_id"))).distinct()
+      .localCheckpoint(eager = true)
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      val m = raw.agg(greatest(expr(s"max($c) div $scale"), lit(1L)).as("m"))
+      // nodes with no contributing edge keep 0 via the left join
+      nodes.join(raw, Seq("doc_id"), "left").crossJoin(broadcast(m))
+        .select(col("doc_id"),
+          (coalesce(col(c), lit(0L)).cast("long")).as("raw"), col("m"))
+        .select(col("doc_id"), expr("raw div m").as(c))
+        // truncate per produced iterate: each round embeds the previous
+        // round's plan twice (the m aggregate + the join) — the same
+        // analyzer-cost fix as the PCA/CC loops
+        .localCheckpoint(eager = true)
+    }
+    var hub = nodes.select(col("doc_id"), lit(scale).as("hub"))
+    var auth = nodes.select(col("doc_id"), lit(0L).as("authority"))
+    for (_ <- 1 to iters) {
+      auth = renorm(
+        edges.join(hub.select(col("doc_id").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("doc_id")).agg(sum("hub").as("authority")),
+        "authority")
+      hub = renorm(
+        edges.join(auth.select(col("doc_id").as("dst"), col("authority")), "dst")
+          .groupBy(col("src").as("doc_id")).agg(sum("authority").as("hub")),
+        "hub")
+    }
+    hub.join(auth, "doc_id")
+      .select(col("doc_id"), col("hub").cast("long").as("hub"),
+        col("authority").cast("long").as("authority"))
+  }
+
   /** Minimum hop distance (≤ `maxHops`) from a seed set — k-hop
     * neighborhood materialization, the exact-distance companion to
     * [[personalizedPageRank]]'s soft proximity: BFS by `maxHops` unrolled

@@ -812,6 +812,83 @@ object AnalyticsQueries {
     // experimentation readout. One partial+final aggregate per variant;
     // round(4) absorbs the low-order-bit differences between the two
     // engines' streaming moment algorithms (the q1 rounded-sum precedent).
+    // Poisson bootstrap CI — THE distributed uncertainty method (each
+    // row draws a deterministic pseudo-Poisson(1) weight per replica
+    // from md5(key, replica); one scan fans out B=64 weighted copies
+    // and one hash aggregate folds them to 64 replica means — no
+    // per-replica resampling pass, no shuffle of raw rows beyond the
+    // 64-group partial aggregate, which is exactly why this and not
+    // classical resampling is how a 100 TB pipeline gets error bars).
+    // CI contract: drop one replica mean from each tail (2nd smallest /
+    // 2nd largest of 64 ≈ a 97% interval), picked via orderBy+limit
+    // (TakeOrdered — no global window). Replica means accumulate in
+    // exact decimal; the only doubles are the final divisions, rounded
+    // identically in both engines.
+    "q_bootstrap_ci" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"))
+        // Poisson(1) inverse CDF at 1e-6 grain: u < 367879 → 0, < 735759
+        // → 1, < 919699 → 2, < 981012 → 3, < 996340 → 4, else 5
+        val rep = o.select(col("k"), col("x"),
+            explode(sequence(lit(0), lit(63))).as("b"))
+          .withColumn("u",
+            conv(substring(md5(concat_ws("_", col("k"), col("b"))), 1, 6), 16, 10)
+              .cast("long") % 1000000)
+          .withColumn("w",
+            when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+              .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+              .when(col("u") < 996340, 4L).otherwise(5L))
+        val means = rep.groupBy("b")
+          .agg(sum(col("w") * col("x").cast("decimal(18,6)")).as("sx"),
+            sum("w").as("sw"))
+          .select(col("b"),
+            round(col("sx").cast("double") / col("sw"), 6).as("m"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def nth(df: DataFrame, asc: Boolean) = {
+          val first = if (asc) df.orderBy(col("m").asc, col("b").asc)
+            else df.orderBy(col("m").desc, col("b").desc)
+          first.limit(2)
+            .orderBy(if (asc) col("m").desc else col("m").asc,
+              if (asc) col("b").desc else col("b").asc)
+            .limit(1)
+        }
+        val lo = nth(means, asc = true).select(col("m").as("ci_lo"))
+        val hi = nth(means, asc = false).select(col("m").as("ci_hi"))
+        val point = o.agg(
+          round(sum(col("x").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("point_mean"))
+        point.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .select(col("point_mean"), col("ci_lo"), col("ci_hi"),
+            lit(64L).as("n_replicas"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS x FROM orders),
+        |rep AS (SELECT k, x, CAST(b AS BIGINT) AS b FROM o, range(0, 64) AS t(b)),
+        |uw AS (SELECT b, x,
+        |    CAST(list_sum(list_transform(range(1, 7),
+        |      i -> (strpos('0123456789abcdef',
+        |             substr(md5(CAST(k AS VARCHAR) || '_' || CAST(b AS VARCHAR)),
+        |               CAST(i AS INT), 1)) - 1) * 16.0 ** (6 - i))) AS BIGINT)
+        |      % 1000000 AS u
+        |  FROM rep),
+        |w AS (SELECT b, x, CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |    WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |    WHEN u < 996340 THEN 4 ELSE 5 END AS w FROM uw),
+        |means AS (SELECT b,
+        |    round(CAST(sum(w * CAST(x AS DECIMAL(18,6))) AS DOUBLE) / sum(w), 6) AS m
+        |  FROM w GROUP BY 1),
+        |lo AS (SELECT m AS ci_lo FROM (
+        |    SELECT m, b FROM means ORDER BY m ASC, b ASC LIMIT 2)
+        |  ORDER BY m DESC, b DESC LIMIT 1),
+        |hi AS (SELECT m AS ci_hi FROM (
+        |    SELECT m, b FROM means ORDER BY m DESC, b DESC LIMIT 2)
+        |  ORDER BY m ASC, b ASC LIMIT 1),
+        |pt AS (SELECT round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS point_mean FROM o)
+        |SELECT point_mean, ci_lo, ci_hi, CAST(64 AS BIGINT) AS n_replicas
+        |FROM pt, lo, hi""".stripMargin)
+    )),
+
     // Sample-ratio-mismatch check — the sanity gate every experiment
     // readout runs FIRST (a biased assignment invalidates q_ab_lift /
     // q_cuped_lift before any metric is read): per event type, the
@@ -2766,6 +2843,38 @@ object AnalyticsQueries {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin)
+    )),
+
+    // Layout clustering depth — the table-maintenance metric that DECIDES
+    // compaction/re-clustering: model data files as insertion-order chunks
+    // (1000 orders per "file", the write pattern of an append stream),
+    // take each file's (min, max) o_orderdate zone map, and profile how
+    // many files' ranges cover each calendar day. Insertion order is
+    // uncorrelated with order date, so every file spans ~the whole
+    // calendar and depth ≈ file count — the quantified "why" behind
+    // re-clustering (after a date sort, depth → 1 and a date-predicate
+    // scan prunes to one file; q_zorder_skipping shows the multi-column
+    // version). Scale shape: one hash aggregate to file grain, then each
+    // file explodes into its covered days (≤ calendar_days rows per
+    // file, partial-aggregated map-side) — no file×file pair join, no
+    // global sort, no window; works unchanged at millions of files.
+    "layout_overlap_depth" -> ((
+      (s: SparkSession, dir: String) => {
+        val f = t(s, dir, "orders")
+          .groupBy(expr("o_orderkey div 1000").as("file_id"))
+          .agg(min(to_date(col("o_orderdate"))).as("dmin"),
+            max(to_date(col("o_orderdate"))).as("dmax"))
+        f.select(explode(sequence(col("dmin"), col("dmax"))).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("depth"))
+      },
+      Some("""WITH f AS (SELECT o_orderkey // 1000 AS file_id,
+        |    CAST(min(o_orderdate) AS DATE) AS dmin,
+        |    CAST(max(o_orderdate) AS DATE) AS dmax
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT file_id, CAST(unnest(generate_series(
+        |    CAST(dmin AS TIMESTAMP), CAST(dmax AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM f)
+        |SELECT day, CAST(count(*) AS BIGINT) AS depth FROM d GROUP BY 1""".stripMargin)
     )),
 
     // Z-order (Morton) layout zone maps: interleave two normalized key

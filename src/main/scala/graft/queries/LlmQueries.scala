@@ -173,6 +173,49 @@ object LlmQueries {
 
   val defs: Map[String, (Q, Option[String])] = Map(
 
+    // URL canonicalization — the FIRST dedup pass of a web corpus, run
+    // before any content hashing because it is a pure map: fold the
+    // classic fetch-variants of one page (scheme, www-prefix, trailing
+    // slash, tracking query params, fragments) into one canonical key
+    // and group. The fixture carries no URL column, so the four variant
+    // forms are synthesized deterministically from (source, doc_id) —
+    // same-source docs 4-apart share a page — and the regexp chain (the
+    // operator under test) must fold each quartet to one canonical URL.
+    // Anchored/single-match patterns only, where Spark's replace-all and
+    // DuckDB's replace-first semantics coincide. Scale: map + one hash
+    // aggregate on the canonical key; no joins, no windows.
+    "text_url_canonicalize" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val base = concat(col("source"), lit(".example.com/d/"),
+          expr("CAST(doc_id div 80 AS STRING)"))
+        val v = expr("(doc_id div 20) % 4")
+        val url = when(v === 0, concat(lit("https://www."), base))
+          .when(v === 1, concat(lit("http://"), base, lit("/")))
+          .when(v === 2, concat(lit("https://"), base,
+            lit("?utm_source=feed&utm_medium=rss")))
+          .otherwise(concat(lit("https://www."), base, lit("#section-2")))
+        val canon = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(url, "^https?://", ""), "^www\\.", ""),
+          "[?#].*", ""), "/$", "")
+        d.select(col("doc_id"), canon.as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("dup_cnt"), min("doc_id").as("rep_doc"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |    source || '.example.com/d/' || CAST(doc_id // 80 AS VARCHAR) AS b,
+        |    (doc_id // 20) % 4 AS v FROM documents),
+        |urls AS (SELECT doc_id, CASE v WHEN 0 THEN 'https://www.' || b
+        |    WHEN 1 THEN 'http://' || b || '/'
+        |    WHEN 2 THEN 'https://' || b || '?utm_source=feed&utm_medium=rss'
+        |    ELSE 'https://www.' || b || '#section-2' END AS url FROM u),
+        |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(url, '^https?://', ''), '^www\.', ''),
+        |    '[?#].*', ''), '/$', '') AS canonical_url FROM urls)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS dup_cnt,
+        |  min(doc_id) AS rep_doc FROM c GROUP BY 1""".stripMargin)
+    )),
+
     "dedup_exact" -> ((
       (s: SparkSession, dir: String) => Dedup.exact(docs(s, dir)),
       Some("""SELECT md5(text) AS fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_cnt
@@ -3570,6 +3613,52 @@ object LlmQueries {
         |p3 AS (SELECT nodes.v, 0.15 / nn.n + 0.85 * coalesce(c3.w, 0) AS pr
         |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.v = nodes.v)
         |SELECT v AS doc_id, round(pr, 8) AS rank FROM p3""".stripMargin)
+    )),
+
+    // HITS hubs/authorities over the DIRECTED near-dup graph (edge =
+    // lower id → higher id: the earlier document endorses the later
+    // copy): authority finds the most-copied content, hub the docs
+    // assembled FROM many high-authority sources — the two link-analysis
+    // scores PageRank's single number conflates. Exact integer fixed
+    // point (Graph.hits): non-negative sums + max-div renormalize, so
+    // both unrolled rounds replay bit-for-bit (no sign split needed).
+    "graph_hits" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.hits(Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+          .select(col("doc_a"), col("doc_b")), iters = 2),
+      Some {
+        val rounds = (1 to 2).map { t =>
+          s"""a${t}r AS (SELECT doc_b AS v, CAST(sum(h) AS BIGINT) AS r
+             |  FROM jp JOIN h${t - 1} ON h${t - 1}.v = jp.doc_a GROUP BY 1),
+             |a${t}m AS (SELECT greatest(max(r) // 10000, 1) AS m FROM a${t}r),
+             |a$t AS MATERIALIZED (SELECT nodes.v,
+             |    CAST(coalesce(a${t}r.r, 0) // a${t}m.m AS BIGINT) AS a
+             |  FROM nodes CROSS JOIN a${t}m LEFT JOIN a${t}r ON a${t}r.v = nodes.v),
+             |h${t}r AS (SELECT doc_a AS v, CAST(sum(a) AS BIGINT) AS r
+             |  FROM jp JOIN a$t ON a$t.v = jp.doc_b GROUP BY 1),
+             |h${t}m AS (SELECT greatest(max(r) // 10000, 1) AS m FROM h${t}r),
+             |h$t AS MATERIALIZED (SELECT nodes.v,
+             |    CAST(coalesce(h${t}r.r, 0) // h${t}m.m AS BIGINT) AS h
+             |  FROM nodes CROSS JOIN h${t}m LEFT JOIN h${t}r ON h${t}r.v = nodes.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+           |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+           |prs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |jp AS MATERIALIZED (SELECT doc_a, doc_b FROM prs p
+           |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+           |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+           |nodes AS MATERIALIZED (SELECT DISTINCT v FROM
+           |  (SELECT doc_a AS v FROM jp UNION ALL SELECT doc_b FROM jp)),
+           |h0 AS (SELECT v, CAST(10000 AS BIGINT) AS h FROM nodes),
+           |$rounds
+           |SELECT nodes.v AS doc_id, h2.h AS hub, a2.a AS authority
+           |FROM nodes JOIN h2 ON h2.v = nodes.v JOIN a2 ON a2.v = nodes.v""".stripMargin
+      }
     )),
 
     // Personalized PageRank: teleport mass restricted to a seed set
