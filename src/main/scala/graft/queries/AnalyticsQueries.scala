@@ -2413,6 +2413,34 @@ object AnalyticsQueries {
     // zero scans — plus one referential-integrity anti-join. The shape a
     // pipeline guardrail runs before promoting a batch at 100 TB: cost
     // is one scan + one broadcast anti-join regardless of rule count.
+    // Freshness audit — the first question an on-call asks of a feed:
+    // when did each stream last deliver, and how far behind the freshest
+    // one is it? Per event type: last event time, lag behind the global
+    // max in whole seconds (the unix_timestamp ↔ floor(epoch()) idiom
+    // both engines floor identically), and a within-a-day verdict — a
+    // feed that silently stops arrives here as fresh_within_day = false
+    // long before a volume metric moves. One hash aggregate + a 1-row
+    // broadcast; scale-free.
+    "dq_freshness" -> ((
+      (s: SparkSession, dir: String) => {
+        val per = t(s, dir, "events")
+          .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
+          .groupBy("event_type").agg(max("ts_s").as("last_ts_s"))
+        val g = per.agg(max("last_ts_s").as("gmax"))
+        per.crossJoin(broadcast(g))
+          .select(col("event_type"), col("last_ts_s"),
+            (col("gmax") - col("last_ts_s")).as("lag_sec"),
+            ((col("gmax") - col("last_ts_s")) <= 86400).as("fresh_within_day"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s FROM events),
+        |per AS (SELECT event_type, max(ts_s) AS last_ts_s FROM ev GROUP BY 1),
+        |g AS (SELECT max(last_ts_s) AS gmax FROM per)
+        |SELECT event_type, last_ts_s, gmax - last_ts_s AS lag_sec,
+        |  gmax - last_ts_s <= 86400 AS fresh_within_day
+        |FROM per, g""".stripMargin)
+    )),
+
     "dq_expectations" -> ((
       (s: SparkSession, dir: String) => {
         val o = t(s, dir, "orders")

@@ -66,6 +66,22 @@ class CatalogContractSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("no broadcast hint on an unbounded subtree (except declared twins)") {
+    // the 100 TB rule PlanAudit's unbounded-broadcast class encodes,
+    // enforced in CI: an explicit broadcast() whose input is not provably
+    // bounded (Aggregate/Limit/Deduplicate/localCheckpoint/LocalRelation/
+    // nation/region scan) OOMs at scale no matter how green it is on the
+    // fixture. Analysis-only — no query executes. Accepted: the declared
+    // brute-force twin whose query set IS the corpus.
+    val accepted = Set("vector_knn_graph")
+    val offenders = entries.filterNot(accepted).filter { name =>
+      graft.tools.PlanAudit.hasUnboundedBroadcastHint(
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed)
+    }
+    assert(offenders.isEmpty,
+      s"broadcast hints on unbounded subtrees: ${offenders.mkString(", ")}")
+  }
+
   test("CATALOG.md matches a fresh render (generated index is not stale)") {
     // the index is the only navigation aid over 300+ entries in three
     // multi-kLoC files — a stale one misdirects to wrong lines. Committed
