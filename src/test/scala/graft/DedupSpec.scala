@@ -411,6 +411,23 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pr(4L) - pr(5L)) < 1e-9, s"symmetric pair should tie: $pr")
   }
 
+  test("hits: authorities collect in-links, hubs collect authority, exact integers") {
+    // directed edges (lower endorses higher): 1→3, 2→3, 1→4. Hand-run at
+    // scale 10⁴, iters=2: a₁(3)=20000,a₁(4)=10000 → ÷2 → 10000/5000;
+    // h₁(1)=15000,h₁(2)=10000 (÷1); a₂(3)=25000,a₂(4)=15000 → ÷2 →
+    // 12500/7500; h₂(1)=20000,h₂(2)=12500 → ÷2 → 10000/6250. The operator
+    // must reproduce these EXACT integers — any drift means the
+    // normalize/divide contract (and the oracle) broke.
+    val pairs = Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Graph.hits(pairs, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 4)
+    assert(out(1L) == ((10000L, 0L)), s"node 1: $out")
+    assert(out(2L) == ((6250L, 0L)), s"node 2: $out")
+    assert(out(3L) == ((0L, 12500L)), s"node 3: $out")
+    assert(out(4L) == ((0L, 7500L)), s"node 4: $out")
+  }
+
   test("labelPropagation: two cliques joined by a bridge split into two communities") {
     // cliques {1,2,3} and {10,11,12} with bridge 3-10: LPA separates them
     // (each side's majority is internal) where CC would merge all six
