@@ -828,9 +828,14 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) => {
         val o = t(s, dir, "orders")
           .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"))
+        // the 64× replica fan-out + per-copy md5 is COMPUTE-bound: spread
+        // it across cores before exploding (SCALE.md round-7 lesson —
+        // the scan's byte-sized partitioning would run the whole hash
+        // chain on however few file splits the fixture has)
+        val cores = s.sparkContext.defaultParallelism
         // Poisson(1) inverse CDF at 1e-6 grain: u < 367879 → 0, < 735759
         // → 1, < 919699 → 2, < 981012 → 3, < 996340 → 4, else 5
-        val rep = o.select(col("k"), col("x"),
+        val rep = o.repartition(cores).select(col("k"), col("x"),
             explode(sequence(lit(0), lit(63))).as("b"))
           .withColumn("u",
             conv(substring(md5(concat_ws("_", col("k"), col("b"))), 1, 6), 16, 10)
