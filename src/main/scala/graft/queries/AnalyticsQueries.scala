@@ -2027,6 +2027,88 @@ object AnalyticsQueries {
         |LEFT JOIN ex ON ex.type_a = mc.type_a AND ex.type_b = mc.type_b""".stripMargin)
     )),
 
+    // Theta-sketch set DIFFERENCE — the third set-algebra operation
+    // (union = q_hll_merge, intersection = q_theta_sketch, difference =
+    // here): est(A∖B) = est(A) − est(A∩B) per ORDERED event-type pair,
+    // the "users who did A but never B" audience readout neither HLL nor
+    // plain counts can produce. Same deterministic 48-bit KMV machinery
+    // as q_theta_sketch (md5 hash, k = 64 minima, θ = kth min, integer
+    // (k−1)·2⁴⁸ div θ), clamped at 0 (a sketch can estimate a negative
+    // difference when A ⊂ B; the clamp is part of the contract), with
+    // the exact difference beside it as the accuracy audit. Sketch
+    // relations are k rows per key — only the exactness audit joins
+    // fact-fact.
+    "q_theta_diff" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        val elems = ev.select(col("event_type").as("t"),
+            (col("user_id") * 1000 +
+              datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")).as("elem"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hashed = elems.select(col("t"),
+          conv(substring(md5(col("elem").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h")).distinct()
+        val w = Window.partitionBy("t").orderBy("h")
+        val sk = hashed.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val theta = sk.filter(col("rn") === 64).select(col("t"), col("h").as("theta"))
+        val est = theta.select(col("t"), expr("63 * 281474976710656 div theta").as("est"))
+        val pairs = theta.as("a").join(broadcast(theta.as("b")), col("a.t") =!= col("b.t"))
+          .select(col("a.t").as("type_a"), col("b.t").as("type_b"),
+            least(col("a.theta"), col("b.theta")).as("th"))
+        val common = sk.as("x").join(broadcast(sk.as("y")),
+            col("x.h") === col("y.h") && col("x.t") =!= col("y.t"))
+          .select(col("x.t").as("type_a"), col("y.t").as("type_b"), col("x.h"))
+        val mcnt = pairs.join(common, Seq("type_a", "type_b"), "left")
+          .groupBy("type_a", "type_b", "th")
+          .agg(sum(when(col("h") < col("th"), 1L).otherwise(0L)).as("m"))
+        val cnts = elems.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        val exactInter = elems.as("p").join(elems.as("q"),
+            col("p.elem") === col("q.elem") && col("p.t") =!= col("q.t"))
+          .groupBy(col("p.t").as("type_a"), col("q.t").as("type_b"))
+          .agg(count(lit(1)).as("xi"))
+        mcnt
+          .join(est.select(col("t").as("type_a"), col("est").as("est_a")), "type_a")
+          .join(exactInter, Seq("type_a", "type_b"), "left")
+          .join(cnts.select(col("t").as("type_a"), col("n").as("na")), "type_a")
+          .select(col("type_a"), col("type_b"),
+            greatest(col("est_a") - expr("m * 281474976710656 div th"), lit(0L))
+              .as("est_diff"),
+            (col("na") - coalesce(col("xi"), lit(0L))).as("exact_diff"))
+      },
+      Some("""WITH el AS (SELECT DISTINCT event_type AS t,
+        |    user_id * 1000 + date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS elem
+        |  FROM events),
+        |hd AS (SELECT DISTINCT t, CAST(list_sum(list_transform(range(1, 13),
+        |    i -> (strpos('0123456789abcdef',
+        |           substr(md5(CAST(elem AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |         * 16.0 ** (12 - i))) AS BIGINT) AS h
+        |  FROM el),
+        |sk AS MATERIALIZED (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+        |  FROM hd QUALIFY rn <= 64),
+        |theta AS (SELECT t, h AS theta FROM sk WHERE rn = 64),
+        |est AS (SELECT t, 63 * 281474976710656 // theta AS est FROM theta),
+        |pr AS (SELECT a.t AS type_a, b.t AS type_b, least(a.theta, b.theta) AS th
+        |  FROM theta a JOIN theta b ON a.t <> b.t),
+        |cm AS (SELECT x.t AS type_a, y.t AS type_b, x.h
+        |  FROM sk x JOIN sk y ON x.h = y.h AND x.t <> y.t),
+        |mc AS (SELECT pr.type_a, pr.type_b, pr.th,
+        |    sum(CASE WHEN cm.h < pr.th THEN 1 ELSE 0 END) AS m
+        |  FROM pr LEFT JOIN cm ON cm.type_a = pr.type_a AND cm.type_b = pr.type_b
+        |  GROUP BY 1, 2, 3),
+        |cn AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY 1),
+        |ex AS (SELECT p.t AS type_a, q.t AS type_b, CAST(count(*) AS BIGINT) AS xi
+        |  FROM el p JOIN el q ON p.elem = q.elem AND p.t <> q.t GROUP BY 1, 2)
+        |SELECT mc.type_a, mc.type_b,
+        |  greatest(ea.est - m * 281474976710656 // th, 0) AS est_diff,
+        |  cn.n - coalesce(ex.xi, 0) AS exact_diff
+        |FROM mc JOIN est ea ON ea.t = mc.type_a
+        |JOIN cn ON cn.t = mc.type_a
+        |LEFT JOIN ex ON ex.type_a = mc.type_a AND ex.type_b = mc.type_b""".stripMargin)
+    )),
+
     // Streaming twin of q_theta_sketch (StreamOps.kmvDistinctPerKey, batch
     // analog here): per-key k-minimum-values state whose micro-batch merge
     // is order-insensitive, so the stream converges to EXACTLY this batch

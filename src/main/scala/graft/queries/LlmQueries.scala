@@ -784,6 +784,48 @@ object LlmQueries {
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // IVF index-health readout: cell-population balance of the pivot
+    // quantizer — the number an operator checks BEFORE trusting any
+    // nProbe recall figure, because a skewed quantizer silently turns
+    // "probe 2 of 32 cells" into "probe half the corpus" (hot cell) or
+    // "probe almost nothing" (starved cells). imbalance_x100 = 100 ×
+    // max_cell / mean_cell, integer-floored; 100 = perfectly balanced.
+    // One broadcast-pivot assignment + two tiny aggregates; the same
+    // deterministic lowest-id pivots as the index/probe entries, so the
+    // whole readout replays exactly in SQL.
+    "ann_ivf_imbalance" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = emb(s, dir)
+        val pivots = broadcast(e.orderBy("vec_id").limit(32)
+          .select(col("vec_id").as("pid"), col("embedding").as("p_emb")))
+        val pw = Window.partitionBy("vec_id").orderBy(col("pcos").desc, col("pid").asc)
+        val cells = e.crossJoin(pivots)
+          .select(col("vec_id"), col("pid"),
+            call_function("cosine_sim", col("embedding"), col("p_emb")).as("pcos"))
+          .withColumn("pr", row_number().over(pw)).filter(col("pr") === 1)
+          .groupBy("pid").agg(count(lit(1)).as("cnt"))
+        cells.agg(count(lit(1)).as("n_cells"), sum("cnt").as("n_vectors"),
+            max("cnt").as("max_cell"), min("cnt").as("min_cell"))
+          .select(col("n_cells"), col("n_vectors").cast("long").as("n_vectors"),
+            col("max_cell"), col("min_cell"),
+            expr("max_cell * 100 * n_cells div n_vectors").as("imbalance_x100"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p QUALIFY pr = 1),
+        |cells AS (SELECT pid, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(cnt) AS BIGINT) AS n_vectors,
+        |  CAST(max(cnt) AS BIGINT) AS max_cell,
+        |  CAST(min(cnt) AS BIGINT) AS min_cell,
+        |  CAST(max(cnt) * 100 * count(*) // sum(cnt) AS BIGINT) AS imbalance_x100
+        |FROM cells""".stripMargin)
+    )),
+
     // Filtered vector search (Similarity.filteredTopK): top-5 neighbors
     // constrained by a metadata predicate — here cross-label retrieval
     // (corpus label ≠ query label, the "show me near-dups from OTHER
