@@ -310,6 +310,56 @@ object LlmQueries {
           |FROM sizes GROUP BY cluster_size""".stripMargin)
     )),
 
+    // GROUP-AWARE train/val/test split — the leakage-CORRECT way to cut a
+    // corpus: hash the near-dup CLUSTER id (not the doc id), so every
+    // member of a dup cluster lands in the same split and a test document
+    // can never have a training-set near-duplicate (q_split_leakage is
+    // the audit that catches the naive per-doc hash split doing exactly
+    // that). 80/10/10 by md5(cluster) mod 100; unpaired docs are their
+    // own group. `leaked_groups` recomputes the zero-leakage invariant
+    // from the output instead of trusting the construction. Scale: CC
+    // labels (log-round contraction) + one map + two aggregates.
+    "q_group_split" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val cc = Dedup.connectedComponents(Dedup.minhashLshPairs(d))
+        val grouped = d.select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("grp"))
+        val u = conv(substring(md5(col("grp").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100
+        val assigned = grouped.select(col("doc_id"), col("grp"),
+            when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val leak = assigned.groupBy("grp")
+          .agg(countDistinct("split").as("ns"))
+          .filter(col("ns") > 1).agg(count(lit(1)).as("leaked_groups"))
+        assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), countDistinct("grp").as("n_groups"))
+          .crossJoin(broadcast(leak))
+          .select(col("split"), col("n_docs"), col("n_groups"),
+            col("leaked_groups").cast("long").as("leaked_groups"))
+      },
+      Some(ccOracleSql +
+        """,cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+          |g AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS grp
+          |      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+          |a AS (SELECT doc_id, grp,
+          |    CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val' ELSE 'test' END AS split
+          |  FROM (SELECT doc_id, grp,
+          |      CAST(list_sum(list_transform(range(1, 7),
+          |        i -> (strpos('0123456789abcdef',
+          |               substr(md5(CAST(grp AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+          |             * 16.0 ** (6 - i))) AS BIGINT) % 100 AS u
+          |    FROM g)),
+          |lk AS (SELECT CAST(count(*) AS BIGINT) AS leaked_groups FROM (
+          |  SELECT grp FROM a GROUP BY grp HAVING count(DISTINCT split) > 1))
+          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups, lk.leaked_groups
+          |FROM a, lk GROUP BY split, lk.leaked_groups""".stripMargin)
+    )),
+
     // The CC-based representative filter: keep exactly one doc (min id) per
     // transitive cluster — the semantics corpus-dedup pipelines document
     // (vs the greedy pairwise filter above, which can keep two docs that
