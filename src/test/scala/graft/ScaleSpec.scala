@@ -511,6 +511,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("theta-sketch DIFFERENCE estimates stay inside the propagated envelope") {
+    // est(A∖B) = est(A) − est(A∩B): two KMV estimates subtracted, so the
+    // absolute error envelope is the SUM of both envelopes (errors don't
+    // cancel adversarially). Against exact |A∖B| ≥ 20, the estimate must
+    // sit within 0.6·|A| + 0.6·|A∩B| ≈ 1.2·|A| absolute — loose, but a
+    // hash/θ regression lands orders of magnitude outside it, and the
+    // clamp contract (never negative) is asserted on every row.
+    val out = graft.SparkEntry.queries("q_theta_diff")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (estD, exactD) = (r.getLong(2), r.getLong(3))
+      assert(estD >= 0, s"difference estimate must be clamped at zero: $r")
+      if (exactD >= 20)
+        assert(math.abs(estD - exactD).toDouble / exactD <= 1.2,
+          s"difference estimate outside propagated envelope: $r")
+    }
+  }
+
   test("ABTT-whitened vectors are near-orthogonal to the removed direction") {
     import spark.implicits._
     val e = Sources.table(spark, sf0001, "embeddings")
