@@ -812,6 +812,43 @@ object AnalyticsQueries {
     // experimentation readout. One partial+final aggregate per variant;
     // round(4) absorbs the low-order-bit differences between the two
     // engines' streaming moment algorithms (the q1 rounded-sum precedent).
+    // Wilson lower-bound ranking — the small-sample-correct way to rank
+    // segments by a success rate (the "sort by lower confidence bound"
+    // rule: a 3/4 segment must NOT outrank a 700/1000 one, which raw
+    // rate ordering does): per event type, success rate (value > 50)
+    // with its 95% Wilson score lower bound. One hash aggregate + one
+    // row of closed-form double algebra per group; both engines execute
+    // the identical IEEE expression tree on identical rational inputs,
+    // rounded at 6 — the same cross-engine double discipline as the
+    // nDCG/ln entries.
+    "q_wilson_ranking" -> ((
+      (s: SparkSession, dir: String) => {
+        val z = 1.959963984540054
+        val per = t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > 50, 1L).otherwise(0L)).as("pos"))
+        per.select(col("event_type"), col("n"), col("pos"),
+          round(col("pos").cast("double") / col("n"), 6).as("rate"),
+          round(
+            (col("pos").cast("double") / col("n") + lit(z * z) / (lit(2.0) * col("n"))
+              - lit(z) * sqrt((col("pos").cast("double") / col("n"))
+                  * (lit(1.0) - col("pos").cast("double") / col("n")) / col("n")
+                + lit(z * z) / (lit(4.0) * col("n") * col("n"))))
+              / (lit(1.0) + lit(z * z) / col("n")), 6).as("wilson_lb"))
+      },
+      Some("""WITH per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, pos,
+        |  round(CAST(pos AS DOUBLE) / n, 6) AS rate,
+        |  round((CAST(pos AS DOUBLE) / n + 3.8414588206941254 / (2.0 * n)
+        |      - 1.959963984540054 * sqrt((CAST(pos AS DOUBLE) / n)
+        |          * (1.0 - CAST(pos AS DOUBLE) / n) / n
+        |        + 3.8414588206941254 / (4.0 * n * n)))
+        |    / (1.0 + 3.8414588206941254 / n), 6) AS wilson_lb
+        |FROM per""".stripMargin)
+    )),
+
     // Poisson bootstrap CI — THE distributed uncertainty method (each
     // row draws a deterministic pseudo-Poisson(1) weight per replica
     // from md5(key, replica); one scan fans out B=64 weighted copies

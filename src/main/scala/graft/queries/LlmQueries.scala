@@ -1751,6 +1751,55 @@ object LlmQueries {
     // engines. Composition of Dedup.sharedSpans — same df cap, same
     // partitioned-window discipline; the text column rejoins by id only
     // for the bounded reconstruction projection.
+    // GLOBAL paragraph-level dedup with document reassembly — the C4/
+    // RefinedWeb middle granularity between whole-doc dedup (too coarse:
+    // one boilerplate footer doesn't condemn the doc) and pairwise span
+    // removal above (quadratic in the pair graph): chunk each doc into
+    // 10-token paragraphs, keep only the GLOBALLY FIRST occurrence of
+    // each paragraph text (corpus order: doc_id, then position), rebuild
+    // the surviving text in position order, and report the rebuilt
+    // text's md5 so the oracle checks the actual reassembled string,
+    // not just counts. Scale: paragraphs shuffle as (hashable text,
+    // position) rows once for the first-occurrence window and once for
+    // the per-doc reassembly — no pair join anywhere, linear in corpus
+    // paragraphs.
+    "text_paragraph_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val paras = d
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 1)
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(0, (size(t) + 9) div 10 - 1), " +
+                "i -> array_join(slice(t, i * 10 + 1, 10), ' '))"))
+              .as(Seq("pidx", "ptxt")))
+        val w = Window.partitionBy("ptxt").orderBy(col("doc_id").asc, col("pidx").asc)
+        val kept = paras.withColumn("rn", row_number().over(w))
+          .withColumn("is_first", col("rn") === 1)
+        kept.groupBy("doc_id").agg(
+          sum(when(col("is_first"), 1L).otherwise(0L)).as("kept_paras"),
+          sum(when(col("is_first"), 0L).otherwise(1L)).as("dropped_paras"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN is_first " +
+              "THEN struct(pidx, ptxt) END)), x -> x.ptxt)"), " "))
+            .as("rebuilt_md5"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |paras AS (SELECT doc_id, CAST(i AS BIGINT) AS pidx,
+        |    array_to_string(t[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS ptxt
+        |  FROM t, unnest(range(0, (len(t) + 9) // 10)) AS u(i)),
+        |fst AS (SELECT doc_id, pidx, ptxt,
+        |    row_number() OVER (PARTITION BY ptxt ORDER BY doc_id, pidx) = 1 AS is_first
+        |  FROM paras)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS kept_paras,
+        |  CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT) AS dropped_paras,
+        |  md5(coalesce(string_agg(CASE WHEN is_first THEN ptxt END, ' ' ORDER BY pidx), '')) AS rebuilt_md5
+        |FROM fst GROUP BY doc_id""".stripMargin)
+    )),
+
     "text_span_removal" -> ((
       (s: SparkSession, dir: String) => {
         val d = docs(s, dir)
