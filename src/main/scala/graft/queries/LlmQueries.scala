@@ -310,6 +310,60 @@ object LlmQueries {
           |FROM sizes GROUP BY cluster_size""".stripMargin)
     )),
 
+    // Medoid representative per near-dup cluster — pick the MOST CENTRAL
+    // member (max summed pairwise Jaccard affinity, tie → min id) instead
+    // of min-id: the curation-quality upgrade when a cluster mixes a
+    // clean original with truncated/mangled copies, since the medoid is
+    // the member most similar to everything else. Affinity uses the
+    // native `jaccard_x1000` kernel on shingle-hash arrays (property-
+    // tested equal to string-shingle Jaccard); missing pairs contribute
+    // 0 on both engines. Scale: intra-cluster pair fan-out is bounded by
+    // dup-cluster width (the dedup_cluster_sizes profile), never corpus².
+    "dedup_medoid_representatives" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val cc = Dedup.connectedComponents(Dedup.minhashLshPairs(d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = d.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
+        val m = cc.select(col("cluster_id"), col("doc_id"))
+        val pairs = m.as("x").join(m.as("y"),
+            col("x.cluster_id") === col("y.cluster_id") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .select(col("x.cluster_id").as("cluster_id"),
+            col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        val scored = pairs
+          .join(sh.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
+          .select(col("cluster_id"), col("a"),
+            call_function("jaccard_x1000", col("ha"), col("hb")).as("j"))
+          .groupBy("cluster_id", "a").agg(sum("j").as("aff"))
+        val w = Window.partitionBy("cluster_id").orderBy(col("aff").desc, col("a").asc)
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(cc.groupBy("cluster_id").agg(count(lit(1)).as("members")), "cluster_id")
+          .select(col("cluster_id"), col("a").as("medoid_doc"),
+            col("aff").cast("long").as("affinity_x1000"), col("members"))
+      },
+      Some(ccOracleSql +
+        """,cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+          |mpair AS (SELECT x.cluster_id, x.node AS a, y.node AS b
+          |  FROM cc x JOIN cc y ON x.cluster_id = y.cluster_id AND x.node <> y.node),
+          |jp AS (SELECT doc_a, doc_b,
+          |    common * 1000 // (ca.n_sh + cb.n_sh - common) AS j
+          |  FROM rawpairs p JOIN cnt ca ON ca.doc_id = p.doc_a
+          |  JOIN cnt cb ON cb.doc_id = p.doc_b),
+          |aff AS (SELECT m.cluster_id, m.a, CAST(sum(coalesce(jp.j, 0)) AS BIGINT) AS aff
+          |  FROM mpair m LEFT JOIN jp ON (jp.doc_a = m.a AND jp.doc_b = m.b)
+          |    OR (jp.doc_a = m.b AND jp.doc_b = m.a)
+          |  GROUP BY 1, 2),
+          |members AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS members
+          |  FROM cc GROUP BY 1)
+          |SELECT r.cluster_id, r.a AS medoid_doc, r.aff AS affinity_x1000, members.members
+          |FROM (SELECT cluster_id, a, aff,
+          |    row_number() OVER (PARTITION BY cluster_id ORDER BY aff DESC, a) AS rn
+          |  FROM aff) r
+          |JOIN members ON members.cluster_id = r.cluster_id WHERE rn = 1""".stripMargin)
+    )),
+
     // GROUP-AWARE train/val/test split — the leakage-CORRECT way to cut a
     // corpus: hash the near-dup CLUSTER id (not the doc id), so every
     // member of a dup cluster lands in the same split and a test document
