@@ -471,6 +471,37 @@ object Dedup {
       .filter(size(col("hs")) > 0)
   }
 
+  /** (doc_id, ph) DISTINCT md5 hashes of `words`-token paragraphs — the
+    * index unit of paragraph-level dedup (the streaming twin of the
+    * `text_paragraph_dedup` catalog entry's granularity). 16 bytes per
+    * distinct paragraph; document text never leaves the map stage.
+    */
+  def paragraphHashes(docs: DataFrame, words: Int = 10): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(t) + ${words - 1}) div $words - 1), " +
+          s"i -> md5(array_join(slice(t, i * $words + 1, $words), ' ')))")).as("ph"))
+      .distinct()
+
+  /** Batch doc ids whose paragraph-hash CONTAINMENT in the corpus index
+    * reaches `dropPm` per-mille — a doc assembled mostly from known
+    * boilerplate drops even if never seen verbatim (containment, not
+    * equality, is the right predicate at paragraph granularity). One
+    * equi-join on 16-byte hashes + one per-doc aggregate.
+    */
+  def paragraphMatchedIds(corpusPh: DataFrame, batchPh: DataFrame,
+                          dropPm: Int = 600): DataFrame = {
+    val known = corpusPh.select(col("ph")).distinct()
+      .withColumn("known", lit(1L))
+    batchPh.join(known, Seq("ph"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("known"), lit(0L))).as("shared"))
+      .filter(col("shared") * 1000 >= lit(dropPm) * col("total"))
+      .select(col("doc_id"))
+  }
+
   def incrementalFilter(corpus: DataFrame, batch: DataFrame,
                         numHashes: Int = 64, bands: Int = 16,
                         n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {

@@ -2170,6 +2170,51 @@ object LlmQueries {
         |FROM f QUALIFY rnk <= 50""".stripMargin)
     )),
 
+    // Zipf-exponent FIT — the one-number corpus diagnostic on top of the
+    // q_token_zipf head: least-squares slope of ln(freq) vs ln(rank)
+    // over the top-100 tokens (a healthy natural corpus sits near −1;
+    // drift flags boilerplate floods or scraping pathologies). The fit
+    // is the established cross-engine double discipline end to end:
+    // per-rank ln terms floored to integer micros, all four least-
+    // squares sums exact integer arithmetic, ONE double division at the
+    // end rounded at 6 — no order-dependent float summation anywhere.
+    // Scale: the rank head comes from TakeOrdered (bounded heap, limit
+    // below the window — never a global sort), the fit is 100 rows.
+    "q_zipf_fit" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.orderBy(col("freq").desc, col("tok").asc)
+        val head = docs(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tok").asc).limit(100)
+          .withColumn("rnk", row_number().over(w))
+          .select(col("rnk").cast("long").as("rnk"), col("freq"))
+        head.select(
+            floor(log(col("rnk").cast("double")) * 1e6).cast("long").as("xm"),
+            floor(log(col("freq").cast("double")) * 1e6).cast("long").as("ym"))
+          .agg(count(lit(1)).as("n"), sum("xm").as("sx"), sum("ym").as("sy"),
+            sum(col("xm") * col("ym")).as("sxy"),
+            sum(col("xm") * col("xm")).as("sxx"))
+          .select(col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              .as("zipf_slope"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE length(text) > 0),
+        |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+        |head AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rnk,
+        |    freq FROM f ORDER BY freq DESC, tok LIMIT 100),
+        |m AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS xm,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS ym FROM head),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xm) AS BIGINT) AS sx,
+        |    CAST(sum(ym) AS BIGINT) AS sy, CAST(sum(xm * ym) AS BIGINT) AS sxy,
+        |    CAST(sum(xm * xm) AS BIGINT) AS sxx FROM m)
+        |SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        |FROM sums""".stripMargin)
+    )),
+
     // Per-label centroid accumulators: elementwise integer-quantized
     // (floor(x·10⁴)) sums + counts — the mergeable partial+final form a
     // distributed pipeline computes (the float mean is qsum/n/10⁴
@@ -3033,6 +3078,40 @@ object LlmQueries {
     // StreamingSpec drives over MemoryStream batches and checks for
     // parity with this batch result. Oracle replays formula → dHash →
     // band join → anti-join.
+    // Paragraph-containment streaming dedup, batch analog (the SIXTH
+    // streaming modality; StreamOps.paragraphDedupAgainstCorpus drives
+    // the same Dedup.paragraphMatchedIds per micro-batch, StreamingSpec
+    // proves parity): corpus index = every tenth doc's distinct
+    // 10-token-paragraph md5 set; an incoming doc drops when ≥ 60% of
+    // its paragraphs are already indexed — containment, so a doc
+    // assembled from known boilerplate drops without a verbatim match.
+    // Exact duplicates of corpus docs sit at 100% containment; fresh
+    // text at ~0%. Ids + 16-byte hashes only in every shuffle.
+    "stream_paragraph_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val corpusPh = Dedup.paragraphHashes(d.filter(pmod(col("doc_id"), lit(10)) === 0))
+          .select(col("ph")).distinct()
+        val incoming = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val matched = Dedup.paragraphMatchedIds(corpusPh,
+          Dedup.paragraphHashes(incoming), dropPm = 600)
+        incoming.select(col("doc_id")).join(matched, Seq("doc_id"), "left_anti")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 1),
+        |p AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ')) AS ph
+        |  FROM t, unnest(range(0, (len(t) + 9) // 10)) AS u(i)),
+        |corp AS (SELECT DISTINCT ph FROM p WHERE doc_id % 10 = 0),
+        |inc AS (SELECT doc_id, ph FROM p WHERE doc_id % 10 != 0),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN ph IN (SELECT ph FROM corp) THEN 1 ELSE 0 END) AS BIGINT) AS shared
+        |  FROM inc GROUP BY 1),
+        |drp AS (SELECT doc_id FROM per WHERE shared * 1000 >= 600 * total)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT doc_id FROM drp)""".stripMargin)
+    )),
+
     "stream_media_dedup" -> ((
       (s: SparkSession, dir: String) => {
         import s.implicits._

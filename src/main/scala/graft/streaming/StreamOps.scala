@@ -175,6 +175,36 @@ object StreamOps {
       }
   }
 
+  /** Paragraph-containment twin of [[dedupAgainstCorpus]] — the SIXTH
+    * streaming incremental-dedup modality (text shingles, image dHash,
+    * audio fingerprint, embedding cosine, video frame hashes, and now
+    * text paragraphs): the corpus index is the distinct paragraph-hash
+    * set (16 bytes per distinct paragraph), and an incoming (doc_id,
+    * text) doc drops when ≥ `dropPm` per-mille of its paragraphs already
+    * exist in the index — containment, so a doc assembled mostly from
+    * known boilerplate drops even if never seen verbatim. Same bounded
+    * per-batch cache discipline as the other twins.
+    * (caller-must-clear-cache: the corpus index lives as long as the
+    * streaming query.)
+    */
+  def paragraphDedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+                                  sink: DataFrame => Unit, dropPm: Int = 600):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpusPh = graft.operators.Dedup.paragraphHashes(corpus)
+      .select(col("ph")).distinct().persist(lvl)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchPh = graft.operators.Dedup.paragraphHashes(batch).persist(lvl)
+        try {
+          val matched = graft.operators.Dedup
+            .paragraphMatchedIds(corpusPh, batchPh, dropPm)
+          sink(batch.join(matched, Seq("doc_id"), "left_anti"))
+        } finally batchPh.unpersist()
+      }
+  }
+
   /** Streaming model-based quality filter: each micro-batch of (doc_id,
     * text) rows is scored against a STATIC unigram log-prob table (the
     * LM trained batch-side on a reference corpus, floored-micro integer

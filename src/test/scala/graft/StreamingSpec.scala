@@ -740,6 +740,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming paragraph dedup drops docs by containment in the corpus index") {
+    import graft.streaming.StreamOps
+    // corpus doc = paragraphs A B C (30 tokens = three 10-token blocks).
+    // Incoming: 10 = A B + fresh block (2/3 known = 667‰ ≥ 600 → drop);
+    // 20 = A + two fresh blocks (333‰ → survive); 30 = A B C verbatim
+    // (1000‰ → drop); 40 = all fresh (0‰ → survive). Containment is the
+    // predicate — doc 10 was never seen verbatim yet still drops.
+    def block(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq((1L, s"${block("a")} ${block("b")} ${block("c")}"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val q = StreamOps.paragraphDedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpus,
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((10L, s"${block("a")} ${block("b")} ${block("x")}"),
+        (20L, s"${block("a")} ${block("y")} ${block("z")}"))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(20L), s"batch 1: $survivors")
+      input.addData((30L, s"${block("a")} ${block("b")} ${block("c")}"),
+        (40L, s"${block("p")} ${block("q")} ${block("r")}"))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(20L, 40L), s"batch 2: $survivors")
+    } finally q.stop()
+    // parity with the batch twin on the same rows
+    import graft.operators.Dedup
+    val incoming = Seq(
+      (10L, s"${block("a")} ${block("b")} ${block("x")}"),
+      (20L, s"${block("a")} ${block("y")} ${block("z")}"),
+      (30L, s"${block("a")} ${block("b")} ${block("c")}"),
+      (40L, s"${block("p")} ${block("q")} ${block("r")}")).toDF("doc_id", "text")
+    val matched = Dedup.paragraphMatchedIds(
+      Dedup.paragraphHashes(corpus).select(col("ph")).distinct(),
+      Dedup.paragraphHashes(incoming))
+    val batchSurvivors = incoming.join(matched, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchSurvivors == Set(20L, 40L))
+  }
+
   test("streaming media dedup drops corpus near-dups across micro-batch boundaries") {
     import graft.operators.Imaging
     import graft.streaming.StreamOps
