@@ -310,6 +310,47 @@ object LlmQueries {
           |FROM sizes GROUP BY cluster_size""".stripMargin)
     )),
 
+    // Dedup threshold tuning curve — the table a corpus owner reads
+    // BEFORE fixing the 0.8 Jaccard cutoff the rest of the catalog uses:
+    // qualifying pair count and docs-dropped count at 70/80/90%, from
+    // ONE pass over the pair relation (generated once at the loosest
+    // threshold, each tier a filter over the same exact integer
+    // jaccard_x1000 — not three pipeline runs). docs-dropped uses the
+    // greedy pairwise rule (a doc drops when a lower-id qualifying
+    // partner exists), matching dedup_filtered's semantics.
+    "dedup_threshold_curve" -> ((
+      (s: SparkSession, dir: String) => {
+        val pr = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 70, maxDf = 0)
+          .select(col("doc_b"),
+            expr("common * 1000 div (n_sh_a + n_sh_b - common)").as("jx"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Seq(700, 800, 900).map { t =>
+          pr.filter(col("jx") >= t)
+            .agg(count(lit(1)).as("n_pairs"),
+              countDistinct(col("doc_b")).as("n_docs_dropped"))
+            .select(lit(t / 10L).as("threshold_pct"),
+              col("n_pairs"), col("n_docs_dropped"))
+        }.reduce(_ unionAll _)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |rawpairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_b, common * 1000 // (ca.n_sh + cb.n_sh - common) AS jx
+        |  FROM rawpairs p JOIN cnt ca ON ca.doc_id = p.doc_a
+        |  JOIN cnt cb ON cb.doc_id = p.doc_b)
+        |SELECT CAST(70 AS BIGINT) AS threshold_pct, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped FROM jp WHERE jx >= 700
+        |UNION ALL SELECT 80, CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp WHERE jx >= 800
+        |UNION ALL SELECT 90, CAST(count(*) AS BIGINT),
+        |  CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp WHERE jx >= 900""".stripMargin)
+    )),
+
     // Medoid representative per near-dup cluster — pick the MOST CENTRAL
     // member (max summed pairwise Jaccard affinity, tie → min id) instead
     // of min-id: the curation-quality upgrade when a cluster mixes a
