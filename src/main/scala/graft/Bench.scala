@@ -189,7 +189,17 @@ object Bench {
     }.sorted
     val medianDispersion =
       if (dispersions.isEmpty) 1.0 else dispersions(dispersions.size / 2)
-    val contended = runsPerQuery > 1 && medianDispersion > 1.5
+    // Two independent weather triggers (r9: dispersion 1.452 with 88/318
+    // load-retries still printed `contended: false` — a record that was
+    // visibly weather-beaten self-described as quiet). A run is flagged
+    // when the passes disagree (dispersion) OR when a material fraction
+    // of entries never saw a quiet start (load-retry demand), whichever
+    // fires first.
+    val retriedFrac =
+      if (results.isEmpty) 0.0 else needRetry.size.toDouble / results.size
+    val dispersionContended = runsPerQuery > 1 && medianDispersion > 1.5
+    val retryContended = retriedFrac > 0.15
+    val contended = dispersionContended || retryContended
 
     // full record → file (never truncated), short line → stdout (always
     // parses). BENCH_LOCAL.json sits in the repo so the per-round judge
@@ -204,7 +214,12 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
         f""""runs_per_query":$runsPerQuery,"n_queries":${results.size},""" +
         f""""shuffle_seed":$seed,"retry_load_threshold":$retryLoad%.1f,""" +
-        f""""retried":${needRetry.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        // `retried` = entries actually RE-RUN (empty when the retry pass
+        // was skipped, e.g. runsPerQuery=1); `retry_wanted` = entries
+        // whose fastest pass started above the load threshold — the
+        // weather-demand signal even when no retry ran
+        f""""retried":${retryObs.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        f""""retry_wanted":${needRetry.size},""" +
         f""""started_epoch":${benchStartMs / 1000},"wall_sec":${(System.currentTimeMillis() - benchStartMs) / 1000},""" +
         f""""median_dispersion":$medianDispersion%.3f,"contended":$contended,""" +
         f""""oracle_twins_sec":$twinsSec%.3f,"production_sec":${total - twinsSec}%.3f,""" +
@@ -223,12 +238,17 @@ object Bench {
         System.err.println(s"[bench] catalog index: ${e.getMessage}")
       }
 
-    if (contended)
+    if (contended) {
       // parseable on its own line: the timings in this record are box
       // weather, not code — judges should read min values with suspicion
-      println(f"""{"metric":"bench_warning","reason":"median run dispersion """ +
-        f"""$medianDispersion%.2fx > 1.5x across ${results.size} queries — """ +
+      val why =
+        (if (dispersionContended)
+           Seq(f"median run dispersion $medianDispersion%.2fx > 1.5x") else Nil) ++
+        (if (retryContended)
+           Seq(f"${needRetry.size} of ${results.size} entries (${retriedFrac * 100}%.0f%%) started loaded (> 15%%)") else Nil)
+      println(f"""{"metric":"bench_warning","reason":"${why.mkString("; ")} — """ +
         f"""box contention; treat totals as an upper bound"}""")
+    }
     val inline = results.filter(r => headline.contains(r._1))
       .map { case (name, min, _) => f""""$name":$min%.3f""" }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +

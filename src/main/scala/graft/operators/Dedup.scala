@@ -381,6 +381,17 @@ object Dedup {
     val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLshPairsFromHs(withHs, numHashes, bands, jaccardPctX10)
+  }
+
+  /** [[minhashLshPairs]] over a precomputed (doc_id, hs) shingle-hash
+    * relation — callers that also need the hash arrays downstream (the
+    * medoid's affinity postings) pass ONE persisted relation here instead
+    * of tokenizing and hashing the corpus twice.
+    */
+  def minhashLshPairsFromHs(withHs: DataFrame, numHashes: Int = 64,
+                            bands: Int = 16, jaccardPctX10: Int = 800): DataFrame = {
+    graft.functions.GraftFunctions.register(withHs.sparkSession)
     // band bucket = hash of the band's signature slice (statically unrolled)
     val buckets = bandBuckets(withHs, numHashes, bands)
     val candidates = buckets.as("a")
@@ -698,6 +709,84 @@ object Dedup {
       .union(e.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
       .distinct()
     (labels, rounds)
+  }
+
+  /** Medoid representative per near-dup cluster: the MOST CENTRAL member
+    * (max summed pairwise Jaccard affinity, tie → min id) instead of
+    * min-id — the curation-quality upgrade when a cluster mixes a clean
+    * original with truncated/mangled copies. Clusters come from
+    * [[minhashLshPairs]] + [[connectedComponents]]; affinity comes from
+    * the shingle-POSTING pair relation ([[ngramJaccardPairs]] at pct=0,
+    * `maxDf` skew cap, denominators on the unpruned counts — the
+    * text_containment_maxdf discipline), restricted to intra-cluster
+    * pairs. Members whose every pair evidence was pruned (or who share
+    * no shingle with any cluster sibling) get affinity 0.
+    *
+    * Scale: only ids and integer counts cross the pair shuffles —
+    * shingle-hash ARRAYS never do — and the per-shingle posting cap
+    * bounds pair fan-out at ~df² per shingle, independent of cluster
+    * width, so one boilerplate mega-cluster cannot make the affinity
+    * stage quadratic (ScaleSpec plants one and checks both properties).
+    *
+    * Returns (cluster_id, medoid_doc, affinity_x1000, members).
+    */
+  def medoidRepresentatives(docs: DataFrame, n: Int = 3, maxDf: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // caller-must-clear-cache: the hash arrays feed both the LSH
+    // clustering and the affinity postings; the labels are read by the
+    // affinity join and the members aggregate of one lazily-consumed plan
+    val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .persist(lvl)
+    val cc = connectedComponents(minhashLshPairsFromHs(withHs)).persist(lvl)
+    // affinity evidence is only consumed for intra-cluster pairs, so the
+    // posting index covers cluster MEMBERS only and carries the cluster
+    // label from the start (at 100 TB that is the dup fraction of the
+    // corpus, not the corpus), derived from the SAME cached hash arrays
+    // the LSH signatures came from — one tokenize+hash pass total.
+    // each posting row carries its doc's UNPRUNED set size (hs is
+    // distinct by construction, so size() = n_sh) — the Jaccard
+    // denominators ride the pair aggregate for free instead of two
+    // count-joins after it
+    val msh = withHs.join(cc, "doc_id")
+      .select(col("cluster_id"), col("doc_id"),
+        size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h"))
+      .persist(lvl)
+    val pruned = if (maxDf <= 0) msh else {
+      // df over members — still caps a boilerplate shingle's posting list
+      // (a mega-cluster's width IS its member df), still replayable SQL
+      val heavy = msh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("h")
+      msh.join(heavy, Seq("h"), "left_anti")
+    }
+    // the self-join keys on (h, cluster): only intra-cluster pairs are
+    // ever formed, bounded per shingle by its capped member-df
+    val jp = pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.cluster_id").as("cluster_id"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n_sh")).as("n_sh_a"), max(col("b.n_sh")).as("n_sh_b"))
+      .select(col("cluster_id"), col("doc_a"), col("doc_b"),
+        expr("common * 1000 div (n_sh_a + n_sh_b - common)").as("jx"))
+    val aff0 = jp.select(col("cluster_id"), col("doc_a").as("a"), col("jx"))
+      .unionAll(jp.select(col("cluster_id"), col("doc_b").as("a"), col("jx")))
+      .groupBy("cluster_id", "a").agg(sum("jx").as("aff0"))
+    val scored = cc.select(col("cluster_id"), col("doc_id").as("a"))
+      .join(aff0, Seq("cluster_id", "a"), "left")
+      .select(col("cluster_id"), col("a"),
+        coalesce(col("aff0"), lit(0L)).as("aff"))
+    // one window pass yields both the medoid rank and the member count
+    val wp = Window.partitionBy("cluster_id")
+    val w = wp.orderBy(col("aff").desc, col("a").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("members", count(lit(1)).over(wp))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("a").as("medoid_doc"),
+        col("aff").cast("long").as("affinity_x1000"), col("members"))
   }
 
   // SimHash/MinHash signature math lives in graft.functions.SketchExprs as

@@ -12,6 +12,12 @@ import graft.sources.Sources
   * join. All shapes are chosen to be the plan you'd want at 100 TB:
   * dimension joins broadcast, aggregations partial-then-final, windows
   * partitioned by a real key, no driver-side collection.
+  *
+  * Cache contract (caller-must-clear-cache): catalog entries persist
+  * intermediates that multiple branches of one plan read; nothing
+  * unpersists inside the lambdas because the harness (Verify/Bench)
+  * calls `clearCache()` between entries. A library caller embedding
+  * these plans owns the session-cache lifecycle the same way.
   */
 object AnalyticsQueries {
 
@@ -2139,8 +2145,8 @@ object AnalyticsQueries {
         |ex AS (SELECT p.t AS type_a, q.t AS type_b, CAST(count(*) AS BIGINT) AS xi
         |  FROM el p JOIN el q ON p.elem = q.elem AND p.t <> q.t GROUP BY 1, 2)
         |SELECT mc.type_a, mc.type_b,
-        |  greatest(ea.est - m * 281474976710656 // th, 0) AS est_diff,
-        |  cn.n - coalesce(ex.xi, 0) AS exact_diff
+        |  CAST(greatest(ea.est - m * 281474976710656 // th, 0) AS BIGINT) AS est_diff,
+        |  CAST(cn.n - coalesce(ex.xi, 0) AS BIGINT) AS exact_diff
         |FROM mc JOIN est ea ON ea.t = mc.type_a
         |JOIN cn ON cn.t = mc.type_a
         |LEFT JOIN ex ON ex.type_a = mc.type_a AND ex.type_b = mc.type_b""".stripMargin)

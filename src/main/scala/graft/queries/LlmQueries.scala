@@ -16,6 +16,12 @@ import graft.sources.Sources
   * DuckDB oracle; the hash-seeded approximations (MinHash, SimHash,
   * hyperplane LSH) are checked rows-only by the driver and cross-validated
   * against their exact counterparts in the ScalaTest suite instead.
+  *
+  * Cache contract (caller-must-clear-cache): catalog entries persist
+  * intermediates that multiple branches of one plan read; nothing
+  * unpersists inside the lambdas because the harness (Verify/Bench)
+  * calls `clearCache()` between entries. A library caller embedding
+  * these plans owns the session-cache lifecycle the same way.
   */
 object LlmQueries {
 
@@ -355,47 +361,43 @@ object LlmQueries {
     // member (max summed pairwise Jaccard affinity, tie → min id) instead
     // of min-id: the curation-quality upgrade when a cluster mixes a
     // clean original with truncated/mangled copies, since the medoid is
-    // the member most similar to everything else. Affinity uses the
-    // native `jaccard_x1000` kernel on shingle-hash arrays (property-
-    // tested equal to string-shingle Jaccard); missing pairs contribute
-    // 0 on both engines. Scale: intra-cluster pair fan-out is bounded by
-    // dup-cluster width (the dedup_cluster_sizes profile), never corpus².
+    // the member most similar to everything else. Affinity comes from the
+    // shingle-POSTING pair relation (the `rawpairs` shape, maxDf=5 skew
+    // cap with df counted over cluster MEMBERS — the posting index is
+    // member-restricted — denominators on the unpruned counts, same
+    // discipline as text_containment_maxdf), restricted to intra-cluster
+    // pairs; members
+    // whose every pair was pruned get affinity 0 on both engines. Scale:
+    // only ids and integer counts cross the pair shuffle — shingle-hash
+    // ARRAYS never do — and the per-shingle posting cap bounds pair
+    // fan-out at df², independent of cluster width, so one boilerplate
+    // mega-cluster cannot make this quadratic (ScaleSpec plants one and
+    // checks the shuffle stays array-free).
     "dedup_medoid_representatives" -> ((
-      (s: SparkSession, dir: String) => {
-        val d = docs(s, dir)
-        val cc = Dedup.connectedComponents(Dedup.minhashLshPairs(d))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sh = d.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("hs"))
-        val m = cc.select(col("cluster_id"), col("doc_id"))
-        val pairs = m.as("x").join(m.as("y"),
-            col("x.cluster_id") === col("y.cluster_id") &&
-              col("x.doc_id") =!= col("y.doc_id"))
-          .select(col("x.cluster_id").as("cluster_id"),
-            col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        val scored = pairs
-          .join(sh.select(col("doc_id").as("a"), col("hs").as("ha")), "a")
-          .join(sh.select(col("doc_id").as("b"), col("hs").as("hb")), "b")
-          .select(col("cluster_id"), col("a"),
-            call_function("jaccard_x1000", col("ha"), col("hb")).as("j"))
-          .groupBy("cluster_id", "a").agg(sum("j").as("aff"))
-        val w = Window.partitionBy("cluster_id").orderBy(col("aff").desc, col("a").asc)
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .join(cc.groupBy("cluster_id").agg(count(lit(1)).as("members")), "cluster_id")
-          .select(col("cluster_id"), col("a").as("medoid_doc"),
-            col("aff").cast("long").as("affinity_x1000"), col("members"))
-      },
+      (s: SparkSession, dir: String) =>
+        Dedup.medoidRepresentatives(docs(s, dir), n = 3, maxDf = 5),
       Some(ccOracleSql +
         """,cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
-          |mpair AS (SELECT x.cluster_id, x.node AS a, y.node AS b
-          |  FROM cc x JOIN cc y ON x.cluster_id = y.cluster_id AND x.node <> y.node),
-          |jp AS (SELECT doc_a, doc_b,
-          |    common * 1000 // (ca.n_sh + cb.n_sh - common) AS j
-          |  FROM rawpairs p JOIN cnt ca ON ca.doc_id = p.doc_a
-          |  JOIN cnt cb ON cb.doc_id = p.doc_b),
-          |aff AS (SELECT m.cluster_id, m.a, CAST(sum(coalesce(jp.j, 0)) AS BIGINT) AS aff
-          |  FROM mpair m LEFT JOIN jp ON (jp.doc_a = m.a AND jp.doc_b = m.b)
-          |    OR (jp.doc_a = m.b AND jp.doc_b = m.a)
+          |msh AS (SELECT sh.doc_id, sh.s FROM sh JOIN cc ON cc.node = sh.doc_id),
+          |dfc AS (SELECT s, count(*) AS df FROM msh GROUP BY 1),
+          |prn AS (SELECT doc_id, s FROM msh JOIN dfc USING (s) WHERE df <= 5),
+          |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(count(*) AS BIGINT) AS common
+          |  FROM prn a JOIN prn b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
+          |jp AS (SELECT doc_a, doc_b,
+          |    common * 1000 // (ca.n_sh + cb.n_sh - common) AS jx
+          |  FROM cpairs p JOIN cnt ca ON ca.doc_id = p.doc_a
+          |  JOIN cnt cb ON cb.doc_id = p.doc_b),
+          |sym AS (SELECT doc_a AS a, doc_b AS b, jx FROM jp
+          |        UNION ALL SELECT doc_b, doc_a, jx FROM jp),
+          |intra AS (SELECT cx.cluster_id, s.a, CAST(sum(s.jx) AS BIGINT) AS aff
+          |  FROM sym s JOIN cc cx ON cx.node = s.a JOIN cc cy ON cy.node = s.b
+          |  WHERE cx.cluster_id = cy.cluster_id GROUP BY 1, 2),
+          |aff AS (SELECT cc.cluster_id, cc.node AS a,
+          |    coalesce(i.aff, CAST(0 AS BIGINT)) AS aff
+          |  FROM cc LEFT JOIN intra i
+          |    ON i.cluster_id = cc.cluster_id AND i.a = cc.node),
           |members AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS members
           |  FROM cc GROUP BY 1)
           |SELECT r.cluster_id, r.a AS medoid_doc, r.aff AS affinity_x1000, members.members
@@ -1017,10 +1019,11 @@ object LlmQueries {
           .withColumn("pr", row_number().over(pw))
           .filter(col("pr") <= 2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // per-run path (app id): two concurrent sessions (bench + gate,
-        // parallel test forks) must never overwrite each other's index
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft-ann-index-${s.sparkContext.applicationId}").toString
+        // per-JVM scratch path (shutdown-hook cleaned): concurrent JVMs
+        // (bench + gate, parallel test forks) never overwrite each
+        // other's index, and session recycling inside one JVM reuses
+        // ONE directory instead of leaking one per recycle block
+        val out = graft.tools.TmpDirs.path("ann-index")
         ranked.filter(col("pr") === 1)
           .select(col("vec_id"), col("embedding"), col("pid").as("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(out)
@@ -1239,7 +1242,8 @@ object LlmQueries {
           .filter(col("lex_rank") <= 10)
         val e = emb(s, dir)
         val dense = Similarity.bruteForceTopK(
-            e, e.filter(pmod(col("vec_id"), lit(100)) === 0).limit(1024), k = 10)
+            e, e.filter(pmod(col("vec_id"), lit(100)) === 0 &&
+              col("vec_id") < 102400), k = 10)
           .select(col("query_id"), col("neighbor_id").as("doc_id"))
         val wh = Window.partitionBy("query_id").orderBy(col("lex_rank").asc, col("doc_id"))
         lexTop.join(dense, Seq("query_id", "doc_id"), "left_anti")
@@ -1274,7 +1278,7 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS r
         |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 100 = 0 QUALIFY r <= 10),
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 102400 QUALIFY r <= 10),
         |hn AS (SELECT lt.query_id, lt.doc_id, lt.lex_rank,
         |    row_number() OVER (PARTITION BY lt.query_id
         |      ORDER BY lt.lex_rank, lt.doc_id) AS hn_rank
@@ -1446,7 +1450,8 @@ object LlmQueries {
           .select(col("query_id"), col("doc_id"), col("r").cast("long").as("r"))
         val e = emb(s, dir)
         val dense = Similarity.bruteForceTopK(
-            e, e.filter(pmod(col("vec_id"), lit(100)) === 0).limit(1024), k = 10)
+            e, e.filter(pmod(col("vec_id"), lit(100)) === 0 &&
+              col("vec_id") < 102400), k = 10)
           .select(col("query_id"), col("neighbor_id").as("doc_id"),
             col("rank").cast("long").as("r"))
         val fused = lexTop.unionAll(dense)
@@ -1483,7 +1488,7 @@ object LlmQueries {
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS r
         |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
-        |  WHERE q.vec_id % 100 = 0 QUALIFY r <= 10),
+        |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 102400 QUALIFY r <= 10),
         |allr AS (SELECT query_id, doc_id, r FROM lt
         |  UNION ALL SELECT query_id, doc_id, r FROM dt),
         |fused AS (SELECT query_id, doc_id,
@@ -4281,24 +4286,34 @@ object LlmQueries {
     // Modularity of the label-propagation communities — the quality
     // scalar that says whether a partition is BETTER than chance:
     // Q = Σ_c [L_c/m − (D_c/2m)²], emitted ×4m² to stay integer
-    // (q4m2 = Σ_c [4m·L_c − D_c²]; divide by 4m² downstream). Composes
-    // graph_communities_lp with two hash aggregates over the edge set;
-    // the oracle replays the LP rounds AND the modularity algebra.
+    // (q4m2 = Σ_c [4m·L_c − D_c²]; divide by 4m² downstream). D_c uses
+    // the degree identity D_c = Σ_{v∈c} deg(v): per-vertex degrees are a
+    // VERTEX-sized aggregate joined once with the (vertex-sized) label
+    // relation, so the only edge-sized join left is the one L_c
+    // fundamentally needs (an intra-community edge is defined by its
+    // endpoints' labels). Labels are persisted — the LP rounds run once,
+    // not once per downstream reference.
     "graph_modularity" -> ((
       (s: SparkSession, dir: String) => {
+        // caller-must-clear-cache: Verify/Bench clearCache() between
+        // entries; library callers own the session cache.
         val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
           .select(col("doc_a"), col("doc_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val comm = Graph.labelPropagation(pairs, iters = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val m = pairs.agg(count(lit(1)).as("m"))
-        val withC = pairs
+        val deg = pairs.select(col("doc_a").as("v"))
+          .unionAll(pairs.select(col("doc_b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+        val degSum = deg
+          .join(comm.select(col("doc_id").as("v"), col("community")), "v")
+          .groupBy("community").agg(sum("dg").as("d_sum"))
+        val lIn = pairs
           .join(comm.select(col("doc_id").as("doc_a"), col("community").as("ca")), "doc_a")
           .join(comm.select(col("doc_id").as("doc_b"), col("community").as("cb")), "doc_b")
-        val lIn = withC.filter(col("ca") === col("cb"))
+          .filter(col("ca") === col("cb"))
           .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_in"))
-        val degSum = withC.select(col("ca").as("community"))
-          .unionAll(withC.select(col("cb").as("community")))
-          .groupBy("community").agg(count(lit(1)).as("d_sum"))
         degSum.join(lIn, Seq("community"), "left").crossJoin(broadcast(m))
           .select((lit(4) * col("m") * coalesce(col("l_in"), lit(0L))
             - col("d_sum") * col("d_sum")).as("term"), col("m"))
@@ -5865,7 +5880,8 @@ object LlmQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = emb(s, dir)
     val rB = Similarity.bruteForceTopK(
-        e, e.filter(pmod(col("vec_id"), lit(100)) === 0).limit(1024), k = 5)
+        e, e.filter(pmod(col("vec_id"), lit(100)) === 0 &&
+          col("vec_id") < 102400), k = 5)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -5933,7 +5949,7 @@ object LlmQueries {
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rb
        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
-       |  WHERE q.vec_id % 100 = 0 QUALIFY rb <= 5),
+       |  WHERE q.vec_id % 100 = 0 AND q.vec_id < 102400 QUALIFY rb <= 5),
        |$steps""".stripMargin
     base + (if (extraCte) ",\n" else "\n") + tail
   }

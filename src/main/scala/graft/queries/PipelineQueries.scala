@@ -141,10 +141,10 @@ object PipelineQueries {
     // format surface beside JSON lines, Avro, parquet and raw bytes.
     "f7_csv_roundtrip" -> ((
       (s: SparkSession, dir: String) => {
-        // per-run path (app id): repeated passes in ONE session reuse the
-        // directory, concurrent sessions never race on it
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft-csv-roundtrip-${s.sparkContext.applicationId}").toString
+        // per-JVM scratch path (shutdown-hook cleaned): concurrent JVMs
+        // never race on it, session recycling inside one JVM reuses one
+        // directory instead of leaking one per recycle block
+        val out = graft.tools.TmpDirs.path("csv-roundtrip")
         records(s, dir)
           .select(col("topic"), col("partition").cast("long").as("partition"),
             col("offset"), col("ts_ms"), col("key").cast("string").as("record_key"),
@@ -175,9 +175,9 @@ object PipelineQueries {
     // identity).
     "f8_orc_roundtrip" -> ((
       (s: SparkSession, dir: String) => {
-        // per-run path (app id) — concurrent sessions must not race on it
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft-orc-roundtrip-${s.sparkContext.applicationId}").toString
+        // per-JVM scratch path (shutdown-hook cleaned) — concurrent JVMs
+        // never race on it, recycled sessions reuse one directory
+        val out = graft.tools.TmpDirs.path("orc-roundtrip")
         records(s, dir)
           .select(col("topic"), col("partition").cast("long").as("partition"),
             col("offset"), col("ts_ms"), col("key").cast("string").as("record_key"),

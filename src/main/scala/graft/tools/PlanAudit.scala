@@ -46,31 +46,44 @@ import graft.SparkEntry
 object PlanAudit {
 
   /** True iff the analyzed plan carries an explicit broadcast hint whose
-    * input subtree is NOT provably bounded. Bounded means the subtree:
-    * contains an `Aggregate`, `Limit`, or `Deduplicate` (output
-    * cardinality decoupled from scan size — a distinct key set or an
-    * aggregate is the author asserting a key-set bound, with the
-    * cardinality argument at the entry); or every leaf is a
-    * `LocalRelation`/`OneRowRelation` or a parquet scan of the fixed-size
-    * dimensions nation/region (25/5 rows at any SF). Anything else —
-    * customer, orders, part, supplier, documents, embeddings, with or
-    * without a filter — scales with the corpus, and forcing its
-    * broadcast is a 100 TB OOM that AQE's size check would have caught.
-    * Catalog idiom: a query set like `filter(vec_id < 8)` carries a
-    * trailing `.limit(8)` — a fixture no-op whose sole purpose is to
-    * state the bound IN the plan where this audit (and a reader) can see
-    * it.
+    * input subtree is NOT provably bounded. Boundedness is decided by a
+    * RECURSIVE walk (r9 advice: the old `collectFirst`-anywhere accepted
+    * `broadcast(fact.join(smallAgg))` because the Aggregate sat on ONE
+    * branch — now a bounding node must sit on the path to EVERY leaf):
+    *
+    *  - an `Aggregate`, `Limit`, or `Deduplicate` node bounds its whole
+    *    subtree (output cardinality decoupled from scan size — a distinct
+    *    key set or an aggregate is the author asserting a key-set bound,
+    *    with the cardinality argument at the entry; an aggregate keyed by
+    *    a corpus-proportional column would defeat this — residual trust,
+    *    reviewed per entry);
+    *  - a `Filter` whose predicate pins an attribute to constants
+    *    (equality/IN, or a constant upper range like `vec_id < 102400`)
+    *    bounds its subtree — the catalog's query-set idiom; residual
+    *    trust: the author asserts the column is a KEY (ids, non-negative
+    *    and unique), so a fixed value range is a fixed row count at any
+    *    SF;
+    *  - leaves must be `LocalRelation`/`OneRowRelation`, a
+    *    localCheckpoint `LogicalRDD` (the catalog checkpoints only
+    *    driver-bounded relations — BPE vocab, power-iteration frames,
+    *    interleave pick sets; trust documented here, reviewed per entry),
+    *    or a parquet scan of the fixed-size dimensions nation/region
+    *    (25/5 rows at any SF);
+    *  - every other node (join, union, project, window…) is bounded only
+    *    if ALL its children are.
+    *
+    * Anything else — customer, orders, part, supplier, documents,
+    * embeddings, unfiltered or filtered on a non-constant predicate —
+    * scales with the corpus, and forcing its broadcast is a 100 TB OOM
+    * that AQE's size-checked auto-broadcast exists to prevent.
     */
   def hasUnboundedBroadcastHint(analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
 
     def boundedLeaf(l: LogicalPlan): Boolean = l match {
       case _: LocalRelation | _: OneRowRelation => true
-      // a localCheckpoint boundary: the catalog checkpoints only
-      // driver-bounded relations (BPE vocab, power-iteration frames,
-      // interleave pick sets), so checkpoint + explicit hint is a
-      // double author assertion of boundedness — accepted
       case _: org.apache.spark.sql.execution.LogicalRDD => true
       case lr: LogicalRelation =>
         lr.relation match {
@@ -84,10 +97,37 @@ object PlanAudit {
       case _ => false
     }
 
-    def bounded(p: LogicalPlan): Boolean =
-      p.collectFirst {
-        case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => ()
-      }.nonEmpty || p.collectLeaves().forall(boundedLeaf)
+    // does this predicate fix the qualifying key set regardless of SF?
+    // AND: one bounding conjunct suffices (conjunction only narrows);
+    // OR: every disjunct must bound. Analysis wraps literals (and
+    // sometimes the column) in type-coercion Casts — strip them, and
+    // accept any FOLDABLE comparand (constant at plan time).
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
+    def isAttr(e: Expression): Boolean =
+      stripCast(e).isInstanceOf[AttributeReference]
+    def boundingPredicate(e: Expression): Boolean = e match {
+      case And(l, r) => boundingPredicate(l) || boundingPredicate(r)
+      case Or(l, r) => boundingPredicate(l) && boundingPredicate(r)
+      case LessThan(a, v) if isAttr(a) && v.foldable => true
+      case LessThanOrEqual(a, v) if isAttr(a) && v.foldable => true
+      case GreaterThan(v, a) if isAttr(a) && v.foldable => true
+      case GreaterThanOrEqual(v, a) if isAttr(a) && v.foldable => true
+      case EqualTo(a, v) if isAttr(a) && v.foldable => true
+      case EqualTo(v, a) if isAttr(a) && v.foldable => true
+      case In(a, vs) if isAttr(a) && vs.forall(_.foldable) => true
+      case InSet(a, _) if isAttr(a) => true
+      case _ => false
+    }
+
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
+      case f: Filter if boundingPredicate(f.condition) => true
+      case l if l.children.isEmpty => boundedLeaf(l)
+      case other => other.children.forall(bounded)
+    }
 
     analyzed.collect {
       case h: ResolvedHint if h.hints.strategy.exists(

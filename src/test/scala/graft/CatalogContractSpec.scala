@@ -48,21 +48,20 @@ class CatalogContractSpec extends SparkSpec {
     // silently in long-lived sessions — make that a failing test, not a
     // verdict finding. File granularity: persist/unpersist counts must
     // balance, OR the file must state the contract marker.
+    // ALL of src/main, recursively — the r9 verdict found query-file
+    // persists (queries/ lambdas) escaping the original two-directory
+    // scan; nothing under src/main is exempt now.
     import scala.jdk.CollectionConverters._
-    val roots = Seq(
-      java.nio.file.Paths.get("src/main/scala/graft/operators"),
-      java.nio.file.Paths.get("src/main/scala/graft/streaming"))
-    val offenders = roots.filter(java.nio.file.Files.isDirectory(_)).flatMap { root =>
-      java.nio.file.Files.list(root).iterator().asScala
-        .filter(_.toString.endsWith(".scala")).flatMap { p =>
-          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          val persists = "\\.persist\\(".r.findAllIn(src).size
-          val unpersists = "\\.unpersist\\(".r.findAllIn(src).size
-          if (persists > unpersists && !src.contains("caller-must-clear-cache"))
-            Some(s"$p: $persists persist vs $unpersists unpersist, no contract marker")
-          else None
-        }
-    }
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).flatMap { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val persists = "\\.persist\\(".r.findAllIn(src).size
+        val unpersists = "\\.unpersist\\(".r.findAllIn(src).size
+        if (persists > unpersists && !src.contains("caller-must-clear-cache"))
+          Some(s"$p: $persists persist vs $unpersists unpersist, no contract marker")
+        else None
+      }.toSeq
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 

@@ -41,7 +41,7 @@ class PlanSpec extends SparkSpec {
     // the entry writes the partitioned index as a side effect of plan
     // construction, so the read scan below refers to real files
     val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
-      .find(_.contains("graft-ann-index"))
+      .find(_.contains("ann-index")) // graft-scratch-<jvm>/ann-index (TmpDirs)
       .getOrElse(fail("no scan over the partitioned index"))
     assert(scan.contains("dynamicpruning") || scan.contains("PartitionFilters: [dynamic"),
       s"probe join should prune index partitions dynamically: $scan")

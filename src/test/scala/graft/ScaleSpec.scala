@@ -159,6 +159,42 @@ class ScaleSpec extends SparkSpec {
       s"sharedSpans must not plan an unpartitioned window:\n${plan.take(4000)}")
   }
 
+  test("medoid affinity survives a planted mega-cluster: df cap engaged, no arrays in cluster-stage shuffles") {
+    import spark.implicits._
+    // One WIDE boilerplate cluster (40 identical docs — the r9 verdict's
+    // 100 TB skew scenario, where the old arrays-on-intra-cluster-pairs
+    // plan went quadratic in cluster width) plus one genuine 2-doc
+    // near-dup pair with unique shingles. With maxDf=5 the boilerplate
+    // shingles (df=40) vanish from the affinity pair relation: the
+    // mega-cluster still gets its medoid (min id, affinity 0 — every
+    // pair's evidence was pruned) without EVER forming intra-cluster
+    // pairs, while the low-df genuine pair keeps its full affinity.
+    val boiler = (0L until 40L).map(i => (i, "b0 b1 b2 b3 b4 b5"))
+    val pairDocs = Seq((100L, "u0 u1 u2 u3 u4 u5"), (101L, "u0 u1 u2 u3 u4 u5"))
+    val docsDf = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val out = Dedup.medoidRepresentatives(docsDf, n = 3, maxDf = 5)
+    val rows = out.as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set((0L, 0L, 0L, 40L), (100L, 100L, 1000L, 2L)),
+      s"expected capped mega-cluster medoid (0,0,0,40) + genuine pair (100,100,1000,2), got $rows")
+    // the cluster-stage (post-CC) shuffles must carry ids and integer
+    // affinities only — a shingle-hash array there is the quadratic
+    // payload shuffle the posting-relation rewrite removed
+    val offenders = out.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name.equalsIgnoreCase("cluster_id")) &&
+            e.child.output.exists(_.dataType.isInstanceOf[ArrayType]) => e
+    }
+    assert(offenders.isEmpty,
+      s"cluster-stage shuffle carries an array column:\n${offenders.mkString("\n")}")
+    // control: uncapped, the 39 intra-cluster partners each contribute
+    // jx=1000 — proving the CAP (not the fixture) zeroed the mega-cluster
+    // affinity while the medoid id stays deterministic
+    val uncapped = Dedup.medoidRepresentatives(docsDf, n = 3, maxDf = 0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(uncapped == Set((0L, 0L, 39000L, 40L), (100L, 100L, 1000L, 2L)),
+      s"uncapped affinity must sum all 39 partners, got $uncapped")
+  }
+
   test("graph-ANN beam: no product outside the cached pivot ranking, recall >= cell probing") {
     val emb = Sources.table(spark, sf0001, "embeddings")
     val queries = emb.filter(col("vec_id") < 4)
@@ -513,19 +549,32 @@ class ScaleSpec extends SparkSpec {
 
   test("theta-sketch DIFFERENCE estimates stay inside the propagated envelope") {
     // est(A∖B) = est(A) − est(A∩B): two KMV estimates subtracted, so the
-    // absolute error envelope is the SUM of both envelopes (errors don't
-    // cancel adversarially). Against exact |A∖B| ≥ 20, the estimate must
-    // sit within 0.6·|A| + 0.6·|A∩B| ≈ 1.2·|A| absolute — loose, but a
-    // hash/θ regression lands orders of magnitude outside it, and the
-    // clamp contract (never negative) is asserted on every row.
+    // absolute error envelope is the SUM of both ABSOLUTE envelopes —
+    // 0.6·est(A) + 0.6·est(A∩B) (errors don't cancel adversarially).
+    // The bound is deliberately ABSOLUTE, not relative to exact |A∖B|:
+    // when A ⊂≈ B the difference is small while its error inherits the
+    // full magnitude of both operands, so dividing by |A∖B| would
+    // false-fail an in-spec sketch (r9 advice). Loose — but a hash/θ
+    // regression lands orders of magnitude outside it, and the clamp
+    // contract (never negative) is asserted on every row.
+    val sketch = graft.SparkEntry.queries("q_theta_sketch")(spark, sf0001).collect()
+      .flatMap { r =>
+        val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+        val (ea, eb, ei) =
+          (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"), r.getAs[Long]("est_inter"))
+        Seq((ta, tb) -> (ea, ei), (tb, ta) -> (eb, ei))
+      }.toMap
     val out = graft.SparkEntry.queries("q_theta_diff")(spark, sf0001).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val (estD, exactD) = (r.getLong(2), r.getLong(3))
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (estD, exactD) = (r.getAs[Long]("est_diff"), r.getAs[Long]("exact_diff"))
       assert(estD >= 0, s"difference estimate must be clamped at zero: $r")
+      val (estA, estI) = sketch((ta, tb))
       if (exactD >= 20)
-        assert(math.abs(estD - exactD).toDouble / exactD <= 1.2,
-          s"difference estimate outside propagated envelope: $r")
+        assert(math.abs(estD - exactD).toDouble <= 0.6 * (estA + estI),
+          s"difference estimate outside propagated envelope: $r " +
+            s"(est_a=$estA est_inter=$estI)")
     }
   }
 
