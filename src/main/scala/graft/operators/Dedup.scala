@@ -789,6 +789,58 @@ object Dedup {
         col("aff").cast("long").as("affinity_x1000"), col("members"))
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * algorithm): positional k-gram hashes; every window of `w`
+    * consecutive hashes selects its MINIMUM; the distinct selected
+    * hashes are the document's fingerprints. Guarantees: any shared run
+    * of ≥ w + k − 1 tokens produces at least one shared fingerprint
+    * (detection floor), while only ~2/(w+1) of the k-grams are kept
+    * (storage bound) — the standard position-robust middle ground
+    * between exact-hash dedup (brittle) and full shingle indexes
+    * (large).
+    *
+    * The k-gram hash is the md5-prefix 48-bit integer (the theta-sketch
+    * trick): unlike the xxhash minhash family, the SELECTION (a min over
+    * hash VALUES) replays exactly in DuckDB, so the operator gets a
+    * full-value oracle, not a rows-only check.
+    *
+    * Output: (doc_a, doc_b, shared_fps) candidate pairs sharing ≥ 1
+    * fingerprint, `maxDf`-capped on the fingerprint posting lists (the
+    * same skew rule as the containment family: a boilerplate fingerprint
+    * shared by k docs costs cap·k join rows, never k²). The per-doc
+    * window-min is a doc-partitioned frame — never a global window.
+    */
+  def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                     maxDf: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= k + w - 1)
+    val kh = toks.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $k), i -> " +
+            s"cast(conv(substring(md5(concat_ws(' ', slice(t, i + 1, $k))), 1, 12), 16, 10) as bigint))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val dw = Window.partitionBy("doc_id")
+    val mw = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    // caller-must-clear-cache: the fingerprint relation is read by the
+    // df aggregate and both sides of the pair self-join
+    val fps = kh
+      .withColumn("nk", count(lit(1)).over(dw))
+      .withColumn("fp", min("h").over(mw))
+      .filter(col("pos") <= col("nk") - w) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = if (maxDf <= 0) fps else {
+      val heavy = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("fp")
+      fps.join(heavy, Seq("fp"), "left_anti")
+    }
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   // SimHash/MinHash signature math lives in graft.functions.SketchExprs as
   // native codegen expressions (the HOF formulation pays per-element lambda
   // dispatch and, worse, re-evaluates captured subtrees — see BENCH.md).

@@ -389,6 +389,43 @@ object Graph {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("aa_micro"))
   }
 
+  /** Neighbor-set Jaccard link prediction: for every NON-adjacent pair
+    * (a, b) sharing at least one neighbor, J = |Γ(a)∩Γ(b)| /
+    * |Γ(a)∪Γ(b)|, emitted ×1000 integer (common / (deg(a) + deg(b) −
+    * common)). The structural sibling of [[adamicAdar]] — same
+    * hub-capped wedge machinery (the cap rides the adjacency BEFORE
+    * wedge fan-out, so an over-cap hub never materializes its deg²
+    * wedges), but normalized by the union so a candidate pair whose
+    * shared neighbors are most of BOTH neighborhoods outranks one that
+    * merely touches a popular vertex. Top `topN`, ties toward low ids.
+    */
+  def jaccardLinkPred(pairs: DataFrame, topN: Int = 20,
+                      maxDeg: Long = Long.MaxValue): DataFrame = {
+    val und = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = true) // read by adjacency AND the anti join
+    val adj = und.select(col("a").as("z"), col("b").as("n"))
+      .union(und.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg)
+    val adjC = adj.join(deg.select("z"), "z")
+    val wedges = adjC.as("l").join(adjC.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.z").as("z"), col("l.n").as("a"), col("r.n").as("b"))
+    val common = wedges
+      .join(und, Seq("a", "b"), "left_anti") // predictions, not existing edges
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("z").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("z").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        expr("common * 1000 div (da + db - common)").as("jx1000"))
+      .orderBy(col("jx1000").desc, col("a"), col("b")).limit(topN)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jx1000"))
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007), a FIXED number of unrolled rounds — deterministic by
     * construction: every vertex simultaneously adopts the most frequent

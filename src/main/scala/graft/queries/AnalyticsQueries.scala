@@ -1521,6 +1521,60 @@ object AnalyticsQueries {
         |FROM lineitem GROUP BY 1""".stripMargin)
     )),
 
+    // Per-nation ordinary-least-squares revenue trend: slope/intercept of
+    // cents-per-day over the order timeline, from the five classic OLS
+    // sums. The sums are EXACT integers (day index × money snapped to
+    // cents — order-independent, engine-independent), and the slope/
+    // intercept are then derived in double arithmetic with the SAME
+    // expression shape on both engines, so identical exact sums give
+    // bit-identical doubles. One partial-then-final hash aggregate over
+    // the fact join; nation broadcast — the 100 TB trend-report shape
+    // (no window, no sort, no per-day intermediate).
+    "q_ols_trend" -> ((
+      (s: SparkSession, dir: String) => {
+        val j = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"),
+            datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("x"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("y"))
+        j.groupBy("nation")
+          .agg(count(lit(1)).as("n_orders"), sum("x").as("sum_x"),
+            sum("y").as("sum_y_cents"), sum(col("x") * col("y")).as("sum_xy"),
+            sum(col("x") * col("x")).as("sum_x2"))
+          .withColumn("slope_cents_per_day",
+            (col("n_orders").cast("double") * col("sum_xy").cast("double")
+              - col("sum_x").cast("double") * col("sum_y_cents").cast("double"))
+              / (col("n_orders").cast("double") * col("sum_x2").cast("double")
+                - col("sum_x").cast("double") * col("sum_x").cast("double")))
+          .withColumn("intercept_cents",
+            (col("sum_y_cents").cast("double")
+              - col("slope_cents_per_day") * col("sum_x").cast("double"))
+              / col("n_orders").cast("double"))
+      },
+      Some("""WITH j AS (SELECT n.n_name AS nation,
+        |    date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |a AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y_cents,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy, CAST(sum(x * x) AS BIGINT) AS sum_x2
+        |  FROM j GROUP BY 1)
+        |SELECT nation, n_orders, sum_x, sum_y_cents, sum_xy, sum_x2,
+        |  (CAST(n_orders AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        |    - CAST(sum_x AS DOUBLE) * CAST(sum_y_cents AS DOUBLE))
+        |    / (CAST(n_orders AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS slope_cents_per_day,
+        |  (CAST(sum_y_cents AS DOUBLE)
+        |    - ((CAST(n_orders AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        |        - CAST(sum_x AS DOUBLE) * CAST(sum_y_cents AS DOUBLE))
+        |      / (CAST(n_orders AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |        - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
+        |      * CAST(sum_x AS DOUBLE)) / CAST(n_orders AS DOUBLE) AS intercept_cents
+        |FROM a""".stripMargin)
+    )),
+
     // max_by/min_by: which order carries each priority's extreme price.
     // Ties on o_totalprice exist in the fixture, so the ordering value is
     // the (price, orderkey) struct — lexicographic comparison makes the

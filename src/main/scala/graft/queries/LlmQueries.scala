@@ -4455,6 +4455,76 @@ object LlmQueries {
         |ORDER BY aa_micro DESC, a, b LIMIT 20""".stripMargin)
     )),
 
+    // Neighbor-set Jaccard link prediction (Graph.jaccardLinkPred):
+    // top-20 NON-adjacent pairs ranked by |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)|
+    // ×1000 — Adamic–Adar's union-normalized sibling on the same k-NN
+    // substrate: a pair whose shared neighbors are most of BOTH
+    // neighborhoods outranks one merely touching a popular vertex. Same
+    // hub-capped wedge machinery; integer ratio, exact SQL replay.
+    "graph_jaccard_linkpred" -> ((
+      (s: SparkSession, dir: String) => {
+        val sub = emb(s, dir).filter(pmod(col("vec_id"), lit(10)) === 0)
+        Graph.jaccardLinkPred(
+          Similarity.bruteForceTopK(sub, sub, k = 3)
+            .select(col("query_id").as("doc_a"), col("neighbor_id").as("doc_b")),
+          topN = 20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |knn AS (SELECT q.vec_id AS qa, n.vec_id AS qb,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id QUALIFY rnk <= 3),
+        |und AS MATERIALIZED (SELECT DISTINCT least(qa, qb) AS a, greatest(qa, qb) AS b
+        |  FROM knn),
+        |adj AS (SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS MATERIALIZED (SELECT z, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |wedges AS (SELECT l.z, l.n AS a, r.n AS b FROM adj l JOIN adj r
+        |  ON l.z = r.z AND l.n < r.n),
+        |pred AS (SELECT w.z, w.a, w.b FROM wedges w
+        |  LEFT JOIN und ON und.a = w.a AND und.b = w.b WHERE und.a IS NULL),
+        |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common FROM pred GROUP BY 1, 2)
+        |SELECT sc.a AS doc_a, sc.b AS doc_b,
+        |  CAST(common * 1000 // (da.deg + db.deg - common) AS BIGINT) AS jx1000
+        |FROM sc JOIN deg da ON da.z = sc.a JOIN deg db ON db.z = sc.b
+        |ORDER BY jx1000 DESC, sc.a, sc.b LIMIT 20""".stripMargin)
+    )),
+
+    // Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003 — the MOSS
+    // algorithm): per-position k-gram hashes, min of every w-window, the
+    // distinct minima are the doc's fingerprints — guaranteed to catch
+    // any shared run of >= w+k-1 tokens while keeping ~2/(w+1) of the
+    // k-grams. The position-robust middle ground between exact-hash and
+    // full shingle-index dedup. k-gram hash = md5-prefix 48-bit integer
+    // (the theta-sketch trick), so the min-selection replays EXACTLY in
+    // SQL — a full-value oracle where minhash gets rows-only. Pairs are
+    // maxDf-capped on fingerprint posting lists (containment skew rule).
+    "text_winnowing" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowingPairs(docs(s, dir), k = 4, w = 4, maxDf = 5),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tk AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS pos
+        |  FROM toks WHERE len(t) >= 7),
+        |kh AS (SELECT doc_id, pos, CAST(list_sum(list_transform(range(1, 13),
+        |    i -> (strpos('0123456789abcdef',
+        |           substr(md5(array_to_string(t[pos:pos+3], ' ')), CAST(i AS INT), 1)) - 1)
+        |         * 16.0 ** (12 - i))) AS BIGINT) AS h
+        |  FROM tk),
+        |wmin AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS nk
+        |  FROM kh),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= nk - 3),
+        |dfr AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+        |pr AS (SELECT doc_id, fp FROM fps JOIN dfr USING (fp) WHERE df <= 5)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin)
+    )),
+
     // The prefix-filtered scale twin of text_containment: PPJoin-style
     // candidate generation probes only ~(100-pct)% of each doc's
     // shingles with GUARANTEED total recall (pigeonhole on the miss

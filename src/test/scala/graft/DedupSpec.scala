@@ -544,6 +544,47 @@ class DedupSpec extends SparkSpec {
     assert(Graph.adamicAdar(star, topN = 10).count() == 3) // leaves pair up via 9
   }
 
+  test("jaccardLinkPred normalizes common neighbors by the union of neighborhoods") {
+    // 4-cycle 1-2-3-4-1: diagonals (1,3)/(2,4) share both their degree-2
+    // neighborhoods entirely → jx = 2·1000/(2+2−2) = 1000; edges absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val jp = Graph.jaccardLinkPred(pairs, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(jp == Map((1L, 3L) -> 1000L, (2L, 4L) -> 1000L), s"got $jp")
+    // star: leaves share only the hub — 1·1000/(1+1−1) = 1000 per leaf
+    // pair; a hub cap below the center degree removes its wedges entirely
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("doc_a", "doc_b")
+    val stars = Graph.jaccardLinkPred(star, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(stars == Map((1L, 2L) -> 1000L, (1L, 3L) -> 1000L, (2L, 3L) -> 1000L),
+      s"got $stars")
+    assert(Graph.jaccardLinkPred(star, topN = 10, maxDeg = 2L).count() == 0)
+  }
+
+  test("winnowing guarantees detection of >= w+k-1 shared tokens; df cap prunes boilerplate") {
+    // detection floor (k=4, w=4): a shared run of 7 tokens spans one full
+    // fingerprint window, so the two docs MUST share >= 1 fingerprint no
+    // matter what surrounds the run
+    val shared = (0 until 7).map(i => s"s$i").mkString(" ")
+    val d1 = (1L, (0 until 4).map(i => s"x$i").mkString(" ") + " " + shared)
+    val d2 = (2L, (0 until 6).map(i => s"y$i").mkString(" ") + " " + shared)
+    // 8 identical boilerplate docs: every fingerprint has df = 8
+    val boiler = (10L until 18L).map(i => (i, (0 until 8).map(j => s"b$j").mkString(" ")))
+    val docsDf = (Seq(d1, d2) ++ boiler).toDF("doc_id", "text")
+    val capped = Dedup.winnowingPairs(docsDf, k = 4, w = 4, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"expected only the genuine pair to survive the df cap, got $capped")
+    // control: uncapped, the boilerplate clique appears — proving the cap
+    // (not the fixture) removed it
+    val uncapped = Dedup.winnowingPairs(docsDf, k = 4, w = 4, maxDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)) && uncapped.contains((1L, 2L)))
+    // docs below k+w-1 tokens have no full window — excluded, not crashed
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.winnowingPairs(tiny, k = 4, w = 4, maxDf = 0).count() == 0)
+  }
+
   test("pcaPowerQ recovers a planted dominant direction at fixed point") {
     import graft.operators.Similarity
     // points spread along (0.6, 0.8, 0, 0) with a small orthogonal wiggle:
