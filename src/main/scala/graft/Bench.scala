@@ -189,17 +189,33 @@ object Bench {
     }.sorted
     val medianDispersion =
       if (dispersions.isEmpty) 1.0 else dispersions(dispersions.size / 2)
-    // Two independent weather triggers (r9: dispersion 1.452 with 88/318
+    // Three weather triggers (r9: dispersion 1.452 with 88/318
     // load-retries still printed `contended: false` — a record that was
-    // visibly weather-beaten self-described as quiet). A run is flagged
-    // when the passes disagree (dispersion) OR when a material fraction
-    // of entries never saw a quiet start (load-retry demand), whichever
-    // fires first.
+    // visibly weather-beaten self-described as quiet):
+    //  1. the passes disagree outright (median dispersion > 1.5);
+    //  2. elevated dispersion (> 1.3) AND a material retry demand
+    //     (> 15% of entries never saw a sub-threshold start). The two
+    //     are ANDed because the bench's own 32-thread work keeps
+    //     loadavg near the retry threshold on a busy catalog — the
+    //     committed quiet records run at median load ~4 with most
+    //     entries retried, so retry demand ALONE is not weather;
+    //  3. ≥ 3 non-trivial entries (quiet record > 0.3 s) measuring
+    //     > 3× their committed quiet-record min — uniform multiplicative
+    //     inflation is box weather (a single such entry is more likely a
+    //     real regression and deliberately does NOT flag).
+    // priorQuiet reads the COMMITTED record (this run's file is written
+    // later), so trigger 3 compares against the accepted baseline.
+    val priorQuiet = graft.tools.CatalogIndex.quietSeconds()
     val retriedFrac =
       if (results.isEmpty) 0.0 else needRetry.size.toDouble / results.size
+    val slowVsQuiet = results.collect {
+      case (name, min, _) if priorQuiet.get(name).exists(q => q > 0.3 && min > 3 * q) => name
+    }
     val dispersionContended = runsPerQuery > 1 && medianDispersion > 1.5
-    val retryContended = retriedFrac > 0.15
-    val contended = dispersionContended || retryContended
+    val retryContended =
+      runsPerQuery > 1 && medianDispersion > 1.3 && retriedFrac > 0.15
+    val slowContended = slowVsQuiet.size >= 3
+    val contended = dispersionContended || retryContended || slowContended
 
     // full record → file (never truncated), short line → stdout (always
     // parses). BENCH_LOCAL.json sits in the repo so the per-round judge
@@ -220,6 +236,7 @@ object Bench {
         // weather-demand signal even when no retry ran
         f""""retried":${retryObs.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         f""""retry_wanted":${needRetry.size},""" +
+        f""""slow_vs_quiet":${slowVsQuiet.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         f""""started_epoch":${benchStartMs / 1000},"wall_sec":${(System.currentTimeMillis() - benchStartMs) / 1000},""" +
         f""""median_dispersion":$medianDispersion%.3f,"contended":$contended,""" +
         f""""oracle_twins_sec":$twinsSec%.3f,"production_sec":${total - twinsSec}%.3f,""" +
@@ -245,7 +262,9 @@ object Bench {
         (if (dispersionContended)
            Seq(f"median run dispersion $medianDispersion%.2fx > 1.5x") else Nil) ++
         (if (retryContended)
-           Seq(f"${needRetry.size} of ${results.size} entries (${retriedFrac * 100}%.0f%%) started loaded (> 15%%)") else Nil)
+           Seq(f"dispersion $medianDispersion%.2fx > 1.3x with ${needRetry.size} of ${results.size} entries (${retriedFrac * 100}%.0f%%) started loaded") else Nil) ++
+        (if (slowContended)
+           Seq(s"${slowVsQuiet.size} entries > 3x their committed quiet record") else Nil)
       println(f"""{"metric":"bench_warning","reason":"${why.mkString("; ")} — """ +
         f"""box contention; treat totals as an upper bound"}""")
     }

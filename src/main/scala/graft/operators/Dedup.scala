@@ -812,23 +812,9 @@ object Dedup {
     */
   def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
                      maxDf: Int = 5): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= k + w - 1)
-    val kh = toks.select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, size(t) - $k), i -> " +
-            s"cast(conv(substring(md5(concat_ws(' ', slice(t, i + 1, $k))), 1, 12), 16, 10) as bigint))")))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
-    val dw = Window.partitionBy("doc_id")
-    val mw = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
     // caller-must-clear-cache: the fingerprint relation is read by the
     // df aggregate and both sides of the pair self-join
-    val fps = kh
-      .withColumn("nk", count(lit(1)).over(dw))
-      .withColumn("fp", min("h").over(mw))
-      .filter(col("pos") <= col("nk") - w) // full windows only
-      .select(col("doc_id"), col("fp")).distinct()
+    val fps = winnowingFingerprints(docs, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned = if (maxDf <= 0) fps else {
       val heavy = fps.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -839,6 +825,51 @@ object Dedup {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
+  }
+
+  /** The distinct (doc_id, fp) winnowing-fingerprint relation behind
+    * [[winnowingPairs]] — exposed so the streaming incremental twin can
+    * index a corpus once and probe it per micro-batch. Docs shorter than
+    * k + w − 1 tokens have no full window and are absent. The per-doc
+    * window-min is doc-partitioned, never global.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= k + w - 1)
+    val kh = toks.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $k), i -> " +
+            s"cast(conv(substring(md5(concat_ws(' ', slice(t, i + 1, $k))), 1, 12), 16, 10) as bigint))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val dw = Window.partitionBy("doc_id")
+    val mw = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    kh
+      .withColumn("nk", count(lit(1)).over(dw))
+      .withColumn("fp", min("h").over(mw))
+      .filter(col("pos") <= col("nk") - w) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Batch doc ids whose winnowing-fingerprint CONTAINMENT in the corpus
+    * index reaches `dropPm` per-mille — the fingerprint-granular sibling
+    * of [[paragraphMatchedIds]]: winnowing's detection floor means any
+    * shared run of ≥ w + k − 1 tokens contributes shared fingerprints,
+    * so a doc stitched from known passages drops without a verbatim (or
+    * paragraph-aligned) match. One equi-join on 8-byte fingerprints + one
+    * per-doc aggregate; docs with no fingerprints (< k + w − 1 tokens)
+    * are absent and therefore survive.
+    */
+  def winnowingMatchedIds(corpusFp: DataFrame, batchFp: DataFrame,
+                          dropPm: Int = 600): DataFrame = {
+    val known = corpusFp.select(col("fp")).distinct()
+      .withColumn("known", lit(1L))
+    batchFp.join(known, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("known"), lit(0L))).as("shared"))
+      .filter(col("shared") * 1000 >= lit(dropPm) * col("total"))
+      .select(col("doc_id"))
   }
 
   // SimHash/MinHash signature math lives in graft.functions.SketchExprs as

@@ -3158,6 +3158,52 @@ object LlmQueries {
         |WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT doc_id FROM drp)""".stripMargin)
     )),
 
+    // Winnowing-fingerprint streaming dedup, batch analog (the SEVENTH
+    // streaming modality; StreamOps.winnowingDedupAgainstCorpus drives
+    // the same Dedup.winnowingMatchedIds per micro-batch, StreamingSpec
+    // proves parity): corpus index = every tenth doc's distinct
+    // window-minimum k-gram hashes (8 bytes each, ~2/(w+1) of the
+    // k-grams); an incoming doc drops when ≥ 60% of its fingerprints
+    // are already indexed. Winnowing's detection floor makes the
+    // containment POSITION-ROBUST — a doc stitched from known
+    // ≥ w+k−1-token passages drops even when no paragraph boundary
+    // aligns (the case stream_paragraph_dedup's block-aligned hashes
+    // miss). Ids + 8-byte fingerprints only in every shuffle.
+    "stream_winnowing_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val corpusFp = Dedup.winnowingFingerprints(
+            d.filter(pmod(col("doc_id"), lit(10)) === 0))
+          .select(col("fp")).distinct()
+        val incoming = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val matched = Dedup.winnowingMatchedIds(corpusFp,
+          Dedup.winnowingFingerprints(incoming), dropPm = 600)
+        incoming.select(col("doc_id")).join(matched, Seq("doc_id"), "left_anti")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tk AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS pos
+        |  FROM toks WHERE len(t) >= 7),
+        |kh AS (SELECT doc_id, pos, CAST(list_sum(list_transform(range(1, 13),
+        |    i -> (strpos('0123456789abcdef',
+        |           substr(md5(array_to_string(t[pos:pos+3], ' ')), CAST(i AS INT), 1)) - 1)
+        |         * 16.0 ** (12 - i))) AS BIGINT) AS h
+        |  FROM tk),
+        |wmin AS (SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS nk
+        |  FROM kh),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= nk - 3),
+        |corp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0),
+        |inc AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 != 0),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN fp IN (SELECT fp FROM corp) THEN 1 ELSE 0 END) AS BIGINT) AS shared
+        |  FROM inc GROUP BY 1),
+        |drp AS (SELECT doc_id FROM per WHERE shared * 1000 >= 600 * total)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT doc_id FROM drp)""".stripMargin)
+    )),
+
     "stream_media_dedup" -> ((
       (s: SparkSession, dir: String) => {
         import s.implicits._

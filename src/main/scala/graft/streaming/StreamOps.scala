@@ -205,6 +205,37 @@ object StreamOps {
       }
   }
 
+  /** Winnowing-fingerprint twin of [[dedupAgainstCorpus]] — the SEVENTH
+    * streaming incremental-dedup modality (text shingles, image dHash,
+    * audio fingerprint, embedding cosine, video frame hashes, text
+    * paragraphs, and now winnowing fingerprints): the corpus index is
+    * the distinct selected-minimum set (8 bytes per kept k-gram,
+    * ~2/(w+1) of them), and an incoming doc drops when ≥ `dropPm`
+    * per-mille of its fingerprints already exist — winnowing's detection
+    * floor makes this position-robust, so a doc stitched from known
+    * ≥ w+k−1-token passages drops even when no paragraph boundary (or
+    * verbatim hash) aligns. Same bounded per-batch cache discipline as
+    * the other twins. (caller-must-clear-cache: the corpus index lives
+    * as long as the streaming query.)
+    */
+  def winnowingDedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+                                  sink: DataFrame => Unit, dropPm: Int = 600):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpusFp = graft.operators.Dedup.winnowingFingerprints(corpus)
+      .select(col("fp")).distinct().persist(lvl)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val batchFp = graft.operators.Dedup.winnowingFingerprints(batch).persist(lvl)
+        try {
+          val matched = graft.operators.Dedup
+            .winnowingMatchedIds(corpusFp, batchFp, dropPm)
+          sink(batch.join(matched, Seq("doc_id"), "left_anti"))
+        } finally batchFp.unpersist()
+      }
+  }
+
   /** Streaming model-based quality filter: each micro-batch of (doc_id,
     * text) rows is scored against a STATIC unigram log-prob table (the
     * LM trained batch-side on a reference corpus, floored-micro integer

@@ -781,6 +781,58 @@ class StreamingSpec extends SparkSpec {
     assert(batchSurvivors == Set(20L, 40L))
   }
 
+  test("streaming winnowing dedup drops position-shifted restitches of corpus text") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamOps
+    // corpus doc = one 40-token passage. Incoming: 10 = the same passage
+    // with THREE fresh tokens prepended (every 10-token paragraph block
+    // is misaligned — paragraph hashing sees 0% containment — but the
+    // winnowing fingerprints of the shared 40-token run are position-
+    // independent → high containment → drop); 20 = fresh text (survive);
+    // 30 = corpus passage verbatim (drop); 40 = only a 5-token fragment
+    // of the passage (< w+k−1 = 7 shared tokens ⇒ below the detection
+    // floor, fingerprints mostly fresh → survive).
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    val corpus = Seq((1L, passage)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    val q = StreamOps.winnowingDedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpus,
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((10L, s"f1 f2 f3 $passage"),
+        (20L, (1 to 40).map(i => s"q$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(20L), s"batch 1: $survivors")
+      input.addData((30L, passage),
+        (40L, (1 to 30).map(i => s"r$i").mkString(" ") + " " +
+          (1 to 5).map(i => s"p$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(20L, 40L), s"batch 2: $survivors")
+    } finally q.stop()
+    // parity with the batch twin on the same rows
+    val incoming = Seq(
+      (10L, s"f1 f2 f3 $passage"),
+      (20L, (1 to 40).map(i => s"q$i").mkString(" ")),
+      (30L, passage),
+      (40L, (1 to 30).map(i => s"r$i").mkString(" ") + " " +
+        (1 to 5).map(i => s"p$i").mkString(" "))).toDF("doc_id", "text")
+    val matched = Dedup.winnowingMatchedIds(
+      Dedup.winnowingFingerprints(corpus).select(col("fp")).distinct(),
+      Dedup.winnowingFingerprints(incoming))
+    val batchSurvivors = incoming.join(matched, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchSurvivors == Set(20L, 40L))
+    // the paragraph modality MISSES the shifted restitch (doc 10): every
+    // 10-token block is offset by 3 — zero block hashes match, so it
+    // survives there; winnowing is the modality that catches it
+    val pMatched = Dedup.paragraphMatchedIds(
+      Dedup.paragraphHashes(corpus).select(col("ph")).distinct(),
+      Dedup.paragraphHashes(incoming.filter(col("doc_id") === 10L)))
+    assert(pMatched.count() == 0, "paragraph hashing should miss the shifted restitch")
+  }
+
   test("streaming media dedup drops corpus near-dups across micro-batch boundaries") {
     import graft.operators.Imaging
     import graft.streaming.StreamOps
