@@ -153,6 +153,21 @@ object GraftFunctions {
     }
   }
 
+  val hilbertDBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, "hilbert_d expects (x, y, bits)")
+    val bitsExpr = exprs(2)
+    // bits outside [1, 31] either degenerates to a point grid or overflows
+    // the s*s quadrant weight — fail at plan build, not per row
+    if (bitsExpr.foldable && bitsExpr.dataType == IntegerType) {
+      bitsExpr.eval() match {
+        case b: Int if b >= 1 && b <= 31 => HilbertDExpr(exprs(0), exprs(1), b)
+        case _ => throw new IllegalArgumentException(
+          "hilbert_d: bits must be a foldable int in [1, 31]")
+      }
+    } else throw new IllegalArgumentException(
+      "hilbert_d: bits must be a foldable int in [1, 31]")
+  }
+
   val boundedLevenshteinBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 3, "bounded_levenshtein expects (a, b, k)")
     // any FOLDABLE integer works — CAST(55 AS INT), 50+5, a named
@@ -181,7 +196,8 @@ object GraftFunctions {
     ("dot_i64", classOf[DotI64Expr], dotI64Builder),
     ("dot_u8", classOf[DotU8Expr], dotU8Builder),
     ("quantize_meta", classOf[QuantizeMetaExpr], quantizeMetaBuilder),
-    ("bounded_levenshtein", classOf[BoundedLevenshteinExpr], boundedLevenshteinBuilder))
+    ("bounded_levenshtein", classOf[BoundedLevenshteinExpr], boundedLevenshteinBuilder),
+    ("hilbert_d", classOf[HilbertDExpr], hilbertDBuilder))
 
   /** Idempotent per-session registration of graft's native functions.
     * Skips names already present: re-registering logs a replaced-function

@@ -3151,6 +3151,73 @@ object AnalyticsQueries {
       }
     )),
 
+    // Hilbert-curve layout zone maps — q_zorder_skipping's strictly-better
+    // sibling: the Hilbert index ([[graft.sinks.Tables.hilbertValue]],
+    // quadrant rotations unrolled to branch-free CASE algebra, codegen'd)
+    // has NO Morton seams — consecutive indices are always grid-adjacent
+    // (TablesSpec proves the invariant exhaustively), so Hilbert-ordered
+    // files carry tighter zone maps on both columns. Same report shape as
+    // the Morton twin: bucket by the top 6 index bits (64 cells), emit
+    // per-cell min/max zone maps and the band-predicate scan verdict. One
+    // map + one hash aggregate — no sort, no window, nothing driver-side;
+    // the DuckDB oracle replays the identical normalize + rotate/flip
+    // arithmetic through 8 chained CTEs, verifying the LAYOUT bit-for-bit.
+    "q_hilbert_skipping" -> ((
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val ext = li.agg(
+          min("l_orderkey").as("mna"), max("l_orderkey").as("mxa"),
+          min("l_partkey").as("mnb"), max("l_partkey").as("mxb"))
+        li.crossJoin(broadcast(ext))
+          .withColumn("_h", graft.sinks.Tables.hilbertValue(
+            col("l_orderkey"), col("l_partkey"),
+            (col("mna"), col("mnb")), (col("mxa"), col("mxb")), bits = 8))
+          .withColumn("cell", shiftright(col("_h"), 10).cast("long"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+            min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+            first("mnb").as("mnb"), first("mxb").as("mxb"))
+          .select(col("cell"), col("n_rows"),
+            col("min_ok"), col("max_ok"), col("min_pk"), col("max_pk"),
+            (col("max_pk") >= col("mnb") + (col("mxb") - col("mnb")) * lit(0.4) &&
+              col("min_pk") <= col("mnb") + (col("mxb") - col("mnb")) * lit(0.6))
+              .as("scan_pk_band"))
+      },
+      Some {
+        // the 8 rotate/flip steps of the xy→d Hilbert conversion, unrolled
+        // to chained CTEs — identical arithmetic to hilbertValue's fold
+        val steps = (7 to 0 by -1).map { k =>
+          val s = 1L << k
+          val prev = if (k == 7) "n0" else s"h${k + 1}"
+          s"""h$k AS (SELECT l_orderkey, l_partkey, mnb, mxb,
+             |  d + ${s * s} * xor(3 * ((x >> $k) & 1), (y >> $k) & 1) AS d,
+             |  CASE WHEN ((y >> $k) & 1) = 1 THEN x
+             |       WHEN ((x >> $k) & 1) = 1 THEN 255 - y ELSE y END AS x,
+             |  CASE WHEN ((y >> $k) & 1) = 1 THEN y
+             |       WHEN ((x >> $k) & 1) = 1 THEN 255 - x ELSE x END AS y
+             |  FROM $prev)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ext AS (SELECT min(l_orderkey) AS mna, max(l_orderkey) AS mxa,
+          |  min(l_partkey) AS mnb, max(l_partkey) AS mxb FROM lineitem),
+          |n0 AS (SELECT l_orderkey, l_partkey, mnb, mxb, 0 AS d,
+          |  CASE WHEN CAST(mxa AS DOUBLE) - CAST(mna AS DOUBLE) = 0 THEN 0
+          |    ELSE least(255, CAST(floor((CAST(l_orderkey AS DOUBLE) - CAST(mna AS DOUBLE))
+          |      * 255 / (CAST(mxa AS DOUBLE) - CAST(mna AS DOUBLE))) AS BIGINT)) END AS x,
+          |  CASE WHEN CAST(mxb AS DOUBLE) - CAST(mnb AS DOUBLE) = 0 THEN 0
+          |    ELSE least(255, CAST(floor((CAST(l_partkey AS DOUBLE) - CAST(mnb AS DOUBLE))
+          |      * 255 / (CAST(mxb AS DOUBLE) - CAST(mnb AS DOUBLE))) AS BIGINT)) END AS y
+          |  FROM lineitem, ext),
+          |$steps
+          |SELECT CAST(d >> 10 AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_rows,
+          |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+          |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+          |  (max(l_partkey) >= mnb + (mxb - mnb) * 0.4
+          |    AND min(l_partkey) <= mnb + (mxb - mnb) * 0.6) AS scan_pk_band
+          |FROM h0 GROUP BY cell, mnb, mxb""".stripMargin
+      }
+    )),
+
     // Salted equi-join ([[graft.operators.Skew.saltedJoin]]): the skew
     // pattern for when AQE's runtime skew splitting can't apply — the fact
     // side gets a deterministic xxhash salt, the dimension side is
@@ -4266,6 +4333,289 @@ object AnalyticsQueries {
         |    + ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY frequency DESC, c_custkey) * 10
         |    + ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY monetary_cents DESC, c_custkey) AS BIGINT) AS segment
         |FROM j""".stripMargin)
+    )),
+
+    // t-closeness — the third leg of the privacy triage (k-anonymity:
+    // group size, l-diversity: sensitive-value variety, t-closeness:
+    // sensitive-value DISTRIBUTION distance). A quasi-identifier group can
+    // be large AND diverse yet still leak if its sensitive distribution
+    // (n_chars-century bucket, ordered) sits far from the corpus-wide one.
+    // Distance is the 1-D earth-mover's distance for ordinal attributes:
+    // (1/(m-1)) Σ_i |Σ_{j≤i} (p_j − q_j)|. Per-bucket terms are floored to
+    // integer micro-units BEFORE the cumulative sum (order-independent,
+    // engine-identical); the window runs over the VALUE-LEVEL dense
+    // (group × bucket) relation — both sides are aggregates (bounded
+    // categorical × bounded value domain), never the fact table, so the
+    // plan is three hash aggregates plus a bounded cross join at any SF.
+    "dq_t_closeness" -> ((
+      (s: SparkSession, dir: String) => {
+        val b = t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("CAST(n_chars div 100 AS BIGINT)").as("sens"))
+          .groupBy("lang", "source", "sens").agg(count(lit(1)).as("c"))
+          .persist()
+        val g = b.groupBy("lang", "source").agg(sum("c").as("cnt"))
+        val gl = b.groupBy("sens").agg(sum("c").as("gn"))
+        val nn = b.agg(sum("c").as("nn"))
+        val doms = b.select("sens").distinct()
+        val m = doms.agg(count(lit(1)).as("m"))
+        val terms = g.crossJoin(doms)
+          .join(b, Seq("lang", "source", "sens"), "left")
+          .join(gl, Seq("sens"))
+          .crossJoin(broadcast(nn))
+          .select(col("lang"), col("source"), col("cnt"), col("sens"),
+            floor(lit(1e6) *
+              (coalesce(col("c"), lit(0L)).cast("double") / col("cnt").cast("double")
+                - col("gn").cast("double") / col("nn").cast("double")))
+              .cast("long").as("term"))
+        val w = Window.partitionBy("lang", "source").orderBy("sens")
+        terms.withColumn("cum", sum("term").over(w))
+          .groupBy("lang", "source", "cnt").agg(sum(abs(col("cum"))).as("emd_sum"))
+          .crossJoin(broadcast(m))
+          .select(col("lang"), col("source"), col("cnt"),
+            expr("emd_sum div (m - 1)").as("t_micro"))
+      },
+      Some("""WITH b AS (SELECT lang, source, n_chars // 100 AS sens, count(*) AS c
+        |    FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS cnt FROM b GROUP BY 1, 2),
+        |gl AS (SELECT sens, CAST(sum(c) AS BIGINT) AS gn FROM b GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM b),
+        |doms AS (SELECT DISTINCT sens FROM b),
+        |m AS (SELECT count(*) AS m FROM doms),
+        |terms AS (SELECT g.lang, g.source, g.cnt, d.sens,
+        |    CAST(floor(1e6 * (CAST(coalesce(b.c, 0) AS DOUBLE) / g.cnt
+        |      - CAST(gl.gn AS DOUBLE) / n.nn)) AS BIGINT) AS term
+        |  FROM g CROSS JOIN doms d
+        |  LEFT JOIN b ON b.lang = g.lang AND b.source = g.source AND b.sens = d.sens
+        |  JOIN gl ON gl.sens = d.sens CROSS JOIN n),
+        |cw AS (SELECT lang, source, cnt,
+        |    sum(term) OVER (PARTITION BY lang, source ORDER BY sens) AS cum
+        |  FROM terms)
+        |SELECT cw.lang, cw.source, cw.cnt,
+        |  CAST(sum(abs(cum)) // (m.m - 1) AS BIGINT) AS t_micro
+        |FROM cw CROSS JOIN m GROUP BY 1, 2, 3, m.m""".stripMargin)
+    )),
+
+    // Differentially-private release histogram (mechanism plumbing): a
+    // per-language count with Laplace(1/ε) noise via the inverse CDF, the
+    // shape a privacy-preserving corpus report publishes instead of raw
+    // counts. The noise here is DERIVED from md5 of the release tag + key
+    // so the oracle can replay it bit-for-bit — a production release swaps
+    // the seeded uniform for fresh randomness (one line) and keeps the
+    // identical mechanism, clamp, and ε accounting. One hash aggregate +
+    // per-group scalar math; nothing about the mechanism changes at 100 TB
+    // (noise is added to AGGREGATES, never rows).
+    "dq_dp_histogram" -> ((
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").groupBy("lang").agg(count(lit(1)).as("n_true"))
+          .select(col("lang"), col("n_true"),
+            ((conv(substring(md5(concat(lit("dp1_"), col("lang"))), 1, 12), 16, 10)
+              .cast("long").cast("double") + 0.5) / lit(281474976710656.0)).as("u"))
+          .select(col("lang"),
+            greatest(
+              col("n_true") + floor(
+                when(col("u") < 0.5, log(lit(2.0) * col("u")))
+                  .otherwise(-log(lit(2.0) * (lit(1.0) - col("u"))))).cast("long"),
+              lit(0L)).as("n_noisy"),
+            lit(1.0).as("epsilon")),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_true FROM documents GROUP BY 1),
+        |u AS (SELECT lang, n_true,
+        |    (CAST(list_sum(list_transform(range(1, 13),
+        |      i -> (strpos('0123456789abcdef',
+        |             substr(md5('dp1_' || lang), CAST(i AS INT), 1)) - 1)
+        |        * 16.0 ** (12 - i))) AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM c)
+        |SELECT lang,
+        |  greatest(CAST(n_true AS BIGINT) + CAST(floor(CASE WHEN u < 0.5
+        |      THEN ln(2.0 * u) ELSE -ln(2.0 * (1.0 - u)) END) AS BIGINT),
+        |    0) AS n_noisy,
+        |  1.0 AS epsilon
+        |FROM u""".stripMargin)
+    )),
+
+    // Pearson chi-square test of independence (order priority × status):
+    // the contingency-table health check a pipeline runs to detect that a
+    // categorical pairing drifted from independence. Expected counts come
+    // from the margins (dense margin cross join — both sides bounded
+    // categorical aggregates, missing observed cells count as 0 as the
+    // test requires); per-cell terms floored to integer micro-units then
+    // summed order-free. Three hash aggregates over one fact scan + a
+    // bounded dense join; the fact table is never joined row-to-row.
+    "q_chi_square" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        val cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(count(lit(1)).as("c"))
+        val rmarg = o.groupBy("o_orderpriority").agg(count(lit(1)).as("r"))
+        val cmarg = o.groupBy("o_orderstatus").agg(count(lit(1)).as("k"))
+        val nn = o.agg(count(lit(1)).as("n"))
+        val rc = rmarg.agg(count(lit(1)).as("rr"))
+        val cc = cmarg.agg(count(lit(1)).as("kk"))
+        rmarg.crossJoin(cmarg)
+          .join(cells, Seq("o_orderpriority", "o_orderstatus"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("n"),
+            floor(lit(1e6) *
+              (coalesce(col("c"), lit(0L)).cast("double")
+                - col("r").cast("double") * col("k").cast("double") / col("n").cast("double"))
+              * (coalesce(col("c"), lit(0L)).cast("double")
+                - col("r").cast("double") * col("k").cast("double") / col("n").cast("double"))
+              / (col("r").cast("double") * col("k").cast("double") / col("n").cast("double")))
+              .cast("long").as("term"))
+          .groupBy("n").agg(sum("term").as("chi2_micro"))
+          .crossJoin(broadcast(rc)).crossJoin(broadcast(cc))
+          .select(col("chi2_micro"), ((col("rr") - 1) * (col("kk") - 1)).as("dof"), col("n"))
+      },
+      Some("""WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS st, count(*) AS c
+        |    FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS r FROM orders GROUP BY 1),
+        |cm AS (SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS k FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+        |terms AS (SELECT n.n,
+        |    CAST(floor(1e6
+        |      * (CAST(coalesce(c, 0) AS DOUBLE) - CAST(r AS DOUBLE) * k / n.n)
+        |      * (CAST(coalesce(c, 0) AS DOUBLE) - CAST(r AS DOUBLE) * k / n.n)
+        |      / (CAST(r AS DOUBLE) * k / n.n)) AS BIGINT) AS term
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.p = rm.p AND cells.st = cm.st
+        |  CROSS JOIN n)
+        |SELECT CAST(sum(term) AS BIGINT) AS chi2_micro,
+        |  CAST(((SELECT count(*) FROM rm) - 1) * ((SELECT count(*) FROM cm) - 1) AS BIGINT) AS dof,
+        |  n
+        |FROM terms GROUP BY n""".stripMargin)
+    )),
+
+    // Spearman rank correlation per return flag — the monotone-association
+    // sibling of q_corr_stats' Pearson, robust to the price outliers that
+    // distort linear correlation. Average ranks (tie-aware) are computed at
+    // the VALUE level: distinct (flag, value) counts get a cumulative-count
+    // window (bounded by the value domain, never a row-level sort), and
+    // rank2 = 2·avg-rank = 2·cum − ties + 1 stays integer. The five
+    // correlation sums accumulate per (x, y) CELL — Σ c·rx·ry in
+    // DECIMAL(38,0), exact and order-free at any SF (rank products overflow
+    // BIGINT past ~10^9 rows/group; decimal widening is the 100 TB path) —
+    // and ρ is derived from the exact sums in one double expression,
+    // identical on both engines.
+    "q_spearman_rank" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+          col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        val cells = base.groupBy("flag", "x", "y").agg(count(lit(1)).as("c")).persist()
+        val wx = Window.partitionBy("flag").orderBy("x")
+        val xr = cells.groupBy("flag", "x").agg(sum("c").as("cv"))
+          .withColumn("cum", sum("cv").over(wx))
+          .select(col("flag"), col("x"), (lit(2L) * col("cum") - col("cv") + 1L).as("rx"))
+        val wy = Window.partitionBy("flag").orderBy("y")
+        val yr = cells.groupBy("flag", "y").agg(sum("c").as("cv2"))
+          .withColumn("cum2", sum("cv2").over(wy))
+          .select(col("flag"), col("y"), (lit(2L) * col("cum2") - col("cv2") + 1L).as("ry"))
+        val cD = col("c").cast("decimal(12,0)")
+        val rxD = col("rx").cast("decimal(13,0)")
+        val ryD = col("ry").cast("decimal(13,0)")
+        val agg = cells.join(xr, Seq("flag", "x")).join(yr, Seq("flag", "y"))
+          .groupBy("flag").agg(
+            sum("c").as("n"),
+            sum((cD * rxD).cast("decimal(25,0)")).as("sx"),
+            sum((cD * ryD).cast("decimal(25,0)")).as("sy"),
+            sum(((cD * rxD).cast("decimal(25,0)") * ryD).cast("decimal(38,0)")).as("sxy"),
+            sum(((cD * rxD).cast("decimal(25,0)") * rxD).cast("decimal(38,0)")).as("sx2"),
+            sum(((cD * ryD).cast("decimal(25,0)") * ryD).cast("decimal(38,0)")).as("sy2"))
+        agg.select(col("flag"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n").cast("double") * col("sx2").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("sy2").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("spearman_rho"))
+      },
+      Some("""WITH cells AS (SELECT l_returnflag AS flag, l_quantity AS x,
+        |    l_extendedprice AS y, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |xr AS (SELECT flag, x,
+        |    2 * sum(cv) OVER (PARTITION BY flag ORDER BY x) - cv + 1 AS rx
+        |  FROM (SELECT flag, x, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1, 2)),
+        |yr AS (SELECT flag, y,
+        |    2 * sum(cv2) OVER (PARTITION BY flag ORDER BY y) - cv2 + 1 AS ry
+        |  FROM (SELECT flag, y, CAST(sum(c) AS BIGINT) AS cv2 FROM cells GROUP BY 1, 2)),
+        |agg AS (SELECT cells.flag, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(CAST(c AS DECIMAL(12,0)) * CAST(rx AS DECIMAL(13,0)) AS DECIMAL(25,0))) AS sx,
+        |    sum(CAST(CAST(c AS DECIMAL(12,0)) * CAST(ry AS DECIMAL(13,0)) AS DECIMAL(25,0))) AS sy,
+        |    sum(CAST(CAST(CAST(c AS DECIMAL(12,0)) * CAST(rx AS DECIMAL(13,0)) AS DECIMAL(25,0))
+        |      * CAST(ry AS DECIMAL(13,0)) AS DECIMAL(38,0))) AS sxy,
+        |    sum(CAST(CAST(CAST(c AS DECIMAL(12,0)) * CAST(rx AS DECIMAL(13,0)) AS DECIMAL(25,0))
+        |      * CAST(rx AS DECIMAL(13,0)) AS DECIMAL(38,0))) AS sx2,
+        |    sum(CAST(CAST(CAST(c AS DECIMAL(12,0)) * CAST(ry AS DECIMAL(13,0)) AS DECIMAL(25,0))
+        |      * CAST(ry AS DECIMAL(13,0)) AS DECIMAL(38,0))) AS sy2
+        |  FROM cells JOIN xr ON cells.flag = xr.flag AND cells.x = xr.x
+        |  JOIN yr ON cells.flag = yr.flag AND cells.y = yr.y
+        |  GROUP BY 1)
+        |SELECT flag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS spearman_rho
+        |FROM agg""".stripMargin)
+    )),
+
+    // Kaplan-Meier survival estimator over time-to-repeat-order with right
+    // censoring: the event is a customer's first STRICTLY-LATER order after
+    // their first; single-order customers are censored at the corpus's last
+    // order date. Emits, per event time, the risk-set size, event count,
+    // and ln S(t) in floored micro-units (per-event-time terms floored THEN
+    // integer-cumsummed — order-independent; the product form of S(t) is a
+    // float trap). The windows run over DISTINCT gap-days (calendar-bounded,
+    // never row-level) — the subject table reduces to two hash aggregates
+    // over orders, so the plan is SF-proportional only in the scans.
+    "q_kaplan_meier" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+        val f = o.groupBy("o_custkey").agg(min("d").as("fd"))
+        val s2 = o.join(f, Seq("o_custkey")).filter(col("d") > col("fd"))
+          .groupBy("o_custkey").agg(min("d").as("sd"))
+        val maxd = o.agg(max("d").as("maxd"))
+        val subj = f.join(s2, Seq("o_custkey"), "left").crossJoin(broadcast(maxd))
+          .select(
+            when(col("sd").isNotNull, datediff(col("sd"), col("fd")))
+              .otherwise(datediff(col("maxd"), col("fd"))).cast("long").as("t"),
+            col("sd").isNotNull.cast("long").as("ev"))
+        val byT = subj.groupBy("t").agg(count(lit(1)).as("a"), sum("ev").as("d_events"))
+        val nn = byT.agg(sum("a").as("nn"))
+        val w = Window.orderBy("t")
+        byT.crossJoin(broadcast(nn))
+          .withColumn("cuma", sum("a").over(w))
+          .select(col("t"), col("d_events"),
+            (col("nn") - col("cuma") + col("a")).as("n_risk"))
+          .filter(col("d_events") > 0)
+          .withColumn("term",
+            floor(lit(1e6) * log(greatest(
+              lit(1.0) - col("d_events").cast("double") / col("n_risk").cast("double"),
+              lit(1e-12)))).cast("long"))
+          .withColumn("log_surv_micro", sum("term").over(w))
+          .select(col("t").as("t_days"), col("n_risk"), col("d_events"), col("log_surv_micro"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |f AS (SELECT o_custkey, min(d) AS fd FROM o GROUP BY 1),
+        |s2 AS (SELECT o.o_custkey, min(d) AS sd
+        |  FROM o JOIN f ON o.o_custkey = f.o_custkey AND o.d > f.fd GROUP BY 1),
+        |mx AS (SELECT max(d) AS maxd FROM o),
+        |subj AS (SELECT
+        |    CAST(CASE WHEN s2.sd IS NOT NULL THEN date_diff('day', f.fd, s2.sd)
+        |         ELSE date_diff('day', f.fd, mx.maxd) END AS BIGINT) AS t,
+        |    CAST(CASE WHEN s2.sd IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ev
+        |  FROM f LEFT JOIN s2 ON f.o_custkey = s2.o_custkey CROSS JOIN mx),
+        |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS a,
+        |    CAST(sum(ev) AS BIGINT) AS d_events FROM subj GROUP BY 1),
+        |n AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM byt),
+        |risk AS (SELECT t, d_events,
+        |    nn - sum(a) OVER (ORDER BY t) + a AS n_risk FROM byt CROSS JOIN n),
+        |ev AS (SELECT t, n_risk, d_events,
+        |    CAST(floor(1e6 * ln(greatest(
+        |      1.0 - CAST(d_events AS DOUBLE) / n_risk, 1e-12))) AS BIGINT) AS term
+        |  FROM risk WHERE d_events > 0)
+        |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+        |  CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS log_surv_micro
+        |FROM ev""".stripMargin)
     ))
   )
 }

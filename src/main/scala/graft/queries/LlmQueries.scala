@@ -1668,6 +1668,54 @@ object LlmQueries {
         |FROM f""".stripMargin)
     )),
 
+    // Code-vs-prose detector: the language-agnostic heuristic an LLM
+    // curation pipeline uses to ROUTE documents (code to a code pipeline
+    // with its own dedup/quality rules, prose to the text one) before any
+    // expensive model scoring. Signals are pure column algebra at scan
+    // speed: statement/structure character densities (';', braces, '=',
+    // parens — counted via length-of-replace, exact on both engines) and
+    // reserved-word token hits, combined into an integer per-mille score
+    // so the class boundary is an exact integer comparison. The fixture's
+    // word-salad prose scores ~0; OperatorsSpec plants real code rows and
+    // proves the separation.
+    "text_code_detect" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir).select(col("doc_id"), col("text"),
+            (length(col("text")) - length(expr("replace(text, ';', '')"))).as("semi"),
+            (length(col("text")) - length(expr("replace(text, '{', '')"))
+              + length(col("text")) - length(expr("replace(text, '}', '')"))).as("brace"),
+            (length(col("text")) - length(expr("replace(text, '=', '')"))).as("eq"),
+            (length(col("text")) - length(expr("replace(text, '(', '')"))).as("paren"),
+            expr("""size(filter(split(text, ' '), w -> w IN
+              ('def','class','import','return','if','else','for','while',
+               'function','var','val','int','void','public','static')))""").as("kw"),
+            expr("size(split(text, ' '))").as("toks"))
+          .select(col("doc_id"),
+            expr("""CAST(CASE WHEN toks = 0 THEN 0
+              ELSE (3 * (semi + brace) + 2 * eq + paren + 10 * kw) * 1000 div toks
+              END AS BIGINT)""").as("code_score_pm"))
+          .withColumn("is_code", col("code_score_pm") >= 40),
+      Some("""WITH f AS (SELECT doc_id,
+        |    length(text) - length(replace(text, ';', '')) AS n_semi,
+        |    2 * length(text) - length(replace(text, '{', ''))
+        |      - length(replace(text, '}', '')) AS n_brace,
+        |    length(text) - length(replace(text, '=', '')) AS n_eq,
+        |    length(text) - length(replace(text, '(', '')) AS n_paren,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(
+        |      ['def','class','import','return','if','else','for','while',
+        |       'function','var','val','int','void','public','static'], w))) AS kw,
+        |    len(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN toks = 0 THEN 0
+        |    ELSE (3 * (n_semi + n_brace) + 2 * n_eq + n_paren + 10 * kw) * 1000 // toks
+        |    END AS BIGINT) AS code_score_pm,
+        |  CASE WHEN toks = 0 THEN 0 >= 40
+        |    ELSE (3 * (n_semi + n_brace) + 2 * n_eq + n_paren + 10 * kw) * 1000 // toks >= 40
+        |    END AS is_code
+        |FROM f""".stripMargin)
+    )),
+
     // BPE-ish token estimate: alnum runs + non-space symbol count — the
     // cheap pre-tokenizer count used for corpus budgeting.
     "text_token_bpe" -> ((

@@ -59,6 +59,32 @@ object Tables {
     }.reduce(_ + _)
   }
 
+  /** Hilbert-curve index of two columns, each min-max normalized to `bits`
+    * bits. The Hilbert curve strictly dominates Morton for locality:
+    * consecutive indices are ALWAYS grid-adjacent (no Morton "seams" where
+    * the curve jumps across the key space), so files written in Hilbert
+    * order have tighter per-file zone maps on both columns — the layout
+    * Delta/Iceberg's OPTIMIZE moved to for multi-dimensional clustering.
+    * The xy→d quadrant-rotation recurrence lives in the native
+    * [[graft.functions.HilbertDExpr]] (`hilbert_d`): a Column-algebra
+    * unroll is EXPONENTIAL in `bits` once projection collapsing re-inlines
+    * each step's duplicated x/y references, while the native loop is
+    * O(bits) and whole-stage-codegen'd. ScaleSpec proves bijection +
+    * unit-step adjacency exhaustively on the 8×8 grid.
+    */
+  def hilbertValue(a: Column, b: Column, mins: (Column, Column),
+                   maxs: (Column, Column), bits: Int = 8): Column = {
+    def norm(c: Column, mn: Column, mx: Column): Column = {
+      val span = mx.cast("double") - mn.cast("double")
+      val maxCode = (1L << bits) - 1
+      when(span === 0.0, lit(0L)).otherwise(
+        least(lit(maxCode),
+          floor((c.cast("double") - mn.cast("double")) * maxCode / span).cast("long")))
+    }
+    call_function("hilbert_d",
+      norm(a, mins._1, maxs._1), norm(b, mins._2, maxs._2), lit(bits))
+  }
+
   /** Write `df` z-ordered on two numeric columns: compute the Morton value
     * against the frame's global extremes (one tiny aggregate, broadcast),
     * range-partition by it into `files` output partitions, sort within

@@ -320,6 +320,39 @@ class ScaleSpec extends SparkSpec {
       s"mean per-file l_partkey range ${per.getDouble(1)} vs global ${g.getLong(1)}")
   }
 
+  test("hilbertValue is a true Hilbert curve: bijection + unit-step adjacency, exhaustively") {
+    import spark.implicits._
+    // all 64 grid points of the 8×8 grid (bits=3, identity normalization:
+    // span 7 → maxCode 7). A genuine Hilbert curve visits every cell once
+    // and every consecutive pair of indices is Manhattan-distance-1 —
+    // Morton fails the adjacency half (its seams are the locality gap the
+    // entry's scaladoc claims; this proves the claim, not just asserts it).
+    val pts = (for (x <- 0 to 7; y <- 0 to 7) yield (x.toLong, y.toLong)).toDF("x", "y")
+    val d = pts.withColumn("d", Tables.hilbertValue(col("x"), col("y"),
+        (lit(0L), lit(0L)), (lit(7L), lit(7L)), bits = 3))
+      .as[(Long, Long, Long)].collect()
+    val byD = d.map { case (x, y, h) => h -> ((x, y)) }.toMap
+    assert(byD.keySet == (0L until 64L).toSet, "hilbert index is not a bijection onto 0..63")
+    (0L until 63L).foreach { i =>
+      val (x1, y1) = byD(i); val (x2, y2) = byD(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"indices $i -> ${i + 1} jump from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbert zone-map entry stays map + hash aggregate; cells partition all rows") {
+    val out = graft.SparkEntry.queries("q_hilbert_skipping")(spark, sf0001)
+    out.write.format("noop").mode("overwrite").save()
+    val offenders = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s.nodeName
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.nodeName
+    }
+    assert(offenders.isEmpty, s"hilbert zone-map plan sorts/windows: $offenders")
+    val total = out.agg(sum("n_rows")).collect()(0).getLong(0)
+    val liCount = Sources.table(spark, sf0001, "lineitem").count()
+    assert(total == liCount, s"cells must partition all rows: $total != $liCount")
+  }
+
   test("salted join equals direct join and spreads a hot key over salt buckets") {
     val li = Sources.table(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Sources.table(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed semantics checks for the round-10 statistics/privacy
+  * entries, on PLANTED fixtures (temp parquet dirs shaped like the driver
+  * testdata) so every expected value is derivable on paper — the catalog's
+  * DuckDB oracles prove engine agreement, these prove the MATH.
+  */
+class StatsEntrySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a planted documents.parquet/orders.parquet dir the catalog
+    * entry lambdas can read like a driver sf dir.
+    */
+  private def plantDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  private def docsDf(rows: Seq[(Long, String, String, String)]) =
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("text_code_detect separates planted code from planted prose") {
+    val code =
+      "def main ( args ) { var x = 0 ; for ( i = 0 ; i < 10 ; i = i + 1 ) { x = x + i ; } return x ; }"
+    val prose =
+      "the quick brown fox jumps over the lazy dog and then wanders slowly home across the quiet meadow"
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (1L, code, "en", "s"), (2L, prose, "en", "s"))))
+    val out = SparkEntry.queries("text_code_detect")(spark, dir)
+      .select("doc_id", "code_score_pm", "is_code")
+      .as[(Long, Long, Boolean)].collect().map { case (k, v, c) => k -> ((v, c)) }.toMap
+    assert(out(1L)._2, s"code row must classify as code, got ${out(1L)}")
+    assert(!out(2L)._2, s"prose row must not classify as code, got ${out(2L)}")
+    assert(out(1L)._1 > out(2L)._1 + 100,
+      s"expected a wide score margin, got code=${out(1L)._1} prose=${out(2L)._1}")
+  }
+
+  test("dq_t_closeness: two disjoint-bucket groups each sit at EMD 0.5 from the pooled distribution") {
+    // group g1: 10 docs in century-bucket 0; g2: 10 docs in bucket 1.
+    // Global q = (0.5, 0.5); each group's p is a point mass, so
+    // EMD = |p0-q0| / (m-1) = 0.5 -> exactly 500000 micro.
+    val rows = (0L until 10L).map(i => (i, "x" * 50, "en", "g1")) ++
+      (10L until 20L).map(i => (i, "y" * 150, "en", "g2"))
+    val dir = plantDir("documents" -> docsDf(rows))
+    val out = SparkEntry.queries("dq_t_closeness")(spark, dir)
+      .select("source", "cnt", "t_micro").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("g1") == ((10L, 500000L)), s"g1: ${out("g1")}")
+    assert(out("g2") == ((10L, 500000L)), s"g2: ${out("g2")}")
+  }
+
+  test("q_chi_square matches the 2x2 hand computation (dense cells, floored micro terms)") {
+    // counts: (A,O)=10 (A,F)=20 (B,O)=30 (B,F)=40, n=100
+    val orders = (
+      Seq.fill(10)(("A", "O")) ++ Seq.fill(20)(("A", "F")) ++
+      Seq.fill(30)(("B", "O")) ++ Seq.fill(40)(("B", "F"))
+    ).zipWithIndex.map { case ((p, st), i) =>
+      (i.toLong, i.toLong, st, 1.0, "1995-01-01", p)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_chi_square")(spark, dir)
+      .select("chi2_micro", "dof", "n").as[(Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (chi2Micro, dof, n) = out(0)
+    assert(dof == 1L && n == 100L)
+    // replay the entry's own floored-term arithmetic on paper-known margins
+    val expected = Seq((10.0, 30.0, 40.0), (20.0, 30.0, 60.0),
+      (30.0, 70.0, 40.0), (40.0, 70.0, 60.0)).map { case (c, r, k) =>
+      val e = r * k / 100.0
+      math.floor(1e6 * (c - e) * (c - e) / e).toLong
+    }.sum
+    assert(chi2Micro == expected, s"got $chi2Micro expected $expected")
+    // sanity: chi2 = 100*(10*40-20*30)^2/(30*70*40*60) = 0.7936...
+    assert(math.abs(chi2Micro / 1e6 - 0.79365) < 1e-4)
+  }
+
+  test("q_spearman_rank: monotone -> 1, anti-monotone -> -1, tie case -> 0.5 exactly") {
+    def li(rows: Seq[(String, Double, Double)]) =
+      rows.zipWithIndex.map { case ((f, x, y), i) => (i.toLong, f, x, y) }
+        .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val rows =
+      Seq(("M", 1.0, 10.0), ("M", 2.0, 20.0), ("M", 3.0, 30.0)) ++   // rho = 1
+      Seq(("D", 1.0, 30.0), ("D", 2.0, 20.0), ("D", 3.0, 10.0)) ++   // rho = -1
+      Seq(("T", 1.0, 10.0), ("T", 1.0, 20.0), ("T", 2.0, 20.0))      // ties: rho = 0.5
+    val dir = plantDir("lineitem" -> li(rows))
+    val out = SparkEntry.queries("q_spearman_rank")(spark, dir)
+      .select("flag", "n", "spearman_rho").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("M") == ((3L, 1.0)), s"monotone: ${out("M")}")
+    assert(out("D") == ((3L, -1.0)), s"anti-monotone: ${out("D")}")
+    // avg ranks x: (1.5, 1.5, 3), y: (1, 2.5, 2.5) -> Pearson = 0.5 exactly
+    assert(out("T")._1 == 3L && math.abs(out("T")._2 - 0.5) < 1e-12,
+      s"tie case: ${out("T")}")
+  }
+
+  test("q_kaplan_meier: risk sets, events, and floored log-survival match the hand computation") {
+    // c1: d0, d0+3 (event t=3); c2: d0 only (censored t=7);
+    // c3: d0, d0+3 (event t=3); c4: d0, d0+7 (event t=7).
+    val orders = Seq(
+      (1L, 1L, "1995-01-01"), (2L, 1L, "1995-01-04"),
+      (3L, 2L, "1995-01-01"),
+      (4L, 3L, "1995-01-01"), (5L, 3L, "1995-01-04"),
+      (6L, 4L, "1995-01-01"), (7L, 4L, "1995-01-08")
+    ).map { case (ok, ck, d) => (ok, ck, "O", 1.0, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_kaplan_meier")(spark, dir)
+      .select("t_days", "n_risk", "d_events", "log_surv_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // t=3: risk 4, events 2 -> term floor(1e6*ln(.5)) = -693148
+    // t=7: risk 2, events 1 -> cumulative -1386296
+    assert(out.toSeq == Seq((3L, 4L, 2L, -693148L), (7L, 2L, 1L, -1386296L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
+    val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
+      .select("lang", "n_noisy").as[(String, Long)].collect().toMap
+    val truth = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet == truth.keySet)
+    out.foreach { case (lang, noisy) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp1_$lang".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      val lap = if (u < 0.5) math.log(2.0 * u) else -math.log(2.0 * (1.0 - u))
+      val expected = math.max(truth(lang) + math.floor(lap).toLong, 0L)
+      assert(noisy == expected, s"$lang: got $noisy expected $expected")
+      assert(noisy >= 0L)
+    }
+  }
+}
