@@ -4616,6 +4616,74 @@ object AnalyticsQueries {
         |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d_events,
         |  CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS log_surv_micro
         |FROM ev""".stripMargin)
+    )),
+
+    // Welch's unequal-variance t-test (urgent-priority order value vs the
+    // rest) — the parametric sibling of q_mann_whitney_u, and the test a
+    // pipeline A/B readout actually uses when variances differ. ONE
+    // conditional hash aggregate computes both cohorts' exact decimal
+    // moment sums (the moneySum snap — order-independent, engine-
+    // identical); t and the Welch–Satterthwaite df are then single double
+    // expressions over the six exact sums, so both engines produce
+    // bit-identical statistics with no row-level float reduction anywhere.
+    "q_welch_ttest" -> ((
+      (s: SparkSession, dir: String) => {
+        val x = col("o_totalprice").cast("decimal(18,6)")
+        // squares multiply at width 19: both engines then run the exact
+        // int128 decimal path ((19,6)^2 -> (38,12)); a width-18 square
+        // overflows DuckDB's int64 fast path on real order totals
+        val xx = col("o_totalprice").cast("decimal(19,6)")
+        val zero = lit(0).cast("decimal(18,6)")
+        val zz = lit(0).cast("decimal(19,6)")
+        val isA = col("o_orderpriority") === "1-URGENT"
+        val a = t(s, dir, "orders").agg(
+          sum(when(isA, 1L).otherwise(0L)).as("na"),
+          sum(when(isA, x).otherwise(zero)).as("sa"),
+          sum(when(isA, xx * xx).otherwise(zz * zz)).as("saa"),
+          sum(when(!isA, 1L).otherwise(0L)).as("nb"),
+          sum(when(!isA, x).otherwise(zero)).as("sb"),
+          sum(when(!isA, xx * xx).otherwise(zz * zz)).as("sbb"))
+        a.select(col("na"), col("nb"),
+            (col("sa").cast("double") / col("na")).as("mean_a"),
+            (col("sb").cast("double") / col("nb")).as("mean_b"),
+            ((col("saa").cast("double") - col("sa").cast("double") * col("sa").cast("double")
+              / col("na")) / (col("na") - 1)).as("var_a"),
+            ((col("sbb").cast("double") - col("sb").cast("double") * col("sb").cast("double")
+              / col("nb")) / (col("nb") - 1)).as("var_b"))
+          .select(col("na"), col("nb"),
+            // rounded to 6 decimals (q_corr_stats precedent): the two
+            // engines' decimal->double casts of the int128-scaled sums can
+            // differ in the last ulp, which the statistic inherits
+            round((col("mean_a") - col("mean_b"))
+              / sqrt(col("var_a") / col("na") + col("var_b") / col("nb")), 6).as("t_stat"),
+            round(pow(col("var_a") / col("na") + col("var_b") / col("nb"), 2.0)
+              / (pow(col("var_a") / col("na"), 2.0) / (col("na") - 1)
+                + pow(col("var_b") / col("nb"), 2.0) / (col("nb") - 1)), 6).as("df_welch"))
+      },
+      Some("""WITH agg AS (SELECT
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS sa,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(19,6))
+        |        ELSE CAST(0 AS DECIMAL(19,6)) * CAST(0 AS DECIMAL(19,6)) END) AS saa,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(0 AS DECIMAL(18,6)) ELSE CAST(o_totalprice AS DECIMAL(18,6)) END) AS sb,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(0 AS DECIMAL(19,6)) * CAST(0 AS DECIMAL(19,6))
+        |        ELSE CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(19,6)) END) AS sbb
+        |  FROM orders),
+        |m AS (SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / na AS mean_a, CAST(sb AS DOUBLE) / nb AS mean_b,
+        |    (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS var_a,
+        |    (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS var_b
+        |  FROM agg)
+        |SELECT na, nb,
+        |  round((mean_a - mean_b) / sqrt(var_a / na + var_b / nb), 6) AS t_stat,
+        |  round(pow(var_a / na + var_b / nb, 2.0)
+        |    / (pow(var_a / na, 2.0) / (na - 1) + pow(var_b / nb, 2.0) / (nb - 1)), 6) AS df_welch
+        |FROM m""".stripMargin)
     ))
   )
 }

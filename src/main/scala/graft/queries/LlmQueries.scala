@@ -4298,6 +4298,83 @@ object LlmQueries {
         |FROM agg""".stripMargin)
     )),
 
+    // Fellegi–Sunter match/non-match weights — the SCORING layer of the ER
+    // stack (blocking finds candidates, FS weights decide): per comparison
+    // field γ (same source / same length band / same 2-token prefix),
+    // estimate m = P(agree | match) and u = P(agree | non-match) against
+    // the same sampled levenshtein truth er_blocking_eval audits with, and
+    // emit the log2 agreement/disagreement weights a linkage rule sums per
+    // pair. Laplace (+1/+2) smoothing keeps the log weights finite when a
+    // field never (dis)agrees in a class; probabilities floor to ppm and
+    // weights to milli-units — one double expression from exact integer
+    // counts on both engines. Same 1-in-5 exhaustive-sample methodology
+    // (bounded by sampling, banded-levenshtein kernel) as the blocking
+    // audits; at full scale m/u estimation runs on exactly this kind of
+    // sample, never the whole corpus.
+    "er_fs_weights" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), col("source"),
+            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
+            substring(col("text"), 1, 100).as("p"),
+            substring_index(col("text"), " ", 2).as("pref"))
+        val pr = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(
+            when(expr("levenshtein(a.p, b.p) <= 55"), 1L).otherwise(0L).as("tr"),
+            when(col("a.source") === col("b.source"), 1L).otherwise(0L).as("g1"),
+            when(col("a.lb") === col("b.lb"), 1L).otherwise(0L).as("g2"),
+            when(col("a.pref") === col("b.pref"), 1L).otherwise(0L).as("g3"))
+        val a = pr.agg(count(lit(1)).as("total"), sum("tr").as("n_true"),
+          sum(col("tr") * col("g1")).as("cap1"),
+          sum((lit(1L) - col("tr")) * col("g1")).as("fp1"),
+          sum(col("tr") * col("g2")).as("cap2"),
+          sum((lit(1L) - col("tr")) * col("g2")).as("fp2"),
+          sum(col("tr") * col("g3")).as("cap3"),
+          sum((lit(1L) - col("tr")) * col("g3")).as("fp3"))
+        val f = a.withColumn("n_false", col("total") - col("n_true"))
+        def mExpr(c: String) = s"CAST($c + 1 AS DOUBLE) / (n_true + 2)"
+        def uExpr(f0: String) = s"CAST($f0 + 1 AS DOUBLE) / (n_false + 2)"
+        def fieldCols(tag: String, c: String, f0: String) = Seq(
+          s"'$tag'",
+          s"($c + 1) * 1000000 div (n_true + 2)",
+          s"($f0 + 1) * 1000000 div (n_false + 2)",
+          s"CAST(floor(1000 * log2((${mExpr(c)}) / (${uExpr(f0)}))) AS BIGINT)",
+          s"CAST(floor(1000 * log2((1.0 - ${mExpr(c)}) / (1.0 - ${uExpr(f0)}))) AS BIGINT)")
+        f.select(expr(s"""stack(3,
+            ${fieldCols("source", "cap1", "fp1").mkString(", ")},
+            ${fieldCols("len_band", "cap2", "fp2").mkString(", ")},
+            ${fieldCols("prefix2", "cap3", "fp3").mkString(", ")})
+          AS (field, m_ppm, u_ppm, w_agree_milli, w_disagree_milli)"""))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb, substr(text, 1, 100) AS p,
+        |    array_to_string(string_split(text, ' ')[1:2], ' ') AS pref
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |pr AS (SELECT
+        |    CASE WHEN levenshtein(a.p, b.p) <= 55 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END AS g2,
+        |    CASE WHEN a.pref = b.pref THEN 1 ELSE 0 END AS g3
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        |agg AS (SELECT count(*) AS total, sum(tr) AS n_true,
+        |    sum(tr * g1) AS cap1, sum((1 - tr) * g1) AS fp1,
+        |    sum(tr * g2) AS cap2, sum((1 - tr) * g2) AS fp2,
+        |    sum(tr * g3) AS cap3, sum((1 - tr) * g3) AS fp3,
+        |    count(*) - sum(tr) AS n_false
+        |  FROM pr),
+        |u AS (
+        |  SELECT 'source' AS field, cap1 AS cap, fp1 AS fp, n_true, n_false FROM agg
+        |  UNION ALL SELECT 'len_band', cap2, fp2, n_true, n_false FROM agg
+        |  UNION ALL SELECT 'prefix2', cap3, fp3, n_true, n_false FROM agg)
+        |SELECT field,
+        |  CAST((cap + 1) * 1000000 // (n_true + 2) AS BIGINT) AS m_ppm,
+        |  CAST((fp + 1) * 1000000 // (n_false + 2) AS BIGINT) AS u_ppm,
+        |  CAST(floor(1000 * log2((CAST(cap + 1 AS DOUBLE) / (n_true + 2))
+        |    / (CAST(fp + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT) AS w_agree_milli,
+        |  CAST(floor(1000 * log2((1.0 - CAST(cap + 1 AS DOUBLE) / (n_true + 2))
+        |    / (1.0 - CAST(fp + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT) AS w_disagree_milli
+        |FROM u""".stripMargin)
+    )),
+
     // Per-vertex triangle counts over the near-dup graph
     // (Graph.triangleCounts): compact-forward wedge join with degree-
     // ordered orientation, so out-degree — and hence the wedge self-join

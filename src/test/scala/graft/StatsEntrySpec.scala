@@ -121,6 +121,60 @@ class StatsEntrySpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("q_welch_ttest matches the textbook computation on planted cohorts") {
+    // A (urgent): 10,12,14 -> mean 12, var 4; B: 20,22,24,26 -> mean 23, var 20/3
+    val orders = (Seq(10.0, 12.0, 14.0).map(v => (v, "1-URGENT")) ++
+      Seq(20.0, 22.0, 24.0, 26.0).map(v => (v, "3-MEDIUM")))
+      .zipWithIndex.map { case ((v, p), i) =>
+        (i.toLong, i.toLong, "O", v, "1995-01-01", p)
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_welch_ttest")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (na, nb, t, df) = out(0)
+    assert(na == 3L && nb == 4L)
+    val se2 = 4.0 / 3 + (20.0 / 3) / 4
+    val tExp = BigDecimal((12.0 - 23.0) / math.sqrt(se2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dfExp = BigDecimal(se2 * se2 /
+      (math.pow(4.0 / 3, 2) / 2 + math.pow((20.0 / 3) / 4, 2) / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(t - tExp) < 1e-9, s"t: got $t expected $tExp")
+    assert(math.abs(df - dfExp) < 1e-9, s"df: got $df expected $dfExp")
+  }
+
+  test("er_fs_weights: m/u and log2 weights match the hand-built comparison space") {
+    // sampled ids (doc_id % 5 == 0): 0,5 identical (match: same source,
+    // same band, same prefix); 10,15 disjoint texts, distinct sources,
+    // same length band as each other but not as 0/5. Comparison space:
+    // 1 match, 5 non-matches; only (10,15) agrees on len_band among the
+    // non-matches, nothing else agrees anywhere.
+    val t1 = (1 to 24).map(i => s"alpha$i").mkString(" ")                    // 0 and 5
+    val t2 = (1 to 24).map(i => s"bravo$i bis$i").mkString(" ").padTo(400, 'x')  // 10
+    val t3 = (1 to 24).map(i => s"ch$i charlie$i").mkString(" ").padTo(400, 'y') // 15
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (0L, t1, "en", "s1"), (5L, t1, "en", "s1"),
+      (10L, t2, "en", "s2"), (15L, t3, "en", "s3"))))
+    val out = SparkEntry.queries("er_fs_weights")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def expect(cap: Long, fp: Long, nTrue: Long, nFalse: Long) = {
+      val m = (cap + 1).toDouble / (nTrue + 2)
+      val u = (fp + 1).toDouble / (nFalse + 2)
+      ((cap + 1) * 1000000L / (nTrue + 2), (fp + 1) * 1000000L / (nFalse + 2),
+        math.floor(1000 * math.log(m / u) / math.log(2)).toLong,
+        math.floor(1000 * math.log((1 - m) / (1 - u)) / math.log(2)).toLong)
+    }
+    assert(out("source") == expect(1, 0, 1, 5), s"source: ${out("source")}")
+    assert(out("len_band") == expect(1, 1, 1, 5), s"len_band: ${out("len_band")}")
+    assert(out("prefix2") == expect(1, 0, 1, 5), s"prefix2: ${out("prefix2")}")
+    // agreement on a discriminating field must carry positive weight,
+    // disagreement negative — the FS decision-rule sanity condition
+    assert(out("source")._3 > 0 && out("source")._4 < 0)
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
