@@ -4618,6 +4618,57 @@ object AnalyticsQueries {
         |FROM ev""".stripMargin)
     )),
 
+    // Lag-k autocorrelation of the daily-revenue series (k = 1, 7, 30 —
+    // the day-over-day / weekly / monthly persistence readout next to
+    // q_seasonality and q_changepoint_binseg). The series aggregates to
+    // day grain first (calendar-bounded), then each lag is a DATE-ARITHMETIC
+    // self-join (a.day = b.day + k) — no window anywhere, so nothing
+    // single-tasks and missing days simply contribute no pair. The ACF
+    // numerator/denominator expand into exact sums (Σxy in DECIMAL(38,0),
+    // the Spearman pattern) and r_k is one double expression over them,
+    // rounded to 6 decimals (int128-decimal→double ulp, Welch precedent).
+    "q_autocorrelation" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+          .persist()
+        val g = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("q"))
+        val ks = s.range(1).select(explode(array(lit(1), lit(7), lit(30))).as("k"))
+        val shifted = daily.crossJoin(ks)
+          .select(col("k"), date_add(col("day"), col("k")).as("day2"), col("x").as("xb"))
+        val p = daily.join(shifted, col("day") === col("day2"))
+          .groupBy("k").agg(count(lit(1)).as("n_pairs"),
+            sum(col("x").cast("decimal(19,0)") * col("xb").cast("decimal(19,0)")).as("pxx"),
+            sum("x").as("hx"), sum("xb").as("tx"))
+        val mu = col("s").cast("double") / col("n")
+        p.crossJoin(broadcast(g))
+          .select(col("k").cast("long").as("k"), col("n_pairs"),
+            round((col("pxx").cast("double") - mu * col("hx") - mu * col("tx")
+              + col("n_pairs") * mu * mu)
+              / (col("q").cast("double") - col("n") * mu * mu), 6).as("acf"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS q FROM daily),
+        |ks AS (SELECT unnest([1, 7, 30]) AS k),
+        |p AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(a.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0))) AS pxx,
+        |    CAST(sum(a.x) AS BIGINT) AS hx, CAST(sum(b.x) AS BIGINT) AS tx
+        |  FROM ks CROSS JOIN daily a JOIN daily b ON a.day = b.day + k
+        |  GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k, n_pairs,
+        |  round((CAST(pxx AS DOUBLE) - (CAST(s AS DOUBLE) / n) * hx
+        |      - (CAST(s AS DOUBLE) / n) * tx
+        |      + n_pairs * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |    / (CAST(q AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+        |    6) AS acf
+        |FROM p CROSS JOIN g""".stripMargin)
+    )),
+
     // Welch's unequal-variance t-test (urgent-priority order value vs the
     // rest) — the parametric sibling of q_mann_whitney_u, and the test a
     // pipeline A/B readout actually uses when variances differ. ONE

@@ -4984,6 +4984,86 @@ object LlmQueries {
         |FROM sc GROUP BY doc_id""".stripMargin)
     )),
 
+    // Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1998's winner) — the canonical smoothing next to
+    // text_trigram_backoff's stupid backoff: absolute discount D=0.75 on
+    // seen bigrams, the freed mass λ(w1) = D·N1+(w1·)/c(w1) interpolated
+    // with the CONTINUATION probability (how many distinct contexts a
+    // word completes, not how often it occurs — the insight that makes
+    // KN the default). Continuation gets +1/(T+V) smoothing so every
+    // position scores finite (OOV included). Train on even doc_ids,
+    // score every doc; all inputs are exact integer count tables met on
+    // equi-joins, each position's log-prob is one double expression
+    // floored to millionths, summed order-free. Scale shape: four
+    // count-table equi-joins against the position stream, none
+    // broadcast-forced (a web-scale bigram table must shuffle-join).
+    "text_kneser_ney" -> ((
+      (s: SparkSession, dir: String) => {
+        val bg = docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), x -> length(x) > 0)").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> named_struct(" +
+              "'w1', element_at(t, i), 'w2', element_at(t, i + 1)))")).as("x"))
+          .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val train = bg.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val types = train.select("w1", "w2").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"),
+          countDistinct("w2").as("n1p"))
+        val cont = types.groupBy("w2").agg(count(lit(1)).as("ncont"))
+        val tot = types.agg(count(lit(1)).as("tt"),
+          countDistinct("w2").as("vv"))
+        val pcont = (coalesce(col("ncont"), lit(0L)).cast("double") + 1.0) /
+          (col("tt") + col("vv") + 1)
+        val scored = bg
+          .join(c12, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            when(col("c12").isNotNull, 1L).otherwise(0L).as("seen"),
+            floor(lit(1e6) * log(
+              when(col("c1").isNotNull,
+                greatest(coalesce(col("c12"), lit(0L)).cast("double") - 0.75, lit(0.0))
+                  / col("c1")
+                  + (lit(0.75) * col("n1p") / col("c1")) * pcont)
+                .otherwise(pcont))).cast("long").as("lp"))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_pos"),
+            sum("seen").cast("long").as("n_seen"),
+            sum("lp").cast("long").as("sum_logp_x1e6"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d WHERE len(t) >= 2),
+        |p AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM u),
+        |tr AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+        |ty AS (SELECT DISTINCT w1, w2 FROM tr),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1p FROM tr GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS ncont FROM ty GROUP BY 1),
+        |tot AS (SELECT count(*) AS tt, count(DISTINCT w2) AS vv FROM ty),
+        |sc AS (SELECT p.doc_id,
+        |    CASE WHEN c12.c12 IS NOT NULL THEN 1 ELSE 0 END AS seen,
+        |    CAST(floor(1e6 * ln(
+        |      CASE WHEN c1.c1 IS NOT NULL
+        |        THEN greatest(CAST(coalesce(c12.c12, 0) AS DOUBLE) - 0.75, 0.0) / c1.c1
+        |          + (0.75 * c1.n1p / c1.c1)
+        |            * ((CAST(coalesce(cont.ncont, 0) AS DOUBLE) + 1.0) / (tot.tt + tot.vv + 1))
+        |        ELSE (CAST(coalesce(cont.ncont, 0) AS DOUBLE) + 1.0) / (tot.tt + tot.vv + 1)
+        |      END)) AS BIGINT) AS lp
+        |  FROM p LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |         LEFT JOIN cont USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(sum(seen) AS BIGINT) AS n_seen,
+        |  CAST(sum(lp) AS BIGINT) AS sum_logp_x1e6
+        |FROM sc GROUP BY doc_id""".stripMargin)
+    )),
+
     // Feature hashing (the hashing trick): tokens folded into 16 buckets
     // by the first hex digit of md5 — an engine-portable stand-in for the
     // xxhash bucket a production featurizer uses (Spark's and DuckDB's

@@ -106,6 +106,28 @@ object Tables {
       .write.mode("overwrite").format("parquet").save(path)
   }
 
+  /** Write `df` Hilbert-ordered on two numeric columns — same plan shape
+    * as [[writeZOrdered]] (tiny broadcast extremes aggregate → index →
+    * range partition → local sort → parquet), but each output file covers
+    * a CONTIGUOUS curve segment, which for Hilbert is a compact blob with
+    * no Morton seams: ScaleSpec measures per-file zone-map spans of both
+    * layouts on the same data and asserts Hilbert is at least as tight.
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, colA: String,
+                          colB: String, files: Int, bits: Int = 8): Unit = {
+    val ext = df.agg(
+      min(colA).as("mna"), max(colA).as("mxa"),
+      min(colB).as("mnb"), max(colB).as("mxb"))
+    val h = df.crossJoin(broadcast(ext))
+      .withColumn("_h", hilbertValue(col(colA), col(colB),
+        (col("mna"), col("mnb")), (col("mxa"), col("mxb")), bits))
+      .drop("mna", "mxa", "mnb", "mxb")
+    h.repartitionByRange(files, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+      .write.mode("overwrite").format("parquet").save(path)
+  }
+
   // ---- table-format sink (Iceberg) decision record ----------------------
   //
   // The reference's roadmap names an Iceberg sink (GAP.md:14-16: Iceberg,

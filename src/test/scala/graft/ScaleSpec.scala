@@ -320,6 +320,35 @@ class ScaleSpec extends SparkSpec {
       s"mean per-file l_partkey range ${per.getDouble(1)} vs global ${g.getLong(1)}")
   }
 
+  test("hilbert-ordered files cluster both columns at least as tightly as z-order") {
+    val li = Sources.table(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    def meanSpans(dir: String): (Double, Double) = {
+      val back = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col("l_orderkey"), col("l_partkey"))
+      val r = back.groupBy("f")
+        .agg((max("l_orderkey") - min("l_orderkey")).as("ra"),
+          (max("l_partkey") - min("l_partkey")).as("rb"))
+        .agg(avg("ra").as("ma"), avg("rb").as("mb")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("layout-z").toString
+    val hDir = java.nio.file.Files.createTempDirectory("layout-h").toString
+    Tables.writeZOrdered(li, zDir, "l_orderkey", "l_partkey", files = 16)
+    Tables.writeHilbertOrdered(li, hDir, "l_orderkey", "l_partkey", files = 16)
+    val (za, zb) = meanSpans(zDir)
+    val (ha, hb) = meanSpans(hDir)
+    // the locality claim, measured on real files: a contiguous Hilbert
+    // segment is a seam-free blob, so its zone maps must not be wider
+    // than Morton's on the same data (small slack for bucket rounding)
+    assert(ha <= za * 1.05 && hb <= zb * 1.05,
+      s"hilbert spans ($ha, $hb) vs z-order ($za, $zb)")
+    // and both must beat a single-column sort's full-range smear
+    val g = li.agg((max("l_orderkey") - min("l_orderkey")).as("ga"),
+      (max("l_partkey") - min("l_partkey")).as("gb")).collect()(0)
+    assert(ha < g.getLong(0) * 0.6 && hb < g.getLong(1) * 0.6)
+  }
+
   test("hilbertValue is a true Hilbert curve: bijection + unit-step adjacency, exhaustively") {
     import spark.implicits._
     // all 64 grid points of the 8×8 grid (bits=3, identity normalization:

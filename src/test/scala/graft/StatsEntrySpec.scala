@@ -145,6 +145,22 @@ class StatsEntrySpec extends SparkSpec {
     assert(math.abs(df - dfExp) < 1e-9, s"df: got $df expected $dfExp")
   }
 
+  test("q_autocorrelation: alternating daily series gives lag-1 ACF -0.75 on 4 days") {
+    // days d0..d3 with revenue 100,200,100,200 cents; global mean 150.
+    // lag-1: P=60000 H=500 T=400 n_pairs=3 -> num -7500; Q=100000 n=4 ->
+    // den 10000 -> acf = -0.75. Lags 7/30 have no pairs -> no rows.
+    val orders = Seq(
+      (1L, "1995-01-01", 1.0), (2L, "1995-01-02", 2.0),
+      (3L, "1995-01-03", 1.0), (4L, "1995-01-04", 2.0)
+    ).map { case (k, d, v) => (k, k, "O", v, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_autocorrelation")(spark, dir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, -0.75)), s"got ${out.toSeq}")
+  }
+
   test("er_fs_weights: m/u and log2 weights match the hand-built comparison space") {
     // sampled ids (doc_id % 5 == 0): 0,5 identical (match: same source,
     // same band, same prefix); 10,15 disjoint texts, distinct sources,
@@ -173,6 +189,25 @@ class StatsEntrySpec extends SparkSpec {
     // agreement on a discriminating field must carry positive weight,
     // disagreement negative — the FS decision-rule sanity condition
     assert(out("source")._3 > 0 && out("source")._4 < 0)
+  }
+
+  test("text_kneser_ney: discount, interpolation, and continuation smoothing match by hand") {
+    // train (doc 0): "a b a c" -> bigrams (a,b),(b,a),(a,c);
+    // c1(a)=2 n1p(a)=2, c1(b)=1 n1p(b)=1; T=3 types, V=3 distinct w2;
+    // ncont: a=1, b=1, c=1. Score doc 1 "a b x":
+    //   (a,b): seen. p = (1-.75)/2 + (.75*2/2)*pcont(b), pcont(b)=2/7
+    //   (b,x): unseen w2, seen w1. p = 0 + (.75*1/1)*pcont(x), pcont(x)=1/7
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (0L, "a b a c", "en", "s"), (1L, "a b x", "en", "s"))))
+    val out = SparkEntry.queries("text_kneser_ney")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def lp(p: Double) = math.floor(1e6 * math.log(p)).toLong
+    val pAB = 0.25 / 2 + (0.75 * 2 / 2) * (2.0 / 7)
+    val pBX = (0.75 * 1 / 1) * (1.0 / 7)
+    assert(out(1L) == ((2L, 1L, lp(pAB) + lp(pBX))), s"doc1: ${out(1L)}")
+    // held-in doc 0 scores all three bigrams as seen
+    assert(out(0L)._1 == 3L && out(0L)._2 == 3L)
   }
 
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
