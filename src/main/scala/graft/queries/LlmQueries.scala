@@ -913,6 +913,51 @@ object LlmQueries {
         |WHERE nrm > 0""".stripMargin)
     )),
 
+    // Embedding-space isotropy health check (the statistic behind ABTT —
+    // vector_abtt_whiten is the FIX, this is the MEASUREMENT): the mean
+    // pairwise cosine over ALL n² pairs, computed WITHOUT forming a single
+    // pair via the Gram identity Σ_{i≠j} u_i·u_j = ‖Σu‖² − Σ‖u‖². Unit
+    // vectors quantize to integer micro-components first, so both sums are
+    // exact integers (per-dimension partial aggregates — one narrow shuffle
+    // keyed by dimension index, nothing pairwise, at any corpus size) and
+    // the statistic is one rounded double expression. Anisotropic (trained)
+    // embeddings sit far above 0 — the readout that decides whether to
+    // apply the ABTT whitening before cosine retrieval.
+    "vector_isotropy" -> ((
+      (s: SparkSession, dir: String) => {
+        val q = emb(s, dir)
+          .select(graft.functions.Vectors.unit(col("embedding")).as("u"))
+          .filter(col("u").isNotNull)
+          .select(posexplode(col("u")).as(Seq("idx", "x")))
+          .select(col("idx"), floor(lit(1e6) * col("x")).cast("long").as("q"))
+        val dims = q.groupBy("idx").agg(sum("q").as("sd"),
+          sum(col("q").cast("decimal(19,0)") * col("q").cast("decimal(19,0)")).as("qq"))
+        val nn = emb(s, dir)
+          .select(graft.functions.Vectors.unit(col("embedding")).as("u"))
+          .filter(col("u").isNotNull).agg(count(lit(1)).as("n"))
+        val a = dims.agg(
+          sum(col("sd").cast("decimal(19,0)") * col("sd").cast("decimal(19,0)")).as("ss"),
+          sum("qq").as("sq"))
+        a.crossJoin(broadcast(nn))
+          .select(col("n"),
+            round((col("ss").cast("double") - col("sq").cast("double"))
+              / ((col("n").cast("double") * col("n") - col("n")) * lit(1e12)), 9)
+              .as("avg_pairwise_cos"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nv AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |q AS (SELECT CAST(floor(1e6 * v[i] / nrm) AS BIGINT) AS q, i
+        |  FROM nv, unnest(range(1, len(v) + 1)) AS t(i) WHERE nrm > 0),
+        |dims AS (SELECT i, CAST(sum(q) AS BIGINT) AS sd,
+        |    sum(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS qq FROM q GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nv WHERE nrm > 0),
+        |a AS (SELECT sum(CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))) AS ss,
+        |    CAST(sum(qq) AS DECIMAL(38,0)) AS sq FROM dims)
+        |SELECT n, round((CAST(ss AS DOUBLE) - CAST(sq AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * n - n) * 1e12), 9) AS avg_pairwise_cos
+        |FROM a CROSS JOIN n""".stripMargin)
+    )),
+
     // Exact ANN: top-5 cosine neighbors for query vectors vec_id < 8.
     "ann_bruteforce_topk" -> ((
       (s: SparkSession, dir: String) => {

@@ -453,6 +453,43 @@ object PipelineQueries {
         |  ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) = 1""".stripMargin)
     )),
 
+    // Gap-sessionization, batch twin of the CUSTOM-STATE streaming
+    // operator ([[graft.streaming.StreamOps.sessionize]],
+    // flatMapGroupsWithState + event-time timeout — what the built-in
+    // session_window cannot express when per-session state gets richer):
+    // in batch execution each user's history arrives as one group with no
+    // prior state and no timeout firing, so exactly the CLOSED sessions
+    // emit — Append-mode semantics, each user's final (still-open)
+    // session withheld. The oracle replays that contract: islands
+    // sessionization minus each user's last island. value_sum is
+    // deliberately not part of the checked output (the operator folds
+    // doubles in event-time order; equal-timestamp ties make that sum
+    // order-ambiguous — StreamingSpec checks it on tie-free data instead).
+    "stream_sessionize" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Sources.table(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 1000").as("ts_ms"),
+            col("value"))
+          .as[graft.streaming.StreamOps.SessionEvent]
+        graft.streaming.StreamOps.sessionize(ev, gapMs = 1800000L).toDF()
+          .select(col("user_id"), col("session_start_ms"),
+            col("session_end_ms"), col("events").cast("long").as("events"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms FROM events),
+        |b AS (SELECT *, CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |         OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+        |       THEN 1 ELSE 0 END AS boundary FROM e),
+        |sids AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b),
+        |ses AS (SELECT user_id, sid, min(ts_ms) AS session_start_ms,
+        |    max(ts_ms) AS session_end_ms, CAST(count(*) AS BIGINT) AS events
+        |  FROM sids GROUP BY 1, 2)
+        |SELECT user_id, session_start_ms, session_end_ms, events FROM ses
+        |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin)
+    )),
+
     // Schema evolution at read time: half the record stream plays the OLD
     // file schema (no record_key column), half the new one; a reader must
     // union them with the missing column null-defaulted —

@@ -210,6 +210,22 @@ class StatsEntrySpec extends SparkSpec {
     assert(out(0L)._1 == 3L && out(0L)._2 == 3L)
   }
 
+  test("vector_isotropy: planted +/-e1 corpus gives mean pairwise cosine exactly -1/3") {
+    // two copies of e1 and two of -e1: 4 same-direction ordered pairs at
+    // cos 1, 8 opposite at cos -1 -> (4-8)/12 = -1/3; unit components are
+    // exactly ±1e6 after quantization so the Gram identity is exact.
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0L), (2L, Array(1f, 0f), 0L),
+      (3L, Array(-1f, 0f), 1L), (4L, Array(-1f, 0f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = plantDir("embeddings" -> emb)
+    val out = SparkEntry.queries("vector_isotropy")(spark, dir)
+      .as[(Long, Double)].collect()
+    assert(out.length == 1)
+    assert(out(0)._1 == 4L)
+    assert(math.abs(out(0)._2 - (-1.0 / 3)) < 1e-9, s"got ${out(0)._2}")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
