@@ -441,6 +441,46 @@ object Graph {
     * edges) + one (vertex, label) count + one per-vertex arg-max window
     * keyed by vertex — bounded by degree, never global.
     */
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over directed edge copies — positive when hubs link
+    * to hubs (social shape), negative when hubs link to leaves
+    * (hub-and-spoke, the shape near-dup boilerplate clusters take). The
+    * whole statistic reduces to five exact integer sums over the edge
+    * relation (degrees joined on, never materialized per pair beyond the
+    * edge rows that already exist), then one rounded double expression —
+    * no window, no pair blow-up beyond 2m rows. Returns one row:
+    * (m_directed, assortativity); NULL when the graph is degree-regular
+    * (zero variance).
+    */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // lineage break before joining the degree relation back onto its own
+      // source — the same-lineage self-join otherwise mis-resolves the key
+      // (the adamicAdar pattern)
+      .localCheckpoint(eager = true)
+    val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val x = edges.as("e")
+      .join(deg.as("da"), col("e.src") === col("da.v"))
+      .join(deg.as("db"), col("e.dst") === col("db.v"))
+      .select(col("da.d").as("dx"), col("db.d").as("dy"))
+    val a = x.agg(count(lit(1)).as("m"),
+      sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sx2"),
+      sum(col("dy") * col("dy")).as("sy2"))
+    val varX = (col("m").cast("double") * col("sx2")
+      - col("sx").cast("double") * col("sx"))
+    val varY = (col("m").cast("double") * col("sy2")
+      - col("sy").cast("double") * col("sy"))
+    a.select(col("m").as("m_directed"),
+      when(varX * varY === 0.0, lit(null).cast("double"))
+        .otherwise(round((col("m").cast("double") * col("sxy")
+          - col("sx").cast("double") * col("sy")) / sqrt(varX * varY), 6))
+        .as("assortativity"))
+  }
+
   def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))

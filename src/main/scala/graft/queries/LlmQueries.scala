@@ -4420,6 +4420,49 @@ object LlmQueries {
         |FROM u""".stripMargin)
     )),
 
+    // Degree assortativity of the near-dup graph (Graph.assortativity):
+    // one number telling curation whether duplication is SOCIAL (hubs
+    // link hubs — template families referencing each other) or
+    // HUB-AND-SPOKE (one boilerplate source fanning to leaves — the skew
+    // case the maxDf caps exist for). Five exact integer sums over the
+    // 2m directed edge rows, one rounded double — no pair relation
+    // beyond the edges themselves.
+    "graph_assortativity" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.assortativity(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b"))),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |x AS (SELECT da.d AS dx, db.d AS dy
+        |  FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sx2,
+        |    CAST(sum(dy * dy) AS BIGINT) AS sy2 FROM x)
+        |SELECT m AS m_directed,
+        |  CASE WHEN (CAST(m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(m AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy) = 0 THEN NULL
+        |    ELSE round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+        |        * (CAST(m AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)), 6)
+        |  END AS assortativity
+        |FROM a""".stripMargin)
+    )),
+
     // Per-vertex triangle counts over the near-dup graph
     // (Graph.triangleCounts): compact-forward wedge join with degree-
     // ordered orientation, so out-degree — and hence the wedge self-join
@@ -5107,6 +5150,56 @@ object LlmQueries {
         |  CAST(sum(seen) AS BIGINT) AS n_seen,
         |  CAST(sum(lp) AS BIGINT) AS sum_logp_x1e6
         |FROM sc GROUP BY doc_id""".stripMargin)
+    )),
+
+    // Jensen–Shannon divergence between two corpus halves' unigram
+    // distributions (even vs odd doc_ids) — the symmetric, bounded
+    // [0, ln2] companion to dq_drift_psi for TEXT drift: the number a
+    // pipeline tracks to decide whether a new crawl slice changed the
+    // language mix enough to re-tune filters. One token aggregate with
+    // conditional halves, then per-word JS terms (p·ln(2p/(p+q)) and the
+    // mirror) floored to nano-units and summed order-free — vocabulary-
+    // sized shuffle, never token-sized, and no pair relation anywhere.
+    "text_jensen_shannon" -> ((
+      (s: SparkSession, dir: String) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("w"))
+          .select(col("w"), pmod(col("doc_id"), lit(2)).as("half"))
+        val counts = tok.groupBy("w").agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+          .persist()
+        val tot = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+        val p = col("ca").cast("double") / col("ta")
+        val q2 = col("cb").cast("double") / col("tb")
+        counts.crossJoin(broadcast(tot))
+          .select(
+            (when(col("ca") > 0, floor(lit(1e9) * lit(0.5) * p
+                * log(lit(2.0) * p / (p + q2)))).otherwise(lit(0L)) +
+              when(col("cb") > 0, floor(lit(1e9) * lit(0.5) * q2
+                * log(lit(2.0) * q2 / (p + q2)))).otherwise(lit(0L)))
+              .cast("long").as("term"))
+          .agg(count(lit(1)).as("n_words"), sum("term").as("js_nano"))
+      },
+      Some("""WITH tok AS (SELECT doc_id % 2 AS half, unnest(
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+        |  FROM documents),
+        |c AS (SELECT w, sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM c),
+        |terms AS (SELECT
+        |    CASE WHEN ca > 0 THEN CAST(floor(1e9 * 0.5 * (CAST(ca AS DOUBLE) / ta)
+        |      * ln(2.0 * (CAST(ca AS DOUBLE) / ta)
+        |        / (CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb))) AS BIGINT)
+        |    ELSE 0 END
+        |    + CASE WHEN cb > 0 THEN CAST(floor(1e9 * 0.5 * (CAST(cb AS DOUBLE) / tb)
+        |      * ln(2.0 * (CAST(cb AS DOUBLE) / tb)
+        |        / (CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb))) AS BIGINT)
+        |    ELSE 0 END AS term
+        |  FROM c CROSS JOIN t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(term) AS BIGINT) AS js_nano FROM terms""".stripMargin)
     )),
 
     // Feature hashing (the hashing trick): tokens folded into 16 buckets

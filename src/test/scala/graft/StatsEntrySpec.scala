@@ -226,6 +226,32 @@ class StatsEntrySpec extends SparkSpec {
     assert(math.abs(out(0)._2 - (-1.0 / 3)) < 1e-9, s"got ${out(0)._2}")
   }
 
+  test("text_jensen_shannon: identical halves -> 0, disjoint halves -> ln 2") {
+    val same = plantDir("documents" -> docsDf(Seq(
+      (0L, "a a b", "en", "s"), (1L, "a a b", "en", "s"))))
+    val out0 = SparkEntry.queries("text_jensen_shannon")(spark, same)
+      .as[(Long, Long)].collect()(0)
+    assert(out0 == ((2L, 0L)), s"identical halves: $out0")
+    val disjoint = plantDir("documents" -> docsDf(Seq(
+      (0L, "a", "en", "s"), (1L, "b", "en", "s"))))
+    val out1 = SparkEntry.queries("text_jensen_shannon")(spark, disjoint)
+      .as[(Long, Long)].collect()(0)
+    val lnTwoNano = 2 * math.floor(1e9 * 0.5 * math.log(2.0)).toLong
+    assert(out1 == ((2L, lnTwoNano)), s"disjoint halves: $out1")
+  }
+
+  test("graph_assortativity: a star graph is perfectly disassortative (-1)") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Graph.assortativity(star)
+      .as[(Long, Double)].collect()(0)
+    assert(out == ((6L, -1.0)), s"star: $out")
+    // a cycle is degree-regular -> zero variance -> NULL statistic
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("doc_a", "doc_b")
+    val c = graft.operators.Graph.assortativity(cycle)
+      .select("assortativity").collect()(0)
+    assert(c.isNullAt(0), s"cycle must yield NULL, got $c")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
