@@ -4669,6 +4669,45 @@ object AnalyticsQueries {
         |FROM p CROSS JOIN g""".stripMargin)
     )),
 
+    // McNemar's paired test — did the same customers' activity CHANGE
+    // between eras (pre/post 1998), the paired companion to the unpaired
+    // q_chi_square: only the DISCORDANT customers (active in exactly one
+    // era) carry signal, and the statistic is (b−c)²/(b+c) on those two
+    // counts. One aggregate to per-customer era flags, one to the 2×2
+    // margin — the fact table is never joined row-to-row, and the output
+    // is a single row at any SF.
+    "q_mcnemar" -> ((
+      (s: SparkSession, dir: String) => {
+        val flags = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(max(when(col("o_orderdate") < "1998-01-01", 1L).otherwise(0L)).as("pre"),
+            max(when(col("o_orderdate") >= "1998-01-01", 1L).otherwise(0L)).as("post"))
+        flags.agg(count(lit(1)).as("n_customers"),
+            sum(when(col("pre") === 1L && col("post") === 0L, 1L).otherwise(0L)).as("b"),
+            sum(when(col("pre") === 0L && col("post") === 1L, 1L).otherwise(0L)).as("c"))
+          .select(col("n_customers"), col("b"), col("c"),
+            when(col("b") + col("c") === 0L, lit(null).cast("long"))
+              .otherwise(floor(lit(1e6)
+                * (col("b") - col("c")).cast("double") * (col("b") - col("c")).cast("double")
+                / (col("b") + col("c")).cast("double")).cast("long"))
+              .as("mcnemar_micro"))
+      },
+      Some("""WITH f AS (SELECT o_custkey,
+        |    max(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01' THEN 1 ELSE 0 END) AS pre,
+        |    max(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-01-01' THEN 1 ELSE 0 END) AS post
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM f)
+        |SELECT n_customers, b, c,
+        |  CASE WHEN b + c = 0 THEN NULL
+        |    ELSE CAST(floor(1e6 * CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+        |      / CAST(b + c AS DOUBLE)) AS BIGINT)
+        |  END AS mcnemar_micro
+        |FROM a""".stripMargin)
+    )),
+
     // Welch's unequal-variance t-test (urgent-priority order value vs the
     // rest) — the parametric sibling of q_mann_whitney_u, and the test a
     // pipeline A/B readout actually uses when variances differ. ONE

@@ -4420,6 +4420,135 @@ object LlmQueries {
         |FROM u""".stripMargin)
     )),
 
+    // Fellegi–Sunter DECISION layer — er_fs_weights estimates the per-field
+    // weights; this entry applies them: every sampled candidate pair gets
+    // the summed agree/disagree log-weight and the match verdict
+    // (score > 0), the linkage rule a production ER run executes after
+    // blocking. Weights ride the pair relation as one broadcast scalar row
+    // (they are aggregates); output is the top-50 scored pairs with
+    // deterministic (score, ids) order, so the result stays bounded at any
+    // SF while the scoring plan is exactly the full-scale shape.
+    "er_fs_classify" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), col("source"),
+            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
+            substring(col("text"), 1, 100).as("p"),
+            substring_index(col("text"), " ", 2).as("pref"))
+        val pr = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            when(expr("levenshtein(a.p, b.p) <= 55"), 1L).otherwise(0L).as("tr"),
+            when(col("a.source") === col("b.source"), 1L).otherwise(0L).as("g1"),
+            when(col("a.lb") === col("b.lb"), 1L).otherwise(0L).as("g2"),
+            when(col("a.pref") === col("b.pref"), 1L).otherwise(0L).as("g3"))
+          .persist()
+        val wts = pr.agg(count(lit(1)).as("total"), sum("tr").as("n_true"),
+            sum(col("tr") * col("g1")).as("cap1"),
+            sum((lit(1L) - col("tr")) * col("g1")).as("fp1"),
+            sum(col("tr") * col("g2")).as("cap2"),
+            sum((lit(1L) - col("tr")) * col("g2")).as("fp2"),
+            sum(col("tr") * col("g3")).as("cap3"),
+            sum((lit(1L) - col("tr")) * col("g3")).as("fp3"))
+          .withColumn("n_false", col("total") - col("n_true"))
+        def wa(c: String, f0: String) =
+          s"""CAST(floor(1000 * log2((CAST($c + 1 AS DOUBLE) / (n_true + 2))
+             | / (CAST($f0 + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT)""".stripMargin
+        def wd(c: String, f0: String) =
+          s"""CAST(floor(1000 * log2((1.0 - CAST($c + 1 AS DOUBLE) / (n_true + 2))
+             | / (1.0 - CAST($f0 + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT)""".stripMargin
+        val w = wts.select(
+          expr(wa("cap1", "fp1")).as("wa1"), expr(wd("cap1", "fp1")).as("wd1"),
+          expr(wa("cap2", "fp2")).as("wa2"), expr(wd("cap2", "fp2")).as("wd2"),
+          expr(wa("cap3", "fp3")).as("wa3"), expr(wd("cap3", "fp3")).as("wd3"))
+        pr.crossJoin(broadcast(w))
+          .select(col("doc_a"), col("doc_b"),
+            (when(col("g1") === 1L, col("wa1")).otherwise(col("wd1"))
+              + when(col("g2") === 1L, col("wa2")).otherwise(col("wd2"))
+              + when(col("g3") === 1L, col("wa3")).otherwise(col("wd3")))
+              .as("score_milli"))
+          .withColumn("is_match", col("score_milli") > 0)
+          .orderBy(col("score_milli").desc, col("doc_a").asc, col("doc_b").asc)
+          .limit(50)
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb, substr(text, 1, 100) AS p,
+        |    array_to_string(string_split(text, ' ')[1:2], ' ') AS pref
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CASE WHEN levenshtein(a.p, b.p) <= 55 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END AS g2,
+        |    CASE WHEN a.pref = b.pref THEN 1 ELSE 0 END AS g3
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        |agg AS (SELECT count(*) AS total, sum(tr) AS n_true,
+        |    sum(tr * g1) AS cap1, sum((1 - tr) * g1) AS fp1,
+        |    sum(tr * g2) AS cap2, sum((1 - tr) * g2) AS fp2,
+        |    sum(tr * g3) AS cap3, sum((1 - tr) * g3) AS fp3,
+        |    count(*) - sum(tr) AS n_false
+        |  FROM pr),
+        |w AS (SELECT
+        |    CAST(floor(1000 * log2((CAST(cap1 + 1 AS DOUBLE) / (n_true + 2)) / (CAST(fp1 + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT) AS wa1,
+        |    CAST(floor(1000 * log2((1.0 - CAST(cap1 + 1 AS DOUBLE) / (n_true + 2)) / (1.0 - CAST(fp1 + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT) AS wd1,
+        |    CAST(floor(1000 * log2((CAST(cap2 + 1 AS DOUBLE) / (n_true + 2)) / (CAST(fp2 + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT) AS wa2,
+        |    CAST(floor(1000 * log2((1.0 - CAST(cap2 + 1 AS DOUBLE) / (n_true + 2)) / (1.0 - CAST(fp2 + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT) AS wd2,
+        |    CAST(floor(1000 * log2((CAST(cap3 + 1 AS DOUBLE) / (n_true + 2)) / (CAST(fp3 + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT) AS wa3,
+        |    CAST(floor(1000 * log2((1.0 - CAST(cap3 + 1 AS DOUBLE) / (n_true + 2)) / (1.0 - CAST(fp3 + 1 AS DOUBLE) / (n_false + 2)))) AS BIGINT) AS wd3
+        |  FROM agg)
+        |SELECT doc_a, doc_b,
+        |  (CASE WHEN g1 = 1 THEN wa1 ELSE wd1 END
+        |   + CASE WHEN g2 = 1 THEN wa2 ELSE wd2 END
+        |   + CASE WHEN g3 = 1 THEN wa3 ELSE wd3 END) AS score_milli,
+        |  (CASE WHEN g1 = 1 THEN wa1 ELSE wd1 END
+        |   + CASE WHEN g2 = 1 THEN wa2 ELSE wd2 END
+        |   + CASE WHEN g3 = 1 THEN wa3 ELSE wd3 END) > 0 AS is_match
+        |FROM pr CROSS JOIN w
+        |ORDER BY score_milli DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin)
+    )),
+
+    // Token burstiness (variance-to-mean dispersion of per-doc term
+    // frequency, zeros included): D ≈ 1 is Poisson background (function
+    // words), D ≫ 1 is bursty/topical — the statistic keyword extractors
+    // and stopword-list builders rank by. Exact integer sums per token
+    // (Σtf, Σtf² in DECIMAL — tf² overflows BIGINT at web scale), zeros
+    // folded in via the closed form (N·Σtf² − (Σtf)²)/(N·Σtf); top 20 by
+    // dispersion with deterministic tiebreak. Vocabulary-sized shuffle.
+    "text_burstiness" -> ((
+      (s: SparkSession, dir: String) => {
+        val nDocs = docs(s, dir).agg(count(lit(1)).as("nn"))
+        val tf = docs(s, dir)
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val perW = tf.groupBy("w").agg(
+          sum("tf").as("cw"),
+          sum(col("tf").cast("decimal(19,0)") * col("tf").cast("decimal(19,0)")).as("sq"),
+          count(lit(1)).as("df"))
+        perW.crossJoin(broadcast(nDocs))
+          .filter(col("cw") >= 5)
+          .select(col("w"), col("cw"), col("df"),
+            round((col("nn").cast("double") * col("sq").cast("double")
+              - col("cw").cast("double") * col("cw").cast("double"))
+              / (col("nn").cast("double") * col("cw").cast("double")), 6)
+              .as("burstiness"))
+          .orderBy(col("burstiness").desc, col("w").asc)
+          .limit(20)
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |perw AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cw,
+        |    sum(CAST(tf AS DECIMAL(19,0)) * CAST(tf AS DECIMAL(19,0))) AS sq,
+        |    CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+        |SELECT w, cw, df,
+        |  round((CAST(nn AS DOUBLE) * CAST(sq AS DOUBLE)
+        |    - CAST(cw AS DOUBLE) * CAST(cw AS DOUBLE))
+        |    / (CAST(nn AS DOUBLE) * CAST(cw AS DOUBLE)), 6) AS burstiness
+        |FROM perw CROSS JOIN n WHERE cw >= 5
+        |ORDER BY burstiness DESC, w ASC LIMIT 20""".stripMargin)
+    )),
+
     // Degree assortativity of the near-dup graph (Graph.assortativity):
     // one number telling curation whether duplication is SOCIAL (hubs
     // link hubs — template families referencing each other) or

@@ -252,6 +252,58 @@ class StatsEntrySpec extends SparkSpec {
     assert(c.isNullAt(0), s"cycle must yield NULL, got $c")
   }
 
+  test("q_mcnemar counts discordant customers and matches the paired statistic") {
+    // c1 pre-only, c2 post-only, c3 both, c4 pre-only -> b=2, c=1,
+    // stat = 1e6 * (2-1)^2 / 3 = 333333
+    val orders = Seq(
+      (1L, 1L, "1995-03-01"), (2L, 2L, "1999-03-01"),
+      (3L, 3L, "1995-03-01"), (4L, 3L, "1999-03-01"),
+      (5L, 4L, "1996-03-01")
+    ).map { case (ok, ck, d) => (ok, ck, "O", 1.0, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_mcnemar")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((4L, 2L, 1L, 333333L)), s"got ${out.toSeq}")
+  }
+
+  test("er_fs_classify ranks the true-match pair first with the summed FS weights") {
+    val t1 = (1 to 24).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 24).map(i => s"bravo$i bis$i").mkString(" ").padTo(400, 'x')
+    val t3 = (1 to 24).map(i => s"ch$i charlie$i").mkString(" ").padTo(400, 'y')
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (0L, t1, "en", "s1"), (5L, t1, "en", "s1"),
+      (10L, t2, "en", "s2"), (15L, t3, "en", "s3"))))
+    val out = SparkEntry.queries("er_fs_classify")(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    def w(cap: Long, fp: Long) = {
+      val m = (cap + 1).toDouble / 3; val u = (fp + 1).toDouble / 7
+      (math.floor(1000 * math.log(m / u) / math.log(2)).toLong,
+        math.floor(1000 * math.log((1 - m) / (1 - u)) / math.log(2)).toLong)
+    }
+    val (wa1, wd1) = w(1, 0); val (wa2, wd2) = w(1, 1); val (wa3, wd3) = w(1, 0)
+    // (0,5) agrees on every field; (10,15) agrees only on len_band;
+    // the other four pairs disagree everywhere
+    assert(out.head == ((0L, 5L, wa1 + wa2 + wa3, true)), s"top: ${out.head}")
+    val byPair = out.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(byPair((10L, 15L)) == ((wd1 + wa2 + wd3, wd1 + wa2 + wd3 > 0)))
+    assert(byPair((0L, 10L)) == ((wd1 + wd2 + wd3, false)))
+    assert(out.count(_._4) == 1, "exactly one pair classifies as a match")
+  }
+
+  test("text_burstiness: one bursty token scores 4.0, a uniform token scores 0") {
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (0L, "a a a a a b", "en", "s"),
+      (1L, "b", "en", "s"), (2L, "b", "en", "s"),
+      (3L, "b", "en", "s"), (4L, "b", "en", "s"))))
+    val out = SparkEntry.queries("text_burstiness")(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    // a: cw=5 sq=25 df=1, N=5 -> (125-25)/25 = 4.0; b: cw=5 sq=5 df=5 -> 0
+    assert(out.toSeq == Seq(("a", 5L, 1L, 4.0), ("b", 5L, 5L, 0.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
