@@ -197,7 +197,11 @@ object GraftFunctions {
     ("dot_u8", classOf[DotU8Expr], dotU8Builder),
     ("quantize_meta", classOf[QuantizeMetaExpr], quantizeMetaBuilder),
     ("bounded_levenshtein", classOf[BoundedLevenshteinExpr], boundedLevenshteinBuilder),
-    ("hilbert_d", classOf[HilbertDExpr], hilbertDBuilder))
+    ("hilbert_d", classOf[HilbertDExpr], hilbertDBuilder),
+    ("deflate_len", classOf[DeflateLenExpr], { exprs: Seq[Expression] =>
+      require(exprs.length == 1, "deflate_len expects 1 argument")
+      DeflateLenExpr(exprs(0))
+    }))
 
   /** Idempotent per-session registration of graft's native functions.
     * Skips names already present: re-registering logs a replaced-function

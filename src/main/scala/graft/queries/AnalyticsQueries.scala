@@ -4669,6 +4669,121 @@ object AnalyticsQueries {
         |FROM p CROSS JOIN g""".stripMargin)
     )),
 
+    // Difference-in-differences — the quasi-experimental readout when you
+    // can't randomize: AUTOMOBILE-segment customers as the treated group,
+    // pre/post-1998 as the eras, average order value as the outcome. The
+    // whole estimator is ONE conditional hash aggregate of exact decimal
+    // sums (four cell means derived in identical double expressions), so
+    // the parallel-trends table and the DiD estimate are engine-identical
+    // and the fact table is scanned once.
+    "q_diff_in_diff" -> ((
+      (s: SparkSession, dir: String) => {
+        // plain equi-join: customer is SF-proportional (never hint it —
+        // AQE sizes the build side per run, the SCALE.md broadcast policy)
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), (col("c_mktsegment") === "AUTOMOBILE").as("treated")),
+            col("o_custkey") === col("c_custkey"))
+        val x = col("o_totalprice").cast("decimal(18,6)")
+        val post = col("o_orderdate") >= "1998-01-01"
+        def cell(p: Boolean, tr: Boolean, tag: String) = Seq(
+          sum(when(post === p && col("treated") === tr, 1L).otherwise(0L)).as(s"n_$tag"),
+          sum(when(post === p && col("treated") === tr, x)
+            .otherwise(lit(0).cast("decimal(18,6)"))).as(s"s_$tag"))
+        val cells = cell(false, true, "t_pre") ++ cell(true, true, "t_post") ++
+          cell(false, false, "c_pre") ++ cell(true, false, "c_post")
+        val a = o.agg(cells.head, cells.tail: _*)
+        def m(tag: String) = col(s"s_$tag").cast("double") / col(s"n_$tag")
+        a.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+          round(m("t_pre"), 6).as("mean_t_pre"), round(m("t_post"), 6).as("mean_t_post"),
+          round(m("c_pre"), 6).as("mean_c_pre"), round(m("c_post"), 6).as("mean_c_post"),
+          round((m("t_post") - m("t_pre")) - (m("c_post") - m("c_pre")), 6).as("did_estimate"))
+      },
+      Some("""WITH tr AS (SELECT c_custkey,
+        |    max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS treated
+        |  FROM customer GROUP BY 1),
+        |j AS (SELECT o.o_totalprice AS x,
+        |    CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01' AS post, tr.treated = 1 AS treated
+        |  FROM orders o JOIN tr ON o.o_custkey = tr.c_custkey),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN NOT post AND treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |    CAST(sum(CASE WHEN post AND treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |    CAST(sum(CASE WHEN NOT post AND NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |    CAST(sum(CASE WHEN post AND NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |    sum(CASE WHEN NOT post AND treated THEN CAST(x AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_t_pre,
+        |    sum(CASE WHEN post AND treated THEN CAST(x AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_t_post,
+        |    sum(CASE WHEN NOT post AND NOT treated THEN CAST(x AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_c_pre,
+        |    sum(CASE WHEN post AND NOT treated THEN CAST(x AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_c_post
+        |  FROM j)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  round(CAST(s_t_pre AS DOUBLE) / n_t_pre, 6) AS mean_t_pre,
+        |  round(CAST(s_t_post AS DOUBLE) / n_t_post, 6) AS mean_t_post,
+        |  round(CAST(s_c_pre AS DOUBLE) / n_c_pre, 6) AS mean_c_pre,
+        |  round(CAST(s_c_post AS DOUBLE) / n_c_post, 6) AS mean_c_post,
+        |  round((CAST(s_t_post AS DOUBLE) / n_t_post - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+        |    - (CAST(s_c_post AS DOUBLE) / n_c_post - CAST(s_c_pre AS DOUBLE) / n_c_pre), 6)
+        |    AS did_estimate
+        |FROM a""".stripMargin)
+    )),
+
+    // Two-proportion power analysis — the pre-experiment readout an A/B
+    // platform computes: given the two arms' OBSERVED repeat-purchase
+    // rates (even/odd custkey split, same cohorts as q_ab_lift's family),
+    // the per-arm sample size needed to detect that difference at
+    // α = 0.05 two-sided, 80% power. Rates come from exact integer
+    // counts; the sample-size formula is one double expression with the
+    // two z-quantiles as literals; NULL when the observed rates are
+    // identical (no effect to power).
+    "q_power_analysis" -> ((
+      (s: SparkSession, dir: String) => {
+        val f = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"))
+          .select(pmod(col("o_custkey"), lit(2)).as("arm"),
+            when(col("cnt") >= 2, 1L).otherwise(0L).as("conv"))
+          .groupBy("arm").agg(count(lit(1)).as("n"), sum("conv").as("k"))
+        val a = f.agg(
+          sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("k")).otherwise(0L)).as("k1"),
+          sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("k")).otherwise(0L)).as("k2"))
+        val p1 = col("k1").cast("double") / col("n1")
+        val p2 = col("k2").cast("double") / col("n2")
+        val pbar = (col("k1") + col("k2")).cast("double") / (col("n1") + col("n2"))
+        val za = lit(1.959963984540054) // Phi^-1(0.975)
+        val zb = lit(0.8416212335729143) // Phi^-1(0.80)
+        val num = za * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+          zb * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+        a.select(
+          expr("k1 * 1000000 div n1").as("p1_ppm"),
+          expr("k2 * 1000000 div n2").as("p2_ppm"),
+          when(p1 === p2, lit(null).cast("long"))
+            .otherwise(ceil(num * num / ((p1 - p2) * (p1 - p2))).cast("long"))
+            .as("n_per_arm"))
+      },
+      Some("""WITH f AS (SELECT o_custkey % 2 AS arm,
+        |    CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS conv
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (SELECT arm, count(*) AS n, sum(conv) AS k FROM f GROUP BY 1),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN k ELSE 0 END) AS BIGINT) AS k1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN arm = 1 THEN k ELSE 0 END) AS BIGINT) AS k2
+        |  FROM g)
+        |SELECT CAST(k1 * 1000000 // n1 AS BIGINT) AS p1_ppm,
+        |  CAST(k2 * 1000000 // n2 AS BIGINT) AS p2_ppm,
+        |  CASE WHEN CAST(k1 AS DOUBLE) / n1 = CAST(k2 AS DOUBLE) / n2 THEN NULL
+        |    ELSE CAST(ceil(
+        |      pow(1.959963984540054 * sqrt(2.0 * (CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+        |          * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2)))
+        |        + 0.8416212335729143 * sqrt(
+        |            (CAST(k1 AS DOUBLE) / n1) * (1.0 - CAST(k1 AS DOUBLE) / n1)
+        |          + (CAST(k2 AS DOUBLE) / n2) * (1.0 - CAST(k2 AS DOUBLE) / n2)), 2)
+        |      / pow(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2, 2)) AS BIGINT)
+        |  END AS n_per_arm
+        |FROM a""".stripMargin)
+    )),
+
     // McNemar's paired test — did the same customers' activity CHANGE
     // between eras (pre/post 1998), the paired companion to the unpaired
     // q_chi_square: only the DISCORDANT customers (active in exactly one

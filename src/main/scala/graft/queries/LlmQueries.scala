@@ -4504,6 +4504,23 @@ object LlmQueries {
         |ORDER BY score_milli DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin)
     )),
 
+    // Compression-ratio quality signal (the Gopher "too compressible =
+    // boilerplate" heuristic): raw-DEFLATE length over raw length, per
+    // document, via the native `deflate_len` expression — a scan-speed
+    // scalar needing no tokenization, the cheapest template detector
+    // there is. zlib output is not SQL-replayable, so this entry is
+    // rows-only checked by the driver; StatsEntrySpec pins known inputs
+    // (repetitive ≪ varied) and OperatorsSpec-style invariants instead.
+    "text_compression_ratio" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir).select(col("doc_id"),
+            length(col("text")).cast("long").as("raw_len"),
+            call_function("deflate_len", col("text")).as("deflate_len"))
+          .withColumn("ratio_pm",
+            expr("deflate_len * 1000 div greatest(raw_len, 1)")),
+      None
+    )),
+
     // Token burstiness (variance-to-mean dispersion of per-doc term
     // frequency, zeros included): D ≈ 1 is Poisson background (function
     // words), D ≫ 1 is bursty/topical — the statistic keyword extractors

@@ -304,6 +304,64 @@ class StatsEntrySpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("q_diff_in_diff: four hand-built cells give the textbook DiD estimate") {
+    // treated pre 10, post 30 (Δ=20); control pre 10, post 15 (Δ=5) -> DiD 15
+    val customers = Seq(
+      (1L, "t", 0L, 0.0, "AUTOMOBILE"), (2L, "c", 0L, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, "1995-01-01", 10.0), (2L, 1L, "1999-01-01", 30.0),
+      (3L, 2L, "1995-01-01", 10.0), (4L, 2L, "1999-01-01", 15.0)
+    ).map { case (ok, ck, d, v) => (ok, ck, "O", v, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders, "customer" -> customers)
+    val out = SparkEntry.queries("q_diff_in_diff")(spark, dir)
+      .select("mean_t_pre", "mean_t_post", "mean_c_pre", "mean_c_post", "did_estimate")
+      .as[(Double, Double, Double, Double, Double)].collect()(0)
+    assert(out == ((10.0, 30.0, 10.0, 15.0, 15.0)), s"got $out")
+  }
+
+  test("q_power_analysis reproduces the two-proportion formula; equal rates give NULL") {
+    // arm0: 4 customers, 2 converters (p1=.5); arm1: 4 customers, 1 (p2=.25)
+    val orders = (
+      Seq((2L, 2), (4L, 2), (6L, 1), (8L, 1)) ++   // even custkeys, repeat iff cnt=2
+      Seq((1L, 2), (3L, 1), (5L, 1), (7L, 1))
+    ).flatMap { case (ck, cnt) => (1 to cnt).map(i => (ck * 100 + i, ck)) }
+      .map { case (ok, ck) => (ok.toLong, ck.toLong, "O", 1.0, "1995-01-01", "x") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_power_analysis")(spark, dir)
+      .as[(Long, Long, Option[Long])].collect()(0)
+    assert(out._1 == 500000L && out._2 == 250000L)
+    val (p1, p2, pb) = (0.5, 0.25, 0.375)
+    val num = 1.959963984540054 * math.sqrt(2 * pb * (1 - pb)) +
+      0.8416212335729143 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    val exp = math.ceil(num * num / ((p1 - p2) * (p1 - p2))).toLong
+    assert(out._3.contains(exp), s"got ${out._3} expected $exp")
+  }
+
+  test("text_compression_ratio: repetitive text compresses far below varied text") {
+    val rep = "the same line again " * 50
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (1L, rep, "en", "s"), (2L, varied, "en", "s"), (3L, "", "en", "s"))))
+    val out = SparkEntry.queries("text_compression_ratio")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (repLen, repDef, repPm) = out(1L)
+    val (varLen, varDef, varPm) = out(2L)
+    assert(repLen == rep.length && varLen == varied.length)
+    assert(repPm < 100, s"repetitive text must compress under 10%, got $repPm pm")
+    assert(varPm > repPm * 3, s"varied ($varPm) must sit far above repetitive ($repPm)")
+    assert(repDef > 0 && varDef > 0 && out(3L)._2 >= 0)
+    // determinism: a second evaluation returns identical lengths
+    val again = SparkEntry.queries("text_compression_ratio")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(again(1L) == repDef && again(2L) == varDef)
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
