@@ -258,6 +258,31 @@ object Graph {
       .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Local clustering coefficient per vertex: c = 2T / (d(d−1)) as a
+    * floored ×1e6 integer, for every degree-≥2 vertex (zero-triangle
+    * vertices included via the left join — their absence is the signal).
+    * Triangles come from the same degree-oriented compact-forward wedge
+    * machinery as [[triangleCounts]]; the coefficient adds one degree
+    * aggregate and one join on top, nothing pairwise.
+    */
+  def clusteringCoefficients(pairs: DataFrame): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = triangleCounts(p)
+    val und = p.select(
+        least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("doc_id")).union(und.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        floor(lit(1e6) * lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double")
+          / (col("deg").cast("double") * (col("deg").cast("double") - 1.0)))
+          .cast("long").as("coeff_micro"))
+  }
+
   /** Degree histogram of an undirected pair graph: how many vertices have
     * each degree — the one-line shape check (heavy-tail vs uniform) that
     * decides whether the pair-join downstream needs skew handling. Two

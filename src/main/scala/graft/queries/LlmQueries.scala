@@ -4420,6 +4420,126 @@ object LlmQueries {
         |FROM u""".stripMargin)
     )),
 
+    // UNSUPERVISED Fellegi–Sunter via EM (Winkler's classic): where
+    // er_fs_weights leans on a labeled truth predicate, this estimates
+    // π, m_i, u_i from the agreement-PATTERN counts alone — the real-world
+    // setting, where no one has labels for n² pairs. The pair stream
+    // reduces to ≤2³ pattern rows, so three unrolled EM rounds are scalar
+    // double arithmetic over a bounded relation (identical expressions on
+    // both engines, replayed as chained CTEs); only the converged
+    // estimates floor to ppm. Fixed init (π=.1, m=.9, u=.1) makes the
+    // fixpoint deterministic.
+    "er_fs_em" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), col("source"),
+            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
+            substring_index(col("text"), " ", 2).as("pref"))
+        val pat = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(
+            when(col("a.source") === col("b.source"), 1L).otherwise(0L).as("g1"),
+            when(col("a.lb") === col("b.lb"), 1L).otherwise(0L).as("g2"),
+            when(col("a.pref") === col("b.pref"), 1L).otherwise(0L).as("g3"))
+          .groupBy("g1", "g2", "g3").agg(count(lit(1)).as("ng"))
+          .persist()
+        val init = pat.sparkSession.range(1).select(
+          lit(0.1).as("pi"), lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
+          lit(0.1).as("u1"), lit(0.1).as("u2"), lit(0.1).as("u3"))
+        def emRound(sc: DataFrame): DataFrame = {
+          // no broadcast hint: the scalar row broadcasts itself under AQE,
+          // and the init relation is a Range the audit can't prove bounded
+          val j = pat.crossJoin(sc)
+          def lik(p: String, g: String) =
+            when(col(g) === 1L, col(p)).otherwise(lit(1.0) - col(p))
+          val aM = col("pi") * lik("m1", "g1") * lik("m2", "g2") * lik("m3", "g3")
+          val bU = (lit(1.0) - col("pi")) * lik("u1", "g1") * lik("u2", "g2") * lik("u3", "g3")
+          // posterior quantized to integer picos BEFORE the sums: double
+          // sums across pattern rows would be partition-order-dependent;
+          // ng·wq products go through DECIMAL so they stay exact at any n²
+          val wq = floor(lit(1e12) * (aM / (aM + bU))).cast("long")
+          val t = j.select(col("ng").cast("decimal(19,0)").as("ng"),
+            col("g1"), col("g2"), col("g3"),
+            wq.cast("decimal(13,0)").as("wq"),
+            (lit(1000000000000L) - wq).cast("decimal(13,0)").as("wn"))
+          t.agg(
+            (sum(col("ng") * col("wq")).cast("double")
+              / (sum(col("ng")).cast("double") * 1e12)).as("pi"),
+            (sum(col("ng") * col("wq") * col("g1")).cast("double")
+              / sum(col("ng") * col("wq")).cast("double")).as("m1"),
+            (sum(col("ng") * col("wq") * col("g2")).cast("double")
+              / sum(col("ng") * col("wq")).cast("double")).as("m2"),
+            (sum(col("ng") * col("wq") * col("g3")).cast("double")
+              / sum(col("ng") * col("wq")).cast("double")).as("m3"),
+            (sum(col("ng") * col("wn") * col("g1")).cast("double")
+              / sum(col("ng") * col("wn")).cast("double")).as("u1"),
+            (sum(col("ng") * col("wn") * col("g2")).cast("double")
+              / sum(col("ng") * col("wn")).cast("double")).as("u2"),
+            (sum(col("ng") * col("wn") * col("g3")).cast("double")
+              / sum(col("ng") * col("wn")).cast("double")).as("u3"))
+        }
+        val fin = emRound(emRound(emRound(init)))
+        fin.select(expr("""stack(3,
+            'source',   CAST(floor(1e6 * m1) AS BIGINT), CAST(floor(1e6 * u1) AS BIGINT),
+            'len_band', CAST(floor(1e6 * m2) AS BIGINT), CAST(floor(1e6 * u2) AS BIGINT),
+            'prefix2',  CAST(floor(1e6 * m3) AS BIGINT), CAST(floor(1e6 * u3) AS BIGINT))
+          AS (field, m_ppm, u_ppm)"""),
+          expr("CAST(floor(1e6 * pi) AS BIGINT)").as("pi_ppm"))
+      },
+      Some {
+        // three EM rounds generated programmatically — each round is the
+        // identical quantized E+M step the Spark side runs
+        def lik(p: String, g: String) = s"(CASE WHEN $g = 1 THEN $p ELSE 1 - $p END)"
+        def wCte(i: Int, prev: String) =
+          s"""w$i AS MATERIALIZED (SELECT ng, g1, g2, g3,
+             |    CAST(floor(1e12 * ((pi * ${lik("m1", "g1")} * ${lik("m2", "g2")} * ${lik("m3", "g3")})
+             |      / (pi * ${lik("m1", "g1")} * ${lik("m2", "g2")} * ${lik("m3", "g3")}
+             |        + (1 - pi) * ${lik("u1", "g1")} * ${lik("u2", "g2")} * ${lik("u3", "g3")}))) AS BIGINT) AS wq
+             |  FROM pat CROSS JOIN $prev)""".stripMargin
+        def sCte(i: Int, mat: String) =
+          s"""s$i AS$mat (SELECT
+             |    CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(13,0))) AS DOUBLE)
+             |      / (CAST(sum(ng) AS DOUBLE) * 1e12) AS pi,
+             |    CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(13,0)) * g1) AS DOUBLE)
+             |      / CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(13,0))) AS DOUBLE) AS m1,
+             |    CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(13,0)) * g2) AS DOUBLE)
+             |      / CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(13,0))) AS DOUBLE) AS m2,
+             |    CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(13,0)) * g3) AS DOUBLE)
+             |      / CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(wq AS DECIMAL(13,0))) AS DOUBLE) AS m3,
+             |    CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(1000000000000 - wq AS DECIMAL(13,0)) * g1) AS DOUBLE)
+             |      / CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(1000000000000 - wq AS DECIMAL(13,0))) AS DOUBLE) AS u1,
+             |    CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(1000000000000 - wq AS DECIMAL(13,0)) * g2) AS DOUBLE)
+             |      / CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(1000000000000 - wq AS DECIMAL(13,0))) AS DOUBLE) AS u2,
+             |    CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(1000000000000 - wq AS DECIMAL(13,0)) * g3) AS DOUBLE)
+             |      / CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(1000000000000 - wq AS DECIMAL(13,0))) AS DOUBLE) AS u3
+             |  FROM w$i)""".stripMargin
+        s"""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb,
+           |    array_to_string(string_split(text, ' ')[1:2], ' ') AS pref
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |pat AS MATERIALIZED (SELECT
+           |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
+           |    CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END AS g2,
+           |    CASE WHEN a.pref = b.pref THEN 1 ELSE 0 END AS g3,
+           |    count(*) AS ng
+           |  FROM d a JOIN d b ON a.doc_id < b.doc_id GROUP BY 1, 2, 3),
+           |s0 AS (SELECT 0.1 AS pi, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+           |              0.1 AS u1, 0.1 AS u2, 0.1 AS u3),
+           |${wCte(1, "s0")},
+           |${sCte(1, " MATERIALIZED")},
+           |${wCte(2, "s1")},
+           |${sCte(2, " MATERIALIZED")},
+           |${wCte(3, "s2")},
+           |${sCte(3, "")},
+           |f AS (
+           |  SELECT 'source' AS field, m1 AS m, u1 AS u, pi FROM s3
+           |  UNION ALL SELECT 'len_band', m2, u2, pi FROM s3
+           |  UNION ALL SELECT 'prefix2', m3, u3, pi FROM s3)
+           |SELECT field, CAST(floor(1e6 * m) AS BIGINT) AS m_ppm,
+           |  CAST(floor(1e6 * u) AS BIGINT) AS u_ppm,
+           |  CAST(floor(1e6 * pi) AS BIGINT) AS pi_ppm
+           |FROM f""".stripMargin
+      }
+    )),
+
     // Fellegi–Sunter DECISION layer — er_fs_weights estimates the per-field
     // weights; this entry applies them: every sampled candidate pair gets
     // the summed agree/disagree log-weight and the match verdict
@@ -4646,6 +4766,53 @@ object LlmQueries {
         |  (SELECT u AS doc_id FROM tri UNION ALL SELECT v FROM tri
         |   UNION ALL SELECT x FROM tri)
         |GROUP BY 1""".stripMargin)
+    )),
+
+    // Local clustering coefficient over the near-dup graph
+    // (Graph.clusteringCoefficients): per degree-≥2 vertex, 2T/(d(d−1))
+    // ×1e6 — cliques read 1.0, stars read 0; the structural readout that
+    // separates template FAMILIES (dense, clique-like dup neighborhoods)
+    // from hub boilerplate (one source fanned wide, zero closure). Same
+    // compact-forward wedge machinery as graph_triangles plus one degree
+    // join; the oracle extends the triangles replay with the ratio.
+    "graph_clustering_coeff" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.clusteringCoefficients(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b"))),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a AS a, doc_b AS b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |deg AS (SELECT v, count(*) AS dg FROM
+        |  (SELECT a AS v FROM jp UNION ALL SELECT b FROM jp) GROUP BY 1),
+        |o AS (SELECT
+        |  CASE WHEN (da.dg, jp.a) < (db.dg, jp.b) THEN jp.a ELSE jp.b END AS src,
+        |  CASE WHEN (da.dg, jp.a) < (db.dg, jp.b) THEN jp.b ELSE jp.a END AS dst,
+        |  CASE WHEN (da.dg, jp.a) < (db.dg, jp.b) THEN db.dg ELSE da.dg END AS dst_dg
+        |  FROM jp JOIN deg da ON da.v = jp.a JOIN deg db ON db.v = jp.b),
+        |wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS x
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |  AND (e1.dst_dg, e1.dst) < (e2.dst_dg, e2.dst)),
+        |tri AS (SELECT u, v, x FROM wg JOIN o e3 ON e3.src = wg.v AND e3.dst = wg.x),
+        |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS triangles FROM
+        |  (SELECT u AS doc_id FROM tri UNION ALL SELECT v FROM tri
+        |   UNION ALL SELECT x FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.v AS doc_id, CAST(deg.dg AS BIGINT) AS deg,
+        |  CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(floor(1e6 * 2.0 * CAST(coalesce(tc.triangles, 0) AS DOUBLE)
+        |    / (CAST(deg.dg AS DOUBLE) * (CAST(deg.dg AS DOUBLE) - 1.0))) AS BIGINT)
+        |    AS coeff_micro
+        |FROM deg LEFT JOIN tc ON tc.doc_id = deg.v
+        |WHERE deg.dg >= 2""".stripMargin)
     )),
 
     // Degree histogram of the near-dup graph (Graph.degreeHistogram) —

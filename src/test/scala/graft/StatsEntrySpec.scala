@@ -362,6 +362,56 @@ class StatsEntrySpec extends SparkSpec {
     assert(again(1L) == repDef && again(2L) == varDef)
   }
 
+  test("graph_clustering_coeff: triangle vertices close, the pendant is excluded") {
+    // triangle 1-2-3 plus pendant edge 1-4: c(1)=1/3, c(2)=c(3)=1, 4 has deg 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Graph.clusteringCoefficients(pairs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 1L, 333333L), (2L, 2L, 1L, 1000000L),
+      (3L, 2L, 1L, 1000000L)), s"got ${out.toSeq}")
+  }
+
+  test("er_fs_em: the unsupervised EM fixpoint replays exactly and separates m from u") {
+    // planted comparison space (no labels used): patterns
+    // (1,1,1):1 pair, (0,1,0):1, (0,0,0):4
+    val t1 = (1 to 24).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 24).map(i => s"bravo$i bis$i").mkString(" ").padTo(400, 'x')
+    val t3 = (1 to 24).map(i => s"ch$i charlie$i").mkString(" ").padTo(400, 'y')
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (0L, t1, "en", "s1"), (5L, t1, "en", "s1"),
+      (10L, t2, "en", "s2"), (15L, t3, "en", "s3"))))
+    val out = SparkEntry.queries("er_fs_em")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // replay the identical quantized EM in plain Scala
+    val pats = Seq((Array(1L, 1L, 1L), 1L), (Array(0L, 1L, 0L), 1L), (Array(0L, 0L, 0L), 4L))
+    var pi = 0.1
+    var m = Array(0.9, 0.9, 0.9); var u = Array(0.1, 0.1, 0.1)
+    for (_ <- 1 to 3) {
+      val wq = pats.map { case (g, _) =>
+        def lk(p: Array[Double], i: Int) = if (g(i) == 1) p(i) else 1 - p(i)
+        val a = pi * lk(m, 0) * lk(m, 1) * lk(m, 2)
+        val b = (1 - pi) * lk(u, 0) * lk(u, 1) * lk(u, 2)
+        math.floor(1e12 * (a / (a + b))).toLong
+      }
+      val ngw = pats.zip(wq).map { case ((_, n), w) => n * w }
+      val ngn = pats.zip(wq).map { case ((_, n), w) => n * (1000000000000L - w) }
+      val sW = ngw.sum; val sN = ngn.sum; val sNg = pats.map(_._2).sum
+      pi = sW.toDouble / (sNg.toDouble * 1e12)
+      m = Array.tabulate(3)(i =>
+        pats.zip(ngw).collect { case ((g, _), x) if g(i) == 1 => x }.sum.toDouble / sW.toDouble)
+      u = Array.tabulate(3)(i =>
+        pats.zip(ngn).collect { case ((g, _), x) if g(i) == 1 => x }.sum.toDouble / sN.toDouble)
+    }
+    def ppm(x: Double) = math.floor(1e6 * x).toLong
+    val piPpm = ppm(pi)
+    assert(out("source") == ((ppm(m(0)), ppm(u(0)), piPpm)), s"source: ${out("source")}")
+    assert(out("len_band") == ((ppm(m(1)), ppm(u(1)), piPpm)), s"len_band: ${out("len_band")}")
+    assert(out("prefix2") == ((ppm(m(2)), ppm(u(2)), piPpm)), s"prefix2: ${out("prefix2")}")
+    // without any labels, EM must still conclude agreement is match evidence
+    assert(out("source")._1 > out("source")._2, "m(source) must exceed u(source)")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
