@@ -4669,6 +4669,59 @@ object AnalyticsQueries {
         |FROM p CROSS JOIN g""".stripMargin)
     )),
 
+    // Shapley-value channel attribution (the data-driven attribution the
+    // last-touch/linear models in q_attribution approximate): each
+    // channel's credit is its average marginal contribution over all
+    // coalition orders. Per-user touch SETS compress to a 2³ bitmask
+    // relation, the coalition function v(S) = converted users with touch
+    // set ⊆ S materializes for all 8 coalitions, and φ is EXACT — the
+    // k=3 factorial weights have denominator 6, so φ×6 is an integer and
+    // no float appears anywhere. One user-keyed aggregate is the only
+    // corpus-sized shuffle; everything after is ≤64 rows at any SF. The
+    // efficiency property Σφ = v(C) − v(∅) is asserted in the spec.
+    "q_shapley_attribution" -> ((
+      (s: SparkSession, dir: String) => {
+        val ut = t(s, dir, "events").groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"),
+          (max(when(col("event_type") === "click", 1L).otherwise(0L))
+            + lit(2L) * max(when(col("event_type") === "view", 1L).otherwise(0L))
+            + lit(4L) * max(when(col("event_type") === "signup", 1L).otherwise(0L))).as("mask"))
+        val cm = ut.groupBy("mask").agg(sum("conv").as("c"))
+        val ss = s.range(8).select(col("id").as("coal"))
+        val v = ss.join(cm, expr("(mask & coal) = mask"), "left")
+          .groupBy("coal").agg(coalesce(sum("c"), lit(0L)).as("v"))
+        val ch = s.range(1).select(explode(expr(
+          "array(named_struct('channel', 'click', 'bit', 1L)," +
+            " named_struct('channel', 'view', 'bit', 2L)," +
+            " named_struct('channel', 'signup', 'bit', 4L))")).as("x"))
+          .select(col("x.channel").as("channel"), col("x.bit").as("bit"))
+        ch.join(v.select(col("coal").as("s0"), col("v").as("v0")), expr("(s0 & bit) = 0"))
+          .join(v.select(col("coal").as("s1"), col("v").as("v1")), expr("s1 = (s0 | bit)"))
+          .select(col("channel"),
+            (expr("CASE bit_count(s0) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END")
+              * (col("v1") - col("v0"))).as("term"))
+          .groupBy("channel").agg(sum("term").as("phi_x6"))
+      },
+      Some("""WITH ut AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    + 2 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS mask
+        |  FROM events GROUP BY 1),
+        |cm AS (SELECT mask, sum(conv) AS c FROM ut GROUP BY 1),
+        |ss AS (SELECT unnest(range(0, 8)) AS coal),
+        |v AS (SELECT coal, CAST(coalesce(sum(c), 0) AS BIGINT) AS v
+        |  FROM ss LEFT JOIN cm ON (cm.mask & ss.coal) = cm.mask GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4)) AS t(channel, bit)),
+        |marg AS (SELECT ch.channel,
+        |    CASE bit_count(v0.coal) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
+        |      * (v1.v - v0.v) AS term
+        |  FROM ch JOIN v v0 ON (v0.coal & ch.bit) = 0
+        |  JOIN v v1 ON v1.coal = (v0.coal | ch.bit))
+        |SELECT channel, CAST(sum(term) AS BIGINT) AS phi_x6
+        |FROM marg GROUP BY 1""".stripMargin)
+    )),
+
     // Difference-in-differences — the quasi-experimental readout when you
     // can't randomize: AUTOMOBILE-segment customers as the treated group,
     // pre/post-1998 as the eras, average order value as the outcome. The

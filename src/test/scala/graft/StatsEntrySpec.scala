@@ -412,6 +412,33 @@ class StatsEntrySpec extends SparkSpec {
     assert(out("source")._1 > out("source")._2, "m(source) must exceed u(source)")
   }
 
+  test("q_shapley_attribution: exact phi*6 on a hand corpus, efficiency property holds") {
+    // u1 {click} conv; u2 {view,signup} conv; u3 {click,view} no;
+    // u4 {} conv. v(emptyset)=1, v(C)=3 -> sum(phi*6) must be 12.
+    def ev(id: Long, uid: Long, t: String) = (id, "2024-01-01T00:00:00", uid, t, 1.0, "{}")
+    val events = Seq(
+      ev(1, 1, "click"), ev(2, 1, "purchase"),
+      ev(3, 2, "view"), ev(4, 2, "signup"), ev(5, 2, "purchase"),
+      ev(6, 3, "click"), ev(7, 3, "view"),
+      ev(8, 4, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = plantDir("events" -> events)
+    val out = SparkEntry.queries("q_shapley_attribution")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(out.values.sum == 12L, s"efficiency: ${out}")
+    // replay: masks {1:conv, 6:conv, 3:no, 0:conv}; v(S) over subsets
+    val cm = Map(1L -> 1L, 6L -> 1L, 3L -> 0L, 0L -> 1L)
+    def v(sS: Long) = cm.collect { case (m, c) if (m & sS) == m => c }.sum
+    def phi6(bit: Long) = (0L until 8L).filter(sS => (sS & bit) == 0).map { sS =>
+      val w6 = java.lang.Long.bitCount(sS) match { case 0 => 2L; case 1 => 1L; case _ => 2L }
+      w6 * (v(sS | bit) - v(sS))
+    }.sum
+    assert(out("click") == phi6(1L), s"click: ${out("click")} vs ${phi6(1L)}")
+    assert(out("view") == phi6(2L), s"view: ${out("view")}")
+    assert(out("signup") == phi6(4L), s"signup: ${out("signup")}")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
