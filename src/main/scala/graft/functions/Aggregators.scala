@@ -103,6 +103,26 @@ object CountMin {
     }
     m
   }
+
+  /** Count-min inner product (AMS-style): min over rows of the per-row
+    * cell-wise dot product estimates Σ_k f_a(k)·f_b(k) — the equi-join
+    * OUTPUT CARDINALITY of the two sketched key streams. Never
+    * undercounts; the overcount is bounded by e·N_a·N_b/width w.h.p. —
+    * the classic sketch a distributed optimizer uses to size a join
+    * without touching either table twice.
+    */
+  def innerProduct(a: Array[Long], b: Array[Long], width: Int, depth: Int): Long = {
+    var m = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var c = 0
+      while (c < width) { s += a(r * width + c) * b(r * width + c); c += 1 }
+      if (s < m) m = s
+      r += 1
+    }
+    m
+  }
 }
 
 final class CountMinAgg(width: Int, depth: Int)

@@ -4231,6 +4231,48 @@ object AnalyticsQueries {
         |FROM t""".stripMargin)
     )),
 
+    // Join-size estimation by count-min INNER PRODUCT (the AMS result a
+    // distributed optimizer uses to size an equi-join from one pass over
+    // each side): |events ⋈ orders on user key| = Σ_k f_e(k)·f_o(k),
+    // estimated as the min over sketch rows of the cell-wise dot product.
+    // Each side sketches independently (mergeable, one scan, O(w·d)
+    // state); the estimate NEVER undercounts and overcounts by at most
+    // ~e·N₁·N₂/width w.h.p. — both properties asserted per run against
+    // the exact size, which itself is computed aggregate-first (per-key
+    // counts joined, never a row-level join).
+    "q_cm_join_size" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val width = 4096
+        val depth = 8
+        val cms = udaf(new graft.functions.CountMinAgg(width, depth))
+        val e = t(s, dir, "events")
+        val o = t(s, dir, "orders")
+        val sk1 = e.agg(cms(col("user_id")).as("sk1"), count(lit(1)).as("n1"))
+        val sk2 = o.agg(cms(col("o_custkey")).as("sk2"), count(lit(1)).as("n2"))
+        val exact = e.groupBy("user_id").agg(count(lit(1)).as("ce"))
+          .join(o.groupBy("o_custkey").agg(count(lit(1)).as("co")),
+            col("user_id") === col("o_custkey"))
+          .agg(coalesce(sum(col("ce").cast("decimal(19,0)") * col("co").cast("decimal(19,0)")),
+            lit(0).cast("decimal(38,0)")).as("exact_size"))
+        exact.crossJoin(broadcast(sk1)).crossJoin(broadcast(sk2))
+          .select(col("exact_size").cast("long").as("exact_size"),
+            col("sk1"), col("n1"), col("sk2"), col("n2"))
+          .as[(Long, Array[Long], Long, Array[Long], Long)]
+          .map { case (ex, a, n1, b, n2) =>
+            val est = graft.functions.CountMin.innerProduct(a, b, width, depth)
+            val slack = math.ceil(math.E * n1.toDouble * n2.toDouble / width).toLong
+            (ex, est >= ex, est - ex <= slack)
+          }
+          .toDF("exact_size", "no_undercount", "within_eps")
+      },
+      Some("""WITH ce AS (SELECT user_id AS k, count(*) AS ce FROM events GROUP BY 1),
+        |co AS (SELECT o_custkey AS k, count(*) AS co FROM orders GROUP BY 1)
+        |SELECT CAST(coalesce(sum(ce.ce * co.co), 0) AS BIGINT) AS exact_size,
+        |  TRUE AS no_undercount, TRUE AS within_eps
+        |FROM ce JOIN co USING (k)""".stripMargin)
+    )),
+
     // CUSUM changepoint detection on daily counts: the drift-monitoring
     // sibling of dq_drift_psi (distribution shift) and dq_anomaly_mad
     // (point outliers) — CUSUM accumulates small sustained shifts that

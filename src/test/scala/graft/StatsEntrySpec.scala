@@ -439,6 +439,36 @@ class StatsEntrySpec extends SparkSpec {
     assert(out("signup") == phi6(4L), s"signup: ${out("signup")}")
   }
 
+  test("CountMin.innerProduct is exact without collisions and never undercounts") {
+    import graft.functions.{CountMin, CountMinAgg}
+    val width = 1 << 16; val depth = 4
+    val agg = new CountMinAgg(width, depth)
+    val a = Seq(1L, 1L, 1L, 2L).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq(1L, 2L, 2L, 3L).foldLeft(agg.zero)(agg.reduce)
+    // exact join size: 3*1 + 1*2 = 5; at width 65536 with 4 keys the
+    // probability of a colliding row in ALL 4 depths is ~0
+    assert(CountMin.innerProduct(a, b, width, depth) == 5L)
+    val narrow = new CountMinAgg(8, 4)
+    val na = Seq(1L, 1L, 1L, 2L).foldLeft(narrow.zero)(narrow.reduce)
+    val nb = Seq(1L, 2L, 2L, 3L).foldLeft(narrow.zero)(narrow.reduce)
+    assert(CountMin.innerProduct(na, nb, 8, 4) >= 5L, "CM inner product never undercounts")
+  }
+
+  test("q_cm_join_size: planted overlap gives exact 5 and the sketch bounds hold") {
+    def ev(id: Long, uid: Long) = (id, "2024-01-01T00:00:00", uid, "click", 1.0, "{}")
+    val events = Seq(ev(1, 1), ev(2, 1), ev(3, 1), ev(4, 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 2L), (13L, 3L))
+      .map { case (ok, ck) => (ok, ck, "O", 1.0, "1995-01-01", "x") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("events" -> events, "orders" -> orders)
+    val out = SparkEntry.queries("q_cm_join_size")(spark, dir)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.toSeq == Seq((5L, true, true)), s"got ${out.toSeq}")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
