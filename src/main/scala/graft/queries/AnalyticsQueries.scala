@@ -4711,6 +4711,103 @@ object AnalyticsQueries {
         |FROM p CROSS JOIN g""".stripMargin)
     )),
 
+    // Mutual information between two categoricals (priority × status) —
+    // the effect-SIZE companion to q_chi_square's significance test, and
+    // the feature-selection score an ML pipeline ranks candidate
+    // categorical features by. Observed cells only (zero cells contribute
+    // exactly 0 to MI, unlike chi-square's expected-count terms), each
+    // term floored to nano-units from exact integer counts then summed
+    // order-free. Three hash aggregates over one scan.
+    "q_mutual_information" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        val cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(count(lit(1)).as("c"))
+        val rm = o.groupBy("o_orderpriority").agg(count(lit(1)).as("r"))
+        val cm2 = o.groupBy("o_orderstatus").agg(count(lit(1)).as("k"))
+        val nn = o.agg(count(lit(1)).as("n"))
+        cells.join(rm, Seq("o_orderpriority")).join(cm2, Seq("o_orderstatus"))
+          .crossJoin(broadcast(nn))
+          .select(floor(lit(1e9) * (col("c").cast("double") / col("n"))
+            * log((col("c").cast("double") * col("n"))
+              / (col("r").cast("double") * col("k")))).cast("long").as("term"),
+            col("n"))
+          .groupBy("n").agg(count(lit(1)).as("n_cells"), sum("term").as("mi_nano"))
+          .select(col("n"), col("n_cells"), col("mi_nano"))
+      },
+      Some("""WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS st, count(*) AS c
+        |    FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT o_orderpriority AS p, CAST(count(*) AS BIGINT) AS r FROM orders GROUP BY 1),
+        |cm AS (SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS k FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+        |terms AS (SELECT n.n,
+        |    CAST(floor(1e9 * (CAST(c AS DOUBLE) / n.n)
+        |      * ln((CAST(c AS DOUBLE) * n.n) / (CAST(r AS DOUBLE) * k))) AS BIGINT) AS term
+        |  FROM cells JOIN rm ON rm.p = cells.p JOIN cm ON cm.st = cells.st CROSS JOIN n)
+        |SELECT n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(term) AS BIGINT) AS mi_nano
+        |FROM terms GROUP BY n""".stripMargin)
+    )),
+
+    // Lorenz curve at decile grain — the distribution table behind
+    // q_gini_concentration's single coefficient: cumulative revenue share
+    // by customer-spend decile, the "top 10% of customers hold X% of
+    // revenue" readout. WINDOWLESS at scale: decile BOUNDARIES come from
+    // one percentile_disc aggregate, bucket assignment is a map-side
+    // comparison against the broadcast boundaries (ties share a bucket —
+    // boundary-stable, unlike ntile's arbitrary tie splits), and the
+    // cumulative share is a self-join over the ten bucket rows. Nothing
+    // corpus-proportional ever enters a window or a single task.
+    "q_lorenz_curve" -> ((
+      (s: SparkSession, dir: String) => {
+        val per = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        val bAggs = (1 to 9).map(i =>
+          expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY cents)").as(s"b$i"))
+        val bounds = per.agg(bAggs.head, bAggs.tail: _*)
+        val dec = per.crossJoin(broadcast(bounds))
+          .select(col("cents"),
+            (lit(1L) + (1 to 9).map(i =>
+              when(col("cents") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)).as("decile"))
+          .groupBy("decile").agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+        val tot = dec.agg(sum("cents").as("tot"))
+        dec.as("a")
+          .join(dec.as("b"), col("b.decile") <= col("a.decile"))
+          .groupBy(col("a.decile").as("decile"), col("a.n_customers").as("n_customers"),
+            col("a.cents").as("cents"))
+          .agg(sum(col("b.cents")).as("cum_cents"))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_customers"),
+            expr("cents * 1000 div tot").as("share_pm"),
+            expr("cum_cents * 1000 div tot").as("cum_share_pm"))
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT quantile_disc(cents, 0.1) AS b1, quantile_disc(cents, 0.2) AS b2,
+        |    quantile_disc(cents, 0.3) AS b3, quantile_disc(cents, 0.4) AS b4,
+        |    quantile_disc(cents, 0.5) AS b5, quantile_disc(cents, 0.6) AS b6,
+        |    quantile_disc(cents, 0.7) AS b7, quantile_disc(cents, 0.8) AS b8,
+        |    quantile_disc(cents, 0.9) AS b9 FROM per),
+        |dec AS (SELECT 1 + (CASE WHEN cents > b1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b8 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > b9 THEN 1 ELSE 0 END) AS decile, cents
+        |  FROM per CROSS JOIN b),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM dec GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM g)
+        |SELECT CAST(a.decile AS BIGINT) AS decile, a.n_customers,
+        |  CAST(a.cents * 1000 // t.tot AS BIGINT) AS share_pm,
+        |  CAST(sum(b2.cents) * 1000 // t.tot AS BIGINT) AS cum_share_pm
+        |FROM g a JOIN g b2 ON b2.decile <= a.decile CROSS JOIN t
+        |GROUP BY a.decile, a.n_customers, a.cents, t.tot""".stripMargin)
+    )),
+
     // Shapley-value channel attribution (the data-driven attribution the
     // last-touch/linear models in q_attribution approximate): each
     // channel's credit is its average marginal contribution over all

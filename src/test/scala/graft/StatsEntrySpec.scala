@@ -469,6 +469,44 @@ class StatsEntrySpec extends SparkSpec {
     assert(out.toSeq == Seq((5L, true, true)), s"got ${out.toSeq}")
   }
 
+  test("q_mutual_information replays the floored-term MI on the planted 2x2") {
+    val orders = (
+      Seq.fill(10)(("A", "O")) ++ Seq.fill(20)(("A", "F")) ++
+      Seq.fill(30)(("B", "O")) ++ Seq.fill(40)(("B", "F"))
+    ).zipWithIndex.map { case ((p, st), i) =>
+      (i.toLong, i.toLong, st, 1.0, "1995-01-01", p)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_mutual_information")(spark, dir)
+      .as[(Long, Long, Long)].collect()(0)
+    val cells = Seq((10.0, 30.0, 40.0), (20.0, 30.0, 60.0),
+      (30.0, 70.0, 40.0), (40.0, 70.0, 60.0))
+    val exp = cells.map { case (c, r, k) =>
+      math.floor(1e9 * (c / 100.0) * math.log(c * 100.0 / (r * k))).toLong
+    }.sum
+    assert(out == ((100L, 4L, exp)), s"got $out expected (100, 4, $exp)")
+    assert(out._3 > 0, "dependent margins must carry positive MI")
+  }
+
+  test("q_lorenz_curve: ten distinct spends land one per decile with exact shares") {
+    val orders = (1 to 10).map(i =>
+      (i.toLong, i.toLong, "O", i.toDouble, "1995-01-01", "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_lorenz_curve")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val tot = 5500L
+    val exp = (1 to 10).map { d =>
+      val cents = d * 100L
+      val cum = (1 to d).map(_ * 100L).sum
+      (d.toLong, 1L, cents * 1000 / tot, cum * 1000 / tot)
+    }
+    assert(out.toSeq == exp, s"got ${out.toSeq}")
+    assert(out.last._4 == 1000L, "cumulative share must close at 1000 pm")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
