@@ -4711,6 +4711,59 @@ object AnalyticsQueries {
         |FROM p CROSS JOIN g""".stripMargin)
     )),
 
+    // Sequential probability ratio test (Wald) per event type — the
+    // always-valid sequential companion to the fixed-horizon tests
+    // (q_ab_lift / q_welch_ttest / q_power_analysis): each day adds
+    // k·ln(p1/p0) + (n−k)·ln(q1/q0) to the log-likelihood ratio and the
+    // run stops at the ±ln(19) boundaries (α=β=0.05). Daily terms floor
+    // to micro-units from exact counts THEN integer-cumsum in a window
+    // PARTITIONED by event_type (day-grain input, never the fact
+    // table); the output is each metric's decision and first-crossing
+    // day — the "stop the experiment early" readout.
+    "q_sprt" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > 2.5, 1L).otherwise(0L)).as("k"))
+        // H0: p=0.4, H1: p=0.5 — fixed design constants
+        val la = math.log(0.5 / 0.4)
+        val lb = math.log(0.5 / 0.6)
+        val up = math.log(19.0) // ln((1-β)/α), α=β=0.05
+        val terms = daily.select(col("event_type"), col("day"),
+          (floor(lit(1e6 * la) * col("k"))
+            + floor(lit(1e6 * lb) * (col("n") - col("k")))).cast("long").as("term"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val cum = terms.withColumn("llr_micro", sum("term").over(w))
+          .withColumn("crossed",
+            when(col("llr_micro") >= lit((1e6 * up).toLong), lit("accept_h1"))
+              .when(col("llr_micro") <= lit((-1e6 * up).toLong), lit("accept_h0")))
+        cum.filter(col("crossed").isNotNull)
+          .groupBy("event_type")
+          .agg(min_by(col("crossed"), col("day")).as("decision"),
+            min("day").cast("string").as("first_crossing_day"))
+      },
+      Some(s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1, 2),
+        |terms AS (SELECT event_type, day,
+        |    CAST(floor(${1e6 * math.log(0.5 / 0.4)} * k)
+        |      + floor(${1e6 * math.log(0.5 / 0.6)} * (n - k)) AS BIGINT) AS term
+        |  FROM daily),
+        |cum AS (SELECT event_type, day,
+        |    sum(term) OVER (PARTITION BY event_type ORDER BY day) AS llr_micro
+        |  FROM terms),
+        |cr AS (SELECT event_type, day,
+        |    CASE WHEN llr_micro >= ${(1e6 * math.log(19.0)).toLong} THEN 'accept_h1'
+        |         WHEN llr_micro <= ${(-1e6 * math.log(19.0)).toLong} THEN 'accept_h0'
+        |    END AS crossed
+        |  FROM cum)
+        |SELECT event_type, arg_min(crossed, day) AS decision,
+        |  CAST(min(day) AS VARCHAR) AS first_crossing_day
+        |FROM cr WHERE crossed IS NOT NULL GROUP BY 1""".stripMargin)
+    )),
+
     // Mutual information between two categoricals (priority × status) —
     // the effect-SIZE companion to q_chi_square's significance test, and
     // the feature-selection score an ML pipeline ranks candidate

@@ -507,6 +507,23 @@ class StatsEntrySpec extends SparkSpec {
     assert(out.last._4 == 1000L, "cumulative share must close at 1000 pm")
   }
 
+  test("q_sprt crosses the upper boundary on a high-rate stream, lower on a low-rate one") {
+    // 'hot' runs at p=1 (value 5 > 2.5): each day adds 50*ln(1.25) ~ +11.157
+    // micro-millions; upper bound ln(19) ~ 2.944 -> crosses day 1.
+    // 'cold' runs at p=0: each day adds 50*ln(5/6) ~ -9.116 -> crosses day 1.
+    def ev(id: Long, day: Int, t: String, v: Double) =
+      (id, f"2024-01-$day%02dT00:00:00", 1L, t, v, "{}")
+    val events = ((1 to 100).map(i => ev(i.toLong, 1 + (i - 1) / 50, "hot", 5.0)) ++
+      (1 to 100).map(i => ev(200L + i, 1 + (i - 1) / 50, "cold", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = plantDir("events" -> events)
+    val out = SparkEntry.queries("q_sprt")(spark, dir)
+      .as[(String, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("hot") == (("accept_h1", "2024-01-01")), s"hot: ${out("hot")}")
+    assert(out("cold") == (("accept_h0", "2024-01-01")), s"cold: ${out("cold")}")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
