@@ -24,6 +24,49 @@ object Similarity {
     scanScoredTopK(corpus, queries, k,
       (q, c) => call_function("cosine_sim", q, c))
 
+  /** Exact MAX-INNER-PRODUCT top-k — the retrieval metric of
+    * recommendation and reward models, where vector norms carry signal
+    * and cosine's normalization would erase it. Same broadcast-queries /
+    * stream-corpus / bounded-window shape as [[bruteForceTopK]]; the dot
+    * folds left-to-right in double (the order DuckDB's
+    * list_inner_product uses, so the oracle replays it exactly).
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    scanScoredTopK(corpus, queries, k, (q, c) =>
+      aggregate(zip_with(q, c, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+
+  /** MIPS reduced to COSINE search by the classic asymmetric
+    * augmentation (Bachrach et al. 2014): append sqrt(M² − ‖c‖²) to every
+    * corpus vector (M = max corpus norm) and 0 to every query — then
+    * ‖c′‖ = M for all candidates, so cosine(q′, c′) = dot(q, c)/(‖q‖·M)
+    * is strictly monotone in the inner product and ANY cosine-ANN
+    * machinery (LSH, IVF, graph-beam) answers MIPS unchanged. ScaleSpec
+    * asserts this route reproduces [[mipsTopK]]'s exact rankings.
+    */
+  def mipsViaAugmentation(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val norm2 = (v: Column) =>
+      aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val m2 = corpus.agg(max(norm2(col("embedding"))).as("m2"))
+    val aug = corpus.crossJoin(broadcast(m2))
+      .select(col("vec_id"), concat(col("embedding").cast("array<double>"),
+        array(sqrt(greatest(col("m2") - norm2(col("embedding")), lit(0.0))))).as("aug"))
+    val qaug = queries
+      .select(col("vec_id"), concat(col("embedding").cast("array<double>"),
+        array(lit(0.0))).as("aug"))
+    val cos = (q: Column, c: Column) =>
+      aggregate(zip_with(q, c, (x, y) => x * y), lit(0.0), (acc, v) => acc + v) /
+        (sqrt(norm2(q)) * sqrt(norm2(c)))
+    val scored = aug.as("c")
+      .join(broadcast(qaug.as("q")), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cos(col("q.aug"), col("c.aug")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Shared scan-and-rank pipeline for the exhaustive ANN variants:
     * broadcast the query set, stream the corpus through one narrow
     * scoring stage, keep k rows per query with the bounded top-k window.

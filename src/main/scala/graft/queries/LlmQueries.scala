@@ -976,6 +976,30 @@ object LlmQueries {
         |FROM scored QUALIFY rnk <= 5""".stripMargin)
     )),
 
+    // Exact max-inner-product top-5 (Similarity.mipsTopK) — the
+    // recommendation/reward-model retrieval metric where norms carry
+    // signal. Declared-bounded query set; the dot folds left-to-right in
+    // double exactly as DuckDB's list_inner_product does, so the full
+    // ranking replays. ScaleSpec proves the Bachrach augmentation route
+    // (MIPS → cosine, reusing any cosine-ANN machinery unchanged)
+    // reproduces these rankings — the scale path for this metric.
+    "ann_mips_topk" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        Similarity.mipsTopK(e, e.filter(col("vec_id") < 8).limit(8), k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         list_inner_product(q.v, e.v) AS d
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY d DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin)
+    )),
+
     // IVF index-health readout: cell-population balance of the pivot
     // quantizer — the number an operator checks BEFORE trusting any
     // nProbe recall figure, because a skewed quantizer silently turns

@@ -349,6 +349,23 @@ class ScaleSpec extends SparkSpec {
     assert(ha < g.getLong(0) * 0.6 && hb < g.getLong(1) * 0.6)
   }
 
+  test("MIPS-via-augmentation reproduces the exact inner-product rankings") {
+    import spark.implicits._
+    // the Bachrach reduction: after appending sqrt(M^2 - |c|^2) to every
+    // corpus vector, cosine ranking IS inner-product ranking — so any
+    // cosine-ANN structure answers MIPS. Equality on the full fixture
+    // top-5, not just overlap.
+    val e = Sources.table(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 8).limit(8)
+    val direct = Similarity.mipsTopK(e, q, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val viaCos = Similarity.mipsViaAugmentation(e, q, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(direct == viaCos,
+      s"augmented-cosine ranking diverges: ${direct.diff(viaCos)} vs ${viaCos.diff(direct)}")
+    assert(direct.size == 40)
+  }
+
   test("hilbertValue is a true Hilbert curve: bijection + unit-step adjacency, exhaustively") {
     import spark.implicits._
     // all 64 grid points of the 8×8 grid (bits=3, identity normalization:
