@@ -81,6 +81,26 @@ class CatalogContractSpec extends SparkSpec {
       s"broadcast hints on unbounded subtrees: ${offenders.mkString(", ")}")
   }
 
+  test("unpartitioned windows are restricted to the documented calendar-grain set") {
+    // PlanAudit's unpartitioned-window class, enforced in CI the way the
+    // broadcast rule already is: a Window with an empty partition spec
+    // funnels its whole input through ONE task, which is only acceptable
+    // when that input is calendar-bounded (day/month-grain aggregates) —
+    // the three documented instances below. Any other entry joining the
+    // list is a 100 TB regression, caught here instead of by the next
+    // round's verdict diff. Optimized plans, no actions.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+    val accepted = Set("q_cumulative_distinct", "q_seasonality", "q_kaplan_meier")
+    val offenders = entries.filterNot(accepted).filter { name =>
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.isEmpty => w
+      }.nonEmpty
+    }
+    assert(offenders.isEmpty,
+      s"undocumented unpartitioned windows: ${offenders.mkString(", ")}")
+  }
+
   test("CATALOG.md matches a fresh render (generated index is not stale)") {
     // the index is the only navigation aid over 300+ entries in three
     // multi-kLoC files — a stale one misdirects to wrong lines. Committed
