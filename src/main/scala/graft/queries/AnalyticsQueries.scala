@@ -5134,6 +5134,122 @@ object AnalyticsQueries {
         |  round(pow(var_a / na + var_b / nb, 2.0)
         |    / (pow(var_a / na, 2.0) / (na - 1) + pow(var_b / nb, 2.0) / (nb - 1)), 6) AS df_welch
         |FROM m""".stripMargin)
+    )),
+
+    // Theil–Sen robust trend per nation — the median-of-pairwise-slopes
+    // estimator, the robust sibling of q_ols_trend: one outlier month
+    // (a flash sale, a backfill) drags an OLS slope arbitrarily far but
+    // moves a median of ~3k pairwise slopes by one rank. Scale shape:
+    // the fact table collapses to a nation×month aggregate FIRST (exact
+    // decimal money snap, so both engines hold bit-identical y values),
+    // and only then does the pair stage run — bounded by |nation| ×
+    // calendar² regardless of SF, the same boundedness argument as the
+    // accepted calendar-grain windows, but as an embarrassingly parallel
+    // nation-keyed join, not a single-task window. The median is exact
+    // (`percentile`, not approx) over identically-computed doubles.
+    "q_theil_sen" -> ((
+      (s: SparkSession, dir: String) => {
+        val monthly = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg(moneySum(col("o_totalprice")).as("y"))
+        val a = monthly.select(col("nk"), col("m").as("m1"), col("y").as("y1"))
+        val b = monthly.select(col("nk"), col("m").as("m2"), col("y").as("y2"))
+        a.join(b, Seq("nk")).filter(col("m2") > col("m1"))
+          .select(col("nk"),
+            ((col("y2") - col("y1")) / (col("m2") - col("m1")).cast("double"))
+              .as("slope"))
+          .groupBy("nk")
+          .agg(count(lit(1)).as("n_pairs"),
+            // cents grain: slope ~ monthly revenue, so micro-scaling a
+            // 100 TB nation's slope would brush the int64 ceiling;
+            // cents never do
+            expr("CAST(floor(1e2 * percentile(slope, 0.5)) AS LONG)")
+              .as("sen_slope_cents"))
+      },
+      Some("""WITH monthly AS (
+        |  SELECT c_nationkey AS nk,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.nk, (b.y - a.y) / CAST(b.m - a.m AS DOUBLE) AS slope
+        |  FROM monthly a JOIN monthly b ON a.nk = b.nk AND b.m > a.m)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(floor(1e2 * quantile_cont(slope, 0.5)) AS BIGINT) AS sen_slope_cents
+        |FROM pairs GROUP BY 1""".stripMargin)
+    )),
+
+    // Benjamini–Hochberg FDR over per-nation drift tests — a pipeline
+    // monitoring thousands of segments at per-test α drowns in false
+    // alarms; BH step-up bounds the expected false-discovery rate
+    // instead. p-values are Hoeffding tail bounds p = min(1, 2e^(−2nΔ²)),
+    // chosen deliberately for the distributed setting: the log-domain
+    // statistic ln2 − 2nΔ² is pure rational arithmetic over exact counts
+    // (bit-identical across engines, no libm on the statistic side), and
+    // the log-space BH compare never underflows — at n ~ 10⁹ rows per
+    // segment the naive exp() is exactly 0.0 and all segments would tie.
+    // Ranking is a bounded self-join on the m=|nation| aggregate relation
+    // (no global window, nothing single-task); both crossJoins are
+    // against one-row aggregates.
+    "q_fdr_bh" -> ((
+      (s: SparkSession, dir: String) => {
+        val per = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderdate") >= "1999-01-01", 1L).otherwise(0L)).as("k"))
+        val g = per.agg(sum("n").cast("double").as("tn"),
+          sum("k").cast("double").as("tk"), count(lit(1)).as("m"))
+        val d = col("k").cast("double") / col("n") - col("tk") / col("tn")
+        val st = per.crossJoin(g)
+          .select(col("nk"), col("n"), col("k"), col("m"),
+            (lit(0.6931471805599453) - lit(2.0) * col("n") * d * d).as("lnp"))
+        val i = st.select(col("nk").as("ink"), col("n"), col("k"),
+          col("m"), col("lnp").as("ilnp"))
+        val j = st.select(col("nk").as("jnk"), col("lnp").as("jlnp"))
+        val ranked = i.join(j,
+            col("jlnp") < col("ilnp") ||
+              (col("jlnp") === col("ilnp") && col("jnk") < col("ink")), "left")
+          .groupBy(col("ink"), col("n"), col("k"), col("m"), col("ilnp"))
+          .agg((count(col("jnk")) + 1L).as("bh_rank"))
+        val kstar = ranked
+          .agg(max(when(col("ilnp") <= log(col("bh_rank") * 0.05 / col("m")),
+            col("bh_rank"))).as("kstar"))
+        ranked.crossJoin(kstar)
+          .select(col("ink").as("nk"), col("n"), col("k"),
+            expr("k * 1000000 div n").as("rate_ppm"),
+            round(col("ilnp"), 6).as("lnp"),
+            col("bh_rank"),
+            when(col("bh_rank") <= coalesce(col("kstar"), lit(0L)), 1L)
+              .otherwise(0L).as("discovered"))
+      },
+      Some("""WITH per AS (
+        |  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS DOUBLE) AS tn, CAST(sum(k) AS DOUBLE) AS tk,
+        |    CAST(count(*) AS BIGINT) AS m FROM per),
+        |st AS (SELECT nk, n, k, m,
+        |    0.6931471805599453 - 2.0 * n
+        |      * (CAST(k AS DOUBLE) / n - tk / tn)
+        |      * (CAST(k AS DOUBLE) / n - tk / tn) AS lnp
+        |  FROM per, g),
+        |ranked AS (SELECT i.nk, i.n, i.k, i.m, i.lnp,
+        |    CAST(1 + count(j.nk) AS BIGINT) AS bh_rank
+        |  FROM st i LEFT JOIN st j
+        |    ON j.lnp < i.lnp OR (j.lnp = i.lnp AND j.nk < i.nk)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |ks AS (SELECT max(CASE WHEN lnp <= ln(bh_rank * 0.05 / m)
+        |    THEN bh_rank ELSE NULL END) AS kstar FROM ranked)
+        |SELECT nk, n, k, CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+        |  round(lnp, 6) AS lnp, bh_rank,
+        |  CASE WHEN bh_rank <= coalesce(kstar, 0) THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS discovered
+        |FROM ranked, ks""".stripMargin)
     ))
   )
 }
