@@ -200,6 +200,49 @@ object Graph {
     visited
   }
 
+  /** Landmark harmonic centrality — exact closeness is Θ(n·m) (a BFS per
+    * vertex) and dead at any scale; the standard estimator runs BFS from a
+    * small deterministic landmark set L and scores every vertex by
+    * Σ_{ℓ∈L, d(ℓ,v)≥1} 1/d(ℓ,v) (harmonic, so unreachable landmarks
+    * contribute 0 and no ∞ bookkeeping is needed — the reason harmonic,
+    * not classic closeness, is the distributed-setting formulation).
+    *
+    * Shape at scale: frontier state is (landmark, vertex, hops) — ids
+    * only, never payloads — so each round is one equi-join on the frontier
+    * keyed by vertex plus one (lm, vertex) anti-join against the visited
+    * set; total state is |L| × reachable, the |L| multiplier being the
+    * user's accuracy/cost dial. `localCheckpoint` truncates lineage each
+    * round (the CC/k-core idiom). The harmonic sum is folded in FLOORED
+    * MICRO-INTEGERS (1000000 div hops, summed as longs) — order-independent
+    * and engine-exact, where a float Σ1/d would drift by summation order.
+    */
+  def landmarkHarmonic(pairs: DataFrame, seedPred: Column, maxHops: Int = 3): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true)
+    p.unpersist()
+    var visited = edges.select(col("src").as("doc_id")).distinct()
+      .filter(seedPred)
+      .select(col("doc_id").as("lm"), col("doc_id"), lit(0L).as("hops"))
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = edges
+        .join(frontier.select(col("lm"), col("doc_id").as("src")), "src")
+        .select(col("lm"), col("dst").as("doc_id")).distinct()
+        .join(visited.select("lm", "doc_id"), Seq("lm", "doc_id"), "left_anti")
+        .select(col("lm"), col("doc_id"), lit(h.toLong).as("hops"))
+        .localCheckpoint(eager = true) // visited feeds every later round
+      visited = visited.unionAll(next)
+      frontier = next
+    }
+    visited.filter(col("hops") > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div hops")).as("harmonic_x1e6"))
+  }
+
   /** Per-vertex triangle counts over an undirected pair graph — the
     * clustering-structure readout for a near-dup graph (a document inside
     * a dense triangle cluster is a much stronger dedup candidate than one

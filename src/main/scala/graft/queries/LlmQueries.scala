@@ -4228,6 +4228,54 @@ object LlmQueries {
         |UNION ALL SELECT doc_id, CAST(3 AS BIGINT) FROM l3""".stripMargin)
     )),
 
+    // Landmark harmonic centrality over the near-dup graph — which
+    // documents sit "centrally" inside the duplication structure, from
+    // BFS out of a deterministic landmark sample instead of the Θ(n·m)
+    // all-pairs BFS exact closeness needs. The per-(landmark, vertex)
+    // frontier ships ids only; the harmonic fold is floored
+    // micro-integers, so both engines sum exactly. The oracle replays the
+    // three BFS rounds as MATERIALIZED CTEs (each round feeds both the
+    // next frontier and the visited set — inlined, the shingle pipeline
+    // would replicate 2^hops times).
+    "graph_harmonic_landmarks" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.landmarkHarmonic(
+          Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+            .select(col("doc_a"), col("doc_b")),
+          seedPred = pmod(col("doc_id"), lit(7)) === 0, maxHops = 3),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS lm, src AS doc_id FROM e WHERE src % 7 = 0),
+        |f1 AS (SELECT DISTINCT l0.lm, e.dst AS doc_id FROM e JOIN l0 ON l0.doc_id = e.src),
+        |l1 AS MATERIALIZED (SELECT f1.lm, f1.doc_id FROM f1
+        |  LEFT JOIN l0 v ON v.lm = f1.lm AND v.doc_id = f1.doc_id WHERE v.lm IS NULL),
+        |v1 AS MATERIALIZED (SELECT lm, doc_id FROM l0 UNION ALL SELECT lm, doc_id FROM l1),
+        |f2 AS (SELECT DISTINCT l1.lm, e.dst AS doc_id FROM e JOIN l1 ON l1.doc_id = e.src),
+        |l2 AS MATERIALIZED (SELECT f2.lm, f2.doc_id FROM f2
+        |  LEFT JOIN v1 v ON v.lm = f2.lm AND v.doc_id = f2.doc_id WHERE v.lm IS NULL),
+        |v2 AS MATERIALIZED (SELECT lm, doc_id FROM v1 UNION ALL SELECT lm, doc_id FROM l2),
+        |f3 AS (SELECT DISTINCT l2.lm, e.dst AS doc_id FROM e JOIN l2 ON l2.doc_id = e.src),
+        |l3 AS MATERIALIZED (SELECT f3.lm, f3.doc_id FROM f3
+        |  LEFT JOIN v2 v ON v.lm = f3.lm AND v.doc_id = f3.doc_id WHERE v.lm IS NULL),
+        |d AS (SELECT lm, doc_id, 1 AS hops FROM l1
+        |  UNION ALL SELECT lm, doc_id, 2 FROM l2
+        |  UNION ALL SELECT lm, doc_id, 3 FROM l3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_x1e6
+        |FROM d GROUP BY 1""".stripMargin)
+    )),
+
     // Entity resolution end-to-end: blocking → edit-distance pairs →
     // transitive closure → one golden record per entity (singletons
     // included via the left join). The survivorship rules are aggregates
