@@ -201,6 +201,10 @@ object GraftFunctions {
     ("deflate_len", classOf[DeflateLenExpr], { exprs: Seq[Expression] =>
       require(exprs.length == 1, "deflate_len expects 1 argument")
       DeflateLenExpr(exprs(0))
+    }),
+    ("jaro_winkler", classOf[JaroWinklerExpr], { exprs: Seq[Expression] =>
+      require(exprs.length == 2, "jaro_winkler expects 2 arguments")
+      JaroWinklerExpr(exprs(0), exprs(1))
     }))
 
   /** Idempotent per-session registration of graft's native functions.

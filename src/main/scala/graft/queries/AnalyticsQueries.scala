@@ -5250,6 +5250,41 @@ object AnalyticsQueries {
         |  CASE WHEN bh_rank <= coalesce(kstar, 0) THEN CAST(1 AS BIGINT)
         |    ELSE CAST(0 AS BIGINT) END AS discovered
         |FROM ranked, ks""".stripMargin)
+    )),
+
+    // Frequent sequential patterns — contiguous event-type trigrams with
+    // DISTINCT-USER support, the sequence-mining readout q_markov_transitions'
+    // pairwise transition matrix can't express (a funnel A→B→C is a
+    // 3-pattern; its support is how many users DID it, not how often).
+    // Shape at scale: one user-partitioned window (lead ×2 — per-row
+    // state O(1), never a whole-sequence collect), then a partial+final
+    // aggregate whose output is bounded by the event-type alphabet cubed
+    // regardless of SF. The support floor is the Apriori move: it's
+    // applied post-aggregate here because the output is already
+    // alphabet-bounded; over an unbounded item domain you'd prune at the
+    // 1-gram stage first.
+    "q_seq_patterns" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events")
+          .withColumn("e2", lead("event_type", 1).over(w))
+          .withColumn("e3", lead("event_type", 2).over(w))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+          .agg(count_distinct(col("user_id")).as("support_users"),
+            count(lit(1)).as("occurrences"))
+          .filter(col("support_users") >= 5)
+      },
+      Some("""WITH seq AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS support_users,
+        |  CAST(count(*) AS BIGINT) AS occurrences
+        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= 5""".stripMargin)
     ))
   )
 }

@@ -4415,6 +4415,39 @@ object LlmQueries {
         |FROM agg""".stripMargin)
     )),
 
+    // Jaro–Winkler fuzzy matching over the DISTINCT value domain — the
+    // short-attribute scorer of the ER stack (BoundedLevenshtein
+    // thresholds long prefixes; JW scores names/titles, rewarding shared
+    // prefixes and tolerating transpositions). The scale move is the
+    // relation shape: fuzzy-match the distinct-name domain WITH its row
+    // counts (vocabulary grows sub-linearly in rows; here 64 names at any
+    // SF), then pairs-with-support — never row-level pairs, which go
+    // quadratic in the data. jaro_winkler is a native codegen Expression
+    // fuzz-pinned BITWISE to the oracle engine's (no libm, fixed op
+    // order), so the raw double crosses the gate un-rounded.
+    "er_jaro_winkler" -> ((
+      (s: SparkSession, dir: String) => {
+        val names = Sources.table(s, dir, "part")
+          .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+          .withColumn("noun", split(col("p_name"), " ").getItem(1))
+        val a = names.select(col("p_name").as("name_a"), col("cnt").as("cnt_a"), col("noun"))
+        val b = names.select(col("p_name").as("name_b"), col("cnt").as("cnt_b"), col("noun"))
+        a.join(b, Seq("noun")).filter(col("name_a") < col("name_b"))
+          .withColumn("jw", expr("jaro_winkler(name_a, name_b)"))
+          .filter(col("jw") >= 0.5)
+          .select(col("name_a"), col("name_b"), col("jw"),
+            (col("cnt_a") * col("cnt_b")).as("pair_support"))
+      },
+      Some("""WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt,
+        |    string_split(p_name, ' ')[2] AS noun
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw,
+        |  a.cnt * b.cnt AS pair_support
+        |FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.5""".stripMargin)
+    )),
+
     // Fellegi–Sunter match/non-match weights — the SCORING layer of the ER
     // stack (blocking finds candidates, FS weights decide): per comparison
     // field γ (same source / same length band / same 2-token prefix),

@@ -369,4 +369,40 @@ class SketchPropertySpec extends AnyFunSuite {
       .collect()
     got.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
   }
+
+  test("JaroWinkler matches the oracle engine's golden doubles bit-for-bit") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double =
+      JaroWinkler.sim(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    // golden values read directly from the oracle engine (DuckDB
+    // jaro_winkler_similarity) — bitwise equality is the contract that
+    // lets er_jaro_winkler emit the raw double across the gate. The set
+    // covers: standard textbook pairs, the 0.7 Winkler gate (bab/bb stays
+    // at its unboosted Jaro), the equal-string short-circuit at length 1
+    // (whose match window would otherwise be empty), and both empty-string
+    // conventions.
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("DWAYNE", "DUANE") === 0.8400000000000001)
+    assert(jw("bab", "bb") === 0.611111111111111)
+    assert(jw("e", "e") === 1.0)
+    assert(jw("", "x") === 0.0)
+    assert(jw("", "") === 0.0)
+  }
+
+  test("JaroWinkler is symmetric, in [0,1], and 1 iff equal (random strings)") {
+    import graft.functions.JaroWinkler
+    def jw(a: String, b: String): Double =
+      JaroWinkler.sim(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val ch: Gen[Char] = Gen.oneOf('a', 'b', 'c', 'd', 'e')
+    val strGen: Gen[String] = Gen.chooseNum(0, 16).flatMap(n =>
+      Gen.listOfN(n, ch).map(_.mkString))
+    forAllSampled(Gen.zip(strGen, strGen), n = 300) { case (a, b) =>
+      val s = jw(a, b)
+      assert(s === jw(b, a), s"asymmetric on $a/$b")
+      assert(s >= 0.0 && s <= 1.0, s"out of range on $a/$b: $s")
+      if (a == b && a.nonEmpty) assert(s === 1.0)
+      if (s == 1.0) assert(a == b, s"1.0 on unequal $a/$b")
+    }
+  }
 }
