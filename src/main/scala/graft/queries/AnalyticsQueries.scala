@@ -5285,6 +5285,65 @@ object AnalyticsQueries {
         |  CAST(count(*) AS BIGINT) AS occurrences
         |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= 5""".stripMargin)
+    )),
+
+    // Split-conformal prediction intervals with empirical coverage — the
+    // distribution-free way a pipeline gets "the interval contains the
+    // truth ≥ 90% of the time" guarantees with NO model assumptions:
+    // calibration split (even users) fits the per-type mean and takes
+    // q̂ = the ⌈(n+1)·0.9⌉-th smallest nonconformity |value − mean| (an
+    // exact order statistic, not an approximate quantile — the finite-
+    // sample guarantee depends on it); the disjoint test split then
+    // audits the promised coverage. Scale shape: one aggregate for the
+    // means (broadcast back — bounded by the type alphabet), one
+    // type-partitioned rank window for the order statistic, one scan for
+    // coverage. Means snap through exact decimal so both engines hold
+    // bit-identical scores.
+    "q_conformal_coverage" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+        val cal = e.filter(pmod(col("user_id"), lit(2)) === 0)
+        val tst = e.filter(pmod(col("user_id"), lit(2)) === 1)
+        val mu = cal.groupBy("event_type")
+          .agg((sum(col("value").cast("decimal(18,6)")).cast("double")
+            / count(lit(1))).as("mu"), count(lit(1)).as("n_cal"))
+        val w = Window.partitionBy("event_type").orderBy(col("score"), col("event_id"))
+        val qh = cal.join(broadcast(mu), "event_type")
+          .withColumn("score", abs(col("value") - col("mu")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") ===
+            least(expr("CAST(ceil((n_cal + 1) * 0.9) AS LONG)"), col("n_cal")))
+          .select(col("event_type"), col("score").as("qhat"), col("n_cal"))
+        tst.join(broadcast(mu.select(col("event_type"), col("mu"))), "event_type")
+          .join(broadcast(qh), "event_type")
+          .groupBy(col("event_type"))
+          .agg(max(col("n_cal")).as("n_cal"), max(col("qhat")).as("qhat"),
+            count(lit(1)).as("n_test"),
+            sum(when(abs(col("value") - col("mu")) <= col("qhat"), 1L)
+              .otherwise(0L)).as("covered"))
+          .withColumn("coverage_ppm", expr("covered * 1000000 div n_test"))
+      },
+      Some("""WITH cal AS (SELECT event_type, event_id, value FROM events WHERE user_id % 2 = 0),
+        |tst AS (SELECT event_type, value FROM events WHERE user_id % 2 = 1),
+        |mu AS (SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu,
+        |    CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1),
+        |rk AS (SELECT c.event_type, abs(c.value - m.mu) AS score, m.n_cal,
+        |    row_number() OVER (PARTITION BY c.event_type
+        |      ORDER BY abs(c.value - m.mu), c.event_id) AS rn
+        |  FROM cal c JOIN mu m ON c.event_type = m.event_type),
+        |qh AS (SELECT event_type, score AS qhat, n_cal FROM rk
+        |  WHERE rn = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)),
+        |cov AS (SELECT t.event_type, max(q.n_cal) AS n_cal, max(q.qhat) AS qhat,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN abs(t.value - m.mu) <= q.qhat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS covered
+        |  FROM tst t JOIN mu m ON t.event_type = m.event_type
+        |  JOIN qh q ON t.event_type = q.event_type GROUP BY 1)
+        |SELECT event_type, n_cal, qhat, n_test, covered,
+        |  CAST(covered * 1000000 // n_test AS BIGINT) AS coverage_ppm
+        |FROM cov""".stripMargin)
     ))
   )
 }

@@ -2121,6 +2121,63 @@ object LlmQueries {
         |FROM m, unnest(range(1, len(v) + 1)) AS t(i)""".stripMargin)
     )),
 
+    // Johnson–Lindenstrauss random projection with a distortion audit —
+    // THE dimensionality squeeze before any distance-heavy stage (64 → 16
+    // dims here): a ±1 sign matrix preserves pairwise distances in
+    // expectation (E‖Rx‖² = k‖x‖²), and unlike learned PCA it needs no
+    // training pass, no model state, and no matrix shipped — the sign of
+    // cell (i,j) is the arithmetic hash (i·31 + j·7919) mod 2, so every
+    // executor materializes its slice of R locally. The projection is a
+    // per-row codegen'd higher-order function over the int8-quantized
+    // vector (integer sums — exact, order-free in both engines); the
+    // distortion audit (ratio of projected to original squared distance,
+    // against the k· expectation) runs on a declared bounded pair set.
+    "vector_jl_projection" -> ((
+      (s: SparkSession, dir: String) => {
+        val k = 16
+        val q = emb(s, dir).filter(col("vec_id") < 24)
+          .select(col("vec_id"),
+            graft.functions.Vectors.quantizeInt8(col("embedding")).as("q"))
+          .withColumn("y", expr(
+            s"""transform(sequence(0, ${k - 1}), j ->
+               |  aggregate(sequence(0, size(q) - 1), 0L, (acc, i) ->
+               |    acc + IF((i * 31 + j * 7919) % 2 = 0, q[i], -q[i])))""".stripMargin))
+        val a = q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("y").as("ya"))
+        val b = q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("y").as("yb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+              .as("d2_orig"),
+            expr("aggregate(zip_with(ya, yb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+              .as("d2_proj"))
+          .select(col("vec_a"), col("vec_b"), col("d2_orig"), col("d2_proj"),
+            when(col("d2_orig") === 0L, lit(null).cast("long"))
+              .otherwise(expr(s"d2_proj * 1000000 div (${k}L * d2_orig)"))
+              .as("ratio_ppm"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 24),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |q AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx,
+        |    CAST(CASE WHEN mx = mn THEN 0
+        |      ELSE least(255, floor((v[i] - mn) * 255.0 / (mx - mn))) END AS BIGINT) AS qval
+        |  FROM m, unnest(range(1, len(v) + 1)) AS t(i)),
+        |proj AS (SELECT vec_id, j,
+        |    sum(CASE WHEN (idx * 31 + j * 7919) % 2 = 0 THEN qval ELSE -qval END) AS yv
+        |  FROM q, (SELECT unnest(range(0, 16)) AS j) GROUP BY 1, 2),
+        |dorig AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    sum((a.qval - b.qval) * (a.qval - b.qval)) AS d2_orig
+        |  FROM q a JOIN q b ON a.idx = b.idx AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |dproj AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    sum((a.yv - b.yv) * (a.yv - b.yv)) AS d2_proj
+        |  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT o.vec_a, o.vec_b, CAST(o.d2_orig AS BIGINT) AS d2_orig,
+        |  CAST(p.d2_proj AS BIGINT) AS d2_proj,
+        |  CASE WHEN o.d2_orig = 0 THEN NULL
+        |    ELSE CAST(p.d2_proj * 1000000 // (16 * o.d2_orig) AS BIGINT) END AS ratio_ppm
+        |FROM dorig o JOIN dproj p ON o.vec_a = p.vec_a AND o.vec_b = p.vec_b""".stripMargin)
+    )),
+
     // Incremental dedup: the daily production shape — a new batch
     // (doc_id % 10 == 0) filtered against the accepted corpus (the rest)
     // through minhash band buckets + exact-Jaccard verify, never a corpus
