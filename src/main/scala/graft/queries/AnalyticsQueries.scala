@@ -5314,7 +5314,11 @@ object AnalyticsQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") ===
             least(expr("CAST(ceil((n_cal + 1) * 0.9) AS LONG)"), col("n_cal")))
-          .select(col("event_type"), col("score").as("qhat"), col("n_cal"))
+          // the rank filter already leaves exactly one row per event_type;
+          // re-rooting in an Aggregate makes that boundedness PROVABLE to
+          // the unbounded-broadcast audit (and to any reader of the plan)
+          .groupBy(col("event_type"))
+          .agg(max(col("score")).as("qhat"), max(col("n_cal")).as("n_cal"))
         tst.join(broadcast(mu.select(col("event_type"), col("mu"))), "event_type")
           .join(broadcast(qh), "event_type")
           .groupBy(col("event_type"))
@@ -5344,6 +5348,87 @@ object AnalyticsQueries {
         |SELECT event_type, n_cal, qhat, n_test, covered,
         |  CAST(covered * 1000000 // n_test AS BIGINT) AS coverage_ppm
         |FROM cov""".stripMargin)
+    )),
+
+    // Apriori frequent triples — q_basket_lift's pairs, one lattice level
+    // up, and the entry where the PLAN is the point: the Spark side
+    // prunes with the anti-monotone property (a triple can only be
+    // frequent if all three of its pairs are), streaming order-pair
+    // occurrences through a frequent-pair semi-join BEFORE the third
+    // item joins on, then requiring (a,c) and (b,c) frequent before
+    // counting — so the explode is k²·|frequent-pair selectivity|, not
+    // k³. The oracle is the NAIVE three-way count; the results are
+    // provably identical (support ≥ 2 on the triple implies it on every
+    // sub-pair), which is exactly what the gate checks.
+    "q_basket_triples" -> ((
+      (s: SparkSession, dir: String) => {
+        val op = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fp = op.as("a")
+          .join(op.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2)
+          .select("pa", "pb")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val opp = op.as("a")
+          .join(op.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_orderkey").as("ok"),
+            col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .join(fp, Seq("pa", "pb"), "left_semi")
+        opp
+          .join(op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pc")), Seq("ok"))
+          .filter(col("pc") > col("pb"))
+          .join(fp.select(col("pa"), col("pb").as("pc")), Seq("pa", "pc"), "left_semi")
+          .join(fp.select(col("pa").as("pb"), col("pb").as("pc")), Seq("pb", "pc"), "left_semi")
+          .groupBy(col("pa").as("part_a"), col("pb").as("part_b"), col("pc").as("part_c"))
+          .agg(count(lit(1)).as("supp_abc"))
+          .filter(col("supp_abc") >= 2)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+        |  CAST(count(*) AS BIGINT) AS supp_abc
+        |FROM op a
+        |JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |JOIN op c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin)
+    )),
+
+    // Cohort LTV curves — cumulative revenue per acquisition cohort by
+    // month age, the money companion to q_retention's activity counts
+    // (a cohort that retains but doesn't spend is not a cohort you buy
+    // more of). The fact table reduces to the cohort×age grain (exact
+    // decimal cents) BEFORE the cumulative window runs, so the window is
+    // over a calendar²-bounded aggregate, partitioned by cohort — never
+    // a running sum over raw orders.
+    "q_cohort_ltv" -> ((
+      (s: SparkSession, dir: String) => {
+        val om = t(s, dir, "orders").select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+          col("o_totalprice"))
+        val coh = om.groupBy("o_custkey").agg(min("ym").as("cohort_ym"))
+        val grid = om.join(coh, Seq("o_custkey"))
+          .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("age"))
+          .agg((round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long").as("cents"))
+        val w = Window.partitionBy("cohort_ym").orderBy("age")
+        grid.withColumn("cum_cents", sum("cents").over(w))
+      },
+      Some("""WITH om AS (SELECT o_custkey,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS ym,
+        |    o_totalprice FROM orders),
+        |coh AS (SELECT o_custkey, min(ym) AS cohort_ym FROM om GROUP BY 1),
+        |grid AS (SELECT cohort_ym, ym - cohort_ym AS age,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS cents
+        |  FROM om JOIN coh USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort_ym, age, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY cohort_ym ORDER BY age) AS BIGINT) AS cum_cents
+        |FROM grid""".stripMargin)
     ))
   )
 }

@@ -2178,6 +2178,77 @@ object LlmQueries {
         |FROM dorig o JOIN dproj p ON o.vec_a = p.vec_a AND o.vec_b = p.vec_b""".stripMargin)
     )),
 
+    // Contrastive alignment gap — the label-aware embedding-quality
+    // diagnostic: per label, mean squared distance to SAME-label vectors
+    // (alignment: small = the class clusters) vs to OTHER-label vectors
+    // (dispersion: large = classes separate), and their ratio. A
+    // retrieval corpus whose margin_ppm drifts toward 1e6 has embeddings
+    // that no longer separate its classes — the health check you run
+    // after every encoder swap. All distances in the int8-quantized
+    // integer domain (exact, order-free in both engines); pair stage on
+    // a declared bounded audit sample, which is also the honest scale
+    // shape — at 100 TB this diagnostic runs on a sample, never the
+    // corpus cross-product.
+    "vector_alignment_gap" -> ((
+      (s: SparkSession, dir: String) => {
+        val q = emb(s, dir).filter(col("vec_id") < 48)
+          .select(col("vec_id"), col("label"),
+            graft.functions.Vectors.quantizeInt8(col("embedding")).as("q"))
+        val a = q.select(col("vec_id").as("va"), col("label").as("la"), col("q").as("qa"))
+        val b = q.select(col("vec_id").as("vb"), col("label").as("lb"), col("q").as("qb"))
+        val pairs = a.join(b, col("va") < col("vb"))
+          .select(col("la"), col("lb"),
+            expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+              .as("d2"))
+        // each unordered pair contributes to both endpoints' labels
+        val sided = pairs.select(col("la").as("label"), col("lb").as("other"), col("d2"))
+          .unionAll(pairs.select(col("lb").as("label"), col("la").as("other"), col("d2")))
+        sided.groupBy("label")
+          .agg(
+            sum(when(col("label") === col("other"), 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("label") === col("other"), col("d2"))).as("s_pos"),
+            sum(when(col("label") =!= col("other"), 1L).otherwise(0L)).as("n_neg"),
+            sum(when(col("label") =!= col("other"), col("d2"))).as("s_neg"))
+          .select(col("label"), col("n_pos"),
+            expr("CASE WHEN n_pos = 0 THEN NULL ELSE s_pos div n_pos END").as("mean_pos_d2"),
+            col("n_neg"),
+            expr("CASE WHEN n_neg = 0 THEN NULL ELSE s_neg div n_neg END").as("mean_neg_d2"),
+            // ratio in double over exact ≤2^53 integer products (an all-
+            // integer (s_pos·n_neg)·1e6 would pass 2^63 and ANSI-throw)
+            expr("""CASE WHEN n_pos = 0 OR n_neg = 0 OR s_neg = 0 THEN NULL
+                   |  ELSE CAST(floor(1000000.0 * (CAST(s_pos AS DOUBLE) * n_neg)
+                   |    / (CAST(s_neg AS DOUBLE) * n_pos)) AS LONG) END""".stripMargin)
+              .as("margin_ppm"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 48),
+        |m AS (SELECT vec_id, label, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |q AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS idx,
+        |    CAST(CASE WHEN mx = mn THEN 0
+        |      ELSE least(255, floor((v[i] - mn) * 255.0 / (mx - mn))) END AS BIGINT) AS qval
+        |  FROM m, unnest(range(1, len(v) + 1)) AS t(i)),
+        |d AS (SELECT a.vec_id AS va, any_value(a.label) AS la,
+        |    b.vec_id AS vb, any_value(b.label) AS lb,
+        |    sum((a.qval - b.qval) * (a.qval - b.qval)) AS d2
+        |  FROM q a JOIN q b ON a.idx = b.idx AND a.vec_id < b.vec_id GROUP BY 1, 3),
+        |sided AS (SELECT la AS label, lb AS other, d2 FROM d
+        |  UNION ALL SELECT lb, la, d2 FROM d),
+        |agg AS (SELECT label,
+        |    CAST(sum(CASE WHEN label = other THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN label = other THEN d2 END) AS BIGINT) AS s_pos,
+        |    CAST(sum(CASE WHEN label != other THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    CAST(sum(CASE WHEN label != other THEN d2 END) AS BIGINT) AS s_neg
+        |  FROM sided GROUP BY 1)
+        |SELECT label, n_pos,
+        |  CASE WHEN n_pos = 0 THEN NULL ELSE s_pos // n_pos END AS mean_pos_d2,
+        |  n_neg,
+        |  CASE WHEN n_neg = 0 THEN NULL ELSE s_neg // n_neg END AS mean_neg_d2,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 OR s_neg = 0 THEN NULL
+        |    ELSE CAST(floor(1000000.0 * (CAST(s_pos AS DOUBLE) * n_neg)
+        |      / (CAST(s_neg AS DOUBLE) * n_pos)) AS BIGINT) END AS margin_ppm
+        |FROM agg""".stripMargin)
+    )),
+
     // Incremental dedup: the daily production shape — a new batch
     // (doc_id % 10 == 0) filtered against the accepted corpus (the rest)
     // through minhash band buckets + exact-Jaccard verify, never a corpus
