@@ -5429,6 +5429,245 @@ object AnalyticsQueries {
         |SELECT cohort_ym, age, cents,
         |  CAST(sum(cents) OVER (PARTITION BY cohort_ym ORDER BY age) AS BIGINT) AS cum_cents
         |FROM grid""".stripMargin)
+    )),
+
+    // One-way ANOVA F across order priorities — the k-sample extension of
+    // q_welch_ttest, and the same exactness discipline: ONE conditional-
+    // free hash aggregate computes per-group exact decimal moment sums
+    // (n, Σx, Σx² — the (19,6)² width keeps DuckDB on its int128 path),
+    // the between/within sums of squares are then single double
+    // expressions over those exact sums. Nothing here is per-row float
+    // reduction; both engines produce bit-identical statistics. Scale
+    // shape: one scan, k=|priority| groups, one-row crossJoins.
+    "q_anova_f" -> ((
+      (s: SparkSession, dir: String) => {
+        val x = col("o_totalprice").cast("decimal(18,6)")
+        val xx = col("o_totalprice").cast("decimal(19,6)")
+        val per = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("grp"))
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(xx * xx).as("sxx"))
+        // grand mean from EXACT decimal sums, then SSB as Σ n_g(m_g−m)² —
+        // the textbook sb_raw − S²/N form is catastrophic cancellation
+        // between two ~1e15 doubles whose k-term summation order differs
+        // between engines; the mean-based form has bit-identical per-group
+        // terms and no cancellation, so the k-term sum agrees to 1e-15
+        val g = per.agg(sum("n").as("nn"),
+          sum(col("sx").cast("decimal(28,6)")).as("ss"),
+          count(lit(1)).as("k"))
+        per.crossJoin(g)
+          .select(col("nn"), col("k"), col("n"),
+            (col("sx").cast("double") / col("n")
+              - col("ss").cast("double") / col("nn")).as("dm"),
+            ((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))).as("ssw_g"))
+          .groupBy(col("nn").as("n_total"), col("k"))
+          .agg(sum(col("n") * col("dm") * col("dm")).as("ssb"),
+            sum(col("ssw_g")).as("ssw"))
+          .select(col("n_total"), col("k"),
+            round((col("ssb") / (col("k") - 1))
+              / (col("ssw") / (col("n_total") - col("k"))), 6).as("f_stat"))
+      },
+      Some("""WITH per AS (SELECT o_orderpriority AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6))) AS sxx
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(CAST(sx AS DECIMAL(28,6))) AS ss,
+        |    CAST(count(*) AS BIGINT) AS k FROM per),
+        |terms AS (SELECT nn, k, n,
+        |    CAST(sx AS DOUBLE) / n - CAST(ss AS DOUBLE) / nn AS dm,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS ssw_g
+        |  FROM per, g),
+        |m AS (SELECT nn AS n_total, k, sum(n * dm * dm) AS ssb, sum(ssw_g) AS ssw
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT n_total, k,
+        |  round((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS f_stat
+        |FROM m""".stripMargin)
+    )),
+
+    // Mann–Kendall trend test per nation — the significance companion to
+    // q_theil_sen's slope: S = Σ_{i<j} sign(y_j − y_i) over the monthly
+    // revenue series, with the tie-corrected variance and normal z. The
+    // statistic is pure INTEGER arithmetic over the exact-decimal monthly
+    // snap (sign comparisons of bit-identical doubles), so both engines
+    // agree exactly; only the final z touches libm. Scale shape identical
+    // to Theil–Sen: fact collapses to nation×month FIRST, the pair stage
+    // is |nation| × calendar² — SF-invariant — as a nation-keyed join.
+    "q_mann_kendall" -> ((
+      (s: SparkSession, dir: String) => {
+        val monthly = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg(moneySum(col("o_totalprice")).as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = monthly.select(col("nk"), col("m").as("m1"), col("y").as("y1"))
+        val b = monthly.select(col("nk"), col("m").as("m2"), col("y").as("y2"))
+        val sRel = a.join(b, Seq("nk")).filter(col("m2") > col("m1"))
+          .groupBy("nk")
+          .agg(sum(when(col("y2") > col("y1"), 1L)
+            .when(col("y2") < col("y1"), -1L).otherwise(0L)).as("s_stat"))
+        val nRel = monthly.groupBy("nk").agg(count(lit(1)).as("n_months"))
+        val ties = monthly.groupBy(col("nk"), col("y")).agg(count(lit(1)).as("tc"))
+          .groupBy("nk")
+          .agg(sum(col("tc") * (col("tc") - 1) * (col("tc") * 2 + 5)).as("tie_adj"))
+        sRel.join(nRel, "nk").join(ties, "nk")
+          .select(col("nk"), col("n_months"), col("s_stat"),
+            ((col("n_months") * (col("n_months") - 1) * (col("n_months") * 2 + 5)
+              - col("tie_adj")).cast("double") / 18.0).as("var_s"))
+          .select(col("nk"), col("n_months"), col("s_stat"),
+            round(when(col("s_stat") > 0,
+                (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+              .otherwise(0.0), 6).as("z_mk"))
+      },
+      Some("""WITH monthly AS (
+        |  SELECT c_nationkey AS nk,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (SELECT a.nk, CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM monthly a JOIN monthly b ON a.nk = b.nk AND b.m > a.m
+        |  GROUP BY 1),
+        |n AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_months FROM monthly GROUP BY 1),
+        |ties AS (SELECT nk, CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_adj
+        |  FROM (SELECT nk, y, count(*) AS tc FROM monthly GROUP BY 1, 2) GROUP BY 1),
+        |v AS (SELECT s.nk, n_months, s_stat,
+        |    CAST(n_months * (n_months - 1) * (2 * n_months + 5) - tie_adj AS DOUBLE)
+        |      / 18.0 AS var_s
+        |  FROM s JOIN n ON s.nk = n.nk JOIN ties ON s.nk = ties.nk)
+        |SELECT nk, n_months, s_stat,
+        |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+        |    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END, 6) AS z_mk
+        |FROM v""".stripMargin)
+    )),
+
+    // Cohen's kappa between two independent document-quality filters —
+    // the agreement-beyond-chance readout a curation pipeline uses to
+    // decide whether a cheap filter can replace an expensive one (κ near
+    // 1: redundant; near 0: they gate different documents and you need
+    // both). Both flags are pure integer predicates (char count; mean
+    // word length from a space count), so the 2×2 table is exact in both
+    // engines; κ is one double expression over four exact counts. ONE
+    // scan, no shuffle beyond the final 1-row aggregate.
+    "q_cohens_kappa" -> ((
+      (s: SparkSession, dir: String) => {
+        val words = length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1
+        val fa = (col("n_chars") >= 200).cast("long")
+        val fb = (col("n_chars") >= words * 3 && col("n_chars") <= words * 12)
+          .cast("long")
+        t(s, dir, "documents")
+          .select(fa.as("a"), fb.as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("a") * col("b")).as("n11"),
+            sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+            sum((lit(1L) - col("a")) * col("b")).as("n01"),
+            sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+          // chance agreement in probability space: the integer-product
+          // form (n11+n10)·(n11+n01) passes 2^63 once n ~ 1e10 docs and
+          // ANSI-throws; pa·pb over doubles is overflow-free at any SF
+          .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            (col("n11") + col("n10")).cast("double")./(col("n")).as("pa"),
+            (col("n11") + col("n01")).cast("double")./(col("n")).as("pb"),
+            (col("n11") + col("n00")).cast("double")./(col("n")).as("po"))
+          .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            round((col("po") - (col("pa") * col("pb")
+                + (lit(1.0) - col("pa")) * (lit(1.0) - col("pb"))))
+              / (lit(1.0) - (col("pa") * col("pb")
+                + (lit(1.0) - col("pa")) * (lit(1.0) - col("pb")))), 6).as("kappa"))
+      },
+      Some("""WITH f AS (SELECT
+        |    CAST(n_chars >= 200 AS BIGINT) AS a,
+        |    CAST(n_chars >= (length(text) - length(replace(text, ' ', '')) + 1) * 3
+        |      AND n_chars <= (length(text) - length(replace(text, ' ', '')) + 1) * 12
+        |      AS BIGINT) AS b
+        |  FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a * b) AS BIGINT) AS n11,
+        |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM f),
+        |p AS (SELECT n, n11, n10, n01, n00,
+        |    CAST(n11 + n10 AS DOUBLE) / n AS pa,
+        |    CAST(n11 + n01 AS DOUBLE) / n AS pb,
+        |    CAST(n11 + n00 AS DOUBLE) / n AS po
+        |  FROM c)
+        |SELECT n, n11, n10, n01, n00,
+        |  round((po - (pa * pb + (1.0 - pa) * (1.0 - pb)))
+        |    / (1.0 - (pa * pb + (1.0 - pa) * (1.0 - pb))), 6) AS kappa
+        |FROM p""".stripMargin)
+    )),
+
+    // Kruskal–Wallis H across nations' monthly revenue — the k-sample
+    // rank test (does ANY nation's distribution differ?), the
+    // nonparametric sibling of q_anova_f the way q_mann_whitney_u is of
+    // q_welch_ttest. Ranks are computed WITHOUT a global window: the
+    // fact table collapses to the nation×month grid first, and average
+    // ranks come from the bounded grid×grid pair aggregate (rank(v) =
+    // #smaller + (#equal+1)/2 — the q_fdr_bh ranking shape), so nothing
+    // funnels through one task and the pair stage is calendar²-bounded
+    // at any SF. H and its tie correction are doubles over exact counts.
+    "q_kruskal_wallis" -> ((
+      (s: SparkSession, dir: String) => {
+        val grid = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg(moneySum(col("o_totalprice")).as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val i = grid.select(col("nk"), col("m"), col("y"))
+        val j = grid.select(col("y").as("jy"))
+        val ranked = i.crossJoin(j)
+          .groupBy(col("nk"), col("m"), col("y"))
+          .agg((sum(when(col("jy") < col("y"), 1L).otherwise(0L))
+            + (sum(when(col("jy") === col("y"), 1L).otherwise(0L)) + 1L)
+              .cast("double") / 2.0).as("r"))
+        val n1 = grid.agg(count(lit(1)).as("nn"))
+        val ties = grid.groupBy("y").agg(count(lit(1)).as("tc"))
+          .agg(sum(col("tc") * col("tc") * col("tc") - col("tc")).as("tie3"))
+        val per = ranked.groupBy("nk")
+          .agg(count(lit(1)).as("n_g"), sum(col("r")).as("rsum"))
+        per.agg(count(lit(1)).as("k"),
+            sum(col("rsum") * col("rsum") / col("n_g")).as("rr"))
+          .crossJoin(n1).crossJoin(ties)
+          .select(col("nn").as("n_total"), col("k"),
+            round(lit(12.0) / (col("nn") * (col("nn") + 1)) * col("rr")
+              - (col("nn") + 1) * 3.0, 6).as("h_stat"),
+            round((lit(12.0) / (col("nn") * (col("nn") + 1)) * col("rr")
+              - (col("nn") + 1) * 3.0)
+              / (lit(1.0) - col("tie3").cast("double")
+                / (col("nn") * col("nn") * col("nn") - col("nn"))), 6)
+              .as("h_tie_corrected"))
+      },
+      Some("""WITH grid AS (
+        |  SELECT c_nationkey AS nk,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT i.nk, i.m, i.y,
+        |    sum(CASE WHEN j.y < i.y THEN 1 ELSE 0 END)
+        |      + (sum(CASE WHEN j.y = i.y THEN 1 ELSE 0 END) + 1) / 2.0 AS r
+        |  FROM grid i CROSS JOIN grid j GROUP BY 1, 2, 3),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM grid),
+        |ties AS (SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) AS tie3
+        |  FROM (SELECT y, count(*) AS tc FROM grid GROUP BY 1)),
+        |per AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_g, sum(r) AS rsum
+        |  FROM ranked GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(rsum * rsum / n_g) AS rr FROM per)
+        |SELECT nn AS n_total, k,
+        |  round(12.0 / (nn * (nn + 1)) * rr - 3.0 * (nn + 1), 6) AS h_stat,
+        |  round((12.0 / (nn * (nn + 1)) * rr - 3.0 * (nn + 1))
+        |    / (1.0 - CAST(tie3 AS DOUBLE) / (CAST(nn AS BIGINT) * nn * nn - nn)), 6)
+        |    AS h_tie_corrected
+        |FROM agg, n1, ties""".stripMargin)
     ))
   )
 }
