@@ -5668,6 +5668,57 @@ object AnalyticsQueries {
         |    / (1.0 - CAST(tie3 AS DOUBLE) / (CAST(nn AS BIGINT) * nn * nn - nn)), 6)
         |    AS h_tie_corrected
         |FROM agg, n1, ties""".stripMargin)
+    )),
+
+    // Classical seasonal decomposition per nation — the monthly revenue
+    // series splits into trend (13-month centered moving average) and a
+    // seasonal index per month-of-year, the readout that separates "Q4 is
+    // always big" from "this Q4 is anomalous" (q_seasonality measures the
+    // profile; this REMOVES the trend first, so a growing nation doesn't
+    // fake seasonality). Exactness: the series stays in integer CENTS
+    // through the window — det13 = 13·y − Σ₁₃y is exact long arithmetic,
+    // immune to the engines' different sliding-sum accumulation orders
+    // (a float MA here would drift in the last ulp and flip a floor).
+    // Scale shape: fact → nation×month grid first; the window is
+    // partitioned by nation over the calendar-bounded grid.
+    "q_seasonal_decompose" -> ((
+      (s: SparkSession, dir: String) => {
+        val grid = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg((round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long").as("cents"))
+        val w = Window.partitionBy("nk").orderBy("m").rowsBetween(-6, 6)
+        grid
+          .withColumn("s13", sum("cents").over(w))
+          .withColumn("c13", count(lit(1)).over(w))
+          .filter(col("c13") === 13)
+          .select(col("nk"), (col("m") % 12).as("moy"),
+            (col("cents") * 13 - col("s13")).as("det13"))
+          .groupBy("nk", "moy")
+          .agg(count(lit(1)).as("n_obs"),
+            floor(sum("det13").cast("double") / lit(13.0)
+              / count(lit(1))).cast("long").as("seasonal_cents"))
+      },
+      Some("""WITH grid AS (
+        |  SELECT c_nationkey AS nk,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT nk, m, cents,
+        |    sum(cents) OVER (PARTITION BY nk ORDER BY m
+        |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS s13,
+        |    count(*) OVER (PARTITION BY nk ORDER BY m
+        |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS c13
+        |  FROM grid),
+        |det AS (SELECT nk, m % 12 AS moy, cents * 13 - s13 AS det13
+        |  FROM ma WHERE c13 = 13)
+        |SELECT nk, moy, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(floor(CAST(sum(det13) AS DOUBLE) / 13 / count(*)) AS BIGINT)
+        |    AS seasonal_cents
+        |FROM det GROUP BY 1, 2""".stripMargin)
     ))
   )
 }

@@ -6845,6 +6845,180 @@ object LlmQueries {
         |  CAST(max(n_sources) AS BIGINT) AS n_sources,
         |  CAST(-sum(term) AS BIGINT) AS entropy_micro
         |FROM terms GROUP BY 1""".stripMargin)
+    )),
+
+    // Davies–Bouldin clustering quality over the label partition — the
+    // separation health check that needs NO pair-of-points stage: per-
+    // (label, dim) exact integer sums in the int8-quantized domain give
+    // both the centroid (as a rational s/n) and the within-cluster
+    // scatter (Σq²/n − (Σq/n)² summed over dims), so the only join is the
+    // k×k centroid pair relation (k = |label| ≤ 10s, SF-invariant). The
+    // sqrt in the DB ratio is IEEE-correctly-rounded in both engines —
+    // unlike pow/log there is no libm drift to round away. Contrast
+    // vector_alignment_gap, which measures the same health on a bounded
+    // SAMPLE with all pairs; this is the full-corpus aggregate-only form.
+    "vector_davies_bouldin" -> ((
+      (s: SparkSession, dir: String) => {
+        val q = emb(s, dir).select(col("label"),
+          graft.functions.Vectors.quantizeInt8(col("embedding")).as("q"))
+        val byDim = q.select(col("label"), posexplode(col("q")).as(Seq("idx", "qv")))
+          .groupBy("label", "idx")
+          .agg(count(lit(1)).as("n"), sum("qv").as("sv"),
+            sum(col("qv") * col("qv")).as("svv"))
+        val scat = byDim.groupBy("label")
+          .agg(max("n").as("n_g"),
+            sum(col("svv").cast("double") / col("n")
+              - (col("sv").cast("double") / col("n"))
+                * (col("sv").cast("double") / col("n"))).as("s2"))
+        val ca = byDim.select(col("label").as("la"), col("idx"),
+          (col("sv").cast("double") / col("n")).as("cva"))
+        val cb = byDim.select(col("label").as("lb"), col("idx"),
+          (col("sv").cast("double") / col("n")).as("cvb"))
+        val d2 = ca.join(cb, Seq("idx")).filter(col("la") =!= col("lb"))
+          .groupBy("la", "lb")
+          .agg(sum((col("cva") - col("cvb")) * (col("cva") - col("cvb"))).as("d2"))
+        val sa = scat.select(col("label").as("la"), col("s2").as("s2a"),
+          col("n_g").as("n_g"))
+        val sb = scat.select(col("label").as("lb"), col("s2").as("s2b"))
+        d2.join(sa, "la").join(sb, "lb")
+          .groupBy(col("la").as("label"))
+          .agg(max("n_g").as("n_g"),
+            round(max(sqrt(col("s2a"))), 6).as("scatter"),
+            round(max((sqrt(col("s2a")) + sqrt(col("s2b"))) / sqrt(col("d2"))), 6)
+              .as("db_ratio"))
+      },
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT label, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |u AS (SELECT label, CAST(i - 1 AS BIGINT) AS idx,
+        |    CAST(CASE WHEN mx = mn THEN 0
+        |      ELSE least(255, floor((v[i] - mn) * 255.0 / (mx - mn))) END AS BIGINT) AS qv
+        |  FROM m, unnest(range(1, len(v) + 1)) AS t(i)),
+        |bydim AS (SELECT label, idx, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv) AS BIGINT) AS sv, CAST(sum(qv * qv) AS BIGINT) AS svv
+        |  FROM u GROUP BY 1, 2),
+        |scat AS (SELECT label, max(n) AS n_g,
+        |    sum(CAST(svv AS DOUBLE) / n
+        |      - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n)) AS s2
+        |  FROM bydim GROUP BY 1),
+        |d2 AS (SELECT a.label AS la, b.label AS lb,
+        |    sum((CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)
+        |      * (CAST(a.sv AS DOUBLE) / a.n - CAST(b.sv AS DOUBLE) / b.n)) AS d2
+        |  FROM bydim a JOIN bydim b ON a.idx = b.idx AND a.label != b.label
+        |  GROUP BY 1, 2)
+        |SELECT d2.la AS label, CAST(max(sa.n_g) AS BIGINT) AS n_g,
+        |  round(max(sqrt(sa.s2)), 6) AS scatter,
+        |  round(max((sqrt(sa.s2) + sqrt(sb.s2)) / sqrt(d2.d2)), 6) AS db_ratio
+        |FROM d2 JOIN scat sa ON sa.label = d2.la JOIN scat sb ON sb.label = d2.lb
+        |GROUP BY 1""".stripMargin)
+    )),
+
+    // Heaps'-law vocabulary growth fit — V(n) ≈ K·n^β tells a crawl
+    // planner how much NEW vocabulary (entities, code identifiers,
+    // misspellings) the next 10× of corpus will bring. The curve is
+    // sampled at power-of-two checkpoints WITHOUT any global window or
+    // sort: a token's first-occurrence doc and every doc's token count
+    // bucket by length(bin(doc_id+1)) — an integer log2 — so the shuffle
+    // reduces corpus → ≤41 bucket rows, and the cumulative checkpoint
+    // curve plus the log-log OLS fit run on that bounded grid. β and
+    // ln K are identical double chains over exact counts in both engines.
+    "text_heaps_fit" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        val perDoc = d.select(length(bin(col("doc_id") + 1)).as("b"),
+            size(col("toks")).as("nt"))
+          .groupBy("b").agg(sum(col("nt").cast("long")).as("tok_new"))
+        val firstDoc = d.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("d0"))
+          .select(length(bin(col("d0") + 1)).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("voc_new"))
+        val grid = perDoc.join(firstDoc, Seq("b"), "full_outer")
+          .select(col("b"), coalesce(col("tok_new"), lit(0L)).as("tok_new"),
+            coalesce(col("voc_new"), lit(0L)).as("voc_new"))
+        val gi = grid.select(col("b"))
+        val gj = grid.select(col("b").as("jb"), col("tok_new").as("jt"),
+          col("voc_new").as("jv"))
+        val curve = gi.join(gj, col("jb") <= col("b"))
+          .groupBy("b")
+          .agg(sum("jt").as("tokens_c"), sum("jv").as("vocab_c"))
+          .filter(col("tokens_c") > 0 && col("vocab_c") > 0)
+          .select(col("b"), col("tokens_c"), col("vocab_c"),
+            log(col("tokens_c").cast("double")).as("lx"),
+            log(col("vocab_c").cast("double")).as("ly"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fit = curve
+          .agg(count(lit(1)).as("np"), avg("lx").as("mx"), avg("ly").as("my"),
+            sum(col("lx") * col("ly")).as("sxy"), sum(col("lx") * col("lx")).as("sxx"))
+          .select(col("np"),
+            ((col("sxy") - col("np") * col("mx") * col("my"))
+              / (col("sxx") - col("np") * col("mx") * col("mx"))).as("beta"))
+          .select(col("np"), round(col("beta"), 6).as("beta"))
+        curve.crossJoin(fit)
+          .select(col("b"), col("tokens_c"), col("vocab_c"), col("np"), col("beta"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |perdoc AS (SELECT length(bin(doc_id + 1)) AS b,
+        |    CAST(sum(len(toks)) AS BIGINT) AS tok_new
+        |  FROM d GROUP BY 1),
+        |firstdoc AS (SELECT length(bin(d0 + 1)) AS b, CAST(count(*) AS BIGINT) AS voc_new
+        |  FROM (SELECT min(doc_id) AS d0 FROM d, unnest(toks) AS t(tok) GROUP BY tok)
+        |  GROUP BY 1),
+        |grid AS (SELECT coalesce(p.b, f.b) AS b,
+        |    coalesce(tok_new, 0) AS tok_new, coalesce(voc_new, 0) AS voc_new
+        |  FROM perdoc p FULL OUTER JOIN firstdoc f ON p.b = f.b),
+        |curve AS (SELECT i.b,
+        |    CAST(sum(j.tok_new) AS BIGINT) AS tokens_c,
+        |    CAST(sum(j.voc_new) AS BIGINT) AS vocab_c
+        |  FROM grid i JOIN grid j ON j.b <= i.b GROUP BY 1),
+        |lcurve AS (SELECT b, tokens_c, vocab_c,
+        |    ln(CAST(tokens_c AS DOUBLE)) AS lx, ln(CAST(vocab_c AS DOUBLE)) AS ly
+        |  FROM curve WHERE tokens_c > 0 AND vocab_c > 0),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) AS np,
+        |    round((sum(lx * ly) - count(*) * avg(lx) * avg(ly))
+        |      / (sum(lx * lx) - count(*) * avg(lx) * avg(lx)), 6) AS beta
+        |  FROM lcurve)
+        |SELECT b, tokens_c, vocab_c, np, beta FROM lcurve, fit""".stripMargin)
+    )),
+
+    // Flesch-style readability per source — the curation signal that
+    // separates encyclopedic prose from listicles and code dumps using
+    // three integer counts per document (words from spaces, sentences
+    // from terminal punctuation, syllables from vowel runs — the
+    // standard hyphenation-free heuristic). The per-doc score is floored
+    // to millis (bit-identical double chain over three exact ints), then
+    // integer-summed per source: one scan, one small aggregate, no UDFs —
+    // the whole thing stays inside whole-stage codegen.
+    "text_readability" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = (length(col("text"))
+          - length(regexp_replace(col("text"), " ", "")) + 1).cast("double")
+        val sent = greatest(regexp_count(col("text"), lit("[.!?]")), lit(1))
+          .cast("double")
+        val syl = greatest(regexp_count(col("text"), lit("[aeiouyAEIOUY]+")), lit(1))
+          .cast("double")
+        docs(s, dir)
+          .select(col("source"),
+            floor((lit(206.835) - lit(1.015) * (w / sent)
+              - lit(84.6) * (syl / w)) * 1000).cast("long").as("score_milli"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("score_milli").as("sum_milli"))
+          .select(col("source"), col("n_docs"), col("sum_milli"),
+            floor(col("sum_milli").cast("double") / col("n_docs")).cast("long")
+              .as("avg_milli"))
+      },
+      Some("""WITH sc AS (SELECT source,
+        |    CAST(floor((206.835
+        |      - 1.015 * (CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+        |        / greatest(len(regexp_extract_all(text, '[.!?]')), 1))
+        |      - 84.6 * (CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+        |          AS DOUBLE)
+        |        / (length(text) - length(replace(text, ' ', '')) + 1))) * 1000)
+        |      AS BIGINT) AS score_milli
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(score_milli) AS BIGINT) AS sum_milli,
+        |  CAST(floor(CAST(sum(score_milli) AS DOUBLE) / count(*)) AS BIGINT) AS avg_milli
+        |FROM sc GROUP BY 1""".stripMargin)
     ))
   )
 
