@@ -168,6 +168,44 @@ object Graph {
         col("authority").cast("long").as("authority"))
   }
 
+  /** Katz centrality over an undirected pair graph, `iters` unrolled
+    * rounds in exact integer fixed point: x ← β + α·A·x with β = `scale`
+    * and α = 1/`attDen`, i.e. attenuated path counting — every walk of
+    * length L arriving at a vertex contributes scale/attDen^L. Unlike
+    * [[pageRank]] there is no degree normalization, so prolific hubs
+    * score by their raw reach — the "how much of the graph can copy-
+    * propagate INTO this document" number. All arithmetic is long adds
+    * plus one non-negative `div` per round (floor = truncate on ≥0), so
+    * both engines replay the rounds bit-for-bit. Convergence contract
+    * (standard Katz): α must be < 1/λ_max of the adjacency matrix or the
+    * iteration diverges — at production degree distributions pick attDen
+    * above the largest hub degree (the iterate is monotone in rounds, so
+    * a divergent configuration shows up as overflow, not silent error).
+    */
+  def katz(pairs: DataFrame, iters: Int = 3, scale: Long = 10000L,
+           attDen: Long = 8L): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true) // read by every unrolled round
+    p.unpersist()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(eager = true)
+    var x = nodes.select(col("doc_id"), lit(scale).as("katz"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(x.select(col("doc_id").as("src"), col("katz")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(sum("katz").as("c"))
+      x = nodes.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(scale) + expr(s"coalesce(c, 0L) div ${attDen}L")).as("katz"))
+        // truncate per iterate: each round otherwise embeds the previous
+        // round's join+aggregate subtree again (the PCA/CC analyzer fix)
+        .localCheckpoint(eager = true)
+    }
+    x.select(col("doc_id"), col("katz").cast("long").as("katz"))
+  }
+
   /** Minimum hop distance (≤ `maxHops`) from a seed set — k-hop
     * neighborhood materialization, the exact-distance companion to
     * [[personalizedPageRank]]'s soft proximity: BFS by `maxHops` unrolled

@@ -5719,6 +5719,142 @@ object AnalyticsQueries {
         |  CAST(floor(CAST(sum(det13) AS DOUBLE) / 13 / count(*)) AS BIGINT)
         |    AS seasonal_cents
         |FROM det GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // 10% two-sided trimmed mean per priority — the robust location
+    // estimate a revenue dashboard should show when a handful of mega-
+    // orders (or a pricing bug) would drag the plain mean: trim bounds
+    // are DISCRETE percentiles (actual data values — an interpolated
+    // bound is a synthetic double whose last ulp could flip a boundary
+    // row's membership between engines), membership is then a pure
+    // comparison, and the kept mass aggregates through the exact-decimal
+    // money snap. The window is partitioned by the group key; the bounds
+    // relation is Aggregate-rooted and broadcast.
+    "q_trimmed_mean" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        val bounds = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy("o_orderpriority")
+          .agg(min(when(col("cd") >= 0.1, col("o_totalprice"))).as("lo"),
+            min(when(col("cd") >= 0.9, col("o_totalprice"))).as("hi"))
+        t(s, dir, "orders").join(broadcast(bounds), "o_orderpriority")
+          .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_kept"),
+            moneySum(col("o_totalprice")).as("trimmed_sum"))
+          .select(col("o_orderpriority"), col("n_kept"), col("trimmed_sum"),
+            floor(col("trimmed_sum") * 100 / col("n_kept")).cast("long")
+              .as("mean_cents"))
+      },
+      Some(s"""WITH b AS (SELECT o_orderpriority,
+        |    quantile_disc(o_totalprice, 0.1) AS lo,
+        |    quantile_disc(o_totalprice, 0.9) AS hi
+        |  FROM orders GROUP BY 1),
+        |kept AS (SELECT o.o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_kept,
+        |    ${moneySumSql("o_totalprice")} AS trimmed_sum
+        |  FROM orders o JOIN b USING (o_orderpriority)
+        |  WHERE o_totalprice >= lo AND o_totalprice <= hi
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, n_kept, trimmed_sum,
+        |  CAST(floor(trimmed_sum * 100 / n_kept) AS BIGINT) AS mean_cents
+        |FROM kept""".stripMargin)
+    )),
+
+    // Bradley–Terry preference ratings from pairwise "which event type
+    // does this user do more" outcomes — the minorize-maximize fit that
+    // turns pairwise win counts into a consistent global ranking (the
+    // same estimator preference-ranked LLM training data runs on human-
+    // vote pairs). Two unrolled MM rounds: π'_a = W_a / Σ_b n_ab/(π_a+π_b),
+    // renormalized to Σπ = k. State lives in integer MICROS between
+    // rounds — each round's terms are identical double chains over exact
+    // longs, floored before the (order-free) integer sums, so both
+    // engines replay the fit bit-for-bit. Scale shape: the only corpus-
+    // sized stage is the per-(user,type) count; everything after lives
+    // on k² ≤ dozens of rows.
+    "q_bradley_terry" -> ((
+      (s: SparkSession, dir: String) => {
+        val uc = t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+        val pr = uc.as("a").join(uc.as("b"),
+            col("a.user_id") === col("b.user_id")
+              && col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+          .agg(sum(when(col("a.c") > col("b.c"), 1L).otherwise(0L)).as("wab"),
+            sum(when(col("b.c") > col("a.c"), 1L).otherwise(0L)).as("wba"))
+          .filter(col("wab") + col("wba") > 0)
+          .withColumn("n_ab", col("wab") + col("wba"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dirRel = pr.select(col("ta").as("a"), col("tb").as("b"), col("n_ab"))
+          .unionAll(pr.select(col("tb").as("a"), col("ta").as("b"), col("n_ab")))
+        val wins = pr.select(col("ta").as("et"), col("wab").as("w"), col("n_ab"))
+          .unionAll(pr.select(col("tb").as("et"), col("wba").as("w"), col("n_ab")))
+          .groupBy("et").agg(sum("w").as("w"), sum("n_ab").as("games"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val kTot = wins.agg(count(lit(1)).as("k"))
+        var pi = wins.select(col("et"), lit(1000000L).as("p"))
+        for (_ <- 1 to 2) {
+          val pa = pi.select(col("et").as("a"), col("p").as("pa"))
+          val pb = pi.select(col("et").as("b"), col("p").as("pb"))
+          val denom = dirRel.join(pa, "a").join(pb, "b")
+            .select(col("a").as("et"),
+              floor(col("n_ab") * lit(1e12)
+                / greatest(col("pa") + col("pb"), lit(1L))).cast("long").as("term"))
+            .groupBy("et").agg(sum("term").as("denom"))
+          val praw = wins.join(denom, "et")
+            .select(col("et"),
+              floor(col("w") * lit(1e12) / col("denom")).cast("long").as("praw"))
+          val tot = praw.agg(sum("praw").as("tot"))
+          pi = praw.crossJoin(broadcast(tot)).crossJoin(broadcast(kTot))
+            .select(col("et"),
+              floor(col("praw") * (col("k") * lit(1000000.0)) / col("tot"))
+                .cast("long").as("p"))
+        }
+        wins.join(pi, "et")
+          .select(col("et").as("event_type"), col("w").as("wins"),
+            col("games"), col("p").as("pi_micro"))
+      },
+      Some {
+        val rounds = (1 to 2).map { r =>
+          s"""d$r AS (SELECT dir.a AS et,
+             |    CAST(sum(CAST(floor(n_ab * 1e12
+             |      / greatest(pa.p + pb.p, 1)) AS BIGINT)) AS BIGINT) AS denom
+             |  FROM dir JOIN p${r - 1} pa ON pa.et = dir.a
+             |  JOIN p${r - 1} pb ON pb.et = dir.b GROUP BY 1),
+             |r$r AS (SELECT wins.et,
+             |    CAST(floor(w * 1e12 / denom) AS BIGINT) AS praw
+             |  FROM wins JOIN d$r ON d$r.et = wins.et),
+             |t$r AS (SELECT CAST(sum(praw) AS BIGINT) AS tot FROM r$r),
+             |p$r AS MATERIALIZED (SELECT et,
+             |    CAST(floor(praw * (k * 1000000.0) / tot) AS BIGINT) AS p
+             |  FROM r$r, t$r, kk)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH uc AS (SELECT user_id, event_type, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |pr0 AS (SELECT a.event_type AS ta, b.event_type AS tb,
+           |    CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT) AS wab,
+           |    CAST(sum(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT) AS wba
+           |  FROM uc a JOIN uc b
+           |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+           |  GROUP BY 1, 2),
+           |pairs AS MATERIALIZED (SELECT ta, tb, wab, wba, wab + wba AS n_ab
+           |  FROM pr0 WHERE wab + wba > 0),
+           |dir AS MATERIALIZED (SELECT ta AS a, tb AS b, n_ab FROM pairs
+           |  UNION ALL SELECT tb, ta, n_ab FROM pairs),
+           |wins AS MATERIALIZED (SELECT et, CAST(sum(w) AS BIGINT) AS w,
+           |    CAST(sum(n) AS BIGINT) AS games
+           |  FROM (SELECT ta AS et, wab AS w, n_ab AS n FROM pairs
+           |        UNION ALL SELECT tb, wba, n_ab FROM pairs)
+           |  GROUP BY 1),
+           |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM wins),
+           |p0 AS (SELECT et, CAST(1000000 AS BIGINT) AS p FROM wins),
+           |$rounds
+           |SELECT wins.et AS event_type, wins.w AS wins, wins.games,
+           |  p2.p AS pi_micro
+           |FROM wins JOIN p2 ON p2.et = wins.et""".stripMargin
+      }
     ))
   )
 }

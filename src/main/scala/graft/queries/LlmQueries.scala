@@ -7019,6 +7019,93 @@ object LlmQueries {
         |  CAST(sum(score_milli) AS BIGINT) AS sum_milli,
         |  CAST(floor(CAST(sum(score_milli) AS DOUBLE) / count(*)) AS BIGINT) AS avg_milli
         |FROM sc GROUP BY 1""".stripMargin)
+    )),
+
+    // Katz centrality over the near-dup graph — attenuated path counting
+    // (x ← β + αAx, α = 1/8, three unrolled rounds): unlike PageRank's
+    // degree-normalized mass, Katz scores raw REACH, so the template
+    // family whose members all transitively resemble each other lights
+    // up as a block even when no single member is a hub. Exact integer
+    // fixed point (long adds + one non-negative div per round) — both
+    // engines replay the rounds bit-for-bit; see Graph.katz for the
+    // α < 1/λ_max convergence contract at production degrees.
+    "graph_katz" -> ((
+      (s: SparkSession, dir: String) =>
+        Graph.katz(Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+          .select(col("doc_a"), col("doc_b")), iters = 3),
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""c$t AS (SELECT dst AS v, CAST(sum(x) AS BIGINT) AS c
+             |  FROM e JOIN x${t - 1} ON x${t - 1}.v = e.src GROUP BY 1),
+             |x$t AS MATERIALIZED (SELECT nodes.v,
+             |    CAST(10000 + coalesce(c, 0) // 8 AS BIGINT) AS x
+             |  FROM nodes LEFT JOIN c$t ON c$t.v = nodes.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+           |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+           |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+           |prs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |jp AS MATERIALIZED (SELECT doc_a, doc_b FROM prs p
+           |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+           |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+           |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM jp
+           |  UNION ALL SELECT doc_b, doc_a FROM jp),
+           |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+           |x0 AS (SELECT v, CAST(10000 AS BIGINT) AS x FROM nodes),
+           |$rounds
+           |SELECT v AS doc_id, x AS katz FROM x3""".stripMargin
+      }
+    )),
+
+    // Effective sample size of uniform-source rebalancing per language —
+    // the number that tells a mixing pass what reweighting actually
+    // COSTS: upweighting rare sources to a uniform target mix makes some
+    // documents count many times, and ESS = (Σw)²/Σw² is the honest
+    // "how much data do I effectively have left" readout (ess_ppm = 1e6
+    // means the mix was already uniform). Weights are RATIONALS over
+    // exact counts (w_s = N/(k·n_s) — never an exp() of a log-weight,
+    // whose libm drift would flip a floor), per-(lang,source) terms are
+    // identical double chains floored to micros, and the final ratio is
+    // one double expression. Three hash aggregates, nothing else.
+    "q_mix_ess" -> ((
+      (s: SparkSession, dir: String) => {
+        val c = docs(s, dir).groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val src = c.groupBy("source").agg(sum("cnt").as("ns"))
+        val g = src.agg(sum("ns").as("nn"), count(lit(1)).as("k"))
+        val r = col("nn").cast("double") / (col("k") * col("ns"))
+        c.join(broadcast(src), "source").crossJoin(broadcast(g))
+          .select(col("lang"), col("cnt"),
+            floor(lit(1e6) * col("cnt") * r).cast("long").as("t1"),
+            floor(lit(1e6) * col("cnt") * r * r).cast("long").as("t2"))
+          .groupBy("lang")
+          .agg(sum("cnt").as("n_docs"), sum("t1").as("s1"), sum("t2").as("s2"))
+          .select(col("lang"), col("n_docs"),
+            floor((col("s1").cast("double") / 1e6) * (col("s1").cast("double") / 1e6)
+              / (col("s2").cast("double") / 1e6) / col("n_docs") * 1e6)
+              .cast("long").as("ess_ppm"))
+      },
+      Some("""WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |src AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |g AS (SELECT CAST(sum(ns) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k
+        |  FROM src),
+        |terms AS (SELECT lang, cnt,
+        |    CAST(floor(1e6 * cnt * (CAST(nn AS DOUBLE) / (k * ns))) AS BIGINT) AS t1,
+        |    CAST(floor(1e6 * cnt * (CAST(nn AS DOUBLE) / (k * ns))
+        |      * (CAST(nn AS DOUBLE) / (k * ns))) AS BIGINT) AS t2
+        |  FROM c JOIN src USING (source), g),
+        |agg AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |    CAST(sum(t1) AS BIGINT) AS s1, CAST(sum(t2) AS BIGINT) AS s2
+        |  FROM terms GROUP BY 1)
+        |SELECT lang, n_docs,
+        |  CAST(floor((CAST(s1 AS DOUBLE) / 1e6) * (CAST(s1 AS DOUBLE) / 1e6)
+        |    / (CAST(s2 AS DOUBLE) / 1e6) / n_docs * 1e6) AS BIGINT) AS ess_ppm
+        |FROM agg""".stripMargin)
     ))
   )
 
