@@ -5365,22 +5365,20 @@ object AnalyticsQueries {
         val op = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val fp = op.as("a")
-          .join(op.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .agg(count(lit(1)).as("supp"))
-          .filter(col("supp") >= 2)
-          .select("pa", "pb")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val opp = op.as("a")
+        val op2 = op.as("a")
           .join(op.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") < col("b.l_partkey"))
           .select(col("a.l_orderkey").as("ok"),
             col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .join(fp, Seq("pa", "pb"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fp = op2
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2)
+          .select("pa", "pb")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val opp = op2.join(fp, Seq("pa", "pb"), "left_semi")
         opp
           .join(op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pc")), Seq("ok"))
           .filter(col("pc") > col("pb"))
@@ -5811,6 +5809,10 @@ object AnalyticsQueries {
             .select(col("et"),
               floor(col("praw") * (col("k") * lit(1000000.0)) / col("tot"))
                 .cast("long").as("p"))
+            // truncate per round: pi is referenced twice next round (pa and
+            // pb) plus by the final join — without this every reference
+            // re-executes the whole prior-round chain of broadcast jobs
+            .localCheckpoint(true)
         }
         wins.join(pi, "et")
           .select(col("et").as("event_type"), col("w").as("wins"),
