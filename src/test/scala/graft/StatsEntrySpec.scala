@@ -524,6 +524,134 @@ class StatsEntrySpec extends SparkSpec {
     assert(out("cold") == (("accept_h0", "2024-01-01")), s"cold: ${out("cold")}")
   }
 
+  test("q_anova_f: two planted groups give the textbook F = 8") {
+    // A: {100, 200}, B: {300, 400} -> means 150/350, grand 250,
+    // SSB = 2*100^2 + 2*100^2 = 40000, SSW = 4*50^2 = 10000,
+    // F = (40000/1) / (10000/2) = 8
+    val orders = Seq(
+      (1L, "1-URGENT", 100.0), (2L, "1-URGENT", 200.0),
+      (3L, "5-LOW", 300.0), (4L, "5-LOW", 400.0)
+    ).map { case (ok, p, v) => (ok, ok, "O", v, "1995-01-01", p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_anova_f")(spark, dir)
+      .as[(Long, Long, Double)].collect()(0)
+    assert(out == ((4L, 2L, 8.0)), s"got $out")
+  }
+
+  test("q_cohens_kappa: one doc per 2x2 cell gives kappa exactly 0") {
+    // po = 0.5 and pe = 0.5 (marginals are 50/50), so kappa = 0
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (1L, Seq.fill(50)("abcd").mkString(" "), "en", "s"), // 249 chars, 50 words: both
+      (2L, "z" * 250, "en", "s"),                          // 250 chars, 1 word: a only
+      (3L, "abc def", "en", "s"),                          // 7 chars, 2 words: b only
+      (4L, "x", "en", "s"))))                              // neither
+    val out = SparkEntry.queries("q_cohens_kappa")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()(0)
+    assert(out == ((4L, 1L, 1L, 1L, 1L, 0.0)), s"got $out")
+  }
+
+  test("q_kruskal_wallis: separated nations give the closed-form H, no ties") {
+    // nation 0 holds ranks {1,2,3}, nation 1 {4,5,6}:
+    // H = 12/(6*7) * (36/3 + 225/3) - 3*7
+    val customers = Seq((1L, 0L), (2L, 1L)).map { case (ck, nk) =>
+      (ck, s"c$ck", nk, 0.0, "BUILDING")
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, "1995-01-15", 100.0), (2L, 1L, "1995-02-15", 200.0),
+      (3L, 1L, "1995-03-15", 300.0),
+      (4L, 2L, "1995-01-15", 400.0), (5L, 2L, "1995-02-15", 500.0),
+      (6L, 2L, "1995-03-15", 600.0)
+    ).map { case (ok, ck, d, v) => (ok, ck, "O", v, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders, "customer" -> customers)
+    val out = SparkEntry.queries("q_kruskal_wallis")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()(0)
+    val h = 12.0 / (6L * 7L) * (36.0 / 3 + 225.0 / 3) - 7L * 3.0
+    val hr = BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == ((6L, 2L, hr, hr)), s"got $out expected H=$hr")
+  }
+
+  test("q_mann_kendall: a strictly increasing series gives S = n(n-1)/2") {
+    val customers = Seq((1L, "c", 0L, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = (1 to 5).map { m =>
+      (m.toLong, 1L, "O", m * 100.0, f"1995-$m%02d-15", "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders, "customer" -> customers)
+    val out = SparkEntry.queries("q_mann_kendall")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()(0)
+    assert((out._1, out._2, out._3) == ((0L, 5L, 10L)), s"got $out")
+    val z = 9.0 / math.sqrt(5.0 * 4 * 15 / 18.0)
+    assert(math.abs(out._4 - z) < 1e-6, s"z ${out._4} expected ~$z")
+  }
+
+  test("Graph.katz: three unrolled rounds on a path graph, by hand") {
+    // path 1-2-3, alpha = 1/8, beta = 10000:
+    // x1 = (11250, 12500, 11250); x2 = (11562, 12812, 11562);
+    // x3 = (11601, 12890, 11601) with div truncation at every round
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Graph.katz(pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 11601L, 2L -> 12890L, 3L -> 11601L), s"got $out")
+  }
+
+  test("q_bradley_terry: the two floored MM rounds replay by hand") {
+    // u1: A2 B1, u2: A2 C1, u3: B2 C1 -> A beats B, A beats C, B beats C
+    // (wins A=2 B=1 C=0, one game per pair). Round 1 collapses to
+    // pi = (2e6, 1e6, 0); round 2: denom_A = 333333+500000,
+    // praw_A = floor(2e12/833333) = 2400000, tot = 3150000,
+    // pi_A = floor(2400000*3e6/3150000) = 2285714, pi_B = 714285.
+    def ev(id: Long, uid: Long, t: String) = (id, "2024-01-01T00:00:00", uid, t, 1.0, "{}")
+    val events = (
+      Seq(ev(1, 1, "A"), ev(2, 1, "A"), ev(3, 1, "B")) ++
+      Seq(ev(4, 2, "A"), ev(5, 2, "A"), ev(6, 2, "C")) ++
+      Seq(ev(7, 3, "B"), ev(8, 3, "B"), ev(9, 3, "C"))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dir = plantDir("events" -> events)
+    val out = SparkEntry.queries("q_bradley_terry")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("A") == ((2L, 2L, 2285714L)), s"A: ${out("A")}")
+    assert(out("B") == ((1L, 2L, 714285L)), s"B: ${out("B")}")
+    assert(out("C") == ((0L, 2L, 0L)), s"C: ${out("C")}")
+  }
+
+  test("vector_davies_bouldin: planted two-label corpus gives ratio exactly 1") {
+    // label 0: q = [0,255] and [255,0] (scatter^2 = 32512.5);
+    // label 1: q = [0,255] (scatter 0); centroid gap d2 = 32512.5
+    // -> both DB ratios are sqrt(32512.5)/sqrt(32512.5) = 1.0
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = plantDir("embeddings" -> emb)
+    val out = SparkEntry.queries("vector_davies_bouldin")(spark, dir)
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val sc = BigDecimal(math.sqrt(32512.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((2L, sc, 1.0)), s"label 0: ${out(0)}")
+    assert(out(1) == ((1L, 0.0, 1.0)), s"label 1: ${out(1)}")
+  }
+
+  test("text_heaps_fit: two-bucket corpus fits beta = ln2/ln2.5") {
+    // doc 0 ("a b") -> bucket 1; docs 1,2 ("a c", "d") -> bucket 2:
+    // curve (2 tokens, 2 vocab) then (5 tokens, 4 vocab)
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (0L, "a b", "en", "s"), (1L, "a c", "en", "s"), (2L, "d", "en", "s"))))
+    val out = SparkEntry.queries("text_heaps_fit")(spark, dir)
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((1, 2L, 2L, 2L), (2, 5L, 4L, 2L)), s"curve: ${out.toSeq}")
+    val beta = math.log(2.0) / math.log(2.5)
+    assert(math.abs(out(0)._5 - beta) < 1e-5, s"beta ${out(0)._5} expected ~$beta")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
