@@ -5857,6 +5857,227 @@ object AnalyticsQueries {
            |  p2.p AS pi_micro
            |FROM wins JOIN p2 ON p2.et = wins.et""".stripMargin
       }
+    )),
+
+    // Cliff's delta between urgent and non-urgent monthly revenue — the
+    // nonparametric effect size q_mann_whitney_u's p-value doesn't carry
+    // (significance says "different", delta says "by how much, in
+    // probability-of-dominance terms"). Pure integer counting over the
+    // exact-decimal monthly snaps; the pair stage is calendar² at any SF,
+    // as a join between two month-grain aggregates.
+    "q_cliffs_delta" -> ((
+      (s: SparkSession, dir: String) => {
+        val m = t(s, dir, "orders")
+          .groupBy((col("o_orderpriority") === "1-URGENT").as("treat"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg((round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long").as("cents"))
+        val x = m.filter(col("treat")).select(col("cents").as("xc"))
+        val y = m.filter(!col("treat")).select(col("cents").as("yc"))
+        x.crossJoin(y)
+          .agg(sum(when(col("xc") > col("yc"), 1L).otherwise(0L)).as("gt"),
+            sum(when(col("xc") < col("yc"), 1L).otherwise(0L)).as("lt"),
+            count(lit(1)).as("n_pairs"))
+          .select(col("gt"), col("lt"), col("n_pairs"),
+            floor(lit(1e6) * (col("gt") - col("lt")) / col("n_pairs"))
+              .cast("long").as("delta_ppm"))
+      },
+      Some("""WITH m AS (
+        |  SELECT o_orderpriority = '1-URGENT' AS treat,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS mth,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |x AS (SELECT cents AS xc FROM m WHERE treat),
+        |y AS (SELECT cents AS yc FROM m WHERE NOT treat),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN xc > yc THEN 1 ELSE 0 END) AS BIGINT) AS gt,
+        |    CAST(sum(CASE WHEN xc < yc THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM x CROSS JOIN y)
+        |SELECT gt, lt, n_pairs,
+        |  CAST(floor(1e6 * (gt - lt) / n_pairs) AS BIGINT) AS delta_ppm
+        |FROM agg""".stripMargin)
+    )),
+
+    // Quantile treatment effects — the per-decile gap between the urgent
+    // and control price distributions, the readout that shows WHERE a
+    // treatment moves the distribution (a mean shift and a tail shift
+    // tell different stories). Discrete quantiles (actual data values),
+    // so membership and differences are exact. Scale shape: the decile
+    // relation is a 9-row literal broadcast; the 9× map-side expansion
+    // feeds a min() aggregate that partial-combines before the shuffle,
+    // so only 2×9 rows move.
+    "q_quantile_treatment_effect" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "orders")
+          .select(when(col("o_orderpriority") === "1-URGENT", "treat")
+            .otherwise("control").as("grp"), col("o_totalprice"))
+        val w = Window.partitionBy("grp").orderBy("o_totalprice")
+        val cd = base.withColumn("cd", cume_dist().over(w))
+        val dec = s.range(1, 10).select(col("id").as("decile"))
+        val q = cd.crossJoin(broadcast(dec))
+          .filter(col("cd") >= col("decile") / lit(10.0))
+          .groupBy("grp", "decile").agg(min("o_totalprice").as("q"))
+          // 18 rows, but the treat/control branches below would otherwise
+          // each re-run the corpus-sized cume_dist window
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        q.filter(col("grp") === "treat")
+          .select(col("decile"), col("q").as("q_treat"))
+          .join(q.filter(col("grp") === "control")
+            .select(col("decile"), col("q").as("q_control")), "decile")
+          .select(col("decile"), col("q_treat"), col("q_control"),
+            round(col("q_treat") - col("q_control"), 2).as("qte"))
+      },
+      Some {
+        val qs = (1 to 9).map(d =>
+          s"quantile_disc(o_totalprice, 0.$d) AS q$d").mkString(", ")
+        val un = (1 to 9).map(d =>
+          s"SELECT grp, $d AS decile, q$d AS q FROM qq").mkString("\n  UNION ALL ")
+        s"""WITH base AS (SELECT CASE WHEN o_orderpriority = '1-URGENT'
+           |    THEN 'treat' ELSE 'control' END AS grp, o_totalprice FROM orders),
+           |qq AS (SELECT grp, $qs FROM base GROUP BY 1),
+           |u AS ($un)
+           |SELECT t.decile, t.q AS q_treat, c.q AS q_control,
+           |  round(t.q - c.q, 2) AS qte
+           |FROM u t JOIN u c ON t.decile = c.decile
+           |WHERE t.grp = 'treat' AND c.grp = 'control'""".stripMargin
+      }
+    )),
+
+    // Stationary distribution of the user-journey Markov chain — three
+    // unrolled power rounds over q_markov_transitions' empirical matrix:
+    // where the journey settles if it ran forever, i.e. which state soaks
+    // up long-run attention (the PageRank of the event-type graph, with
+    // REAL transition probabilities instead of uniform edges). Transition
+    // probabilities stay RATIONAL (cnt/rowsum over exact longs); state
+    // between rounds is integer micros with a renormalize, so both
+    // engines replay the fit exactly. Chain restricted to states with
+    // outgoing mass (the empirical last-event state leaks otherwise) —
+    // documented divergence from a true absorbing-chain analysis.
+    "q_markov_stationary" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val c = t(s, dir, "events")
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          // keep transitions whose DESTINATION also has outgoing mass, so
+          // the 3-round iterate conserves (then renormalizes) its mass
+          .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val srcs = c.select(col("a")).distinct()
+        val cc = c.join(srcs.select(col("a").as("b")), Seq("b"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val r = cc.groupBy("a").agg(sum("cnt").as("rtot"))
+        val states = cc.select(col("a").as("st")).distinct()
+          .localCheckpoint(true)
+        val k = states.agg(count(lit(1)).as("k"))
+        var pi = states.crossJoin(broadcast(k))
+          .select(col("st"), floor(lit(1e6) / col("k")).cast("long").as("p"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val raw = cc.join(r, "a")
+            .join(pi.select(col("st").as("a"), col("p")), "a")
+            .select(col("b"),
+              floor(col("p") * col("cnt") / col("rtot")).cast("long").as("term"))
+            .groupBy(col("b").as("st")).agg(sum("term").as("raw"))
+          val tot = raw.agg(sum("raw").as("tot"))
+          pi = states.join(raw, Seq("st"), "left").na.fill(0L, Seq("raw"))
+            .crossJoin(broadcast(tot))
+            .select(col("st"),
+              floor(col("raw") * lit(1e6) / col("tot")).cast("long").as("p"))
+            .localCheckpoint(true)
+        }
+        pi.select(col("st").as("event_type"), col("p").as("pi_micro"))
+      },
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""raw$t AS (SELECT cc.b AS st,
+             |    CAST(sum(CAST(floor(p * cnt / rtot) AS BIGINT)) AS BIGINT) AS raw
+             |  FROM cc JOIN r ON r.a = cc.a JOIN p${t - 1} ON p${t - 1}.st = cc.a
+             |  GROUP BY 1),
+             |t$t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM raw$t),
+             |p$t AS MATERIALIZED (SELECT states.st,
+             |    CAST(floor(coalesce(raw, 0) * 1e6 / tot) AS BIGINT) AS p
+             |  FROM states LEFT JOIN raw$t ON raw$t.st = states.st, t$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH seq AS (SELECT event_type AS a,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+           |  FROM events),
+           |c0 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+           |cc AS MATERIALIZED (SELECT c0.* FROM c0
+           |  WHERE b IN (SELECT DISTINCT a FROM c0)),
+           |r AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS rtot FROM cc GROUP BY 1),
+           |states AS MATERIALIZED (SELECT DISTINCT a AS st FROM cc),
+           |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+           |p0 AS (SELECT st, CAST(floor(1e6 / k) AS BIGINT) AS p FROM states, kk),
+           |$rounds
+           |SELECT st AS event_type, p AS pi_micro FROM p3""".stripMargin
+      }
+    )),
+
+    // Holm–Bonferroni step-down over the same per-nation Hoeffding tests
+    // as q_fdr_bh — the FWER-controlling sibling (BH bounds the false-
+    // discovery RATE; Holm bounds ANY false positive, the right gate
+    // when a single wrong segment alarm pages someone). Identical scale
+    // shape: log-domain statistics from exact counts, ranking as a
+    // bounded self-join on the m=|nation| aggregate, the step-down
+    // prefix rule as one conditional aggregate.
+    "q_holm_bonferroni" -> ((
+      (s: SparkSession, dir: String) => {
+        val per = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderdate") >= "1999-01-01", 1L).otherwise(0L)).as("k"))
+        val g = per.agg(sum("n").cast("double").as("tn"),
+          sum("k").cast("double").as("tk"), count(lit(1)).as("m"))
+        val d = col("k").cast("double") / col("n") - col("tk") / col("tn")
+        val st = per.crossJoin(g)
+          .select(col("nk"), col("n"), col("k"), col("m"),
+            (lit(0.6931471805599453) - lit(2.0) * col("n") * d * d).as("lnp"))
+        val i = st.select(col("nk").as("ink"), col("n"), col("k"),
+          col("m"), col("lnp").as("ilnp"))
+        val j = st.select(col("nk").as("jnk"), col("lnp").as("jlnp"))
+        val ranked = i.join(j,
+            col("jlnp") < col("ilnp") ||
+              (col("jlnp") === col("ilnp") && col("jnk") < col("ink")), "left")
+          .groupBy(col("ink"), col("n"), col("k"), col("m"), col("ilnp"))
+          .agg((count(col("jnk")) + 1L).as("rank"))
+          .withColumn("pass",
+            col("ilnp") <= log(lit(0.05) / (col("m") - col("rank") + 1)))
+        val kfail = ranked
+          .agg(coalesce(min(when(!col("pass"), col("rank"))),
+            max(col("m") + 1)).as("kfail"))
+        ranked.crossJoin(kfail)
+          .select(col("ink").as("nk"), col("n"), col("k"),
+            round(col("ilnp"), 6).as("lnp"), col("rank"),
+            when(col("rank") < col("kfail"), 1L).otherwise(0L).as("discovered"))
+      },
+      Some("""WITH per AS (
+        |  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS DOUBLE) AS tn, CAST(sum(k) AS DOUBLE) AS tk,
+        |    CAST(count(*) AS BIGINT) AS m FROM per),
+        |st AS (SELECT nk, n, k, m,
+        |    0.6931471805599453 - 2.0 * n
+        |      * (CAST(k AS DOUBLE) / n - tk / tn)
+        |      * (CAST(k AS DOUBLE) / n - tk / tn) AS lnp
+        |  FROM per, g),
+        |ranked AS (SELECT i.nk, i.n, i.k, i.m, i.lnp,
+        |    CAST(count(j.nk) + 1 AS BIGINT) AS rank,
+        |    i.lnp <= ln(0.05 / (i.m - (count(j.nk) + 1) + 1)) AS pass
+        |  FROM st i LEFT JOIN st j
+        |    ON j.lnp < i.lnp OR (j.lnp = i.lnp AND j.nk < i.nk)
+        |  GROUP BY i.nk, i.n, i.k, i.m, i.lnp),
+        |kf AS (SELECT coalesce(min(CASE WHEN NOT pass THEN rank END),
+        |    max(m + 1)) AS kfail FROM ranked)
+        |SELECT nk, n, k, round(lnp, 6) AS lnp, rank,
+        |  CAST(CASE WHEN rank < kfail THEN 1 ELSE 0 END AS BIGINT) AS discovered
+        |FROM ranked, kf""".stripMargin)
     ))
   )
 }

@@ -86,6 +86,10 @@ object PlanAudit {
     def boundedLeaf(l: LogicalPlan): Boolean = l match {
       case _: LocalRelation | _: OneRowRelation => true
       case _: org.apache.spark.sql.execution.LogicalRDD => true
+      // spark.range(a, b): numElements is a plan-time literal, so the
+      // relation's size is provably SF-independent (e.g. a 9-row decile
+      // axis) — as bounded as a LocalRelation of the same rows
+      case _: Range => true
       case lr: LogicalRelation =>
         lr.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
