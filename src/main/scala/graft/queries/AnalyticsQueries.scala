@@ -5970,25 +5970,26 @@ object AnalyticsQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val r = cc.groupBy("a").agg(sum("cnt").as("rtot"))
         val states = cc.select(col("a").as("st")).distinct()
-          .localCheckpoint(true)
-        val k = states.agg(count(lit(1)).as("k"))
-        var pi = states.crossJoin(broadcast(k))
-          .select(col("st"), floor(lit(1e6) / col("k")).cast("long").as("p"))
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // power iteration is linear in the start vector, so the rounds run
+        // UNNORMALIZED from 1e6 per state (row-stochastic steps keep the
+        // scale ~1e6) and one end normalization replaces three per-round
+        // scalar broadcasts — the floors still replay identically in both
+        // engines, they just happen once per round instead of twice
+        var pi = states.select(col("st"), lit(1000000L).as("p"))
         for (_ <- 1 to 3) {
           val raw = cc.join(r, "a")
             .join(pi.select(col("st").as("a"), col("p")), "a")
             .select(col("b"),
               floor(col("p") * col("cnt") / col("rtot")).cast("long").as("term"))
-            .groupBy(col("b").as("st")).agg(sum("term").as("raw"))
-          val tot = raw.agg(sum("raw").as("tot"))
-          pi = states.join(raw, Seq("st"), "left").na.fill(0L, Seq("raw"))
-            .crossJoin(broadcast(tot))
-            .select(col("st"),
-              floor(col("raw") * lit(1e6) / col("tot")).cast("long").as("p"))
-            .localCheckpoint(true)
+            .groupBy(col("b").as("st")).agg(sum("term").as("p"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pi = states.join(raw, Seq("st"), "left").na.fill(0L, Seq("p"))
         }
-        pi.select(col("st").as("event_type"), col("p").as("pi_micro"))
+        val tot = pi.agg(sum("p").as("tot"))
+        pi.crossJoin(broadcast(tot))
+          .select(col("st").as("event_type"),
+            floor(col("p") * lit(1e6) / col("tot")).cast("long").as("pi_micro"))
       },
       Some {
         val rounds = (1 to 3).map { t =>
@@ -5996,10 +5997,9 @@ object AnalyticsQueries {
              |    CAST(sum(CAST(floor(p * cnt / rtot) AS BIGINT)) AS BIGINT) AS raw
              |  FROM cc JOIN r ON r.a = cc.a JOIN p${t - 1} ON p${t - 1}.st = cc.a
              |  GROUP BY 1),
-             |t$t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM raw$t),
              |p$t AS MATERIALIZED (SELECT states.st,
-             |    CAST(floor(coalesce(raw, 0) * 1e6 / tot) AS BIGINT) AS p
-             |  FROM states LEFT JOIN raw$t ON raw$t.st = states.st, t$t)""".stripMargin
+             |    CAST(coalesce(raw, 0) AS BIGINT) AS p
+             |  FROM states LEFT JOIN raw$t ON raw$t.st = states.st)""".stripMargin
         }.mkString(",\n")
         s"""WITH seq AS (SELECT event_type AS a,
            |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
@@ -6010,10 +6010,12 @@ object AnalyticsQueries {
            |  WHERE b IN (SELECT DISTINCT a FROM c0)),
            |r AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS rtot FROM cc GROUP BY 1),
            |states AS MATERIALIZED (SELECT DISTINCT a AS st FROM cc),
-           |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
-           |p0 AS (SELECT st, CAST(floor(1e6 / k) AS BIGINT) AS p FROM states, kk),
-           |$rounds
-           |SELECT st AS event_type, p AS pi_micro FROM p3""".stripMargin
+           |p0 AS (SELECT st, CAST(1000000 AS BIGINT) AS p FROM states),
+           |$rounds,
+           |tt AS (SELECT CAST(sum(p) AS BIGINT) AS tot FROM p3)
+           |SELECT st AS event_type,
+           |  CAST(floor(p * 1e6 / tot) AS BIGINT) AS pi_micro
+           |FROM p3, tt""".stripMargin
       }
     )),
 
