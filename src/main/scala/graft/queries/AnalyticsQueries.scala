@@ -6080,6 +6080,59 @@ object AnalyticsQueries {
         |SELECT nk, n, k, round(lnp, 6) AS lnp, rank,
         |  CAST(CASE WHEN rank < kfail THEN 1 ELSE 0 END AS BIGINT) AS discovered
         |FROM ranked, kf""".stripMargin)
+    )),
+
+    // Matched-control treatment effect via the custom as-of operator —
+    // each urgent (treated) order matches the control order with the
+    // greatest account balance ≤ its own within the nation (nearest-
+    // below covariate matching, the caliper-less skeleton of propensity
+    // matching), and ATT is the mean outcome gap over matched pairs.
+    // The as-of machinery makes the match ONE union + ONE partitioned
+    // window instead of a per-treated-row probe — the same plan shape at
+    // 100 TB — and its tie contract (right-before-left at equal balance,
+    // max payload among right ties) replays exactly in the oracle's
+    // IGNORE NULLS window. Outcomes ride integer cents.
+    "q_att_matched" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nk"), col("c_acctbal").as("bal"),
+            (col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+              .as("y_cents"),
+            (col("o_orderpriority") === "1-URGENT").as("treat"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val treated = o.filter(col("treat")).select(col("nk"), col("bal"), col("y_cents"))
+        val ctrl = o.filter(!col("treat"))
+          .select(col("nk").as("ck"), col("bal").as("cbal"), col("y_cents").as("cy"))
+        AsOfJoin.asOf(treated, ctrl, keyL = "nk", dimL = "bal",
+            keyR = "ck", dimR = "cbal", payload = "cy")
+          .groupBy("nk")
+          .agg(count(lit(1)).as("n_treated"),
+            count(col("cy")).as("n_matched"),
+            sum(when(col("cy").isNotNull, col("y_cents") - col("cy"))
+              .otherwise(0L)).as("diff_cents"))
+          .select(col("nk"), col("n_treated"), col("n_matched"),
+            floor(col("diff_cents").cast("double") / col("n_matched"))
+              .cast("long").as("att_cents"))
+      },
+      Some("""WITH o AS (SELECT c_nationkey AS nk, c_acctbal AS bal,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y,
+        |    o_orderpriority = '1-URGENT' AS treat
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |u AS (SELECT nk, bal, 1 AS side, y, CAST(NULL AS BIGINT) AS pay
+        |    FROM o WHERE treat
+        |  UNION ALL SELECT nk, bal, 0, NULL, y FROM o WHERE NOT treat),
+        |m AS (SELECT nk, side, y,
+        |    last_value(pay IGNORE NULLS) OVER (PARTITION BY nk
+        |      ORDER BY bal, side, pay
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+        |  FROM u),
+        |t AS (SELECT nk, y, cy FROM m WHERE side = 1)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n_treated,
+        |  CAST(count(cy) AS BIGINT) AS n_matched,
+        |  CAST(floor(CAST(sum(CASE WHEN cy IS NOT NULL THEN y - cy ELSE 0 END)
+        |    AS DOUBLE) / count(cy)) AS BIGINT) AS att_cents
+        |FROM t GROUP BY 1""".stripMargin)
     ))
   )
 }

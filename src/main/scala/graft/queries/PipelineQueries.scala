@@ -517,6 +517,38 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN "offset" % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_key,
         |  min(CASE WHEN "offset" % 2 = 1 THEN "offset" END) AS first_keyed_offset
         |FROM records GROUP BY topic, partition""".stripMargin)
+    )),
+
+    // Markov transition counting as STREAMING state, batch twin: the
+    // [[graft.streaming.StreamOps.transitionsPerKey]] operator keeps each
+    // user's LAST event as O(1) state and emits one (src, dst) edge per
+    // arriving event — the streaming producer feeding the same transition
+    // matrix q_markov_transitions / q_markov_stationary read. In batch
+    // execution each user's history folds in (ts_ms, event_id) order —
+    // the same total order as the batch lead() window, so the counts are
+    // row-identical to the window oracle. StreamingSpec drives the
+    // streaming form across micro-batch boundaries (state carries the
+    // last event between batches, at-least-once replays are dropped by
+    // the strict-ordering guard).
+    "stream_markov_transitions" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val ev = Sources.table(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 1000").as("ts_ms"),
+            col("event_id"), col("event_type"))
+          .as[graft.streaming.StreamOps.TypedEvent]
+        graft.streaming.StreamOps.transitionsPerKey(ev).toDF()
+          .groupBy("src_type", "dst_type")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH seq AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS dst_type
+        |  FROM events)
+        |SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2""".stripMargin)
     ))
   )
 }
