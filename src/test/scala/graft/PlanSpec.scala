@@ -151,6 +151,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("text_heaps_fit plans with no Window and no Sort (the bucketing IS the point)") {
+    val df = graft.queries.LlmQueries.defs("text_heaps_fit")._1(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window => LWindow}
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      "the power-of-two bucketing exists to avoid any window")
+    assert(plan.collect { case s: Sort => s }.isEmpty,
+      "no global or partial sort should survive — aggregates only")
+  }
+
+  test("vector_davies_bouldin joins only label-grain relations (no point-pair stage)") {
+    // the physical joins must all sit above per-(label,dim) aggregates:
+    // every join input is bounded by k*dims, never by the corpus
+    val df = graft.queries.LlmQueries.defs("vector_davies_bouldin")._1(spark, sf0001)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collectFirst { case a: Aggregate => a }.isDefined,
+          s"join side reaches the corpus without an aggregate:\n$side")
+      }
+    }
+  }
+
+  test("q_att_matched matches with ONE partitioned window, not a per-row probe join") {
+    val df = AnalyticsQueries.defs("q_att_matched")._1(spark, sf0001)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 1, s"expected exactly one as-of window, got ${wins.size}")
+    assert(wins.head.partitionSpec.nonEmpty, "the as-of window must be keyed")
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     // AQE finalizes the plan lazily; execute before inspecting codegen spans
     val df = AnalyticsQueries.defs("q1_pricing_summary")._1(spark, sf0001)
