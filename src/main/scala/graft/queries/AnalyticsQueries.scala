@@ -6133,6 +6133,69 @@ object AnalyticsQueries {
         |  CAST(floor(CAST(sum(CASE WHEN cy IS NOT NULL THEN y - cy ELSE 0 END)
         |    AS DOUBLE) / count(cy)) AS BIGINT) AS att_cents
         |FROM t GROUP BY 1""".stripMargin)
+    )),
+
+    // SAX symbolization of each nation's revenue series — Piecewise
+    // Aggregate Approximation (3-month segments) quantized to a 4-letter
+    // alphabet at the nation's own DISCRETE quartiles, emitting one
+    // motif STRING per nation: the representation time-series motif
+    // mining, fast similarity and anomaly grep run on at scale (compare
+    // strings, not series). Exactness: segment means are correctly-
+    // rounded divisions of exact cent sums; breakpoints are actual data
+    // values (quantile_disc semantics via cume_dist); the string is an
+    // ORDER-pinned aggregation in both engines. Scale shape: everything
+    // after the nation×month snap lives on calendar-bounded rows.
+    "q_sax_symbols" -> ((
+      (s: SparkSession, dir: String) => {
+        val grid = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg((round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long").as("cents"))
+        val m0 = grid.groupBy("nk").agg(min("m").as("m0"))
+        val paa = grid.join(broadcast(m0), "nk")
+          .groupBy(col("nk"), ((col("m") - col("m0")).cast("long") / 3)
+            .cast("long").as("seg"))
+          .agg((sum("cents").cast("double") / count(lit(1))).as("paa"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wq = Window.partitionBy("nk").orderBy("paa")
+        val bp = paa.withColumn("cd", cume_dist().over(wq))
+          .groupBy("nk")
+          .agg(min(when(col("cd") >= 0.25, col("paa"))).as("b1"),
+            min(when(col("cd") >= 0.5, col("paa"))).as("b2"),
+            min(when(col("cd") >= 0.75, col("paa"))).as("b3"))
+        paa.join(broadcast(bp), "nk")
+          .select(col("nk"), col("seg"),
+            when(col("paa") <= col("b1"), "a")
+              .when(col("paa") <= col("b2"), "b")
+              .when(col("paa") <= col("b3"), "c").otherwise("d").as("letter"))
+          .groupBy("nk")
+          .agg(count(lit(1)).as("n_segments"),
+            concat_ws("", transform(
+              array_sort(collect_list(struct(col("seg"), col("letter")))),
+              x => x.getField("letter"))).as("sax"))
+      },
+      Some("""WITH grid AS (
+        |  SELECT c_nationkey AS nk,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m0 AS (SELECT nk, min(m) AS m0 FROM grid GROUP BY 1),
+        |paa AS (SELECT grid.nk, CAST((m - m0) // 3 AS BIGINT) AS seg,
+        |    CAST(sum(cents) AS DOUBLE) / count(*) AS paa
+        |  FROM grid JOIN m0 ON m0.nk = grid.nk GROUP BY 1, 2),
+        |bp AS (SELECT nk, quantile_disc(paa, 0.25) AS b1,
+        |    quantile_disc(paa, 0.5) AS b2, quantile_disc(paa, 0.75) AS b3
+        |  FROM paa GROUP BY 1),
+        |le AS (SELECT paa.nk, seg,
+        |    CASE WHEN paa <= b1 THEN 'a' WHEN paa <= b2 THEN 'b'
+        |      WHEN paa <= b3 THEN 'c' ELSE 'd' END AS letter
+        |  FROM paa JOIN bp ON bp.nk = paa.nk)
+        |SELECT nk, CAST(count(*) AS BIGINT) AS n_segments,
+        |  string_agg(letter, '' ORDER BY seg) AS sax
+        |FROM le GROUP BY 1""".stripMargin)
     ))
   )
 }

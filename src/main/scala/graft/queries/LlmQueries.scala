@@ -7106,6 +7106,59 @@ object LlmQueries {
         |  CAST(floor((CAST(s1 AS DOUBLE) / 1e6) * (CAST(s1 AS DOUBLE) / 1e6)
         |    / (CAST(s2 AS DOUBLE) / 1e6) / n_docs * 1e6) AS BIGINT) AS ess_ppm
         |FROM agg""".stripMargin)
+    )),
+
+    // Walsh–Hadamard rotation with a machine-checked Parseval audit —
+    // the structured rotation (SRHT's H) that spreads a vector's energy
+    // evenly across dimensions before quantization/LSH, computed EXACTLY:
+    // H[i][j] = (−1)^popcount(i&j) over the int8-quantized values, so the
+    // rotated coordinates are integers and Parseval (Σy² = dims·Σq²) is
+    // an exact integer identity BOTH engines verify independently — the
+    // output carries the equality, so the gate fails if either engine's
+    // rotation is wrong anywhere. Bounded audit sample (vec_id < 32) —
+    // at 100 TB the rotation is a map-side per-vector transform; the
+    // dims² expansion here exists only to make it SQL-replayable.
+    "vector_hadamard_parseval" -> ((
+      (s: SparkSession, dir: String) => {
+        val q = emb(s, dir).filter(col("vec_id") < 32)
+          .select(col("vec_id"),
+            graft.functions.Vectors.quantizeInt8(col("embedding")).as("q"))
+          .select(col("vec_id"), posexplode(col("q")).as(Seq("j", "qv")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dims = q.groupBy("vec_id").agg(count(lit(1)).as("dims"))
+        // the i-axis comes from each vector's own dims (the H matrix is
+        // square), so the audit follows the fixture's dimension
+        val vi = dims.select(col("vec_id"),
+          explode(sequence(lit(0L), col("dims") - 1)).as("i"))
+        val y = vi.join(q, "vec_id")
+          .select(col("vec_id"), col("i"),
+            (col("qv") * (lit(1L) - lit(2L)
+              * pmod(bit_count(col("i").bitwiseAND(col("j"))).cast("long"), lit(2L))))
+              .as("term"))
+          .groupBy("vec_id", "i").agg(sum("term").as("yv"))
+        val sums = q.groupBy("vec_id").agg(sum(col("qv") * col("qv")).as("sum_q2"))
+        y.groupBy("vec_id").agg(sum(col("yv") * col("yv")).as("sum_y2"))
+          .join(sums, "vec_id").join(dims, "vec_id")
+          .select(col("vec_id"), col("dims"), col("sum_q2"), col("sum_y2"),
+            (col("sum_y2") === col("dims") * col("sum_q2")).as("parseval_ok"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 32),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |q AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS j,
+        |    CAST(CASE WHEN mx = mn THEN 0
+        |      ELSE least(255, floor((v[i] - mn) * 255.0 / (mx - mn))) END AS BIGINT) AS qv
+        |  FROM m, unnest(range(1, len(v) + 1)) AS t(i)),
+        |dims AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS dims FROM q GROUP BY 1),
+        |vi AS (SELECT vec_id, unnest(range(0, dims)) AS i FROM dims),
+        |y AS (SELECT q.vec_id, vi.i,
+        |    CAST(sum(qv * (1 - 2 * (bit_count(vi.i & q.j) % 2))) AS BIGINT) AS yv
+        |  FROM vi JOIN q ON q.vec_id = vi.vec_id GROUP BY 1, 2),
+        |s2 AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS sum_q2 FROM q GROUP BY 1),
+        |y2 AS (SELECT vec_id, CAST(sum(yv * yv) AS BIGINT) AS sum_y2 FROM y GROUP BY 1)
+        |SELECT y2.vec_id, dims, sum_q2, sum_y2,
+        |  sum_y2 = dims * sum_q2 AS parseval_ok
+        |FROM y2 JOIN s2 ON s2.vec_id = y2.vec_id JOIN dims ON dims.vec_id = y2.vec_id""".stripMargin)
     ))
   )
 
