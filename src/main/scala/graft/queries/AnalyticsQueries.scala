@@ -6196,6 +6196,116 @@ object AnalyticsQueries {
         |SELECT nk, CAST(count(*) AS BIGINT) AS n_segments,
         |  string_agg(letter, '' ORDER BY seg) AS sax
         |FROM le GROUP BY 1""".stripMargin)
+    )),
+
+    // Iterative proportional fitting (raking) — adjust the nation ×
+    // priority order-count table to UNIFORM target marginals in two
+    // row/column scaling rounds: the survey-weighting / mix-balancing
+    // primitive (DSIR reweights by content; raking reweights by strata
+    // so a skewed crawl matches a target demographic mix). Cell state
+    // between half-rounds is integer MICROS; every scale factor is one
+    // identical double chain over exact longs, floored before the
+    // (order-free) integer marginal sums — both engines replay the fit
+    // bit-for-bit. Everything after the first count lives on the k₁×k₂
+    // cell relation.
+    "q_ipf_raking" -> ((
+      (s: SparkSession, dir: String) => {
+        val cells = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"), col("o_orderpriority").as("pri"))
+          .agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = cells.agg(sum("n").as("nn"),
+          countDistinct("nk").as("kr"), countDistinct("pri").as("kc"))
+        var w = cells.crossJoin(broadcast(g))
+          .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
+            (col("n") * lit(1000000L)).as("w"))
+        for (_ <- 1 to 2) {
+          val rowTot = w.groupBy(col("nk").as("rnk")).agg(sum("w").as("rt"))
+          w = w.join(broadcast(rowTot), col("nk") === col("rnk"))
+            .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
+              floor(col("w") * (col("nn").cast("double") * 1e6 / col("kr")) / col("rt"))
+                .cast("long").as("w"))
+          val colTot = w.groupBy(col("pri").as("cpri")).agg(sum("w").as("ct"))
+          w = w.join(broadcast(colTot), col("pri") === col("cpri"))
+            .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
+              floor(col("w") * (col("nn").cast("double") * 1e6 / col("kc")) / col("ct"))
+                .cast("long").as("w"))
+        }
+        w.select(col("nk"), col("pri"), col("n"), col("w").as("w_micro"),
+          // the per-row rake factor a caller applies to row weights
+          floor(col("w").cast("double") * 1e6 / (col("n") * lit(1000000L)))
+            .cast("long").as("rake_ppm"))
+      },
+      Some {
+        val rounds = (1 to 2).map { r =>
+          s"""rt$r AS (SELECT nk, CAST(sum(w) AS BIGINT) AS rt FROM w${2 * r - 2} GROUP BY 1),
+             |w${2 * r - 1} AS MATERIALIZED (SELECT w.nk, w.pri, w.n, w.nn, w.kr, w.kc,
+             |    CAST(floor(w * (CAST(nn AS DOUBLE) * 1e6 / kr) / rt) AS BIGINT) AS w
+             |  FROM w${2 * r - 2} w JOIN rt$r ON rt$r.nk = w.nk),
+             |ct$r AS (SELECT pri, CAST(sum(w) AS BIGINT) AS ct FROM w${2 * r - 1} GROUP BY 1),
+             |w${2 * r} AS MATERIALIZED (SELECT w.nk, w.pri, w.n, w.nn, w.kr, w.kc,
+             |    CAST(floor(w * (CAST(nn AS DOUBLE) * 1e6 / kc) / ct) AS BIGINT) AS w
+             |  FROM w${2 * r - 1} w JOIN ct$r ON ct$r.pri = w.pri)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH cells AS (SELECT c_nationkey AS nk, o_orderpriority AS pri,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+           |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+           |    CAST(count(DISTINCT nk) AS BIGINT) AS kr,
+           |    CAST(count(DISTINCT pri) AS BIGINT) AS kc FROM cells),
+           |w0 AS (SELECT nk, pri, n, nn, kr, kc,
+           |    CAST(n * 1000000 AS BIGINT) AS w FROM cells, g),
+           |$rounds
+           |SELECT nk, pri, n, w AS w_micro,
+           |  CAST(floor(CAST(w AS DOUBLE) * 1e6 / (n * 1000000)) AS BIGINT) AS rake_ppm
+           |FROM w4""".stripMargin
+      }
+    )),
+
+    // Stratified ATE — the inverse-propensity companion to
+    // q_att_matched: within discrete nation strata the IPW estimator
+    // REDUCES to Σ_s (n_s/N)·(ȳ_treat,s − ȳ_ctrl,s), so the whole
+    // causal readout is exact integer counts and cent sums with one
+    // double division per stratum (no estimated propensity model, no
+    // float weights). Strata with a missing arm contribute NULL and are
+    // excluded from the pooled estimate, reported per stratum so the
+    // positivity violation is VISIBLE instead of silently imputed.
+    "q_stratified_ate" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nk"),
+            (col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+              .as("y_cents"),
+            (col("o_orderpriority") === "1-URGENT").as("treat"))
+        o.groupBy("nk")
+          .agg(count(lit(1)).as("n_s"),
+            sum(when(col("treat"), 1L).otherwise(0L)).as("n_t"),
+            sum(when(col("treat"), col("y_cents")).otherwise(0L)).as("s_t"),
+            sum(when(!col("treat"), 1L).otherwise(0L)).as("n_c"),
+            sum(when(!col("treat"), col("y_cents")).otherwise(0L)).as("s_c"))
+          .select(col("nk"), col("n_s"), col("n_t"), col("n_c"),
+            when(col("n_t") > 0 && col("n_c") > 0,
+              floor(col("s_t").cast("double") / col("n_t")
+                - col("s_c").cast("double") / col("n_c")).cast("long"))
+              .as("ate_s_cents"))
+      },
+      Some("""WITH o AS (SELECT c_nationkey AS nk,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS y,
+        |    o_orderpriority = '1-URGENT' AS treat
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |s AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT) AS s_t,
+        |    CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN NOT treat THEN y ELSE 0 END) AS BIGINT) AS s_c
+        |  FROM o GROUP BY 1)
+        |SELECT nk, n_s, n_t, n_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0
+        |    THEN CAST(floor(CAST(s_t AS DOUBLE) / n_t
+        |      - CAST(s_c AS DOUBLE) / n_c) AS BIGINT) END AS ate_s_cents
+        |FROM s""".stripMargin)
     ))
   )
 }

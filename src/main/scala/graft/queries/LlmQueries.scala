@@ -7159,6 +7159,65 @@ object LlmQueries {
         |SELECT y2.vec_id, dims, sum_q2, sum_y2,
         |  sum_y2 = dims * sum_q2 AS parseval_ok
         |FROM y2 JOIN s2 ON s2.vec_id = y2.vec_id JOIN dims ON dims.vec_id = y2.vec_id""".stripMargin)
+    )),
+
+    // Rich-club coefficient of the near-dup graph at degree thresholds
+    // 1/2/4/8 — do the heavily-duplicated documents ALSO duplicate each
+    // other (boilerplate ecosystems: φ → 1), or are they independent
+    // hubs (spam bursts: φ low)? Pure integer counting: per-threshold
+    // membership is a degree comparison, E_k a filtered count over the
+    // pair relation joined to two vertex-degree aggregates (the
+    // graph_modularity degree-identity shape), the 4× threshold
+    // expansion map-side into a partial-combining count.
+    "graph_rich_club" -> ((
+      (s: SparkSession, dir: String) => {
+        val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = pairs.select(col("doc_a").as("v"))
+          .unionAll(pairs.select(col("doc_b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ks = s.range(0, 4)
+          .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS LONG)").as("k_deg"))
+        val nRich = deg.crossJoin(broadcast(ks)).filter(col("dg") > col("k_deg"))
+          .groupBy("k_deg").agg(count(lit(1)).as("n_rich"))
+        val eRich = pairs
+          .join(deg.select(col("v").as("doc_a"), col("dg").as("da")), "doc_a")
+          .join(deg.select(col("v").as("doc_b"), col("dg").as("db")), "doc_b")
+          .crossJoin(broadcast(ks))
+          .filter(col("da") > col("k_deg") && col("db") > col("k_deg"))
+          .groupBy("k_deg").agg(count(lit(1)).as("e_rich"))
+        nRich.join(eRich, Seq("k_deg"), "left").na.fill(0L, Seq("e_rich"))
+          .select(col("k_deg"), col("n_rich"), col("e_rich"),
+            when(col("n_rich") > 1,
+              floor(lit(2e6) * col("e_rich")
+                / (col("n_rich") * (col("n_rich") - 1))).cast("long"))
+              .as("phi_ppm"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS MATERIALIZED (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM (
+        |  SELECT doc_a AS v FROM jp UNION ALL SELECT doc_b FROM jp) GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS k_deg),
+        |nr AS (SELECT k_deg, CAST(count(*) AS BIGINT) AS n_rich
+        |  FROM deg, ks WHERE dg > k_deg GROUP BY 1),
+        |er AS (SELECT k_deg, CAST(count(*) AS BIGINT) AS e_rich
+        |  FROM jp JOIN deg a ON a.v = jp.doc_a JOIN deg b ON b.v = jp.doc_b, ks
+        |  WHERE a.dg > k_deg AND b.dg > k_deg GROUP BY 1)
+        |SELECT nr.k_deg, n_rich, coalesce(e_rich, 0) AS e_rich,
+        |  CASE WHEN n_rich > 1 THEN CAST(floor(2e6 * coalesce(e_rich, 0)
+        |    / (n_rich * (n_rich - 1))) AS BIGINT) END AS phi_ppm
+        |FROM nr LEFT JOIN er ON er.k_deg = nr.k_deg""".stripMargin)
     ))
   )
 
