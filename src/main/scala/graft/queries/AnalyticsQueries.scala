@@ -6306,6 +6306,137 @@ object AnalyticsQueries {
         |    THEN CAST(floor(CAST(s_t AS DOUBLE) / n_t
         |      - CAST(s_c AS DOUBLE) / n_c) AS BIGINT) END AS ate_s_cents
         |FROM s""".stripMargin)
+    )),
+
+    // Winsorized mean — q_trimmed_mean's sibling that CLAMPS the tails
+    // to the decile bounds instead of dropping them (keeps n, caps
+    // influence — the estimator of record when row count itself is the
+    // denominator elsewhere). Same discrete-percentile bounds (actual
+    // data values), clamping is greatest/least, and the clamped value is
+    // always a real 2-decimal price so the exact-decimal money snap
+    // applies unchanged.
+    "q_winsorized_mean" -> ((
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        val bounds = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy("o_orderpriority")
+          .agg(min(when(col("cd") >= 0.1, col("o_totalprice"))).as("lo"),
+            min(when(col("cd") >= 0.9, col("o_totalprice"))).as("hi"))
+        t(s, dir, "orders").join(broadcast(bounds), "o_orderpriority")
+          .select(col("o_orderpriority"),
+            greatest(col("lo"), least(col("hi"), col("o_totalprice"))).as("wv"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), moneySum(col("wv")).as("winsor_sum"))
+          .select(col("o_orderpriority"), col("n"), col("winsor_sum"),
+            floor(col("winsor_sum") * 100 / col("n")).cast("long").as("mean_cents"))
+      },
+      Some(s"""WITH b AS (SELECT o_orderpriority,
+        |    quantile_disc(o_totalprice, 0.1) AS lo,
+        |    quantile_disc(o_totalprice, 0.9) AS hi
+        |  FROM orders GROUP BY 1),
+        |cl AS (SELECT o.o_orderpriority,
+        |    greatest(lo, least(hi, o_totalprice)) AS wv
+        |  FROM orders o JOIN b USING (o_orderpriority)),
+        |k AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    ${moneySumSql("wv")} AS winsor_sum
+        |  FROM cl GROUP BY 1)
+        |SELECT o_orderpriority, n, winsor_sum,
+        |  CAST(floor(winsor_sum * 100 / n) AS BIGINT) AS mean_cents
+        |FROM k""".stripMargin)
+    )),
+
+    // Tukey median polish of the nation × priority revenue table — the
+    // ROBUST two-way decomposition (overall + row + column + residual):
+    // where ANOVA's means follow one mega-order, medians shrug it off,
+    // so the residual table is the honest "this cell is anomalous"
+    // readout. Two unrolled row/column sweeps in exact integer CENTS —
+    // medians are DISCRETE (lower-median: the cd ≥ 0.5 element, an
+    // actual cell value), subtraction is long arithmetic, so both
+    // engines replay the sweeps bit-for-bit. Everything after the first
+    // aggregate lives on the k₁×k₂ cell relation.
+    "q_median_polish" -> ((
+      (s: SparkSession, dir: String) => {
+        var cells = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"), col("o_orderpriority").as("pri"))
+          .agg((round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long").as("r"))
+        for (_ <- 1 to 2) {
+          val wr = Window.partitionBy("nk").orderBy("r")
+          val rowMed = cells.withColumn("cd", cume_dist().over(wr))
+            .groupBy(col("nk").as("rnk"))
+            .agg(min(when(col("cd") >= 0.5, col("r"))).as("rm"))
+          cells = cells.join(broadcast(rowMed), col("nk") === col("rnk"))
+            .select(col("nk"), col("pri"), (col("r") - col("rm")).as("r"))
+          val wc = Window.partitionBy("pri").orderBy("r")
+          val colMed = cells.withColumn("cd", cume_dist().over(wc))
+            .groupBy(col("pri").as("cpri"))
+            .agg(min(when(col("cd") >= 0.5, col("r"))).as("cm"))
+          cells = cells.join(broadcast(colMed), col("pri") === col("cpri"))
+            .select(col("nk"), col("pri"), (col("r") - col("cm")).as("r"))
+        }
+        cells.select(col("nk"), col("pri"), col("r").as("residual_cents"))
+      },
+      Some {
+        val rounds = (1 to 2).map { t =>
+          s"""rm$t AS (SELECT nk, quantile_disc(r, 0.5) AS rm FROM c${2 * t - 2} GROUP BY 1),
+             |c${2 * t - 1} AS MATERIALIZED (SELECT c.nk, c.pri, c.r - rm AS r
+             |  FROM c${2 * t - 2} c JOIN rm$t ON rm$t.nk = c.nk),
+             |cm$t AS (SELECT pri, quantile_disc(r, 0.5) AS cm FROM c${2 * t - 1} GROUP BY 1),
+             |c${2 * t} AS MATERIALIZED (SELECT c.nk, c.pri, c.r - cm AS r
+             |  FROM c${2 * t - 1} c JOIN cm$t ON cm$t.pri = c.pri)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c0 AS (SELECT c_nationkey AS nk, o_orderpriority AS pri,
+           |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS r
+           |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+           |$rounds
+           |SELECT nk, pri, CAST(r AS BIGINT) AS residual_cents FROM c4""".stripMargin
+      }
+    )),
+
+    // Price elasticity per return flag — the log-log OLS slope of
+    // quantity on unit price (how demand responds to price, the
+    // assortment-pricing readout). Per-row log terms are floored to
+    // MICROS (one identical libm chain each), so every OLS moment is an
+    // exact integer sum — the cross-moment rides DECIMAL because
+    // micro²-scale products pass 2^63 long before 100 TB. One scan, one
+    // k-row aggregate, slope as a single double expression.
+    "q_price_elasticity" -> ((
+      (s: SparkSession, dir: String) => {
+        val lx = floor(lit(1e6)
+          * log(col("l_extendedprice") / col("l_quantity"))).cast("long")
+        val ly = floor(lit(1e6) * log(col("l_quantity"))).cast("long")
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+          .select(col("l_returnflag"), lx.as("x"), ly.as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+              / (col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double") / col("n")), 6)
+              .as("elasticity"))
+      },
+      Some("""WITH t AS (SELECT l_returnflag,
+        |    CAST(floor(1e6 * ln(l_extendedprice / l_quantity)) AS BIGINT) AS x,
+        |    CAST(floor(1e6 * ln(l_quantity)) AS BIGINT) AS y
+        |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x * y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x * x AS HUGEINT)) AS sxx
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6)
+        |    AS elasticity
+        |FROM a""".stripMargin)
     ))
   )
 }
