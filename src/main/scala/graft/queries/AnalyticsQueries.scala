@@ -6221,16 +6221,22 @@ object AnalyticsQueries {
           .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
             (col("n") * lit(1000000L)).as("w"))
         for (_ <- 1 to 2) {
+          // lazy persist per half-round iterate: each scaling's total is
+          // an aggregate over the PREVIOUS iterate — without the cache
+          // every broadcast job replays the whole growing chain (the
+          // q_markov_stationary lesson, O(rounds²) stages otherwise)
           val rowTot = w.groupBy(col("nk").as("rnk")).agg(sum("w").as("rt"))
           w = w.join(broadcast(rowTot), col("nk") === col("rnk"))
             .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
               floor(col("w") * (col("nn").cast("double") * 1e6 / col("kr")) / col("rt"))
                 .cast("long").as("w"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val colTot = w.groupBy(col("pri").as("cpri")).agg(sum("w").as("ct"))
           w = w.join(broadcast(colTot), col("pri") === col("cpri"))
             .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
               floor(col("w") * (col("nn").cast("double") * 1e6 / col("kc")) / col("ct"))
                 .cast("long").as("w"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
         w.select(col("nk"), col("pri"), col("n"), col("w").as("w_micro"),
           // the per-row rake factor a caller applies to row weights
