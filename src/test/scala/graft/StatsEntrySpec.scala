@@ -652,6 +652,104 @@ class StatsEntrySpec extends SparkSpec {
     assert(math.abs(out(0)._5 - beta) < 1e-5, s"beta ${out(0)._5} expected ~$beta")
   }
 
+  test("q_stratified_ate: planted strata give the exact cent gap; missing arm gives NULL") {
+    val customers = Seq((1L, 0L), (2L, 0L), (3L, 1L)).map { case (ck, nk) =>
+      (ck, s"c$ck", nk, 0.0, "BUILDING")
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, "1-URGENT", 3.0), (2L, 2L, "5-LOW", 1.0),  // nk0: gap 200 cents
+      (3L, 3L, "1-URGENT", 9.0)                            // nk1: no control arm
+    ).map { case (ok, ck, p, v) => (ok, ck, "O", v, "1995-01-01", p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders, "customer" -> customers)
+    val out = SparkEntry.queries("q_stratified_ate")(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((2L, 1L, 1L, Some(200L))), s"nk0: ${out(0L)}")
+    assert(out(1L) == ((1L, 1L, 0L, None)), s"nk1: ${out(1L)}")
+  }
+
+  test("q_winsorized_mean: clamping only the top value moves the mean to 5.40") {
+    // values 1..10, lo = disc(0.1) = 1, hi = disc(0.9) = 9: only 10 clamps
+    val orders = (1 to 10).map { i =>
+      (i.toLong, i.toLong, "O", i.toDouble, "1995-01-01", "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders)
+    val out = SparkEntry.queries("q_winsorized_mean")(spark, dir)
+      .as[(String, Long, Double, Long)].collect()(0)
+    assert(out == (("1-URGENT", 10L, 54.0, 540L)), s"got $out")
+  }
+
+  test("q_median_polish: the anomalous cell is the only nonzero residual") {
+    // cents table [[100,200],[300,600]]: row sweeps then column sweeps
+    // leave exactly (1, LOW) = 200 — the cell that breaks additivity
+    val customers = Seq((1L, 0L), (2L, 1L)).map { case (ck, nk) =>
+      (ck, s"c$ck", nk, 0.0, "BUILDING")
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, "1-URGENT", 1.0), (2L, 1L, "5-LOW", 2.0),
+      (3L, 2L, "1-URGENT", 3.0), (4L, 2L, "5-LOW", 6.0)
+    ).map { case (ok, ck, p, v) => (ok, ck, "O", v, "1995-01-01", p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders, "customer" -> customers)
+    val out = SparkEntry.queries("q_median_polish")(spark, dir)
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      (0L, "1-URGENT") -> 0L, (0L, "5-LOW") -> 0L,
+      (1L, "1-URGENT") -> 0L, (1L, "5-LOW") -> 200L), s"got $out")
+  }
+
+  test("q_ipf_raking replays the floored scaling fixpoint in plain Scala") {
+    // 2x2 with a missing cell: nk0 = {URGENT:1, LOW:1}, nk1 = {URGENT:2}
+    val customers = Seq((1L, 0L), (2L, 1L)).map { case (ck, nk) =>
+      (ck, s"c$ck", nk, 0.0, "BUILDING")
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (1L, 1L, "1-URGENT"), (2L, 1L, "5-LOW"),
+      (3L, 2L, "1-URGENT"), (4L, 2L, "1-URGENT")
+    ).map { case (ok, ck, p) => (ok, ck, "O", 1.0, "1995-01-01", p) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders, "customer" -> customers)
+    val out = SparkEntry.queries("q_ipf_raking")(spark, dir)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    // replay with the entry's exact double chains
+    var w = Map((0L, "U") -> 1000000L, (0L, "L") -> 1000000L, (1L, "U") -> 2000000L)
+    val (nn, kr, kc) = (4L, 2L, 2L)
+    for (_ <- 1 to 2) {
+      val rt = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      w = w.map { case (k, v) =>
+        k -> math.floor(v * (nn.toDouble * 1e6 / kr) / rt(k._1)).toLong }
+      val ct = w.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      w = w.map { case (k, v) =>
+        k -> math.floor(v * (nn.toDouble * 1e6 / kc) / ct(k._2)).toLong }
+    }
+    def exp(k: (Long, String), n: Long) =
+      (w(k), math.floor(w(k).toDouble * 1e6 / (n * 1000000L)).toLong)
+    assert(out((0L, "1-URGENT")) == exp((0L, "U"), 1L), s"got $out replay $w")
+    assert(out((0L, "5-LOW")) == exp((0L, "L"), 1L), s"got $out replay $w")
+    assert(out((1L, "1-URGENT")) == exp((1L, "U"), 2L), s"got $out replay $w")
+  }
+
+  test("q_sax_symbols: a step series reads 'ac'") {
+    val customers = Seq((1L, "c", 0L, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = (1 to 6).map { m =>
+      val v = if (m <= 3) 1.0 else 4.0
+      (m.toLong, 1L, "O", v, f"1995-$m%02d-15", "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val dir = plantDir("orders" -> orders, "customer" -> customers)
+    val out = SparkEntry.queries("q_sax_symbols")(spark, dir)
+      .as[(Long, Long, String)].collect()(0)
+    assert(out == ((0L, 2L, "ac")), s"got $out")
+  }
+
   test("dq_dp_histogram: noise replays from the md5-seeded inverse CDF and clamps at zero") {
     val out = SparkEntry.queries("dq_dp_histogram")(spark, sf0001)
       .select("lang", "n_noisy").as[(String, Long)].collect().toMap
