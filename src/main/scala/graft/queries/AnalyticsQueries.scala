@@ -6443,6 +6443,125 @@ object AnalyticsQueries {
         |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6)
         |    AS elasticity
         |FROM a""".stripMargin)
+    )),
+
+    // Partial correlation of price and quantity CONTROLLING for discount
+    // — the readout that separates "price and volume move together" from
+    // "the discount schedule moves both" (q_corr_stats' pairwise r can't
+    // tell). r_xy·z from the three pairwise correlations, each computed
+    // from EXACT decimal moment sums in one conditional-free scan — the
+    // q_welch_ttest exactness discipline extended to a 3×3 moment matrix.
+    // Quantity and discount are snapped to the same decimal grid as
+    // price so every cross-moment is exact at any row count.
+    "q_partial_correlation" -> ((
+      (s: SparkSession, dir: String) => {
+        val x = col("l_extendedprice").cast("decimal(19,6)")
+        val y = col("l_quantity").cast("decimal(19,6)")
+        val z = col("l_discount").cast("decimal(19,6)")
+        val m = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+            sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+        def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+          ((col(sab).cast("double") - col(sa).cast("double") * col(sb).cast("double") / col("n"))
+            / sqrt((col(saa).cast("double") - col(sa).cast("double") * col(sa).cast("double") / col("n"))
+              * (col(sbb).cast("double") - col(sb).cast("double") * col(sb).cast("double") / col("n"))))
+        m.select(col("l_returnflag"), col("n"),
+            r("sxy", "sx", "sy", "sxx", "syy").as("rxy"),
+            r("sxz", "sx", "sz", "sxx", "szz").as("rxz"),
+            r("syz", "sy", "sz", "syy", "szz").as("ryz"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("rxy"), 6).as("r_xy"),
+            round((col("rxy") - col("rxz") * col("ryz"))
+              / sqrt((lit(1.0) - col("rxz") * col("rxz"))
+                * (lit(1.0) - col("ryz") * col("ryz"))), 6).as("r_xy_given_z"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(l_discount AS DECIMAL(19,6))) AS sz,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS syy,
+        |    sum(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS szz,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS sxz,
+        |    sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) AS syz
+        |  FROM lineitem GROUP BY 1),
+        |rr AS (SELECT l_returnflag, n,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS rxy,
+        |    (CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) / n)
+        |      / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |        * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n)) AS rxz,
+        |    (CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE) / n)
+        |      / sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |        * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n)) AS ryz
+        |  FROM m)
+        |SELECT l_returnflag, n, round(rxy, 6) AS r_xy,
+        |  round((rxy - rxz * ryz)
+        |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) AS r_xy_given_z
+        |FROM rr""".stripMargin)
+    )),
+
+    // ROC AUC of "order value predicts urgency" on a FIXED 1024-band
+    // score axis — the ranking-quality readout for any cheap classifier,
+    // computed WITHOUT a global rank window: scores band to an
+    // SF-invariant axis (cents div 2^14, capped), per-band pos/neg
+    // counts aggregate in one pass, and the Mann-Whitney pair count
+    // Σ[pos_b·(neg below) + pos_b·neg_b/2] comes from the bounded
+    // band×band self-join (the q_fdr_bh ranking shape). Banding makes
+    // in-band order deliberately count as ties — declared, exact, and
+    // identical in both engines.
+    "q_auc_roc" -> ((
+      (s: SparkSession, dir: String) => {
+        val b = t(s, dir, "orders")
+          .select(least(((col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long") / lit(16384L)).cast("long"), lit(1023L)).as("band"),
+            (col("o_orderpriority") === "1-URGENT").as("pos"))
+          .groupBy("band")
+          .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+            sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val below = b.as("i")
+          .join(b.select(col("band").as("jb"), col("nn").as("jnn")).as("j"),
+            col("jb") < col("band"), "left")
+          .groupBy(col("band"), col("np"), col("nn"))
+          .agg(coalesce(sum(col("jnn")), lit(0L)).as("neg_below"))
+        below
+          // pair counts ride DECIMAL: np·neg_below passes 2^63 once both
+          // arms hold ~1e10 rows, long before 100 TB
+          .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+            sum(col("np").cast("decimal(38,0)") * col("neg_below") * 2
+              + col("np").cast("decimal(38,0)") * col("nn")).as("u2"))
+          .select(col("n_pos"), col("n_neg"),
+            floor(col("u2").cast("double") * 1e6
+              / (col("n_pos").cast("double") * 2 * col("n_neg")))
+              .cast("long").as("auc_ppm"))
+      },
+      Some("""WITH s AS (SELECT
+        |    least(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) // 16384,
+        |      1023) AS band,
+        |    o_orderpriority = '1-URGENT' AS pos
+        |  FROM orders),
+        |b AS (SELECT band,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM s GROUP BY 1),
+        |bl AS (SELECT i.band, i.np, i.nn,
+        |    CAST(coalesce(sum(j.nn), 0) AS BIGINT) AS neg_below
+        |  FROM b i LEFT JOIN b j ON j.band < i.band GROUP BY 1, 2, 3),
+        |agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    sum(CAST(np AS HUGEINT) * neg_below * 2
+        |      + CAST(np AS HUGEINT) * nn) AS u2
+        |  FROM bl)
+        |SELECT n_pos, n_neg,
+        |  CAST(floor(CAST(u2 AS DOUBLE) * 1e6
+        |    / (CAST(n_pos AS DOUBLE) * 2 * n_neg)) AS BIGINT) AS auc_ppm
+        |FROM agg""".stripMargin)
     ))
   )
 }
