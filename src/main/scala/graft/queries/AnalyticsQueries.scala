@@ -6562,6 +6562,158 @@ object AnalyticsQueries {
         |  CAST(floor(CAST(u2 AS DOUBLE) * 1e6
         |    / (CAST(n_pos AS DOUBLE) * 2 * n_neg)) AS BIGINT) AS auc_ppm
         |FROM agg""".stripMargin)
+    )),
+
+    // Delete-one-nation jackknife for the average-order-value RATIO —
+    // the standard error a naive per-row variance gets WRONG for ratio
+    // estimators (numerator and denominator co-vary): each leave-out
+    // replicate is (S−s_i)/(N−n_i) over exact decimal/long sums, the
+    // pseudo-value spread is micro-floored per replicate then integer-
+    // summed. k = |nation| replicates — a bounded fan-out over one
+    // aggregate, where the bootstrap entry spreads replica weights over
+    // the corpus instead (complementary designs).
+    "q_jackknife_ratio" -> ((
+      (s: SparkSession, dir: String) => {
+        val per = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_i"),
+            (round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+              .cast("long").as("s_i"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = per.agg(sum("n_i").as("nn"), sum("s_i").as("ss"),
+          count(lit(1)).as("k"))
+        val reps = per.crossJoin(broadcast(g))
+          .select(col("nk"), col("nn"), col("ss"), col("k"),
+            ((col("ss") - col("s_i")).cast("double")
+              / (col("nn") - col("n_i"))).as("theta_i"))
+        val full = reps
+          .groupBy(col("nn"), col("ss"), col("k"))
+          .agg(sum(floor(col("theta_i") * 1e6).cast("long")).as("sum_t"),
+            sum(floor(col("theta_i") * col("theta_i")).cast("long")).as("sum_t2"))
+        full.select(col("k"),
+            floor(col("ss").cast("double") / col("nn")).cast("long")
+              .as("theta_cents"),
+            // jackknife variance (k-1)/k * Σ(θᵢ−θ̄)²; micro-floored θᵢ
+            // sums keep the spread exact across engines
+            floor((col("k") - 1).cast("double") / col("k")
+              * (col("sum_t2").cast("double")
+                - (col("sum_t").cast("double") / 1e6)
+                  * (col("sum_t").cast("double") / 1e6) / col("k")))
+              .cast("long").as("jk_var_floor"))
+      },
+      Some("""WITH per AS (SELECT c_nationkey AS nk,
+        |    CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS s_i
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_i) AS BIGINT) AS nn, CAST(sum(s_i) AS BIGINT) AS ss,
+        |    CAST(count(*) AS BIGINT) AS k FROM per),
+        |reps AS (SELECT nk, nn, ss, k,
+        |    CAST(ss - s_i AS DOUBLE) / (nn - n_i) AS theta_i
+        |  FROM per, g),
+        |f AS (SELECT nn, ss, k,
+        |    CAST(sum(CAST(floor(theta_i * 1e6) AS BIGINT)) AS BIGINT) AS sum_t,
+        |    CAST(sum(CAST(floor(theta_i * theta_i) AS BIGINT)) AS BIGINT) AS sum_t2
+        |  FROM reps GROUP BY 1, 2, 3)
+        |SELECT k, CAST(floor(CAST(ss AS DOUBLE) / nn) AS BIGINT) AS theta_cents,
+        |  CAST(floor(CAST(k - 1 AS DOUBLE) / k
+        |    * (CAST(sum_t2 AS DOUBLE)
+        |      - (CAST(sum_t AS DOUBLE) / 1e6) * (CAST(sum_t AS DOUBLE) / 1e6) / k))
+        |    AS BIGINT) AS jk_var_floor
+        |FROM f""".stripMargin)
+    )),
+
+    // Intraclass correlation + survey design effect — how much of order-
+    // value variance lives BETWEEN nations, and what that clustering
+    // costs a nation-sampled estimate (DEFF = 1 + (m̄−1)ρ: the factor
+    // your effective sample size shrinks by when you sample clusters
+    // instead of rows). Same exact decimal moment sums as q_anova_f,
+    // assembled into the MSB/MSW components; one scan, k-row algebra.
+    "q_icc_deff" -> ((
+      (s: SparkSession, dir: String) => {
+        val x = col("o_totalprice").cast("decimal(18,6)")
+        val xx = col("o_totalprice").cast("decimal(19,6)")
+        val per = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(xx * xx).as("sxx"))
+        val g = per.agg(sum("n").as("nn"),
+          sum(col("sx").cast("decimal(28,6)")).as("ss"), count(lit(1)).as("k"))
+        per.crossJoin(broadcast(g))
+          .select(col("nn"), col("k"), col("n"),
+            (col("sx").cast("double") / col("n")
+              - col("ss").cast("double") / col("nn")).as("dm"),
+            (col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n")).as("ssw_g"))
+          .groupBy(col("nn"), col("k"))
+          .agg(sum(col("n") * col("dm") * col("dm")).as("ssb"),
+            sum(col("ssw_g")).as("ssw"))
+          .select(col("nn").as("n_total"), col("k"),
+            round((col("ssb") / (col("k") - 1) - col("ssw") / (col("nn") - col("k")))
+              / (col("ssb") / (col("k") - 1)
+                + (col("nn").cast("double") / col("k") - 1)
+                  * (col("ssw") / (col("nn") - col("k")))), 6).as("icc"),
+            round(lit(1.0) + (col("nn").cast("double") / col("k") - 1)
+              * ((col("ssb") / (col("k") - 1) - col("ssw") / (col("nn") - col("k")))
+                / (col("ssb") / (col("k") - 1)
+                  + (col("nn").cast("double") / col("k") - 1)
+                    * (col("ssw") / (col("nn") - col("k"))))), 6).as("deff"))
+      },
+      Some("""WITH per AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6))) AS sxx
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(CAST(sx AS DECIMAL(28,6))) AS ss, CAST(count(*) AS BIGINT) AS k
+        |  FROM per),
+        |terms AS (SELECT nn, k, n,
+        |    CAST(sx AS DOUBLE) / n - CAST(ss AS DOUBLE) / nn AS dm,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS ssw_g
+        |  FROM per, g),
+        |m AS (SELECT nn AS n_total, k, sum(n * dm * dm) AS ssb, sum(ssw_g) AS ssw
+        |  FROM terms GROUP BY 1, 2),
+        |r AS (SELECT n_total, k,
+        |    (ssb / (k - 1) - ssw / (n_total - k))
+        |      / (ssb / (k - 1)
+        |        + (CAST(n_total AS DOUBLE) / k - 1) * (ssw / (n_total - k))) AS icc
+        |  FROM m)
+        |SELECT n_total, k, round(icc, 6) AS icc,
+        |  round(1.0 + (CAST(n_total AS DOUBLE) / k - 1) * icc, 6) AS deff
+        |FROM r""".stripMargin)
+    )),
+
+    // Index of dispersion per event type — daily count variance over
+    // mean: 1 for a Poisson arrival process, ≫1 for bursty/incident
+    // traffic, ≪1 for rate-limited flows. The fact stream collapses to
+    // the calendar-bounded day grid FIRST; the index is then exact
+    // integer sums and one double ratio per type.
+    "q_overdispersion" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("c").as("total"),
+            // decimal: Σc² passes 2^63 once a type sees ~1e8 events/day
+            sum((col("c") * col("c")).cast("decimal(38,0)")).as("c2"))
+          .select(col("event_type"), col("n_days"), col("total"),
+            round((col("c2").cast("double")
+              - col("total").cast("double") * col("total") / col("n_days"))
+              / (col("n_days") - 1)
+              / (col("total").cast("double") / col("n_days")), 6)
+              .as("dispersion"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS total, CAST(sum(c * c) AS BIGINT) AS c2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, total,
+        |  round((CAST(c2 AS DOUBLE) - CAST(total AS DOUBLE) * total / n_days)
+        |    / (n_days - 1) / (CAST(total AS DOUBLE) / n_days), 6) AS dispersion
+        |FROM a""".stripMargin)
     ))
   )
 }
