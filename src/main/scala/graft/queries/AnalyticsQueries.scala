@@ -6714,6 +6714,158 @@ object AnalyticsQueries {
         |  round((CAST(c2 AS DOUBLE) - CAST(total AS DOUBLE) * total / n_days)
         |    / (n_days - 1) / (CAST(total AS DOUBLE) / n_days), 6) AS dispersion
         |FROM a""".stripMargin)
+    )),
+
+    // Hill tail-index of the order-value distribution — is the revenue
+    // tail Pareto-heavy (α ≤ 2: variance undefined, mean-based dashboards
+    // lie) or well-behaved? α = k / Σ ln(x_i/x_k) over the top k+1 order
+    // statistics, which is a TakeOrdered(k+1) — bounded rows to the
+    // driver-side of the plan, never a global sort — with deterministic
+    // (value, orderkey) tie-breaks; the k log terms are micro-floored
+    // identical chains, integer-summed.
+    "q_hill_tail" -> ((
+      (s: SparkSession, dir: String) => {
+        val top = t(s, dir, "orders")
+          .select(col("o_totalprice"), col("o_orderkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(101)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val xk = top.agg(min("o_totalprice").as("xk"))
+        top.crossJoin(broadcast(xk))
+          .filter(col("o_totalprice") > col("xk"))
+          .agg(count(lit(1)).as("k"),
+            sum(floor(lit(1e6) * log(col("o_totalprice") / col("xk")))
+              .cast("long")).as("slog_micro"))
+          .select(col("k"), col("slog_micro"),
+            round(col("k").cast("double")
+              / (col("slog_micro").cast("double") / 1e6), 6).as("hill_alpha"))
+      },
+      Some("""WITH top AS (SELECT o_totalprice FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 101),
+        |xk AS (SELECT min(o_totalprice) AS xk FROM top),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(CAST(floor(1e6 * ln(o_totalprice / xk)) AS BIGINT)) AS BIGINT)
+        |      AS slog_micro
+        |  FROM top, xk WHERE o_totalprice > xk)
+        |SELECT k, slog_micro,
+        |  round(CAST(k AS DOUBLE) / (CAST(slog_micro AS DOUBLE) / 1e6), 6) AS hill_alpha
+        |FROM a""".stripMargin)
+    )),
+
+    // Seasonal Mann–Kendall per nation — q_mann_kendall's trend test
+    // with pair comparisons RESTRICTED to the same month-of-year, so a
+    // strong December never masquerades as (or masks) a trend: the
+    // variant actually used on seasonal series. S and the tie-corrected
+    // variance sum over the 12 seasons; same SF-invariant
+    // |nation| × (calendar/12)² pair stage, pure integer statistic.
+    "q_mann_kendall_seasonal" -> ((
+      (s: SparkSession, dir: String) => {
+        val monthly = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg(moneySum(col("o_totalprice")).as("y"))
+          .withColumn("moy", col("m") % 12)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = monthly.select(col("nk"), col("moy"), col("m").as("m1"), col("y").as("y1"))
+        val b = monthly.select(col("nk"), col("moy"), col("m").as("m2"), col("y").as("y2"))
+        val sRel = a.join(b, Seq("nk", "moy")).filter(col("m2") > col("m1"))
+          .groupBy("nk")
+          .agg(sum(when(col("y2") > col("y1"), 1L)
+            .when(col("y2") < col("y1"), -1L).otherwise(0L)).as("s_stat"))
+        val vRel = monthly.groupBy("nk", "moy").agg(count(lit(1)).as("ns"))
+          .groupBy("nk")
+          .agg(sum(col("ns") * (col("ns") - 1) * (col("ns") * 2 + 5)).as("v18"),
+            sum(col("ns")).as("n_months"))
+        sRel.join(vRel, "nk")
+          .select(col("nk"), col("n_months"), col("s_stat"),
+            round(when(col("s_stat") > 0,
+                (col("s_stat") - 1).cast("double") / sqrt(col("v18").cast("double") / 18.0))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast("double") / sqrt(col("v18").cast("double") / 18.0))
+              .otherwise(0.0), 6).as("z_smk"))
+      },
+      Some("""WITH monthly AS (
+        |  SELECT c_nationkey AS nk,
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS m,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |mm AS (SELECT nk, m, m % 12 AS moy, y FROM monthly),
+        |s AS (SELECT a.nk, CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM mm a JOIN mm b ON a.nk = b.nk AND a.moy = b.moy AND b.m > a.m
+        |  GROUP BY 1),
+        |v AS (SELECT nk, CAST(sum(ns * (ns - 1) * (ns * 2 + 5)) AS BIGINT) AS v18,
+        |    CAST(sum(ns) AS BIGINT) AS n_months
+        |  FROM (SELECT nk, moy, CAST(count(*) AS BIGINT) AS ns FROM mm GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT s.nk, n_months, s_stat,
+        |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END, 6) AS z_smk
+        |FROM s JOIN v ON v.nk = s.nk""".stripMargin)
+    )),
+
+    // Theil inequality index with its between/within-nation
+    // decomposition — the inequality measure that ADDS UP (Gini doesn't
+    // decompose): T = T_between + Σ share_g·T_g says how much revenue
+    // concentration is "rich nations vs poor nations" and how much is
+    // "whales inside each nation". Per-order terms (x/S)·ln(x·N/S) are
+    // identical double chains over the exact cent value and broadcast
+    // exact group sums, nano-floored then integer-summed — one scan
+    // over the fact table, aggregates everywhere else.
+    "q_theil_inequality" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nk"),
+            (col("o_totalprice").cast("decimal(18,6)") * 100).cast("long").as("x"))
+        val per = o.groupBy("nk").agg(count(lit(1)).as("n_g"), sum("x").as("s_g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val g = per.agg(sum("n_g").as("nn"), sum("s_g").as("ss"))
+        // per-row terms in the SCALE-INVARIANT form r = x·N/S ~ O(1):
+        // flooring 1e6·r·ln r keeps micro precision at any corpus size,
+        // where 1e9·(x/S)·ln(...) would floor every term to 0 past ~1e9
+        // rows; T = Σterm/(1e6·N), emitted in nanos
+        val within = o.crossJoin(broadcast(g))
+          .select(floor(lit(1e6) * (col("x").cast("double") * col("nn") / col("ss"))
+            * log(col("x").cast("double") * col("nn") / col("ss")))
+            .cast("long").as("t_micro"))
+          .agg(sum("t_micro").as("sum_micro"))
+          .crossJoin(broadcast(g.select(col("nn"))))
+          .select(floor(col("sum_micro").cast("double") * 1e3 / col("nn"))
+            .cast("long").as("t_total_nano"))
+        val between = per.crossJoin(broadcast(g))
+          .select(floor(lit(1e9) * (col("s_g").cast("double") / col("ss"))
+            * log((col("s_g").cast("double") / col("ss"))
+              / (col("n_g").cast("double") / col("nn"))))
+            .cast("long").as("b_nano"))
+          .agg(sum("b_nano").as("t_between_nano"))
+        within.crossJoin(between)
+          .select(col("t_total_nano"), col("t_between_nano"),
+            (col("t_total_nano") - col("t_between_nano")).as("t_within_nano"))
+      },
+      Some("""WITH o AS (SELECT c_nationkey AS nk,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS s_g FROM o GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn, CAST(sum(s_g) AS BIGINT) AS ss
+        |  FROM per),
+        |w0 AS (SELECT CAST(sum(CAST(floor(1e6 * (CAST(x AS DOUBLE) * nn / ss)
+        |      * ln(CAST(x AS DOUBLE) * nn / ss)) AS BIGINT)) AS BIGINT) AS sum_micro
+        |  FROM o, g),
+        |w AS (SELECT CAST(floor(CAST(sum_micro AS DOUBLE) * 1e3 / nn) AS BIGINT)
+        |    AS t_total_nano
+        |  FROM w0, g),
+        |b AS (SELECT CAST(sum(CAST(floor(1e9 * (CAST(s_g AS DOUBLE) / ss)
+        |      * ln((CAST(s_g AS DOUBLE) / ss) / (CAST(n_g AS DOUBLE) / nn)))
+        |      AS BIGINT)) AS BIGINT) AS t_between_nano
+        |  FROM per, g)
+        |SELECT t_total_nano, t_between_nano,
+        |  CAST(t_total_nano - t_between_nano AS BIGINT) AS t_within_nano
+        |FROM w, b""".stripMargin)
     ))
   )
 }
