@@ -6866,6 +6866,94 @@ object AnalyticsQueries {
         |SELECT t_total_nano, t_between_nano,
         |  CAST(t_total_nano - t_between_nano AS BIGINT) AS t_within_nano
         |FROM w, b""".stripMargin)
+    )),
+
+    // Gumbel fit of monthly revenue maxima (block-maxima method-of-
+    // moments: σ = s·√6/π, μ = m̄ − γσ) — the extreme-value companion to
+    // q_hill_tail: Hill asks "how heavy is the tail", this asks "how big
+    // is next year's biggest month" (the capacity-planning number).
+    // Block maxima are exact cents over the calendar-bounded grid;
+    // moments are exact integer sums over ≤ calendar rows; the two
+    // parameters are single double expressions (γ and √6/π as literal
+    // constants both engines parse identically).
+    "q_gumbel_block_maxima" -> ((
+      (s: SparkSession, dir: String) => {
+        val mx = t(s, dir, "orders")
+          .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg(max((col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long")).as("mx"))
+        mx.agg(count(lit(1)).as("n_blocks"), sum("mx").as("sx"),
+            sum((col("mx") * col("mx")).cast("decimal(38,0)")).as("sxx"))
+          .select(col("n_blocks"), col("sx"),
+            ((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n_blocks"))
+              / (col("n_blocks") - 1)).as("v"))
+          .select(col("n_blocks"),
+            floor(col("sx").cast("double") / col("n_blocks")).cast("long")
+              .as("mean_cents"),
+            round(sqrt(col("v")) * 0.7796968012336093, 2).as("sigma_cents"),
+            round(col("sx").cast("double") / col("n_blocks")
+              - lit(0.5772156649015329) * sqrt(col("v")) * 0.7796968012336093, 2)
+              .as("mu_cents"))
+      },
+      Some("""WITH mx AS (SELECT
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS m,
+        |    max(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS mx
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(mx) AS BIGINT) AS sx,
+        |    sum(CAST(mx * mx AS HUGEINT)) AS sxx FROM mx),
+        |v AS (SELECT n_blocks, sx,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_blocks)
+        |      / (n_blocks - 1) AS v
+        |  FROM a)
+        |SELECT n_blocks,
+        |  CAST(floor(CAST(sx AS DOUBLE) / n_blocks) AS BIGINT) AS mean_cents,
+        |  round(sqrt(v) * 0.7796968012336093, 2) AS sigma_cents,
+        |  round(CAST(sx AS DOUBLE) / n_blocks
+        |    - 0.5772156649015329 * sqrt(v) * 0.7796968012336093, 2) AS mu_cents
+        |FROM v""".stripMargin)
+    )),
+
+    // Lincoln–Petersen capture–recapture — estimate the TRUE customer
+    // population from two observation windows (how many customers exist
+    // that we never see in either year: the coverage number a panel or
+    // crawl audit needs). N̂ = n₁·n₂/m from three exact distinct counts;
+    // the Chapman correction ((n₁+1)(n₂+1)/(m+1) − 1) rides alongside as
+    // the small-m-safe variant. One scan, conditional distinct
+    // aggregates, double products (n₁·n₂ passes 2^63 at planet scale).
+    "q_capture_recapture" -> ((
+      (s: SparkSession, dir: String) => {
+        val y = year(col("o_orderdate"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), y.as("yr"))
+          .filter(col("yr") === 1995 || col("yr") === 1999)
+          .groupBy("o_custkey")
+          .agg(max(when(col("yr") === 1995, 1L).otherwise(0L)).as("c1"),
+            max(when(col("yr") === 1999, 1L).otherwise(0L)).as("c2"))
+          .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+            sum(col("c1") * col("c2")).as("m"))
+          .select(col("n1"), col("n2"), col("m"),
+            floor(col("n1").cast("double") * col("n2") / col("m"))
+              .cast("long").as("n_lincoln"),
+            floor((col("n1") + 1).cast("double") * (col("n2") + 1)
+              / (col("m") + 1) - 1).cast("long").as("n_chapman"))
+      },
+      Some("""WITH c AS (SELECT o_custkey,
+        |    CAST(max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1999
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1999)
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * c2) AS BIGINT) AS m FROM c)
+        |SELECT n1, n2, m,
+        |  CAST(floor(CAST(n1 AS DOUBLE) * n2 / m) AS BIGINT) AS n_lincoln,
+        |  CAST(floor(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1) AS BIGINT)
+        |    AS n_chapman
+        |FROM a""".stripMargin)
     ))
   )
 }
