@@ -6954,6 +6954,92 @@ object AnalyticsQueries {
         |  CAST(floor(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1) AS BIGINT)
         |    AS n_chapman
         |FROM a""".stripMargin)
+    )),
+
+    // Herfindahl–Hirschman concentration of customer revenue within each
+    // nation — the antitrust number (10000·Σ share²) that says whether a
+    // nation's revenue is one whale or a broad base; the square-sum form
+    // Σs²/S² needs ONE customer-grain aggregate and ONE nation-grain
+    // aggregate (never a share join): s² rides DECIMAL (a 1e9-cent
+    // customer squares past 2^63 instantly), the ratio is one double
+    // chain per nation.
+    "q_herfindahl" -> ((
+      (s: SparkSession, dir: String) => {
+        val perCust = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"), col("o_custkey"))
+          .agg((round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long").as("s_c"))
+        perCust.groupBy("nk")
+          .agg(count(lit(1)).as("n_customers"), sum("s_c").as("s_g"),
+            sum((col("s_c") * col("s_c")).cast("decimal(38,0)")).as("s2"))
+          .select(col("nk"), col("n_customers"),
+            floor(lit(10000.0) * col("s2").cast("double")
+              / (col("s_g").cast("double") * col("s_g").cast("double")))
+              .cast("long").as("hhi"))
+      },
+      Some("""WITH pc AS (SELECT c_nationkey AS nk, o_custkey,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS s_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |a AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(s_c) AS BIGINT) AS s_g,
+        |    sum(CAST(s_c * s_c AS HUGEINT)) AS s2
+        |  FROM pc GROUP BY 1)
+        |SELECT nk, n_customers,
+        |  CAST(floor(10000.0 * CAST(s2 AS DOUBLE)
+        |    / (CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))) AS BIGINT) AS hhi
+        |FROM a""".stripMargin)
+    )),
+
+    // Kendall's tau-b between two nation rankings (by revenue vs by
+    // order count) — do the two league tables actually agree, with the
+    // tie-corrected denominator: the rank-agreement readout for any two
+    // scoring functions. All integer counting over the k-row aggregate's
+    // k² pairs (concordant − discordant over √((P−Tx)(P−Ty))); the
+    // aggregate values are exact (cents, counts), so both engines count
+    // identical pairs.
+    "q_kendall_tau" -> ((
+      (s: SparkSession, dir: String) => {
+        val per = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg((round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
+            .cast("long").as("x"), count(lit(1)).as("y"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val i = per.select(col("nk").as("ia"), col("x").as("xa"), col("y").as("ya"))
+        val j = per.select(col("nk").as("jb"), col("x").as("xb"), col("y").as("yb"))
+        i.join(j, col("ia") < col("jb"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when((col("xa") < col("xb") && col("ya") < col("yb"))
+              || (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+              .otherwise(0L)).as("concordant"),
+            sum(when((col("xa") < col("xb") && col("ya") > col("yb"))
+              || (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+              .otherwise(0L)).as("discordant"),
+            sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+            sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+          .select(col("n_pairs"), col("concordant"), col("discordant"),
+            round((col("concordant") - col("discordant")).cast("double")
+              / sqrt((col("n_pairs") - col("tx")).cast("double")
+                * (col("n_pairs") - col("ty")).cast("double")), 6).as("tau_b"))
+      },
+      Some("""WITH per AS (SELECT c_nationkey AS nk,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM per a JOIN per b ON a.nk < b.nk)
+        |SELECT n_pairs, concordant, discordant,
+        |  round(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST(n_pairs - tx AS DOUBLE) * CAST(n_pairs - ty AS DOUBLE)), 6)
+        |    AS tau_b
+        |FROM p""".stripMargin)
     ))
   )
 }
