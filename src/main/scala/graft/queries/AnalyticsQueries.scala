@@ -7040,6 +7040,47 @@ object AnalyticsQueries {
         |    / sqrt(CAST(n_pairs - tx AS DOUBLE) * CAST(n_pairs - ty AS DOUBLE)), 6)
         |    AS tau_b
         |FROM p""".stripMargin)
+    )),
+
+    // Coefficient of variation per priority — the relative-dispersion
+    // number that makes groups with different means comparable (the
+    // dashboard companion every mean should ship with). Same exact
+    // decimal moment sums as q_welch_ttest/q_anova_f; cv and its
+    // small-sample-corrected sibling (1 + 1/4n) are single double
+    // expressions, one scan end to end.
+    "q_coeff_variation" -> ((
+      (s: SparkSession, dir: String) => {
+        val x = col("o_totalprice").cast("decimal(18,6)")
+        val xx = col("o_totalprice").cast("decimal(19,6)")
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(xx * xx).as("sxx"))
+          .select(col("o_orderpriority"), col("n"),
+            (col("sx").cast("double") / col("n")).as("mean"),
+            sqrt((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              / (col("n") - 1)).as("sd"))
+          .select(col("o_orderpriority"), col("n"),
+            floor(col("mean") * 100).cast("long").as("mean_cents"),
+            floor(lit(1e6) * col("sd") / col("mean")).cast("long").as("cv_ppm"),
+            floor(lit(1e6) * (lit(1.0) + lit(0.25) / col("n"))
+              * col("sd") / col("mean")).cast("long").as("cv_corrected_ppm"))
+      },
+      Some("""WITH a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6))) AS sxx
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT o_orderpriority, n,
+        |    CAST(sx AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |      / (n - 1)) AS sd
+        |  FROM a)
+        |SELECT o_orderpriority, n,
+        |  CAST(floor(mean * 100) AS BIGINT) AS mean_cents,
+        |  CAST(floor(1e6 * sd / mean) AS BIGINT) AS cv_ppm,
+        |  CAST(floor(1e6 * (1.0 + 0.25 / n) * sd / mean) AS BIGINT) AS cv_corrected_ppm
+        |FROM m""".stripMargin)
     ))
   )
 }
