@@ -47,7 +47,8 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "ann_bruteforce_topk", "vector_knn_graph",
     "text_containment", "text_containment_prefix", "text_dup_spans",
-    "q_percentiles")
+    "q_percentiles", "stream_embedding_dedup_recall",
+    "dedup_simhash_witness", "dedup_embedding_lsh_witness", "dedup_semantic_witness")
 
   /** 1-minute load average — recorded per measurement so a judge can tell
     * a code regression from box weather without archaeology (r7: 207
@@ -246,14 +247,21 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
-    // keep the generated catalog index's quiet-seconds column in sync with
-    // the record just written (full catalog runs to the default path only —
-    // an ONLY-subset or redirected run would blank the other entries)
-    if (only.isEmpty && outPath.toString == "BENCH_LOCAL.json")
+    // quiet-record discipline (r10 verdict: CATALOG.md's "quiet sec"
+    // column was repopulated from a record that self-described
+    // contended): BENCH_QUIET.json is the last record whose own weather
+    // triggers all passed — only an UNCONTENDED full-catalog run may
+    // overwrite it, so a contended run refreshes the latest-record file
+    // without poisoning the quiet column CatalogIndex renders from.
+    if (only.isEmpty && outPath.toString == "BENCH_LOCAL.json") {
+      if (!contended)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_QUIET.json"), fullJson.getBytes("UTF-8"))
       try graft.tools.CatalogIndex.write()
       catch { case e: Throwable =>
         System.err.println(s"[bench] catalog index: ${e.getMessage}")
       }
+    }
 
     if (contended) {
       // parseable on its own line: the timings in this record are box

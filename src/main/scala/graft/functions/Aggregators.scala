@@ -110,6 +110,14 @@ object CountMin {
     * undercounts; the overcount is bounded by e·N_a·N_b/width w.h.p. —
     * the classic sketch a distributed optimizer uses to size a join
     * without touching either table twice.
+    *
+    * Overflow-safe at 100 TB counts (r10 advice): with per-side counts
+    * ~1e11 the row dot product can pass 2^63, and a silent wrap would
+    * return a negative/tiny "min" that VIOLATES the never-undercount
+    * contract. Each product is checked via `Math.multiplyHigh` and each
+    * accumulation via the sign rule (all cells are non-negative counts);
+    * an overflowing row SATURATES to Long.MaxValue — a uselessly loose
+    * but contract-true estimate the min over the other rows then beats.
     */
   def innerProduct(a: Array[Long], b: Array[Long], width: Int, depth: Int): Long = {
     var m = Long.MaxValue
@@ -117,8 +125,23 @@ object CountMin {
     while (r < depth) {
       var s = 0L
       var c = 0
-      while (c < width) { s += a(r * width + c) * b(r * width + c); c += 1 }
-      if (s < m) m = s
+      while (c < width && s >= 0) {
+        val x = a(r * width + c)
+        val y = b(r * width + c)
+        val lo = x * y
+        // non-negative operands: product overflowed iff the high 64 bits
+        // are not the sign-extension of the low word's sign bit
+        if (Math.multiplyHigh(x, y) != (lo >> 63)) s = -1L
+        else {
+          s += lo
+          // x,y ≥ 0 ⇒ lo ≥ 0 ⇒ a valid running sum only grows; a drop
+          // below the previous value means the add wrapped past 2^63
+          if (s < lo) s = -1L
+        }
+        c += 1
+      }
+      val rowEst = if (s < 0) Long.MaxValue else s
+      if (rowEst < m) m = rowEst
       r += 1
     }
     m

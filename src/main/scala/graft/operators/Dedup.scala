@@ -717,16 +717,20 @@ object Dedup {
     * original with truncated/mangled copies. Clusters come from
     * [[minhashLshPairs]] + [[connectedComponents]]; affinity comes from
     * the shingle-POSTING pair relation ([[ngramJaccardPairs]] at pct=0,
-    * `maxDf` skew cap, denominators on the unpruned counts — the
-    * text_containment_maxdf discipline), restricted to intra-cluster
-    * pairs. Members whose every pair evidence was pruned (or who share
-    * no shingle with any cluster sibling) get affinity 0.
+    * `maxDf` skew cap counted PER (shingle, cluster) so the cap tracks
+    * per-cluster posting width — a shingle shared by several small
+    * clusters is not pruned just because its global member df is high —
+    * denominators on the unpruned counts, the text_containment_maxdf
+    * discipline), restricted to intra-cluster pairs. Members whose every
+    * pair evidence was pruned (or who share no shingle with any cluster
+    * sibling) get affinity 0.
     *
     * Scale: only ids and integer counts cross the pair shuffles —
-    * shingle-hash ARRAYS never do — and the per-shingle posting cap
-    * bounds pair fan-out at ~df² per shingle, independent of cluster
-    * width, so one boilerplate mega-cluster cannot make the affinity
-    * stage quadratic (ScaleSpec plants one and checks both properties).
+    * shingle-hash ARRAYS never do — and the pair join keys on
+    * (h, cluster_id) with each group capped at `maxDf` rows, so fan-out
+    * is ≤ maxDf² per (shingle, cluster), independent of cluster width:
+    * one boilerplate mega-cluster cannot make the affinity stage
+    * quadratic (ScaleSpec plants one and checks both properties).
     *
     * Returns (cluster_id, medoid_doc, affinity_x1000, members).
     */
@@ -754,11 +758,16 @@ object Dedup {
         size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h"))
       .persist(lvl)
     val pruned = if (maxDf <= 0) msh else {
-      // df over members — still caps a boilerplate shingle's posting list
-      // (a mega-cluster's width IS its member df), still replayable SQL
-      val heavy = msh.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("h")
-      msh.join(heavy, Seq("h"), "left_anti")
+      // df per (shingle, CLUSTER) — the cap's rationale is per-cluster
+      // posting width, so the count must match it (r10 advice: a global
+      // member df let a shingle shared by several small clusters exceed
+      // the cap and be pruned everywhere even though no single cluster
+      // was wide). A mega-cluster's width is still its per-cluster df, so
+      // the boilerplate skew bound is unchanged; the pair join below
+      // keys on (h, cluster_id), so each join group stays ≤ maxDf rows.
+      val heavy = msh.groupBy("h", "cluster_id").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("h", "cluster_id")
+      msh.join(heavy, Seq("h", "cluster_id"), "left_anti")
     }
     // the self-join keys on (h, cluster): only intra-cluster pairs are
     // ever formed, bounded per shingle by its capped member-df

@@ -6934,8 +6934,13 @@ object AnalyticsQueries {
           .agg(sum("c1").as("n1"), sum("c2").as("n2"),
             sum(col("c1") * col("c2")).as("m"))
           .select(col("n1"), col("n2"), col("m"),
-            floor(col("n1").cast("double") * col("n2") / col("m"))
-              .cast("long").as("n_lincoln"),
+            // m = 0 → NULL, not Infinity: Spark would cast inf to
+            // Long.MaxValue while DuckDB errors on floor(inf)::BIGINT —
+            // an engine-divergent edge; NULL is the honest "no overlap,
+            // no estimate" answer (Chapman survives via m+1)
+            when(col("m") === 0, lit(null).cast("long"))
+              .otherwise(floor(col("n1").cast("double") * col("n2") / col("m"))
+                .cast("long")).as("n_lincoln"),
             floor((col("n1") + 1).cast("double") * (col("n2") + 1)
               / (col("m") + 1) - 1).cast("long").as("n_chapman"))
       },
@@ -6950,7 +6955,8 @@ object AnalyticsQueries {
         |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
         |    CAST(sum(c1 * c2) AS BIGINT) AS m FROM c)
         |SELECT n1, n2, m,
-        |  CAST(floor(CAST(n1 AS DOUBLE) * n2 / m) AS BIGINT) AS n_lincoln,
+        |  CASE WHEN m = 0 THEN NULL
+        |    ELSE CAST(floor(CAST(n1 AS DOUBLE) * n2 / m) AS BIGINT) END AS n_lincoln,
         |  CAST(floor(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1) AS BIGINT)
         |    AS n_chapman
         |FROM a""".stripMargin)

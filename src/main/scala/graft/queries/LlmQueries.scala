@@ -63,6 +63,39 @@ object LlmQueries {
       |SELECT doc_id FROM documents
       |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node != cluster_id)""".stripMargin
 
+  /** FIXED-CARDINALITY evaluation sample for the ER audit family
+    * (er_blocking_eval / _multipass / er_fs_weights / _em / _classify):
+    * the `erSampleN` documents with the smallest multiplicative hash of
+    * doc_id (Knuth 2654435761, mod a prime; ties by doc_id — a total
+    * order, so the sample is deterministic on any engine). The r10
+    * `doc_id % 5` sample was SF-PROPORTIONAL, so the all-pairs
+    * ground-truth stage grew as n²/25 — quadratic compute and an
+    * unbounded broadcast at 100 TB. A hash-ordered `LIMIT N` caps the
+    * pair space at N·(N−1)/2 = 19 900 comparisons at EVERY scale factor:
+    * the exhaustive-truth methodology survives, the cost does not grow
+    * with the corpus, and the plan is a `TakeOrderedAndProject` feeding a
+    * bounded self-join (both inputs Limit-bounded — PlanAudit's
+    * cross-shape class verifies exactly this). The modular hash is
+    * overflow-safe ((doc_id % 1000003) ≤ 1e6, ×2654435761 < 2^63) and
+    * engine-portable integer arithmetic, so the oracle replays the
+    * selection bit-for-bit.
+    */
+  private val erSampleN = 200
+  private def erSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
+        substring(col("text"), 1, 100).as("p"),
+        substring_index(col("text"), " ", 2).as("pref"))
+      .orderBy(expr("(doc_id % 1000003) * 2654435761 % 1000003"), col("doc_id"))
+      .limit(erSampleN)
+  private val erSampleCte =
+    s"""d AS (SELECT doc_id, source, n_chars // 25 AS lb, substr(text, 1, 100) AS p,
+       |    array_to_string(string_split(text, ' ')[1:2], ' ') AS pref
+       |  FROM documents
+       |  ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id
+       |  LIMIT $erSampleN)""".stripMargin
+
   /** Merge-round count for the BPE training entries — a tokenizer
     * hyperparameter (real runs use 3e4-1e5; 8 keeps the unrolled oracle
     * readable while exercising multi-character merges-of-merges).
@@ -363,8 +396,9 @@ object LlmQueries {
     // clean original with truncated/mangled copies, since the medoid is
     // the member most similar to everything else. Affinity comes from the
     // shingle-POSTING pair relation (the `rawpairs` shape, maxDf=5 skew
-    // cap with df counted over cluster MEMBERS — the posting index is
-    // member-restricted — denominators on the unpruned counts, same
+    // cap with df counted per (shingle, CLUSTER) — the posting index is
+    // member-restricted and the cap tracks per-cluster posting width —
+    // denominators on the unpruned counts, same
     // discipline as text_containment_maxdf), restricted to intra-cluster
     // pairs; members
     // whose every pair was pruned get affinity 0 on both engines. Scale:
@@ -378,9 +412,11 @@ object LlmQueries {
         Dedup.medoidRepresentatives(docs(s, dir), n = 3, maxDf = 5),
       Some(ccOracleSql +
         """,cc AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
-          |msh AS (SELECT sh.doc_id, sh.s FROM sh JOIN cc ON cc.node = sh.doc_id),
-          |dfc AS (SELECT s, count(*) AS df FROM msh GROUP BY 1),
-          |prn AS (SELECT doc_id, s FROM msh JOIN dfc USING (s) WHERE df <= 5),
+          |msh AS (SELECT sh.doc_id, cc.cluster_id, sh.s
+          |  FROM sh JOIN cc ON cc.node = sh.doc_id),
+          |dfc AS (SELECT s, cluster_id, count(*) AS df FROM msh GROUP BY 1, 2),
+          |prn AS (SELECT doc_id, s FROM msh JOIN dfc USING (s, cluster_id)
+          |  WHERE df <= 5),
           |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |    CAST(count(*) AS BIGINT) AS common
           |  FROM prn a JOIN prn b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -656,15 +692,39 @@ object LlmQueries {
 
     // SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding). The
     // xxhash64-chained fingerprints aren't DuckDB-expressible, so the query
-    // materializes its own correctness contract as verdict rows (the
-    // dedup_embedding_lsh pattern): recall_violations = brute-force
-    // hamming≤3 pairs EXCEPT banded pairs — mathematically 0, since ≤3
-    // differing bits can touch at most 3 of the 4 16-bit chunks, so one
-    // chunk always matches (pigeonhole); precision_violations = banded
-    // pairs EXCEPT brute-force — 0 because candidates are hamming-verified
-    // before emission; docs_fingerprinted is independently countable by
-    // DuckDB (every non-empty text fingerprints).
+    // materializes its LINEAR-cost contract as verdict rows:
+    // docs_fingerprinted is independently countable by DuckDB (every
+    // non-empty text fingerprints) and every banded pair must be emitted
+    // in canonical doc_a < doc_b order. The brute-force recall/precision
+    // witness (all-pairs over the fingerprint bank — quadratic) lives in
+    // the DECLARED twin `dedup_simhash_witness`, benched apart.
     "dedup_simhash" -> ((
+      (s: SparkSession, dir: String) => {
+        val fp = Dedup.simhashFingerprints(docs(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = Dedup.simhashPairsFromFp(fp, maxHamming = 3)
+          .select("doc_a", "doc_b")
+        val fingerprinted = fp.agg(count(lit(1)).as("value"))
+          .select(lit("docs_fingerprinted").as("metric"), col("value").cast("long").as("value"))
+        val canonical = banded.filter(!(col("doc_a") < col("doc_b")))
+          .agg(count(lit(1)).as("value"))
+          .select(lit("noncanonical_pairs").as("metric"), col("value").cast("long").as("value"))
+        fingerprinted.unionAll(canonical)
+      },
+      Some("""SELECT 'docs_fingerprinted' AS metric,
+        |  CAST((SELECT count(*) FROM documents WHERE length(text) > 0) AS BIGINT) AS value
+        |UNION ALL SELECT 'noncanonical_pairs', CAST(0 AS BIGINT)""".stripMargin)
+    )),
+
+    // DECLARED brute-force witness twin of dedup_simhash (the
+    // stream_embedding_dedup_recall pattern): all-pairs hamming over the
+    // fingerprint bank — quadratic by design, it GATES the banded path.
+    // recall_violations = brute hamming≤3 pairs EXCEPT banded pairs —
+    // mathematically 0, since ≤3 differing bits can touch at most 3 of
+    // the 4 16-bit chunks, so one chunk always matches (pigeonhole);
+    // precision_violations = banded pairs EXCEPT brute — 0 because
+    // candidates are hamming-verified before emission.
+    "dedup_simhash_witness" -> ((
       (s: SparkSession, dir: String) => {
         val fp = Dedup.simhashFingerprints(docs(s, dir))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -672,19 +732,15 @@ object LlmQueries {
           .select("doc_a", "doc_b")
         val brute = Dedup.simhashBrutePairs(fp, maxHamming = 3)
           .select("doc_a", "doc_b")
-        val fingerprinted = fp.agg(count(lit(1)).as("value"))
-          .select(lit("docs_fingerprinted").as("metric"), col("value").cast("long").as("value"))
         val missed = brute.join(banded, Seq("doc_a", "doc_b"), "left_anti")
           .agg(count(lit(1)).as("value"))
           .select(lit("recall_violations").as("metric"), col("value").cast("long").as("value"))
         val extra = banded.join(brute, Seq("doc_a", "doc_b"), "left_anti")
           .agg(count(lit(1)).as("value"))
           .select(lit("precision_violations").as("metric"), col("value").cast("long").as("value"))
-        fingerprinted.unionAll(missed).unionAll(extra)
+        missed.unionAll(extra)
       },
-      Some("""SELECT 'docs_fingerprinted' AS metric,
-        |  CAST((SELECT count(*) FROM documents WHERE length(text) > 0) AS BIGINT) AS value
-        |UNION ALL SELECT 'recall_violations', CAST(0 AS BIGINT)
+      Some("""SELECT 'recall_violations' AS metric, CAST(0 AS BIGINT) AS value
         |UNION ALL SELECT 'precision_violations', CAST(0 AS BIGINT)""".stripMargin)
     )),
 
@@ -699,12 +755,40 @@ object LlmQueries {
     )),
 
     // Hyperplane-LSH bucketed variant (the 100 TB path). Recall < 1 by
-    // design, so pair-set equality with the brute-force oracle can't hold;
-    // instead the query *materializes its own correctness contract* — LSH
-    // pairs minus brute-force pairs must be empty (precision is absolute:
-    // candidates are verified with exact cosine), and recall must clear the
-    // floor DedupSpec asserts. The driver then hash-compares the verdict.
+    // design, so pair-set equality with the brute-force oracle can't
+    // hold; the production entry materializes the LINEAR-cost structural
+    // contract (canonical id_a < id_b order; every pair id exists in the
+    // corpus), while the quadratic precision/recall witness against the
+    // exact pair set lives in the DECLARED twin
+    // `dedup_embedding_lsh_witness`, benched apart (the r10-verdict
+    // discipline: a brute cross stage must never ride a production plan).
     "dedup_embedding_lsh" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val lsh = Dedup.embeddingLshPairs(e, dim = 64, threshold = 0.45)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val canonical = lsh.filter(!(col("id_a") < col("id_b")))
+          .agg(count(lit(1)).as("value"))
+          .select(lit("noncanonical_pairs").as("metric"), col("value").cast("long").as("value"))
+        val ids = lsh.select(col("id_a").as("vec_id"))
+          .unionAll(lsh.select(col("id_b").as("vec_id")))
+        val inCorpus = ids.join(e.select("vec_id"), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("pair_ids_outside_corpus").as("metric"),
+            col("value").cast("long").as("value"))
+        canonical.unionAll(inCorpus)
+      },
+      Some("""SELECT 'noncanonical_pairs' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'pair_ids_outside_corpus', CAST(0 AS BIGINT)""".stripMargin)
+    )),
+
+    // DECLARED brute-force witness twin of dedup_embedding_lsh: LSH pairs
+    // minus exact-cosine pairs must be empty (precision is absolute —
+    // candidates are verified with exact cosine before emission), and
+    // recall must clear the floor DedupSpec asserts. Quadratic by design
+    // (the exact pair set IS all-pairs); benched apart under
+    // Bench.oracleTwins.
+    "dedup_embedding_lsh_witness" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
         val lsh = Dedup.embeddingLshPairs(e, dim = 64, threshold = 0.45)
@@ -834,11 +918,12 @@ object LlmQueries {
     // SemDeDup: embedding-level dedup bounded by KMeans cells instead of
     // all-pairs. The cluster assignment is data-dependent (not
     // SQL-reproducible), so the query materializes its correctness
-    // contract as verdict rows: the kept set must contain NO in-cluster
-    // pair at cosine ≥ τ (re-checked by re-running the drop rule on the
-    // survivors), every drop must be witnessed by a GLOBAL cosine-≥-τ pair
-    // (cluster pairs ⊆ brute-force pairs — checks the cosine filter, not
-    // just the plumbing), and kept + dropped must partition the corpus.
+    // contract as verdict rows — all CELL-BOUNDED or linear: the kept set
+    // must contain NO in-cluster pair at cosine ≥ τ (re-checked by
+    // re-running the drop rule on the survivors), and kept + dropped must
+    // partition the corpus. The GLOBAL-witness check (every drop backed
+    // by a brute-force cosine pair — quadratic) lives in the DECLARED
+    // twin `dedup_semantic_witness`, benched apart.
     "dedup_semantic" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
@@ -860,18 +945,34 @@ object LlmQueries {
         val keptViolations = Dedup.semanticDroppedIds(keptAssigned, tau)
           .agg(count(lit(1)).as("value"))
           .select(lit("kept_pair_violations").as("metric"), col("value").cast("long").as("value"))
-        val witnessed = dropped
-          .join(Dedup.embeddingCosinePairs(e, tau).select("id_b").distinct(), Seq("id_b"), "left_anti")
-          .agg(count(lit(1)).as("value"))
-          .select(lit("drops_without_global_witness").as("metric"),
-            col("value").cast("long").as("value"))
-        total.unionAll(partitionOk).unionAll(keptViolations).unionAll(witnessed)
+        total.unionAll(partitionOk).unionAll(keptViolations)
       },
       Some("""SELECT 'total_vectors' AS metric,
         |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS value
         |UNION ALL SELECT 'kept_plus_dropped_is_total', CAST(1 AS BIGINT)
-        |UNION ALL SELECT 'kept_pair_violations', CAST(0 AS BIGINT)
-        |UNION ALL SELECT 'drops_without_global_witness', CAST(0 AS BIGINT)""".stripMargin)
+        |UNION ALL SELECT 'kept_pair_violations', CAST(0 AS BIGINT)""".stripMargin)
+    )),
+
+    // DECLARED brute-force witness twin of dedup_semantic: every dropped
+    // vector must be witnessed by a GLOBAL cosine-≥-τ pair (cluster pairs
+    // ⊆ brute-force pairs — checks the cosine filter, not just the
+    // plumbing). The witness needs the exact all-pairs set, so it is
+    // quadratic by design and benched apart under Bench.oracleTwins.
+    "dedup_semantic_witness" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val tau = 0.45
+        val assigned = Dedup.semanticAssignments(e)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dropped = Dedup.semanticDroppedIds(assigned, tau)
+        dropped
+          .join(Dedup.embeddingCosinePairs(e, tau).select("id_b").distinct(), Seq("id_b"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("drops_without_global_witness").as("metric"),
+            col("value").cast("long").as("value"))
+      },
+      Some("""SELECT 'drops_without_global_witness' AS metric,
+        |  CAST(0 AS BIGINT) AS value""".stripMargin)
     )),
 
     // Vector column statistics per label: L2-norm distribution — the
@@ -1158,14 +1259,18 @@ object LlmQueries {
             .filter(col("rn") === 1)
             .select(col("query_id"), col("did"), col("c_emb"), col("score"))
         }
+        // the picks are ≤ 1 row per query (rn = 1 over 4 queries); the
+        // no-op limit(4) makes that cardinality assertion MACHINE-VISIBLE
+        // to PlanAudit's boundedness walk (a window-rank filter alone is
+        // not provably bounded), so the broadcast stays audit-clean
         val p1 = argmax(cand, col("rel") * lit(0.7))
         val c2 = cand.join(broadcast(p1.select(col("query_id"), col("did").as("p1d"),
-            col("c_emb").as("p1e"))), "query_id")
+            col("c_emb").as("p1e")).limit(4)), "query_id")
           .filter(col("did") =!= col("p1d"))
           .withColumn("msim", call_function("cosine_sim", col("c_emb"), col("p1e")))
         val p2 = argmax(c2, col("rel") * lit(0.7) - col("msim") * lit(0.3))
         val c3 = c2.join(broadcast(p2.select(col("query_id"), col("did").as("p2d"),
-            col("c_emb").as("p2e"))), "query_id")
+            col("c_emb").as("p2e")).limit(4)), "query_id")
           .filter(col("did") =!= col("p2d"))
           .withColumn("msim2",
             greatest(col("msim"), call_function("cosine_sim", col("c_emb"), col("p2e"))))
@@ -1383,7 +1488,13 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         graft.functions.GraftFunctions.register(s)
         val e = emb(s, dir)
-        val drafted = interleaveDraft(s, dir)
+        // localCheckpoint: the six dependent draft rounds each nest the
+        // full prior lineage, so the composed winrate plan string passed
+        // 250 KB (Spark truncates at 262 KB and warns per run — driver
+        // CPU + log noise). The drafted relation is ≤ 6 picks per sampled
+        // query — the "interleave pick sets" checkpoint trust documented
+        // in PlanAudit; no broadcast hint consumes the checkpointed leaf.
+        val drafted = interleaveDraft(s, dir).localCheckpoint(true)
         val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("doc_id").asc)
         // no hint: hinting e (corpus-proportional) would force a 100 TB
         // broadcast; the drafted relation is the small side and AQE
@@ -3540,12 +3651,52 @@ object LlmQueries {
     // neighbor at cosine ≥ 0.45 through the shared hyperplane-LSH band
     // index. The signature bank is seeded-xorshift (not SQL-expressible),
     // so the entry materializes its correctness contract as verdict rows
-    // (the dedup_embedding_lsh pattern): precision is absolute (every
-    // emitted match re-verified ⊆ the brute-force cross match set),
-    // recall clears a floor, and survivors + matched partition the
-    // incoming set. StreamOps.embeddingDedupAgainstCorpus runs the same
-    // matcher per micro-batch (StreamingSpec parity test).
+    // (the dedup_embedding_lsh pattern): matched ⊆ incoming, and
+    // survivors + matched partition the incoming set — both LINEAR-cost
+    // invariants of the production matcher. The brute-force
+    // precision/recall witness lives in the DECLARED twin
+    // `stream_embedding_dedup_recall` (benched apart — the r10 verdict
+    // flagged the corpus × incoming cross join riding inside this
+    // production entry). StreamOps.embeddingDedupAgainstCorpus runs the
+    // same matcher per micro-batch (StreamingSpec parity test).
     "stream_embedding_dedup" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        val tau = 0.45
+        val corpus = e.filter(col("vec_id") % 10 === 0)
+        val incoming = e.filter(col("vec_id") % 10 =!= 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val matched = Dedup.embeddingMatchedIds(corpus, incoming, dim = 64, tau)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = incoming.agg(count(lit(1)).as("value"))
+          .select(lit("incoming_vectors").as("metric"), col("value").cast("long").as("value"))
+        val subset = matched.join(incoming, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("value"))
+          .select(lit("matched_outside_incoming").as("metric"),
+            col("value").cast("long").as("value"))
+        val partition = incoming.join(matched, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("s"))
+          .crossJoin(matched.agg(count(lit(1)).as("m")))
+          .crossJoin(incoming.agg(count(lit(1)).as("n")))
+          .select(lit("survivors_plus_matched_is_incoming").as("metric"),
+            (col("s") + col("m") === col("n")).cast("long").as("value"))
+        total.unionAll(subset).unionAll(partition)
+      },
+      Some("""SELECT 'incoming_vectors' AS metric,
+        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 != 0) AS BIGINT) AS value
+        |UNION ALL SELECT 'matched_outside_incoming', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'survivors_plus_matched_is_incoming', CAST(1 AS BIGINT)""".stripMargin)
+    )),
+
+    // DECLARED brute-force witness twin of stream_embedding_dedup (the
+    // ann_bruteforce_topk pattern): the corpus × incoming cross join that
+    // re-verifies the LSH matcher's precision (every emitted match ⊆ the
+    // exact cosine match set) and recall floor (≥ 50 % of true matches
+    // found). Deliberately quadratic — it GATES the production path and
+    // is benched apart under Bench.oracleTwins; the scale path never runs
+    // it (at 100 TB this audit runs on a fixed probe sample, the
+    // er-evaluation discipline).
+    "stream_embedding_dedup_recall" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir).select(col("vec_id"), col("embedding"))
         val tau = 0.45
@@ -3560,8 +3711,6 @@ object LlmQueries {
             col("embedding").as("c_emb")))
           .filter(call_function("cosine_sim", col("b.embedding"), col("c_emb")) >= tau)
           .select(col("b.vec_id")).distinct()
-        val total = incoming.agg(count(lit(1)).as("value"))
-          .select(lit("incoming_vectors").as("metric"), col("value").cast("long").as("value"))
         val prec = matched.join(brute, Seq("vec_id"), "left_anti")
           .agg(count(lit(1)).as("value"))
           .select(lit("precision_violations").as("metric"), col("value").cast("long").as("value"))
@@ -3569,19 +3718,10 @@ object LlmQueries {
           .crossJoin(brute.agg(count(lit(1)).as("t")))
           .select(lit("recall_floor_50_met").as("metric"),
             (col("f") * 100 >= col("t") * 50).cast("long").as("value"))
-        val partition = incoming.join(matched, Seq("vec_id"), "left_anti")
-          .agg(count(lit(1)).as("s"))
-          .crossJoin(matched.agg(count(lit(1)).as("m")))
-          .crossJoin(incoming.agg(count(lit(1)).as("n")))
-          .select(lit("survivors_plus_matched_is_incoming").as("metric"),
-            (col("s") + col("m") === col("n")).cast("long").as("value"))
-        total.unionAll(prec).unionAll(recall).unionAll(partition)
+        prec.unionAll(recall)
       },
-      Some("""SELECT 'incoming_vectors' AS metric,
-        |  CAST((SELECT count(*) FROM embeddings WHERE vec_id % 10 != 0) AS BIGINT) AS value
-        |UNION ALL SELECT 'precision_violations', CAST(0 AS BIGINT)
-        |UNION ALL SELECT 'recall_floor_50_met', CAST(1 AS BIGINT)
-        |UNION ALL SELECT 'survivors_plus_matched_is_incoming', CAST(1 AS BIGINT)""".stripMargin)
+      Some("""SELECT 'precision_violations' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'recall_floor_50_met', CAST(1 AS BIGINT)""".stripMargin)
     )),
 
     // Lossy-codec triage — the codec real corpora actually use: real
@@ -4451,18 +4591,16 @@ object LlmQueries {
     // metrics (Christen): PAIRS COMPLETENESS (what fraction of true
     // matches the (source, length-band) blocking keys capture) and
     // REDUCTION RATIO (what fraction of the n² comparison space they
-    // prune), measured on a 1-in-5 sample where exhaustive all-pairs
-    // edit distance is affordable. The thresholded levenshtein predicate
-    // triggers the banded-kernel rewrite rule, so "exhaustive" still
-    // runs the O(k·m/64) kernel, not full DP. This is the audit that
-    // decides whether er_golden_record's blocking is safe to trust at
-    // full scale.
+    // prune), measured on the FIXED 200-doc hash-ordered sample
+    // (`erSample` — bounded pair space at any SF; the r10 SF-proportional
+    // `doc_id % 5` sample went quadratic at scale). The thresholded
+    // levenshtein predicate triggers the banded-kernel rewrite rule, so
+    // "exhaustive" still runs the O(k·m/64) kernel, not full DP. This is
+    // the audit that decides whether er_golden_record's blocking is safe
+    // to trust at full scale.
     "er_blocking_eval" -> ((
       (s: SparkSession, dir: String) => {
-        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select(col("doc_id"), col("source"),
-            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
-            substring(col("text"), 1, 100).as("p"))
+        val d = erSample(s, dir)
         val pr = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(
             when(expr("levenshtein(a.p, b.p) <= 55"), 1L).otherwise(0L).as("tr"),
@@ -4475,9 +4613,7 @@ object LlmQueries {
               .as("completeness_pm"),
             expr("1000 - n_cand * 1000 div total").as("reduction_pm"))
       },
-      Some("""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb, substr(text, 1, 100) AS p
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |pr AS (SELECT
+      Some(s"WITH $erSampleCte,\n" + """pr AS (SELECT
         |    CASE WHEN levenshtein(a.p, b.p) <= 55 THEN 1 ELSE 0 END AS tr,
         |    CASE WHEN a.source = b.source AND a.lb = b.lb THEN 1 ELSE 0 END AS cd
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
@@ -4492,21 +4628,17 @@ object LlmQueries {
     )),
 
     // Multi-pass blocking — the standard fix for what er_blocking_eval
-    // measures (single-key blocking misses every cross-key true match,
-    // 352‰ completeness on this fixture): a UNION of blocking passes,
-    // each cheap, jointly covering what any one key misses. Pass 1 =
-    // (source, length band); pass 2 = first-2-token prefix (source-
-    // independent, so cross-source near-identical prefixes pair up).
-    // Same exhaustive-sample methodology; the oracle replays both
-    // passes. The per-pass capture counts show the marginal value of
-    // each key — the readout that tunes real ER block schemes.
+    // measures (single-key blocking misses every cross-key true match):
+    // a UNION of blocking passes, each cheap, jointly covering what any
+    // one key misses. Pass 1 = (source, length band); pass 2 =
+    // first-2-token prefix (source-independent, so cross-source
+    // near-identical prefixes pair up). Same fixed-sample exhaustive
+    // methodology as er_blocking_eval; the oracle replays both passes.
+    // The per-pass capture counts show the marginal value of each key —
+    // the readout that tunes real ER block schemes.
     "er_blocking_multipass" -> ((
       (s: SparkSession, dir: String) => {
-        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select(col("doc_id"), col("source"),
-            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
-            substring(col("text"), 1, 100).as("p"),
-            substring_index(col("text"), " ", 2).as("pref"))
+        val d = erSample(s, dir)
         val pr = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(
             when(expr("levenshtein(a.p, b.p) <= 55"), 1L).otherwise(0L).as("tr"),
@@ -4523,10 +4655,7 @@ object LlmQueries {
               .as("completeness_pm"),
             expr("1000 - n_cand * 1000 div total").as("reduction_pm"))
       },
-      Some("""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb, substr(text, 1, 100) AS p,
-        |    array_to_string(string_split(text, ' ')[1:2], ' ') AS pref
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |pr AS (SELECT
+      Some(s"WITH $erSampleCte,\n" + """pr AS (SELECT
         |    CASE WHEN levenshtein(a.p, b.p) <= 55 THEN 1 ELSE 0 END AS tr,
         |    CASE WHEN a.source = b.source AND a.lb = b.lb THEN 1 ELSE 0 END AS c1,
         |    CASE WHEN a.pref = b.pref THEN 1 ELSE 0 END AS c2
@@ -4585,17 +4714,13 @@ object LlmQueries {
     // pair. Laplace (+1/+2) smoothing keeps the log weights finite when a
     // field never (dis)agrees in a class; probabilities floor to ppm and
     // weights to milli-units — one double expression from exact integer
-    // counts on both engines. Same 1-in-5 exhaustive-sample methodology
-    // (bounded by sampling, banded-levenshtein kernel) as the blocking
-    // audits; at full scale m/u estimation runs on exactly this kind of
-    // sample, never the whole corpus.
+    // counts on both engines. Same fixed-sample exhaustive methodology
+    // (bounded by the hash-ordered LIMIT, banded-levenshtein kernel) as
+    // the blocking audits; at full scale m/u estimation runs on exactly
+    // this kind of fixed-size sample, never the whole corpus.
     "er_fs_weights" -> ((
       (s: SparkSession, dir: String) => {
-        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select(col("doc_id"), col("source"),
-            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
-            substring(col("text"), 1, 100).as("p"),
-            substring_index(col("text"), " ", 2).as("pref"))
+        val d = erSample(s, dir)
         val pr = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(
             when(expr("levenshtein(a.p, b.p) <= 55"), 1L).otherwise(0L).as("tr"),
@@ -4624,10 +4749,7 @@ object LlmQueries {
             ${fieldCols("prefix2", "cap3", "fp3").mkString(", ")})
           AS (field, m_ppm, u_ppm, w_agree_milli, w_disagree_milli)"""))
       },
-      Some("""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb, substr(text, 1, 100) AS p,
-        |    array_to_string(string_split(text, ' ')[1:2], ' ') AS pref
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |pr AS (SELECT
+      Some(s"WITH $erSampleCte,\n" + """pr AS (SELECT
         |    CASE WHEN levenshtein(a.p, b.p) <= 55 THEN 1 ELSE 0 END AS tr,
         |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
         |    CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END AS g2,
@@ -4664,10 +4786,7 @@ object LlmQueries {
     // fixpoint deterministic.
     "er_fs_em" -> ((
       (s: SparkSession, dir: String) => {
-        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select(col("doc_id"), col("source"),
-            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
-            substring_index(col("text"), " ", 2).as("pref"))
+        val d = erSample(s, dir)
         val pat = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(
             when(col("a.source") === col("b.source"), 1L).otherwise(0L).as("g1"),
@@ -4745,9 +4864,7 @@ object LlmQueries {
              |    CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(1000000000000 - wq AS DECIMAL(13,0)) * g3) AS DOUBLE)
              |      / CAST(sum(CAST(ng AS DECIMAL(19,0)) * CAST(1000000000000 - wq AS DECIMAL(13,0))) AS DOUBLE) AS u3
              |  FROM w$i)""".stripMargin
-        s"""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb,
-           |    array_to_string(string_split(text, ' ')[1:2], ' ') AS pref
-           |  FROM documents WHERE doc_id % 5 = 0),
+        s"""WITH $erSampleCte,
            |pat AS MATERIALIZED (SELECT
            |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
            |    CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END AS g2,
@@ -4783,11 +4900,7 @@ object LlmQueries {
     // SF while the scoring plan is exactly the full-scale shape.
     "er_fs_classify" -> ((
       (s: SparkSession, dir: String) => {
-        val d = docs(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select(col("doc_id"), col("source"),
-            expr("CAST(n_chars div 25 AS BIGINT)").as("lb"),
-            substring(col("text"), 1, 100).as("p"),
-            substring_index(col("text"), " ", 2).as("pref"))
+        val d = erSample(s, dir)
         val pr = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             when(expr("levenshtein(a.p, b.p) <= 55"), 1L).otherwise(0L).as("tr"),
@@ -4823,10 +4936,7 @@ object LlmQueries {
           .orderBy(col("score_milli").desc, col("doc_a").asc, col("doc_b").asc)
           .limit(50)
       },
-      Some("""WITH d AS (SELECT doc_id, source, n_chars // 25 AS lb, substr(text, 1, 100) AS p,
-        |    array_to_string(string_split(text, ' ')[1:2], ' ') AS pref
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      Some(s"WITH $erSampleCte,\n" + """pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    CASE WHEN levenshtein(a.p, b.p) <= 55 THEN 1 ELSE 0 END AS tr,
         |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g1,
         |    CASE WHEN a.lb = b.lb THEN 1 ELSE 0 END AS g2,
@@ -5446,8 +5556,10 @@ object LlmQueries {
         val trunc = Similarity.matryoshkaTopK(e, q, dims = 32, k = 10)
           .select(col("query_id"), col("neighbor_id"))
         // both rankings are (|queries| * k)-row relations — broadcast them
-        // so the overlap check never shuffles
-        val overlap = trunc.join(broadcast(full), Seq("query_id", "neighbor_id"), "left_semi")
+        // so the overlap check never shuffles; the no-op limit(80) states
+        // the 8-query × k=10 bound in a form PlanAudit's boundedness walk
+        // can verify (a window-rank filter alone is not provably bounded)
+        val overlap = trunc.join(broadcast(full.limit(80)), Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("overlap_at_10"))
         q.select(col("vec_id").as("query_id"))
           .join(broadcast(overlap), Seq("query_id"), "left")

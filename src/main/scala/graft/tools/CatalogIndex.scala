@@ -40,16 +40,30 @@ object CatalogIndex {
     }.toMap
   }
 
-  /** entry name → min seconds from the committed BENCH_LOCAL.json
-    * (regex-parsed — the file is written by Bench in a fixed shape). */
+  /** entry name → min seconds from the committed QUIET bench record
+    * (regex-parsed — the file is written by Bench in a fixed shape).
+    *
+    * Source discipline (r10 verdict: the column once repopulated from a
+    * driver run that self-described `contended: true` while still being
+    * labeled "quiet-box"): `BENCH_QUIET.json` holds the LAST record whose
+    * own weather triggers all passed — Bench copies `BENCH_LOCAL.json`
+    * there only when `contended == false`, so a contended run updates the
+    * latest-record file without poisoning the quiet column. Fallback:
+    * when no quiet file exists yet, `BENCH_LOCAL.json` is used only if it
+    * declares `"contended":false` itself.
+    */
   def quietSeconds(root: String = "."): Map[String, Double] = {
-    val p = Paths.get(root, "BENCH_LOCAL.json")
-    if (!Files.exists(p)) Map.empty
-    else {
+    def parse(p: java.nio.file.Path): Map[String, Double] = {
       val txt = Files.readString(p)
       """"([a-z0-9_]+)":\{"min":([0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+    val quiet = Paths.get(root, "BENCH_QUIET.json")
+    val latest = Paths.get(root, "BENCH_LOCAL.json")
+    if (Files.exists(quiet)) parse(quiet)
+    else if (Files.exists(latest) && Files.readString(latest).contains(""""contended":false"""))
+      parse(latest)
+    else Map.empty
   }
 
   def render(root: String = "."): String = {
@@ -73,7 +87,10 @@ object CatalogIndex {
        |`rows-only` = driver checks rows > 0; `(twin)` = declared
        |brute-force oracle twin, benched apart from production paths),
        |and its min seconds from the committed quiet-box bench record
-       |(`BENCH_LOCAL.json`; `—` = not in the current record).
+       |(`BENCH_QUIET.json` — updated only by runs whose own weather
+       |triggers pass, i.e. `contended == false`; a contended run updates
+       |`BENCH_LOCAL.json` without touching this column. `—` = not in the
+       |current quiet record).
        |
        |Regenerate with `sbt "runMain graft.tools.CatalogIndex"` (also
        |rewritten by full `Verify`/`Bench` runs). CatalogContractSpec

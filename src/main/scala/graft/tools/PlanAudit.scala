@@ -38,6 +38,20 @@ import graft.SparkEntry
   *    DECLARED brute-force twin whose query set IS the corpus (scale
   *    path: `vector_knn_graph_pivoted`) — the flag is that declaration
   *    made visible. Any OTHER query joining this list is a regression.
+  *  - `cross-shape` — a join with NO equality conjunct between its
+  *    sides (planned as `CartesianProduct`, or `BroadcastNestedLoopJoin`
+  *    when an inequality-only condition exists) whose inputs BOTH scale
+  *    with the corpus: |L|·|R| compute plus an unbounded broadcast. r10
+  *    verdict: the grep-only `CartesianProduct` class missed BNLJ, so
+  *    five ER evaluation entries shipped all-pairs over an
+  *    SF-proportional sample silently. One bounded side is accepted
+  *    (probe-set × corpus is linear — the ANN idiom). Accepted
+  *    instances: the DECLARED brute-force twins whose contract IS the
+  *    exhaustive pair set (`dedup_embedding_cosine`, `vector_knn_graph`,
+  *    `stream_embedding_dedup_recall`, `dedup_simhash_witness`,
+  *    `dedup_embedding_lsh_witness`, `dedup_semantic_witness`). Any
+  *    OTHER query joining this list is a regression — enforced in CI by
+  *    CatalogContractSpec.
   *
   * Flags are informational (several catalog queries legitimately carry
   * them — e.g. q_pack_shards range-partitions by design); the value is
@@ -78,65 +92,156 @@ object PlanAudit {
     * scales with the corpus, and forcing its broadcast is a 100 TB OOM
     * that AQE's size-checked auto-broadcast exists to prevent.
     */
-  def hasUnboundedBroadcastHint(analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
 
-    def boundedLeaf(l: LogicalPlan): Boolean = l match {
-      case _: LocalRelation | _: OneRowRelation => true
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
-      // spark.range(a, b): numElements is a plan-time literal, so the
-      // relation's size is provably SF-independent (e.g. a 9-row decile
-      // axis) — as bounded as a LocalRelation of the same rows
-      case _: Range => true
-      case lr: LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.forall { p =>
-              val s = p.toString
-              s.contains("nation") || s.contains("region")
-            }
-          case _ => false
+  /** Physical-plan boundedness for CACHED subtrees: caching replaces
+    * the logical subtree with an `InMemoryRelation` LEAF in the optimized
+    * plan, so the Aggregate/Limit that bounds it is only visible in the
+    * relation's cached PHYSICAL plan — without this walk, every persisted
+    * 25-row aggregate read as "unbounded" (the r11 false-positive class:
+    * q_kendall_tau's per-nation pair matrix, the theta/simhash signature
+    * banks). Same node classes as the logical walk, physical spellings.
+    */
+  private def boundedCached(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    p match {
+      case a: adaptive.AdaptiveSparkPlanExec => boundedCached(a.inputPlan)
+      case _: aggregate.BaseAggregateExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec => true
+      case _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case _: LocalTableScanExec => true
+      // localCheckpoint scan — same documented trust as logical LogicalRDD
+      case _: RDDScanExec => true
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.forall { rp =>
+          val s = rp.toString
+          s.contains("nation") || s.contains("region")
         }
-      case _ => false
+      case imr: columnar.InMemoryTableScanExec => boundedCached(imr.relation.cachedPlan)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(boundedCached)
     }
+  }
 
-    // does this predicate fix the qualifying key set regardless of SF?
-    // AND: one bounding conjunct suffices (conjunction only narrows);
-    // OR: every disjunct must bound. Analysis wraps literals (and
-    // sometimes the column) in type-coercion Casts — strip them, and
-    // accept any FOLDABLE comparand (constant at plan time).
-    def stripCast(e: Expression): Expression = e match {
-      case c: Cast => stripCast(c.child)
-      case other => other
-    }
-    def isAttr(e: Expression): Boolean =
-      stripCast(e).isInstanceOf[AttributeReference]
-    def boundingPredicate(e: Expression): Boolean = e match {
-      case And(l, r) => boundingPredicate(l) || boundingPredicate(r)
-      case Or(l, r) => boundingPredicate(l) && boundingPredicate(r)
-      case LessThan(a, v) if isAttr(a) && v.foldable => true
-      case LessThanOrEqual(a, v) if isAttr(a) && v.foldable => true
-      case GreaterThan(v, a) if isAttr(a) && v.foldable => true
-      case GreaterThanOrEqual(v, a) if isAttr(a) && v.foldable => true
-      case EqualTo(a, v) if isAttr(a) && v.foldable => true
-      case EqualTo(v, a) if isAttr(a) && v.foldable => true
-      case In(a, vs) if isAttr(a) && vs.forall(_.foldable) => true
-      case InSet(a, _) if isAttr(a) => true
-      case _ => false
-    }
+  private def boundedLeaf(l: LogicalPlan): Boolean = l match {
+    case _: LocalRelation | _: OneRowRelation => true
+    case _: org.apache.spark.sql.execution.LogicalRDD => true
+    case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      boundedCached(imr.cachedPlan)
+    // spark.range(a, b): numElements is a plan-time LITERAL, so the size
+    // is SF-independent — but "bounded" here means "safe to hold in one
+    // executor", so the literal itself must be small (r10 advice: the old
+    // unconditional accept would have blessed a broadcast of
+    // spark.range(1e12)). 65536 covers every catalog axis (deciles,
+    // calendar grids, k-grids) with two orders of margin.
+    case r: Range => r.numElements <= BigInt(65536)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          h.location.rootPaths.forall { p =>
+            val s = p.toString
+            s.contains("nation") || s.contains("region")
+          }
+        case _ => false
+      }
+    case _ => false
+  }
 
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
-      case f: Filter if boundingPredicate(f.condition) => true
-      case l if l.children.isEmpty => boundedLeaf(l)
-      case other => other.children.forall(bounded)
-    }
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
 
+  /** Constant-predicate columns the audit TRUSTS to be keys (unique,
+    * non-negative ids), so a fixed value range is a fixed row count at
+    * any SF. r10 advice: the old rule accepted ANY attribute — equality
+    * on a non-key column (`lang = 'en'`) selects a corpus-proportional
+    * subset, so the trust must be machine-checked against a declared
+    * allowlist: the synthetic tables' id columns (vec_id/doc_id/event_id)
+    * and the TPC-H `*key` family. A bounding filter on any other column
+    * no longer bounds its subtree.
+    */
+  private def isKeyAttr(e: Expression): Boolean = stripCast(e) match {
+    case a: AttributeReference =>
+      val n = a.name.toLowerCase
+      n == "vec_id" || n == "doc_id" || n == "event_id" || n.endsWith("key")
+    case _ => false
+  }
+
+  // does this predicate fix the qualifying key set regardless of SF?
+  // AND: one bounding conjunct suffices (conjunction only narrows);
+  // OR: every disjunct must bound. Analysis wraps literals (and
+  // sometimes the column) in type-coercion Casts — strip them, and
+  // accept any FOLDABLE comparand (constant at plan time).
+  private def boundingPredicate(e: Expression): Boolean = e match {
+    case And(l, r) => boundingPredicate(l) || boundingPredicate(r)
+    case Or(l, r) => boundingPredicate(l) && boundingPredicate(r)
+    case LessThan(a, v) if isKeyAttr(a) && v.foldable => true
+    case LessThanOrEqual(a, v) if isKeyAttr(a) && v.foldable => true
+    case GreaterThan(v, a) if isKeyAttr(a) && v.foldable => true
+    case GreaterThanOrEqual(v, a) if isKeyAttr(a) && v.foldable => true
+    case EqualTo(a, v) if isKeyAttr(a) && v.foldable => true
+    case EqualTo(v, a) if isKeyAttr(a) && v.foldable => true
+    case In(a, vs) if isKeyAttr(a) && vs.forall(_.foldable) => true
+    case InSet(a, _) if isKeyAttr(a) => true
+    case _ => false
+  }
+
+  /** The recursive boundedness walk shared by the broadcast-hint and
+    * cross-shape classes: true iff EVERY root-to-leaf path carries a
+    * bounding node (Aggregate/Limit/Deduplicate/key-constant Filter) or
+    * ends at a provably small leaf.
+    */
+  def bounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
+    case f: Filter if boundingPredicate(f.condition) => true
+    case l if l.children.isEmpty => boundedLeaf(l)
+    case other => other.children.forall(bounded)
+  }
+
+  def hasUnboundedBroadcastHint(analyzed: LogicalPlan): Boolean =
     analyzed.collect {
       case h: ResolvedHint if h.hints.strategy.exists(
           _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) && !bounded(h.child) => h
+    }.nonEmpty
+
+  /** True iff the plan carries a CROSS-SHAPED join — one with no
+    * equality conjunct linking the two sides, which Spark executes as
+    * `CartesianProduct` or (with any inequality-only condition, e.g. the
+    * classic `a.id < b.id` self-pairing) `BroadcastNestedLoopJoin` —
+    * where BOTH inputs scale with the corpus. That shape is |L|·|R|
+    * compute AND an unbounded broadcast of one side: quadratic at 100 TB
+    * no matter how green the fixture run is. r10 verdict: the audit only
+    * grepped `CartesianProduct`, so five ER evaluation entries shipped
+    * this shape silently behind BNLJ. One bounded side is accepted —
+    * `broadcast(probe-set) join corpus ON non-equi` is linear per probe,
+    * the catalog's ANN idiom.
+    */
+  def hasUnboundedCrossShape(optimized: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def linksBothSides(j: Join, l: Expression, r: Expression): Boolean =
+      l.references.nonEmpty && r.references.nonEmpty &&
+        ((l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+         (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet)))
+    def hasEquiKeys(j: Join): Boolean = j.condition.exists { cond =>
+      conjuncts(cond).exists {
+        case EqualTo(l, r) => linksBothSides(j, l, r)
+        case EqualNullSafe(l, r) => linksBothSides(j, l, r)
+        // null-aware anti join (NOT IN): `a = b OR isnull(a = b)` — Spark's
+        // ExtractEquiJoinKeys plans this as a hashed BroadcastHashJoin
+        // LeftAnti, not a nested loop, so it is equi-shaped for this audit
+        case Or(eq @ EqualTo(l, r), IsNull(eq2)) if eq.semanticEquals(eq2) =>
+          linksBothSides(j, l, r)
+        case _ => false
+      }
+    }
+    optimized.collect {
+      case j: Join if !hasEquiKeys(j) && !bounded(j.left) && !bounded(j.right) => j
     }.nonEmpty
   }
 
@@ -161,7 +266,13 @@ object PlanAudit {
           "SortMergeJoin" -> plan.contains("SortMergeJoin"),
           "range-partition" -> plan.contains("Exchange rangepartitioning"),
           "unpartitioned-window" -> globalWindow,
-          "unbounded-broadcast" -> hasUnboundedBroadcastHint(qe.analyzed)
+          "unbounded-broadcast" -> hasUnboundedBroadcastHint(qe.analyzed),
+          "cross-shape" -> hasUnboundedCrossShape(qe.optimizedPlan),
+          // a >250 KB plan STRING (unrolled iterative rounds nesting the
+          // whole lineage) is constant w.r.t. data but real driver CPU +
+          // log noise per run — Spark truncates at 262 KB and warns; the
+          // fix is a localCheckpoint between unroll rounds
+          "giant-plan" -> (plan.length > 250000)
         ).collect { case (f, true) => f }
         if (doPrint) println(s"=== $name\n$plan")
         if (flags.nonEmpty) {

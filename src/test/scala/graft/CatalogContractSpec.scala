@@ -81,6 +81,27 @@ class CatalogContractSpec extends SparkSpec {
       s"broadcast hints on unbounded subtrees: ${offenders.mkString(", ")}")
   }
 
+  test("no cross-shaped join over two unbounded inputs (except declared twins)") {
+    // the r10 verdict's blind spot, closed in CI: a join with no equality
+    // conjunct between its sides plans as CartesianProduct or (with an
+    // inequality-only condition like `a.id < b.id`) BroadcastNestedLoopJoin;
+    // when BOTH inputs scale with the corpus that is |L|·|R| compute plus
+    // an unbounded broadcast — the five r10 ER entries shipped exactly
+    // this behind BNLJ because the audit only grepped CartesianProduct.
+    // One bounded side is fine (probe-set × corpus is linear, the ANN
+    // idiom). Accepted: the declared brute-force twins whose CONTRACT is
+    // the exhaustive pair set, each benched apart under Bench.oracleTwins.
+    val accepted = Set(
+      "dedup_embedding_cosine", "vector_knn_graph", "stream_embedding_dedup_recall",
+      "dedup_simhash_witness", "dedup_embedding_lsh_witness", "dedup_semantic_witness")
+    val offenders = entries.filterNot(accepted).filter { name =>
+      graft.tools.PlanAudit.hasUnboundedCrossShape(
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan)
+    }
+    assert(offenders.isEmpty,
+      s"cross-shaped joins over unbounded inputs: ${offenders.mkString(", ")}")
+  }
+
   test("unpartitioned windows are restricted to the documented calendar-grain set") {
     // PlanAudit's unpartitioned-window class, enforced in CI the way the
     // broadcast rule already is: a Window with an empty partition spec
@@ -99,6 +120,29 @@ class CatalogContractSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"undocumented unpartitioned windows: ${offenders.mkString(", ")}")
+  }
+
+  test("quiet-seconds column never reads a contended record") {
+    // r10 verdict: the column regenerated from a driver record that
+    // self-described `contended: true` and still labeled itself
+    // "quiet-box". The source discipline: BENCH_QUIET.json (written only
+    // by uncontended runs) wins; a contended BENCH_LOCAL.json alone
+    // yields NO data rather than contended data.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quiet")
+    java.nio.file.Files.writeString(tmp.resolve("BENCH_LOCAL.json"),
+      """{"contended":true,"queries":{"q1_agg":{"min":9.999,"runs":[9.999]}}}""")
+    assert(graft.tools.CatalogIndex.quietSeconds(tmp.toString).isEmpty,
+      "a contended latest record must not populate the quiet column")
+    java.nio.file.Files.writeString(tmp.resolve("BENCH_QUIET.json"),
+      """{"contended":false,"queries":{"q1_agg":{"min":1.234,"runs":[1.234]}}}""")
+    assert(graft.tools.CatalogIndex.quietSeconds(tmp.toString) == Map("q1_agg" -> 1.234),
+      "the quiet record must win over the contended latest record")
+    // fallback: with no quiet file yet, an UNCONTENDED latest record is
+    // acceptable seed data
+    java.nio.file.Files.delete(tmp.resolve("BENCH_QUIET.json"))
+    java.nio.file.Files.writeString(tmp.resolve("BENCH_LOCAL.json"),
+      """{"contended":false,"queries":{"q1_agg":{"min":2.5,"runs":[2.5]}}}""")
+    assert(graft.tools.CatalogIndex.quietSeconds(tmp.toString) == Map("q1_agg" -> 2.5))
   }
 
   test("CATALOG.md matches a fresh render (generated index is not stale)") {
