@@ -624,12 +624,20 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
       .select(col("vec_id"), col("idx").cast("long").as("idx"),
         floor(col("x").cast("double") * scale).cast("long").as("qv"))
-    val (u, cent1, a1) = lloydChainQ(quant, k1, iters = 1)
+    val (u, cent1, a1raw) = lloydChainQ(quant, k1, iters = 1)
+    // localCheckpoint both stage-1 outputs: the residual relation is
+    // referenced three times downstream (seeds2, the zero-codeword union,
+    // and the d2 scan) and a1 twice, so without truncation the composed
+    // plan string repeats the Lloyd window chain ~6× and passes Spark's
+    // 262 KB print ceiling. Materialization is one extra pass over
+    // relations the stage re-reads anyway; no broadcast consumes them.
+    val a1 = a1raw.localCheckpoint(true)
     val res = u
       .join(a1.select(col("vec_id"), col("cl")), "vec_id")
       .join(cent1, Seq("cl", "idx"))
       .select(col("vec_id"), col("cl").as("code1"), col("idx"),
         (col("qv") - col("cv")).as("rv"))
+      .localCheckpoint(true)
     val seeds2 = res.select("vec_id").distinct().orderBy("vec_id").limit(k2 - 1)
     val cent2 = res.join(seeds2, Seq("vec_id"))
       .select(col("vec_id").as("cl2"), col("idx"), col("rv").as("cv2"))

@@ -5784,7 +5784,12 @@ object AnalyticsQueries {
             sum(when(col("b.c") > col("a.c"), 1L).otherwise(0L)).as("wba"))
           .filter(col("wab") + col("wba") > 0)
           .withColumn("n_ab", col("wab") + col("wba"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // localCheckpoint, not persist: dirRel/wins each embed TWO
+          // copies of this lineage (the unionAll), and every MM round
+          // joins dirRel again — with a lazy persist the composed plan
+          // string repeats the events self-join ~6× and passes the
+          // 262 KB print ceiling. Bounded: an |event_type|² aggregate.
+          .localCheckpoint(true)
         val dirRel = pr.select(col("ta").as("a"), col("tb").as("b"), col("n_ab"))
           .unionAll(pr.select(col("tb").as("a"), col("ta").as("b"), col("n_ab")))
         val wins = pr.select(col("ta").as("et"), col("wab").as("w"), col("n_ab"))
@@ -5966,8 +5971,12 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("cnt"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val srcs = c.select(col("a")).distinct()
+        // localCheckpoint, not persist: every power round joins cc again,
+        // so a lazy persist still nests the events window chain ~3³ times
+        // in the composed plan string (past the 262 KB print ceiling).
+        // Bounded: an |event_type|² aggregate.
         val cc = c.join(srcs.select(col("a").as("b")), Seq("b"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val r = cc.groupBy("a").agg(sum("cnt").as("rtot"))
         val states = cc.select(col("a").as("st")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -5983,7 +5992,7 @@ object AnalyticsQueries {
             .select(col("b"),
               floor(col("p") * col("cnt") / col("rtot")).cast("long").as("term"))
             .groupBy(col("b").as("st")).agg(sum("term").as("p"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(true) // per-round truncation, |event_type| rows
           pi = states.join(raw, Seq("st"), "left").na.fill(0L, Seq("p"))
         }
         val tot = pi.agg(sum("p").as("tot"))
@@ -6221,22 +6230,26 @@ object AnalyticsQueries {
           .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
             (col("n") * lit(1000000L)).as("w"))
         for (_ <- 1 to 2) {
-          // lazy persist per half-round iterate: each scaling's total is
-          // an aggregate over the PREVIOUS iterate — without the cache
-          // every broadcast job replays the whole growing chain (the
-          // q_markov_stationary lesson, O(rounds²) stages otherwise)
+          // localCheckpoint per half-round iterate, not persist: each
+          // scaling both AGGREGATES the previous iterate and JOINS back
+          // to it, so with a lazy persist the logical plan still nests
+          // two copies of the chain per half-round — 2⁴ copies of the
+          // fact-join base by round 2, a 3.6 MB plan string that blows
+          // Spark's 262 KB print ceiling every run. The iterate is the
+          // bounded nation×priority aggregate (≤ |nation|·|priority|
+          // rows at any SF) — the documented checkpoint trust.
           val rowTot = w.groupBy(col("nk").as("rnk")).agg(sum("w").as("rt"))
           w = w.join(broadcast(rowTot), col("nk") === col("rnk"))
             .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
               floor(col("w") * (col("nn").cast("double") * 1e6 / col("kr")) / col("rt"))
                 .cast("long").as("w"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(true)
           val colTot = w.groupBy(col("pri").as("cpri")).agg(sum("w").as("ct"))
           w = w.join(broadcast(colTot), col("pri") === col("cpri"))
             .select(col("nk"), col("pri"), col("n"), col("nn"), col("kr"), col("kc"),
               floor(col("w") * (col("nn").cast("double") * 1e6 / col("kc")) / col("ct"))
                 .cast("long").as("w"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(true)
         }
         w.select(col("nk"), col("pri"), col("n"), col("w").as("w_micro"),
           // the per-row rake factor a caller applies to row weights
@@ -7087,6 +7100,532 @@ object AnalyticsQueries {
         |  CAST(floor(1e6 * sd / mean) AS BIGINT) AS cv_ppm,
         |  CAST(floor(1e6 * (1.0 + 0.25 / n) * sd / mean) AS BIGINT) AS cv_corrected_ppm
         |FROM m""".stripMargin)
+    )),
+
+    // Cohen's d + Hedges' g — the EFFECT-SIZE readout q_welch_ttest's
+    // t-statistic deliberately lacks: t grows with √n, so at pipeline
+    // scale everything is "significant" and only a standardized mean
+    // difference says whether a segment shift matters. Same two groups
+    // and exact-decimal moment discipline as the Welch entry (sums exact
+    // in int128 decimal, one double expression at the end, rounded to 6);
+    // pooled SD uses the classic (n−1)-weighted variance, and g applies
+    // the small-sample correction 1 − 3/(4N−9). One scan, one aggregate —
+    // the 100 TB plan is a map-side partial + 1-row final.
+    "q_cohens_d" -> ((
+      (s: SparkSession, dir: String) => {
+        val x = col("o_totalprice").cast("decimal(18,6)")
+        val xx = col("o_totalprice").cast("decimal(19,6)")
+        val zero = lit(0).cast("decimal(18,6)")
+        val zz = lit(0).cast("decimal(19,6)")
+        val isA = col("o_orderpriority") === "1-URGENT"
+        t(s, dir, "orders").agg(
+            sum(when(isA, 1L).otherwise(0L)).as("na"),
+            sum(when(isA, x).otherwise(zero)).as("sa"),
+            sum(when(isA, xx * xx).otherwise(zz * zz)).as("saa"),
+            sum(when(!isA, 1L).otherwise(0L)).as("nb"),
+            sum(when(!isA, x).otherwise(zero)).as("sb"),
+            sum(when(!isA, xx * xx).otherwise(zz * zz)).as("sbb"))
+          .select(col("na"), col("nb"),
+            (col("sa").cast("double") / col("na")).as("mean_a"),
+            (col("sb").cast("double") / col("nb")).as("mean_b"),
+            ((col("saa").cast("double") - col("sa").cast("double") * col("sa").cast("double")
+              / col("na")) / (col("na") - 1)).as("var_a"),
+            ((col("sbb").cast("double") - col("sb").cast("double") * col("sb").cast("double")
+              / col("nb")) / (col("nb") - 1)).as("var_b"))
+          .select(col("na"), col("nb"),
+            round((col("mean_a") - col("mean_b"))
+              / sqrt(((col("na") - 1) * col("var_a") + (col("nb") - 1) * col("var_b"))
+                / (col("na") + col("nb") - 2)), 6).as("cohens_d"),
+            round((col("mean_a") - col("mean_b"))
+              / sqrt(((col("na") - 1) * col("var_a") + (col("nb") - 1) * col("var_b"))
+                / (col("na") + col("nb") - 2))
+              * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("na") + col("nb")) - 9)), 6)
+              .as("hedges_g"))
+      },
+      Some("""WITH agg AS (SELECT
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS sa,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(19,6))
+        |        ELSE CAST(0 AS DECIMAL(19,6)) * CAST(0 AS DECIMAL(19,6)) END) AS saa,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(0 AS DECIMAL(18,6)) ELSE CAST(o_totalprice AS DECIMAL(18,6)) END) AS sb,
+        |    sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |        THEN CAST(0 AS DECIMAL(19,6)) * CAST(0 AS DECIMAL(19,6))
+        |        ELSE CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(19,6)) END) AS sbb
+        |  FROM orders),
+        |m AS (SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / na AS mean_a, CAST(sb AS DOUBLE) / nb AS mean_b,
+        |    (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS var_a,
+        |    (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS var_b
+        |  FROM agg)
+        |SELECT na, nb,
+        |  round((mean_a - mean_b)
+        |    / sqrt(((na - 1) * var_a + (nb - 1) * var_b) / (na + nb - 2)), 6) AS cohens_d,
+        |  round((mean_a - mean_b)
+        |    / sqrt(((na - 1) * var_a + (nb - 1) * var_b) / (na + nb - 2))
+        |    * (1.0 - 3.0 / (4.0 * (na + nb) - 9)), 6) AS hedges_g
+        |FROM m""".stripMargin)
+    )),
+
+    // Brown–Forsythe variance-homogeneity test (Levene with MEDIAN
+    // centers — the robust form real pipelines use) across the 5 order
+    // priorities: ANOVA's and Tukey's pooled-variance denominators are
+    // only meaningful if group variances are comparable; this is the
+    // gate that says so. Group medians are exact percentiles (the
+    // q_percentiles trade-off, bounded per-group sort); |x − med| has ≤3
+    // true decimals (2-decimal data, midpoint medians), so the
+    // decimal(18,6) snap is exact on both engines (moneySum rationale).
+    // The k=5 between/within terms are floored to micros per GROUP and
+    // summed as integers — order-independent — and F is one double
+    // expression over the two pinned sums.
+    "q_levene_bf" -> ((
+      (s: SparkSession, dir: String) => {
+        val med = t(s, dir, "orders").groupBy("o_orderpriority")
+          .agg(expr("percentile(o_totalprice, 0.5D)").as("med"))
+        val z = t(s, dir, "orders")
+          .join(broadcast(med), Seq("o_orderpriority"))
+          .select(col("o_orderpriority"),
+            abs(col("o_totalprice") - col("med")).cast("decimal(18,6)").as("z"),
+            abs(col("o_totalprice") - col("med")).cast("decimal(19,6)").as("z2"))
+        val g = z.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("z").as("sz"),
+            sum(col("z2") * col("z2")).as("szz"))
+        val tot = g.agg(sum("n").as("nn"), sum("sz").as("tsz"))
+        // WHOLE-unit pins, not micros: the within-group sum of squares is
+        // ~n·z̄² (already ~1e15 at sf0.1), so a 1e6 grain would pass 2^63;
+        // at unit grain the pin error is ≤1 part in 1e11 of the smallest
+        // term while the int64 ceiling moves out to SF ~1000× (re-grain
+        // to kilo-units beyond that — F is grain-invariant when both
+        // sides share it)
+        val terms = g.crossJoin(broadcast(tot))
+          .select(col("n"),
+            floor(col("n")
+              * pow(col("sz").cast("double") / col("n")
+                - col("tsz").cast("double") / col("nn"), 2.0)).cast("long").as("num_w"),
+            floor(col("szz").cast("double")
+              - col("sz").cast("double") * col("sz").cast("double") / col("n"))
+              .cast("long").as("den_w"),
+            col("nn"))
+        terms.groupBy("nn")
+          .agg(count(lit(1)).as("k"),
+            sum("num_w").as("num"), sum("den_w").as("den"))
+          .select(col("nn").as("n_total"), col("k"),
+            round((col("num").cast("double") / (col("k") - 1))
+              / (col("den").cast("double") / (col("nn") - col("k"))), 6).as("f_bf"))
+      },
+      Some("""WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |z AS (SELECT o.o_orderpriority,
+        |    CAST(abs(o_totalprice - med) AS DECIMAL(18,6)) AS z,
+        |    CAST(abs(o_totalprice - med) AS DECIMAL(19,6)) AS z2
+        |  FROM orders o JOIN med USING (o_orderpriority)),
+        |g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    sum(z) AS sz, sum(z2 * z2) AS szz FROM z GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sz) AS tsz FROM g),
+        |terms AS (SELECT n, nn,
+        |    CAST(floor(n * pow(CAST(sz AS DOUBLE) / n
+        |      - CAST(tsz AS DOUBLE) / nn, 2.0)) AS BIGINT) AS num_w,
+        |    CAST(floor(CAST(szz AS DOUBLE)
+        |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / n) AS BIGINT) AS den_w
+        |  FROM g CROSS JOIN tot)
+        |SELECT nn AS n_total, CAST(count(*) AS BIGINT) AS k,
+        |  round((CAST(sum(num_w) AS DOUBLE) / (count(*) - 1))
+        |    / (CAST(sum(den_w) AS DOUBLE) / (nn - count(*))), 6) AS f_bf
+        |FROM terms GROUP BY nn""".stripMargin)
+    )),
+
+    // Log-rank test between two customer cohorts (BUILDING segment vs
+    // rest) on time-to-repeat-order — the standard two-sample survival
+    // comparison on exactly q_kaplan_meier's subject table, answering
+    // "does this segment re-order FASTER, accounting for censoring?".
+    // Per event time the hypergeometric terms d1 − E[d1] and Var[d1] are
+    // computed from exact integer risk-set counts (identical doubles on
+    // both engines), floored to micros, and integer-summed — the KM
+    // flooring discipline — and the chi-square is one expression over
+    // the two pinned sums. Risk sets come from ONE cumulative window
+    // over distinct gap-days (calendar-bounded, the documented
+    // q_kaplan_meier class).
+    "q_log_rank" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+        val f = o.groupBy("o_custkey").agg(min("d").as("fd"))
+        val s2 = o.join(f, Seq("o_custkey")).filter(col("d") > col("fd"))
+          .groupBy("o_custkey").agg(min("d").as("sd"))
+        val maxd = o.agg(max("d").as("maxd"))
+        val seg = t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            (col("c_mktsegment") === "BUILDING").cast("long").as("g1"))
+        val subj = f.join(s2, Seq("o_custkey"), "left").crossJoin(broadcast(maxd))
+          .join(seg, Seq("o_custkey"))
+          .select(
+            when(col("sd").isNotNull, datediff(col("sd"), col("fd")))
+              .otherwise(datediff(col("maxd"), col("fd"))).cast("long").as("t"),
+            col("sd").isNotNull.cast("long").as("ev"), col("g1"))
+        val byT = subj.groupBy("t").agg(
+          sum(col("g1")).as("a1"), sum(lit(1) - col("g1")).as("a2"),
+          sum(col("ev") * col("g1")).as("d1"),
+          sum(col("ev") * (lit(1) - col("g1"))).as("d2"))
+        val tot = byT.agg(sum("a1").as("t1"), sum("a2").as("t2"))
+        val w = Window.orderBy("t")
+        byT.crossJoin(broadcast(tot))
+          .withColumn("n1", col("t1") - sum("a1").over(w) + col("a1"))
+          .withColumn("n2", col("t2") - sum("a2").over(w) + col("a2"))
+          .filter(col("d1") + col("d2") > 0)
+          .select(
+            floor(lit(1e6) * (col("d1").cast("double")
+              - (col("d1") + col("d2")).cast("double") * col("n1") / (col("n1") + col("n2"))))
+              .cast("long").as("oe_micro"),
+            when(col("n1") + col("n2") > 1,
+              floor(lit(1e6) * ((col("d1") + col("d2")).cast("double")
+                * (col("n1").cast("double") / (col("n1") + col("n2")))
+                * (col("n2").cast("double") / (col("n1") + col("n2")))
+                * (col("n1") + col("n2") - col("d1") - col("d2")).cast("double")
+                / (col("n1") + col("n2") - 1))).cast("long"))
+              .otherwise(0L).as("v_micro"))
+          .agg(count(lit(1)).as("n_event_times"),
+            sum("oe_micro").as("o_minus_e_micro"), sum("v_micro").as("var_micro"))
+          .select(col("n_event_times"), col("o_minus_e_micro"), col("var_micro"),
+            when(col("var_micro") > 0,
+              round(pow(col("o_minus_e_micro").cast("double") / 1e6, 2.0)
+                / (col("var_micro").cast("double") / 1e6), 6))
+              .otherwise(lit(null).cast("double")).as("chi2_logrank"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |f AS (SELECT o_custkey, min(d) AS fd FROM o GROUP BY 1),
+        |s2 AS (SELECT o.o_custkey, min(d) AS sd
+        |  FROM o JOIN f ON o.o_custkey = f.o_custkey AND o.d > f.fd GROUP BY 1),
+        |mx AS (SELECT max(d) AS maxd FROM o),
+        |seg AS (SELECT c_custkey AS o_custkey,
+        |    CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS g1
+        |  FROM customer),
+        |subj AS (SELECT
+        |    CAST(CASE WHEN s2.sd IS NOT NULL THEN date_diff('day', f.fd, s2.sd)
+        |         ELSE date_diff('day', f.fd, mx.maxd) END AS BIGINT) AS t,
+        |    CAST(CASE WHEN s2.sd IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ev,
+        |    seg.g1
+        |  FROM f LEFT JOIN s2 ON f.o_custkey = s2.o_custkey CROSS JOIN mx
+        |  JOIN seg ON seg.o_custkey = f.o_custkey),
+        |byt AS (SELECT t,
+        |    CAST(sum(g1) AS BIGINT) AS a1, CAST(sum(1 - g1) AS BIGINT) AS a2,
+        |    CAST(sum(ev * g1) AS BIGINT) AS d1,
+        |    CAST(sum(ev * (1 - g1)) AS BIGINT) AS d2
+        |  FROM subj GROUP BY 1),
+        |tot AS (SELECT CAST(sum(a1) AS BIGINT) AS t1, CAST(sum(a2) AS BIGINT) AS t2 FROM byt),
+        |risk AS (SELECT t, d1, d2,
+        |    t1 - sum(a1) OVER (ORDER BY t) + a1 AS n1,
+        |    t2 - sum(a2) OVER (ORDER BY t) + a2 AS n2
+        |  FROM byt CROSS JOIN tot),
+        |terms AS (SELECT
+        |    CAST(floor(1e6 * (CAST(d1 AS DOUBLE)
+        |      - CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2))) AS BIGINT) AS oe_micro,
+        |    CASE WHEN n1 + n2 > 1 THEN
+        |      CAST(floor(1e6 * (CAST(d1 + d2 AS DOUBLE)
+        |        * (CAST(n1 AS DOUBLE) / (n1 + n2))
+        |        * (CAST(n2 AS DOUBLE) / (n1 + n2))
+        |        * CAST(n1 + n2 - d1 - d2 AS DOUBLE) / (n1 + n2 - 1))) AS BIGINT)
+        |      ELSE 0 END AS v_micro
+        |  FROM risk WHERE d1 + d2 > 0),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+        |    CAST(sum(oe_micro) AS BIGINT) AS o_minus_e_micro,
+        |    CAST(sum(v_micro) AS BIGINT) AS var_micro
+        |  FROM terms)
+        |SELECT n_event_times, o_minus_e_micro, var_micro,
+        |  CASE WHEN var_micro > 0 THEN
+        |    round(pow(CAST(o_minus_e_micro AS DOUBLE) / 1e6, 2.0)
+        |      / (CAST(var_micro AS DOUBLE) / 1e6), 6)
+        |  ELSE NULL END AS chi2_logrank
+        |FROM agg""".stripMargin)
+    )),
+
+    // Nelson–Aalen cumulative hazard on the same subject table — the
+    // hazard-scale companion to q_kaplan_meier's survival curve (and the
+    // estimator that generalizes cleanly to competing risks): H(t) =
+    // Σ_{s≤t} d_s/n_s over event times. Per-time increments are floored
+    // to micros THEN integer-cumsummed (order-independent, the KM
+    // discipline); the risk window is the same distinct-gap-day
+    // calendar-bounded cumulative.
+    "q_nelson_aalen" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+        val f = o.groupBy("o_custkey").agg(min("d").as("fd"))
+        val s2 = o.join(f, Seq("o_custkey")).filter(col("d") > col("fd"))
+          .groupBy("o_custkey").agg(min("d").as("sd"))
+        val maxd = o.agg(max("d").as("maxd"))
+        val subj = f.join(s2, Seq("o_custkey"), "left").crossJoin(broadcast(maxd))
+          .select(
+            when(col("sd").isNotNull, datediff(col("sd"), col("fd")))
+              .otherwise(datediff(col("maxd"), col("fd"))).cast("long").as("t"),
+            col("sd").isNotNull.cast("long").as("ev"))
+        val byT = subj.groupBy("t").agg(count(lit(1)).as("a"), sum("ev").as("d_events"))
+        val nn = byT.agg(sum("a").as("nn"))
+        val w = Window.orderBy("t")
+        byT.crossJoin(broadcast(nn))
+          .withColumn("cuma", sum("a").over(w))
+          .select(col("t"), col("d_events"),
+            (col("nn") - col("cuma") + col("a")).as("n_risk"))
+          .filter(col("d_events") > 0)
+          .withColumn("term",
+            floor(lit(1e6) * col("d_events").cast("double") / col("n_risk")).cast("long"))
+          .withColumn("cum_hazard_micro", sum("term").over(w))
+          .select(col("t").as("t_days"), col("n_risk"), col("d_events"),
+            col("cum_hazard_micro"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |f AS (SELECT o_custkey, min(d) AS fd FROM o GROUP BY 1),
+        |s2 AS (SELECT o.o_custkey, min(d) AS sd
+        |  FROM o JOIN f ON o.o_custkey = f.o_custkey AND o.d > f.fd GROUP BY 1),
+        |mx AS (SELECT max(d) AS maxd FROM o),
+        |subj AS (SELECT
+        |    CAST(CASE WHEN s2.sd IS NOT NULL THEN date_diff('day', f.fd, s2.sd)
+        |         ELSE date_diff('day', f.fd, mx.maxd) END AS BIGINT) AS t,
+        |    CAST(CASE WHEN s2.sd IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS ev
+        |  FROM f LEFT JOIN s2 ON f.o_custkey = s2.o_custkey CROSS JOIN mx),
+        |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS a,
+        |    CAST(sum(ev) AS BIGINT) AS d_events FROM subj GROUP BY 1),
+        |n AS (SELECT CAST(sum(a) AS BIGINT) AS nn FROM byt),
+        |risk AS (SELECT t, d_events,
+        |    nn - sum(a) OVER (ORDER BY t) + a AS n_risk FROM byt CROSS JOIN n),
+        |ev AS (SELECT t, n_risk, d_events,
+        |    CAST(floor(1e6 * CAST(d_events AS DOUBLE) / n_risk) AS BIGINT) AS term
+        |  FROM risk WHERE d_events > 0)
+        |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+        |  CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS cum_hazard_micro
+        |FROM ev""".stripMargin)
+    )),
+
+    // Friedman rank test — the repeated-measures companion to
+    // q_kruskal_wallis: does order priority affect monthly revenue when
+    // every MONTH is its own block (controlling for seasonality that a
+    // one-way test would smear into noise)? Cells are exact money sums
+    // (bit-identical on both engines), so the within-block ranks agree
+    // exactly; ties carry textbook average ranks kept integral by
+    // DOUBLING (2·avg_rank = 2·min_rank + ties − 1). Only complete
+    // blocks (all k=5 treatments) enter. The statistic is one double
+    // expression over exact integer rank sums, floored to millis. Scale:
+    // the fact table collapses to a month×priority aggregate FIRST; the
+    // rank window partitions by block (bounded width k).
+    "q_friedman" -> ((
+      (s: SparkSession, dir: String) => {
+        val cells = t(s, dir, "orders")
+          .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("b"),
+            col("o_orderpriority").as("trt"))
+          .agg(moneySum(col("o_totalprice")).as("y"))
+        val complete = cells.groupBy("b").agg(count(lit(1)).as("kk"))
+          .filter(col("kk") === 5).select("b")
+        val ranked = cells.join(complete, Seq("b"))
+          .withColumn("mr", rank().over(Window.partitionBy("b").orderBy("y")))
+          .withColumn("ties", count(lit(1)).over(Window.partitionBy("b", "y")))
+          .select(col("b"), col("trt"),
+            (lit(2) * col("mr") + col("ties") - 1).cast("long").as("r2"))
+        val rj = ranked.groupBy("trt")
+          .agg(sum("r2").as("rank2_sum"), count(lit(1)).as("n_blocks"))
+        val stat = rj.agg(
+            sum(col("rank2_sum").cast("decimal(19,0)") * col("rank2_sum").cast("decimal(19,0)"))
+              .as("sr2"),
+            max("n_blocks").as("n"), count(lit(1)).as("k"))
+          // chi2 = 12·ΣR²/(nk(k+1)) − 3n(k+1) with ΣR² = sr2/4 (doubled
+          // ranks) = 3·sr2/(nk(k+1)) − 3n(k+1)
+          .select(floor(lit(1000.0)
+            * (lit(3.0) * col("sr2").cast("double")
+              / (col("n") * col("k") * (col("k") + 1))
+              - lit(3.0) * col("n") * (col("k") + 1)))
+            .cast("long").as("chi2_milli"))
+        rj.crossJoin(broadcast(stat))
+          .select(col("trt").as("o_orderpriority"), col("rank2_sum"),
+            col("n_blocks"), col("chi2_milli"))
+      },
+      Some("""WITH cells AS (SELECT
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS b,
+        |    o_orderpriority AS trt,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |complete AS (SELECT b FROM cells GROUP BY b HAVING count(*) = 5),
+        |ranked AS (SELECT c.b, c.trt,
+        |    CAST(2 * rank() OVER (PARTITION BY c.b ORDER BY c.y)
+        |      + count(*) OVER (PARTITION BY c.b, c.y) - 1 AS BIGINT) AS r2
+        |  FROM cells c JOIN complete USING (b)),
+        |rj AS (SELECT trt, CAST(sum(r2) AS BIGINT) AS rank2_sum,
+        |    CAST(count(*) AS BIGINT) AS n_blocks FROM ranked GROUP BY 1),
+        |stat AS (SELECT CAST(floor(1000.0
+        |    * (3.0 * CAST(sum(CAST(rank2_sum AS DECIMAL(19,0))
+        |        * CAST(rank2_sum AS DECIMAL(19,0))) AS DOUBLE)
+        |      / (max(n_blocks) * count(*) * (count(*) + 1))
+        |      - 3.0 * max(n_blocks) * (count(*) + 1))) AS BIGINT) AS chi2_milli
+        |  FROM rj)
+        |SELECT trt AS o_orderpriority, rank2_sum, n_blocks, chi2_milli
+        |FROM rj CROSS JOIN stat""".stripMargin)
+    )),
+
+    // Tukey HSD studentized-range statistics — the post-hoc that belongs
+    // after q_anova_f: WHICH priority pairs differ, with the familywise
+    // q = |mean_i − mean_j| / sqrt((MSW/2)(1/n_i + 1/n_j)) on all 10
+    // pairs. Group moments are the exact-decimal Welch sums; the
+    // mean-square-within is pinned by flooring each group's SS to micros
+    // and integer-summing (the q_levene_bf discipline); the pair stage
+    // is a self-join of a FIVE-row aggregate — bounded at any SF.
+    "q_tukey_hsd" -> ((
+      (s: SparkSession, dir: String) => {
+        val g = t(s, dir, "orders").groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).as("sx"),
+            sum(col("o_totalprice").cast("decimal(19,6)")
+              * col("o_totalprice").cast("decimal(19,6)")).as("sxx"))
+          .select(col("o_orderpriority"), col("n"),
+            (col("sx").cast("double") / col("n")).as("mean"),
+            // whole-unit SS pin (q_levene_bf rationale): a micro grain
+            // would pass 2^63 at sf0.1 on price-squared sums
+            floor(col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              .cast("long").as("ss_w"))
+          .persist()
+        val msw = g.agg((sum("ss_w").cast("double")
+            / (sum("n") - count(lit(1)))).as("msw"))
+        g.as("a").join(g.as("b"),
+            col("a.o_orderpriority") < col("b.o_orderpriority"))
+          .crossJoin(broadcast(msw))
+          .select(col("a.o_orderpriority").as("prio_a"),
+            col("b.o_orderpriority").as("prio_b"),
+            round(abs(col("a.mean") - col("b.mean"))
+              / sqrt(col("msw") / 2 * (lit(1.0) / col("a.n") + lit(1.0) / col("b.n"))), 6)
+              .as("q_stat"))
+      },
+      Some("""WITH g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS mean,
+        |    CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |        * CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE)
+        |      - CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |        * CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*)) AS BIGINT) AS ss_w
+        |  FROM orders GROUP BY 1),
+        |msw AS (SELECT CAST(sum(ss_w) AS DOUBLE)
+        |    / (sum(n) - count(*)) AS msw FROM g)
+        |SELECT a.o_orderpriority AS prio_a, b.o_orderpriority AS prio_b,
+        |  round(abs(a.mean - b.mean)
+        |    / sqrt(msw / 2 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+        |FROM g a JOIN g b ON a.o_orderpriority < b.o_orderpriority
+        |CROSS JOIN msw""".stripMargin)
+    )),
+
+    // Neyman optimal allocation of a 10 000-unit audit-sample budget
+    // across order-priority strata (n_h ∝ N_h·S_h) — how a 100 TB
+    // pipeline decides WHERE to spend a fixed human-review budget:
+    // high-variance strata earn more than proportional share. Stratum
+    // SDs come from the exact-decimal moments; the weights are pinned to
+    // millis BEFORE the shares are formed (a raw double Σw would be
+    // summation-order-dependent), and the largest-remainder rounding
+    // makes the integer allocations sum exactly to the budget on both
+    // engines (remainder ties broken by stratum name). Int64 regime: the
+    // w_milli·budget product holds to N_h·S_h < 9.2e11 (SF ~1000×);
+    // beyond that drop the milli grain — the allocation is
+    // grain-invariant in the weights.
+    "q_neyman_allocation" -> ((
+      (s: SparkSession, dir: String) => {
+        val g = t(s, dir, "orders").groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).as("sx"),
+            sum(col("o_totalprice").cast("decimal(19,6)")
+              * col("o_totalprice").cast("decimal(19,6)")).as("sxx"))
+          .select(col("o_orderpriority"), col("n"),
+            floor(lit(1e3) * col("n") * sqrt((col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              / (col("n") - 1))).cast("long").as("w_milli"))
+        val tot = g.agg(sum("w_milli").as("tw"))
+        val shares = g.crossJoin(broadcast(tot))
+          .select(col("o_orderpriority"), col("n"), col("w_milli"),
+            expr("w_milli * 10000L div tw").as("base"),
+            (col("w_milli") * 10000L % col("tw")).as("rem"))
+        val left = shares.agg((lit(10000L) - sum("base")).as("extra"))
+        shares.crossJoin(broadcast(left))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("o_orderpriority").asc)))
+          .select(col("o_orderpriority"), col("n").as("stratum_n"),
+            (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+              .as("alloc"))
+      },
+      Some("""WITH g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(floor(1e3 * count(*) * sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |        * CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE)
+        |      - CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |        * CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+        |      / (count(*) - 1))) AS BIGINT) AS w_milli
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tw FROM g),
+        |shares AS (SELECT o_orderpriority, n, w_milli,
+        |    w_milli * 10000 // tw AS base, w_milli * 10000 % tw AS rem
+        |  FROM g CROSS JOIN tot),
+        |lft AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS extra FROM shares),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, o_orderpriority) AS rk
+        |  FROM shares CROSS JOIN lft)
+        |SELECT o_orderpriority, n AS stratum_n,
+        |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk""".stripMargin)
+    )),
+
+    // Wald–Wolfowitz runs test on the daily-revenue sign sequence
+    // (above/below the series median) — the distribution-free "is this
+    // series random or regime-y?" check next to q_mann_kendall: too few
+    // runs = persistent regimes, too many = oscillation. The series
+    // collapses to day grain FIRST (exact cents), the median is an
+    // exact percentile over the bounded daily relation, and the
+    // run-boundary count is ONE lag over the calendar-bounded day
+    // sequence (the documented q_seasonality window class). Days equal
+    // to the median are dropped (textbook treatment); z is one double
+    // expression over exact integer counts, rounded to 6.
+    "q_runs_test" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+          .persist()
+        val med = daily.agg(expr("percentile(x, 0.5D)").as("med"))
+        val signs = daily.crossJoin(broadcast(med))
+          .filter(col("x").cast("double") =!= col("med"))
+          .select(col("day"), (col("x").cast("double") > col("med")).cast("long").as("sg"))
+        val w = Window.orderBy("day")
+        val runs = signs
+          .withColumn("brk",
+            when(lag("sg", 1).over(w).isNull || lag("sg", 1).over(w) =!= col("sg"), 1L)
+              .otherwise(0L))
+          .agg(sum(col("sg")).as("n1"), sum(lit(1) - col("sg")).as("n2"),
+            sum("brk").as("runs"))
+        runs.select(col("n1"), col("n2"), col("runs"),
+          when(col("n1") > 0 && col("n2") > 0,
+            round((col("runs").cast("double")
+              - (lit(2.0) * col("n1") * col("n2") / (col("n1") + col("n2")) + 1))
+              / sqrt(lit(2.0) * col("n1") * col("n2")
+                * (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2"))
+                / (pow((col("n1") + col("n2")).cast("double"), 2.0)
+                  * (col("n1") + col("n2") - 1))), 6))
+            .otherwise(lit(null).cast("double")).as("z_runs"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT quantile_cont(CAST(x AS DOUBLE), 0.5) AS med FROM daily),
+        |signs AS (SELECT day,
+        |    CAST(CASE WHEN CAST(x AS DOUBLE) > med THEN 1 ELSE 0 END AS BIGINT) AS sg
+        |  FROM daily CROSS JOIN med WHERE CAST(x AS DOUBLE) != med),
+        |brk AS (SELECT sg, CASE WHEN lag(sg, 1) OVER (ORDER BY day) IS NULL
+        |      OR lag(sg, 1) OVER (ORDER BY day) != sg THEN 1 ELSE 0 END AS b
+        |  FROM signs),
+        |runs AS (SELECT
+        |    CAST(sum(sg) AS BIGINT) AS n1, CAST(sum(1 - sg) AS BIGINT) AS n2,
+        |    CAST(sum(b) AS BIGINT) AS runs
+        |  FROM brk)
+        |SELECT n1, n2, runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    round((CAST(runs AS DOUBLE)
+        |      - (2.0 * n1 * n2 / (n1 + n2) + 1))
+        |      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        |        / (pow(CAST(n1 + n2 AS DOUBLE), 2.0) * (n1 + n2 - 1))), 6)
+        |  ELSE NULL END AS z_runs
+        |FROM runs""".stripMargin)
     ))
   )
 }

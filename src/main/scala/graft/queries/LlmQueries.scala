@@ -589,8 +589,14 @@ object LlmQueries {
         val s2 = TextAnalysis.qualityFilter(corpus, minTokens = 20,
           maxTokens = 5000, minUniqX1000 = 300)
         val reps = Dedup.exact(s2).select(col("doc_id"))
+        // localCheckpoint, not persist: s3's lineage is embedded by the
+        // LSH pair stage, the near-dup drop, the contamination report AND
+        // three of the five stage aggregates — the composed funnel plan
+        // string repeated the quality+dedup chain enough times to pass
+        // Spark's 262 KB print ceiling. Materialization cost equals the
+        // persist this replaces (the stage re-reads it five times).
         val s3 = s2.join(reps, Seq("doc_id"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         // ORACLE CONTRACT (like dedup_simhash's): stage 4 runs LSH-banded
         // candidates exact-Jaccard-verified, while the oracle replays
         // EXHAUSTIVE exact Jaccard at the same 80% cutoff — equality
@@ -599,7 +605,7 @@ object LlmQueries {
         // change adding a pair just above 0.8 that straddles every band
         // would surface as a count mismatch HERE, not a code bug.
         val s4 = Dedup.dropNearDuplicates(s3, Dedup.minhashLshPairs(s3))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true) // same plan-size rationale as s3
         val contaminated = TextAnalysis.contaminationReport(s4, evalSet)
           .select(col("doc_id"))
         val s5 = s4.join(contaminated, Seq("doc_id"), "left_anti")
@@ -5210,13 +5216,16 @@ object LlmQueries {
     // not once per downstream reference.
     "graph_modularity" -> ((
       (s: SparkSession, dir: String) => {
-        // caller-must-clear-cache: Verify/Bench clearCache() between
-        // entries; library callers own the session cache.
+        // localCheckpoint, not persist (plan size): the edge list's
+        // shingle-join lineage is re-embedded by every label-propagation
+        // round plus m/deg/lIn, and the community map by three joins —
+        // the composed plan string passed the 262 KB print ceiling.
+        // Cost matches the persists this replaces.
         val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
           .select(col("doc_a"), col("doc_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val comm = Graph.labelPropagation(pairs, iters = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val m = pairs.agg(count(lit(1)).as("m"))
         val deg = pairs.select(col("doc_a").as("v"))
           .unionAll(pairs.select(col("doc_b").as("v")))
@@ -7283,9 +7292,14 @@ object LlmQueries {
     // expansion map-side into a partial-combining count.
     "graph_rich_club" -> ((
       (s: SparkSession, dir: String) => {
+        // localCheckpoint, not persist: the edge list's shingle-join
+        // lineage is embedded five times downstream (deg twice via the
+        // union, eRich once, deg re-joined twice) — the composed plan
+        // string passed the 262 KB print ceiling. Cost matches the
+        // persist it replaces.
         val pairs = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
           .select(col("doc_a"), col("doc_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val deg = pairs.select(col("doc_a").as("v"))
           .unionAll(pairs.select(col("doc_b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -7330,6 +7344,290 @@ object LlmQueries {
         |  CASE WHEN n_rich > 1 THEN CAST(floor(2e6 * coalesce(e_rich, 0)
         |    / (n_rich * (n_rich - 1))) AS BIGINT) END AS phi_ppm
         |FROM nr LEFT JOIN er ON er.k_deg = nr.k_deg""".stripMargin)
+    )),
+
+    // MATTR (moving-average type-token ratio, Covington & McFall) — the
+    // lexical-diversity score that, unlike raw TTR, does not collapse
+    // with document length (TTR of a long doc tends to 0 no matter how
+    // varied the prose): the mean TTR over sliding 50-token windows.
+    // Non-overlapping windows here (the streaming-friendly variant — an
+    // overlapping window would be quadratic in tokens); per-window TTR
+    // is exactly types·20 per-mille (integer), and the doc mean is an
+    // integer floor-division — no float anywhere. Scale: one token
+    // explode, windows keyed (doc, ti div 50), the position index is a
+    // per-DOC window (bounded by doc length, never global).
+    "text_mattr" -> ((
+      (s: SparkSession, dir: String) => {
+        val tk = docs(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pi", "tok")))
+          .filter(length(col("tok")) > 0)
+          .withColumn("ti",
+            row_number().over(Window.partitionBy("doc_id").orderBy("pi")) - 1)
+          .select(col("doc_id"), expr("CAST(ti div 50 AS BIGINT)").as("w"), col("tok"))
+        tk.groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("n"), countDistinct("tok").as("types"))
+          .filter(col("n") === 50)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            expr("CAST(sum(types * 20) div count(1) AS BIGINT)").as("mattr_pm"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, sp[i] AS tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ti
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |    unnest(range(1, len(sp) + 1)) AS t(i)
+        |  WHERE length(sp[i]) > 0),
+        |w AS (SELECT doc_id, ti // 50 AS w, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS types
+        |  FROM tk GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(types * 20) // count(*) AS BIGINT) AS mattr_pm
+        |FROM w WHERE n = 50 GROUP BY 1""".stripMargin)
+    )),
+
+    // RAKE keyword extraction (Rose et al.) — corpus top-10 keyphrases:
+    // candidate phrases are maximal runs of non-stopword tokens
+    // (normalized to [a-z0-9]); each word scores deg/freq where freq
+    // counts its phrase occurrences and deg additionally credits the
+    // length of every phrase it appears in (so words living in long
+    // collocations outrank bare frequent words); a phrase scores the sum
+    // of its member word scores. Word scores are exact integer
+    // floor-millis (deg·1000 div freq), so phrase scores and the top-10
+    // cut replay bit-for-bit. Scale: token explode → per-doc run
+    // detection (per-DOC window over positions) → two hash aggregates on
+    // word/phrase keys with map-side combine → TakeOrdered(10). Nothing
+    // global except the final 10-row take.
+    "text_rake_keywords" -> ((
+      (s: SparkSession, dir: String) => {
+        val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+        val ns = docs(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pi", "tok")))
+          .select(col("doc_id"), col("pi").cast("long").as("ti"),
+            regexp_replace(lower(col("tok")), "[^a-z0-9]", "").as("nt"))
+          .filter(length(col("nt")) > 0 && !col("nt").isin(stop: _*))
+        val g = ns.withColumn("grp",
+            col("ti") - row_number().over(Window.partitionBy("doc_id").orderBy("ti")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ph = g.groupBy("doc_id", "grp")
+          .agg(array_join(transform(
+              array_sort(collect_list(struct(col("ti"), col("nt")))),
+              x => x.getField("nt")), " ").as("phrase"),
+            count(lit(1)).as("plen"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ws = g.join(ph, Seq("doc_id", "grp"))
+          .groupBy("nt").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+          .select(col("nt"), expr("deg * 1000L div freq").as("wscore_milli"))
+        val sc = g.join(ph, Seq("doc_id", "grp")).join(ws, Seq("nt"))
+          .groupBy(col("doc_id"), col("grp"), col("phrase"))
+          .agg(sum("wscore_milli").as("score_milli"))
+        sc.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occ"), max("score_milli").as("score_milli"))
+          .orderBy(col("score_milli").desc, col("phrase").asc)
+          .limit(10)
+      },
+      Some("""WITH tk AS (SELECT doc_id, CAST(i AS BIGINT) AS ti,
+        |    regexp_replace(lower(sp[i]), '[^a-z0-9]', '', 'g') AS nt
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |    unnest(range(1, len(sp) + 1)) AS t(i)),
+        |ns AS (SELECT doc_id, ti, nt FROM tk WHERE length(nt) > 0
+        |  AND nt NOT IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it')),
+        |g AS (SELECT doc_id, ti, nt,
+        |    ti - row_number() OVER (PARTITION BY doc_id ORDER BY ti) AS grp
+        |  FROM ns),
+        |ph AS (SELECT doc_id, grp, string_agg(nt, ' ' ORDER BY ti) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS plen FROM g GROUP BY 1, 2),
+        |ws AS (SELECT g.nt,
+        |    CAST(sum(ph.plen) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+        |      AS wscore_milli
+        |  FROM g JOIN ph USING (doc_id, grp) GROUP BY 1),
+        |sc AS (SELECT ph.doc_id, ph.grp, ph.phrase,
+        |    CAST(sum(ws.wscore_milli) AS BIGINT) AS score_milli
+        |  FROM g JOIN ph USING (doc_id, grp) JOIN ws ON ws.nt = g.nt
+        |  GROUP BY 1, 2, 3)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(max(score_milli) AS BIGINT) AS score_milli
+        |FROM sc GROUP BY 1
+        |ORDER BY score_milli DESC, phrase LIMIT 10""".stripMargin)
+    )),
+
+    // Linear-kernel MMD² between the even- and odd-label embedding
+    // populations — the two-sample test a pipeline runs to decide
+    // whether a new data slice is DISTRIBUTIONALLY different from the
+    // training corpus (domain shift before any model sees it). For the
+    // linear kernel MMD² collapses to ‖μ_a − μ_b‖², so the whole test is
+    // two mean vectors: per-dimension integer-quantized sums (the
+    // vector_centroids accumulators — exact on both engines), then 64
+    // per-dimension squared differences floored to picos and
+    // integer-summed (order-independent). Scale: one explode, one
+    // (group, dim) hash aggregate — map-side partial, 128-row final.
+    "vector_mmd_linear" -> ((
+      (s: SparkSession, dir: String) => {
+        val agg = emb(s, dir)
+          .select((col("label") % 2).cast("long").as("g"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
+          .select(col("g"), col("idx").cast("long").as("idx"),
+            floor(col("x") * 10000).cast("long").as("q"))
+          .groupBy("g", "idx").agg(sum("q").as("qs"), count(lit(1)).as("n"))
+        val a = agg.filter(col("g") === 0)
+          .select(col("idx"), col("qs").as("qa"), col("n").as("na"))
+        val b = agg.filter(col("g") === 1)
+          .select(col("idx"), col("qs").as("qb"), col("n").as("nb"))
+        a.join(b, Seq("idx"))
+          .select(col("na"), col("nb"),
+            floor(lit(1e4) * pow(col("qa").cast("double") / col("na")
+              - col("qb").cast("double") / col("nb"), 2.0)).cast("long").as("t"))
+          .groupBy("na", "nb")
+          .agg(sum("t").as("mmd2_pico"))
+          .select(col("na"), col("nb"), col("mmd2_pico"))
+      },
+      Some("""WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS g,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT g, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |  FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+        |agg AS (SELECT g, idx, CAST(sum(qv) AS BIGINT) AS qs,
+        |    CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1, 2),
+        |j AS (SELECT a.idx, a.qs AS qa, a.n AS na, b.qs AS qb, b.n AS nb
+        |  FROM agg a JOIN agg b ON a.idx = b.idx AND a.g = 0 AND b.g = 1)
+        |SELECT na, nb,
+        |  CAST(sum(CAST(floor(1e4 * pow(CAST(qa AS DOUBLE) / na
+        |    - CAST(qb AS DOUBLE) / nb, 2.0)) AS BIGINT)) AS BIGINT) AS mmd2_pico
+        |FROM j GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // Linear CKA (Kornblith et al.) between two slices of the embedding
+    // space (dims 0–7 as representation X, dims 8–15 as Y) — the
+    // standard "do two representations encode the same structure?"
+    // similarity, invariant to rotation and isotropic scale. Linear CKA
+    // needs only the three centered cross-moment matrices ‖XᵀY‖²_F,
+    // ‖XᵀX‖²_F, ‖XᵀY‖²_F — never an n×n Gram matrix — so the plan is
+    // ONE self-join on vec_id exploded to (dim, dim) cells: n·d² map
+    // work into a 256-row aggregate, the canonical one-pass covariance
+    // shape that scales to any corpus. Products accumulate in exact
+    // int128 decimal; each per-cell centered moment is one double
+    // expression over exact integers, squared and floored, and the CKA
+    // ratio is formed from the three pinned sums.
+    "vector_cka_linear" -> ((
+      (s: SparkSession, dir: String) => {
+        val u = emb(s, dir)
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
+          .filter(col("idx") < 16)
+          .select(col("vec_id"), col("idx").cast("long").as("idx"),
+            floor(col("x") * 10000).cast("long").as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nr = emb(s, dir).agg(count(lit(1)).as("nn"))
+        val ds = u.groupBy("idx").agg(sum("q").as("sq"))
+        val cr = u.as("a").join(u.as("b"), "vec_id")
+          .groupBy(col("a.idx").as("i"), col("b.idx").as("j"))
+          .agg(sum(col("a.q").cast("decimal(19,0)")
+            * col("b.q").cast("decimal(19,0)")).as("spp"))
+        val cells = cr
+          .join(broadcast(ds.select(col("idx").as("i"), col("sq").as("si"))), Seq("i"))
+          .join(broadcast(ds.select(col("idx").as("j"), col("sq").as("sj"))), Seq("j"))
+          .crossJoin(broadcast(nr))
+          .select(col("i"), col("j"),
+            floor(pow(col("spp").cast("double") / col("nn")
+              - col("si").cast("double") * col("sj") / (col("nn") * col("nn")), 2.0))
+              .cast("long").as("c2"))
+        cells.agg(
+            sum(when(col("i") < 8 && col("j") < 8, col("c2")).otherwise(0L)).as("hxx"),
+            sum(when(col("i") < 8 && col("j") >= 8, col("c2")).otherwise(0L)).as("hxy"),
+            sum(when(col("i") >= 8 && col("j") >= 8, col("c2")).otherwise(0L)).as("hyy"))
+          .select(col("hxx"), col("hxy"), col("hyy"),
+            floor(lit(1e6) * col("hxy")
+              / sqrt(col("hxx").cast("double") * col("hyy"))).cast("long").as("cka_ppm"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |  FROM e, unnest(range(1, 17)) AS t(i)),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings),
+        |ds AS (SELECT idx, CAST(sum(qv) AS BIGINT) AS sq FROM u GROUP BY 1),
+        |cr AS (SELECT a.idx AS i, b.idx AS j,
+        |    sum(CAST(a.qv AS DECIMAL(19,0)) * CAST(b.qv AS DECIMAL(19,0))) AS spp
+        |  FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2),
+        |cells AS (SELECT i, j,
+        |    CAST(floor(pow(CAST(spp AS DOUBLE) / nn
+        |      - CAST(si.sq AS DOUBLE) * sj.sq / (nn * nn), 2.0)) AS BIGINT) AS c2
+        |  FROM cr JOIN ds si ON si.idx = cr.i JOIN ds sj ON sj.idx = cr.j
+        |  CROSS JOIN nr),
+        |h AS (SELECT
+        |    CAST(sum(CASE WHEN i < 8 AND j < 8 THEN c2 ELSE 0 END) AS BIGINT) AS hxx,
+        |    CAST(sum(CASE WHEN i < 8 AND j >= 8 THEN c2 ELSE 0 END) AS BIGINT) AS hxy,
+        |    CAST(sum(CASE WHEN i >= 8 AND j >= 8 THEN c2 ELSE 0 END) AS BIGINT) AS hyy
+        |  FROM cells)
+        |SELECT hxx, hxy, hyy,
+        |  CAST(floor(1e6 * hxy / sqrt(CAST(hxx AS DOUBLE) * hyy)) AS BIGINT) AS cka_ppm
+        |FROM h""".stripMargin)
+    )),
+
+    // MRR@5 of the graph-ANN tier — the metric that matters when only
+    // the FIRST result is read (agentic retrieval, dedup candidate
+    // lookup): reciprocal rank of the TRUE nearest neighbor inside the
+    // approximate top-5, zero if missed. Truth is the brute top-1 per
+    // query (bounded 8-query probe set — the ann_recall_eval idiom);
+    // both rankings replay in SQL, and the reciprocal ranks are exact
+    // integer floor-micros (1e6 div pos), so the metric is oracle-exact.
+    // The companion to ann_ndcg_eval (order quality) and ann_recall_eval
+    // (set quality).
+    "ann_mrr_eval" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 8).limit(8)
+        val approx = Similarity.graphTopK(e, q, k = 5,
+            nPivots = 32, nProbe = 4, graphK = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("pos"))
+        val truth1 = Similarity.bruteForceTopK(e, q, k = 1)
+          .select(col("query_id"), col("neighbor_id"))
+        truth1.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .select(col("query_id"),
+            coalesce(expr("1000000L div pos"), lit(0L)).as("rr_micro"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e ORDER BY vec_id LIMIT 32),
+        |r AS (
+        |  SELECT e.vec_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.v, p.pv) DESC, p.pid) AS pr
+        |  FROM e CROSS JOIN p),
+        |cell AS (SELECT vec_id AS neighbor_id, pid AS cluster FROM r WHERE pr = 1),
+        |probes AS (SELECT vec_id AS query_id, pid AS cluster FROM r WHERE pr <= 4),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM probes JOIN cell USING (cluster)
+        |  WHERE query_id <> neighbor_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+        |  JOIN e n ON n.vec_id = c.neighbor_id),
+        |g AS (
+        |  SELECT query_id AS src, neighbor_id AS dst,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 5),
+        |seeds AS (SELECT src AS query_id, dst AS cand FROM g WHERE src < 8),
+        |hop AS (SELECT s.query_id, g2.dst AS cand FROM seeds s JOIN g g2 ON g2.src = s.cand),
+        |beam AS (
+        |  SELECT DISTINCT query_id, cand
+        |  FROM (SELECT * FROM seeds UNION ALL SELECT * FROM hop)
+        |  WHERE cand <> query_id),
+        |rescored AS (
+        |  SELECT b.query_id, b.cand AS neighbor_id, list_cosine_similarity(q.v, n.v) AS cs
+        |  FROM beam b JOIN e q ON q.vec_id = b.query_id
+        |  JOIN e n ON n.vec_id = b.cand),
+        |approx AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS pos
+        |  FROM rescored QUALIFY pos <= 5),
+        |truth1 AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id WHERE q.vec_id < 8 QUALIFY rnk = 1)
+        |SELECT t.query_id,
+        |  CAST(coalesce(1000000 // a.pos, 0) AS BIGINT) AS rr_micro
+        |FROM truth1 t LEFT JOIN approx a USING (query_id, neighbor_id)""".stripMargin)
     ))
   )
 
@@ -7365,16 +7663,22 @@ object LlmQueries {
           .cast("long").as("tm"))
       .groupBy("query_id", "doc_id").agg(sum("tm").as("lexs"))
     val wl = Window.partitionBy("query_id").orderBy(col("lexs").desc, col("doc_id"))
+    // localCheckpoint, not persist: all six draft picks replay this
+    // relation's lineage in the final union, so with a plain persist the
+    // composed plan STRING repeats the whole BM25 subtree 6× and passes
+    // Spark's 262 KB truncation ceiling (WARN per run). The relation is
+    // ≤ 5 rows per sampled query — the "interleave pick sets" checkpoint
+    // trust documented in PlanAudit.
     val rA = lex.withColumn("ra", row_number().over(wl)).filter(col("ra") <= 5)
       .select(col("query_id"), col("doc_id"), col("ra"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val e = emb(s, dir)
     val rB = Similarity.bruteForceTopK(
         e, e.filter(pmod(col("vec_id"), lit(100)) === 0 &&
           col("vec_id") < 102400), k = 5)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // same 6×-replay rationale as rA
     def draft(src: DataFrame, rankCol: String, picked: DataFrame): DataFrame = {
       val base = if (picked == null) src
         else src.join(picked.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "left_anti")

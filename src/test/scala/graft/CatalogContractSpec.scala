@@ -111,7 +111,14 @@ class CatalogContractSpec extends SparkSpec {
     // list is a 100 TB regression, caught here instead of by the next
     // round's verdict diff. Optimized plans, no actions.
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
-    val accepted = Set("q_cumulative_distinct", "q_seasonality", "q_kaplan_meier")
+    val accepted = Set("q_cumulative_distinct", "q_seasonality", "q_kaplan_meier",
+      // r11 survival/sequence tier: all three run ONE window over the
+      // distinct-gap-day / calendar-day relation — the same
+      // calendar-bounded input as q_kaplan_meier
+      "q_log_rank", "q_nelson_aalen", "q_runs_test",
+      // largest-remainder rank over the |o_orderpriority|-row strata
+      // aggregate — value-domain-bounded (5 rows at any SF)
+      "q_neyman_allocation")
     val offenders = entries.filterNot(accepted).filter { name =>
       SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty &&
