@@ -7626,6 +7626,124 @@ object AnalyticsQueries {
         |        / (pow(CAST(n1 + n2 AS DOUBLE), 2.0) * (n1 + n2 - 1))), 6)
         |  ELSE NULL END AS z_runs
         |FROM runs""".stripMargin)
+    )),
+
+    // Cochran's Q — the k-treatment binary companion to q_friedman (and
+    // the generalization of q_mcnemar beyond two treatments): with each
+    // NATION a block and each priority a treatment, does "this cell runs
+    // above the global mean order value" depend on priority? The binary
+    // matrix comes from exact-decimal cell means vs the global mean
+    // (identical doubles both engines); the statistic is pure integer
+    // arithmetic — Q = (k−1)·Σ_j(k·C_j − N)² / (k·Σ_i R_i(k−R_i)) —
+    // floored to millis. Scale: one fact aggregate to nation×priority
+    // cells, then |nation|-bounded sums.
+    "q_cochran_q" -> ((
+      (s: SparkSession, dir: String) => {
+        val cells = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"), col("o_orderpriority").as("trt"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,6)")).as("sx"))
+          .persist()
+        val g = cells.agg((sum("sx").cast("double") / sum("n")).as("gmean"))
+        val x = cells.crossJoin(broadcast(g))
+          .select(col("nk"), col("trt"),
+            (col("sx").cast("double") / col("n") > col("gmean")).cast("long").as("x"))
+          .persist()
+        val k = x.select(countDistinct("trt").as("k"))
+        val cj = x.groupBy("trt").agg(sum("x").as("c_j"))
+        val ri = x.groupBy("nk").agg(sum("x").as("r_i"), count(lit(1)).as("ki"))
+        val nTot = cj.agg(sum("c_j").as("nn"))
+        val s1 = cj.crossJoin(broadcast(k)).crossJoin(broadcast(nTot))
+          .agg(sum((col("k") * col("c_j") - col("nn"))
+            * (col("k") * col("c_j") - col("nn"))).as("s1"),
+            max("k").as("k"), max("nn").as("nn"))
+        val s2 = ri.crossJoin(broadcast(k))
+          .agg(sum(col("r_i") * (col("k") - col("r_i"))).as("s2"))
+        val stat = s1.crossJoin(broadcast(s2))
+          .select(when(col("s2") > 0,
+            expr("(k - 1) * s1 * 1000L div (k * s2)")).otherwise(lit(null).cast("long"))
+            .as("q_milli"))
+        cj.crossJoin(broadcast(stat))
+          .select(col("trt").as("o_orderpriority"), col("c_j"), col("q_milli"))
+      },
+      Some("""WITH cells AS (SELECT c_nationkey AS nk, o_orderpriority AS trt,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sx
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |g AS (SELECT CAST(sum(sx) AS DOUBLE) / sum(n) AS gmean FROM cells),
+        |x AS (SELECT nk, trt,
+        |    CAST(CASE WHEN CAST(sx AS DOUBLE) / n > gmean THEN 1 ELSE 0 END AS BIGINT) AS x
+        |  FROM cells CROSS JOIN g),
+        |k AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM x),
+        |cj AS (SELECT trt, CAST(sum(x) AS BIGINT) AS c_j FROM x GROUP BY 1),
+        |ri AS (SELECT nk, CAST(sum(x) AS BIGINT) AS r_i FROM x GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c_j) AS BIGINT) AS nn FROM cj),
+        |s1 AS (SELECT CAST(sum((k * c_j - nn) * (k * c_j - nn)) AS BIGINT) AS s1,
+        |    max(k) AS k, max(nn) AS nn FROM cj CROSS JOIN k CROSS JOIN nt),
+        |s2 AS (SELECT CAST(sum(r_i * (k - r_i)) AS BIGINT) AS s2 FROM ri CROSS JOIN k),
+        |stat AS (SELECT CASE WHEN s2 > 0
+        |    THEN (k - 1) * s1 * 1000 // (k * s2) ELSE NULL END AS q_milli
+        |  FROM s1 CROSS JOIN s2)
+        |SELECT trt AS o_orderpriority, c_j, CAST(q_milli AS BIGINT) AS q_milli
+        |FROM cj CROSS JOIN stat""".stripMargin)
+    )),
+
+    // Page's L trend test — the ORDERED-alternative sharpening of
+    // q_friedman: priorities carry a natural urgency order (1-URGENT …
+    // 5-LOW), and Page's L = Σ_j j·R_j is sensitive to a monotone rank
+    // trend that the omnibus Friedman statistic dilutes. Reuses the
+    // doubled-average-rank relation (R2 = 2R keeps ties integral); L and
+    // its normal approximation are one double expression over exact
+    // integer rank sums, rounded to 6.
+    "q_page_trend" -> ((
+      (s: SparkSession, dir: String) => {
+        val cells = t(s, dir, "orders")
+          .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("b"),
+            col("o_orderpriority").as("trt"))
+          .agg(moneySum(col("o_totalprice")).as("y"))
+        val complete = cells.groupBy("b").agg(count(lit(1)).as("kk"))
+          .filter(col("kk") === 5).select("b")
+        val ranked = cells.join(complete, Seq("b"))
+          .withColumn("mr", rank().over(Window.partitionBy("b").orderBy("y")))
+          .withColumn("ties", count(lit(1)).over(Window.partitionBy("b", "y")))
+          .select(col("b"), col("trt"),
+            (lit(2) * col("mr") + col("ties") - 1).cast("long").as("r2"))
+        val rj = ranked.groupBy("trt")
+          .agg(sum("r2").as("rank2_sum"), count(lit(1)).as("n_blocks"))
+          // urgency rank from the priority name's leading digit
+          .withColumn("j", substring(col("trt"), 1, 1).cast("long"))
+        rj.agg(sum(col("j") * col("rank2_sum")).as("l2"),
+            max("n_blocks").as("n"), count(lit(1)).as("k"))
+          .select(col("n").as("n_blocks"), col("l2"),
+            // z = (L − nk(k+1)²/4) / sqrt(nk²(k+1)²(k−1)/144), L = l2/2
+            round((col("l2").cast("double") / 2
+              - col("n") * col("k") * (col("k") + 1) * (col("k") + 1) / lit(4.0))
+              / sqrt(col("n").cast("double") * col("k") * col("k")
+                * (col("k") + 1) * (col("k") + 1) * (col("k") - 1) / lit(144.0)), 6)
+              .as("z_page"))
+      },
+      Some("""WITH cells AS (SELECT
+        |    year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS b,
+        |    o_orderpriority AS trt,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |complete AS (SELECT b FROM cells GROUP BY b HAVING count(*) = 5),
+        |ranked AS (SELECT c.b, c.trt,
+        |    CAST(2 * rank() OVER (PARTITION BY c.b ORDER BY c.y)
+        |      + count(*) OVER (PARTITION BY c.b, c.y) - 1 AS BIGINT) AS r2
+        |  FROM cells c JOIN complete USING (b)),
+        |rj AS (SELECT trt, CAST(sum(r2) AS BIGINT) AS rank2_sum,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(substr(trt, 1, 1) AS BIGINT) AS j FROM ranked GROUP BY 1)
+        |SELECT max(n_blocks) AS n_blocks,
+        |  CAST(sum(j * rank2_sum) AS BIGINT) AS l2,
+        |  round((CAST(sum(j * rank2_sum) AS DOUBLE) / 2
+        |    - max(n_blocks) * count(*) * (count(*) + 1) * (count(*) + 1) / 4.0)
+        |    / sqrt(CAST(max(n_blocks) AS DOUBLE) * count(*) * count(*)
+        |      * (count(*) + 1) * (count(*) + 1) * (count(*) - 1) / 144.0), 6)
+        |    AS z_page
+        |FROM rj""".stripMargin)
     ))
   )
 }

@@ -7628,6 +7628,212 @@ object LlmQueries {
         |SELECT t.query_id,
         |  CAST(coalesce(1000000 // a.pos, 0) AS BIGINT) AS rr_micro
         |FROM truth1 t LEFT JOIN approx a USING (query_id, neighbor_id)""".stripMargin)
+    )),
+
+    // Simplified silhouette (centroid form) per label — the clustering
+    // quality readout next to vector_davies_bouldin: a(i) = distance to
+    // the OWN label centroid, b(i) = distance to the nearest OTHER
+    // centroid, s = (b−a)/max(a,b). The centroid form replaces the
+    // quadratic all-pairs silhouette with n·k centroid distances — the
+    // only silhouette a 100 TB corpus can afford — and the centroids ride
+    // the exact vector_centroids integer accumulators, so distances are
+    // identical doubles on both engines. Per-point scores floor to
+    // micros; per-label means are integer floor-division.
+    "vector_silhouette_simplified" -> ((
+      (s: SparkSession, dir: String) => {
+        val u = emb(s, dir)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
+          .select(col("vec_id"), col("label"), col("idx").cast("long").as("idx"),
+            floor(col("x") * 10000).cast("long").as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cen = u.groupBy(col("label").as("cl"), col("idx"))
+          .agg((sum("q").cast("double") / count(lit(1))).as("cv"))
+        val d2 = u.join(cen, Seq("idx"))
+          .groupBy(col("vec_id"), col("label"), col("cl"))
+          .agg(sum((col("q") - col("cv")) * (col("q") - col("cv"))).as("d2"))
+        val ab = d2.groupBy("vec_id", "label").agg(
+          max(when(col("cl") === col("label"), col("d2"))).as("a2"),
+          min(when(col("cl") =!= col("label"), col("d2"))).as("b2"))
+        ab.select(col("label"),
+            floor(lit(1e6) * (sqrt(col("b2")) - sqrt(col("a2")))
+              / greatest(sqrt(col("a2")), sqrt(col("b2")))).cast("long").as("s_micro"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            expr("CAST(sum(s_micro) div count(1) AS BIGINT)").as("mean_silhouette_micro"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |  FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+        |cen AS (SELECT label AS cl, idx,
+        |    CAST(sum(qv) AS DOUBLE) / count(*) AS cv FROM u GROUP BY 1, 2),
+        |d2 AS (SELECT u.vec_id, u.label, cen.cl,
+        |    sum((u.qv - cen.cv) * (u.qv - cen.cv)) AS d2
+        |  FROM u JOIN cen USING (idx) GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    max(CASE WHEN cl = label THEN d2 END) AS a2,
+        |    min(CASE WHEN cl != label THEN d2 END) AS b2
+        |  FROM d2 GROUP BY 1, 2),
+        |sm AS (SELECT label,
+        |    CAST(floor(1e6 * (sqrt(b2) - sqrt(a2))
+        |      / greatest(sqrt(a2), sqrt(b2))) AS BIGINT) AS s_micro
+        |  FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(s_micro) // count(*) AS BIGINT) AS mean_silhouette_micro
+        |FROM sm GROUP BY 1""".stripMargin)
+    )),
+
+    // Triplet-margin audit of the embedding space — the metric-learning
+    // health check a training pipeline runs before using embeddings for
+    // retrieval: for each probe anchor, is the nearest SAME-label vector
+    // closer (by cosine) than the nearest OTHER-label vector, with margin
+    // 0.05? Anchors are the bounded 8-probe set (the ann_recall_eval
+    // idiom — probe × corpus is linear); hardest positive/negative are
+    // deterministic argmaxes (cosine desc, id asc); the margin pins to
+    // floor-micros.
+    "vector_triplet_margin" -> ((
+      (s: SparkSession, dir: String) => {
+        graft.functions.GraftFunctions.register(s)
+        // raw float arrays: cosine_sim accumulates in double over float
+        // inputs, and floats widen exactly to doubles, so the oracle's
+        // list_cosine_similarity over CAST(... AS DOUBLE[]) is the
+        // bit-identical computation
+        val e = emb(s, dir)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("embedding").as("v"))
+        val q = e.filter(col("vec_id") < 8).limit(8)
+          .select(col("vec_id").as("query_id"), col("label").as("ql"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("ql"), col("vec_id"), col("label"),
+            call_function("cosine_sim", col("qv"), col("v")).as("cs"))
+        val w = Window.partitionBy("query_id", "same")
+          .orderBy(col("cs").desc, col("vec_id").asc)
+        val best = scored
+          .withColumn("same", (col("label") === col("ql")).cast("long"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        val pos = best.filter(col("same") === 1)
+          .select(col("query_id"), col("vec_id").as("pos_id"), col("cs").as("cp"))
+        val neg = best.filter(col("same") === 0)
+          .select(col("query_id"), col("vec_id").as("neg_id"), col("cs").as("cn"))
+        pos.join(neg, Seq("query_id"))
+          .select(col("query_id"), col("pos_id"), col("neg_id"),
+            floor(lit(1e6) * (col("cp") - col("cn"))).cast("long").as("margin_micro"),
+            (floor(lit(1e6) * (col("cp") - col("cn"))) < 50000L).cast("long")
+              .as("violated"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e
+        |  WHERE vec_id < 8),
+        |scored AS (SELECT q.query_id, q.ql, e.vec_id, e.label,
+        |    list_cosine_similarity(q.qv, e.v) AS cs,
+        |    CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS same
+        |  FROM q JOIN e ON e.vec_id != q.query_id),
+        |best AS (SELECT query_id, same, vec_id, cs,
+        |    row_number() OVER (PARTITION BY query_id, same
+        |      ORDER BY cs DESC, vec_id) AS rn
+        |  FROM scored QUALIFY rn = 1),
+        |pos AS (SELECT query_id, vec_id AS pos_id, cs AS cp FROM best WHERE same = 1),
+        |neg AS (SELECT query_id, vec_id AS neg_id, cs AS cn FROM best WHERE same = 0)
+        |SELECT pos.query_id, pos_id, neg_id,
+        |  CAST(floor(1e6 * (cp - cn)) AS BIGINT) AS margin_micro,
+        |  CAST(CASE WHEN floor(1e6 * (cp - cn)) < 50000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS violated
+        |FROM pos JOIN neg USING (query_id)""".stripMargin)
+    )),
+
+    // Bhattacharyya distance between the even- and odd-label embedding
+    // populations under per-dimension Gaussian approximation — the
+    // distributional-shift companion to vector_mmd_linear that also sees
+    // VARIANCE differences (MMD with a linear kernel is mean-only):
+    // D_B = Σ_d [ (μa−μb)²/(8σ̄²) + ½·ln(σ̄²/(σa·σb)) ], σ̄² the average
+    // variance. Moments ride exact integer-quantized sums (squares in
+    // int128 decimal); per-dimension terms floor to micros and
+    // integer-sum. One explode + one (group, dim) aggregate — the
+    // vector_mmd_linear scale shape.
+    "vector_bhattacharyya" -> ((
+      (s: SparkSession, dir: String) => {
+        val agg = emb(s, dir)
+          .select((col("label") % 2).cast("long").as("g"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
+          .select(col("g"), col("idx").cast("long").as("idx"),
+            floor(col("x") * 10000).cast("long").as("q"))
+          .groupBy("g", "idx")
+          .agg(count(lit(1)).as("n"), sum("q").as("qs"),
+            sum(col("q").cast("decimal(19,0)") * col("q").cast("decimal(19,0)")).as("qq"))
+          .select(col("g"), col("idx"), col("n"),
+            (col("qs").cast("double") / col("n")).as("mu"),
+            greatest(col("qq").cast("double") / col("n")
+              - (col("qs").cast("double") / col("n")) * (col("qs").cast("double") / col("n")),
+              lit(1e-6)).as("v"))
+        val a = agg.filter(col("g") === 0)
+          .select(col("idx"), col("n").as("na"), col("mu").as("mua"), col("v").as("va"))
+        val b = agg.filter(col("g") === 1)
+          .select(col("idx"), col("n").as("nb"), col("mu").as("mub"), col("v").as("vb"))
+        a.join(b, Seq("idx"))
+          .select(col("na"), col("nb"),
+            floor(lit(1e6) * (pow(col("mua") - col("mub"), 2.0)
+              / (lit(4.0) * (col("va") + col("vb")))
+              + lit(0.5) * log((col("va") + col("vb"))
+                / (lit(2.0) * sqrt(col("va") * col("vb")))))).cast("long").as("t"))
+          .groupBy("na", "nb")
+          .agg(sum("t").as("bhattacharyya_micro"))
+      },
+      Some("""WITH e AS (SELECT CAST(label % 2 AS BIGINT) AS g,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT g, CAST(i - 1 AS BIGINT) AS idx, q[i] AS qv
+        |  FROM e, unnest(range(1, len(q) + 1)) AS t(i)),
+        |agg AS (SELECT g, idx, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qv) AS BIGINT) AS qs,
+        |    sum(CAST(qv AS DECIMAL(19,0)) * CAST(qv AS DECIMAL(19,0))) AS qq
+        |  FROM u GROUP BY 1, 2),
+        |m AS (SELECT g, idx, n, CAST(qs AS DOUBLE) / n AS mu,
+        |    greatest(CAST(qq AS DOUBLE) / n
+        |      - (CAST(qs AS DOUBLE) / n) * (CAST(qs AS DOUBLE) / n), 1e-6) AS v
+        |  FROM agg),
+        |j AS (SELECT a.idx, a.n AS na, a.mu AS mua, a.v AS va,
+        |    b.n AS nb, b.mu AS mub, b.v AS vb
+        |  FROM m a JOIN m b ON a.idx = b.idx AND a.g = 0 AND b.g = 1)
+        |SELECT na, nb,
+        |  CAST(sum(CAST(floor(1e6 * (pow(mua - mub, 2.0) / (4.0 * (va + vb))
+        |    + 0.5 * ln((va + vb) / (2.0 * sqrt(va * vb))))) AS BIGINT)) AS BIGINT)
+        |    AS bhattacharyya_micro
+        |FROM j GROUP BY 1, 2""".stripMargin)
+    )),
+
+    // Hapax-legomena ratio per document — the corpus-health companion to
+    // text_heaps_fit at document grain: the share of words used exactly
+    // once is a strong signal of vocabulary richness (high for natural
+    // prose, low for templated/boilerplate text, near-zero for log
+    // spam). Pure integer arithmetic per doc — one explode, one
+    // (doc, token) aggregate, one doc aggregate.
+    "text_hapax_ratio" -> ((
+      (s: SparkSession, dir: String) => {
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
+            expr("n_hapax * 1000L div n_tokens").as("hapax_pm"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, tok FROM (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // sum(c) AS BIGINT)
+        |    AS hapax_pm
+        |FROM c GROUP BY 1""".stripMargin)
     ))
   )
 
