@@ -7744,6 +7744,263 @@ object AnalyticsQueries {
         |      * (count(*) + 1) * (count(*) + 1) * (count(*) - 1) / 144.0), 6)
         |    AS z_page
         |FROM rj""".stripMargin)
+    )),
+
+    // Two-way ANOVA (priority × market segment) with interaction — the
+    // factorial readout q_anova_f can't give: does the priority effect
+    // on order value DIFFER by customer segment? Proportional-weights
+    // (Type I for balanced data) sums of squares: SS_A/SS_B from
+    // marginal moments, SS_AB = SS_cells − SS_A − SS_B, SS_W =
+    // SS_total − SS_cells — every Σs²/n term from exact int128-decimal
+    // sums, floored to WHOLE dollar² units and integer-summed (the
+    // q_levene_bf pin; documented approximation: exact for balanced
+    // designs, deterministic always). One fact scan into a 25-cell
+    // aggregate — the 100 TB plan is map-side partials.
+    "q_two_way_anova" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderpriority").as("a"), col("c_mktsegment").as("b"),
+            col("o_totalprice").cast("decimal(18,6)").as("y"),
+            (col("o_totalprice").cast("decimal(19,6)")
+              * col("o_totalprice").cast("decimal(19,6)")).as("yy"))
+        val g = base.agg(count(lit(1)).as("nn"), sum("y").as("sy"),
+            sum("yy").as("syy"))
+          .select(col("nn"), floor(col("sy").cast("double") * col("sy") / col("nn"))
+            .cast("long").as("cf"),
+            floor(col("syy").cast("double")).cast("long").as("t_tot"))
+        val cells = base.groupBy("a", "b")
+          .agg(count(lit(1)).as("n"), sum("y").as("s"))
+          .persist()
+        def tsum(keys: org.apache.spark.sql.Column*): DataFrame = cells.groupBy(keys: _*)
+          .agg(count(lit(1)).as("ncells"), sum("n").as("n"), sum("s").as("s"))
+          .agg(sum(floor(col("s").cast("double") * col("s") / col("n")).cast("long"))
+            .as("t"), count(lit(1)).as("levels"))
+        val ta = tsum(col("a")).select(col("t").as("t_a"), col("levels").as("ka"))
+        val tb = tsum(col("b")).select(col("t").as("t_b"), col("levels").as("kb"))
+        val tc = cells
+          .agg(sum(floor(col("s").cast("double") * col("s") / col("n")).cast("long"))
+            .as("t_cells"), count(lit(1)).as("ncells"))
+        g.crossJoin(broadcast(ta)).crossJoin(broadcast(tb)).crossJoin(broadcast(tc))
+          .select(col("nn"),
+            (col("t_a") - col("cf")).as("ss_a"),
+            (col("t_b") - col("cf")).as("ss_b"),
+            (col("t_cells") - col("t_a") - col("t_b") + col("cf")).as("ss_ab"),
+            (col("t_tot") - col("t_cells")).as("ss_within"),
+            col("ka"), col("kb"), col("ncells"))
+          .select(col("nn").as("n"), col("ss_a"), col("ss_b"), col("ss_ab"),
+            col("ss_within"),
+            round((col("ss_a").cast("double") / (col("ka") - 1))
+              / (col("ss_within").cast("double") / (col("nn") - col("ncells"))), 6)
+              .as("f_a"),
+            round((col("ss_b").cast("double") / (col("kb") - 1))
+              / (col("ss_within").cast("double") / (col("nn") - col("ncells"))), 6)
+              .as("f_b"),
+            round((col("ss_ab").cast("double") / ((col("ka") - 1) * (col("kb") - 1)))
+              / (col("ss_within").cast("double") / (col("nn") - col("ncells"))), 6)
+              .as("f_ab"))
+      },
+      Some("""WITH base AS (SELECT o_orderpriority AS a, c_mktsegment AS b,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS y,
+        |    CAST(o_totalprice AS DECIMAL(19,6)) * CAST(o_totalprice AS DECIMAL(19,6)) AS yy
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(floor(CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS cf,
+        |    CAST(floor(CAST(sum(yy) AS DOUBLE)) AS BIGINT) AS t_tot
+        |  FROM base),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n, sum(y) AS s
+        |  FROM base GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM cells GROUP BY 1),
+        |ta AS (SELECT CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS BIGINT)) AS BIGINT) AS t_a,
+        |    CAST(count(*) AS BIGINT) AS ka FROM ma),
+        |tb AS (SELECT CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS BIGINT)) AS BIGINT) AS t_b,
+        |    CAST(count(*) AS BIGINT) AS kb FROM mb),
+        |tc AS (SELECT CAST(sum(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS BIGINT)) AS BIGINT) AS t_cells,
+        |    CAST(count(*) AS BIGINT) AS ncells FROM cells)
+        |SELECT nn AS n, t_a - cf AS ss_a, t_b - cf AS ss_b,
+        |  t_cells - t_a - t_b + cf AS ss_ab, t_tot - t_cells AS ss_within,
+        |  round((CAST(t_a - cf AS DOUBLE) / (ka - 1))
+        |    / (CAST(t_tot - t_cells AS DOUBLE) / (nn - ncells)), 6) AS f_a,
+        |  round((CAST(t_b - cf AS DOUBLE) / (kb - 1))
+        |    / (CAST(t_tot - t_cells AS DOUBLE) / (nn - ncells)), 6) AS f_b,
+        |  round((CAST(t_cells - t_a - t_b + cf AS DOUBLE) / ((ka - 1) * (kb - 1)))
+        |    / (CAST(t_tot - t_cells AS DOUBLE) / (nn - ncells)), 6) AS f_ab
+        |FROM g CROSS JOIN ta CROSS JOIN tb CROSS JOIN tc""".stripMargin)
+    )),
+
+    // Grubbs' outlier statistic on the daily-revenue series — which
+    // single day is most anomalous, and by how many SDs: G =
+    // max|x − x̄|/s. The flag a pipeline raises BEFORE feeding a day
+    // into trend fits (one bad backfill day drags q_ols_trend; Grubbs
+    // names it). Moments are exact integer cent sums; the argmax is a
+    // deterministic TakeOrdered(1) with day tie-break — never a global
+    // sort materialization.
+    "q_grubbs" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+          .persist()
+        val m = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
+            sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("q"))
+          .select(col("n"), (col("s").cast("double") / col("n")).as("mean"),
+            sqrt((col("q").cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("n"))
+              / (col("n") - 1)).as("sd"))
+        daily.crossJoin(broadcast(m))
+          .select(col("day"), col("x").as("x_cents"),
+            round(abs(col("x") - col("mean")) / col("sd"), 6).as("g_stat"))
+          .orderBy(col("g_stat").desc, col("day").asc)
+          .limit(1)
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) / count(*) AS mean,
+        |    sqrt((CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)
+        |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) / count(*))
+        |      / (count(*) - 1)) AS sd
+        |  FROM daily)
+        |SELECT day, x AS x_cents, round(abs(x - mean) / sd, 6) AS g_stat
+        |FROM daily CROSS JOIN m
+        |ORDER BY g_stat DESC, day LIMIT 1""".stripMargin)
+    )),
+
+    // Durbin–Watson on the daily-revenue OLS residuals — the
+    // autocorrelation-of-residuals gate that says whether
+    // q_ols_trend's standard errors can be trusted (DW ≈ 2 = fine,
+    // → 0 = positive serial correlation, → 4 = negative). The fit is
+    // the exact-sum OLS (q_ols_trend discipline); residuals are
+    // identical doubles on both engines; adjacent pairs come from a
+    // DATE-ARITHMETIC self-join (a.day = b.day + 1, the
+    // q_autocorrelation shape — no window, nothing single-task;
+    // missing days simply contribute no pair and are reported).
+    // Numerator/denominator terms floor to whole cent² units and
+    // integer-sum.
+    "q_durbin_watson" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+          .select(col("day"),
+            datediff(col("day"), lit("1995-01-01")).cast("long").as("x"), col("y"))
+          .persist()
+        val fit = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+          .select(
+            ((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+              / (col("n").cast("double") * col("sx2")
+                - col("sx").cast("double") * col("sx"))).as("b"),
+            col("n"), col("sx"), col("sy"))
+          .select(col("b"),
+            ((col("sy").cast("double") - col("b") * col("sx")) / col("n")).as("a"))
+        val e = daily.crossJoin(broadcast(fit))
+          .select(col("day"), (col("y") - col("a") - col("b") * col("x")).as("e"))
+          .persist()
+        // mega-cent-squared pin grain: residuals are daily-revenue scale
+        // (~1e8 cents at sf0.1), so whole cent-squared terms would pass
+        // 2^63 in the sum; at 1e6 grain the ceiling moves out ~1e6x and
+        // the ratio is grain-invariant (both sides share it)
+        val den = e.agg(sum(floor(col("e") * col("e") / lit(1e6)).cast("long")).as("den"),
+          count(lit(1)).as("n_days"))
+        val num = e.as("t").join(e.as("p"),
+            col("t.day") === date_add(col("p.day"), 1))
+          .agg(sum(floor((col("t.e") - col("p.e")) * (col("t.e") - col("p.e")) / lit(1e6))
+            .cast("long")).as("num"), count(lit(1)).as("n_pairs"))
+        num.crossJoin(broadcast(den))
+          .select(col("n_days"), col("n_pairs"),
+            round(col("num").cast("double") / col("den"), 6).as("dw"))
+      },
+      Some("""WITH daily AS (SELECT day,
+        |    date_diff('day', DATE '1995-01-01', day) AS x, y
+        |  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |    FROM orders GROUP BY 1)),
+        |fit AS (SELECT
+        |    (CAST(count(*) AS DOUBLE) * sum(x * y) - CAST(sum(x) AS DOUBLE) * sum(y))
+        |      / (CAST(count(*) AS DOUBLE) * sum(x * x)
+        |        - CAST(sum(x) AS DOUBLE) * sum(x)) AS b,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM daily),
+        |f2 AS (SELECT b, (CAST(sy AS DOUBLE) - b * sx) / n AS a FROM fit),
+        |e AS (SELECT day, y - a - b * x AS e FROM daily CROSS JOIN f2),
+        |den AS (SELECT CAST(sum(CAST(floor(e * e / 1e6) AS BIGINT)) AS BIGINT) AS den,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM e),
+        |num AS (SELECT CAST(sum(CAST(floor((t.e - p.e) * (t.e - p.e) / 1e6) AS BIGINT)) AS BIGINT) AS num,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM e t JOIN e p ON t.day = p.day + 1)
+        |SELECT n_days, n_pairs, round(CAST(num AS DOUBLE) / den, 6) AS dw
+        |FROM num CROSS JOIN den""".stripMargin)
+    )),
+
+    // Peaks-over-threshold GPD tail fit via probability-weighted
+    // moments (Hosking–Wallis) — the EVT companion to
+    // q_gumbel_block_maxima and q_hill_tail that uses EVERY exceedance
+    // instead of one maximum per block: threshold = exact P90 of daily
+    // revenue, ξ̂ = 2 − b0/(b0 − 2b1), σ̂ = 2·b0·b1/(b0 − 2b1). The
+    // order-statistic weight (i−1)/(n−1) comes from a BOUNDED
+    // exceedance self-join (|days|², calendar-bounded, the q_theil_sen
+    // argument — no global sort); exceedances pin to milli-cent
+    // integers so both PWMs are exact rationals.
+    "q_pot_gpd" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+          .persist()
+        val u = daily.agg(expr("percentile(x, 0.9D)").as("u"))
+        val z = daily.crossJoin(broadcast(u))
+          .filter(col("x").cast("double") > col("u"))
+          .select(col("day"), floor(lit(1000.0) * (col("x") - col("u")))
+            .cast("long").as("zm"))
+          .persist()
+        val ranked = z.as("i").join(z.as("j"),
+            col("j.zm") < col("i.zm")
+              || (col("j.zm") === col("i.zm") && col("j.day") < col("i.day")), "left")
+          .groupBy(col("i.day").as("day"), col("i.zm").as("zm"))
+          .agg(count(col("j.day")).as("r0"))
+        val pw = ranked.agg(count(lit(1)).as("n"), sum("zm").as("szm"),
+            sum(col("r0") * col("zm")).as("srz"))
+          .select(col("n"),
+            (col("szm").cast("double") / (col("n") * 1000.0)).as("b0"),
+            (col("srz").cast("double") / (col("n") * (col("n") - 1) * 1000.0)).as("b1"))
+        pw.crossJoin(broadcast(u))
+          .select(col("n").as("n_exceed"),
+            floor(col("u")).cast("long").as("u_cents"),
+            floor(lit(1e3) * col("b0")).cast("long").as("b0_milli_cents"),
+            floor(lit(1e3) * col("b1")).cast("long").as("b1_milli_cents"),
+            when(abs(col("b0") - lit(2.0) * col("b1")) > 1e-9,
+              round(lit(2.0) - col("b0") / (col("b0") - lit(2.0) * col("b1")), 6))
+              .otherwise(lit(null).cast("double")).as("xi_shape"),
+            when(abs(col("b0") - lit(2.0) * col("b1")) > 1e-9,
+              floor(lit(2.0) * col("b0") * col("b1") / (col("b0") - lit(2.0) * col("b1")))
+                .cast("long")).otherwise(lit(null).cast("long")).as("sigma_cents"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |u AS (SELECT quantile_cont(CAST(x AS DOUBLE), 0.9) AS u FROM daily),
+        |z AS (SELECT day, CAST(floor(1000.0 * (x - u)) AS BIGINT) AS zm
+        |  FROM daily CROSS JOIN u WHERE CAST(x AS DOUBLE) > u),
+        |ranked AS (SELECT i.day, i.zm, CAST(count(j.day) AS BIGINT) AS r0
+        |  FROM z i LEFT JOIN z j
+        |    ON j.zm < i.zm OR (j.zm = i.zm AND j.day < i.day)
+        |  GROUP BY 1, 2),
+        |pw AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(zm) AS DOUBLE) / (count(*) * 1000.0) AS b0,
+        |    CAST(sum(r0 * zm) AS DOUBLE) / (count(*) * (count(*) - 1) * 1000.0) AS b1
+        |  FROM ranked)
+        |SELECT n AS n_exceed, CAST(floor(u) AS BIGINT) AS u_cents,
+        |  CAST(floor(1e3 * b0) AS BIGINT) AS b0_milli_cents,
+        |  CAST(floor(1e3 * b1) AS BIGINT) AS b1_milli_cents,
+        |  CASE WHEN abs(b0 - 2 * b1) > 1e-9
+        |    THEN round(2.0 - b0 / (b0 - 2 * b1), 6) END AS xi_shape,
+        |  CASE WHEN abs(b0 - 2 * b1) > 1e-9
+        |    THEN CAST(floor(2.0 * b0 * b1 / (b0 - 2 * b1)) AS BIGINT) END AS sigma_cents
+        |FROM pw CROSS JOIN u""".stripMargin)
     ))
   )
 }

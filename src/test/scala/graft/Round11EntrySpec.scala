@@ -248,6 +248,68 @@ class Round11EntrySpec extends SparkSpec {
     assert(out(1L) == ((1L, 2L, 733333L)), s"got ${out(1L)}")
   }
 
+  test("q_two_way_anova: a balanced 2x2 with a pure A effect gives F_A=16, F_B=1, F_AB=0") {
+    // cells (U,B)={10,30} (U,A)={20,40} (L,B)={50,70} (L,A)={60,80}:
+    // CF=16200, T_cells=19600, T_A=19400, T_B=16400, T_tot=20400
+    // -> SS_A=3200 SS_B=200 SS_AB=0 SS_W=800, df_W=4
+    val rows = Seq(
+      (1L, 10.0, "1-URGENT", 1L), (2L, 30.0, "1-URGENT", 1L),
+      (3L, 20.0, "1-URGENT", 2L), (4L, 40.0, "1-URGENT", 2L),
+      (5L, 50.0, "5-LOW", 1L), (6L, 70.0, "5-LOW", 1L),
+      (7L, 60.0, "5-LOW", 2L), (8L, 80.0, "5-LOW", 2L)
+    ).map { case (ok, v, p, ck) => (ok, ck, v, "1995-01-01", p) }
+    val dir = plantDir("orders" -> ordersDf(rows),
+      "customer" -> customerDf(Seq((1L, 0L, "BUILDING"), (2L, 1L, "AUTOMOBILE"))))
+    val out = SparkEntry.queries("q_two_way_anova")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()(0)
+    assert(out == ((8L, 3200L, 200L, 0L, 800L, 16.0, 1.0, 0.0)), s"got $out")
+  }
+
+  test("q_grubbs: the single high day carries G = 1.5") {
+    // daily cents {100,100,100,200}: mean 125, sd 50, G = 75/50
+    val dir = plantDir("orders" -> ordersDf(Seq(
+      (1L, 1L, 1.0, "1995-01-01", "1-URGENT"),
+      (2L, 2L, 1.0, "1995-01-02", "1-URGENT"),
+      (3L, 3L, 1.0, "1995-01-03", "1-URGENT"),
+      (4L, 4L, 2.0, "1995-01-04", "1-URGENT"))))
+    val out = SparkEntry.queries("q_grubbs")(spark, dir)
+      .as[(java.sql.Date, Long, Double)].collect()(0)
+    assert(out._1.toString == "1995-01-04" && out._2 == 200L && out._3 == 1.5,
+      s"got $out")
+  }
+
+  test("q_durbin_watson: an alternating residual pattern gives DW = 3.4") {
+    // y = {1e5, 2e5, 1e5, 2e5} cents on consecutive days: OLS b=20000/1000?
+    // residuals {-2e4, 6e4, -6e4, 2e4}; num=27200, den=8000 at 1e6 grain
+    val dir = plantDir("orders" -> ordersDf(Seq(
+      (1L, 1L, 1000.0, "1995-01-01", "1-URGENT"),
+      (2L, 2L, 2000.0, "1995-01-02", "1-URGENT"),
+      (3L, 3L, 1000.0, "1995-01-03", "1-URGENT"),
+      (4L, 4L, 2000.0, "1995-01-04", "1-URGENT"))))
+    val out = SparkEntry.queries("q_durbin_watson")(spark, dir)
+      .as[(Long, Long, Double)].collect()(0)
+    assert(out == ((4L, 3L, 3.4)), s"got $out")
+  }
+
+  test("q_pot_gpd: two exceedances above the interpolated P90 replay the PWM fit") {
+    // 17 days at 10 cents + {1000, 2000, 3000}: u = 1000 + 0.1*1000 =
+    // 1100.0000000000001 (0.1 is inexact in binary — and BOTH engines
+    // carry the same ulp, which is the whole point of the pin), so
+    // z = {899.99..., 1899.99...}, zm = {899999, 1899999}, b0_milli =
+    // 1399999, b1_milli = floor(949999.5) = 949999, xi = 4.799998,
+    // sigma = floor(-5319.99...) = -5320
+    val rows = (1 to 17).map(i =>
+      (i.toLong, i.toLong, 0.10, f"1995-01-$i%02d", "1-URGENT")) ++ Seq(
+      (18L, 18L, 10.0, "1995-01-18", "1-URGENT"),
+      (19L, 19L, 20.0, "1995-01-19", "1-URGENT"),
+      (20L, 20L, 30.0, "1995-01-20", "1-URGENT"))
+    val dir = plantDir("orders" -> ordersDf(rows))
+    val out = SparkEntry.queries("q_pot_gpd")(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Long])].collect()(0)
+    assert(out == ((2L, 1100L, 1399999L, 949999L, Some(4.799998), Some(-5320L))),
+      s"got $out")
+  }
+
   test("vector_triplet_margin: a clean triplet has margin 1e6 and no violation") {
     val dir = plantDir("embeddings" -> embDf(Seq(
       (0L, Array(1.0f, 0.0f), 0),
