@@ -8001,6 +8001,167 @@ object AnalyticsQueries {
         |  CASE WHEN abs(b0 - 2 * b1) > 1e-9
         |    THEN CAST(floor(2.0 * b0 * b1 / (b0 - 2 * b1)) AS BIGINT) END AS sigma_cents
         |FROM pw CROSS JOIN u""".stripMargin)
+    )),
+
+    // Huber M-estimator of location per priority — the robust-mean tier
+    // completed (q_winsorized_mean clips a FIXED quantile, q_theil_sen
+    // is a slope; Huber downweights by DISTANCE, the estimator robust
+    // regression actually uses): two IRLS rounds from the exact median,
+    // scale = 1.4826·MAD, tuning k = 1.345. Per-row weights floor to
+    // millis and the weighted sums accumulate in int128 decimal, so
+    // each round's mean is an exact rational of pinned integers —
+    // deterministic at any parallelism. Scale: two exact percentiles +
+    // two aggregates per group, nothing row-ordered.
+    "q_huber_mean" -> ((
+      (s: SparkSession, dir: String) => {
+        val x = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("g"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+          .persist()
+        val med = x.groupBy("g").agg(expr("percentile(x, 0.5D)").as("med"))
+        val mad = x.join(broadcast(med), Seq("g"))
+          .groupBy("g").agg(expr("percentile(abs(x - med), 0.5D)").as("mad"))
+        val base = x.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+          .select(col("g"), col("x"), col("med"),
+            (col("mad") * lit(1.4826) * lit(1.345)).as("c"))
+          .persist()
+        def irls(centered: DataFrame): DataFrame = centered
+          .select(col("g"), col("x"), col("med"), col("c"),
+            when(abs(col("x") - col("m")) <= col("c"), 1000L)
+              .otherwise(floor(lit(1000.0) * col("c") / abs(col("x") - col("m")))
+                .cast("long")).as("w"))
+          .groupBy("g").agg(count(lit(1)).as("n"), max("med").as("med"), max("c").as("c"),
+            (sum(col("w").cast("decimal(9,0)") * col("x").cast("decimal(19,0)"))
+              .cast("double") / sum("w")).as("m"))
+        val r1 = irls(base.withColumn("m", col("med")))
+        val r2 = irls(base.join(broadcast(r1.select(col("g"), col("m"))), Seq("g")))
+        r2.select(col("g").as("o_orderpriority"), col("n"),
+          floor(col("med")).cast("long").as("median_cents"),
+          floor(col("m")).cast("long").as("huber_cents"))
+      },
+      Some {
+        def roundSql(prev: String, out: String) =
+          s"""w$out AS (SELECT g, x,
+             |    CASE WHEN abs(x - m) <= c THEN CAST(1000 AS BIGINT)
+             |      ELSE CAST(floor(1000.0 * c / abs(x - m)) AS BIGINT) END AS w
+             |  FROM base JOIN $prev USING (g)),
+             |$out AS (SELECT g,
+             |    CAST(sum(CAST(w AS DECIMAL(9,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)
+             |      / sum(w) AS m
+             |  FROM w$out GROUP BY 1)""".stripMargin
+        s"""WITH x AS (SELECT o_orderpriority AS g,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+           |med AS (SELECT g, quantile_cont(CAST(x AS DOUBLE), 0.5) AS med FROM x GROUP BY 1),
+           |mad AS (SELECT g, quantile_cont(abs(x - med), 0.5) AS mad
+           |  FROM x JOIN med USING (g) GROUP BY 1),
+           |base AS (SELECT g, x, med, mad * 1.4826 * 1.345 AS c
+           |  FROM x JOIN med USING (g) JOIN mad USING (g)),
+           |m0 AS (SELECT g, med AS m FROM med),
+           |${roundSql("m0", "m1")},
+           |${roundSql("m1", "m2")}
+           |SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(floor(max(med)) AS BIGINT) AS median_cents,
+           |  CAST(floor(max(m2.m)) AS BIGINT) AS huber_cents
+           |FROM base JOIN m2 USING (g) GROUP BY 1""".stripMargin
+      }
+    )),
+
+    // Hurst exponent of the daily-revenue series by classical rescaled-
+    // range analysis — the long-memory readout next to
+    // q_autocorrelation (H ≈ 0.5 random walk, > 0.5 trending/persistent,
+    // < 0.5 mean-reverting): per-block R/S at two calendar block sizes
+    // (16 and 64 days), H = Δlog(mean R/S)/Δlog(s). Within-block
+    // cumulative deviations run in a window PARTITIONED by block
+    // (bounded width s — never global); R/S pins to floor-micros per
+    // block and the two means are integer floor-divisions, so the final
+    // log-ratio is one deterministic double expression.
+    "q_hurst_exponent" -> ((
+      (s: SparkSession, dir: String) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+          .persist()
+        val mind = daily.agg(min("day").as("mind"))
+        val idx = daily.crossJoin(broadcast(mind))
+          .select(col("day"), col("x"),
+            datediff(col("day"), col("mind")).cast("long").as("i"))
+        val sizes = Seq(16L, 64L)
+        val blocks = idx
+          .select(col("day"), col("x"), col("i"),
+            explode(array(sizes.map(lit): _*)).as("s"))
+          .select(col("s"), expr("CAST(i div s AS BIGINT)").as("blk"),
+            col("day"), col("x"))
+        val w = Window.partitionBy("s", "blk").orderBy("day")
+        val stats = blocks.groupBy("s", "blk")
+          .agg(count(lit(1)).as("nb"), sum("x").as("sb"),
+            sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+              .as("qb"))
+        val cum = blocks
+          .withColumn("cumx", sum("x").over(w))
+          .withColumn("t", row_number().over(w))
+          .join(stats, Seq("s", "blk"))
+          .select(col("s"), col("blk"), col("nb"), col("sb"), col("qb"),
+            (col("cumx").cast("double")
+              - col("t") * (col("sb").cast("double") / col("nb"))).as("cum"))
+        val rs = cum.groupBy("s", "blk")
+          .agg(max("nb").as("nb"), max("sb").as("sb"), max("qb").as("qb"),
+            (max("cum") - min("cum")).as("r"))
+          .select(col("s"), col("r"),
+            sqrt(col("qb").cast("double") / col("nb")
+              - pow(col("sb").cast("double") / col("nb"), 2.0)).as("sd"),
+            col("nb"))
+          .filter(col("nb") >= 8 && col("sd") > 0)
+          .select(col("s"), floor(lit(1e6) * col("r") / col("sd")).cast("long")
+            .as("rs_micro"))
+        val means = rs.groupBy("s")
+          .agg(count(lit(1)).as("n_blocks"),
+            expr("CAST(sum(rs_micro) div count(1) AS BIGINT)").as("mean_rs_micro"))
+        means.agg(
+            max(when(col("s") === 16, col("n_blocks"))).as("n_blocks_16"),
+            max(when(col("s") === 64, col("n_blocks"))).as("n_blocks_64"),
+            max(when(col("s") === 16, col("mean_rs_micro"))).as("rs16_micro"),
+            max(when(col("s") === 64, col("mean_rs_micro"))).as("rs64_micro"))
+          .select(col("n_blocks_16"), col("n_blocks_64"),
+            col("rs16_micro"), col("rs64_micro"),
+            round((log(col("rs64_micro").cast("double"))
+              - log(col("rs16_micro").cast("double")))
+              / (log(lit(64.0)) - log(lit(16.0))), 6).as("hurst"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |mind AS (SELECT min(day) AS mind FROM daily),
+        |idx AS (SELECT day, x, date_diff('day', mind, day) AS i
+        |  FROM daily CROSS JOIN mind),
+        |blocks AS (SELECT s, i // s AS blk, day, x
+        |  FROM idx, (SELECT unnest([16, 64]) AS s)),
+        |stats AS (SELECT s, blk, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(x) AS BIGINT) AS sb,
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS qb
+        |  FROM blocks GROUP BY 1, 2),
+        |cum AS (SELECT b.s, b.blk, st.nb, st.sb, st.qb,
+        |    CAST(sum(b.x) OVER (PARTITION BY b.s, b.blk ORDER BY b.day) AS DOUBLE)
+        |      - row_number() OVER (PARTITION BY b.s, b.blk ORDER BY b.day)
+        |        * (CAST(st.sb AS DOUBLE) / st.nb) AS cum
+        |  FROM blocks b JOIN stats st USING (s, blk)),
+        |rs AS (SELECT s,
+        |    CAST(floor(1e6 * (max(cum) - min(cum))
+        |      / sqrt(CAST(max(qb) AS DOUBLE) / max(nb)
+        |        - pow(CAST(max(sb) AS DOUBLE) / max(nb), 2.0))) AS BIGINT) AS rs_micro
+        |  FROM cum GROUP BY s, blk
+        |  HAVING max(nb) >= 8 AND CAST(max(qb) AS DOUBLE) / max(nb)
+        |    - pow(CAST(max(sb) AS DOUBLE) / max(nb), 2.0) > 0),
+        |means AS (SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(rs_micro) // count(*) AS BIGINT) AS mean_rs_micro
+        |  FROM rs GROUP BY 1)
+        |SELECT max(CASE WHEN s = 16 THEN n_blocks END) AS n_blocks_16,
+        |  max(CASE WHEN s = 64 THEN n_blocks END) AS n_blocks_64,
+        |  max(CASE WHEN s = 16 THEN mean_rs_micro END) AS rs16_micro,
+        |  max(CASE WHEN s = 64 THEN mean_rs_micro END) AS rs64_micro,
+        |  round((ln(CAST(max(CASE WHEN s = 64 THEN mean_rs_micro END) AS DOUBLE))
+        |    - ln(CAST(max(CASE WHEN s = 16 THEN mean_rs_micro END) AS DOUBLE)))
+        |    / (ln(64.0) - ln(16.0)), 6) AS hurst
+        |FROM means""".stripMargin)
     ))
   )
 }

@@ -7834,6 +7834,84 @@ object LlmQueries {
         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // sum(c) AS BIGINT)
         |    AS hapax_pm
         |FROM c GROUP BY 1""".stripMargin)
+    )),
+
+    // TextRank keywords (Mihalcea & Tarau) — the graph-based sibling of
+    // text_rake_keywords: words are nodes, adjacency in the filtered
+    // token stream is a weighted co-occurrence edge, and three unrolled
+    // weighted-PageRank rounds (damping 0.85, the graph_pagerank
+    // discipline — per-round contributions divide by the WEIGHTED
+    // degree) rank words by centrality rather than by the deg/freq
+    // ratio. Top-10 by ROUNDED score (round-8 before the ordering, so
+    // the cut never straddles an ulp), word tie-break. Scale: token
+    // explode → per-doc adjacency (per-DOC window) → corpus edge
+    // aggregate; each round is one hash join + aggregate on the
+    // word-graph, map-side combined.
+    "text_textrank_keywords" -> ((
+      (s: SparkSession, dir: String) => {
+        val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+        val ns = docs(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pi", "tok")))
+          .select(col("doc_id"), col("pi").cast("long").as("ti"),
+            regexp_replace(lower(col("tok")), "[^a-z0-9]", "").as("nt"))
+          .filter(length(col("nt")) > 0 && !col("nt").isin(stop: _*))
+          .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("ti")))
+        val adj = ns.as("x").join(ns.as("y"),
+            col("x.doc_id") === col("y.doc_id") && col("y.rn") === col("x.rn") + 1)
+          .filter(col("x.nt") =!= col("y.nt"))
+          .select(col("x.nt").as("a"), col("y.nt").as("b"))
+        val edges = adj.select(col("a"), col("b"))
+          .unionAll(adj.select(col("b").as("a"), col("a").as("b")))
+          .groupBy("a", "b").agg(count(lit(1)).cast("double").as("wt"))
+          .localCheckpoint(true) // referenced by every PR round (plan size)
+        val nodes = edges.select(col("a").as("v")).distinct()
+          .localCheckpoint(true)
+        val wdeg = edges.groupBy("a").agg(sum("wt").as("dg"))
+        var pr = nodes.select(col("v"), lit(1.0).as("pr"))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(wdeg, Seq("a"))
+            .join(pr.select(col("v").as("a"), col("pr")), Seq("a"))
+            .groupBy(col("b").as("v"))
+            .agg(sum(col("wt") / col("dg") * col("pr")).as("w"))
+          pr = nodes.join(contrib, Seq("v"), "left")
+            .select(col("v"), (lit(0.15) + lit(0.85) * coalesce(col("w"), lit(0.0)))
+              .as("pr"))
+            .localCheckpoint(true)
+        }
+        pr.select(col("v").as("word"), round(col("pr"), 8).as("score"))
+          .orderBy(col("score").desc, col("word").asc)
+          .limit(10)
+      },
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""c$t AS (SELECT e.b AS v, sum(e.wt / wdeg.dg * p${t - 1}.pr) AS w
+             |  FROM e JOIN wdeg ON wdeg.a = e.a JOIN p${t - 1} ON p${t - 1}.v = e.a
+             |  GROUP BY 1),
+             |p$t AS MATERIALIZED (SELECT nodes.v,
+             |    0.15 + 0.85 * coalesce(c$t.w, 0) AS pr
+             |  FROM nodes LEFT JOIN c$t ON c$t.v = nodes.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tk AS (SELECT doc_id, CAST(i AS BIGINT) AS ti,
+           |    regexp_replace(lower(sp[i]), '[^a-z0-9]', '', 'g') AS nt
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+           |    unnest(range(1, len(sp) + 1)) AS t(i)),
+           |ns AS (SELECT doc_id, ti, nt,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY ti) AS rn
+           |  FROM tk WHERE length(nt) > 0
+           |  AND nt NOT IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it')),
+           |adj AS (SELECT x.nt AS a, y.nt AS b
+           |  FROM ns x JOIN ns y ON x.doc_id = y.doc_id AND y.rn = x.rn + 1
+           |  WHERE x.nt != y.nt),
+           |e AS MATERIALIZED (SELECT a, b, CAST(count(*) AS DOUBLE) AS wt
+           |  FROM (SELECT a, b FROM adj UNION ALL SELECT b, a FROM adj)
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT DISTINCT a AS v FROM e),
+           |wdeg AS (SELECT a, sum(wt) AS dg FROM e GROUP BY 1),
+           |p0 AS (SELECT v, 1.0 AS pr FROM nodes),
+           |$rounds
+           |SELECT v AS word, round(pr, 8) AS score FROM p3
+           |ORDER BY score DESC, word LIMIT 10""".stripMargin
+      }
     ))
   )
 

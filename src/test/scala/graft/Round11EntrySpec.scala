@@ -310,6 +310,42 @@ class Round11EntrySpec extends SparkSpec {
       s"got $out")
   }
 
+  test("q_huber_mean: one far outlier is downweighted to ~20 milli over two IRLS rounds") {
+    // cents {0,100,200,300,10000}: med 200, MAD 100, c = 199.4097;
+    // round 1 weights {997,1000,1000,1000,20} -> m1 = 800000/4017;
+    // round 2 weights {1000,1000,1000,1000,20} -> m2 = 800000/4020 = 199.005
+    val dir = plantDir("orders" -> ordersDf(Seq(
+      (1L, 1L, 0.0, "1995-01-01", "1-URGENT"),
+      (2L, 2L, 1.0, "1995-01-01", "1-URGENT"),
+      (3L, 3L, 2.0, "1995-01-01", "1-URGENT"),
+      (4L, 4L, 3.0, "1995-01-01", "1-URGENT"),
+      (5L, 5L, 100.0, "1995-01-01", "1-URGENT"))))
+    val out = SparkEntry.queries("q_huber_mean")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("1-URGENT", 5L, 200L, 199L)), s"got ${out.toSeq}")
+  }
+
+  test("q_hurst_exponent: a pure alternating series has R/S = 1 at both scales, H = 0") {
+    // 64 consecutive days alternating 100/200 cents: every block's
+    // cumulative deviations swing {-50, 0} and sd = 50 -> R/S = 1
+    val rows = (0 until 64).map { i =>
+      val d = java.time.LocalDate.parse("1995-01-01").plusDays(i)
+      ((i + 1).toLong, (i + 1).toLong, if (i % 2 == 0) 1.0 else 2.0, d.toString, "1-URGENT")
+    }
+    val dir = plantDir("orders" -> ordersDf(rows))
+    val out = SparkEntry.queries("q_hurst_exponent")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()(0)
+    assert(out == ((4L, 1L, 1000000L, 1000000L, 0.0)), s"got $out")
+  }
+
+  test("text_textrank_keywords: a symmetric 2-word cycle holds both scores at 1.0") {
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (1L, "alpha beta alpha beta", "en", "s"))))
+    val out = SparkEntry.queries("text_textrank_keywords")(spark, dir)
+      .as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("alpha", 1.0), ("beta", 1.0)), s"got ${out.toSeq}")
+  }
+
   test("vector_triplet_margin: a clean triplet has margin 1e6 and no violation") {
     val dir = plantDir("embeddings" -> embDf(Seq(
       (0L, Array(1.0f, 0.0f), 0),
