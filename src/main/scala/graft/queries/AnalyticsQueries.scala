@@ -8162,6 +8162,107 @@ object AnalyticsQueries {
         |    - ln(CAST(max(CASE WHEN s = 16 THEN mean_rs_micro END) AS DOUBLE)))
         |    / (ln(64.0) - ln(16.0)), 6) AS hurst
         |FROM means""".stripMargin)
+    )),
+
+    // ANOVA effect sizes η² and ω² — the "does it MATTER" companion to
+    // q_anova_f's "is it significant" (the same F with a million rows is
+    // always significant; η² = SSB/SST says what fraction of variance
+    // priority actually explains, ω² corrects its positive bias). SSB
+    // uses the mean-based form (the q_anova_f cancellation rationale)
+    // with per-group terms floored to WHOLE units and integer-summed —
+    // the q_levene_bf pin — so both ratios are expressions over pinned
+    // integers.
+    "q_eta_squared" -> ((
+      (s: SparkSession, dir: String) => {
+        val x = col("o_totalprice").cast("decimal(18,6)")
+        val xx = col("o_totalprice").cast("decimal(19,6)")
+        val per = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("grp"))
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(xx * xx).as("sxx"))
+        val g = per.agg(sum("n").as("nn"),
+          sum(col("sx").cast("decimal(28,6)")).as("ss"), count(lit(1)).as("k"))
+        per.crossJoin(broadcast(g))
+          .select(col("nn"), col("k"),
+            floor(col("n") * pow(col("sx").cast("double") / col("n")
+              - col("ss").cast("double") / col("nn"), 2.0)).cast("long").as("ssb_w"),
+            floor(col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              .cast("long").as("ssw_w"))
+          .groupBy(col("nn").as("n_total"), col("k"))
+          .agg(sum("ssb_w").as("ssb"), sum("ssw_w").as("ssw"))
+          .select(col("n_total"), col("k"),
+            round(col("ssb").cast("double") / (col("ssb") + col("ssw")), 6)
+              .as("eta_sq"),
+            round((col("ssb").cast("double")
+              - (col("k") - 1) * (col("ssw").cast("double") / (col("n_total") - col("k"))))
+              / (col("ssb") + col("ssw")
+                + col("ssw").cast("double") / (col("n_total") - col("k"))), 6)
+              .as("omega_sq"))
+      },
+      Some("""WITH per AS (SELECT o_orderpriority AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |      * CAST(o_totalprice AS DECIMAL(19,6))) AS sxx
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(CAST(sx AS DECIMAL(28,6))) AS ss,
+        |    CAST(count(*) AS BIGINT) AS k FROM per),
+        |terms AS (SELECT nn, k,
+        |    CAST(floor(n * pow(CAST(sx AS DOUBLE) / n
+        |      - CAST(ss AS DOUBLE) / nn, 2.0)) AS BIGINT) AS ssb_w,
+        |    CAST(floor(CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS BIGINT) AS ssw_w
+        |  FROM per CROSS JOIN g),
+        |agg AS (SELECT nn AS n_total, k, CAST(sum(ssb_w) AS BIGINT) AS ssb,
+        |    CAST(sum(ssw_w) AS BIGINT) AS ssw FROM terms GROUP BY 1, 2)
+        |SELECT n_total, k,
+        |  round(CAST(ssb AS DOUBLE) / (ssb + ssw), 6) AS eta_sq,
+        |  round((CAST(ssb AS DOUBLE)
+        |    - (k - 1) * (CAST(ssw AS DOUBLE) / (n_total - k)))
+        |    / (ssb + ssw + CAST(ssw AS DOUBLE) / (n_total - k)), 6) AS omega_sq
+        |FROM agg""".stripMargin)
+    )),
+
+    // Wilson score interval for the per-nation URGENT-order share — the
+    // binomial CI that behaves at small n and extreme proportions where
+    // the naive Wald interval collapses (the right interval for
+    // per-segment conversion dashboards; z = 1.96). Closed form over
+    // exact integer counts — one fact aggregate, one double expression
+    // per nation, rounded to 6.
+    "q_wilson_ci" -> ((
+      (s: SparkSession, dir: String) => {
+        val z = 1.96
+        val per = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("u"))
+        per.select(col("nk"), col("n"), col("u"),
+          round((col("u").cast("double") / col("n") + lit(z * z) / (col("n") * 2))
+            / (lit(1.0) + lit(z * z) / col("n"))
+            - lit(z) * sqrt(col("u").cast("double") / col("n")
+              * (lit(1.0) - col("u").cast("double") / col("n")) / col("n")
+              + lit(z * z) / (lit(4.0) * col("n") * col("n")))
+              / (lit(1.0) + lit(z * z) / col("n")), 6).as("wilson_lo"),
+          round((col("u").cast("double") / col("n") + lit(z * z) / (col("n") * 2))
+            / (lit(1.0) + lit(z * z) / col("n"))
+            + lit(z) * sqrt(col("u").cast("double") / col("n")
+              * (lit(1.0) - col("u").cast("double") / col("n")) / col("n")
+              + lit(z * z) / (lit(4.0) * col("n") * col("n")))
+              / (lit(1.0) + lit(z * z) / col("n")), 6).as("wilson_hi"))
+      },
+      Some("""WITH per AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS u
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT nk, n, u,
+        |  round((CAST(u AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)) / (1.0 + 1.96 * 1.96 / n)
+        |    - 1.96 * sqrt(CAST(u AS DOUBLE) / n * (1.0 - CAST(u AS DOUBLE) / n) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+        |  round((CAST(u AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)) / (1.0 + 1.96 * 1.96 / n)
+        |    + 1.96 * sqrt(CAST(u AS DOUBLE) / n * (1.0 - CAST(u AS DOUBLE) / n) / n
+        |      + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+        |FROM per""".stripMargin)
     ))
   )
 }

@@ -346,6 +346,33 @@ class Round11EntrySpec extends SparkSpec {
     assert(out.toSeq == Seq(("alpha", 1.0), ("beta", 1.0)), s"got ${out.toSeq}")
   }
 
+  test("q_eta_squared: the F=8 fixture explains 80% of variance, omega2 = 7/11") {
+    // SSB 40000, SSW 10000: eta2 = 0.8;
+    // omega2 = (40000 - 1*5000)/(50000 + 5000) = 0.636364
+    val dir = plantDir("orders" -> ordersDf(Seq(
+      (1L, 1L, 100.0, "1995-01-01", "1-URGENT"),
+      (2L, 2L, 200.0, "1995-01-01", "1-URGENT"),
+      (3L, 3L, 300.0, "1995-01-01", "5-LOW"),
+      (4L, 4L, 400.0, "1995-01-01", "5-LOW"))))
+    val out = SparkEntry.queries("q_eta_squared")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()(0)
+    assert(out == ((4L, 2L, 0.8, 0.636364)), s"got $out")
+  }
+
+  test("q_wilson_ci: an all-successes nation has hi exactly 1 and lo = 1/(1+z2/n)") {
+    // p=1: half-width = (z2/2n)/(1+z2/n), so hi = 1.0 algebraically and
+    // lo = 1/(1 + 3.8416/4) = 0.510100 at round-6
+    val dir = plantDir("orders" -> ordersDf(Seq(
+      (1L, 1L, 1.0, "1995-01-01", "1-URGENT"),
+      (2L, 1L, 1.0, "1995-01-02", "1-URGENT"),
+      (3L, 1L, 1.0, "1995-01-03", "1-URGENT"),
+      (4L, 1L, 1.0, "1995-01-04", "1-URGENT"))),
+      "customer" -> customerDf(Seq((1L, 0L, "BUILDING"))))
+    val out = SparkEntry.queries("q_wilson_ci")(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq((0L, 4L, 4L, 0.5101, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("vector_triplet_margin: a clean triplet has margin 1e6 and no violation") {
     val dir = plantDir("embeddings" -> embDf(Seq(
       (0L, Array(1.0f, 0.0f), 0),
