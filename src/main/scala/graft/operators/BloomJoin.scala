@@ -46,6 +46,11 @@ object BloomJoin {
     build
       .select(explode(array((0 until k).map(j => position(col(key), j, m)): _*)).as("bit"))
       .distinct()
+      // structural no-op (distinct positions mod m are ≤ m BY DEFINITION —
+      // this can never truncate): states the bloom filter's defining row
+      // bound in a form PlanAudit's boundedness walk can verify, so the
+      // broadcast in prune() is machine-checkably safe at any SF
+      .limit(m)
   }
 
   /** Probe rows whose key passes the bloom membership test (all k

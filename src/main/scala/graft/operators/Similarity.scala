@@ -804,8 +804,11 @@ object Similarity {
     */
   def pcaScatterBins(emb: DataFrame, iters: Int = 3, scale: Int = 10000,
                      binWidth: Long = 1000L): DataFrame = {
-    val frame = pca2PowerQ(emb, iters, scale)
-      .localCheckpoint(eager = true) // read by the norms AND the projection
+    // declared-bounded checkpoint: the frame is one row per embedding
+    // DIMENSION (d = 64 on the fixture; model-shaped, not corpus-shaped),
+    // read by the norms AND the projection — and broadcast below, which
+    // the plan audit only accepts for registered driver-bounded cuts
+    val frame = graft.tools.BoundedCheckpoints.checkpoint(pca2PowerQ(emb, iters, scale))
     val norms = frame.agg(sum(col("w1") * col("w1")).as("n1"),
       sum(col("w2") * col("w2")).as("n2"))
     val q = emb

@@ -347,16 +347,19 @@ object TextAnalysis {
 
   /** Corpus-scale application of the trained tokenizer: per-document BPE
     * token and word counts. The trained per-word tokenization is
-    * VOCABULARY-sized, so it broadcasts; the corpus-sized side is one scan
-    * exploding words and a per-doc sum — tokenizing 100 TB is a broadcast
-    * hash join at scan speed, never a per-row merge loop.
+    * VOCABULARY-sized — usually broadcastable, but vocabulary GROWS with
+    * the corpus (Heaps' law), so the join carries no forced hint: AQE
+    * broadcasts it while it fits and falls back to a shuffled hash join
+    * when a 100 TB vocabulary outgrows one executor (r12: a forced
+    * broadcast here was the audit's textbook unbounded-hint hit). The
+    * corpus-sized side is one scan exploding words and a per-doc sum.
     */
   def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
     val wordTokens = bpeLoop(docs, rounds)._1
       .select(col("wd"), size(col("toks")).cast("long").as("wtoks"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
       .filter(length(col("wd")) >= 1)
-      .join(broadcast(wordTokens), "wd")
+      .join(wordTokens, "wd")
       .groupBy("doc_id")
       .agg(sum("wtoks").cast("long").as("bpe_tokens"),
         count(lit(1)).cast("long").as("words"))

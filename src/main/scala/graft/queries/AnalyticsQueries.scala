@@ -6531,8 +6531,12 @@ object AnalyticsQueries {
     "q_auc_roc" -> ((
       (s: SparkSession, dir: String) => {
         val b = t(s, dir, "orders")
-          .select(least(((col("o_totalprice").cast("decimal(18,6)") * 100)
-            .cast("long") / lit(16384L)).cast("long"), lit(1023L)).as("band"),
+          // two-sided clamp: the greatest(…, 0) arm is a no-op on the data
+          // (prices are non-negative) but makes the band domain [0, 1023] —
+          // 1024 groups at ANY SF — machine-visible to the plan audit's
+          // boundedness walk (the one-sided least() alone proves nothing)
+          .select(greatest(least(((col("o_totalprice").cast("decimal(18,6)") * 100)
+            .cast("long") / lit(16384L)).cast("long"), lit(1023L)), lit(0L)).as("band"),
             (col("o_orderpriority") === "1-URGENT").as("pos"))
           .groupBy("band")
           .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),

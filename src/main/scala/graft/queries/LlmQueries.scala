@@ -1411,7 +1411,9 @@ object LlmQueries {
           .select(col("doc_id").as("query_id"), col("tok")).distinct()
         val lex = qterms.join(tf, "tok")
           .filter(col("doc_id") =!= col("query_id"))
-          .join(broadcast(idf), "tok").join(dl, "doc_id")
+          // no idf hint: idf is VOCABULARY-sized (grows with the corpus);
+          // AQE broadcasts it while it fits, shuffles when it does not
+          .join(idf, "tok").join(dl, "doc_id")
           .select(col("query_id"), col("doc_id"),
             floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
               / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
@@ -1624,7 +1626,9 @@ object LlmQueries {
           .select(col("doc_id").as("query_id"), col("tok")).distinct()
         val lex = qterms.join(tf, "tok")
           .filter(col("doc_id") =!= col("query_id"))
-          .join(broadcast(idf), "tok").join(dl, "doc_id")
+          // no idf hint: idf is VOCABULARY-sized (grows with the corpus);
+          // AQE broadcasts it while it fits, shuffles when it does not
+          .join(idf, "tok").join(dl, "doc_id")
           .select(col("query_id"), col("doc_id"),
             floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
               / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
@@ -2498,6 +2502,11 @@ object LlmQueries {
         val ev = withBits.filter(pmod(col("doc_id"), lit(23)) === 0)
         val bloom = ev.select(explode(array(col("b1"), col("b2"), col("b3"))).as("bit"))
           .distinct()
+          // structural no-op (each bit is conv() of FIVE hex digits, so
+          // distinct bits ≤ 16^5 by definition — can never truncate):
+          // makes the bloom side's row bound machine-visible to the
+          // broadcast-hint audit at any SF
+          .limit(1 << 20)
         val train = withBits.filter(pmod(col("doc_id"), lit(23)) =!= 0)
         val flagged = train
           .join(broadcast(bloom.select(col("bit").as("b1"))), Seq("b1"), "left_semi")
@@ -6492,7 +6501,9 @@ object LlmQueries {
             log((col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
               .as("idf"),
             (col("sdl").cast("double") / col("n")).as("avgdl"))
-        tf.join(broadcast(idf), "tok").join(dl, "doc_id")
+        tf// no idf hint: idf is VOCABULARY-sized (grows with the corpus);
+          // AQE broadcasts it while it fits, shuffles when it does not
+          .join(idf, "tok").join(dl, "doc_id")
           .select(col("doc_id"),
             floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
               / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
@@ -7940,7 +7951,9 @@ object LlmQueries {
       .select(col("doc_id").as("query_id"), col("tok")).distinct()
     val lex = qterms.join(tf, "tok")
       .filter(col("doc_id") =!= col("query_id"))
-      .join(broadcast(idf), "tok").join(dl, "doc_id")
+      // no idf hint: idf is VOCABULARY-sized (grows with the corpus);
+          // AQE broadcasts it while it fits, shuffles when it does not
+          .join(idf, "tok").join(dl, "doc_id")
       .select(col("query_id"), col("doc_id"),
         floor(lit(1e6) * col("idf") * (col("tf") * lit(2.2))
           / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))

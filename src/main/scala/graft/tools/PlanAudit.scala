@@ -66,12 +66,13 @@ object PlanAudit {
     * `broadcast(fact.join(smallAgg))` because the Aggregate sat on ONE
     * branch — now a bounding node must sit on the path to EVERY leaf):
     *
-    *  - an `Aggregate`, `Limit`, or `Deduplicate` node bounds its whole
-    *    subtree (output cardinality decoupled from scan size — a distinct
-    *    key set or an aggregate is the author asserting a key-set bound,
-    *    with the cardinality argument at the entry; an aggregate keyed by
-    *    a corpus-proportional column would defeat this — residual trust,
-    *    reviewed per entry);
+    *  - a `Limit` bounds its whole subtree; an `Aggregate`/`Deduplicate`
+    *    bounds its subtree ONLY when every grouping/dedup key has an
+    *    SF-independent value domain (empty = global agg, calendar
+    *    extractions, the fixture's enum columns, constant-modulus
+    *    buckets) or its child is itself bounded — r11 verdict item 1:
+    *    the old unconditional trust let `broadcast(groupBy(doc_id))`,
+    *    corpus-cardinality output, pass both CI gates silently;
     *  - a `Filter` whose predicate pins an attribute to constants
     *    (equality/IN, or a constant upper range like `vec_id < 102400`)
     *    bounds its subtree — the catalog's query-set idiom; residual
@@ -79,11 +80,11 @@ object PlanAudit {
     *    and unique), so a fixed value range is a fixed row count at any
     *    SF;
     *  - leaves must be `LocalRelation`/`OneRowRelation`, a
-    *    localCheckpoint `LogicalRDD` (the catalog checkpoints only
-    *    driver-bounded relations — BPE vocab, power-iteration frames,
-    *    interleave pick sets; trust documented here, reviewed per entry),
-    *    or a parquet scan of the fixed-size dimensions nation/region
-    *    (25/5 rows at any SF);
+    *    localCheckpoint `LogicalRDD` whose RDD id the call site DECLARED
+    *    driver-bounded via `BoundedCheckpoints.checkpoint` (plain
+    *    `.localCheckpoint` cuts — the corpus-scale unrolled-iterative
+    *    truncations — read as unbounded; r11 ADVICE), or a parquet scan
+    *    of the fixed-size dimensions nation/region (25/5 rows at any SF);
     *  - every other node (join, union, project, window…) is bounded only
     *    if ALL its children are.
     *
@@ -102,32 +103,78 @@ object PlanAudit {
     * relation's cached PHYSICAL plan — without this walk, every persisted
     * 25-row aggregate read as "unbounded" (the r11 false-positive class:
     * q_kendall_tau's per-nation pair matrix, the theta/simhash signature
-    * banks). Same node classes as the logical walk, physical spellings.
+    * banks). Same node classes as the logical walk, physical spellings —
+    * including the r12 tightening: an aggregate bounds its subtree only
+    * when its grouping keys have an SF-independent domain (or its child
+    * is itself bounded), and an `RDDScanExec` is trusted only when its
+    * RDD id is a DECLARED-bounded checkpoint (`BoundedCheckpoints`).
     */
-  private def boundedCached(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+  private final class PhysicalCtx(scope: org.apache.spark.sql.execution.SparkPlan) extends Ctx {
+    private lazy val trees = physTrees(scope)
+    private lazy val defs: Map[ExprId, Expression] = physDefs(trees)
+    private lazy val posIds: Set[ExprId] = physPosIds(trees)
+    def resolve(a: AttributeReference): Option[Expression] = defs.get(a.exprId)
+    def posAttr(id: ExprId): Boolean = posIds.contains(id)
+    // no provenance analysis on the physical side: cached plans are small
+    // and self-contained; the child-recursion arm in boundedCached is the
+    // fallback
+    def attrBounded(a: AttributeReference, depth: Int): Boolean = false
+  }
+
+  private def boundedCached(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    boundedCachedRec(p, 0)
+
+  private def boundedCachedRec(p: org.apache.spark.sql.execution.SparkPlan,
+      depth: Int): Boolean = {
     import org.apache.spark.sql.execution._
+    if (depth > MaxDepth) return false
     p match {
-      case a: adaptive.AdaptiveSparkPlanExec => boundedCached(a.inputPlan)
-      case _: aggregate.BaseAggregateExec => true
+      case a: adaptive.AdaptiveSparkPlanExec => boundedCachedRec(a.inputPlan, depth + 1)
+      case ag: aggregate.BaseAggregateExec =>
+        ag.groupingExpressions.forall(g =>
+          domainBounded(g, new PhysicalCtx(ag), depth + 1)) ||
+          ag.children.forall(boundedCachedRec(_, depth + 1))
       case _: GlobalLimitExec | _: LocalLimitExec => true
       case _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
       case _: LocalTableScanExec => true
-      // localCheckpoint scan — same documented trust as logical LogicalRDD
-      case _: RDDScanExec => true
+      // window-rank filter, physical spelling (see the logical walk)
+      case f: FilterExec if rankPinnedAttr(f.condition).exists { attr =>
+          val ctx = new PhysicalCtx(f)
+          rankDef(attr, ctx).exists(_.forall(domainBounded(_, ctx, depth + 1)))
+        } => true
+      // the repo's own top-k-per-group operator: ≤ k rows per group, so
+      // bounded-domain group keys bound the whole output (this is the
+      // physical form the rank-filter idiom takes once RewriteRules has
+      // rewritten the window — e.g. the persisted theta-sketch banks)
+      case tk: graft.plans.TopKPerGroupExec =>
+        tk.partitionExprs.forall(g =>
+          domainBounded(g, new PhysicalCtx(tk), depth + 1)) ||
+          boundedCachedRec(tk.child, depth + 1)
+      // localCheckpoint scan — trusted ONLY when the call site DECLARED the
+      // relation driver-bounded via BoundedCheckpoints.checkpoint (r11
+      // ADVICE: blanket RDD-leaf trust let a broadcast over a corpus-scale
+      // lineage cut pass both CI gates silently)
+      case r: RDDScanExec => BoundedCheckpoints.contains(r.rdd.id)
       case f: FileSourceScanExec =>
         f.relation.location.rootPaths.forall { rp =>
           val s = rp.toString
           s.contains("nation") || s.contains("region")
         }
-      case imr: columnar.InMemoryTableScanExec => boundedCached(imr.relation.cachedPlan)
+      case imr: columnar.InMemoryTableScanExec =>
+        boundedCachedRec(imr.relation.cachedPlan, depth + 1)
       case leaf if leaf.children.isEmpty => false
-      case other => other.children.forall(boundedCached)
+      case other => other.children.forall(boundedCachedRec(_, depth + 1))
     }
   }
 
   private def boundedLeaf(l: LogicalPlan): Boolean = l match {
     case _: LocalRelation | _: OneRowRelation => true
-    case _: org.apache.spark.sql.execution.LogicalRDD => true
+    // localCheckpoint leaf — trusted ONLY when DECLARED bounded at the
+    // call site (BoundedCheckpoints.checkpoint). Plain .localCheckpoint
+    // cuts (the corpus-scale unrolled-iterative truncations) read as
+    // unbounded, so a broadcast/cross-shape over them flags in CI.
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      BoundedCheckpoints.contains(lr.rdd.id)
     case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
       boundedCached(imr.cachedPlan)
     // spark.range(a, b): numElements is a plan-time LITERAL, so the size
@@ -189,17 +236,342 @@ object PlanAudit {
     case _ => false
   }
 
-  /** The recursive boundedness walk shared by the broadcast-hint and
-    * cross-shape classes: true iff EVERY root-to-leaf path carries a
-    * bounding node (Aggregate/Limit/Deduplicate/key-constant Filter) or
-    * ends at a provably small leaf.
+  /** Columns whose value DOMAIN is fixed regardless of scale factor, so a
+    * group-by/dedup keyed ONLY on them has SF-independent output
+    * cardinality: the fixture's flag/status/priority/segment/brand/type
+    * enums, the 25/5-row nation/region keys, and calendar-grain date
+    * columns (distinct count bounded by the data's calendar span, not its
+    * row count). r11 verdict item 1: WITHOUT this list, `groupBy(doc_id)`
+    * — corpus-cardinality output — bounded its subtree and a broadcast
+    * over it passed both CI gates silently.
     */
-  def bounded(p: LogicalPlan): Boolean = p match {
-    case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
-    case f: Filter if boundingPredicate(f.condition) => true
-    case l if l.children.isEmpty => boundedLeaf(l)
-    case other => other.children.forall(bounded)
+  private val valueDomainCols: Set[String] = Set(
+    "l_returnflag", "l_linestatus", "l_linenumber",
+    "o_orderstatus", "o_orderpriority", "c_mktsegment",
+    "c_nationkey", "s_nationkey", "n_nationkey", "n_name", "n_regionkey",
+    "r_regionkey", "r_name", "p_brand", "p_type", "p_size",
+    "event_type", "lang", "source", "label",
+    "l_shipdate", "o_orderdate")
+
+  private def stripCastAlias(e: Expression): Expression = e match {
+    case c: Cast => stripCastAlias(c.child)
+    case a: Alias => stripCastAlias(a.child)
+    case other => other
   }
+
+  // date_format at a calendar grain (no hour/minute/second/fraction
+  // tokens) maps a timestamp onto the calendar — SF-independent domain
+  private def calendarFormat(fmt: String): Boolean =
+    !fmt.exists(c => "HhKkmsSa".contains(c))
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  private def attrOf(e: Expression): Option[AttributeReference] =
+    stripCastAlias(e) match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+
+  /** A filter conjunct pinning an attribute to at most a CONSTANT value
+    * (`rn <= 10`, `rn === 1`) — the raw material of the window-rank
+    * idiom (see [[rankDef]]).
+    */
+  private def rankPinnedAttr(cond: Expression): Seq[AttributeReference] =
+    conjunctsOf(cond).flatMap {
+      case LessThanOrEqual(a, v) if v.foldable => attrOf(a)
+      case LessThan(a, v) if v.foldable => attrOf(a)
+      case EqualTo(a, v) if v.foldable => attrOf(a)
+      case EqualTo(v, a) if v.foldable => attrOf(a)
+      case GreaterThanOrEqual(v, a) if v.foldable => attrOf(a)
+      case GreaterThan(v, a) if v.foldable => attrOf(a)
+      case _ => Seq.empty
+    }
+
+  /** The shared alias/provenance resolver — ONE implementation of the
+    * domain analysis for both plan layers (catalyst `Expression`s are the
+    * same classes in logical and physical trees; only the scope walk
+    * differs). `resolve` finds an attribute's defining alias in the
+    * Projects/Aggregates/Windows below; `posAttr` marks posexplode
+    * POSITION outputs (domain = max array length — record-shaped, not
+    * corpus-shaped); `attrBounded` is the logical-only provenance check
+    * (values drawn from a bounded relation, directly or via an
+    * inner/semi equi-join).
+    */
+  private trait Ctx {
+    def resolve(a: AttributeReference): Option[Expression]
+    def posAttr(id: ExprId): Boolean
+    def attrBounded(a: AttributeReference, depth: Int): Boolean
+  }
+
+  private val MaxDepth = 24
+
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Does this grouping/dedup/partition expression have an SF-independent
+    * value domain? Literals, booleans, calendar extractions/truncations,
+    * calendar-grain `date_format`, constant-modulus buckets, two-sided
+    * integral clamps, arithmetic/case-when/coalesce COMBINATIONS of
+    * bounded-domain terms (|domain| ≤ product of the parts), value-domain
+    * columns, posexplode positions, and aliases that RESOLVE to any of
+    * the above. Everything else — ids, free text, hashes — scales with
+    * the corpus and does NOT bound an aggregate.
+    */
+  private def domainBounded(e: Expression, ctx: Ctx, depth: Int): Boolean = {
+    if (depth > MaxDepth) return false
+    stripCastAlias(e) match {
+      case _: Literal => true
+      case b if b.dataType == org.apache.spark.sql.types.BooleanType => true
+      case _: Year | _: Month | _: Quarter | _: DayOfMonth | _: DayOfWeek |
+           _: WeekDay | _: DayOfYear | _: WeekOfYear | _: Hour | _: Minute => true
+      case _: TruncDate | _: TruncTimestamp => true
+      case c: Cast if c.dataType == org.apache.spark.sql.types.DateType => true
+      case d: DateFormatClass => d.right match {
+        case Literal(fmt, _) => calendarFormat(String.valueOf(fmt))
+        case _ => false
+      }
+      // pmod/% with a foldable modulus: at most |modulus| buckets
+      case Pmod(_, m, _) if m.foldable => true
+      case Remainder(_, m, _) if m.foldable => true
+      // two-sided INTEGRAL clamp — greatest(least(x, hi), lo) or the
+      // mirror — is a finite interval of integers at any SF
+      case g: Greatest if integralType(g.dataType) &&
+          g.children.exists(_.foldable) && g.children.exists {
+            case l: Least => l.children.exists(_.foldable); case _ => false } => true
+      case l: Least if integralType(l.dataType) &&
+          l.children.exists(_.foldable) && l.children.exists {
+            case g: Greatest => g.children.exists(_.foldable); case _ => false } => true
+      case ba: BinaryArithmetic =>
+        domainBounded(ba.left, ctx, depth + 1) && domainBounded(ba.right, ctx, depth + 1)
+      case cw: CaseWhen =>
+        (cw.branches.map(_._2) ++ cw.elseValue).forall(domainBounded(_, ctx, depth + 1))
+      case If(_, t, f) =>
+        domainBounded(t, ctx, depth + 1) && domainBounded(f, ctx, depth + 1)
+      case c: Coalesce => c.children.forall(domainBounded(_, ctx, depth + 1))
+      case a: AttributeReference =>
+        valueDomainCols.contains(a.name.toLowerCase) ||
+          a.dataType == org.apache.spark.sql.types.DateType ||
+          ctx.posAttr(a.exprId) ||
+          ctx.resolve(a).exists(domainBounded(_, ctx, depth + 1)) ||
+          ctx.attrBounded(a, depth + 1)
+      case _ => false
+    }
+  }
+
+  /** If `attr` is a window RANK (`row_number` — rank/dense_rank admit
+    * unbounded ties), return its partition spec.
+    */
+  private def rankDef(attr: AttributeReference, ctx: Ctx): Option[Seq[Expression]] =
+    ctx.resolve(attr) match {
+      case Some(WindowExpression(_: RowNumber, spec)) => Some(spec.partitionSpec)
+      case _ => None
+    }
+
+  // ---------- logical-plan walk ----------
+
+  /** All physical trees reachable from `p`, unfolding the cached plans
+    * behind `InMemoryTableScanExec` leaves — a persisted relation's
+    * aliases (and posexplode outputs) live in its OWN cached tree, and a
+    * grouping key two persist-layers up still refers to them by exprId.
+    */
+  private def physTrees(p: org.apache.spark.sql.execution.SparkPlan,
+      depth: Int = 0): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    if (depth > 8) Seq.empty
+    else p +: p.collect {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        physTrees(imr.relation.cachedPlan, depth + 1)
+      // the AQE wrapper is a LEAF node — collect() does not descend into
+      // its inputPlan, so unfold it explicitly or every cached subtree
+      // behind it is invisible to alias resolution
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        physTrees(a.inputPlan, depth + 1)
+    }.flatten
+
+  private def physDefs(trees: Seq[org.apache.spark.sql.execution.SparkPlan])
+      : Map[ExprId, Expression] = {
+    import org.apache.spark.sql.execution._
+    trees.flatMap(_.collect {
+      case p: ProjectExec => p.projectList
+      case ag: aggregate.BaseAggregateExec =>
+        ag.groupingExpressions ++ ag.resultExpressions
+      case w: window.WindowExec => w.windowExpression
+    }.flatten).collect { case a: Alias => a.exprId -> a.child }.toMap
+  }
+
+  private def physPosIds(trees: Seq[org.apache.spark.sql.execution.SparkPlan])
+      : Set[ExprId] =
+    trees.flatMap(_.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec
+          if g.generator.isInstanceOf[PosExplode] =>
+        g.generatorOutput.head.exprId
+    }).toSet
+
+  private final class LogicalCtx(scope: LogicalPlan,
+      memo: java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]) extends Ctx {
+    // alias defs in this logical tree PLUS the cached physical trees of
+    // any InMemoryRelation leaves (a persisted relation's provenance is
+    // only visible in its cached plan)
+    private lazy val cachedTrees = scope.collect {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        physTrees(imr.cachedPlan)
+    }.flatten
+    private lazy val defs: Map[ExprId, Expression] = scope.collect {
+      case p: Project => p.projectList
+      case ag: Aggregate => ag.aggregateExpressions
+      case w: Window => w.windowExpressions
+    }.flatten.collect { case a: Alias => a.exprId -> a.child }.toMap ++
+      physDefs(cachedTrees)
+    private lazy val posIds: Set[ExprId] = scope.collect {
+      case g: Generate if g.generator.isInstanceOf[PosExplode] =>
+        g.generatorOutput.head.exprId
+    }.toSet ++ physPosIds(cachedTrees)
+    def resolve(a: AttributeReference): Option[Expression] = defs.get(a.exprId)
+    def posAttr(id: ExprId): Boolean = posIds.contains(id)
+    def attrBounded(a: AttributeReference, depth: Int): Boolean =
+      // provenance: the attr is OUTPUT by a bounded node (its values are
+      // drawn from an SF-independent row set)…
+      scope.collect {
+        case n if n.output.exists(_.exprId == a.exprId) => n
+      }.exists(n => boundedRec(n, memo, depth)) ||
+      // …or an inner/semi equi-join below pins its surviving values to a
+      // bounded side's key set (the dtab idiom: groupBy(query_id) after
+      // joining the corpus to a bounded probe set on that very key)
+      scope.collect { case j: Join => j }.exists { j =>
+        (j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+         j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi) &&
+        j.condition.toSeq.flatMap(conjunctsOf).exists {
+          case EqualTo(l, r) =>
+            def side(e: Expression): Option[LogicalPlan] =
+              if (e.references.subsetOf(j.left.outputSet)) Some(j.left)
+              else if (e.references.subsetOf(j.right.outputSet)) Some(j.right)
+              else None
+            (attrOf(l).exists(_.exprId == a.exprId) &&
+              side(r).exists(boundedRec(_, memo, depth))) ||
+            (attrOf(r).exists(_.exprId == a.exprId) &&
+              side(l).exists(boundedRec(_, memo, depth)))
+          case _ => false
+        }
+      }
+  }
+
+  /** The recursive boundedness walk shared by the broadcast-hint and
+    * cross-shape classes: true iff the node's output cardinality is
+    * SF-independent. r12 tightening (r11 verdict item 1 + ADVICE): an
+    * Aggregate/Deduplicate bounds its subtree only when its grouping/
+    * dedup keys ALL have an SF-independent domain (empty = global agg)
+    * or its child is itself bounded — `groupBy(doc_id)` has
+    * corpus-cardinality output and no longer launders a broadcast past
+    * the CI gates. New bounding shapes the tightening required the walk
+    * to actually UNDERSTAND (previously laundered by the blanket trust):
+    * window `row_number() <= k` filters over bounded-domain partitions,
+    * semi/anti joins (output ⊆ left), and bounded × rank-multiplicity
+    * equi-joins (probe-set × top-k-per-probe, the ANN idiom).
+    */
+  def bounded(p: LogicalPlan): Boolean =
+    boundedRec(p, new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean](), 0)
+
+  private def boundedRec(p: LogicalPlan,
+      memo: java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean],
+      depth: Int): Boolean = {
+    if (depth > MaxDepth) return false
+    val cached = memo.get(p)
+    if (cached != null) return cached.booleanValue
+    memo.put(p, java.lang.Boolean.FALSE) // cycle/diamond breaker while computing
+    val res = p match {
+      case a: Aggregate =>
+        a.groupingExpressions.forall(g =>
+          domainBounded(g, new LogicalCtx(a.child, memo), depth + 1)) ||
+          boundedRec(a.child, memo, depth + 1)
+      case d: Deduplicate =>
+        d.keys.forall(k =>
+          domainBounded(k, new LogicalCtx(d.child, memo), depth + 1)) ||
+          boundedRec(d.child, memo, depth + 1)
+      case _: GlobalLimit | _: LocalLimit => true
+      case f: Filter if boundingPredicate(f.condition) => true
+      // window-rank filter: rn <= k over partitions whose keys all have
+      // bounded domain → at most k × |domain| rows at any SF
+      case f: Filter if rankPinnedAttr(f.condition).exists { attr =>
+          val ctx = new LogicalCtx(f.child, memo)
+          rankDef(attr, ctx).exists(_.forall(domainBounded(_, ctx, depth + 1)))
+        } => true
+      case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        boundedRec(j.left, memo, depth + 1)
+      case j: Join =>
+        j.children.forall(boundedRec(_, memo, depth + 1)) ||
+          equiMultBounded(j, memo, depth + 1)
+      case l if l.children.isEmpty => boundedLeaf(l)
+      case other => other.children.forall(boundedRec(_, memo, depth + 1))
+    }
+    memo.put(p, res)
+    res
+  }
+
+  /** bounded × rank-multiplicity equi-join: one side is bounded and the
+    * other carries a window `row_number() <= k` filter PARTITIONED BY the
+    * join keys — so each bounded-side row matches at most k rows and the
+    * join output is ≤ k × |bounded|. The broadcast(probes ⋈ queries)
+    * idiom: probes is corpus × nProbe rows, but per query_id it is
+    * exactly nProbe.
+    */
+  private def equiMultBounded(j: Join,
+      memo: java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean],
+      depth: Int): Boolean = {
+    val pairs = j.condition.toSeq.flatMap(conjunctsOf).collect {
+      case EqualTo(l, r) => (l, r)
+      case EqualNullSafe(l, r) => (l, r)
+    }
+    if (pairs.isEmpty || depth > MaxDepth) return false
+    def keysOn(side: LogicalPlan): Set[ExprId] = pairs.flatMap { case (l, r) =>
+      Seq(l, r).filter(_.references.subsetOf(side.outputSet)).flatMap(attrOf).map(_.exprId)
+    }.toSet
+    def multBounded(side: LogicalPlan): Boolean = {
+      val keys = keysOn(side)
+      val ctx = new LogicalCtx(side, memo)
+      def canon(a: AttributeReference, fuel: Int): ExprId =
+        if (fuel == 0) a.exprId
+        else ctx.resolve(a).flatMap(attrOf) match {
+          case Some(b) => canon(b, fuel - 1)
+          case None => a.exprId
+        }
+      val canonKeys = keys.map(id => canon(AttributeReference("k",
+        org.apache.spark.sql.types.LongType)(exprId = id), 8))
+      def walk(p: LogicalPlan): Boolean = p match {
+        case pr: Project => walk(pr.child)
+        case sa: SubqueryAlias => walk(sa.child)
+        case f: Filter =>
+          rankPinnedAttr(f.condition).exists { attr =>
+            rankDef(attr, ctx).exists(_.forall { pe =>
+              attrOf(pe).exists(a => canonKeys.contains(canon(a, 8))) ||
+                domainBounded(pe, ctx, depth + 1)
+            })
+          } || walk(f.child)
+        case _ => false
+      }
+      walk(side)
+    }
+    (boundedRec(j.left, memo, depth) && multBounded(j.right)) ||
+      (boundedRec(j.right, memo, depth) && multBounded(j.left))
+  }
+
+  /** A logical `Window` with an EMPTY partition spec funnels its whole
+    * input through one task — acceptable only over calendar/value-domain
+    * bounded inputs (the documented accepted set in CatalogContractSpec)
+    * or below a Limit (the benign rank-over-top-k idiom, suppressed here).
+    * Shared by PlanAudit.main and the CI gate so a detector drift breaks
+    * the negative tests instead of going silent.
+    */
+  def hasUnboundedGlobalWindow(optimized: LogicalPlan): Boolean =
+    optimized.collect {
+      case w: Window if w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.isEmpty => w
+    }.nonEmpty
 
   def hasUnboundedBroadcastHint(analyzed: LogicalPlan): Boolean =
     analyzed.collect {
@@ -256,11 +628,7 @@ object PlanAudit {
       try {
         val qe = fn(spark, dir).queryExecution
         val plan = qe.executedPlan.toString
-        import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
-        val globalWindow = qe.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty &&
-            w.child.collectFirst { case _: GlobalLimit | _: LocalLimit => () }.isEmpty => w
-        }.nonEmpty
+        val globalWindow = hasUnboundedGlobalWindow(qe.optimizedPlan)
         val flags = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "SortMergeJoin" -> plan.contains("SortMergeJoin"),
