@@ -539,14 +539,27 @@ object Imaging {
     * the band join is bucket-bounded exactly like MinHash-LSH on text.
     */
   def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 16,
-                        hashCol: String = "dhash"): DataFrame = {
-    val bands = hashes.select(
+                        hashCol: String = "dhash", maxBucket: Int = 1000): DataFrame = {
+    val raw = hashes.select(
       col("doc_id"), col(hashCol).as("dhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           expr(s"shiftright($hashCol, ${16 * b}) & 65535").as("bv"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.bv"))
+    // bucket-size cap (r11 verdict item 5's audio/image audit): a
+    // DEGENERATE band value — the all-zero band every blank image or
+    // silent track shares — is a hot LSH bucket whose candidate count
+    // grows quadratically in its size at corpus scale, and a band that
+    // common carries no near-dup evidence (the candidate either shares
+    // one of its three other bands or was never a near-dup). Aggregate +
+    // anti join, no broadcast hint (hot-bucket cardinality grows with the
+    // corpus). maxBucket <= 0 disables (exact mode).
+    val bands = if (maxBucket <= 0) raw else {
+      val hot = raw.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket).select("band", "bv")
+      raw.join(hot, Seq("band", "bv"), "left_anti")
+    }
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -561,8 +574,8 @@ object Imaging {
   }
 
   def dhashNearDupHistogram(hashes: DataFrame, maxHamming: Int = 16,
-                            hashCol: String = "dhash"): DataFrame =
-    dhashNearDupPairs(hashes, maxHamming, hashCol)
+                            hashCol: String = "dhash", maxBucket: Int = 1000): DataFrame =
+    dhashNearDupPairs(hashes, maxHamming, hashCol, maxBucket)
       .groupBy("hamming")
       .agg(count(lit(1)).as("pair_cnt"))
 

@@ -235,15 +235,30 @@ object Video {
     * only (doc_id, dhash). Distinct-per-doc first, so a frame repeated
     * within one video (static scenes) can't inflate pair multiplicity.
     */
-  def videoNearDupPairs(frameHashes: DataFrame, minShared: Int = 2): DataFrame = {
+  def videoNearDupPairs(frameHashes: DataFrame, minShared: Int = 2,
+                        maxDf: Int = 1000): DataFrame = {
     // the distinct hash relation feeds both sides of the self-join AND the
     // per-doc sizes — without this the GIF decode pass runs three times
     // (caller-must-clear-cache: released when the session cache clears)
     val dh = frameHashes.select(col("doc_id"), col("dhash")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = dh.groupBy("doc_id").agg(count(lit(1)).as("nd"))
-    dh.as("a")
-      .join(dh.as("b"),
+    // document-frequency cap on the frame-hash posting lists — the same
+    // discipline as Dedup.shingleIndex's maxDf (r11 verdict item 5): a
+    // ubiquitous frame content (black/blank frames, standard intro cards)
+    // is a hot posting list whose pair count grows QUADRATICALLY in its
+    // df at corpus scale, and it is boilerplate, not evidence. Pruning is
+    // an aggregate + anti join (no broadcast hint: heavy-hash cardinality
+    // grows with the corpus); the per-doc sizes keep coming from the
+    // UNPRUNED relation — pruning removes evidence, not set cardinality.
+    // maxDf <= 0 disables (exact mode).
+    val pruned = if (maxDf <= 0) dh else {
+      val heavy = dh.groupBy("dhash").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("dhash")
+      dh.join(heavy, Seq("dhash"), "left_anti")
+    }
+    pruned.as("a")
+      .join(pruned.as("b"),
         col("a.dhash") === col("b.dhash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))

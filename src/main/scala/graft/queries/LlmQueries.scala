@@ -3349,7 +3349,10 @@ object LlmQueries {
       },
       Some(dhashOracleCte +
         """,bands AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM dh),
-          |bk AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |bk0 AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |hotb AS (SELECT band, bv FROM bk0 GROUP BY band, bv HAVING count(*) > 1000),
+          |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+          |  SELECT 1 FROM hotb WHERE hotb.band = bk0.band AND hotb.bv = bk0.bv)),
           |icand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.dhash AS ha, b.dhash AS hb
           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
           |ipairs AS (SELECT doc_a, doc_b FROM icand
@@ -3403,7 +3406,10 @@ object LlmQueries {
       },
       Some(dhashOracleCte +
         """,bands AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM dh),
-          |bk AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |bk0 AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |hotb AS (SELECT band, bv FROM bk0 GROUP BY band, bv HAVING count(*) > 1000),
+          |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+          |  SELECT 1 FROM hotb WHERE hotb.band = bk0.band AND hotb.bv = bk0.bv)),
           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.dhash AS ha, b.dhash AS hb
           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
           |ham AS (SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand)
@@ -3471,7 +3477,10 @@ object LlmQueries {
       },
       Some("WITH RECURSIVE " + dhashOracleCte.stripPrefix("WITH ") +
         """,bands AS (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM dh),
-          |bk AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |bk0 AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+          |hotb AS (SELECT band, bv FROM bk0 GROUP BY band, bv HAVING count(*) > 1000),
+          |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+          |  SELECT 1 FROM hotb WHERE hotb.band = bk0.band AND hotb.bv = bk0.bv)),
           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.dhash AS ha, b.dhash AS hb
           |         FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
           |np AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= 16),
@@ -3915,7 +3924,10 @@ object LlmQueries {
         |                     ELSE CAST(0 AS BIGINT) END) AS afp
         |       FROM c GROUP BY doc_id),
         |bands AS (SELECT doc_id, afp, unnest(range(0, 4)) AS band FROM fp),
-        |bk AS (SELECT doc_id, afp, (afp >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+        |bk0 AS (SELECT doc_id, afp, (afp >> CAST(16*band AS INT)) & 65535 AS bv, band FROM bands),
+        |hotb AS (SELECT band, bv FROM bk0 GROUP BY band, bv HAVING count(*) > 1000),
+        |bk AS (SELECT * FROM bk0 WHERE NOT EXISTS (
+        |  SELECT 1 FROM hotb WHERE hotb.band = bk0.band AND hotb.bv = bk0.bv)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.afp AS ha, b.afp AS hb
         |         FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
         |ham AS (SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming FROM cand)
@@ -4084,8 +4096,10 @@ object LlmQueries {
       Some(videoFrameHashCte +
         """, dh AS (SELECT DISTINCT doc_id, dhash FROM fh),
           |sz AS (SELECT doc_id, count(*) AS nd FROM dh GROUP BY doc_id),
+          |dhp AS (SELECT * FROM dh WHERE dhash NOT IN (
+          |  SELECT dhash FROM dh GROUP BY dhash HAVING count(*) > 1000)),
           |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-          |       FROM dh a JOIN dh b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+          |       FROM dhp a JOIN dhp b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
           |       GROUP BY 1, 2)
           |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
           |  CAST(n_shared * 100 // least(sa.nd, sb.nd) AS BIGINT) AS containment_pct

@@ -129,6 +129,23 @@ class CatalogContractSpec extends SparkSpec {
       s"undocumented unpartitioned windows: ${offenders.mkString(", ")}")
   }
 
+  test("no catalog entry builds a giant (>250 KB) physical plan string") {
+    // r11 verdict item 4: the giant-plan audit class was informational
+    // only — the r11 sweep fixed every runtime offender (localCheckpoint
+    // lineage truncation between unrolled iterative rounds), but nothing
+    // stopped a NEW unrolled iterative from reintroducing a 3.6 MB plan
+    // (constant-per-run driver CPU + Spark's 262 KB print-ceiling warnings
+    // in every bench tail). Enforce it in CI with an EMPTY accepted list:
+    // the fix for a new offender is a lineage cut, not a listing.
+    val accepted = Set.empty[String]
+    val offenders = entries.filterNot(accepted).flatMap { name =>
+      val len = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString.length
+      if (len > 250000) Some(s"$name: $len chars") else None
+    }
+    assert(offenders.isEmpty, s"giant plans: ${offenders.mkString(", ")}")
+  }
+
   test("quiet-seconds column never reads a contended record") {
     // r10 verdict: the column regenerated from a driver record that
     // self-described `contended: true` and still labeled itself

@@ -701,4 +701,53 @@ class ScaleSpec extends SparkSpec {
     // fixture guards against a broken sign/hamming kernel (measured ~0.8+)
     assert(hit * 2 >= total, s"binary-hamming recall collapsed: $hit of $total")
   }
+
+  test("video near-dup survives a planted black-frame mega-posting: df cap engaged") {
+    import spark.implicits._
+    // r11 verdict item 5: 40 videos sharing two ubiquitous frame hashes
+    // (black frame + intro card — boilerplate, df = 40) plus one genuine
+    // clip pair with unique content hashes. With maxDf = 5 the hot
+    // posting lists vanish from the pair join — no quadratic pair blowup
+    // — while the genuine pair keeps its full evidence AND the
+    // containment denominator still counts the pruned frames (sizes come
+    // from the unpruned relation, the shingleIndex asymmetry).
+    val boiler = (0L until 40L).flatMap(i =>
+      Seq((i, 0L, 0xB1L), (i, 1L, 0xB2L)))
+    val clip = Seq((100L, 0L, 7777L), (100L, 1L, 8888L),
+      (101L, 0L, 7777L), (101L, 1L, 8888L))
+    val fh = (boiler ++ clip).toDF("doc_id", "frame_idx", "dhash")
+    val capped = graft.operators.Video.videoNearDupPairs(fh, minShared = 2, maxDf = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L, 2L, 100L)),
+      s"capped: expected only the genuine clip pair, got $capped")
+    // control: uncapped, the 40-doc boilerplate class produces all
+    // 40*39/2 pairs — proving the CAP (not the fixture) removed them
+    val uncapped = graft.operators.Video.videoNearDupPairs(fh, minShared = 2, maxDf = 0)
+    assert(uncapped.count() == 780 + 1,
+      "uncapped control must contain the full quadratic boilerplate pair set")
+  }
+
+  test("dhash band-LSH survives a planted degenerate bucket: bucket cap engaged") {
+    import spark.implicits._
+    // 40 blank images (dhash = 0: every band bucket is the same hot
+    // all-zero value) plus a genuine near-dup pair that shares only its
+    // OWN band-1 bucket. With maxBucket = 5 the blank buckets are pruned
+    // — no quadratic candidate blowup — while the genuine pair's private
+    // bucket survives (its band-2/3 zero buckets are hot too, but one
+    // shared band is all LSH needs).
+    val blanks = (0L until 40L).map(i => (i, 0L))
+    val pair = Seq((100L, 0xFFFF0001L), (101L, 0xFFFF0003L))
+    val hs = (blanks ++ pair).toDF("doc_id", "dhash")
+    val capped = graft.operators.Imaging
+      .dhashNearDupPairs(hs, maxHamming = 16, maxBucket = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L, 1L)),
+      s"capped: expected only the genuine pair at hamming 1, got $capped")
+    // control: uncapped = 780 blank pairs at hamming 0 plus the genuine
+    // pair (blank-vs-genuine candidates fail the hamming <= 16 verify)
+    val uncapped = graft.operators.Imaging
+      .dhashNearDupPairs(hs, maxHamming = 16, maxBucket = 0)
+    assert(uncapped.count() == 780 + 1,
+      "uncapped control must contain the full quadratic blank pair set")
+  }
 }
