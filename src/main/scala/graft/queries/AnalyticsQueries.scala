@@ -5096,10 +5096,15 @@ object AnalyticsQueries {
         a.select(col("na"), col("nb"),
             (col("sa").cast("double") / col("na")).as("mean_a"),
             (col("sb").cast("double") / col("nb")).as("mean_b"),
-            ((col("saa").cast("double") - col("sa").cast("double") * col("sa").cast("double")
-              / col("na")) / (col("na") - 1)).as("var_a"),
-            ((col("sbb").cast("double") - col("sb").cast("double") * col("sb").cast("double")
-              / col("nb")) / (col("nb") - 1)).as("var_b"))
+            // n = 1 guard (r11 ADVICE): (s2 - s^2/1)/0 is NaN in Spark but
+            // engine-divergent in DuckDB — NULL the undefined variance
+            // explicitly on both engines (the n_lincoln m=0 fix pattern)
+            when(col("na") > 1,
+              (col("saa").cast("double") - col("sa").cast("double") * col("sa").cast("double")
+                / col("na")) / (col("na") - 1)).otherwise(lit(null)).as("var_a"),
+            when(col("nb") > 1,
+              (col("sbb").cast("double") - col("sb").cast("double") * col("sb").cast("double")
+                / col("nb")) / (col("nb") - 1)).otherwise(lit(null)).as("var_b"))
           .select(col("na"), col("nb"),
             // rounded to 6 decimals (q_corr_stats precedent): the two
             // engines' decimal->double casts of the int128-scaled sums can
@@ -5126,8 +5131,8 @@ object AnalyticsQueries {
         |  FROM orders),
         |m AS (SELECT na, nb,
         |    CAST(sa AS DOUBLE) / na AS mean_a, CAST(sb AS DOUBLE) / nb AS mean_b,
-        |    (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS var_a,
-        |    (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS var_b
+        |    CASE WHEN na > 1 THEN (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) END AS var_a,
+        |    CASE WHEN nb > 1 THEN (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) END AS var_b
         |  FROM agg)
         |SELECT na, nb,
         |  round((mean_a - mean_b) / sqrt(var_a / na + var_b / nb), 6) AS t_stat,
@@ -7132,10 +7137,15 @@ object AnalyticsQueries {
           .select(col("na"), col("nb"),
             (col("sa").cast("double") / col("na")).as("mean_a"),
             (col("sb").cast("double") / col("nb")).as("mean_b"),
-            ((col("saa").cast("double") - col("sa").cast("double") * col("sa").cast("double")
-              / col("na")) / (col("na") - 1)).as("var_a"),
-            ((col("sbb").cast("double") - col("sb").cast("double") * col("sb").cast("double")
-              / col("nb")) / (col("nb") - 1)).as("var_b"))
+            // n = 1 guard (r11 ADVICE): (s2 - s^2/1)/0 is NaN in Spark but
+            // engine-divergent in DuckDB — NULL the undefined variance
+            // explicitly on both engines (the n_lincoln m=0 fix pattern)
+            when(col("na") > 1,
+              (col("saa").cast("double") - col("sa").cast("double") * col("sa").cast("double")
+                / col("na")) / (col("na") - 1)).otherwise(lit(null)).as("var_a"),
+            when(col("nb") > 1,
+              (col("sbb").cast("double") - col("sb").cast("double") * col("sb").cast("double")
+                / col("nb")) / (col("nb") - 1)).otherwise(lit(null)).as("var_b"))
           .select(col("na"), col("nb"),
             round((col("mean_a") - col("mean_b"))
               / sqrt(((col("na") - 1) * col("var_a") + (col("nb") - 1) * col("var_b"))
@@ -7162,8 +7172,8 @@ object AnalyticsQueries {
         |  FROM orders),
         |m AS (SELECT na, nb,
         |    CAST(sa AS DOUBLE) / na AS mean_a, CAST(sb AS DOUBLE) / nb AS mean_b,
-        |    (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS var_a,
-        |    (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS var_b
+        |    CASE WHEN na > 1 THEN (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) END AS var_a,
+        |    CASE WHEN nb > 1 THEN (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) END AS var_b
         |  FROM agg)
         |SELECT na, nb,
         |  round((mean_a - mean_b)
@@ -7487,8 +7497,10 @@ object AnalyticsQueries {
               - col("sx").cast("double") * col("sx").cast("double") / col("n"))
               .cast("long").as("ss_w"))
           .persist()
-        val msw = g.agg((sum("ss_w").cast("double")
-            / (sum("n") - count(lit(1)))).as("msw"))
+        // degenerate-design guard (r11 ADVICE class): every group n = 1
+        // makes the within d.o.f. zero — emit NULL, not a 0-division
+        val msw = g.agg(when(sum("n") > count(lit(1)), sum("ss_w").cast("double")
+            / (sum("n") - count(lit(1)))).otherwise(lit(null)).as("msw"))
         g.as("a").join(g.as("b"),
             col("a.o_orderpriority") < col("b.o_orderpriority"))
           .crossJoin(broadcast(msw))
@@ -7507,8 +7519,8 @@ object AnalyticsQueries {
         |        * CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |        / count(*)) AS BIGINT) AS ss_w
         |  FROM orders GROUP BY 1),
-        |msw AS (SELECT CAST(sum(ss_w) AS DOUBLE)
-        |    / (sum(n) - count(*)) AS msw FROM g)
+        |msw AS (SELECT CASE WHEN sum(n) > count(*) THEN CAST(sum(ss_w) AS DOUBLE)
+        |    / (sum(n) - count(*)) END AS msw FROM g)
         |SELECT a.o_orderpriority AS prio_a, b.o_orderpriority AS prio_b,
         |  round(abs(a.mean - b.mean)
         |    / sqrt(msw / 2 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
@@ -7536,9 +7548,13 @@ object AnalyticsQueries {
             sum(col("o_totalprice").cast("decimal(19,6)")
               * col("o_totalprice").cast("decimal(19,6)")).as("sxx"))
           .select(col("o_orderpriority"), col("n"),
-            floor(lit(1e3) * col("n") * sqrt((col("sxx").cast("double")
-              - col("sx").cast("double") * col("sx").cast("double") / col("n"))
-              / (col("n") - 1))).cast("long").as("w_milli"))
+            // n = 1 guard (r11 ADVICE): sqrt(0/0) is NaN and floor(NaN)
+            // casts to 0 in Spark but errors/diverges in DuckDB — pin the
+            // undefined-SD stratum to weight 0 explicitly on BOTH engines
+            when(col("n") > 1,
+              floor(lit(1e3) * col("n") * sqrt((col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+                / (col("n") - 1))).cast("long")).otherwise(lit(0L)).as("w_milli"))
         val tot = g.agg(sum("w_milli").as("tw"))
         val shares = g.crossJoin(broadcast(tot))
           .select(col("o_orderpriority"), col("n"), col("w_milli"),
@@ -7553,11 +7569,12 @@ object AnalyticsQueries {
               .as("alloc"))
       },
       Some("""WITH g AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(floor(1e3 * count(*) * sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |    CASE WHEN count(*) > 1
+        |      THEN CAST(floor(1e3 * count(*) * sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
         |        * CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE)
         |      - CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |        * CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*))
-        |      / (count(*) - 1))) AS BIGINT) AS w_milli
+        |      / (count(*) - 1))) AS BIGINT) ELSE 0 END AS w_milli
         |  FROM orders GROUP BY 1),
         |tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS tw FROM g),
         |shares AS (SELECT o_orderpriority, n, w_milli,

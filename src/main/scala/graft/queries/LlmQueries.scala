@@ -1250,7 +1250,8 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         graft.functions.GraftFunctions.register(s)
         val e = emb(s, dir)
-        val q = e.filter(col("vec_id") < 4).limit(4)
+        val nq = 4 // single source of the query bound AND the pick limits below
+        val q = e.filter(col("vec_id") < nq).limit(nq)
         val cand = Similarity.bruteForceTopK(e, q, k = 8)
           .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
             Seq("neighbor_id"))
@@ -1266,17 +1267,17 @@ object LlmQueries {
             .select(col("query_id"), col("did"), col("c_emb"), col("score"))
         }
         // the picks are ≤ 1 row per query (rn = 1 over 4 queries); the
-        // no-op limit(4) makes that cardinality assertion MACHINE-VISIBLE
+        // no-op limit(nq) makes that cardinality assertion MACHINE-VISIBLE
         // to PlanAudit's boundedness walk (a window-rank filter alone is
         // not provably bounded), so the broadcast stays audit-clean
         val p1 = argmax(cand, col("rel") * lit(0.7))
         val c2 = cand.join(broadcast(p1.select(col("query_id"), col("did").as("p1d"),
-            col("c_emb").as("p1e")).limit(4)), "query_id")
+            col("c_emb").as("p1e")).limit(nq)), "query_id")
           .filter(col("did") =!= col("p1d"))
           .withColumn("msim", call_function("cosine_sim", col("c_emb"), col("p1e")))
         val p2 = argmax(c2, col("rel") * lit(0.7) - col("msim") * lit(0.3))
         val c3 = c2.join(broadcast(p2.select(col("query_id"), col("did").as("p2d"),
-            col("c_emb").as("p2e")).limit(4)), "query_id")
+            col("c_emb").as("p2e")).limit(nq)), "query_id")
           .filter(col("did") =!= col("p2d"))
           .withColumn("msim2",
             greatest(col("msim"), call_function("cosine_sim", col("c_emb"), col("p2e"))))
@@ -4996,21 +4997,47 @@ object LlmQueries {
         |ORDER BY score_milli DESC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin)
     )),
 
-    // Compression-ratio quality signal (the Gopher "too compressible =
-    // boilerplate" heuristic): raw-DEFLATE length over raw length, per
-    // document, via the native `deflate_len` expression — a scan-speed
-    // scalar needing no tokenization, the cheapest template detector
-    // there is. zlib output is not SQL-replayable, so this entry is
-    // rows-only checked by the driver; StatsEntrySpec pins known inputs
-    // (repetitive ≪ varied) and OperatorsSpec-style invariants instead.
-    "text_compression_ratio" -> ((
-      (s: SparkSession, dir: String) =>
-        docs(s, dir).select(col("doc_id"),
-            length(col("text")).cast("long").as("raw_len"),
-            call_function("deflate_len", col("text")).as("deflate_len"))
-          .withColumn("ratio_pm",
-            expr("deflate_len * 1000 div greatest(raw_len, 1)")),
-      None
+    // Compressibility quality signal (the Gopher "too compressible =
+    // boilerplate" heuristic), ORACLE-REPLAYABLE form: distinct bigrams
+    // over total bigrams per document — the LZ-family dictionary-growth
+    // proxy (repetitive text re-uses the same few bigrams; varied text
+    // keeps minting new ones), exact integer per-mille on both engines.
+    // r11 verdict item 6: the former text_compression_ratio entry used
+    // the native zlib `deflate_len`, whose output is NOT SQL-replayable,
+    // and was the catalog's one permanent no_oracle row; the EXACT
+    // DEFLATE ratio survives as the TextAnalysis.compressionRatio
+    // operator (same plan, value-pinned in StatsEntrySpec), while the
+    // catalog-facing entry is this proxy, hash-checked like every other
+    // row. Scale shape: one explode at bigram cardinality, one hash
+    // aggregate keyed by doc — the tokenize-once discipline.
+    "text_compressibility" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val bi = d.filter(length(col("text")) >= 2)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(1, length(text) - 1)")).as("i"))
+          .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            countDistinct(col("bg")).as("n_distinct"))
+        d.select(col("doc_id"), length(col("text")).cast("long").as("raw_len"))
+          .join(bi, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("raw_len"),
+            coalesce(col("n_distinct"), lit(0L)).cast("long").as("distinct_bigrams"),
+            coalesce(expr("n_distinct * 1000 div n_bigrams"), lit(1000L))
+              .cast("long").as("compressibility_pm"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |bi AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+        |       FROM d, unnest(range(1, n)) AS t(i) WHERE n >= 2),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |              CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct
+        |       FROM bi GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS raw_len,
+        |  coalesce(ag.n_distinct, 0) AS distinct_bigrams,
+        |  CAST(coalesce(ag.n_distinct * 1000 // ag.n_bigrams, 1000) AS BIGINT)
+        |    AS compressibility_pm
+        |FROM d LEFT JOIN ag USING (doc_id)""".stripMargin)
     )),
 
     // Token burstiness (variance-to-mean dispersion of per-doc term
@@ -5582,16 +5609,20 @@ object LlmQueries {
     "vector_matryoshka" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
-        val q = e.filter(col("vec_id") < 8).limit(8)
-        val full = Similarity.bruteForceTopK(e, q, k = 10)
+        // nq/k are the SINGLE source of both the query-set bound and the
+        // downstream no-op limit (r11 ADVICE: a free-standing limit(80)
+        // would truncate SILENTLY if the query set ever grew — deriving
+        // it from the same constants that build q makes that impossible)
+        val nq = 8; val k = 10
+        val q = e.filter(col("vec_id") < nq).limit(nq)
+        val full = Similarity.bruteForceTopK(e, q, k = k)
           .select(col("query_id"), col("neighbor_id"))
-        val trunc = Similarity.matryoshkaTopK(e, q, dims = 32, k = 10)
+        val trunc = Similarity.matryoshkaTopK(e, q, dims = 32, k = k)
           .select(col("query_id"), col("neighbor_id"))
         // both rankings are (|queries| * k)-row relations — broadcast them
-        // so the overlap check never shuffles; the no-op limit(80) states
-        // the 8-query × k=10 bound in a form PlanAudit's boundedness walk
-        // can verify (a window-rank filter alone is not provably bounded)
-        val overlap = trunc.join(broadcast(full.limit(80)), Seq("query_id", "neighbor_id"), "left_semi")
+        // so the overlap check never shuffles; the no-op limit states the
+        // nq × k bound in a form PlanAudit's boundedness walk can verify
+        val overlap = trunc.join(broadcast(full.limit(nq * k)), Seq("query_id", "neighbor_id"), "left_semi")
           .groupBy("query_id").agg(count(lit(1)).as("overlap_at_10"))
         q.select(col("vec_id").as("query_id"))
           .join(broadcast(overlap), Seq("query_id"), "left")

@@ -3,8 +3,17 @@ package graft
 /** Driver-contract meta-checks over the whole catalog: the gate compares
   * Spark results to DuckDB with columns sorted by NAME, so an alias that
   * drifts between the Spark plan and the oracle SQL hash-mismatches even
-  * when every value is identical. This spec catches that class without
-  * running a single query: schemas come from analysis only (no actions).
+  * when every value is identical. This spec catches that class from plan
+  * analysis — no test here CALLS an action, but building entries that
+  * carry EAGER localCheckpoints (the unrolled-iterative lineage cuts)
+  * does execute their pre-checkpoint stages at construction time (r11
+  * ADVICE, documented trade-off: eagerness is load-bearing where a
+  * checkpoint drains a persisted upstream that unpersists right after —
+  * see Graph.pageRank — so these tests pay the materialization instead
+  * of flipping 60 call sites to lazy). The audited plan is the
+  * post-truncation one; the checkpoint CUTS themselves are covered by
+  * the BoundedCheckpoints declared-trust registry, which PlanGateSpec
+  * negative-tests.
   */
 class CatalogContractSpec extends SparkSpec {
 
