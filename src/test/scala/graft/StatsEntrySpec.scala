@@ -342,6 +342,32 @@ class StatsEntrySpec extends SparkSpec {
     assert(out._3.contains(exp), s"got ${out._3} expected $exp")
   }
 
+  test("degenerate n=1 strata: neyman pins weight 0, cohens_d emits NULL, never NaN") {
+    // r11 ADVICE: sqrt((sxx - sx^2/n)/(n-1)) is NaN for an n=1 stratum;
+    // floor(NaN) casts to 0 in Spark but errors/diverges in DuckDB. The
+    // guards pin the behavior explicitly on both engines — this plants
+    // the degenerate case the TPC-H fixture never produces.
+    val orders = Seq(
+      ("1-URGENT", 100.0), ("1-URGENT", 300.0), ("1-URGENT", 260.0),
+      ("5-LOW", 42.0) // singleton stratum: SD undefined
+    ).toDF("o_orderpriority", "o_totalprice")
+    val dir = plantDir("orders" -> orders)
+    val alloc = SparkEntry.queries("q_neyman_allocation")(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(alloc("5-LOW") == ((1L, 0L)),
+      s"singleton stratum must get weight 0 -> allocation 0, got ${alloc("5-LOW")}")
+    assert(alloc("1-URGENT")._2 == 10000L,
+      s"the whole budget must flow to the estimable stratum, got $alloc")
+    // cohens_d against a singleton control arm: variance is NULL (not
+    // NaN), so the statistic is NULL on both engines
+    val d = SparkEntry.queries("q_cohens_d")(spark, dir).collect()(0)
+    assert(d.isNullAt(d.fieldIndex("cohens_d")),
+      s"cohens_d over a singleton arm must be NULL, got $d")
+    val w = SparkEntry.queries("q_welch_ttest")(spark, dir).collect()(0)
+    assert(w.isNullAt(w.fieldIndex("t_stat")),
+      s"welch t over a singleton arm must be NULL, got $w")
+  }
+
   test("compressionRatio operator: repetitive text compresses far below varied text") {
     // the exact-DEFLATE form lives as a library operator (not a catalog
     // entry — zlib output is not SQL-replayable; r11 verdict item 6);
