@@ -587,7 +587,8 @@ object Imaging {
     * corpus side is the persisted index table, re-read per batch.
     */
   def dhashMatchedIds(corpusHashes: DataFrame, incomingHashes: DataFrame,
-                      maxHamming: Int = 16, hashCol: String = "dhash"): DataFrame = {
+                      maxHamming: Int = 16, hashCol: String = "dhash",
+                      maxBucket: Int = 1000): DataFrame = {
     def explodeBands(df: DataFrame): DataFrame = df.select(
       col("doc_id"), col(hashCol).as("h"),
       explode(array((0 until 4).map { b =>
@@ -595,8 +596,24 @@ object Imaging {
           expr(s"shiftright($hashCol, ${16 * b}) & 65535").as("bv"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("h"), col("bk.band"), col("bk.bv"))
+    // corpus-side bucket cap — the incremental twin of the
+    // dhashNearDupPairs maxBucket (r12): a degenerate band value the
+    // whole corpus index shares (blank images, silence) makes every
+    // blank INCOMING row fan out against the full hot bucket —
+    // |incoming-in-bucket| x |corpus-in-bucket| candidate rows per
+    // batch. A band that common carries no match evidence; genuine
+    // dups still match through their other bands. maxBucket <= 0
+    // disables (exact mode).
+    val corpusBands = {
+      val raw = explodeBands(corpusHashes)
+      if (maxBucket <= 0) raw else {
+        val hot = raw.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBucket).select("band", "bv")
+        raw.join(hot, Seq("band", "bv"), "left_anti")
+      }
+    }
     explodeBands(incomingHashes).as("i")
-      .join(explodeBands(corpusHashes).as("c"),
+      .join(corpusBands.as("c"),
         col("i.band") === col("c.band") && col("i.bv") === col("c.bv"))
       .select(col("i.doc_id").as("doc_id"), col("i.h").as("hi"), col("c.h").as("hc"))
       .distinct()

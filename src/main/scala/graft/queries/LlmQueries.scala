@@ -3599,8 +3599,11 @@ object LlmQueries {
       Some(dhashOracleCte +
         """,corp AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 10 = 0),
           |inc AS (SELECT doc_id, dhash FROM dh WHERE doc_id % 10 != 0),
-          |cb AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band
+          |cb0 AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band
           |       FROM (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM corp)),
+          |hotc AS (SELECT band, bv FROM cb0 GROUP BY band, bv HAVING count(*) > 1000),
+          |cb AS (SELECT * FROM cb0 WHERE NOT EXISTS (
+          |  SELECT 1 FROM hotc WHERE hotc.band = cb0.band AND hotc.bv = cb0.bv)),
           |ib AS (SELECT doc_id, dhash, (dhash >> CAST(16*band AS INT)) & 65535 AS bv, band
           |       FROM (SELECT doc_id, dhash, unnest(range(0, 4)) AS band FROM inc)),
           |m AS (SELECT DISTINCT i.doc_id FROM ib i JOIN cb c
@@ -3658,8 +3661,11 @@ object LlmQueries {
         |       FROM c GROUP BY doc_id),
         |corp AS (SELECT doc_id, afp FROM fp WHERE doc_id % 10 = 0),
         |inc AS (SELECT doc_id, afp FROM fp WHERE doc_id % 10 != 0),
-        |cb AS (SELECT doc_id, afp, (afp >> CAST(16*band AS INT)) & 65535 AS bv, band
+        |cb0 AS (SELECT doc_id, afp, (afp >> CAST(16*band AS INT)) & 65535 AS bv, band
         |       FROM (SELECT doc_id, afp, unnest(range(0, 4)) AS band FROM corp)),
+        |hotc AS (SELECT band, bv FROM cb0 GROUP BY band, bv HAVING count(*) > 1000),
+        |cb AS (SELECT * FROM cb0 WHERE NOT EXISTS (
+        |  SELECT 1 FROM hotc WHERE hotc.band = cb0.band AND hotc.bv = cb0.bv)),
         |ib AS (SELECT doc_id, afp, (afp >> CAST(16*band AS INT)) & 65535 AS bv, band
         |       FROM (SELECT doc_id, afp, unnest(range(0, 4)) AS band FROM inc)),
         |m AS (SELECT DISTINCT i.doc_id FROM ib i JOIN cb c

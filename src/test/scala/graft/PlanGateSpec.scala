@@ -85,6 +85,61 @@ class PlanGateSpec extends SparkSpec {
       "an equi-keyed join is not cross-shaped")
   }
 
+  // ---- r12 boundedness-walk shapes (pin the NEW analysis features so a
+  // refactor that loses one shows up here, not as a sudden CI gate
+  // failure on 432 entries) ----
+
+  test("walk accepts rank-filter over bounded partitions; rejects over corpus keys") {
+    import org.apache.spark.sql.expressions.Window
+    // rn <= k per value-domain partition: <= k x |domain| rows at any SF
+    val byLang = docs.withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy(col("doc_id"))))
+      .filter(col("rn") <= 3)
+    assert(!hint(docs.join(broadcast(byLang.select(col("lang"), col("rn"))), "lang")),
+      "row_number <= k over a value-domain partition is bounded")
+    // the same filter partitioned by the corpus key is corpus x k rows
+    val byDoc = docs.withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("n_chars"))))
+      .filter(col("rn") <= 3)
+    assert(hint(docs.join(broadcast(byDoc.select(col("doc_id"), col("rn"))), "doc_id")),
+      "row_number <= k per corpus key is corpus-cardinality — must flag")
+  }
+
+  test("walk accepts calendar-arithmetic and boolean grouping keys") {
+    val lineitem2 = lineitem
+    val byMonth = lineitem2.groupBy(
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("m"),
+        (col("l_quantity") > 25).as("big"))
+      .agg(count(lit(1)).as("n"))
+    assert(!hint(lineitem2.join(broadcast(byMonth), col("l_orderkey") === col("n"))),
+      "year*12+month and a boolean predicate are SF-independent domains")
+  }
+
+  test("walk accepts an aggregate whose key equi-joins to a bounded probe set") {
+    // the PQ distance-table idiom: groupBy(query_id) AFTER an inner join
+    // to a limited probe relation pins the grouping domain
+    val probes = docs.select(col("doc_id")).limit(8)
+    val dtab = docs.join(broadcast(probes), Seq("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(!hint(docs.join(broadcast(dtab), Seq("doc_id"))),
+      "grouping key equi-bounded by a probe set is bounded")
+  }
+
+  test("walk accepts bounded x rank-multiplicity equi-joins (the ANN probes idiom)") {
+    import org.apache.spark.sql.expressions.Window
+    // probes: top-2 buckets PER corpus doc — corpus x 2 rows, but exactly
+    // 2 per doc_id; joined to an 8-row probe set on doc_id it is <= 16 rows
+    val probes = docs.withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("n_chars"))))
+      .filter(col("rn") <= 2).select(col("doc_id"), col("rn").as("bucket"))
+    val q = docs.select(col("doc_id")).limit(8)
+    assert(!hint(docs.join(broadcast(probes.join(q, Seq("doc_id"))), Seq("doc_id"))),
+      "bounded probe set x rank-multiplicity side is bounded")
+    // control: the same probes relation WITHOUT the bounded join must flag
+    assert(hint(docs.join(broadcast(probes), Seq("doc_id"))),
+      "the rank-multiplicity side alone is corpus-cardinality — must flag")
+  }
+
   // ---- unpartitioned-window gate ----
 
   test("global-window detector FIRES on an unpartitioned window over a fact table") {

@@ -750,4 +750,26 @@ class ScaleSpec extends SparkSpec {
     assert(uncapped.count() == 780 + 1,
       "uncapped control must contain the full quadratic blank pair set")
   }
+
+  test("dhashMatchedIds incremental form survives a degenerate corpus bucket") {
+    import spark.implicits._
+    // the per-batch twin of the pairs cap: a blank-heavy corpus INDEX is
+    // a hot bucket every blank incoming row fans out against. With the
+    // corpus-side cap the blank incoming doc stops matching through the
+    // degenerate bucket, while the genuine near-dup still matches through
+    // its private band-1 bucket (corpus bucket size 1).
+    val corpus = ((0L until 40L).map(i => (i, 0L)) :+ ((200L, 0xFFFF0001L)))
+      .toDF("doc_id", "dhash")
+    val incoming = Seq((300L, 0L), (301L, 0xFFFF0003L)).toDF("doc_id", "dhash")
+    val capped = graft.operators.Imaging
+      .dhashMatchedIds(corpus, incoming, maxHamming = 16, maxBucket = 5)
+      .as[Long].collect().toSet
+    assert(capped == Set(301L),
+      s"capped: only the genuine near-dup may match, got $capped")
+    val uncapped = graft.operators.Imaging
+      .dhashMatchedIds(corpus, incoming, maxHamming = 16, maxBucket = 0)
+      .as[Long].collect().toSet
+    assert(uncapped == Set(300L, 301L),
+      s"uncapped control must match the blank doc through the hot bucket, got $uncapped")
+  }
 }
