@@ -134,8 +134,10 @@ object PlanAudit {
         ag.groupingExpressions.forall(g =>
           domainBounded(g, new PhysicalCtx(ag), depth + 1)) ||
           ag.children.forall(boundedCachedRec(_, depth + 1))
-      case _: GlobalLimitExec | _: LocalLimitExec => true
-      case _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case gl: GlobalLimitExec if gl.limit <= MaxBoundLiteral => true
+      case ll: LocalLimitExec if ll.limit <= MaxBoundLiteral => true
+      case tk: TakeOrderedAndProjectExec if tk.limit <= MaxBoundLiteral => true
+      case cl: CollectLimitExec if cl.limit <= MaxBoundLiteral => true
       case _: LocalTableScanExec => true
       // window-rank filter, physical spelling (see the logical walk)
       case f: FilterExec if rankPinnedAttr(f.condition).exists { attr =>
@@ -275,18 +277,40 @@ object PlanAudit {
       case _ => None
     }
 
-  /** A filter conjunct pinning an attribute to at most a CONSTANT value
+  /** "Bounded" means "safe to hold in one executor", so every literal the
+    * walk trusts as a row/domain bound must itself be SMALL — the r10
+    * Range fix generalized: without this, `limit(1e9)`, `pmod(x, 1e12)`,
+    * a ±1e15 clamp, or `rank <= 1e9` would each bless a gigarow
+    * broadcast. 2^21 covers every catalog bound (the largest is the
+    * 16^5 = 2^20 bloom-bit space) with 2× margin.
+    */
+  private val MaxBoundLiteral = 1L << 21
+
+  private def smallLiteral(e: Expression): Boolean = stripCastAlias(e) match {
+    case Literal(v: Number, _) => math.abs(v.longValue) <= MaxBoundLiteral
+    case _ => false
+  }
+
+  // span of a two-sided clamp's literals, when both are numeric
+  private def smallSpan(hi: Expression, lo: Expression): Boolean =
+    (stripCastAlias(hi), stripCastAlias(lo)) match {
+      case (Literal(h: Number, _), Literal(l: Number, _)) =>
+        h.longValue - l.longValue <= MaxBoundLiteral
+      case _ => false
+    }
+
+  /** A filter conjunct pinning an attribute to at most a SMALL constant
     * (`rn <= 10`, `rn === 1`) — the raw material of the window-rank
     * idiom (see [[rankDef]]).
     */
   private def rankPinnedAttr(cond: Expression): Seq[AttributeReference] =
     conjunctsOf(cond).flatMap {
-      case LessThanOrEqual(a, v) if v.foldable => attrOf(a)
-      case LessThan(a, v) if v.foldable => attrOf(a)
-      case EqualTo(a, v) if v.foldable => attrOf(a)
-      case EqualTo(v, a) if v.foldable => attrOf(a)
-      case GreaterThanOrEqual(v, a) if v.foldable => attrOf(a)
-      case GreaterThan(v, a) if v.foldable => attrOf(a)
+      case LessThanOrEqual(a, v) if smallLiteral(v) => attrOf(a)
+      case LessThan(a, v) if smallLiteral(v) => attrOf(a)
+      case EqualTo(a, v) if smallLiteral(v) => attrOf(a)
+      case EqualTo(v, a) if smallLiteral(v) => attrOf(a)
+      case GreaterThanOrEqual(v, a) if smallLiteral(v) => attrOf(a)
+      case GreaterThan(v, a) if smallLiteral(v) => attrOf(a)
       case _ => Seq.empty
     }
 
@@ -336,17 +360,23 @@ object PlanAudit {
         case Literal(fmt, _) => calendarFormat(String.valueOf(fmt))
         case _ => false
       }
-      // pmod/% with a foldable modulus: at most |modulus| buckets
-      case Pmod(_, m, _) if m.foldable => true
-      case Remainder(_, m, _) if m.foldable => true
+      // pmod/% with a SMALL constant modulus: at most |modulus| buckets
+      case Pmod(_, m, _) if smallLiteral(m) => true
+      case Remainder(_, m, _) if smallLiteral(m) => true
       // two-sided INTEGRAL clamp — greatest(least(x, hi), lo) or the
-      // mirror — is a finite interval of integers at any SF
-      case g: Greatest if integralType(g.dataType) &&
-          g.children.exists(_.foldable) && g.children.exists {
-            case l: Least => l.children.exists(_.foldable); case _ => false } => true
-      case l: Least if integralType(l.dataType) &&
-          l.children.exists(_.foldable) && l.children.exists {
-            case g: Greatest => g.children.exists(_.foldable); case _ => false } => true
+      // mirror — is a finite interval of integers at any SF, accepted
+      // only when the interval itself is small (a ±1e15 "clamp" is not
+      // a bound anyone can broadcast)
+      case g: Greatest if integralType(g.dataType) => (for {
+          lo <- g.children.find(_.foldable)
+          inner <- g.children.collectFirst { case l: Least => l }
+          hi <- inner.children.find(_.foldable)
+        } yield smallSpan(hi, lo)).getOrElse(false)
+      case l: Least if integralType(l.dataType) => (for {
+          hi <- l.children.find(_.foldable)
+          inner <- l.children.collectFirst { case g: Greatest => g }
+          lo <- inner.children.find(_.foldable)
+        } yield smallSpan(hi, lo)).getOrElse(false)
       case ba: BinaryArithmetic =>
         domainBounded(ba.left, ctx, depth + 1) && domainBounded(ba.right, ctx, depth + 1)
       case cw: CaseWhen =>
@@ -492,7 +522,10 @@ object PlanAudit {
         d.keys.forall(k =>
           domainBounded(k, new LogicalCtx(d.child, memo), depth + 1)) ||
           boundedRec(d.child, memo, depth + 1)
-      case _: GlobalLimit | _: LocalLimit => true
+      // a Limit bounds only when its row count is itself SMALL — the
+      // same executor-memory meaning of "bounded" the Range rule uses
+      case gl: GlobalLimit if smallLiteral(gl.limitExpr) => true
+      case ll: LocalLimit if smallLiteral(ll.limitExpr) => true
       case f: Filter if boundingPredicate(f.condition) => true
       // window-rank filter: rn <= k over partitions whose keys all have
       // bounded domain → at most k × |domain| rows at any SF

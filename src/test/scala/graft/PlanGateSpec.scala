@@ -140,6 +140,28 @@ class PlanGateSpec extends SparkSpec {
       "the rank-multiplicity side alone is corpus-cardinality — must flag")
   }
 
+  test("walk rejects giant literals posing as bounds") {
+    // "bounded" means "fits one executor" — a gigarow limit, modulus, or
+    // clamp is not a bound anyone can broadcast (the r10 Range(1e12)
+    // fix, generalized to every literal the walk trusts)
+    assert(hint(docs.join(broadcast(docs.limit(100000000)), "doc_id")),
+      "limit(1e8) must NOT count as bounded")
+    val giantMod = docs.groupBy(pmod(col("doc_id"), lit(1000000000L)).as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(hint(docs.join(broadcast(giantMod), col("doc_id") === col("b"))),
+      "pmod by 1e9 must NOT count as a bounded domain")
+    val giantClamp = docs.groupBy(
+        greatest(least(col("doc_id"), lit(1000000000000L)), lit(0L)).as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(hint(docs.join(broadcast(giantClamp), col("doc_id") === col("b"))),
+      "a +-1e12 clamp must NOT count as a bounded domain")
+    // the small forms stay accepted
+    assert(!hint(docs.join(broadcast(docs.limit(10)), "doc_id")))
+    val smallMod = docs.groupBy(pmod(col("doc_id"), lit(64)).as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(!hint(docs.join(broadcast(smallMod), col("doc_id") === col("b"))))
+  }
+
   // ---- unpartitioned-window gate ----
 
   test("global-window detector FIRES on an unpartitioned window over a fact table") {
