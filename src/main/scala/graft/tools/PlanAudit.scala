@@ -227,10 +227,13 @@ object PlanAudit {
   private def boundingPredicate(e: Expression): Boolean = e match {
     case And(l, r) => boundingPredicate(l) || boundingPredicate(r)
     case Or(l, r) => boundingPredicate(l) && boundingPredicate(r)
-    case LessThan(a, v) if isKeyAttr(a) && v.foldable => true
-    case LessThanOrEqual(a, v) if isKeyAttr(a) && v.foldable => true
-    case GreaterThan(v, a) if isKeyAttr(a) && v.foldable => true
-    case GreaterThanOrEqual(v, a) if isKeyAttr(a) && v.foldable => true
+    // the RANGE literal itself must be small (r12): keys are unique and
+    // non-negative, so `vec_id < 102400` is ≤ 102400 rows at any SF —
+    // but `doc_id < 9e18` covers the whole corpus and bounds nothing
+    case LessThan(a, v) if isKeyAttr(a) && smallLiteral(v) => true
+    case LessThanOrEqual(a, v) if isKeyAttr(a) && smallLiteral(v) => true
+    case GreaterThan(v, a) if isKeyAttr(a) && smallLiteral(v) => true
+    case GreaterThanOrEqual(v, a) if isKeyAttr(a) && smallLiteral(v) => true
     case EqualTo(a, v) if isKeyAttr(a) && v.foldable => true
     case EqualTo(v, a) if isKeyAttr(a) && v.foldable => true
     case In(a, vs) if isKeyAttr(a) && vs.forall(_.foldable) => true

@@ -155,8 +155,14 @@ class PlanGateSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(hint(docs.join(broadcast(giantClamp), col("doc_id") === col("b"))),
       "a +-1e12 clamp must NOT count as a bounded domain")
+    // a key-range filter whose literal spans the whole id space is not a
+    // bound either — only a SMALL range pins a small row count
+    assert(hint(docs.join(broadcast(
+        docs.filter(col("doc_id") < lit(Long.MaxValue - 1))), "doc_id")),
+      "doc_id < ~2^63 covers the whole corpus — must flag")
     // the small forms stay accepted
     assert(!hint(docs.join(broadcast(docs.limit(10)), "doc_id")))
+    assert(!hint(docs.join(broadcast(docs.filter(col("doc_id") < 1024)), "doc_id")))
     val smallMod = docs.groupBy(pmod(col("doc_id"), lit(64)).as("b"))
       .agg(count(lit(1)).as("n"))
     assert(!hint(docs.join(broadcast(smallMod), col("doc_id") === col("b"))))
