@@ -18,10 +18,13 @@ import graft.SparkEntry
   *    when a `Limit` sits below the window (the catalog's benign pattern:
   *    rank-over-top-50 after `orderBy().limit(50)`), so only the
   *    scale-hostile case — an unbounded global window — flags.
-  *    Accepted instances: `q_cumulative_distinct`, `q_seasonality`, and
-  *    `q_kaplan_meier`, whose window input is a day/month-grain (or
-  *    distinct gap-days) aggregate — cardinality bounded by the
-  *    calendar, not the corpus. Any OTHER query joining this list is a
+  *    Accepted instances (the CI list in CatalogContractSpec is
+  *    authoritative): `q_cumulative_distinct`, `q_seasonality`,
+  *    `q_kaplan_meier`, `q_log_rank`, `q_nelson_aalen`, `q_runs_test`
+  *    (day/month-grain or distinct-gap-day aggregates — cardinality
+  *    bounded by the calendar, not the corpus) and
+  *    `q_neyman_allocation` (|o_orderpriority|-row strata aggregate —
+  *    value-domain-bounded). Any OTHER query joining this list is a
   *    regression.
   *  - `unbounded-broadcast` — an EXPLICIT `broadcast()` hint whose input
   *    subtree is not provably bounded. A hint is the author asserting

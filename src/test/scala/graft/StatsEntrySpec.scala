@@ -368,6 +368,25 @@ class StatsEntrySpec extends SparkSpec {
       s"welch t over a singleton arm must be NULL, got $w")
   }
 
+  test("text_compressibility: hand-computed bigram counts pin the proxy exactly") {
+    // "aaaa": bigrams at i=1..3 are aa,aa,aa -> 1 distinct / 3 -> 333 pm
+    // "abcd": ab,bc,cd -> 3 distinct / 3 -> 1000 pm
+    // "abab": ab,ba,ab -> 2 distinct / 3 -> 666 pm
+    // "":     no bigrams -> distinct 0, pm pins to 1000 by convention
+    // "x":    length 1 -> same convention row as the empty doc
+    val dir = plantDir("documents" -> docsDf(Seq(
+      (1L, "aaaa", "en", "s"), (2L, "abcd", "en", "s"),
+      (3L, "abab", "en", "s"), (4L, "", "en", "s"), (5L, "x", "en", "s"))))
+    val out = SparkEntry.queries("text_compressibility")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 1L, 333L)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 3L, 1000L)), s"got ${out(2L)}")
+    assert(out(3L) == ((4L, 2L, 666L)), s"got ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 1000L)), s"got ${out(4L)}")
+    assert(out(5L) == ((1L, 0L, 1000L)), s"got ${out(5L)}")
+  }
+
   test("compressionRatio operator: repetitive text compresses far below varied text") {
     // the exact-DEFLATE form lives as a library operator (not a catalog
     // entry — zlib output is not SQL-replayable; r11 verdict item 6);
