@@ -297,14 +297,6 @@ object PlanAudit {
     case _ => false
   }
 
-  // span of a two-sided clamp's literals, when both are numeric
-  private def smallSpan(hi: Expression, lo: Expression): Boolean =
-    (stripCastAlias(hi), stripCastAlias(lo)) match {
-      case (Literal(h: Number, _), Literal(l: Number, _)) =>
-        h.longValue - l.longValue <= MaxBoundLiteral
-      case _ => false
-    }
-
   /** A filter conjunct pinning an attribute to at most a SMALL constant
     * (`rn <= 10`, `rn === 1`) — the raw material of the window-rank
     * idiom (see [[rankDef]]).
@@ -353,22 +345,53 @@ object PlanAudit {
     * the above. Everything else — ids, free text, hashes — scales with
     * the corpus and does NOT bound an aggregate.
     */
-  private def domainBounded(e: Expression, ctx: Ctx, depth: Int): Boolean = {
-    if (depth > MaxDepth) return false
+  private def domainBounded(e: Expression, ctx: Ctx, depth: Int): Boolean =
+    domainSize(e, ctx, depth).isDefined
+
+  // conservative cardinality assignments for the calendar/enum classes —
+  // deliberately generous (Year covers ten millennia of data) so a false
+  // flag never hinges on them, while keeping combinations QUANTIFIED
+  private val CalendarDays = 36600L // a century of day-grain values
+  private val EnumDomain = 16384L // any fixture enum column, with margin
+
+  /** Quantitative domain analysis: an UPPER BOUND on the expression's
+    * distinct-value count at any SF, or None when it scales with the
+    * corpus. Combinations multiply (Add/Multiply of two bounded arms is
+    * at most |L|·|R| values) and saturate at [[MaxBoundLiteral]] — the
+    * r12 fix for the boolean version's combination hole, where two
+    * individually-small moduli summed into a 2^42 domain that still
+    * read as "bounded".
+    */
+  private def domainSize(e: Expression, ctx: Ctx, depth: Int): Option[Long] = {
+    if (depth > MaxDepth) return None
+    def cap(n: Long): Option[Long] =
+      if (n > 0 && n <= MaxBoundLiteral) Some(n) else None
+    def combine(parts: Seq[Expression], f: (Long, Long) => Long,
+                unit: Long): Option[Long] =
+      parts.foldLeft(Option(unit)) { (acc, p) =>
+        for (a <- acc; b <- domainSize(p, ctx, depth + 1); c <- cap(f(a, b))) yield c
+      }
     stripCastAlias(e) match {
-      case _: Literal => true
-      case b if b.dataType == org.apache.spark.sql.types.BooleanType => true
-      case _: Year | _: Month | _: Quarter | _: DayOfMonth | _: DayOfWeek |
-           _: WeekDay | _: DayOfYear | _: WeekOfYear | _: Hour | _: Minute => true
-      case _: TruncDate | _: TruncTimestamp => true
-      case c: Cast if c.dataType == org.apache.spark.sql.types.DateType => true
+      case _: Literal => Some(1L)
+      case b if b.dataType == org.apache.spark.sql.types.BooleanType => Some(3L)
+      case _: Month | _: Quarter | _: DayOfMonth | _: DayOfWeek |
+           _: WeekDay | _: Hour | _: Minute => Some(60L)
+      case _: DayOfYear | _: WeekOfYear => Some(366L)
+      case _: Year => Some(10000L)
+      case _: TruncDate | _: TruncTimestamp => Some(CalendarDays)
+      case c: Cast if c.dataType == org.apache.spark.sql.types.DateType =>
+        Some(CalendarDays)
       case d: DateFormatClass => d.right match {
-        case Literal(fmt, _) => calendarFormat(String.valueOf(fmt))
-        case _ => false
+        case Literal(fmt, _) if calendarFormat(String.valueOf(fmt)) =>
+          Some(CalendarDays)
+        case _ => None
       }
       // pmod/% with a SMALL constant modulus: at most |modulus| buckets
-      case Pmod(_, m, _) if smallLiteral(m) => true
-      case Remainder(_, m, _) if smallLiteral(m) => true
+      case Pmod(_, m, _) if smallLiteral(m) =>
+        literalLong(m).flatMap(v => cap(math.abs(v)))
+      case Remainder(_, m, _) if smallLiteral(m) =>
+        // % keeps the sign of the dividend: up to 2·|m| − 1 values
+        literalLong(m).flatMap(v => cap(2 * math.abs(v)))
       // two-sided INTEGRAL clamp — greatest(least(x, hi), lo) or the
       // mirror — is a finite interval of integers at any SF, accepted
       // only when the interval itself is small (a ±1e15 "clamp" is not
@@ -377,27 +400,43 @@ object PlanAudit {
           lo <- g.children.find(_.foldable)
           inner <- g.children.collectFirst { case l: Least => l }
           hi <- inner.children.find(_.foldable)
-        } yield smallSpan(hi, lo)).getOrElse(false)
+          span <- literalSpan(hi, lo)
+        } yield span).flatMap(cap)
       case l: Least if integralType(l.dataType) => (for {
           hi <- l.children.find(_.foldable)
           inner <- l.children.collectFirst { case g: Greatest => g }
           lo <- inner.children.find(_.foldable)
-        } yield smallSpan(hi, lo)).getOrElse(false)
+          span <- literalSpan(hi, lo)
+        } yield span).flatMap(cap)
       case ba: BinaryArithmetic =>
-        domainBounded(ba.left, ctx, depth + 1) && domainBounded(ba.right, ctx, depth + 1)
-      case cw: CaseWhen =>
-        (cw.branches.map(_._2) ++ cw.elseValue).forall(domainBounded(_, ctx, depth + 1))
-      case If(_, t, f) =>
-        domainBounded(t, ctx, depth + 1) && domainBounded(f, ctx, depth + 1)
-      case c: Coalesce => c.children.forall(domainBounded(_, ctx, depth + 1))
+        combine(Seq(ba.left, ba.right), _ * _, 1L)
+      case cw: CaseWhen => // at most the SUM of the branch domains
+        combine(cw.branches.map(_._2) ++ cw.elseValue, _ + _, 0L)
+      case If(_, t, f) => combine(Seq(t, f), _ + _, 0L)
+      case c: Coalesce => combine(c.children, _ + _, 0L)
       case a: AttributeReference =>
-        valueDomainCols.contains(a.name.toLowerCase) ||
-          a.dataType == org.apache.spark.sql.types.DateType ||
-          ctx.posAttr(a.exprId) ||
-          ctx.resolve(a).exists(domainBounded(_, ctx, depth + 1)) ||
-          ctx.attrBounded(a, depth + 1)
-      case _ => false
+        if (valueDomainCols.contains(a.name.toLowerCase)) Some(EnumDomain)
+        else if (a.dataType == org.apache.spark.sql.types.DateType) Some(CalendarDays)
+        // posexplode position: max array length — record-shaped, not
+        // corpus-shaped (longest document, fixed embedding dims)
+        else if (ctx.posAttr(a.exprId)) Some(65536L)
+        else ctx.resolve(a) match {
+          case Some(d) => domainSize(d, ctx, depth + 1)
+          // provenance: values drawn from a bounded relation — that
+          // relation's row count is itself capped by the walk's limits
+          case None if ctx.attrBounded(a, depth + 1) => Some(MaxBoundLiteral)
+          case None => None
+        }
+      case _ => None
     }
+  }
+
+  private def literalSpan(hi: Expression, lo: Expression): Option[Long] =
+    for (h <- literalLong(hi); l <- literalLong(lo)) yield h - l + 1
+
+  private def literalLong(e: Expression): Option[Long] = stripCastAlias(e) match {
+    case Literal(v: Number, _) => Some(v.longValue)
+    case _ => None
   }
 
   /** If `attr` is a window RANK (`row_number` — rank/dense_rank admit

@@ -168,6 +168,21 @@ class PlanGateSpec extends SparkSpec {
     assert(!hint(docs.join(broadcast(smallMod), col("doc_id") === col("b"))))
   }
 
+  test("walk quantifies combinations: two small moduli can still compose too big") {
+    // the boolean version's hole: each arm individually small, the
+    // composite domain |L| x |R| far past anything broadcastable
+    val big = docs.groupBy((pmod(col("doc_id"), lit(2000L)) * 2000L
+        + pmod(col("n_chars"), lit(2000L))).as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(hint(docs.join(broadcast(big), col("doc_id") === col("b"))),
+      "2000 x 2000 composite buckets exceed the broadcastable domain — must flag")
+    val small = docs.groupBy((pmod(col("doc_id"), lit(100L)) * 100L
+        + pmod(col("n_chars"), lit(100L))).as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(!hint(docs.join(broadcast(small), col("doc_id") === col("b"))),
+      "100 x 100 composite buckets are a bounded domain")
+  }
+
   // ---- unpartitioned-window gate ----
 
   test("global-window detector FIRES on an unpartitioned window over a fact table") {
