@@ -7085,9 +7085,12 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(xx * xx).as("sxx"))
           .select(col("o_orderpriority"), col("n"),
             (col("sx").cast("double") / col("n")).as("mean"),
-            sqrt((col("sxx").cast("double")
+            // n = 1 makes the sample variance 0/0 → NaN in Spark but an
+            // engine-divergent value in DuckDB; guard explicitly on both
+            // engines (the n_lincoln m=0 fix pattern)
+            when(col("n") > 1, sqrt((col("sxx").cast("double")
               - col("sx").cast("double") * col("sx").cast("double") / col("n"))
-              / (col("n") - 1)).as("sd"))
+              / (col("n") - 1))).otherwise(lit(null)).as("sd"))
           .select(col("o_orderpriority"), col("n"),
             floor(col("mean") * 100).cast("long").as("mean_cents"),
             floor(lit(1e6) * col("sd") / col("mean")).cast("long").as("cv_ppm"),
@@ -7101,8 +7104,9 @@ object AnalyticsQueries {
         |  FROM orders GROUP BY 1),
         |m AS (SELECT o_orderpriority, n,
         |    CAST(sx AS DOUBLE) / n AS mean,
-        |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-        |      / (n - 1)) AS sd
+        |    CASE WHEN n > 1 THEN
+        |      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |        / (n - 1)) END AS sd
         |  FROM a)
         |SELECT o_orderpriority, n,
         |  CAST(floor(mean * 100) AS BIGINT) AS mean_cents,
@@ -7866,9 +7870,10 @@ object AnalyticsQueries {
         val m = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
             sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("q"))
           .select(col("n"), (col("s").cast("double") / col("n")).as("mean"),
-            sqrt((col("q").cast("double")
+            // n = 1 → 0/0 variance; guard on both engines (n_lincoln pattern)
+            when(col("n") > 1, sqrt((col("q").cast("double")
               - col("s").cast("double") * col("s").cast("double") / col("n"))
-              / (col("n") - 1)).as("sd"))
+              / (col("n") - 1))).otherwise(lit(null)).as("sd"))
         daily.crossJoin(broadcast(m))
           .select(col("day"), col("x").as("x_cents"),
             round(abs(col("x") - col("mean")) / col("sd"), 6).as("g_stat"))
@@ -7880,9 +7885,10 @@ object AnalyticsQueries {
         |  FROM orders GROUP BY 1),
         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS DOUBLE) / count(*) AS mean,
-        |    sqrt((CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)
-        |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) / count(*))
-        |      / (count(*) - 1)) AS sd
+        |    CASE WHEN count(*) > 1 THEN
+        |      sqrt((CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE)
+        |        - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) / count(*))
+        |        / (count(*) - 1)) END AS sd
         |  FROM daily)
         |SELECT day, x AS x_cents, round(abs(x - mean) / sd, 6) AS g_stat
         |FROM daily CROSS JOIN m
@@ -7987,7 +7993,11 @@ object AnalyticsQueries {
             sum(col("r0") * col("zm")).as("srz"))
           .select(col("n"),
             (col("szm").cast("double") / (col("n") * 1000.0)).as("b0"),
-            (col("srz").cast("double") / (col("n") * (col("n") - 1) * 1000.0)).as("b1"))
+            // n = 1 exceedance → n·(n−1) = 0 → 0/0; guard on both engines
+            // (the n_lincoln pattern) instead of trusting NaN to agree
+            when(col("n") > 1, col("srz").cast("double")
+              / (col("n") * (col("n") - 1) * 1000.0))
+              .otherwise(lit(null)).as("b1"))
         pw.crossJoin(broadcast(u))
           .select(col("n").as("n_exceed"),
             floor(col("u")).cast("long").as("u_cents"),
@@ -8012,7 +8022,9 @@ object AnalyticsQueries {
         |  GROUP BY 1, 2),
         |pw AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(zm) AS DOUBLE) / (count(*) * 1000.0) AS b0,
-        |    CAST(sum(r0 * zm) AS DOUBLE) / (count(*) * (count(*) - 1) * 1000.0) AS b1
+        |    CASE WHEN count(*) > 1 THEN
+        |      CAST(sum(r0 * zm) AS DOUBLE) / (count(*) * (count(*) - 1) * 1000.0)
+        |    END AS b1
         |  FROM ranked)
         |SELECT n AS n_exceed, CAST(floor(u) AS BIGINT) AS u_cents,
         |  CAST(floor(1e3 * b0) AS BIGINT) AS b0_milli_cents,

@@ -1478,8 +1478,9 @@ object LlmQueries {
     // teams. The coin is FIXED (lexical drafts first every round) so
     // the drafted list is deterministic and replays exactly in SQL —
     // production randomizes the coin per query; the draft mechanics,
-    // dedup-across-teams, and credit attribution are identical. Six
-    // dependent argmin steps, each over ≤ 5-row-per-query relations.
+    // dedup-across-teams, and credit attribution are identical. The six
+    // dependent argmin steps resolve inside one flatMapGroups per query
+    // (candidate pool ≤ 10 rows — see interleaveDraft).
     "q_interleave_teamdraft" -> ((
       (s: SparkSession, dir: String) => interleaveDraft(s, dir),
       Some(teamDraftOracle("SELECT query_id, doc_id, pos, team FROM pk6"))
@@ -1497,13 +1498,10 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         graft.functions.GraftFunctions.register(s)
         val e = emb(s, dir)
-        // localCheckpoint: the six dependent draft rounds each nest the
-        // full prior lineage, so the composed winrate plan string passed
-        // 250 KB (Spark truncates at 262 KB and warns per run — driver
-        // CPU + log noise). The drafted relation is ≤ 6 picks per sampled
-        // query — the "interleave pick sets" checkpoint trust documented
-        // in PlanAudit; no broadcast hint consumes the checkpointed leaf.
-        val drafted = interleaveDraft(s, dir).localCheckpoint(true)
+        // no checkpoint needed: the flatMapGroups draft is a single-pass
+        // plan (the old six-step unroll nested the full lineage per pick
+        // and crossed the 250 KB plan-string ceiling)
+        val drafted = interleaveDraft(s, dir)
         val w = Window.partitionBy("query_id").orderBy(col("cs").desc, col("doc_id").asc)
         // no hint: hinting e (corpus-proportional) would force a 100 TB
         // broadcast; the drafted relation is the small side and AQE
@@ -7980,8 +7978,10 @@ object LlmQueries {
   /** The shared team-draft pipeline behind the interleaving entries:
     * lexical (BM25 over the query doc's terms) and dense (exact cosine)
     * top-5 rankings merged by alternating drafts with a fixed coin
-    * (lexical first each round), six dependent argmin steps with a
-    * localCheckpoint per pick. Returns (query_id, doc_id, pos 1-6, team).
+    * (lexical first each round). The six dependent picks are resolved
+    * per-query inside one flatMapGroups over the ≤ 10-row candidate pool
+    * (one shuffle, no driver-side step barrier).
+    * Returns (query_id, doc_id, pos 1-6, team).
     */
   private def interleaveDraft(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
@@ -8011,41 +8011,33 @@ object LlmQueries {
           .cast("long").as("tm"))
       .groupBy("query_id", "doc_id").agg(sum("tm").as("lexs"))
     val wl = Window.partitionBy("query_id").orderBy(col("lexs").desc, col("doc_id"))
-    // localCheckpoint, not persist: all six draft picks replay this
-    // relation's lineage in the final union, so with a plain persist the
-    // composed plan STRING repeats the whole BM25 subtree 6× and passes
-    // Spark's 262 KB truncation ceiling (WARN per run). The relation is
-    // ≤ 5 rows per sampled query — the "interleave pick sets" checkpoint
-    // trust documented in PlanAudit.
     val rA = lex.withColumn("ra", row_number().over(wl)).filter(col("ra") <= 5)
       .select(col("query_id"), col("doc_id"), col("ra"))
-      .localCheckpoint(true)
     val e = emb(s, dir)
     val rB = Similarity.bruteForceTopK(
         e, e.filter(pmod(col("vec_id"), lit(100)) === 0 &&
           col("vec_id") < 102400), k = 5)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rb"))
-      .localCheckpoint(true) // same 6×-replay rationale as rA
-    def draft(src: DataFrame, rankCol: String, picked: DataFrame): DataFrame = {
-      val base = if (picked == null) src
-        else src.join(picked.select("query_id", "doc_id"), Seq("query_id", "doc_id"), "left_anti")
-      val w = Window.partitionBy("query_id").orderBy(col(rankCol), col("doc_id"))
-      base.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("query_id"), col("doc_id"))
-    }
-    var picked: DataFrame = null
-    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (round <- 0 until 3; (src, rk, team) <- Seq((rA, "ra", "lex"), (rB, "rb", "dense"))) {
-      val pick = draft(src, rk, picked)
-        .select(col("query_id"), col("doc_id"),
-          lit(round * 2 + (if (team == "lex") 1 else 2)).cast("long").as("pos"),
-          lit(team).as("team"))
-      out += pick
-      picked = if (picked == null) pick else picked.unionAll(pick)
-      picked = picked.localCheckpoint(eager = true) // 6 dependent steps
-    }
-    out.reduce(_ unionAll _)
+    // The draft is six DEPENDENT argmin steps (each pick excludes all
+    // earlier picks), but the whole candidate pool per query is ≤ 10 rows
+    // (lex top-5 ∪ dense top-5) — so instead of six chained Spark jobs
+    // (the previous shape: one left_anti + window + eager localCheckpoint
+    // PER PICK, a driver-side barrier sequence), simulate the draft
+    // per-query in a single flatMapGroups: ONE shuffle by query_id, the
+    // six picks resolved inside the group. At 100 TB this is the
+    // difference between one exchange and six full passes; the pick
+    // order is identical (rank asc, doc_id asc, fixed lex-first coin).
+    import s.implicits._
+    rA.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("ra").cast("int").as("rk"), lit(true).as("is_lex"))
+      .unionAll(rB.select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("rb").cast("int").as("rk"), lit(false).as("is_lex")))
+      .as[(Long, Long, Int, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups((qid: Long, it: Iterator[(Long, Long, Int, Boolean)]) =>
+        graft.operators.TeamDraft.draftPicks(qid, it))
+      .toDF("query_id", "doc_id", "pos", "team")
   }
 
   /** DuckDB replay of the team-draft pipeline through the `pk6` CTE

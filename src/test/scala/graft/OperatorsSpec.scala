@@ -387,4 +387,45 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
     assert(ham(fps(1L), fps(2L)) <= 12)
   }
+
+  // ---- TeamDraft.draftPicks: hand-worked fixtures for the fixed-coin
+  // team-draft simulation behind q_interleave_teamdraft/_winrate ----
+
+  test("team draft: a stolen favorite falls through to the team's next rank") {
+    // lex top-5: 10,11,12,13,14; dense top-5: 10,20,11,21,22 (shares 10,11)
+    val cands = Seq(
+      (7L, 10L, 1, true), (7L, 11L, 2, true), (7L, 12L, 3, true),
+      (7L, 13L, 4, true), (7L, 14L, 5, true),
+      (7L, 10L, 1, false), (7L, 20L, 2, false), (7L, 11L, 3, false),
+      (7L, 21L, 4, false), (7L, 22L, 5, false))
+    val picks = graft.operators.TeamDraft.draftPicks(7L, cands.iterator).toSeq
+    // worked by hand: lex drafts 10; dense wants 10 (taken) → 20;
+    // lex 11; dense wants 11 (taken) → 21; lex 12; dense 22
+    assert(picks == Seq(
+      (7L, 10L, 1L, "lex"), (7L, 20L, 2L, "dense"),
+      (7L, 11L, 3L, "lex"), (7L, 21L, 4L, "dense"),
+      (7L, 12L, 5L, "lex"), (7L, 22L, 6L, "dense")))
+  }
+
+  test("team draft: an exhausted team yields no pick but positions still advance") {
+    // dense has only 3 candidates, all inside lex's list
+    val cands = Seq(
+      (1L, 1L, 1, true), (1L, 2L, 2, true), (1L, 3L, 3, true),
+      (1L, 4L, 4, true), (1L, 5L, 5, true),
+      (1L, 1L, 1, false), (1L, 2L, 2, false), (1L, 3L, 3, false))
+    val picks = graft.operators.TeamDraft.draftPicks(1L, cands.iterator).toSeq
+    // lex 1; dense (1 taken) → 2; lex (2 taken) → 3; dense empty → NO
+    // pos-4 row; lex 4; dense still empty → no pos-6 row
+    assert(picks == Seq(
+      (1L, 1L, 1L, "lex"), (1L, 2L, 2L, "dense"),
+      (1L, 3L, 3L, "lex"), (1L, 4L, 5L, "lex")))
+  }
+
+  test("team draft: equal ranks break by doc_id ascending (the oracle's ORDER BY)") {
+    val cands = Seq((2L, 30L, 1, true), (2L, 9L, 1, true), (2L, 40L, 1, false))
+    val picks = graft.operators.TeamDraft.draftPicks(2L, cands.iterator).toSeq
+    assert(picks.head == ((2L, 9L, 1L, "lex")))
+    assert(picks(1) == ((2L, 40L, 2L, "dense")))
+    assert(picks(2) == ((2L, 30L, 3L, "lex")))
+  }
 }
