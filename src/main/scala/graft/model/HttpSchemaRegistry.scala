@@ -1,0 +1,125 @@
+package graft.model
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Network-backed [[SchemaRegistry]] over the Confluent Schema Registry
+  * REST API — the client half of the reference's roadmap item
+  * (`/root/reference/GAP.md:12` "Schema Registry Integration: Not
+  * Started"; `/root/reference/docker-compose.yml:32-44` stands up a
+  * Confluent-compatible registry on :8081 that no reference code ever
+  * calls). Speaks the public v1 wire:
+  *
+  *  - `POST /subjects/{s}/versions` `{"schema": ...}` → `{"id": N}`
+  *    (identical schema text re-registers to the same id);
+  *  - `POST /subjects/{s}` `{"schema": ...}` → `{subject, id, version,
+  *    schema}` (the check/lookup endpoint — resolves the version the
+  *    registration landed on);
+  *  - `GET /subjects/{s}/versions/latest` → `{subject, id, version,
+  *    schema}`;
+  *  - `GET /schemas/ids/{id}` → `{"schema": ...}` and
+  *    `GET /schemas/ids/{id}/versions` → `[{subject, version}]`.
+  *
+  * Pure JDK `java.net.http` + the Jackson already on Spark's classpath —
+  * no new dependencies. 404s map to `None` (the `Option` surface of the
+  * trait); any other non-2xx raises with the registry's error body, so
+  * misconfiguration fails loudly instead of silently framing id 0.
+  * The id this client returns is what
+  * [[graft.operators.Encode.confluentFrame]] stamps into the 5-byte
+  * Confluent wire header (magic 0x00 + big-endian id) — see
+  * `f5_confluent_frame`.
+  *
+  * ServiceSpec-style loopback tests drive it against an in-process stub
+  * implementing the same endpoints; only a real external registry is
+  * unreachable from this sandbox.
+  */
+final class HttpSchemaRegistry(baseUrl: String,
+                               timeout: Duration = Duration.ofSeconds(10))
+    extends SchemaRegistry {
+
+  private val base = baseUrl.stripSuffix("/")
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newBuilder().connectTimeout(timeout).build()
+
+  private val ContentType = "application/vnd.schemaregistry.v1+json"
+
+  private def enc(segment: String): String =
+    java.net.URLEncoder.encode(segment, UTF_8).replace("+", "%20")
+
+  private def send(req: HttpRequest): HttpResponse[String] =
+    http.send(req, HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): Option[String] = {
+    val r = send(HttpRequest.newBuilder(URI.create(base + path))
+      .timeout(timeout).header("Accept", ContentType).GET().build())
+    r.statusCode() match {
+      case ok if ok >= 200 && ok < 300 => Some(r.body())
+      case 404 => None
+      case other =>
+        throw new java.io.IOException(
+          s"schema registry GET $path failed: HTTP $other ${r.body().take(200)}")
+    }
+  }
+
+  private def post(path: String, body: String): Option[String] = {
+    val r = send(HttpRequest.newBuilder(URI.create(base + path))
+      .timeout(timeout)
+      .header("Content-Type", ContentType).header("Accept", ContentType)
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build())
+    r.statusCode() match {
+      case ok if ok >= 200 && ok < 300 => Some(r.body())
+      case 404 => None
+      case other =>
+        throw new java.io.IOException(
+          s"schema registry POST $path failed: HTTP $other ${r.body().take(200)}")
+    }
+  }
+
+  private def schemaBody(schemaJson: String): String = {
+    val node = mapper.createObjectNode()
+    node.put("schema", schemaJson)
+    mapper.writeValueAsString(node)
+  }
+
+  override def register(subject: String, schemaJson: String): RegisteredSchema = {
+    val s = enc(subject)
+    val id = post(s"/subjects/$s/versions", schemaBody(schemaJson))
+      .map(b => mapper.readTree(b).get("id").asInt())
+      .getOrElse(throw new java.io.IOException(
+        s"schema registry refused registration under '$subject' (404)"))
+    // the registration response carries only the id; the check endpoint
+    // resolves which version it landed on (same round trip the Confluent
+    // client makes)
+    val checked = post(s"/subjects/$s", schemaBody(schemaJson))
+      .getOrElse(throw new java.io.IOException(
+        s"schema registered (id=$id) but lookup under '$subject' 404'd"))
+    val n = mapper.readTree(checked)
+    RegisteredSchema(id, subject, n.get("version").asInt(),
+      n.get("schema").asText())
+  }
+
+  override def byId(id: Int): Option[RegisteredSchema] =
+    get(s"/schemas/ids/$id").map { b =>
+      val schema = mapper.readTree(b).get("schema").asText()
+      // subject/version live on the companion endpoint; absent (an id
+      // known to the registry but with no subject listing) degrades to
+      // the schema text alone rather than failing the lookup
+      val sv = get(s"/schemas/ids/$id/versions")
+        .map(mapper.readTree).filter(_.size() > 0).map(_.get(0))
+      RegisteredSchema(id,
+        sv.map(_.get("subject").asText()).getOrElse(""),
+        sv.map(_.get("version").asInt()).getOrElse(0),
+        schema)
+    }
+
+  override def latest(subject: String): Option[RegisteredSchema] =
+    get(s"/subjects/${enc(subject)}/versions/latest").map { b =>
+      val n = mapper.readTree(b)
+      RegisteredSchema(n.get("id").asInt(), n.get("subject").asText(),
+        n.get("version").asInt(), n.get("schema").asText())
+    }
+}
