@@ -428,4 +428,41 @@ class OperatorsSpec extends SparkSpec {
     assert(picks(1) == ((2L, 40L, 2L, "dense")))
     assert(picks(2) == ((2L, 30L, 3L, "lex")))
   }
+
+  test("team draft equals the step-wise argmin formulation on random pools") {
+    // independent reference: the six-step formulation the oracle unrolls
+    // (and the pre-rewrite Spark plan executed) — for k = 1..6, the
+    // odd/even team's argmin over (rank, doc_id) excluding all picks so
+    // far, position advancing whether or not a pick lands
+    def stepwise(qid: Long, cands: Seq[(Long, Long, Int, Boolean)])
+        : Seq[(Long, Long, Long, String)] = {
+      var picked = Set.empty[Long]
+      (1 to 6).flatMap { k =>
+        val isLex = k % 2 == 1
+        val pick = cands.filter(c => c._4 == isLex && !picked.contains(c._2))
+          .sortBy(c => (c._3, c._2)).headOption
+        pick.foreach(c => picked += c._2)
+        pick.map(c => (qid, c._2, k.toLong, if (isLex) "lex" else "dense"))
+      }
+    }
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 200) {
+      // overlapping doc pools with duplicate ranks and uneven list sizes
+      val nLex = rnd.nextInt(6) // 0..5
+      val nDen = rnd.nextInt(6)
+      val docPool = (1 to 8).map(_.toLong)
+      def list(n: Int, isLex: Boolean) =
+        rnd.shuffle(docPool).take(n).zipWithIndex.map { case (d, i) =>
+          (trial.toLong, d, 1 + rnd.nextInt(3) * (i % 2) + i / 2, isLex)
+        }
+      val cands = list(nLex, isLex = true) ++ list(nDen, isLex = false)
+      val got = graft.operators.TeamDraft.draftPicks(trial.toLong, cands.iterator).toSeq
+      assert(got == stepwise(trial.toLong, cands), s"trial $trial pool $cands")
+      // structural invariants: no doc drafted twice, positions strictly
+      // increasing, odd positions lex / even dense
+      assert(got.map(_._2).distinct.size == got.size)
+      assert(got.map(_._3) == got.map(_._3).sorted)
+      assert(got.forall(p => (p._3 % 2 == 1) == (p._4 == "lex")))
+    }
+  }
 }
