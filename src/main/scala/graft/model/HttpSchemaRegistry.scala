@@ -53,30 +53,37 @@ final class HttpSchemaRegistry(baseUrl: String,
   private def send(req: HttpRequest): HttpResponse[String] =
     http.send(req, HttpResponse.BodyHandlers.ofString())
 
-  private def get(path: String): Option[String] = {
-    val r = send(HttpRequest.newBuilder(URI.create(base + path))
-      .timeout(timeout).header("Accept", ContentType).GET().build())
+  // shared status dispatch: 2xx → body, 404 → None, anything else →
+  // IOException carrying method/path and the registry's error body
+  private def dispatch(method: String, path: String,
+      r: HttpResponse[String]): Option[String] =
     r.statusCode() match {
       case ok if ok >= 200 && ok < 300 => Some(r.body())
       case 404 => None
       case other =>
         throw new java.io.IOException(
-          s"schema registry GET $path failed: HTTP $other ${r.body().take(200)}")
+          s"schema registry $method $path failed: HTTP $other ${r.body().take(200)}")
     }
-  }
 
-  private def post(path: String, body: String): Option[String] = {
-    val r = send(HttpRequest.newBuilder(URI.create(base + path))
+  private def get(path: String): Option[String] =
+    dispatch("GET", path, send(HttpRequest.newBuilder(URI.create(base + path))
+      .timeout(timeout).header("Accept", ContentType).GET().build()))
+
+  private def post(path: String, body: String): Option[String] =
+    dispatch("POST", path, send(HttpRequest.newBuilder(URI.create(base + path))
       .timeout(timeout)
       .header("Content-Type", ContentType).header("Accept", ContentType)
-      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build())
-    r.statusCode() match {
-      case ok if ok >= 200 && ok < 300 => Some(r.body())
-      case 404 => None
-      case other =>
-        throw new java.io.IOException(
-          s"schema registry POST $path failed: HTTP $other ${r.body().take(200)}")
-    }
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build()))
+
+  // null-safe field access: a 2xx body missing an expected field (a
+  // non-registry service answering on the configured port) must fail
+  // with the URL context, not a bare NullPointerException
+  private def field(body: String, name: String, ctx: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val n = mapper.readTree(body).get(name)
+    if (n == null) throw new java.io.IOException(
+      s"schema registry $ctx returned 2xx without '$name': ${body.take(200)}")
+    n
   }
 
   private def schemaBody(schemaJson: String): String = {
@@ -88,7 +95,7 @@ final class HttpSchemaRegistry(baseUrl: String,
   override def register(subject: String, schemaJson: String): RegisteredSchema = {
     val s = enc(subject)
     val id = post(s"/subjects/$s/versions", schemaBody(schemaJson))
-      .map(b => mapper.readTree(b).get("id").asInt())
+      .map(b => field(b, "id", s"POST /subjects/$s/versions").asInt())
       .getOrElse(throw new java.io.IOException(
         s"schema registry refused registration under '$subject' (404)"))
     // the registration response carries only the id; the check endpoint
@@ -97,19 +104,25 @@ final class HttpSchemaRegistry(baseUrl: String,
     val checked = post(s"/subjects/$s", schemaBody(schemaJson))
       .getOrElse(throw new java.io.IOException(
         s"schema registered (id=$id) but lookup under '$subject' 404'd"))
-    val n = mapper.readTree(checked)
-    RegisteredSchema(id, subject, n.get("version").asInt(),
-      n.get("schema").asText())
+    val ctx = s"POST /subjects/$s"
+    RegisteredSchema(id, subject, field(checked, "version", ctx).asInt(),
+      field(checked, "schema", ctx).asText())
   }
 
+  /** Two round trips by design: the schema text and its subject/version
+    * listing live on different endpoints, and the trait returns the full
+    * [[RegisteredSchema]]. The companion lookup DEGRADES on any error —
+    * a proxy 403/405/500 or a registry without the /versions listing
+    * yields the schema text with blank subject/version rather than
+    * failing a lookup whose payload half already succeeded.
+    */
   override def byId(id: Int): Option[RegisteredSchema] =
     get(s"/schemas/ids/$id").map { b =>
-      val schema = mapper.readTree(b).get("schema").asText()
-      // subject/version live on the companion endpoint; absent (an id
-      // known to the registry but with no subject listing) degrades to
-      // the schema text alone rather than failing the lookup
-      val sv = get(s"/schemas/ids/$id/versions")
+      val schema = field(b, "schema", s"GET /schemas/ids/$id").asText()
+      val sv = (try get(s"/schemas/ids/$id/versions")
+        catch { case _: java.io.IOException => None })
         .map(mapper.readTree).filter(_.size() > 0).map(_.get(0))
+        .filter(n => n.get("subject") != null && n.get("version") != null)
       RegisteredSchema(id,
         sv.map(_.get("subject").asText()).getOrElse(""),
         sv.map(_.get("version").asInt()).getOrElse(0),
@@ -118,8 +131,10 @@ final class HttpSchemaRegistry(baseUrl: String,
 
   override def latest(subject: String): Option[RegisteredSchema] =
     get(s"/subjects/${enc(subject)}/versions/latest").map { b =>
-      val n = mapper.readTree(b)
-      RegisteredSchema(n.get("id").asInt(), n.get("subject").asText(),
-        n.get("version").asInt(), n.get("schema").asText())
+      val ctx = s"GET /subjects/${enc(subject)}/versions/latest"
+      RegisteredSchema(field(b, "id", ctx).asInt(),
+        field(b, "subject", ctx).asText(),
+        field(b, "version", ctx).asInt(),
+        field(b, "schema", ctx).asText())
     }
 }

@@ -29,6 +29,11 @@ class SchemaRegistryHttpSpec extends SparkSpec with BeforeAndAfterAll {
   private val seen =
     scala.collection.concurrent.TrieMap.empty[(String, String), graft.model.RegisteredSchema]
   @volatile private var lastContentType: String = ""
+  // fault injection: ids whose /versions companion answers 500 (a proxy
+  // or older registry), and a flag making POST .../versions return 200
+  // with a non-registry body (a wrong service on the right port)
+  @volatile private var versions500: Set[Int] = Set.empty
+  @volatile private var bogusRegisterBody: Boolean = false
 
   private def reply(x: HttpExchange, status: Int, body: String): Unit = {
     val b = body.getBytes(UTF_8)
@@ -61,10 +66,13 @@ class SchemaRegistryHttpSpec extends SparkSpec with BeforeAndAfterAll {
         .map(s => java.net.URLDecoder.decode(s, UTF_8))
       (x.getRequestMethod, segs) match {
         case ("POST", List("subjects", subj, "versions")) =>
-          val schema = schemaOf(x)
-          val rs = backing.register(subj, schema)
-          seen.put((subj, schema), rs)
-          reply(x, 200, s"""{"id":${rs.id}}""")
+          if (bogusRegisterBody) reply(x, 200, """{"error":"not a registry"}""")
+          else {
+            val schema = schemaOf(x)
+            val rs = backing.register(subj, schema)
+            seen.put((subj, schema), rs)
+            reply(x, 200, s"""{"id":${rs.id}}""")
+          }
         case ("POST", List("subjects", subj)) =>
           // check/lookup: 404 unless this exact schema is registered
           seen.get((subj, schemaOf(x))) match {
@@ -86,11 +94,16 @@ class SchemaRegistryHttpSpec extends SparkSpec with BeforeAndAfterAll {
             case None =>
               reply(x, 404, """{"error_code":40403,"message":"schema not found"}""")
           }
+        case ("GET", List("schemas", "ids", id, "versions"))
+            if versions500.contains(id.toInt) =>
+          reply(x, 500, """{"error_code":500,"message":"gateway sad"}""")
         case ("GET", List("schemas", "ids", id, "versions")) =>
           backing.byId(id.toInt) match {
             case Some(rs) =>
-              reply(x, 200,
-                s"""[{"subject":"${rs.subject}","version":${rs.version}}]""")
+              val arr = mapper.createArrayNode()
+              val e = arr.addObject()
+              e.put("subject", rs.subject); e.put("version", rs.version)
+              reply(x, 200, mapper.writeValueAsString(arr))
             case None =>
               reply(x, 404, """{"error_code":40403,"message":"schema not found"}""")
           }
@@ -138,6 +151,30 @@ class SchemaRegistryHttpSpec extends SparkSpec with BeforeAndAfterAll {
     val subj = "weird topic/value"
     val r = client.register(subj, schemaA)
     assert(client.latest(subj).contains(r))
+    // a double-quote in the subject must survive the stub's mapper-built
+    // JSON and the client's parse — both ends real serializers
+    val quoted = """he said "hi"-value"""
+    val rq = client.register(quoted, schemaA)
+    assert(client.byId(rq.id).map(_.subject).contains(quoted))
+  }
+
+  test("byId degrades to schema-text-only when the versions companion errors") {
+    val r = client.register("degrade-value", schemaA)
+    versions500 = Set(r.id)
+    try {
+      val got = client.byId(r.id)
+      assert(got.contains(graft.model.RegisteredSchema(r.id, "", 0, schemaA)),
+        s"a 500 on /versions must not fail the lookup, got $got")
+    } finally versions500 = Set.empty
+  }
+
+  test("a 2xx body without the expected field fails loudly with the URL context") {
+    bogusRegisterBody = true
+    try {
+      val e = intercept[java.io.IOException](client.register("bogus-value", schemaA))
+      assert(e.getMessage.contains("without 'id'"))
+      assert(e.getMessage.contains("/subjects/bogus-value/versions"))
+    } finally bogusRegisterBody = false
   }
 
   test("a registry-assigned id frames and recovers through the Confluent wire") {
