@@ -176,6 +176,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the team draft resolves in-plan: one MapGroups, no checkpoint scans") {
+    // the r12 rewrite contract: six dependent picks simulate inside ONE
+    // keyed flatMapGroups, and merely CONSTRUCTING the entry runs no
+    // Spark jobs (the old shape eagerly localCheckpointed per pick, so a
+    // LogicalRDD leaf here means the barrier pattern crept back)
+    val df = graft.queries.LlmQueries.defs("q_interleave_teamdraft")._1(spark, sf0001)
+    import org.apache.spark.sql.catalyst.plans.logical.MapGroups
+    val analyzed = df.queryExecution.analyzed
+    val mg = analyzed.collect { case m: MapGroups => m }
+    assert(mg.size == 1, s"expected exactly one MapGroups draft, got ${mg.size}")
+    val rddLeaves = analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    }
+    assert(rddLeaves.isEmpty,
+      s"draft plan must not contain checkpoint cuts, got ${rddLeaves.size}")
+  }
+
   test("q_att_matched matches with ONE partitioned window, not a per-row probe join") {
     val df = AnalyticsQueries.defs("q_att_matched")._1(spark, sf0001)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
