@@ -111,6 +111,19 @@ object GraftFunctions {
     }
   }
 
+  val hyperplaneBucketsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 5,
+      "hyperplane_buckets expects (embedding, dim, bands, rows, seed)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    (exprs(1), exprs(2), exprs(3), exprs(4)) match {
+      case (Literal(d: Int, IntegerType), Literal(b: Int, IntegerType),
+            Literal(r: Int, IntegerType), Literal(s: Long, LongType)) =>
+        HyperplaneBucketsExpr(exprs(0), d, b, r, s)
+      case _ => throw new IllegalArgumentException(
+        "hyperplane_buckets: dim/bands/rows must be int literals, seed a long literal")
+    }
+  }
+
   val jaccardBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, "jaccard_x1000 expects (a, b)")
     JaccardX1000Expr(exprs(0), exprs(1))
@@ -192,6 +205,7 @@ object GraftFunctions {
     ("minhash_sig", classOf[MinHashSignatureExpr], minhashSigBuilder),
     ("simhash64", classOf[SimHash64Expr], simhash64Builder),
     ("hyperplane_sig", classOf[HyperplaneSigExpr], hyperplaneSigBuilder),
+    ("hyperplane_buckets", classOf[HyperplaneBucketsExpr], hyperplaneBucketsBuilder),
     ("jaccard_x1000", classOf[JaccardX1000Expr], jaccardBuilder),
     ("dot_i64", classOf[DotI64Expr], dotI64Builder),
     ("dot_u8", classOf[DotU8Expr], dotU8Builder),

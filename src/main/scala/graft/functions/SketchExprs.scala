@@ -330,6 +330,44 @@ object SketchMath {
     java.lang.Long.valueOf(hyperplaneSig(a, planes, dim, bits))
   }
 
+  /** Per-band hyperplane-LSH bucket values: band `b`'s bucket packs the
+    * sign bits of a · h_{b·rows+j} (j < rows) — the SAME plane stream and
+    * fold order as [[hyperplaneSig]], so for `bands·rows ≤ 64` element `b`
+    * equals `(hyperplaneSig >> b·rows) & ((1<<rows)-1)` bit-for-bit. The
+    * wide form exists because a packed-long signature caps the TOTAL bank
+    * at 64 planes: sub-quadratic banding needs wide bands (2^rows bucket
+    * values per band), and 8 bands × 16 rows is already 128 planes.
+    * Null (not a silently mis-bucketed array) on malformed vectors, same
+    * contract as [[hyperplaneSigChecked]].
+    */
+  def hyperplaneBucketsChecked(a: ArrayData, planes: Array[Double], dim: Int,
+                               bands: Int, rows: Int): ArrayData = {
+    val n = a.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < rows) {
+        val off = (b * rows + j) * dim
+        var dot = 0.0
+        var k = 0
+        while (k < n) { dot += a.getFloat(k).toDouble * planes(off + k); k += 1 }
+        if (dot >= 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def simhash64(hs: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = hs.numElements()
@@ -666,6 +704,66 @@ case class HyperplaneSigExpr(child: Expression, dim: Int, bits: Int, seed: Long)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+}
+
+/** hyperplane_buckets(embedding: array<float>, dim, bands, rows, seed
+  * literals) → array<bigint> of length `bands`: band b's LSH bucket value
+  * in [0, 2^rows). The WIDE-band successor to [[HyperplaneSigExpr]] for
+  * banded candidate joins (r12 verdict: a 64-bit packed signature caps
+  * rows-per-band at 64/bands — 4-bit buckets at 8 bands — and a 16-value
+  * bucket domain makes any corpus self-join Θ(n²) in candidates; wide
+  * bands need `bands·rows` planes, past what one long can carry).
+  * Same plane stream/fold as hyperplane_sig: for bands·rows ≤ 64 the
+  * elements equal that signature's band slices bit-for-bit.
+  */
+case class HyperplaneBucketsExpr(child: Expression, dim: Int, bands: Int,
+                                 rowsPerBand: Int, seed: Long)
+    extends UnaryExpression {
+  require(dim >= 1, "hyperplane_buckets: dim must be positive")
+  require(bands >= 1, "hyperplane_buckets: bands must be positive")
+  require(rowsPerBand >= 1 && rowsPerBand <= 63,
+    "hyperplane_buckets: rows per band must be in [1, 63]")
+  require(bands * rowsPerBand <= 4096,
+    "hyperplane_buckets: plane bank capped at 4096 planes")
+
+  @transient private lazy val planes: Array[Double] =
+    SketchMath.hyperplanes(dim, bands * rowsPerBand, seed)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("hyperplane_buckets expects array<float>")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  // null is also the result for malformed vectors (length != dim, or a
+  // null element) — see SketchMath.hyperplaneBucketsChecked
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    SketchMath.hyperplaneBucketsChecked(
+      a.asInstanceOf[ArrayData], planes, dim, bands, rowsPerBand)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hyperplanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val arr = ctx.freshName("buckets")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $arr =
+         |  graft.functions.SketchMath.hyperplaneBucketsChecked(
+         |    $a, $planesRef, $dim, $bands, $rowsPerBand);
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $arr;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
     copy(child = newChild)
 }
 

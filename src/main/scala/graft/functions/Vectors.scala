@@ -89,6 +89,19 @@ object Vectors {
     // otherwise. All graft operators register before calling this.
     call_function("hyperplane_sig", a, lit(dim), lit(bits), lit(seed))
 
+  /** Per-band hyperplane-LSH buckets: `bands` values, each in
+    * [0, 2^rowsPerBand) — the wide-band signature for banded candidate
+    * joins (see SketchExprs.HyperplaneBucketsExpr: a packed-long signature
+    * caps the bank at 64 planes, forcing the tiny bucket domains the r12
+    * verdict flagged as Θ(n²) candidate volume). Same plane stream as
+    * [[hyperplaneSignature]]: for bands·rows ≤ 64 the elements equal that
+    * signature's band slices bit-for-bit. Same registration PRECONDITION.
+    */
+  def hyperplaneBandBuckets(a: Column, dim: Int, bands: Int, rowsPerBand: Int,
+                            seed: Long = 42L): Column =
+    call_function("hyperplane_buckets", a, lit(dim), lit(bands),
+      lit(rowsPerBand), lit(seed))
+
   /** Deterministic pseudo-random hyperplanes (xorshift64*), grouped per bit. */
   private[graft] def deterministicPlanes(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] =
     graft.functions.SketchMath.hyperplanes(dim, bits, seed)

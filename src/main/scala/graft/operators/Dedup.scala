@@ -368,7 +368,8 @@ object Dedup {
     * with their estimated (signature-agreement) and exact Jaccard×1000.
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
-                      n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {
+                      n: Int = 3, jaccardPctX10: Int = 800,
+                      maxBucket: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // shingle-hash array materialized once; signature and verification both
     // derive from it (one string-hash pass over the corpus total). Documents
@@ -381,7 +382,7 @@ object Dedup {
     val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashLshPairsFromHs(withHs, numHashes, bands, jaccardPctX10)
+    minhashLshPairsFromHs(withHs, numHashes, bands, jaccardPctX10, maxBucket)
   }
 
   /** [[minhashLshPairs]] over a precomputed (doc_id, hs) shingle-hash
@@ -390,10 +391,11 @@ object Dedup {
     * of tokenizing and hashing the corpus twice.
     */
   def minhashLshPairsFromHs(withHs: DataFrame, numHashes: Int = 64,
-                            bands: Int = 16, jaccardPctX10: Int = 800): DataFrame = {
+                            bands: Int = 16, jaccardPctX10: Int = 800,
+                            maxBucket: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(withHs.sparkSession)
     // band bucket = hash of the band's signature slice (statically unrolled)
-    val buckets = bandBuckets(withHs, numHashes, bands)
+    val buckets = bandBuckets(withHs, numHashes, bands, maxBucket)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -442,10 +444,23 @@ object Dedup {
     * ids only, the payload joins back by id (the shuffle-volume rule every
     * LSH operator here follows). Shared by the self-join pair finder and the
     * incremental batch-vs-corpus filter.
+    *
+    * `maxBucket > 0` drops buckets holding more doc_ids than that (per
+    * band) before any candidate join — the [[graft.operators.Imaging
+    * .dhashNearDupPairs]] hot-bucket discipline, ported here per the r12
+    * verdict: the bucket VALUE domain is content-derived (xxhash64, 2^64)
+    * so random collisions are no concern, but k documents with identical
+    * signatures — exact-dup cliques, 30-60% of crawl text — form ONE
+    * bucket and k²·bands candidate rows. "Run exact dedup first" is
+    * convention; the cap is the contract. A clique past the cap still
+    * dedups: exact/[[exactNormalized]] owns identical text, and the capped
+    * clique's members keep their OTHER evidence only if genuinely similar
+    * to something outside it. maxBucket <= 0 disables (exact mode).
     */
-  private def bandBuckets(withHs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandBuckets(withHs: DataFrame, numHashes: Int, bands: Int,
+                          maxBucket: Int): DataFrame = {
     val rows = numHashes / bands
-    withHs
+    val raw = withHs
       .select(col("doc_id"),
         call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
       .select(
@@ -455,6 +470,13 @@ object Dedup {
           struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bucket"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    if (maxBucket <= 0) raw else {
+      // aggregate + anti join, no broadcast hint (hot-bucket cardinality
+      // grows with the corpus)
+      val hot = raw.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket).select("band", "bucket")
+      raw.join(hot, Seq("band", "bucket"), "left_anti")
+    }
   }
 
   /** Incremental dedup — the shape a production corpus runs daily: filter an
@@ -530,10 +552,13 @@ object Dedup {
   def incrementalFilterAgainst(corpusHs: DataFrame, batchHs: DataFrame,
                                batch: DataFrame,
                                numHashes: Int = 64, bands: Int = 16,
-                               jaccardPctX10: Int = 800): DataFrame = {
+                               jaccardPctX10: Int = 800,
+                               maxBucket: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
-    val candidates = bandBuckets(batchHs, numHashes, bands).as("nb")
-      .join(bandBuckets(corpusHs, numHashes, bands).as("cb"),
+    // hot-bucket cap on the CORPUS index side (the side that grows without
+    // bound); a micro-batch is operator-bounded by construction
+    val candidates = bandBuckets(batchHs, numHashes, bands, maxBucket = 0).as("nb")
+      .join(bandBuckets(corpusHs, numHashes, bands, maxBucket).as("cb"),
         col("nb.band") === col("cb.band") && col("nb.bucket") === col("cb.bucket"))
       .select(col("nb.doc_id").as("batch_id"), col("cb.doc_id").as("corpus_id"))
       .distinct()
@@ -914,13 +939,31 @@ object Dedup {
     simhashPairsFromFp(withFp, maxHamming)
   }
 
-  /** Banded pair generation over a precomputed fingerprint relation. */
-  def simhashPairsFromFp(withFp: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val chunks = withFp.select(col("doc_id"), col("fp"),
+  /** Banded pair generation over a precomputed fingerprint relation.
+    *
+    * `maxBucket` is the hot-bucket exclusion every banded family here
+    * carries (r12/r13 discipline): a 16-bit chunk value shared by more
+    * than `maxBucket` documents (exact-dup fingerprint cliques; at
+    * corpus scale, ANY chunk value once n ≫ 4·65536) is quadratic
+    * candidate volume; excluding it bounds candidates at ≤ 4·maxBucket·n.
+    * The pigeonhole recall guarantee (hamming ≤ 3 cannot miss) holds
+    * UNCONDITIONALLY only in exact mode (maxBucket <= 0) — capped, it
+    * holds for every pair outside hot buckets, which at fixture scale is
+    * every pair (the witness entry checks exactly that), and past ~10⁷
+    * docs a 64-bit simhash needs wider banding regardless.
+    */
+  def simhashPairsFromFp(withFp: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = 1000): DataFrame = {
+    val raw = withFp.select(col("doc_id"), col("fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
           shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("ck"))): _*)).as("cc"))
       .select(col("doc_id"), col("fp"), col("cc.chunk"), col("cc.ck"))
+    val chunks = if (maxBucket <= 0) raw else {
+      val hot = raw.groupBy("chunk", "ck").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket).select("chunk", "ck")
+      raw.join(hot, Seq("chunk", "ck"), "left_anti")
+    }
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
@@ -959,38 +1002,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** LSH-bucketed embedding near-dup: random-hyperplane signature, banded
-    * into `bands` chunks; bucket-join per band, verify cosine. Approximate
-    * (recall < 1 by design) but shuffle-bounded: candidates only within
-    * buckets, and the bucket explode + self-join carry `(vec_id, band,
-    * bucket)` ONLY — never the embedding payload, which at production dims
-    * is 1-4 KB/vector and would otherwise be replicated ×bands through the
-    * biggest shuffle in the pipeline. Embeddings are joined back by id for
-    * the cosine verification, the same join-back-by-id shape
-    * [[minhashLshPairs]] uses for its shingle sets.
+  /** LSH-bucketed embedding near-dup: random-hyperplane band buckets
+    * (`bands` bands × `rowsPerBand` sign bits each); bucket-join per band,
+    * verify cosine. Approximate (recall < 1 by design) but shuffle-bounded:
+    * candidates only within buckets, and the bucket explode + self-join
+    * carry `(vec_id, band, bucket)` ONLY — never the embedding payload,
+    * which at production dims is 1-4 KB/vector and would otherwise be
+    * replicated ×bands through the biggest shuffle in the pipeline.
+    * Embeddings are joined back by id for the cosine verification, the
+    * same join-back-by-id shape [[minhashLshPairs]] uses for its shingle
+    * sets.
+    *
+    * Candidate-volume contract (r12 verdict — the old form's 4-bit buckets
+    * made the self-join Θ(n²) on ANY corpus): the bucket domain is
+    * 2^rowsPerBand per band, so a random pair collides with probability
+    * 2^-rowsPerBand per band — at the 16-row default that is 1.5·10⁻⁵, and
+    * the `maxBucket` hot-bucket cap (the [[graft.operators.Imaging
+    * .dhashNearDupPairs]] discipline) bounds the residue: with the cap
+    * engaged, candidates ≤ bands·maxBucket·n — LINEAR in corpus size no
+    * matter how the vectors distribute. LSH theory's price: per-band match
+    * probability for a TRUE pair at cosine τ is (1−arccos(τ)/π)^rows, so
+    * wide bands only have recall in the high-similarity regime (τ ≳ 0.9 at
+    * rows = 16) — near-dup territory. For LOW-τ semantic grouping
+    * (τ ≈ 0.45, where (1−arccos(τ)/π) ≈ 0.65 makes candidate volume a
+    * CONSTANT fraction of all pairs for any banding with usable recall —
+    * the ρ = ln p₁/ln p₂ ≈ 0.625 LSH lower bound), pick `rowsPerBand` from
+    * that formula (the catalog's τ = 0.45 entries use 6×16) and treat
+    * [[semanticDropIds]] (SemDeDup cells) as the preferred 100 TB path.
     */
   /** `(id, band, bucket)` rows for banded hyperplane-LSH — the ids-only
     * relation every embedding-LSH join shuffles (never the embedding
-    * payload).
+    * payload). `maxBucket > 0` drops buckets holding more ids than that
+    * (per band): a bucket that hot is degenerate content (near-identical
+    * vector cliques — exact dedup's job) or a banding too coarse for the
+    * corpus, and either way it carries quadratic candidate volume and no
+    * per-pair evidence the other bands can't re-supply. maxBucket <= 0
+    * disables (exact mode) — the [[graft.operators.Imaging
+    * .dhashNearDupPairs]] pattern.
     */
-  private def hyperplaneBuckets(embeddings: DataFrame, idAs: String, dim: Int,
-                                bits: Int, bands: Int): DataFrame = {
-    val rows = bits / bands
-    val mask = (1L << rows) - 1
-    embeddings
+  private[graft] def hyperplaneBuckets(embeddings: DataFrame, idAs: String,
+                                       dim: Int, rowsPerBand: Int, bands: Int,
+                                       maxBucket: Int): DataFrame = {
+    val raw = embeddings
       .select(col("vec_id").as(idAs),
-        Vectors.hyperplaneSignature(col("embedding"), dim, bits).as("sig"))
-      .select(col(idAs),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bucket"))): _*)).as("bb"))
-      .select(col(idAs), col("bb.band"), col("bb.bucket"))
+        Vectors.hyperplaneBandBuckets(col("embedding"), dim, bands, rowsPerBand).as("bkts"))
+      .select(col(idAs), posexplode(col("bkts")).as(Seq("band", "bucket")))
+    if (maxBucket <= 0) raw else {
+      // aggregate + anti join, no broadcast hint (hot-bucket cardinality
+      // grows with the corpus)
+      val hot = raw.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBucket).select("band", "bucket")
+      raw.join(hot, Seq("band", "bucket"), "left_anti")
+    }
   }
 
   def embeddingLshPairs(embeddings: DataFrame, dim: Int, threshold: Double,
-                        bits: Int = 32, bands: Int = 8): DataFrame = {
+                        rowsPerBand: Int = 16, bands: Int = 8,
+                        maxBucket: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val buckets = hyperplaneBuckets(embeddings, "vec_id", dim, bits, bands)
+    val buckets = hyperplaneBuckets(embeddings, "vec_id", dim, rowsPerBand,
+      bands, maxBucket)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -1017,12 +1088,15 @@ object Dedup {
     * [[graft.streaming.StreamOps.embeddingDedupAgainstCorpus]].
     */
   def embeddingMatchedIds(corpus: DataFrame, batch: DataFrame, dim: Int,
-                          threshold: Double, bits: Int = 32,
-                          bands: Int = 8): DataFrame = {
+                          threshold: Double, rowsPerBand: Int = 16,
+                          bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(batch.sparkSession)
-    val cand = hyperplaneBuckets(batch, "vec_id", dim, bits, bands)
-      .join(hyperplaneBuckets(corpus, "corpus_id", dim, bits, bands),
-        Seq("band", "bucket"))
+    // the hot-bucket cap guards the CORPUS index side (the side that grows
+    // without bound); a micro-batch is operator-bounded by construction
+    val cand = hyperplaneBuckets(batch, "vec_id", dim, rowsPerBand, bands,
+        maxBucket = 0)
+      .join(hyperplaneBuckets(corpus, "corpus_id", dim, rowsPerBand, bands,
+        maxBucket), Seq("band", "bucket"))
       .select(col("vec_id"), col("corpus_id"))
       .distinct()
     cand

@@ -226,46 +226,69 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** LSH-bucketed top-k: queries and corpus are signed with the same
-    * hyperplane bank; candidates = corpus rows sharing any band bucket with
-    * the query; then exact cosine top-k within candidates. Approximate:
-    * recall depends on bits/bands; the plan is a bucket-equi-join instead of
-    * a cross product.
-    *
-    * Multi-probe (`multiProbe`, default on): the QUERY side also probes
-    * each band bucket with one sign bit flipped — the classic recall lever
-    * that costs query-side rows (×(1+rows) here, broadcast anyway) instead
-    * of another full hash table. A flipped bit is exactly "this embedding
-    * was near that hyperplane", so the extra probes target the likeliest
-    * misses. The corpus side is untouched: its explode stays ×bands.
+  /** LSH-bucketed top-k: queries and corpus are banded with the same
+    * hyperplane bank (`bands` bands × `rowsPerBand` sign bits);
+    * candidates = corpus rows sharing any band bucket with the query
+    * (multi-probed, see [[lshCandidates]]); then exact cosine top-k within
+    * candidates. Approximate: recall depends on rows/bands; the plan is a
+    * bucket-equi-join instead of a cross product, and the per-query
+    * candidate fraction shrinks as 2^-rowsPerBand per band — the r12
+    * verdict's fix for the 4-bit banding whose candidates were ~half the
+    * corpus per query.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              bits: Int = 32, bands: Int = 8, multiProbe: Boolean = true): DataFrame = {
+  /** Candidate pairs for [[lshTopK]] — exposed so callers can measure the
+    * index's selectivity (candidates per query ≪ corpus is the reason an
+    * LSH index exists; `ann_lsh_topk` materializes that as a verdict
+    * column). Bucket rows are ids only — the corpus-side explode (×bands)
+    * and the bucket join never carry the embedding payload (1-4 KB/vector
+    * at production dims). The corpus side carries the hot-bucket cap
+    * ([[graft.operators.Dedup.embeddingLshPairs]] discipline): a bucket
+    * holding > `maxBucket` corpus ids is degenerate content or
+    * too-coarse banding, and either way every query probing it would scan
+    * it linearly; maxBucket <= 0 disables.
+    */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame, dim: Int,
+                    rowsPerBand: Int = 8, bands: Int = 8,
+                    multiProbe: Boolean = true, maxBucket: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val rows = bits / bands
-    val mask = (1L << rows) - 1
-    // bucket rows are ids only — the corpus-side explode (×bands) and the
-    // bucket join never carry the embedding payload (1-4 KB/vector at
-    // production dims); embeddings rejoin by id for the exact-cosine scoring
-    def banded(df: DataFrame, idAs: String, probe: Boolean) = {
-      val sig = df.select(col("vec_id"),
-        Vectors.hyperplaneSignature(col("embedding"), dim, bits).as("sig"))
-      val buckets = (0 until bands).flatMap { b =>
-        val base = shiftright(col("sig"), b * rows).bitwiseAND(mask)
-        val probes = if (probe && multiProbe)
-          (0 until rows).map(r => base.bitwiseXOR(lit(1L << r)))
-        else Seq.empty
-        (base +: probes).map(bk => struct(lit(b).as("band"), bk.as("bucket")))
+    def banded(df: DataFrame, idAs: String) = df
+      .select(col("vec_id").as(idAs),
+        Vectors.hyperplaneBandBuckets(col("embedding"), dim, bands, rowsPerBand).as("bkts"))
+      .select(col(idAs), posexplode(col("bkts")).as(Seq("band", "bucket")))
+    val corpusBuckets = {
+      val raw = banded(corpus, "neighbor_id")
+      if (maxBucket <= 0) raw else {
+        val hot = raw.groupBy("band", "bucket").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBucket).select("band", "bucket")
+        raw.join(hot, Seq("band", "bucket"), "left_anti")
       }
-      sig.select(col("vec_id").as(idAs), explode(array(buckets: _*)).as("bb"))
-        .select(col(idAs), col("bb.band"), col("bb.bucket"))
     }
-    val cand = banded(corpus, "neighbor_id", probe = false).as("c")
-      .join(broadcast(banded(queries, "query_id", probe = true).as("q")),
+    // multi-probe: the QUERY side also probes each band bucket with one
+    // sign bit flipped — the classic recall lever that costs query-side
+    // rows (×(1+rows) here, broadcast anyway) instead of another full hash
+    // table. A flipped bit is exactly "this embedding was near that
+    // hyperplane", so the extra probes target the likeliest misses. The
+    // corpus side is untouched: its explode stays ×bands.
+    val queryBuckets = {
+      val base = banded(queries, "query_id")
+      if (!multiProbe) base
+      else base.select(col("query_id"), col("band"),
+        explode(array(col("bucket") +: (0 until rowsPerBand).map(r =>
+          col("bucket").bitwiseXOR(lit(1L << r))): _*)).as("bucket"))
+    }
+    corpusBuckets.as("c")
+      .join(broadcast(queryBuckets.as("q")),
         col("q.band") === col("c.band") && col("q.bucket") === col("c.bucket") &&
           col("q.query_id") =!= col("c.neighbor_id"))
       .select(col("q.query_id"), col("c.neighbor_id"))
       .distinct()
+  }
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              rowsPerBand: Int = 8, bands: Int = 8,
+              multiProbe: Boolean = true, maxBucket: Int = 1000): DataFrame = {
+    val cand = lshCandidates(corpus, queries, dim, rowsPerBand, bands,
+      multiProbe, maxBucket)
     val scored = cand
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), Seq("query_id"))
@@ -297,10 +320,23 @@ object Similarity {
     * and only `(query_id, neighbor_id, cos)` scalars enter the per-query
     * top-k window. ScaleSpec asserts the no-cartesian plan.
     */
+  /** Scale-derived pivot count: ⌈√N⌉ clamped to [16, 65536] — the
+    * economics the [[knnGraphPivoted]] scaladoc prescribes ("pick nPivots
+    * ~ √N so within-cell work is ~N^1.5 total"), as the DEFAULT rather
+    * than prose (r12 verdict item 6). The 65536 ceiling keeps the
+    * broadcast pivot table executor-sized at any N (√10⁹ ≈ 32k fits;
+    * past that IVF with a fitted quantizer is the right tier anyway).
+    */
+  def derivedPivotCount(n: Long): Int =
+    math.max(16L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+
   def knnGraphPivoted(corpus: DataFrame, k: Int,
-                      nPivots: Int = 32, nProbe: Int = 4): DataFrame = {
+                      nPivots: Int = 0, nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val pivots = broadcast(corpus.orderBy("vec_id").limit(nPivots)
+    // nPivots <= 0 → derive from a cheap count (one columnless scan;
+    // callers wanting oracle-exact replay pin an explicit count)
+    val np = if (nPivots > 0) nPivots else derivedPivotCount(corpus.count())
+    val pivots = broadcast(corpus.orderBy("vec_id").limit(np)
       .select(col("vec_id").as("pid"), col("embedding").as("p_emb")))
     // rank every pivot per vector ONCE: rank 1 is the vector's own cell
     // (each vector lives in exactly one cell, so a (query, neighbor) pair
@@ -365,7 +401,7 @@ object Similarity {
     * Inherits the caller-must-clear-cache contract of the graph build.
     */
   def graphTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                nPivots: Int = 32, nProbe: Int = 4, graphK: Int = 5,
+                nPivots: Int = 0, nProbe: Int = 4, graphK: Int = 5,
                 hops: Int = 1): DataFrame = {
     require(hops >= 1, "graphTopK needs at least one expansion hop")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
@@ -597,9 +633,16 @@ object Similarity {
     var a = assign(cent)
     var i = 0
     while (i < iters) {
-      cent = u.join(a.select("vec_id", "cl"), "vec_id")
-        .groupBy("cl", "idx")
-        .agg(floor(sum("qv").cast("double") / count(lit(1))).cast("long").as("cv"))
+      // DECLARED driver-bounded checkpoint per update round (r13): the
+      // centroid relation is k·d rows (512 at the defaults) at ANY corpus
+      // size, each round's plan otherwise embeds the whole previous
+      // round's window chain, and an undeclared cut would read as an
+      // unbounded join side to the plan gates
+      cent = graft.tools.BoundedCheckpoints.checkpoint(
+        u.join(a.select("vec_id", "cl"), "vec_id")
+          .groupBy("cl", "idx")
+          .agg(floor(sum("qv").cast("double") / count(lit(1))).cast("long").as("cv")),
+        eager = false)
       a = assign(cent)
       i += 1
     }
@@ -849,9 +892,14 @@ object Similarity {
     */
   def abttWhitenQ(emb: DataFrame, idPred: Column, iters: Int = 3,
                   scale: Int = 10000): DataFrame = {
-    val u = pcaPowerQ(emb, iters, scale)
-      .select(col("dim_idx").as("idx"), col("weight").as("uw"))
-      .localCheckpoint(eager = true) // read by uu, dots, and the projection
+    // read by uu, dots, and the projection; DECLARED driver-bounded — the
+    // direction vector is one row per embedding DIMENSION (d = 64 here,
+    // record-shaped at any corpus size), so the checkpoint leaf is safe
+    // for the plan gates to trust (r13: an undeclared cut read as an
+    // unbounded join side and false-flagged the idx joins)
+    val u = graft.tools.BoundedCheckpoints.checkpoint(
+      pcaPowerQ(emb, iters, scale)
+        .select(col("dim_idx").as("idx"), col("weight").as("uw")))
     val uu = u.agg(sum(col("uw") * col("uw")).as("uu"))
     val q = emb.filter(idPred)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))

@@ -384,7 +384,9 @@ object StreamOps {
     */
   def embeddingDedupAgainstCorpus(vecs: DataFrame, corpus: DataFrame,
                                   sink: DataFrame => Unit, dim: Int,
-                                  threshold: Double = 0.45):
+                                  threshold: Double = 0.45,
+                                  rowsPerBand: Int = 16, bands: Int = 8,
+                                  maxBucket: Int = 1000):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // static index: signature-banded once per query, not per batch
@@ -398,7 +400,8 @@ object StreamOps {
         val b = batch.persist(lvl)
         try {
           val matched = graft.operators.Dedup
-            .embeddingMatchedIds(corpusRel, b, dim, threshold)
+            .embeddingMatchedIds(corpusRel, b, dim, threshold, rowsPerBand,
+              bands, maxBucket)
           sink(b.join(matched, Seq("vec_id"), "left_anti"))
         } finally b.unpersist()
       }

@@ -41,6 +41,15 @@ import graft.SparkEntry
   *    DECLARED brute-force twin whose query set IS the corpus (scale
   *    path: `vector_knn_graph_pivoted`) — the flag is that declaration
   *    made visible. Any OTHER query joining this list is a regression.
+  *  - `small-domain-join` — a join whose ENTIRE equality key set has a
+  *    machine-checkably SMALL fixed value domain (masked k-bit
+  *    extraction, small literal modulus, LSH band buckets) over two
+  *    SF-proportional sides, with no hot-key exclusion cap on either
+  *    side: a disguised cross shape, Θ(|L|·|R|/domain) on any corpus —
+  *    the r12 verdict's 4-bit hyperplane banding, which the equi-keyed
+  *    `cross-shape` class structurally cannot see. The maxBucket
+  *    anti-join ([[graft.operators.Imaging.dhashNearDupPairs]] and the
+  *    r13 ports) is the machine-checked defense. No accepted instances.
   *  - `cross-shape` — a join with NO equality conjunct between its
   *    sides (planned as `CartesianProduct`, or `BroadcastNestedLoopJoin`
   *    when an inequality-only condition exists) whose inputs BOTH scale
@@ -116,8 +125,18 @@ object PlanAudit {
     private lazy val trees = physTrees(scope)
     private lazy val defs: Map[ExprId, Expression] = physDefs(trees)
     private lazy val posIds: Set[ExprId] = physPosIds(trees)
-    def resolve(a: AttributeReference): Option[Expression] = defs.get(a.exprId)
-    def posAttr(id: ExprId): Boolean = posIds.contains(id)
+    private lazy val genSources = physGenSources(trees)
+    private lazy val rebinds: Map[ExprId, ExprId] = trees.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        cacheRebinds(s.relation.output, s.relation.cachedPlan.output)
+    }.flatten).toMap
+    private def chase(id: ExprId): ExprId = chaseRebinds(rebinds, id)
+    def resolve(a: AttributeReference): Option[Expression] = defs.get(chase(a.exprId))
+    def posAttr(id: ExprId): Boolean = posIds.contains(chase(id))
+    def genElemSource(id: ExprId): Option[Expression] =
+      genSources.get(chase(id)).collect { case ("elem", e) => e }
+    def genPosSource(id: ExprId): Option[Expression] =
+      genSources.get(chase(id)).collect { case ("pos", e) => e }
     // no provenance analysis on the physical side: cached plans are small
     // and self-contained; the child-recursion arm in boundedCached is the
     // fallback
@@ -326,9 +345,18 @@ object PlanAudit {
     def resolve(a: AttributeReference): Option[Expression]
     def posAttr(id: ExprId): Boolean
     def attrBounded(a: AttributeReference, depth: Int): Boolean
+    /** Generator provenance (r13): the array expression a Generate's
+      * ELEMENT output explodes, keyed by the output attr's exprId — lets
+      * the domain analysis see through `posexplode(hyperplane_buckets(…))`
+      * and `explode(array(struct(lit(b), sig & mask)))` to the element
+      * domain (an LSH bucket is NOT corpus-shaped, it is 2^rows values).
+      */
+    def genElemSource(id: ExprId): Option[Expression]
+    /** Same, for a posexplode POSITION output: the exploded array. */
+    def genPosSource(id: ExprId): Option[Expression]
   }
 
-  private val MaxDepth = 24
+  private val MaxDepth = 48
 
   private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
@@ -386,6 +414,13 @@ object PlanAudit {
           Some(CalendarDays)
         case _ => None
       }
+      // x & SMALL_MASK: a masked k-bit extraction is at most
+      // 2^popcount(mask) values regardless of x — the r12 verdict's named
+      // small-domain shape (LSH band buckets, simhash chunks). Must match
+      // BEFORE the generic BinaryArithmetic arm, which would multiply the
+      // unbounded operand in.
+      case BitwiseAnd(_, m) if maskLiteral(m).isDefined => maskLiteral(m)
+      case BitwiseAnd(m, _) if maskLiteral(m).isDefined => maskLiteral(m)
       // pmod/% with a SMALL constant modulus: at most |modulus| buckets
       case Pmod(_, m, _) if smallLiteral(m) =>
         literalLong(m).flatMap(v => cap(math.abs(v)))
@@ -414,21 +449,90 @@ object PlanAudit {
         combine(cw.branches.map(_._2) ++ cw.elseValue, _ + _, 0L)
       case If(_, t, f) => combine(Seq(t, f), _ + _, 0L)
       case c: Coalesce => combine(c.children, _ + _, 0L)
+      // struct field of an exploded literal-array-of-structs (the classic
+      // explode(array(struct(lit(b), sig & mask))) banding): at most the
+      // SUM of that field's per-element domains
+      case gsf: GetStructField => stripCastAlias(gsf.child) match {
+        case a: AttributeReference =>
+          ctx.genElemSource(a.exprId)
+            .map(src => arraySource(src, ctx, 8))
+            .flatMap(src => elemDomain(src, ctx, depth, Some(gsf.ordinal)))
+        case _ => None
+      }
       case a: AttributeReference =>
         if (valueDomainCols.contains(a.name.toLowerCase)) Some(EnumDomain)
         else if (a.dataType == org.apache.spark.sql.types.DateType) Some(CalendarDays)
-        // posexplode position: max array length — record-shaped, not
-        // corpus-shaped (longest document, fixed embedding dims)
-        else if (ctx.posAttr(a.exprId)) Some(65536L)
-        else ctx.resolve(a) match {
-          case Some(d) => domainSize(d, ctx, depth + 1)
-          // provenance: values drawn from a bounded relation — that
-          // relation's row count is itself capped by the walk's limits
-          case None if ctx.attrBounded(a, depth + 1) => Some(MaxBoundLiteral)
-          case None => None
-        }
+        // posexplode position: the array's STATIC length when the plan
+        // declares one (a band count), else max array length —
+        // record-shaped, not corpus-shaped (longest document, fixed dims)
+        else if (ctx.posAttr(a.exprId))
+          ctx.genPosSource(a.exprId)
+            .map(src => arraySource(src, ctx, 8))
+            .flatMap(arrayStaticLen)
+            .orElse(Some(65536L))
+        // generator ELEMENT of a domain-declaring array (LSH bucket
+        // arrays, literal arrays): the element domain, not corpus-shaped
+        else ctx.genElemSource(a.exprId)
+          .map(src => arraySource(src, ctx, 8))
+          .flatMap(src => elemDomain(src, ctx, depth, None))
+          .orElse(ctx.resolve(a) match {
+            case Some(d) => domainSize(d, ctx, depth + 1)
+            // provenance: values drawn from a bounded relation — that
+            // relation's row count is itself capped by the walk's limits
+            case None if ctx.attrBounded(a, depth + 1) => Some(MaxBoundLiteral)
+            case None => None
+          })
       case _ => None
     }
+  }
+
+  /** mask → 2^popcount(mask) when that is itself a SMALL domain. */
+  private def maskLiteral(e: Expression): Option[Long] = stripCastAlias(e) match {
+    case Literal(v: Number, _) if v.longValue >= 0 =>
+      val bits = java.lang.Long.bitCount(v.longValue)
+      if (bits <= 21) Some(1L << bits) else None
+    case _ => None
+  }
+
+  /** Chase an exploded-array expression back through aliases to the node
+    * that declares its shape (CreateArray, hyperplane_buckets, …).
+    */
+  private def arraySource(e: Expression, ctx: Ctx, fuel: Int): Expression =
+    stripCastAlias(e) match {
+      case a: AttributeReference if fuel > 0 =>
+        ctx.resolve(a).map(arraySource(_, ctx, fuel - 1)).getOrElse(a)
+      case other => other
+    }
+
+  /** Plan-time array length, when statically declared. */
+  private def arrayStaticLen(e: Expression): Option[Long] = e match {
+    case ca: CreateArray => Some(ca.children.length.toLong)
+    case h: graft.functions.HyperplaneBucketsExpr => Some(h.bands.toLong)
+    case _ => None
+  }
+
+  /** Domain of an exploded array's ELEMENTS (or of struct field `ordinal`
+    * of each element): LSH bucket arrays declare 2^rowsPerBand; literal
+    * arrays sum their per-element domains; anything else is unknown.
+    */
+  private def elemDomain(src: Expression, ctx: Ctx, depth: Int,
+      ordinal: Option[Int]): Option[Long] = src match {
+    case h: graft.functions.HyperplaneBucketsExpr if ordinal.isEmpty =>
+      if (h.rowsPerBand <= 21) Some(1L << h.rowsPerBand) else None
+    case ca: CreateArray =>
+      val parts = ca.children.map { e =>
+        (stripCastAlias(e), ordinal) match {
+          case (s: CreateNamedStruct, Some(ord)) => s.valExprs.lift(ord)
+          case (el, None) => Some(el)
+          case _ => None
+        }
+      }
+      if (parts.exists(_.isEmpty)) None
+      else parts.flatten.foldLeft(Option(0L)) { (acc, p) =>
+        for (a <- acc; b <- domainSize(p, ctx, depth + 1)
+             if a + b <= MaxBoundLiteral) yield a + b
+      }
+    case _ => None
   }
 
   private def literalSpan(hi: Expression, lo: Expression): Option[Long] =
@@ -487,6 +591,49 @@ object PlanAudit {
         g.generatorOutput.head.exprId
     }).toSet
 
+  /** Cache-instance REBINDS (r13): a self-join over a persisted relation
+    * re-instances the `InMemoryRelation` leaf with FRESH output exprIds,
+    * while the aliases/generators that define those columns live in the
+    * cached plan under the ORIGINAL ids — without this map, every second
+    * occurrence of a cached relation was provenance-blind (the kmeans/CKA
+    * false-flag class: a posexplode position behind a cache read as an
+    * unbounded key).
+    */
+  private def cacheRebinds(outer: Seq[Attribute],
+      inner: Seq[Attribute]): Seq[(ExprId, ExprId)] =
+    outer.zip(inner).collect {
+      case (o, c) if o.exprId != c.exprId => o.exprId -> c.exprId
+    }
+
+  private def chaseRebinds(rebinds: Map[ExprId, ExprId], id: ExprId,
+      fuel: Int = 8): ExprId =
+    rebinds.get(id) match {
+      case Some(next) if fuel > 0 => chaseRebinds(rebinds, next, fuel - 1)
+      case _ => id
+    }
+
+  /** exprId → ("pos"|"elem", exploded array expression) for every
+    * array-typed Explode/PosExplode output in the trees (map explodes
+    * have two value outputs and are skipped).
+    */
+  private def genSourcesOf(gen: Expression,
+      out: Seq[Attribute]): Seq[(ExprId, (String, Expression))] = gen match {
+    case PosExplode(child) if child.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType] && out.length == 2 =>
+      Seq(out(0).exprId -> (("pos", child)), out(1).exprId -> (("elem", child)))
+    case Explode(child) if child.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType] && out.length == 1 =>
+      Seq(out(0).exprId -> (("elem", child)))
+    case _ => Seq.empty
+  }
+
+  private def physGenSources(trees: Seq[org.apache.spark.sql.execution.SparkPlan])
+      : Map[ExprId, (String, Expression)] =
+    trees.flatMap(_.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        genSourcesOf(g.generator, g.generatorOutput)
+    }.flatten).toMap
+
   private final class LogicalCtx(scope: LogicalPlan,
       memo: java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]) extends Ctx {
     // alias defs in this logical tree PLUS the cached physical trees of
@@ -506,8 +653,24 @@ object PlanAudit {
       case g: Generate if g.generator.isInstanceOf[PosExplode] =>
         g.generatorOutput.head.exprId
     }.toSet ++ physPosIds(cachedTrees)
-    def resolve(a: AttributeReference): Option[Expression] = defs.get(a.exprId)
-    def posAttr(id: ExprId): Boolean = posIds.contains(id)
+    private lazy val genSources: Map[ExprId, (String, Expression)] =
+      scope.collect {
+        case g: Generate => genSourcesOf(g.generator, g.generatorOutput)
+      }.flatten.toMap ++ physGenSources(cachedTrees)
+    private lazy val rebinds: Map[ExprId, ExprId] = (scope.collect {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        cacheRebinds(imr.output, imr.cachedPlan.output)
+    }.flatten ++ cachedTrees.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        cacheRebinds(s.relation.output, s.relation.cachedPlan.output)
+    }.flatten)).toMap
+    private def chase(id: ExprId): ExprId = chaseRebinds(rebinds, id)
+    def resolve(a: AttributeReference): Option[Expression] = defs.get(chase(a.exprId))
+    def posAttr(id: ExprId): Boolean = posIds.contains(chase(id))
+    def genElemSource(id: ExprId): Option[Expression] =
+      genSources.get(chase(id)).collect { case ("elem", e) => e }
+    def genPosSource(id: ExprId): Option[Expression] =
+      genSources.get(chase(id)).collect { case ("pos", e) => e }
     def attrBounded(a: AttributeReference, depth: Int): Boolean =
       // provenance: the attr is OUTPUT by a bounded node (its values are
       // drawn from an SF-independent row set)…
@@ -669,15 +832,16 @@ object PlanAudit {
     * `broadcast(probe-set) join corpus ON non-equi` is linear per probe,
     * the catalog's ANN idiom.
     */
+  private def linksBothSides(j: Join, l: Expression, r: Expression): Boolean =
+    l.references.nonEmpty && r.references.nonEmpty &&
+      ((l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+       (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet)))
+
   def hasUnboundedCrossShape(optimized: LogicalPlan): Boolean = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    def linksBothSides(j: Join, l: Expression, r: Expression): Boolean =
-      l.references.nonEmpty && r.references.nonEmpty &&
-        ((l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
-         (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet)))
     def hasEquiKeys(j: Join): Boolean = j.condition.exists { cond =>
       conjuncts(cond).exists {
         case EqualTo(l, r) => linksBothSides(j, l, r)
@@ -693,6 +857,152 @@ object PlanAudit {
     optimized.collect {
       case j: Join if !hasEquiKeys(j) && !bounded(j.left) && !bounded(j.right) => j
     }.nonEmpty
+  }
+
+  /** True iff one side of the join EXCLUDES hot keys before joining: a
+    * LeftAnti join below (through unary nodes) whose equality keys cover
+    * the outer join keys on that side, against a count-thresholded
+    * aggregate over those keys — the `maxBucket` discipline every banded
+    * family here carries ([[graft.operators.Imaging.dhashNearDupPairs]]
+    * and the r13 ports). With hot keys excluded, every surviving key has
+    * ≤ cap rows on that side, so the outer join's output is ≤ cap ×
+    * |other side| — LINEAR in corpus size, which is what licenses a
+    * small-domain equi-key.
+    */
+  private def hotKeyCapped(side: LogicalPlan, keys: Set[ExprId]): Boolean = {
+    def hotListShaped(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.nonEmpty &&
+        p.collectFirst {
+          case f: Filter if conjunctsOf(f.condition).exists {
+              case GreaterThan(_, v) => v.foldable
+              case GreaterThanOrEqual(_, v) => v.foldable
+              case LessThan(v, _) => v.foldable
+              case LessThanOrEqual(v, _) => v.foldable
+              case _ => false
+            } => f
+        }.nonEmpty
+    def walk(p: LogicalPlan, fuel: Int): Boolean =
+      if (fuel == 0 || keys.isEmpty) false
+      else p match {
+        case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          val antiKeys = j.condition.toSeq.flatMap(conjunctsOf).collect {
+            case EqualTo(l, r) => Seq(l, r)
+            case EqualNullSafe(l, r) => Seq(l, r)
+          }.flatten.filter(_.references.subsetOf(j.left.outputSet))
+            .flatMap(attrOf).map(_.exprId).toSet
+          (keys.subsetOf(antiKeys) && hotListShaped(j.right)) ||
+            walk(j.left, fuel - 1)
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+          walk(u.child, fuel - 1)
+        case _ => false
+      }
+    walk(side, MaxDepth)
+  }
+
+  /** True iff this side's PER-KEY multiplicity is bounded by an Aggregate
+    * or Deduplicate below (through unary nodes / semi-anti lefts) whose
+    * grouping keys are each either one of the outer join keys (≤ 1 row per
+    * key tuple contribution) or a bounded-domain expression (multiplicity
+    * ≤ the product of those domains): the centroid/per-group-stats shape —
+    * `corpus ⋈ groupBy(cluster, idx)` on `idx` is ≤ |corpus|·|cluster
+    * domain| rows, LINEAR in the corpus. An aggregate keyed by a
+    * corpus-shaped column (doc_id) bounds nothing and does not clear the
+    * flag.
+    */
+  private def keyMultiplicityBounded(side: LogicalPlan, keys: Set[ExprId],
+      memo: java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]): Boolean = {
+    val ctx = new LogicalCtx(side, memo)
+    def canon(id: ExprId, fuel: Int): ExprId =
+      if (fuel == 0) id
+      else ctx.resolve(AttributeReference("k",
+          org.apache.spark.sql.types.LongType)(exprId = id)).flatMap(attrOf) match {
+        case Some(b) => canon(b.exprId, fuel - 1)
+        case None => id
+      }
+    val canonKeys = keys.map(canon(_, 8))
+    def groupingOk(exprs: Seq[Expression]): Boolean = {
+      val (keyed, rest) = exprs.partition(g =>
+        attrOf(g).exists(a => canonKeys.contains(canon(a.exprId, 8))))
+      keyed.nonEmpty && rest.foldLeft(Option(1L)) { (acc, g) =>
+        for (a <- acc; b <- domainSize(g, ctx, 0)
+             if a * b <= MaxBoundLiteral) yield a * b
+      }.isDefined
+    }
+    def walk(p: LogicalPlan, fuel: Int): Boolean =
+      if (fuel == 0) false
+      else p match {
+        case a: Aggregate => groupingOk(a.groupingExpressions) ||
+          walk(a.child, fuel - 1)
+        case d: Deduplicate => groupingOk(d.keys) || walk(d.child, fuel - 1)
+        case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          walk(j.left, fuel - 1)
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+          walk(u.child, fuel - 1)
+        case _ => false
+      }
+    walk(side, MaxDepth)
+  }
+
+  /** r12 verdict item 3: a join whose ENTIRE equality key set has a
+    * machine-checkably SMALL fixed value domain (a masked k-bit
+    * extraction, a small literal modulus, an LSH band-bucket array, a
+    * literal band index) over two SF-proportional sides is a DISGUISED
+    * cross shape — output Θ(|L|·|R| / domain) on ANY corpus, exactly the
+    * 4-bit hyperplane banding this round replaced, and invisible to
+    * `cross-shape` because the join IS equi-keyed. Accepted defenses,
+    * machine-checked: a bounded side (the shared walk), or the
+    * [[hotKeyCapped]] hot-key exclusion on either side. Semi/anti joins
+    * are exempt (output ≤ left). The per-conjunct domain is the MIN of
+    * the two sides' domains (an equi-key's joint domain is their
+    * intersection); conjunct domains multiply and any unbounded conjunct
+    * (ids, content hashes) clears the join.
+    */
+  def hasSmallDomainKeyJoin(optimized: LogicalPlan): Boolean = {
+    val memo = new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]()
+    optimized.collect { case j: Join => j }.exists { j =>
+      val exempt = j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti => true
+        case _: org.apache.spark.sql.catalyst.plans.ExistenceJoin => true
+        case _ => false
+      }
+      if (exempt) false
+      else {
+        val pairs = j.condition.toSeq.flatMap(conjunctsOf).collect {
+          case EqualTo(l, r) if linksBothSides(j, l, r) => (l, r)
+          case EqualNullSafe(l, r) if linksBothSides(j, l, r) => (l, r)
+        }
+        pairs.nonEmpty && {
+          val lctx = new LogicalCtx(j.left, memo)
+          val rctx = new LogicalCtx(j.right, memo)
+          def sideOf(e: Expression): (Expression, Ctx) =
+            if (e.references.subsetOf(j.left.outputSet)) (e, lctx) else (e, rctx)
+          val product = pairs.foldLeft(Option(1L)) { case (acc, (l, r)) =>
+            val (le, lc) = sideOf(l)
+            val (re, rc) = sideOf(r)
+            val d = (domainSize(le, lc, 0), domainSize(re, rc, 0)) match {
+              case (Some(a), Some(b)) => Some(math.min(a, b))
+              case (Some(a), None) => Some(a)
+              case (None, Some(b)) => Some(b)
+              case _ => None
+            }
+            for (a <- acc; b <- d if a * b <= MaxBoundLiteral) yield a * b
+          }
+          product.isDefined &&
+            !bounded(j.left) && !bounded(j.right) && {
+              def keyIds(side: LogicalPlan): Set[ExprId] =
+                pairs.flatMap { case (l, r) => Seq(l, r) }
+                  .filter(_.references.subsetOf(side.outputSet))
+                  .flatMap(attrOf).map(_.exprId).toSet
+              val (lk, rk) = (keyIds(j.left), keyIds(j.right))
+              !hotKeyCapped(j.left, lk) && !hotKeyCapped(j.right, rk) &&
+                !keyMultiplicityBounded(j.left, lk, memo) &&
+                !keyMultiplicityBounded(j.right, rk, memo)
+            }
+        }
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -714,6 +1024,7 @@ object PlanAudit {
           "unpartitioned-window" -> globalWindow,
           "unbounded-broadcast" -> hasUnboundedBroadcastHint(qe.analyzed),
           "cross-shape" -> hasUnboundedCrossShape(qe.optimizedPlan),
+          "small-domain-join" -> hasSmallDomainKeyJoin(qe.optimizedPlan),
           // a >250 KB plan STRING (unrolled iterative rounds nesting the
           // whole lineage) is constant w.r.t. data but real driver CPU +
           // log noise per run — Spark truncates at 262 KB and warns; the

@@ -111,6 +111,26 @@ class CatalogContractSpec extends SparkSpec {
       s"cross-shaped joins over unbounded inputs: ${offenders.mkString(", ")}")
   }
 
+  test("no small-domain-key join over two unbounded inputs without a hot-key cap") {
+    // r12 verdict item 3, enforced in CI: a join whose ENTIRE equality key
+    // set is a machine-checkably small fixed domain (masked k-bit
+    // extraction, small modulus, LSH band buckets) over two
+    // SF-proportional sides is a DISGUISED cross shape — Θ(|L|·|R|/domain)
+    // on any corpus, and invisible to the cross-shape class because the
+    // join is equi-keyed (exactly the 4-bit hyperplane banding r13
+    // replaced). The accepted defense is structural, not a listing: a
+    // maxBucket hot-key exclusion on either side (PlanAudit.hotKeyCapped),
+    // so the accepted set stays EMPTY — a new offender gets a cap, not an
+    // entry here.
+    val accepted = Set.empty[String]
+    val offenders = entries.filterNot(accepted).filter { name =>
+      graft.tools.PlanAudit.hasSmallDomainKeyJoin(
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan)
+    }
+    assert(offenders.isEmpty,
+      s"small-domain-key joins without a cap: ${offenders.mkString(", ")}")
+  }
+
   test("unpartitioned windows are restricted to the documented calendar-grain set") {
     // PlanAudit's unpartitioned-window class, enforced in CI the way the
     // broadcast rule already is: a Window with an empty partition spec

@@ -320,7 +320,11 @@ class DedupSpec extends SparkSpec {
   test("embedding LSH pairs are a subset of brute-force pairs (no false positives)") {
     val brute = Dedup.embeddingCosinePairs(emb, 0.45)
       .as[(Long, Long)].collect().toSet
-    val lsh = Dedup.embeddingLshPairs(emb, dim = 64, threshold = 0.45)
+    // 6×20 banding: the catalog's theory-picked parameters for τ = 0.45
+    // (the 16-row default targets the high-similarity regime, where a
+    // τ = 0.45 pair would almost never share a 16-bit band)
+    val lsh = Dedup.embeddingLshPairs(emb, dim = 64, threshold = 0.45,
+        rowsPerBand = 6, bands = 20)
       .as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(brute))
     // and recall is useful (hyperplane LSH is approximate by design)

@@ -183,6 +183,66 @@ class PlanGateSpec extends SparkSpec {
       "100 x 100 composite buckets are a bounded domain")
   }
 
+  // ---- small-domain-key join gate (r13) ----
+
+  private def smallKey(df: DataFrame): Boolean =
+    PlanAudit.hasSmallDomainKeyJoin(df.queryExecution.optimizedPlan)
+
+  test("small-domain-join detector FIRES on the r12 4-bit LSH banding shape") {
+    // faithful reconstruction of the pre-r13 hyperplaneBuckets: 32-bit
+    // packed signature, 8 bands x 4 bits — a 16-value-per-band bucket
+    // domain whose equi-self-join is Θ(n²) candidates on ANY corpus (the
+    // r12 verdict's lead finding, invisible to cross-shape because the
+    // join IS equi-keyed)
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val buckets = emb.select(col("vec_id"),
+        graft.functions.Vectors.hyperplaneSignature(col("embedding"), 64, 32).as("sig"))
+      .select(col("vec_id"), explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 4).bitwiseAND(15L).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val joined = buckets.as("a").join(buckets.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+    assert(smallKey(joined), "the 4-bit banding self-join must flag")
+  }
+
+  test("small-domain-join detector: capped wide banding passes, uncapped flags") {
+    import graft.operators.Dedup
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // the r13 production shape: 8 bands x 16 rows, maxBucket hot-key
+    // exclusion — candidates <= bands·maxBucket·n, linear
+    assert(!smallKey(Dedup.embeddingLshPairs(emb, dim = 64, threshold = 0.9)),
+      "the capped wide banding is the accepted defense — must pass")
+    // WITHOUT the cap even a 65,536-value bucket domain is a fixed domain
+    // (n -> infinity still packs every bucket quadratically)
+    assert(smallKey(Dedup.embeddingLshPairs(emb, dim = 64, threshold = 0.9,
+        maxBucket = 0)),
+      "uncapped banding over two corpus-scale sides must flag")
+    // simhash chunks are the same shape through a DIFFERENT spelling
+    // (explode of struct literals + shiftright/mask): capped passes,
+    // uncapped fires — pins the GetStructField/elemDomain analysis
+    val fp = Dedup.simhashFingerprints(docs)
+    assert(!smallKey(Dedup.simhashPairsFromFp(fp)))
+    assert(smallKey(Dedup.simhashPairsFromFp(fp, maxBucket = 0)))
+    // scope guard: id-keyed joins (unbounded key domain) never flag…
+    assert(!smallKey(docs.as("x").join(docs.as("y"), Seq("doc_id"))
+      .select(col("x.doc_id"))))
+    // …nor does MinHash banding even uncapped — its bucket VALUE domain is
+    // content-derived xxhash64 (2^64), so the domain analysis correctly
+    // clears it (its cap defends degenerate content cliques, which no
+    // static domain analysis can see)
+    assert(!smallKey(Dedup.minhashLshPairs(docs, maxBucket = 0)))
+    // one bounded side is linear — the ANN probe idiom stays accepted
+    val probeBuckets = Dedup.hyperplaneBuckets(
+      emb.filter(col("vec_id") < 8), "query_id", 64, 4, 8, 0)
+    val corpusBuckets = Dedup.hyperplaneBuckets(emb, "vec_id", 64, 4, 8, 0)
+    assert(!smallKey(corpusBuckets.join(broadcast(probeBuckets),
+        Seq("band", "bucket"))),
+      "bounded probe set x corpus on bucket keys is linear — must pass")
+  }
+
   // ---- unpartitioned-window gate ----
 
   test("global-window detector FIRES on an unpartitioned window over a fact table") {

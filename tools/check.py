@@ -3,7 +3,7 @@
 then execute each oracle_sql.json query in DuckDB over the same parquet tables
 and compare row sets (columns sorted by name, rows sorted, values normalized).
 
-Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify]
+Usage: python3 tools/check.py [sfdir] [outdir] [--skip-verify] [--only=a,b,c]
 """
 import json, math, sys, subprocess, pathlib
 
@@ -11,12 +11,14 @@ import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+ONLY = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), None)
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if "--skip-verify" not in sys.argv:
+    main = f'runMain graft.Verify {SF} {OUT}' + (f' {ONLY}' if ONLY else '')
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", main],
         capture_output=True, text=True, cwd="/root/repo")
     sys.stdout.write(r.stdout[-3000:])
     sys.stderr.write(r.stderr[-3000:])
