@@ -131,6 +131,33 @@ object SinkConfig {
   )
 }
 
+/** Per-topic table route for multi-table fan-out — the reference's own
+  * roadmap item (`GAP.md:17` "Multiple sink support"; its manager routes
+  * EVERY record to the first sink, `manager.rs:184`). Parsed from the sink
+  * connector's `route.<topic>` config keys:
+  * `"route.orders" -> "orders_v2:parquet"` sends records whose `topic` is
+  * `orders` to table `orders_v2` in parquet; the `:format` suffix is
+  * optional (default parquet). Topics with no route fall through to the
+  * connector's default sink pipeline unchanged, so adding a route never
+  * changes unrouted behavior.
+  */
+final case class TableRoute(topic: String, table: String, format: Format)
+
+object TableRoute {
+  def fromMap(c: Map[String, String]): Seq[TableRoute] =
+    c.collect { case (k, v) if k.startsWith("route.") && k.length > "route.".length =>
+      val topic = k.stripPrefix("route.")
+      v.split(":", 2) match {
+        case Array(t) => TableRoute(topic, t, Format.Parquet)
+        case Array(t, f) =>
+          val fmt = Format.parse(f)
+          if (fmt == Format.Bytes) throw new IllegalArgumentException(
+            s"route.$topic: raw bytes is a FileSink format, not a table format")
+          TableRoute(topic, t, fmt)
+      }
+    }.toSeq.sortBy(_.topic)
+}
+
 /** Kafka source configuration surface, mirroring `kafka.rs:399-492`:
   * required `bootstrap.servers` + `topics` (CSV), defaults
   * `group.id=rust-connect`, `poll.timeout.ms=100`, `batch.size=100`,

@@ -308,6 +308,43 @@ object PipelineQueries {
         |FROM events GROUP BY 1, 2, 3, 4""".stripMargin)
     )),
 
+    // P6 (r12 verdict item 4 / GAP.md:17 "Multiple sink support"): the
+    // multi-table fan-out DECISION, batch analog. Records gain per-topic
+    // topics (event_type-derived — the fixture's one-topic synthesis can't
+    // exercise routing), the routes parse from the real `route.<topic>`
+    // config surface (TableRoute.fromMap), and Pipeline.routeTable — the
+    // SAME derivation streamToRoutedTables writes by — assigns each record
+    // its (route_table, route_format); unrouted topics fall through to the
+    // default. The oracle replays the dispatch as a CASE, so a routing
+    // regression (wrong topic match, wrong fall-through, wrong format
+    // default) breaks the hash compare; StreamingSpec drives the streaming
+    // writer itself over a MemoryStream into per-table directories.
+    "p6_multi_table_route" -> ((
+      (s: SparkSession, dir: String) => {
+        val routes = graft.model.TableRoute.fromMap(Map(
+          "route.t_click" -> "clicks_v2",
+          "route.t_purchase" -> "purchases:json"))
+        val multi = Sources.events(s, dir).select(
+          concat(lit("t_"), col("event_type")).as("topic"),
+          col("event_id").cast("long").as("offset"))
+        graft.streaming.Pipeline.routeTable(multi, routes,
+            defaultTable = "default_sink", defaultFormat = "parquet")
+          .groupBy("route_table", "route_format", "topic")
+          .agg(count(lit(1)).as("cnt"), min("offset").as("min_offset"),
+            max("offset").as("max_offset"))
+      },
+      Some("""WITH multi AS (
+        |  SELECT 't_' || event_type AS topic, CAST(event_id AS BIGINT) AS "offset"
+        |  FROM events)
+        |SELECT CASE topic WHEN 't_click' THEN 'clicks_v2'
+        |                  WHEN 't_purchase' THEN 'purchases'
+        |                  ELSE 'default_sink' END AS route_table,
+        |       CASE topic WHEN 't_purchase' THEN 'json' ELSE 'parquet' END AS route_format,
+        |       topic, CAST(count(*) AS BIGINT) AS cnt,
+        |       min("offset") AS min_offset, max("offset") AS max_offset
+        |FROM multi GROUP BY 1, 2, 3""".stripMargin)
+    )),
+
     // P5: the group-by-(topic,partition) output routing.
     "p5_group_route" -> ((
       (s: SparkSession, dir: String) =>

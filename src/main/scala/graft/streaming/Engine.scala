@@ -26,17 +26,27 @@ final class Engine(spark: SparkSession, root: String, checkpointRoot: String) {
 
   /** Initialize from config: register one streaming query per source
     * connector, targeting the first sink connector's config — sinks first,
-    * sources after, mirroring `manager.rs:210-228` start order.
+    * sources after, mirroring `manager.rs:210-228` start order. When the
+    * sink connector declares `route.<topic>` keys, the query dispatches
+    * each routed topic to its own table (`GAP.md:17`; the reference
+    * hardcodes first-sink routing, `manager.rs:184`) — unrouted topics
+    * keep the default FileSink pipeline.
     */
   def initialize(cfg: GraftConfig): this.type = synchronized {
-    val sinkCfg = cfg.connectors.find(_.connectorType == "sink")
-      .map(ConfigLoader.sinkConfig)
+    val sinkConn = cfg.connectors.find(_.connectorType == "sink")
       .getOrElse(throw new IllegalArgumentException("config has no sink connector"))
+    val sinkCfg = ConfigLoader.sinkConfig(sinkConn)
+    val routes = graft.model.TableRoute.fromMap(sinkConn.config)
     cfg.connectors.filter(_.connectorType == "source").foreach { c =>
       manager.register(c.name) { () =>
-        Pipeline.streamToFiles(Engine.sourceStream(spark, cfg, c), sinkCfg,
-          s"$root/${c.name}", s"$checkpointRoot/${c.name}",
-          Trigger.ProcessingTime("1 second"), name = c.name)
+        if (routes.nonEmpty)
+          Pipeline.streamToRoutedTables(Engine.sourceStream(spark, cfg, c),
+            sinkCfg, routes, s"$root/${c.name}", s"$checkpointRoot/${c.name}",
+            Trigger.ProcessingTime("1 second"), name = c.name)
+        else
+          Pipeline.streamToFiles(Engine.sourceStream(spark, cfg, c), sinkCfg,
+            s"$root/${c.name}", s"$checkpointRoot/${c.name}",
+            Trigger.ProcessingTime("1 second"), name = c.name)
       }
     }
     current = Some(cfg)

@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.model.{ConnectorState, SinkConfig, SourceConfig}
+import graft.model.{ConnectorState, SinkConfig, SourceConfig, TableRoute}
 import graft.sinks.FileSink
 import graft.sources.Sources
 
@@ -80,6 +80,65 @@ object Pipeline {
       .option("compression", sink.compression.sparkCodec)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
+      .start()
+  }
+
+  /** The multi-table routing DECISION as a pure derivation: each record
+    * gains (route_table, route_format) from its topic — the routed table
+    * for a matching [[graft.model.TableRoute]], else the default. Shared
+    * by [[streamToRoutedTables]] (which writes each slice where this
+    * column says) and the batch/oracle analog `p6_multi_table_route`, so
+    * the dispatch the streaming sink applies is the dispatch the DuckDB
+    * oracle checks.
+    */
+  def routeTable(records: DataFrame, routes: Seq[TableRoute],
+                 defaultTable: String, defaultFormat: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val table = routes.foldLeft(lit(defaultTable)) { (acc, r) =>
+      when(col("topic") === r.topic, lit(r.table)).otherwise(acc)
+    }
+    val format = routes.foldLeft(lit(defaultFormat)) { (acc, r) =>
+      when(col("topic") === r.topic, lit(r.format.name)).otherwise(acc)
+    }
+    records.withColumn("route_table", table).withColumn("route_format", format)
+  }
+
+  /** Multi-table fan-out (`GAP.md:17` "Multiple sink support" — the
+    * reference hardcodes every record to the FIRST sink, `manager.rs:184`):
+    * ONE streaming query whose foreachBatch dispatches each routed topic's
+    * slice to its own table path + format, with unrouted topics falling
+    * through to the default [[FileSink]] pipeline (formats, partitioners,
+    * grouping — unchanged semantics). One query, one checkpoint: a restart
+    * replays the whole micro-batch into every table, so delivery stays
+    * at-least-once per table, the [[streamToFiles]] regime. The batch is
+    * persisted once and each route writes a topic-pruned slice — at scale
+    * the fan-out costs one cached pass plus one pruned write per route,
+    * never a re-read of the source per table.
+    */
+  def streamToRoutedTables(records: DataFrame, sink: SinkConfig,
+                           routes: Seq[TableRoute], root: String,
+                           checkpoint: String,
+                           trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                           name: String = "graft-routed-sink"): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    require(routes.nonEmpty, "streamToRoutedTables needs at least one route")
+    records.writeStream
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          routes.foreach { r =>
+            b.filter(col("topic") === r.topic)
+              .write.format(r.format.name).mode("append")
+              .save(s"$root/${r.table}")
+          }
+          val routed = routes.map(_.topic)
+          val rest = b.filter(!col("topic").isin(routed: _*))
+          FileSink.writeBatch(rest, sink, root): Unit
+        } finally { b.unpersist(); () }
+      }
       .start()
   }
 

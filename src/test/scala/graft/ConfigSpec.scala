@@ -71,6 +71,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(sink.flushSize == 100)
   }
 
+  test("parses route.<topic> keys into table routes (multi-table fan-out)") {
+    import graft.model.TableRoute
+    val routes = TableRoute.fromMap(Map(
+      "route.orders" -> "orders_v2",
+      "route.clicks" -> "clicks:json",
+      "s3.bucket.name" -> "b", "format" -> "json"))
+    assert(routes == Seq(
+      TableRoute("clicks", "clicks", Format.Json),
+      TableRoute("orders", "orders_v2", Format.Parquet)))
+    // no route keys → empty (Engine keeps the reference's first-sink path)
+    assert(TableRoute.fromMap(Map("s3.bucket.name" -> "b")).isEmpty)
+    // raw bytes is a FileSink object format, not a table format
+    assertThrows[IllegalArgumentException](
+      TableRoute.fromMap(Map("route.t" -> "tbl:bytes")))
+  }
+
   test("rejects unknown connector_type") {
     val bad = shipped.replace("\"connector_type\": \"source\"", "\"connector_type\": \"transform\"")
     assertThrows[IllegalArgumentException](ConfigLoader.parse(bad))

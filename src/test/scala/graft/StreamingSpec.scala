@@ -40,6 +40,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-table fan-out routes each topic to its own table, rest to the default sink") {
+    // GAP.md:17 / r12 verdict item 4: the reference hardcodes every record
+    // to the FIRST sink (manager.rs:184); streamToRoutedTables dispatches
+    // per-topic slices to their own tables inside ONE query/checkpoint,
+    // and unrouted topics keep the default FileSink pipeline.
+    import graft.model.TableRoute
+    def trec(topic: String, offset: Long, value: String) =
+      KafkaRecord(topic, 0, offset, new Timestamp(1234567890000L),
+        s"k$offset".getBytes, value.getBytes, Map.empty)
+    val input = MemoryStream[KafkaRecord](spark)
+    val root = Files.createTempDirectory("graft-routed").toString
+    val ckpt = Files.createTempDirectory("graft-routed-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", prefix = "default",
+      format = Format.Parquet)
+    val routes = TableRoute.fromMap(Map(
+      "route.orders" -> "orders_v2",
+      "route.clicks" -> "clicks:json"))
+    val q = Pipeline.streamToRoutedTables(input.toDF(), cfg, routes, root,
+      ckpt, Trigger.ProcessingTime(0), name = "graft-routed-sink")
+    try {
+      input.addData(
+        trec("orders", 0, """{"o":1}"""), trec("orders", 1, """{"o":2}"""),
+        trec("clicks", 2, """{"c":1}"""),
+        trec("misc", 3, "plain"))
+      q.processAllAvailable()
+      // a second batch appends — per-table at-least-once, one checkpoint
+      input.addData(trec("orders", 4, """{"o":3}"""))
+      q.processAllAvailable()
+      val orders = spark.read.parquet(s"$root/orders_v2")
+      assert(orders.select("offset").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 4L))
+      assert(orders.select("topic").distinct().as[String].collect().toSeq == Seq("orders"))
+      val clicks = spark.read.json(s"$root/clicks")
+      assert(clicks.count() == 1)
+      // the unrouted topic fell through to the default FileSink pipeline
+      val rest = spark.read.parquet(s"$root/default")
+      assert(rest.select("offset").as[Long].collect().toSeq == Seq(3L))
+      assert(rest.select("topic").as[String].collect().toSeq == Seq("misc"))
+    } finally q.stop()
+  }
+
   test("ConnectorManager start/stop/pause lifecycle maps to ConnectorState") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-mgr").toString
