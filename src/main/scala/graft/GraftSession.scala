@@ -56,6 +56,16 @@ object GraftSession {
   def getOrCreate(master: String = "local[32]",
                   shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
+    // Silence WindowExec's "No Partition Defined" WARN (class-scoped, not
+    // global): the 7 documented calendar-grain entries (CatalogContractSpec's
+    // accepted unpartitioned-window set — inputs bounded by the calendar,
+    // not the corpus) each emit it per execution, hundreds of repeats per
+    // bench/verify run burying real warnings in the one stdout the driver
+    // parses. The PLAN gate stays: any undocumented unpartitioned window
+    // still fails CI — this only quiets the log line for the accepted class.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     functions.GraftFunctions.register(spark)
     // bounded-heap top-k replaces Exchange→Sort→Window→Filter for the
     // row_number()<=k idiom (k-capped; see plans/TopKPerGroup.scala)

@@ -100,7 +100,11 @@ final class HttpSchemaRegistry(baseUrl: String,
         s"schema registry refused registration under '$subject' (404)"))
     // the registration response carries only the id; the check endpoint
     // resolves which version it landed on (same round trip the Confluent
-    // client makes)
+    // client makes). NOT atomic (r12 ADVICE, documented rather than
+    // papered over): against a live registry a concurrent soft-delete or
+    // compatibility-mode change between the two POSTs surfaces as a
+    // 404/IOException here even though the registration itself succeeded
+    // — the same operational window the Confluent client has.
     val checked = post(s"/subjects/$s", schemaBody(schemaJson))
       .getOrElse(throw new java.io.IOException(
         s"schema registered (id=$id) but lookup under '$subject' 404'd"))
@@ -119,9 +123,13 @@ final class HttpSchemaRegistry(baseUrl: String,
   override def byId(id: Int): Option[RegisteredSchema] =
     get(s"/schemas/ids/$id").map { b =>
       val schema = field(b, "schema", s"GET /schemas/ids/$id").asText()
+      // the WHOLE companion chain degrades, parse included: a 2xx
+      // non-JSON body (proxy/HTML error page) must not fail the lookup
+      // whose payload half already succeeded (r12 ADVICE — the old form
+      // only caught the GET, so readTree threw past the contract)
       val sv = (try get(s"/schemas/ids/$id/versions")
-        catch { case _: java.io.IOException => None })
-        .map(mapper.readTree).filter(_.size() > 0).map(_.get(0))
+          .map(mapper.readTree).filter(_.size() > 0).map(_.get(0))
+        catch { case scala.util.control.NonFatal(_) => None })
         .filter(n => n.get("subject") != null && n.get("version") != null)
       RegisteredSchema(id,
         sv.map(_.get("subject").asText()).getOrElse(""),
