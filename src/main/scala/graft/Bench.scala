@@ -216,7 +216,25 @@ object Bench {
     val retryContended =
       runsPerQuery > 1 && medianDispersion > 1.3 && retriedFrac > 0.15
     val slowContended = slowVsQuiet.size >= 3
-    val contended = dispersionContended || retryContended || slowContended
+    //  4. STEADY co-tenant load (r13): a constant background CPU hog
+    //     inflates every entry UNIFORMLY — dispersion stays low, retries
+    //     stay low, and no single entry crosses 3× — so a run 1.31× the
+    //     committed quiet record on 432 entries INCLUDING untouched ones
+    //     self-described as quiet and overwrote the record. The direct
+    //     check: the MEDIAN ratio vs the committed quiet record across
+    //     non-trivial common entries. A genuine uniform 25% regression of
+    //     the whole catalog from one round's diff is implausible without
+    //     an engine upgrade; if it ever happens, a contended-flagged
+    //     record forcing investigation is the right failure mode.
+    val vsQuietRatios = results.collect {
+      case (name, min, _) if priorQuiet.get(name).exists(_ > 0.2) =>
+        min / priorQuiet(name)
+    }.sorted
+    val medianVsQuiet =
+      if (vsQuietRatios.isEmpty) 1.0 else vsQuietRatios(vsQuietRatios.size / 2)
+    val steadyContended = vsQuietRatios.size >= 100 && medianVsQuiet > 1.25
+    val contended =
+      dispersionContended || retryContended || slowContended || steadyContended
 
     // full record → file (never truncated), short line → stdout (always
     // parses). BENCH_LOCAL.json sits in the repo so the per-round judge
@@ -240,6 +258,7 @@ object Bench {
         f""""slow_vs_quiet":${slowVsQuiet.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         f""""started_epoch":${benchStartMs / 1000},"wall_sec":${(System.currentTimeMillis() - benchStartMs) / 1000},""" +
         f""""median_dispersion":$medianDispersion%.3f,"contended":$contended,""" +
+        f""""median_vs_quiet":$medianVsQuiet%.3f,""" +
         f""""oracle_twins_sec":$twinsSec%.3f,"production_sec":${total - twinsSec}%.3f,""" +
         f""""oracle_twins":${oracleTwins.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         f""""queries":{$qs}}"""
@@ -272,7 +291,9 @@ object Bench {
         (if (retryContended)
            Seq(f"dispersion $medianDispersion%.2fx > 1.3x with ${needRetry.size} of ${results.size} entries (${retriedFrac * 100}%.0f%%) started loaded") else Nil) ++
         (if (slowContended)
-           Seq(s"${slowVsQuiet.size} entries > 3x their committed quiet record") else Nil)
+           Seq(s"${slowVsQuiet.size} entries > 3x their committed quiet record") else Nil) ++
+        (if (steadyContended)
+           Seq(f"median $medianVsQuiet%.2fx the committed quiet record over ${vsQuietRatios.size} entries — steady co-tenant load") else Nil)
       println(f"""{"metric":"bench_warning","reason":"${why.mkString("; ")} — """ +
         f"""box contention; treat totals as an upper bound"}""")
     }
