@@ -537,12 +537,14 @@ object Dedup {
 
   def incrementalFilter(corpus: DataFrame, batch: DataFrame,
                         numHashes: Int = 64, bands: Int = 16,
-                        n: Int = 3, jaccardPctX10: Int = 800): DataFrame = {
+                        n: Int = 3, jaccardPctX10: Int = 800,
+                        maxBucket: Int = 1000): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // each side read twice (bucket build + Jaccard verify) — persist both
     val corpusHs = shingleRelation(corpus, n).persist(lvl)
     val batchHs = shingleRelation(batch, n).persist(lvl)
-    incrementalFilterAgainst(corpusHs, batchHs, batch, numHashes, bands, jaccardPctX10)
+    incrementalFilterAgainst(corpusHs, batchHs, batch, numHashes, bands,
+      jaccardPctX10, maxBucket)
   }
 
   /** [[incrementalFilter]] with caller-managed shingle relations — the

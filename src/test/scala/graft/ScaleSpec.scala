@@ -851,6 +851,52 @@ class ScaleSpec extends SparkSpec {
       "uncapped control must contain the full quadratic clique pair set")
   }
 
+  test("embeddingMatchedIds incremental form survives a degenerate corpus bucket") {
+    import spark.implicits._
+    // the per-batch embedding twin of the pairs cap: a corpus INDEX full
+    // of identical vectors is a hot bucket every identical incoming
+    // vector fans out against. With the corpus-side cap the degenerate
+    // incoming vector stops matching through the hot bucket, while the
+    // genuine near-dup still matches through its private size-1 buckets.
+    val base = Array.fill(8)(0.5f)
+    val a = Array(0.9f, 0.1f, -0.3f, 0.7f, -0.5f, 0.2f, 0.8f, -0.1f)
+    val aNear = a.clone(); aNear(1) = 0.11f
+    val corpus = ((0L until 40L).map(i => (i, base)) :+ ((200L, a)))
+      .toDF("vec_id", "embedding")
+    val incoming = Seq((300L, base), (301L, aNear)).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingMatchedIds(corpus, incoming, dim = 8,
+        threshold = 0.9, maxBucket = 5)
+      .as[Long].collect().toSet
+    assert(capped == Set(301L),
+      s"capped: only the genuine near-dup may match, got $capped")
+    val uncapped = Dedup.embeddingMatchedIds(corpus, incoming, dim = 8,
+        threshold = 0.9, maxBucket = 0)
+      .as[Long].collect().toSet
+    assert(uncapped == Set(300L, 301L),
+      s"uncapped control must match through the hot bucket, got $uncapped")
+  }
+
+  test("minhash incremental filter survives a degenerate corpus clique: corpus-side cap") {
+    import spark.implicits._
+    // corpus = 40 identical docs (one hot bucket per band) + one genuine
+    // doc; incoming = a copy of the clique text and a copy of the genuine
+    // doc. Capped, the clique copy passes through (its only corpus
+    // evidence is the excluded hot bucket — exact dedup's job), while the
+    // genuine copy still drops through its size-1 buckets.
+    val corpus = ((0L until 40L).map(i => (i, "b0 b1 b2 b3 b4 b5 b6 b7")) :+
+      ((200L, "u0 u1 u2 u3 u4 u5 u6 u7"))).toDF("doc_id", "text")
+    val incoming = Seq((300L, "b0 b1 b2 b3 b4 b5 b6 b7"),
+      (301L, "u0 u1 u2 u3 u4 u5 u6 u7")).toDF("doc_id", "text")
+    val capped = Dedup.incrementalFilter(corpus, incoming, maxBucket = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped == Set(300L),
+      s"capped: the clique copy must survive (hot bucket excluded), got $capped")
+    val uncapped = Dedup.incrementalFilter(corpus, incoming, maxBucket = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped.isEmpty,
+      s"uncapped control must drop both incoming docs, got $uncapped")
+  }
+
   test("dhashMatchedIds incremental form survives a degenerate corpus bucket") {
     import spark.implicits._
     // the per-batch twin of the pairs cap: a blank-heavy corpus INDEX is
