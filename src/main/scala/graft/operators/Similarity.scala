@@ -335,7 +335,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // nPivots <= 0 → derive from a cheap count (one columnless scan;
     // callers wanting oracle-exact replay pin an explicit count)
-    val np = if (nPivots > 0) nPivots else derivedPivotCount(corpus.count())
+    // persist BEFORE the derived-count scan (r13 ADVICE): the count is
+    // eager, and an unpersisted caller lineage would re-execute in full —
+    // while the very next stage (pivot ranking) re-reads the corpus anyway.
+    // Idempotent when the caller already persisted (graphTopK does).
+    val np = if (nPivots > 0) nPivots
+      else derivedPivotCount(corpus
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count())
     val pivots = broadcast(corpus.orderBy("vec_id").limit(np)
       .select(col("vec_id").as("pid"), col("embedding").as("p_emb")))
     // rank every pivot per vector ONCE: rank 1 is the vector's own cell
@@ -405,7 +411,13 @@ object Similarity {
                 hops: Int = 1): DataFrame = {
     require(hops >= 1, "graphTopK needs at least one expansion hop")
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val edges = knnGraphPivoted(corpus, graphK, nPivots, nProbe)
+    // persist the corpus up front when the pivot count will be DERIVED
+    // (r13 ADVICE): the derivation counts eagerly, and this relation is
+    // read again by both the graph build and the re-rank rejoin below
+    val corpusRel =
+      if (nPivots > 0) corpus
+      else corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = knnGraphPivoted(corpusRel, graphK, nPivots, nProbe)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       // caller-must-clear-cache: the seed and hop self-joins both read the
       // edge relation; it cannot unpersist before the result materializes
@@ -430,7 +442,7 @@ object Similarity {
       .filter(col("cand") =!= col("query_id"))
       .distinct()
     val rescored = beam
-      .join(corpus.select(col("vec_id").as("cand"), col("embedding").as("c_emb")),
+      .join(corpusRel.select(col("vec_id").as("cand"), col("embedding").as("c_emb")),
         Seq("cand"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))), Seq("query_id"))

@@ -255,6 +255,32 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("incremental filter's hot-bucket recall hole is observable via minhashHotBuckets") {
+    // the caller-facing contract of the r13 maxBucket default: a NEAR-dup
+    // (not byte-identical) of a corpus cluster hotter than the cap PASSES
+    // the filter — and minhashHotBuckets (same cap, same banding) is the
+    // observable that says the hole is live. Planted: a 40-member
+    // identical-text corpus cluster; the batch carries a near-dup of it.
+    val cliqueText = (1 to 30).map(i => s"h$i").mkString(" ")
+    val corpus = (1L to 40L).map(i => (i, cliqueText)).toDF("doc_id", "text")
+    val batch = Seq((100L, cliqueText + " tail")).toDF("doc_id", "text")
+    // cap below the cluster size: the near-dup is ADMITTED (the documented
+    // hole)…
+    val admitted = Dedup.incrementalFilter(corpus, batch, maxBucket = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(100L), s"capped filter must admit the near-dup, got $admitted")
+    // …and the observable is non-empty on exactly this corpus/cap
+    val corpusHs = Dedup.shingleRelation(corpus)
+    assert(Dedup.minhashHotBuckets(corpusHs, maxBucket = 5).count() > 0,
+      "hot-bucket observable must flag the planted cluster")
+    // uncapped control: the same near-dup is dropped, and the observable
+    // reports clean at a cap the corpus never reaches
+    val uncapped = Dedup.incrementalFilter(corpus, batch, maxBucket = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uncapped.isEmpty, "uncapped filter must drop the near-dup")
+    assert(Dedup.minhashHotBuckets(corpusHs, maxBucket = 1000).count() == 0)
+  }
+
   test("incremental filter is idempotent: survivors of one pass survive a second") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)

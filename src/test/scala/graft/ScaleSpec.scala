@@ -828,6 +828,53 @@ class ScaleSpec extends SparkSpec {
       "uncapped control must contain the full quadratic clique pair set")
   }
 
+  test("SemDeDup survives a planted KMeans mega-cell: hot-cell cap engaged") {
+    import spark.implicits._
+    // r13 verdict item 1: KMeans routinely collapses a near-dup-heavy or
+    // low-variance corpus into ONE cell; the old semanticDroppedIds then
+    // self-joined ~n²/k pairs with full embedding payloads. The cap's
+    // contract is about the ASSIGNMENT, not the quantizer, so the planted
+    // degeneracy builds the assignment directly: 2000 identical vectors
+    // (degenerate content — exact dedup's job) collapsed into cell 0,
+    // ten healthy 3-member cells, and one genuine near-dup pair in its
+    // own cell. Angles within a healthy cell differ by ≥ 0.5 rad, so no
+    // healthy in-cell pair reaches cosine 0.9 (cos 0.5 ≈ 0.878).
+    graft.functions.GraftFunctions.register(spark)
+    val base = Array.fill(8)(0.5f)
+    def angled(theta: Double): Array[Float] =
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    val mega = (0L until 2000L).map(i => (i, base, 0))
+    val healthy = for (c <- 1 to 10; m <- 0 until 3)
+      yield ((3000 + 3 * c + m).toLong, angled((3 * c + m) * 0.5), c)
+    val pairCell = Seq(
+      (5000L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 42),
+      (5001L, Array(0.999f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f), 42),
+      (5002L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 42))
+    val assigned = (mega ++ healthy ++ pairCell)
+      .toDF("vec_id", "embedding", "cluster")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the observable: exactly the mega-cell is hot under the DERIVED cap
+    // (avg cell ≈ 169 over 12 cells → cap = max(1024, 8·avg) < 2000)
+    val hot = Dedup.semanticHotCells(assigned).collect()
+    assert(hot.map(_.getInt(0)).toSet == Set(0),
+      s"derived cap must flag exactly the mega-cell, got ${hot.mkString(",")}")
+    assert(hot.head.getLong(1) == 2000L && hot.head.getLong(2) >= 1024L)
+    // derived cap: candidate volume is the healthy cells' pairs only —
+    // 10·C(3,2) + C(3,2) = 33, not ~2·10⁶
+    assert(Dedup.semanticCandidatePairs(assigned, 0).count() == 33L)
+    // uncapped control: the mega-cell alone contributes C(2000,2) pairs —
+    // proving the CAP, not the fixture, removed the quadratic set
+    assert(Dedup.semanticCandidatePairs(assigned, -1).count() ==
+      2000L * 1999 / 2 + 33)
+    // the drop rule still fires inside surviving cells (the genuine pair)
+    // and KEEPS every mega-cell member rather than silently dropping them
+    val dropped = Dedup.semanticDroppedIds(assigned, 0.9)
+      .as[Long].collect().toSet
+    assert(dropped == Set(5001L),
+      s"expected only the genuine near-dup drop, got $dropped")
+    assigned.unpersist(); ()
+  }
+
   test("MinHash-LSH survives a planted exact-dup clique: bucket cap engaged") {
     import spark.implicits._
     // r12 verdict item 2: k identical documents share every band bucket
