@@ -1005,8 +1005,66 @@ object PlanAudit {
     }
   }
 
+  /** r13 verdict item 2 — the model-output join-key blind spot: a join
+    * whose ENTIRE equality key set resolves on BOTH sides to a
+    * model/quantizer assignment (a `ScalaUDF` output — the KMeans
+    * prediction column is the one black-box column family in this
+    * codebase; every other derivation is native Catalyst) is
+    * domain-INVISIBLE to [[hasSmallDomainKeyJoin]]: the walk cannot see
+    * that `cluster` has k values, so a fixed-k assignment self-join is
+    * Θ(n²/k) with no flag — exactly the old `semanticDroppedIds` shape.
+    * Accepted defenses are the same machine-checked ones: a bounded side,
+    * the [[hotKeyCapped]] hot-key exclusion, or [[keyMultiplicityBounded]]
+    * (the centroid/per-cell-stats shape). A join against a
+    * LocalRelation-derived or aggregate-derived cluster column (the IVF
+    * probe idiom) does not fire — only assignment-vs-assignment does.
+    */
+  def hasModelKeyJoin(optimized: LogicalPlan): Boolean = {
+    val memo = new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]()
+    optimized.collect { case j: Join => j }.exists { j =>
+      val exempt = j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti => true
+        case _: org.apache.spark.sql.catalyst.plans.ExistenceJoin => true
+        case _ => false
+      }
+      if (exempt) false
+      else {
+        val pairs = j.condition.toSeq.flatMap(conjunctsOf).collect {
+          case EqualTo(l, r) if linksBothSides(j, l, r) => (l, r)
+          case EqualNullSafe(l, r) if linksBothSides(j, l, r) => (l, r)
+        }
+        pairs.nonEmpty && {
+          val lctx = new LogicalCtx(j.left, memo)
+          val rctx = new LogicalCtx(j.right, memo)
+          def ctxOf(e: Expression): Ctx =
+            if (e.references.subsetOf(j.left.outputSet)) lctx else rctx
+          def isModelKey(e: Expression, ctx: Ctx, fuel: Int): Boolean =
+            stripCastAlias(e) match {
+              case a: AttributeReference if fuel > 0 =>
+                ctx.resolve(a).exists(isModelKey(_, ctx, fuel - 1))
+              case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => true
+              case _ => false
+            }
+          pairs.forall { case (l, r) =>
+            isModelKey(l, ctxOf(l), 8) && isModelKey(r, ctxOf(r), 8) } &&
+            !bounded(j.left) && !bounded(j.right) && {
+              def keyIds(side: LogicalPlan): Set[ExprId] =
+                pairs.flatMap { case (l, r) => Seq(l, r) }
+                  .filter(_.references.subsetOf(side.outputSet))
+                  .flatMap(attrOf).map(_.exprId).toSet
+              val (lk, rk) = (keyIds(j.left), keyIds(j.right))
+              !hotKeyCapped(j.left, lk) && !hotKeyCapped(j.right, rk) &&
+                !keyMultiplicityBounded(j.left, lk, memo) &&
+                !keyMultiplicityBounded(j.right, rk, memo)
+            }
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.getOrCreate()
+    val spark = GraftSession.getOrCreate(quietAcceptedWarnings = true)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val pat = args.filterNot(_.startsWith("--")).headOption.getOrElse("")
@@ -1025,6 +1083,7 @@ object PlanAudit {
           "unbounded-broadcast" -> hasUnboundedBroadcastHint(qe.analyzed),
           "cross-shape" -> hasUnboundedCrossShape(qe.optimizedPlan),
           "small-domain-join" -> hasSmallDomainKeyJoin(qe.optimizedPlan),
+          "model-key-join" -> hasModelKeyJoin(qe.optimizedPlan),
           // a >250 KB plan STRING (unrolled iterative rounds nesting the
           // whole lineage) is constant w.r.t. data but real driver CPU +
           // log noise per run — Spark truncates at 262 KB and warns; the

@@ -131,6 +131,26 @@ class CatalogContractSpec extends SparkSpec {
       s"small-domain-key joins without a cap: ${offenders.mkString(", ")}")
   }
 
+  test("no model-output-key join over two unbounded inputs without a cell cap") {
+    // r13 verdict item 2, enforced in CI: a join keyed SOLELY on a
+    // clustering/quantizer ASSIGNMENT column (the KMeans prediction — a
+    // ScalaUDF, the one black-box column family here) is invisible to the
+    // small-domain walk: nothing in the plan says `cluster` has k values,
+    // so a fixed-k assignment self-join is Θ(n²/k) with no flag — the old
+    // `semanticDroppedIds` shape. The accepted defense is structural
+    // (hot-cell cap / bounded side / per-key-bounded aggregate), so the
+    // accepted set stays EMPTY — a new offender gets a cap, not an entry
+    // here. The witness twin joins embeddings by id (not by cluster), so
+    // even the quadratic control never needs an exemption.
+    val accepted = Set.empty[String]
+    val offenders = entries.filterNot(accepted).filter { name =>
+      graft.tools.PlanAudit.hasModelKeyJoin(
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan)
+    }
+    assert(offenders.isEmpty,
+      s"model-output-key joins without a cell cap: ${offenders.mkString(", ")}")
+  }
+
   test("unpartitioned windows are restricted to the documented calendar-grain set") {
     // PlanAudit's unpartitioned-window class, enforced in CI the way the
     // broadcast rule already is: a Window with an empty partition spec

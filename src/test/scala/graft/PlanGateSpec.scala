@@ -243,6 +243,48 @@ class PlanGateSpec extends SparkSpec {
       "bounded probe set x corpus on bucket keys is linear — must pass")
   }
 
+  // ---- model-output-key join gate (r14) ----
+
+  private def modelKey(df: DataFrame): Boolean =
+    PlanAudit.hasModelKeyJoin(df.queryExecution.optimizedPlan)
+
+  test("model-key-join detector FIRES on the r13 fixed-cell SemDeDup shape") {
+    // faithful reconstruction of the pre-r14 semanticDroppedIds: a
+    // fixed-16-cell KMeans assignment self-joined on `cluster` with full
+    // embedding payloads on BOTH shuffle sides — Θ(n²/16) candidate pairs
+    // at ANY corpus size, invisible to small-domain-join because the
+    // cluster column is a model output (a ScalaUDF) whose 16-value domain
+    // no plan walk can see (the r13 verdict's lead finding)
+    import graft.operators.Dedup
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val assigned = Dedup.semanticAssignments(emb, nClusters = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldShape = assigned
+      .select(col("cluster"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+    assert(modelKey(oldShape),
+      "the uncapped fixed-cell assignment self-join must flag")
+    // the r14 production shape passes: ids-only pair stage behind the
+    // hot-cell cap anti-join (the hotKeyCapped defense, both sides)
+    assert(!modelKey(Dedup.semanticDroppedIds(assigned, tau = 0.45)),
+      "the capped ids-only SemDeDup pair stage is the accepted defense")
+    // explicit pinned cap takes the same shape
+    assert(!modelKey(Dedup.semanticDroppedIds(assigned, tau = 0.45, maxCell = 100)))
+    // scope guards: the IVF probe idiom joins the assignment against a
+    // CENTROID-derived cluster key (LocalRelation, not a model output on
+    // both sides) — must not fire…
+    import graft.operators.Similarity
+    assert(!modelKey(Similarity.ivfTopK(emb, emb.limit(4), k = 3,
+        nCentroids = 4, nProbe = 2)),
+      "IVF probe join (assignment vs broadcast centroid probes) must pass")
+    // …nor do plain id-keyed joins over the same assignment
+    assert(!modelKey(assigned.as("x").join(assigned.as("y"), Seq("vec_id"))
+      .select(col("x.cluster"))))
+    assigned.unpersist(); ()
+  }
+
   // ---- unpartitioned-window gate ----
 
   test("global-window detector FIRES on an unpartitioned window over a fact table") {
