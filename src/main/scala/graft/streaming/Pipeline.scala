@@ -103,17 +103,63 @@ object Pipeline {
     records.withColumn("route_table", table).withColumn("route_format", format)
   }
 
+  /** The derived per-route sink config (r13 ADVICE): the route's table
+    * becomes the prefix and the route's format replaces the default, while
+    * compression, partitioner, and partition field are INHERITED from the
+    * connector's sink config — so a routed table gets the same F2
+    * json-lines projection, codec, and partition layout the default sink
+    * applies, and a `table:avro` route rides [[FileSink.writeBatch]]'s
+    * avro-core fallback instead of throwing where spark-avro is absent.
+    */
+  def routeSinkConfig(sink: SinkConfig, r: TableRoute): SinkConfig =
+    sink.copy(prefix = r.table, format = r.format)
+
+  /** One route's slice of one micro-batch, EXACTLY-ONCE per
+    * (table, batchId): the slice runs the full [[FileSink.writeBatch]]
+    * pipeline into a hidden `.staging-batch=<id>` dir under the table
+    * path, which is then atomically renamed to the `batch=<id>` partition
+    * dir. A replayed micro-batch (restart after the sink wrote but before
+    * the checkpoint committed) finds the published dir and SKIPS — so a
+    * crash mid-fan-out can no longer leave duplicate rows in the tables
+    * the earlier routes already wrote. Readers see `batch` as one more
+    * Hive partition column (ingestion-batch partitioning — standard
+    * lakehouse layout, and the idempotence marker at the same time).
+    * Rename-atomicity caveat: atomic on HDFS-like and local stores; on
+    * raw S3, pair with the Iceberg table commit ([[graft.sinks.Tables
+    * .writeTable]]) when the runtime is present.
+    */
+  def writeRoutedSlice(slice: DataFrame, sink: SinkConfig, r: TableRoute,
+                       root: String, batchId: Long): Unit = {
+    val tablePath = new org.apache.hadoop.fs.Path(s"$root/${r.table}")
+    val published = new org.apache.hadoop.fs.Path(tablePath, s"batch=$batchId")
+    val fs = published.getFileSystem(
+      slice.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(published)) return // replay: this batch already committed
+    val staging = new org.apache.hadoop.fs.Path(tablePath, s".staging-batch=$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true) // half-written prior attempt
+    val cfg = routeSinkConfig(sink, r)
+      .copy(prefix = s"${r.table}/.staging-batch=$batchId")
+    FileSink.writeBatch(slice, cfg, root)
+    // an empty slice through a writer that skips empty output (avro-core)
+    // still needs the published dir — it IS the replay marker
+    if (!fs.exists(staging)) fs.mkdirs(staging)
+    fs.mkdirs(tablePath)
+    if (!fs.rename(staging, published) && !fs.exists(published))
+      throw new java.io.IOException(s"publish failed for $published")
+  }
+
   /** Multi-table fan-out (`GAP.md:17` "Multiple sink support" — the
     * reference hardcodes every record to the FIRST sink, `manager.rs:184`):
     * ONE streaming query whose foreachBatch dispatches each routed topic's
-    * slice to its own table path + format, with unrouted topics falling
+    * slice to its own table path + format via [[writeRoutedSlice]]
+    * (exactly-once per table through batchId-keyed staged publishes),
+    * with unrouted topics — including NULL-topic records, which
+    * `!isin(...)` alone would silently drop (r13 ADVICE) — falling
     * through to the default [[FileSink]] pipeline (formats, partitioners,
-    * grouping — unchanged semantics). One query, one checkpoint: a restart
-    * replays the whole micro-batch into every table, so delivery stays
-    * at-least-once per table, the [[streamToFiles]] regime. The batch is
-    * persisted once and each route writes a topic-pruned slice — at scale
-    * the fan-out costs one cached pass plus one pruned write per route,
-    * never a re-read of the source per table.
+    * grouping — unchanged semantics; at-least-once, the [[streamToFiles]]
+    * regime). The batch is persisted once and each route writes a
+    * topic-pruned slice — at scale the fan-out costs one cached pass plus
+    * one pruned write per route, never a re-read of the source per table.
     */
   def streamToRoutedTables(records: DataFrame, sink: SinkConfig,
                            routes: Seq[TableRoute], root: String,
@@ -126,16 +172,16 @@ object Pipeline {
       .queryName(name)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           routes.foreach { r =>
-            b.filter(col("topic") === r.topic)
-              .write.format(r.format.name).mode("append")
-              .save(s"$root/${r.table}")
+            writeRoutedSlice(b.filter(col("topic") === r.topic), sink, r,
+              root, batchId)
           }
           val routed = routes.map(_.topic)
-          val rest = b.filter(!col("topic").isin(routed: _*))
+          val rest = b.filter(col("topic").isNull ||
+            !col("topic").isin(routed: _*))
           FileSink.writeBatch(rest, sink, root): Unit
         } finally { b.unpersist(); () }
       }

@@ -158,11 +158,19 @@ object StreamOps {
     * per micro-batch picks up nightly index rebuilds for free.
     */
   def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
-                         sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                         sink: DataFrame => Unit,
+                         onHotBuckets: Long => Unit = _ => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the corpus index is static: shingle it ONCE per query, not per batch
     // (caller-must-clear-cache: it lives as long as the streaming query)
     val corpusHs = graft.operators.Dedup.shingleRelation(corpus).persist(lvl)
+    // surface the filter's recall trade-off (Dedup.incrementalFilterAgainst
+    // caller contract): how many corpus index buckets the default cap
+    // excludes — non-zero means a near-dup of a hot corpus cluster will
+    // pass this filter. One bounded aggregate over the static index, once
+    // per query (which IS per batch: the corpus doesn't change between
+    // micro-batches).
+    onHotBuckets(graft.operators.Dedup.minhashHotBuckets(corpusHs).count())
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -386,12 +394,17 @@ object StreamOps {
                                   sink: DataFrame => Unit, dim: Int,
                                   threshold: Double = 0.45,
                                   rowsPerBand: Int = 16, bands: Int = 8,
-                                  maxBucket: Int = 1000):
+                                  maxBucket: Int = 1000,
+                                  onHotBuckets: Long => Unit = _ => ()):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // static index: signature-banded once per query, not per batch
     // (caller-must-clear-cache: it lives as long as the streaming query)
     val corpusRel = corpus.persist(lvl)
+    // recall-trade-off observable, as in [[dedupAgainstCorpus]]: excluded
+    // hot index buckets at this cap, once per query over the static corpus
+    onHotBuckets(graft.operators.Dedup
+      .embeddingHotBuckets(corpusRel, dim, rowsPerBand, bands, maxBucket).count())
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>

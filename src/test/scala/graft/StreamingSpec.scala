@@ -65,19 +65,65 @@ class StreamingSpec extends SparkSpec {
         trec("clicks", 2, """{"c":1}"""),
         trec("misc", 3, "plain"))
       q.processAllAvailable()
-      // a second batch appends — per-table at-least-once, one checkpoint
+      // a second batch appends under its own batch=<id> partition —
+      // exactly-once per table, one checkpoint
       input.addData(trec("orders", 4, """{"o":3}"""))
       q.processAllAvailable()
       val orders = spark.read.parquet(s"$root/orders_v2")
       assert(orders.select("offset").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 4L))
       assert(orders.select("topic").distinct().as[String].collect().toSeq == Seq("orders"))
+      // the two micro-batches are visible as ingestion-batch partitions
+      assert(orders.select("batch").distinct().count() == 2)
+      // routed json rides the same F2 json-lines pipeline as the default
+      // sink (r13 ADVICE): sniffed value + format tag, not raw base64 rows
       val clicks = spark.read.json(s"$root/clicks")
       assert(clicks.count() == 1)
+      assert(clicks.columns.contains("value_out") && clicks.columns.contains("value_format"))
+      assert(clicks.select("value_format").as[String].collect().toSeq == Seq("json"))
       // the unrouted topic fell through to the default FileSink pipeline
       val rest = spark.read.parquet(s"$root/default")
       assert(rest.select("offset").as[Long].collect().toSeq == Seq(3L))
       assert(rest.select("topic").as[String].collect().toSeq == Seq("misc"))
     } finally q.stop()
+  }
+
+  test("routed fan-out is exactly-once per table across a forced replay") {
+    // r13 verdict item 5: a restart that replays a micro-batch (sink wrote,
+    // checkpoint commit didn't land) must NOT duplicate rows in the routed
+    // tables. Force the replay for real: process batch 0, stop, delete the
+    // checkpoint's commits/0 marker (keeping offsets/0), restart — Spark
+    // re-runs batch 0, and the batchId-keyed published dir makes the
+    // re-run a no-op.
+    import graft.model.TableRoute
+    def trec(topic: String, offset: Long, value: String) =
+      KafkaRecord(topic, 0, offset, new Timestamp(1234567890000L),
+        s"k$offset".getBytes, value.getBytes, Map.empty)
+    val input = MemoryStream[KafkaRecord](spark)
+    val root = Files.createTempDirectory("graft-replay").toString
+    val ckpt = Files.createTempDirectory("graft-replay-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", prefix = "default", format = Format.Parquet)
+    val routes = TableRoute.fromMap(Map("route.orders" -> "orders_v2"))
+    def startQuery() = Pipeline.streamToRoutedTables(input.toDF(), cfg, routes,
+      root, ckpt, Trigger.ProcessingTime(0), name = "graft-replay-sink")
+    val q1 = startQuery()
+    input.addData(trec("orders", 0, """{"o":1}"""), trec("orders", 1, """{"o":2}"""))
+    q1.processAllAvailable()
+    q1.stop()
+    // simulate the crash window: offsets/0 exists, commits/0 does not
+    val commit0 = new java.io.File(s"$ckpt/commits/0")
+    assert(commit0.exists(), "test setup: batch 0 must have committed")
+    assert(commit0.delete())
+    // the local-FS checksum shadow must go with it, or the re-commit's
+    // rename trips over the stale .crc
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val orders = spark.read.parquet(s"$root/orders_v2")
+      val offsets = orders.select("offset").as[Long].collect().sorted.toSeq
+      assert(offsets == Seq(0L, 1L),
+        s"replayed batch must not duplicate routed rows, got $offsets")
+    } finally q2.stop()
   }
 
   test("ConnectorManager start/stop/pause lifecycle maps to ConnectorState") {
@@ -766,10 +812,15 @@ class StreamingSpec extends SparkSpec {
     val corpus = Seq((1L, base)).toDF("doc_id", "text")
     val input = MemoryStream[(Long, String)](spark)
     val survivors = scala.collection.mutable.Set[Long]()
+    var hotBuckets = -1L
     val q = StreamOps.dedupAgainstCorpus(
         input.toDF().toDF("doc_id", "text"), corpus,
-        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)))
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)),
+        onHotBuckets = hotBuckets = _)
       .trigger(Trigger.ProcessingTime(0)).start()
+    // the recall-trade-off observable fired at wire-up: a 1-doc corpus has
+    // no bucket near the default cap
+    assert(hotBuckets == 0L, s"expected a clean corpus index, got $hotBuckets")
     try {
       input.addData((10L, base + " tail"), (20L, (1 to 30).map(i => s"z$i").mkString(" ")))
       q.processAllAvailable()
@@ -1033,11 +1084,13 @@ class StreamingSpec extends SparkSpec {
       (1L, vec(0, 1, 0, 0, 0, 0, 0, 0))).toDF("vec_id", "embedding")
     val input = MemoryStream[(Long, Array[Float])](spark)
     val survivors = scala.collection.mutable.Set[Long]()
+    var hotBuckets = -1L
     val q = StreamOps.embeddingDedupAgainstCorpus(
         input.toDF().toDF("vec_id", "embedding"), corpus,
         batch => survivors ++= batch.select("vec_id").collect().map(_.getLong(0)),
-        dim = dim)
+        dim = dim, onHotBuckets = hotBuckets = _)
       .trigger(Trigger.ProcessingTime(0)).start()
+    assert(hotBuckets == 0L, s"expected a clean corpus index, got $hotBuckets")
     try {
       // 100: near-dup of corpus vector 0 (cosine ≈ 0.995) — dropped;
       // 101: orthogonal to both corpus vectors (cosine 0) — survives
