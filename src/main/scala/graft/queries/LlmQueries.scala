@@ -1008,17 +1008,33 @@ object LlmQueries {
     // partition the corpus. The GLOBAL-witness check (every drop backed
     // by a brute-force cosine pair — quadratic) lives in the DECLARED
     // twin `dedup_semantic_witness`, benched apart.
+    //
+    // Scale contracts (r13 verdict item 1): the pair stage is ids-only
+    // with a hot-cell cap — candidates ≤ cap·n/2 however KMeans
+    // distributes the corpus; cluster count derives from the corpus by
+    // default (⌈√n⌉ clamped) and is PINNED here to 16 for deterministic
+    // replay. The `hot_cells_excluded` row makes the cap's engagement
+    // oracle-visible: 0 on the fixtures (cells ≤ corpus ≤ derived cap),
+    // so any future skew that engages the cap fails LOUDLY here instead
+    // of silently shrinking recall; the cap's engagement behavior itself
+    // is pinned by ScaleSpec's planted mega-cell (fixture-invisible by
+    // design, like every banded family's cap).
     "dedup_semantic" -> ((
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
         val tau = 0.45
-        val assigned = Dedup.semanticAssignments(e)
+        val assigned = Dedup.semanticAssignments(e, nClusters = 16)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dropped = Dedup.semanticDroppedIds(assigned, tau)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // plain (undeclared — corpus-scale) localCheckpoints, NOT persists:
+        // the keptViolations leg re-expands its input ~10× (hot-cell agg +
+        // ids self-join + two payload rejoins), and InMemoryTableScan
+        // re-prints its cached plan at every reference — without the cuts
+        // this entry's plan string crosses Spark's 262 KB print ceiling
+        // (the r13 bench-tail truncation warnings)
+        val dropped = Dedup.semanticDroppedIds(assigned, tau).localCheckpoint(true)
         val keptAssigned = assigned.join(
           dropped.withColumnRenamed("id_b", "vec_id"), Seq("vec_id"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val total = e.agg(count(lit(1)).as("value"))
           .select(lit("total_vectors").as("metric"), col("value").cast("long").as("value"))
         val partitionOk = keptAssigned.agg(count(lit(1)).as("kc"))
@@ -1029,12 +1045,16 @@ object LlmQueries {
         val keptViolations = Dedup.semanticDroppedIds(keptAssigned, tau)
           .agg(count(lit(1)).as("value"))
           .select(lit("kept_pair_violations").as("metric"), col("value").cast("long").as("value"))
-        total.unionAll(partitionOk).unionAll(keptViolations)
+        val hotCells = Dedup.semanticHotCells(assigned)
+          .agg(count(lit(1)).as("value"))
+          .select(lit("hot_cells_excluded").as("metric"), col("value").cast("long").as("value"))
+        total.unionAll(partitionOk).unionAll(keptViolations).unionAll(hotCells)
       },
       Some("""SELECT 'total_vectors' AS metric,
         |  CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS value
         |UNION ALL SELECT 'kept_plus_dropped_is_total', CAST(1 AS BIGINT)
-        |UNION ALL SELECT 'kept_pair_violations', CAST(0 AS BIGINT)""".stripMargin)
+        |UNION ALL SELECT 'kept_pair_violations', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'hot_cells_excluded', CAST(0 AS BIGINT)""".stripMargin)
     )),
 
     // DECLARED brute-force witness twin of dedup_semantic: every dropped
@@ -1046,7 +1066,7 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
         val tau = 0.45
-        val assigned = Dedup.semanticAssignments(e)
+        val assigned = Dedup.semanticAssignments(e, nClusters = 16)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dropped = Dedup.semanticDroppedIds(assigned, tau)
         dropped
@@ -1786,8 +1806,10 @@ object LlmQueries {
         val e = emb(s, dir)
         val queries = e.filter(col("vec_id") < 8).limit(8)
         val lsh = Similarity.lshTopK(e, queries, dim = 64, k = 5)
-        val truth = Similarity.bruteForceTopK(e, queries, k = 20)
-          .select(col("query_id"), col("neighbor_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truth20 = Similarity.bruteForceTopK(e, queries, k = 20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truth = truth20.select(col("query_id"), col("neighbor_id"))
         val answered = lsh
           .agg(countDistinct(col("query_id")).as("value"))
           .select(lit("queries_answered").as("metric"), col("value").cast("long").as("value"))
@@ -1802,12 +1824,31 @@ object LlmQueries {
           .crossJoin(queries.agg(count(lit(1)).as("q")))
           .select(lit("candidate_fraction_below_half").as("metric"),
             (col("cand") * 2 < col("n") * col("q")).cast("long").as("value"))
-        answered.unionAll(offRanking).unionAll(selectivity)
+        // measured recall@5 vs the in-plan brute twin, pinned ≥ 40%
+        // (r13 verdict item 7): selectivity alone let a re-banding trade
+        // recall for cheapness silently — this floor and the
+        // candidate-fraction ceiling now move in opposite directions, so
+        // a banding change must defend BOTH. Measured at the 8×8
+        // multi-probe banding: 47.5% / 60% / 80% at sf0.001/0.01/0.1
+        // (recall GROWS with corpus density — more same-bucket witnesses
+        // per true neighbor), so 40% holds at every fixture while a
+        // recall collapse (e.g. re-banding to 16-row bands, whose
+        // per-band match probability at these cosines is ~50× lower)
+        // fails loudly.
+        val truth5 = truth20.filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val recall = lsh.join(truth5, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hit"))
+          .crossJoin(truth5.agg(count(lit(1)).as("tot")))
+          .select(lit("recall_at5_above_floor").as("metric"),
+            (col("hit") * 100 >= col("tot") * 40).cast("long").as("value"))
+        answered.unionAll(offRanking).unionAll(selectivity).unionAll(recall)
       },
       Some("""SELECT 'queries_answered' AS metric,
         |  CAST(count(DISTINCT vec_id) AS BIGINT) AS value FROM embeddings WHERE vec_id < 8
         |UNION ALL SELECT 'off_top20_within_tolerance', CAST(1 AS BIGINT)
-        |UNION ALL SELECT 'candidate_fraction_below_half', CAST(1 AS BIGINT)""".stripMargin)
+        |UNION ALL SELECT 'candidate_fraction_below_half', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'recall_at5_above_floor', CAST(1 AS BIGINT)""".stripMargin)
     )),
 
     // Quantized-scoring ANN: int8 codes rank candidates (4× less scan

@@ -308,6 +308,44 @@ object PipelineQueries {
         |FROM events GROUP BY 1, 2, 3, 4""".stripMargin)
     )),
 
+    // P7 (r13 verdict item 6 / GAP.md:13 feature 5 "direct partition
+    // management"): the full no-crawler chain — FileSink writes the record
+    // relation Hive-time-partitioned (the P4 layout), Tables
+    // .registerPartitioned registers the path as an external table and
+    // recovers its partitions into the catalog (MSCK REPAIR), and the
+    // query aggregates FROM THE REGISTERED TABLE's partition columns. An
+    // unrecovered catalog returns zero rows here (datasource tables with
+    // managed partitions serve from metastore state, not directory
+    // listings), so the oracle hash fails loudly if registration breaks.
+    "p7_partition_registry" -> ((
+      (s: SparkSession, dir: String) => {
+        val out = graft.tools.TmpDirs.path("p7-registry")
+        // writeBatch appends; the per-JVM scratch dir must start empty so
+        // session recycling doesn't accumulate duplicate batches
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        val cfg = graft.model.SinkConfig(bucketName = "b",
+          partitioner = graft.model.PartitionerKind.Time,
+          format = graft.model.Format.Parquet)
+        graft.sinks.FileSink.writeBatch(
+          Sources.eventsAsRecords(s, dir).drop("headers"), cfg, out)
+        graft.sinks.Tables.registerPartitioned(s, "p7_registered_records", out)
+        s.table("p7_registered_records")
+          .groupBy(col("year").cast("long").as("year"),
+            col("month").cast("long").as("month"),
+            col("day").cast("long").as("day"),
+            col("hour").cast("long").as("hour"))
+          .agg(count(lit(1)).as("cnt"), min("offset").as("min_offset"),
+            max("offset").as("max_offset"))
+      },
+      Some("""SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+        |  CAST(day(ts) AS BIGINT) AS day, CAST(hour(ts) AS BIGINT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  min(event_id) AS min_offset, max(event_id) AS max_offset
+        |FROM events GROUP BY 1, 2, 3, 4""".stripMargin)
+    )),
+
     // P6 (r12 verdict item 4 / GAP.md:17 "Multiple sink support"): the
     // multi-table fan-out DECISION, batch analog. Records gain per-topic
     // topics (event_type-derived — the fixture's one-topic synthesis can't

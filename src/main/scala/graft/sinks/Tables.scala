@@ -128,6 +128,26 @@ object Tables {
       .write.mode("overwrite").format("parquet").save(path)
   }
 
+  /** Direct partition management without external crawlers (`GAP.md:13`
+    * feature 5 — the reference's roadmap wants sink output registered for
+    * downstream engines without a Glue crawler pass): register an existing
+    * Hive-layout path (e.g. a [[FileSink.writeBatch]] time-partitioned
+    * output) as an EXTERNAL datasource table and recover its partitions
+    * into the session catalog — Spark's `MSCK REPAIR TABLE` surface. After
+    * this, `spark.table(name)` plans with CATALOG partition pruning (no
+    * per-query directory listing) and downstream readers enumerate
+    * partitions from the metastore instead of crawling the store — at
+    * 100 TB the difference between a metadata lookup and an S3 LIST storm.
+    * Idempotent: re-registering replaces the table entry (external, so the
+    * data is never touched) and re-syncs partitions added since.
+    */
+  def registerPartitioned(spark: SparkSession, name: String, path: String,
+                          format: String = "parquet"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING $format LOCATION '$path'")
+    spark.catalog.recoverPartitions(name)
+  }
+
   // ---- table-format sink (Iceberg) decision record ----------------------
   //
   // The reference's roadmap names an Iceberg sink (GAP.md:14-16: Iceberg,
