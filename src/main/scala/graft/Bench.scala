@@ -79,7 +79,8 @@ object Bench {
     // events-readers absorbing multi-second first-touch spikes).
     def freshSession(): SparkSession = {
       val spark = GraftSession.getOrCreate(
-        master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+        master = s"local[$cpus]", shufflePartitions = cpus.toInt,
+        quietAcceptedWarnings = true)
       spark.sparkContext.setLogLevel("WARN")
       try SparkEntry.queries("q1_agg")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

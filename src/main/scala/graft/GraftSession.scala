@@ -54,7 +54,8 @@ object GraftSession {
   }
 
   def getOrCreate(master: String = "local[32]",
-                  shufflePartitions: Int = 32): SparkSession = {
+                  shufflePartitions: Int = 32,
+                  quietAcceptedWarnings: Boolean = false): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
     // Silence WindowExec's "No Partition Defined" WARN (class-scoped, not
     // global): the 7 documented calendar-grain entries (CatalogContractSpec's
@@ -63,9 +64,16 @@ object GraftSession {
     // bench/verify run burying real warnings in the one stdout the driver
     // parses. The PLAN gate stays: any undocumented unpartitioned window
     // still fails CI — this only quiets the log line for the accepted class.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    // OPT-IN (r13 ADVICE): only the bench/verify/audit drivers pass true —
+    // a user session keeps the warning for its own unpartitioned windows,
+    // which the CI plan gate never sees. Guarded: the Configurator call
+    // hard-depends on log4j-core being the logging backend; a different
+    // slf4j binding must not fail session creation.
+    if (quietAcceptedWarnings)
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR)
+      catch { case _: Throwable => () } // incl. NoClassDefFoundError
     functions.GraftFunctions.register(spark)
     // bounded-heap top-k replaces Exchange→Sort→Window→Filter for the
     // row_number()<=k idiom (k-capped; see plans/TopKPerGroup.scala)

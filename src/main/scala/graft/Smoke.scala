@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Local smoke: the driver's t1 check — SparkEntry.entry rows > 0. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.getOrCreate("local[4]", shufflePartitions = 4)
+    val spark = GraftSession.getOrCreate("local[4]", shufflePartitions = 4,
+      quietAcceptedWarnings = true)
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)
     val n = df.count()

@@ -20,7 +20,8 @@ object Verify {
     // driver aging across a 140-query catalog accumulates per-execution
     // state that slows later queries several-fold.
     def freshSession() = {
-      val s = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
+      val s = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt,
+        quietAcceptedWarnings = true)
       s.sparkContext.setLogLevel("WARN")
       s
     }

@@ -12,7 +12,7 @@ import graft.sources.Sources
 object IvfProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.GraftSession.getOrCreate()
+    val spark = graft.GraftSession.getOrCreate(quietAcceptedWarnings = true)
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val emb = Sources.table(spark, dir, "embeddings")

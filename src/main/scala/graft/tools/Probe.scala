@@ -11,7 +11,7 @@ import graft.sources.Sources
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.GraftSession.getOrCreate()
+    val spark = graft.GraftSession.getOrCreate(quietAcceptedWarnings = true)
     val docs = Sources.table(spark, dir, "documents")
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

@@ -10,7 +10,7 @@ import graft.SparkEntry
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.getOrCreate()
+    val spark = GraftSession.getOrCreate(quietAcceptedWarnings = true)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.length > 1) args.toSeq else Seq(args(0), args(0))
     for (q <- names) {
