@@ -105,6 +105,36 @@ class SinkSpec extends SparkSpec {
     assert(fs.exists(new Path(root, "t1/1_2.avro")))
   }
 
+  test("routed avro slice rides the avro-core fallback and replays idempotently") {
+    // the r13 ADVICE failure case: a `table:avro` route used to bypass
+    // FileSink.writeBatch and throw where spark-avro is absent; it now
+    // rides the avro-core fallback inside the batchId-staged publish
+    import graft.streaming.Pipeline
+    import graft.model.TableRoute
+    import graft.sinks.AvroSink
+    import org.apache.hadoop.fs.Path
+    val root = tmp()
+    val sink = SinkConfig(bucketName = "b", prefix = "default")
+    val route = TableRoute("t1", "t1_avro", Format.Avro)
+    val slice = recs.toDF().filter(org.apache.spark.sql.functions.col("topic") === "t1")
+    Pipeline.writeRoutedSlice(slice, sink, route, root, batchId = 0)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val published = new Path(root, "t1_avro/batch=0/t1/0_0.avro")
+    assert(fs.exists(published), "avro container must publish under batch=0")
+    assert(AvroSink.readFile(fs, published).nonEmpty)
+    def fileCount(p: Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0; while (it.hasNext) { it.next(); n += 1 }; n
+    }
+    val before = fileCount(new Path(root, "t1_avro"))
+    // replaying the same (table, batchId) is a no-op, not a duplicate
+    Pipeline.writeRoutedSlice(slice, sink, route, root, batchId = 0)
+    assert(fileCount(new Path(root, "t1_avro")) == before)
+    // a NEW batch id publishes beside it
+    Pipeline.writeRoutedSlice(slice, sink, route, root, batchId = 1)
+    assert(fs.exists(new Path(root, "t1_avro/batch=1")))
+  }
+
   test("table sink routes to the documented fallback when Iceberg is absent") {
     import graft.sinks.Tables
     // decision record: no iceberg-spark runtime ships offline, and the
