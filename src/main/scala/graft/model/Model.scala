@@ -106,7 +106,12 @@ final case class SinkConfig(
     endpoint: Option[String] = None,
     accessKey: Option[String] = None,
     secretKey: Option[String] = None,
-    compression: Compression = Compression.None
+    compression: Compression = Compression.None,
+    // K-family time-based rotation (`connector.proto:214`
+    // `rotate_interval_ms`, declared but never read by the reference —
+    // `GAP.md` lists it as a gap): in Spark the flush unit is the
+    // micro-batch, so the rotation interval IS the trigger interval.
+    rotateIntervalMs: Int = 1000
 )
 
 object SinkConfig {
@@ -127,7 +132,8 @@ object SinkConfig {
     endpoint = c.get("s3.endpoint"),
     accessKey = c.get("s3.access.key"),
     secretKey = c.get("s3.secret.key"),
-    compression = Compression.parse(c.getOrElse("compression", "none"))
+    compression = Compression.parse(c.getOrElse("compression", "none")),
+    rotateIntervalMs = c.get("rotate.interval.ms").map(_.toInt).getOrElse(1000)
   )
 }
 

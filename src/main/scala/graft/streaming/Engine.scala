@@ -39,14 +39,17 @@ final class Engine(spark: SparkSession, root: String, checkpointRoot: String) {
     val routes = graft.model.TableRoute.fromMap(sinkConn.config)
     cfg.connectors.filter(_.connectorType == "source").foreach { c =>
       manager.register(c.name) { () =>
+        // rotate.interval.ms -> trigger interval: the micro-batch IS the
+        // flush/rotation unit (SURVEY §4 "time-based rotation — free")
+        val trigger = Trigger.ProcessingTime(s"${sinkCfg.rotateIntervalMs} milliseconds")
         if (routes.nonEmpty)
           Pipeline.streamToRoutedTables(Engine.sourceStream(spark, cfg, c),
             sinkCfg, routes, s"$root/${c.name}", s"$checkpointRoot/${c.name}",
-            Trigger.ProcessingTime("1 second"), name = c.name)
+            trigger, name = c.name)
         else
           Pipeline.streamToFiles(Engine.sourceStream(spark, cfg, c), sinkCfg,
             s"$root/${c.name}", s"$checkpointRoot/${c.name}",
-            Trigger.ProcessingTime("1 second"), name = c.name)
+            trigger, name = c.name)
       }
     }
     current = Some(cfg)

@@ -69,6 +69,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(sink.format == Format.Json)
     assert(sink.partitioner == PartitionerKind.Time)
     assert(sink.flushSize == 100)
+    // rotate.interval.ms (connector.proto:214, declared-only in the
+    // reference): defaults to 1 s; an explicit value becomes the trigger
+    // interval (the micro-batch IS the rotation unit)
+    assert(sink.rotateIntervalMs == 1000)
+    assert(graft.model.SinkConfig.fromMap(Map(
+      "s3.bucket.name" -> "b", "rotate.interval.ms" -> "250")).rotateIntervalMs == 250)
   }
 
   test("parses route.<topic> keys into table routes (multi-table fan-out)") {
