@@ -828,6 +828,25 @@ class ScaleSpec extends SparkSpec {
       "uncapped control must contain the full quadratic clique pair set")
   }
 
+  test("SemDeDup derives its cluster count from the corpus by default") {
+    // r13 verdict item 1(a): "cell count scales with N" must be code, not
+    // a comment — the default assignment on the 500-vector fixture must
+    // quantize with k = derivedPivotCount(500) = 22 cells (every cluster
+    // id in [0, 22)), not the old fixed 16; a pinned count still replays.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val derived = Dedup.semanticAssignments(emb)
+      .agg(max(col("cluster")).as("mx"), min(col("cluster")).as("mn"),
+        countDistinct(col("cluster")).as("k"))
+      .collect().head
+    assert(derived.getInt(1) >= 0 && derived.getInt(0) <= 21,
+      s"derived assignment must use ceil(sqrt(500)) = 22 cells, got $derived")
+    assert(derived.getLong(2) > 16,
+      s"derived k must exceed the old fixed 16 on this corpus, got $derived")
+    val pinned = Dedup.semanticAssignments(emb, nClusters = 4)
+      .agg(max(col("cluster"))).collect().head.getInt(0)
+    assert(pinned <= 3, s"pinned count must be honored, got max cluster $pinned")
+  }
+
   test("SemDeDup survives a planted KMeans mega-cell: hot-cell cap engaged") {
     import spark.implicits._
     // r13 verdict item 1: KMeans routinely collapses a near-dup-heavy or
