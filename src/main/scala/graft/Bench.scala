@@ -48,7 +48,8 @@ object Bench {
     "ann_bruteforce_topk", "vector_knn_graph",
     "text_containment", "text_containment_prefix", "text_dup_spans",
     "q_percentiles", "stream_embedding_dedup_recall",
-    "dedup_simhash_witness", "dedup_embedding_lsh_witness", "dedup_semantic_witness")
+    "dedup_simhash_witness", "dedup_embedding_lsh_witness", "dedup_semantic_witness",
+    "ann_lsh_recall_witness")
 
   /** 1-minute load average — recorded per measurement so a judge can tell
     * a code regression from box weather without archaeology (r7: 207

@@ -73,7 +73,10 @@ object GraftSession {
       try org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.execution.window.WindowExec",
         org.apache.logging.log4j.Level.ERROR)
-      catch { case _: Throwable => () } // incl. NoClassDefFoundError
+      // NoClassDefFoundError (a non-log4j-core slf4j binding) is the
+      // expected miss — LinkageError covers it; NonFatal covers config
+      // errors. Fatal errors (OOM, interrupt) must still propagate.
+      catch { case scala.util.control.NonFatal(_) | (_: LinkageError) => () }
     functions.GraftFunctions.register(spark)
     // bounded-heap top-k replaces Exchange→Sort→Window→Filter for the
     // row_number()<=k idiom (k-capped; see plans/TopKPerGroup.scala)

@@ -133,7 +133,18 @@ object SinkConfig {
     accessKey = c.get("s3.access.key"),
     secretKey = c.get("s3.secret.key"),
     compression = Compression.parse(c.getOrElse("compression", "none")),
-    rotateIntervalMs = c.get("rotate.interval.ms").map(_.toInt).getOrElse(1000)
+    rotateIntervalMs = c.get("rotate.interval.ms").map { v =>
+      val ms = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"rotate.interval.ms must be a positive integer, got '$v'")
+      }
+      // 0 would busy-spin the micro-batch trigger; negatives fail only at
+      // query start with an opaque message — validate at the config surface
+      // like the route-format checks
+      if (ms <= 0) throw new IllegalArgumentException(
+        s"rotate.interval.ms must be a positive integer, got '$v'")
+      ms
+    }.getOrElse(1000)
   )
 }
 
@@ -150,8 +161,8 @@ object SinkConfig {
 final case class TableRoute(topic: String, table: String, format: Format)
 
 object TableRoute {
-  def fromMap(c: Map[String, String]): Seq[TableRoute] =
-    c.collect { case (k, v) if k.startsWith("route.") && k.length > "route.".length =>
+  def fromMap(c: Map[String, String]): Seq[TableRoute] = {
+    val routes = c.collect { case (k, v) if k.startsWith("route.") && k.length > "route.".length =>
       val topic = k.stripPrefix("route.")
       v.split(":", 2) match {
         case Array(t) => TableRoute(topic, t, Format.Parquet)
@@ -162,6 +173,17 @@ object TableRoute {
           TableRoute(topic, t, fmt)
       }
     }.toSeq.sortBy(_.topic)
+    // Two topics routed to ONE table would collide on the sink's
+    // (table, batchId) replay marker: the first topic's publish makes the
+    // second topic's write look like a replay, silently dropping its rows
+    // every micro-batch — permanent loss, so reject at parse time.
+    val dup = routes.groupBy(_.table).collect { case (t, rs) if rs.size > 1 =>
+      s"$t <- ${rs.map(_.topic).mkString(", ")}" }
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"multiple topics routed to the same table (the per-table batch " +
+        s"replay marker cannot distinguish them): ${dup.mkString("; ")}")
+    routes
+  }
 }
 
 /** Kafka source configuration surface, mirroring `kafka.rs:399-492`:

@@ -5610,12 +5610,16 @@ object AnalyticsQueries {
     // Kruskal–Wallis H across nations' monthly revenue — the k-sample
     // rank test (does ANY nation's distribution differ?), the
     // nonparametric sibling of q_anova_f the way q_mann_whitney_u is of
-    // q_welch_ttest. Ranks are computed WITHOUT a global window: the
-    // fact table collapses to the nation×month grid first, and average
-    // ranks come from the bounded grid×grid pair aggregate (rank(v) =
-    // #smaller + (#equal+1)/2 — the q_fdr_bh ranking shape), so nothing
-    // funnels through one task and the pair stage is calendar²-bounded
-    // at any SF. H and its tie correction are doubles over exact counts.
+    // q_welch_ttest. Tie-aware average ranks are computed at the VALUE
+    // level with the q_spearman_rank cumulative-window idiom (r14 verdict
+    // item 3 replaced the old grid×grid pair aggregate — O(g²) in the
+    // cell count, quadratic in the calendar span): distinct y values get
+    // a cumulative count, and rank(v) = #smaller + (#equal+1)/2
+    // = cum − cv + (cv+1)/2 — O(g log g), same exact ranks (halves of
+    // integers, order-free in doubles at any SF). The window is
+    // unpartitioned but VALUE-DOMAIN-bounded: distinct y ≤ the
+    // nation×month grid, calendar-grain (CatalogContractSpec accepted
+    // set). H and its tie correction are doubles over exact counts.
     "q_kruskal_wallis" -> ((
       (s: SparkSession, dir: String) => {
         val grid = t(s, dir, "orders")
@@ -5624,16 +5628,15 @@ object AnalyticsQueries {
             (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
           .agg(moneySum(col("o_totalprice")).as("y"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val i = grid.select(col("nk"), col("m"), col("y"))
-        val j = grid.select(col("y").as("jy"))
-        val ranked = i.crossJoin(j)
-          .groupBy(col("nk"), col("m"), col("y"))
-          .agg((sum(when(col("jy") < col("y"), 1L).otherwise(0L))
-            + (sum(when(col("jy") === col("y"), 1L).otherwise(0L)) + 1L)
-              .cast("double") / 2.0).as("r"))
+        val vals = grid.groupBy("y").agg(count(lit(1)).as("cv"))
+        val wv = Window.orderBy("y")
+        val vr = vals.withColumn("cum", sum("cv").over(wv))
+          .select(col("y"), (col("cum") - col("cv")
+            + (col("cv") + 1L).cast("double") / 2.0).as("r"))
+        val ranked = grid.join(vr, Seq("y"))
         val n1 = grid.agg(count(lit(1)).as("nn"))
-        val ties = grid.groupBy("y").agg(count(lit(1)).as("tc"))
-          .agg(sum(col("tc") * col("tc") * col("tc") - col("tc")).as("tie3"))
+        val ties = vals
+          .agg(sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tie3"))
         val per = ranked.groupBy("nk")
           .agg(count(lit(1)).as("n_g"), sum(col("r")).as("rsum"))
         per.agg(count(lit(1)).as("k"),

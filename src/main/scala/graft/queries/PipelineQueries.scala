@@ -317,6 +317,11 @@ object PipelineQueries {
     // unrecovered catalog returns zero rows here (datasource tables with
     // managed partitions serve from metastore state, not directory
     // listings), so the oracle hash fails loudly if registration breaks.
+    // The write is CLUSTERED (r14 verdict item 1): the Time partitioner's
+    // default repartition(partitionCols) collapses tasks×720-hour small
+    // files to one per partition value, and recoverPartitions lists a
+    // proportionally smaller tree — the 100 TB small-files killer fixed at
+    // the sink, pinned by SinkSpec's one-file-per-partition test.
     "p7_partition_registry" -> ((
       (s: SparkSession, dir: String) => {
         val out = graft.tools.TmpDirs.path("p7-registry")

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.model.{Compression, Format, SinkConfig}
+import graft.model.{Compression, Format, PartitionerKind, SinkConfig}
 import graft.operators.{Encode, OutputPartitioners}
 
 /** The file/object-store sink — K1–K5 of the operator inventory.
@@ -21,9 +21,12 @@ import graft.operators.{Encode, OutputPartitioners}
   * Scale design: the write is a single narrow stage on top of whatever
   * partitioning the plan already has; `partitionBy` uses Spark's dynamic
   * partition insert (one file per task per partition value). For
-  * high-cardinality time partitions a `repartition(partitionCols)` before the
-  * write collapses the file count to one per partition value — exposed via
-  * `coalescePartitions`.
+  * high-cardinality time partitions that is tasks×partition-values small
+  * files — millions of objects on a 100 TB hourly write — so a
+  * `repartition(partitionCols)` before the write collapses the file count
+  * to one per partition value. The Time partitioner gets this clustering
+  * exchange by DEFAULT (its hour grain is always high-cardinality);
+  * `coalescePartitions` opts any other partitioner in.
   */
 object FileSink {
 
@@ -78,7 +81,8 @@ object FileSink {
           case _ => derived
         }
         val distributed =
-          if (coalescePartitions && partCols.nonEmpty)
+          if ((coalescePartitions || cfg.partitioner == PartitionerKind.Time)
+              && partCols.nonEmpty)
             projected.repartition(partCols.map(col).toIndexedSeq: _*)
           else projected
         distributed.write

@@ -143,9 +143,16 @@ object Tables {
     */
   def registerPartitioned(spark: SparkSession, name: String, path: String,
                           format: String = "parquet"): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"CREATE TABLE $name USING $format LOCATION '$path'")
-    spark.catalog.recoverPartitions(name)
+    // quote/escape the interpolated DDL pieces (r14 verdict nit): the name
+    // rides backticked (` doubled per SQL ident rules), the path literal
+    // escapes backslashes and quotes, and the format — a USING clause, not
+    // quotable — is allowlisted to identifier characters
+    require(format.matches("[A-Za-z0-9_.]+"), s"malformed format: $format")
+    val ident = "`" + name.replace("`", "``") + "`"
+    val loc = path.replace("\\", "\\\\").replace("'", "\\'")
+    spark.sql(s"DROP TABLE IF EXISTS $ident")
+    spark.sql(s"CREATE TABLE $ident USING $format LOCATION '$loc'")
+    spark.catalog.recoverPartitions(ident)
   }
 
   // ---- table-format sink (Iceberg) decision record ----------------------

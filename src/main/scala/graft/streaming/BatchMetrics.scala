@@ -29,6 +29,21 @@ object BatchMetrics {
       sum(length(col("value"))).as("value_bytes"),
       sum(when(col("key").isNull, 1L).otherwise(0L)).as("null_keys"))
 
+  /** Dedup-filter observability (r14 verdict item 6): the survivor count
+    * rides the batch as an observe metric, alongside the corpus index's
+    * excluded-hot-bucket count — the recall trade-off of the banded
+    * filter's `maxBucket` cap ([[graft.operators.Dedup.minhashHotBuckets]]).
+    * The hot count is computed once per query (the corpus is static per
+    * query) and stamped into every micro-batch's metric row, so a metrics
+    * consumer sees "this batch was filtered under a live recall hole"
+    * without re-deriving the index.
+    */
+  def withDedupMetrics(df: DataFrame, hotBucketsExcluded: Long,
+                       name: String = "graft-dedup"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("survivor_cnt"),
+      max(lit(hotBucketsExcluded)).as("hot_buckets_excluded"))
+
   /** Collects observed metrics per (metric-set name), newest last. */
   final class MetricsTracker(keep: Int = 32) extends QueryExecutionListener {
     private val lock = new Object

@@ -38,19 +38,40 @@ object Pipeline {
                     trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
     streamToFiles(Sources.kafkaStream(spark, src), sink, root, checkpoint, trigger)
 
-  /** Sink-side of the query, source-agnostic so tests can feed MemoryStream. */
+  /** Sink-side of the query, source-agnostic so tests can feed MemoryStream.
+    *
+    * `registerAs` (P7's streaming half, r14 verdict item 5): when set, the
+    * sink output is registered once as an external partitioned table under
+    * that catalog name and new partitions are recovered AFTER EACH
+    * micro-batch commit — downstream readers see a partition written in
+    * batch N via `spark.table` before batch N+1 runs, without a crawler
+    * pass. Cost: one metastore sync per micro-batch over the catalog's
+    * partition diff, not a per-query directory crawl.
+    */
   def streamToFiles(records: DataFrame, sink: SinkConfig, root: String,
                     checkpoint: String,
                     trigger: Trigger = Trigger.ProcessingTime("1 second"),
-                    name: String = s"graft-sink"): StreamingQuery =
+                    name: String = s"graft-sink",
+                    registerAs: Option[String] = None): StreamingQuery = {
+    @volatile var registered = false
     records.writeStream
       .queryName(name)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         FileSink.writeBatch(batch, sink, root): Unit
+        registerAs.foreach { table =>
+          val spark = batch.sparkSession
+          if (!registered) {
+            graft.sinks.Tables.registerPartitioned(spark, table,
+              FileSink.outputPath(sink, root))
+            registered = true
+          } else spark.catalog.recoverPartitions(
+            "`" + table.replace("`", "``") + "`")
+        }
       }
       .start()
+  }
 
   /** Exactly-once variant: Spark's native file streaming sink, whose
     * `_spark_metadata` manifest makes batch commits atomic and replays
@@ -165,9 +186,46 @@ object Pipeline {
                            routes: Seq[TableRoute], root: String,
                            checkpoint: String,
                            trigger: Trigger = Trigger.ProcessingTime("1 second"),
-                           name: String = "graft-routed-sink"): StreamingQuery = {
+                           name: String = "graft-routed-sink",
+                           registerTables: Boolean = false): StreamingQuery = {
     import org.apache.spark.sql.functions._
     require(routes.nonEmpty, "streamToRoutedTables needs at least one route")
+    // TableRoute.fromMap already rejects this, but routes can also be built
+    // programmatically: two topics feeding one table share the per-table
+    // batch=<id> replay marker, so the second topic's first write would be
+    // mistaken for a replay and dropped every micro-batch.
+    require(routes.map(_.table).distinct.size == routes.size,
+      s"duplicate route tables: ${routes.groupBy(_.table).collect {
+        case (t, rs) if rs.size > 1 => t }.mkString(", ")}")
+    // Layout-migration guard (the batch=<id> partition layout replaced a
+    // flat append in r14): a table dir holding pre-existing NON-batch files
+    // mixed with new batch=N subdirs fails Spark partition discovery on
+    // read. Fail loudly at query start instead of producing an unreadable
+    // mixed layout; one listStatus per route, once per query.
+    locally {
+      val hconf = records.sparkSession.sparkContext.hadoopConfiguration
+      routes.foreach { r =>
+        val tablePath = new org.apache.hadoop.fs.Path(s"$root/${r.table}")
+        val fs = tablePath.getFileSystem(hconf)
+        if (fs.exists(tablePath)) {
+          val flat = fs.listStatus(tablePath).filterNot { st =>
+            val n = st.getPath.getName
+            n.startsWith("batch=") || n.startsWith(".staging-batch=") ||
+              n.startsWith("_") || n.startsWith(".")
+          }
+          require(flat.isEmpty,
+            s"table '${r.table}' at $tablePath holds pre-batch=<id> layout " +
+              s"entries (${flat.take(3).map(_.getPath.getName).mkString(", ")}); " +
+              "migrate them into a batch=<n> subdir (or a fresh root) before " +
+              "routing to this table — mixing flat files with batch= dirs " +
+              "breaks partition discovery on read")
+        }
+      }
+    }
+    // per-query registration memory: first batch CREATEs each routed table,
+    // later batches only sync the partition diff (foreachBatch runs on the
+    // driver's microbatch thread, so a plain set is safe)
+    val registered = scala.collection.mutable.Set.empty[String]
     records.writeStream
       .queryName(name)
       .option("checkpointLocation", checkpoint)
@@ -178,6 +236,20 @@ object Pipeline {
           routes.foreach { r =>
             writeRoutedSlice(b.filter(col("topic") === r.topic), sink, r,
               root, batchId)
+            // P7's streaming half (r14 verdict item 5): the routed table's
+            // new batch=<id> partition enters the catalog before the next
+            // micro-batch, so downstream spark.table readers see it
+            // mid-stream with no crawler. First batch registers, later
+            // batches sync the diff.
+            if (registerTables) {
+              val spark = b.sparkSession
+              if (!registered.contains(r.table)) {
+                graft.sinks.Tables.registerPartitioned(spark, r.table,
+                  s"$root/${r.table}")
+                registered.add(r.table): Unit
+              } else spark.catalog.recoverPartitions(
+                "`" + r.table.replace("`", "``") + "`")
+            }
           }
           val routed = routes.map(_.topic)
           val rest = b.filter(col("topic").isNull ||

@@ -159,18 +159,23 @@ object StreamOps {
     */
   def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
                          sink: DataFrame => Unit,
-                         onHotBuckets: Long => Unit = _ => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                         onHotBuckets: Long => Unit = _ => (),
+                         maxBucket: Int = 1000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the corpus index is static: shingle it ONCE per query, not per batch
     // (caller-must-clear-cache: it lives as long as the streaming query)
     val corpusHs = graft.operators.Dedup.shingleRelation(corpus).persist(lvl)
     // surface the filter's recall trade-off (Dedup.incrementalFilterAgainst
-    // caller contract): how many corpus index buckets the default cap
-    // excludes — non-zero means a near-dup of a hot corpus cluster will
-    // pass this filter. One bounded aggregate over the static index, once
-    // per query (which IS per batch: the corpus doesn't change between
-    // micro-batches).
-    onHotBuckets(graft.operators.Dedup.minhashHotBuckets(corpusHs).count())
+    // caller contract): how many corpus index buckets the cap excludes —
+    // non-zero means a near-dup of a hot corpus cluster will pass this
+    // filter. One bounded aggregate over the static index, once per query
+    // (which IS per batch: the corpus doesn't change between
+    // micro-batches); the count ALSO rides every micro-batch as the
+    // `hot_buckets_excluded` observe metric (r14 verdict item 6), so a
+    // metrics pipeline sees the live recall hole without the callback.
+    val hotBuckets = graft.operators.Dedup
+      .minhashHotBuckets(corpusHs, maxBucket = maxBucket).count()
+    onHotBuckets(hotBuckets)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -178,7 +183,9 @@ object StreamOps {
         // the batch, release before the next one — no cache growth over an
         // unbounded stream
         val batchHs = graft.operators.Dedup.shingleRelation(batch).persist(lvl)
-        try sink(graft.operators.Dedup.incrementalFilterAgainst(corpusHs, batchHs, batch))
+        try sink(BatchMetrics.withDedupMetrics(
+          graft.operators.Dedup.incrementalFilterAgainst(
+            corpusHs, batchHs, batch, maxBucket = maxBucket), hotBuckets))
         finally batchHs.unpersist()
       }
   }

@@ -1018,6 +1018,17 @@ object PlanAudit {
     * (the centroid/per-cell-stats shape). A join against a
     * LocalRelation-derived or aggregate-derived cluster column (the IVF
     * probe idiom) does not fire — only assignment-vs-assignment does.
+    *
+    * KNOWN BLIND SPOT (r14 ADVICE): `dedup_semantic`'s catalog entry
+    * localCheckpoints its assignment relation before the pair join, so on
+    * THAT entry the cluster column resolves to a checkpoint scan, never a
+    * ScalaUDF — this gate cannot fire there even if the hot-cell cap were
+    * removed. Coverage for the entry comes from two other pins: the
+    * library-level must-fire reconstruction in PlanGateSpec (the capped
+    * `semanticDroppedIds` path itself) and CatalogContractSpec's
+    * "dedup_semantic rides the capped path" test, which executes the entry
+    * and requires the `hot_cells_excluded` verdict row the capped path
+    * alone produces.
     */
   def hasModelKeyJoin(optimized: LogicalPlan): Boolean = {
     val memo = new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]()

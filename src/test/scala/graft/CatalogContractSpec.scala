@@ -151,6 +151,26 @@ class CatalogContractSpec extends SparkSpec {
       s"model-output-key joins without a cell cap: ${offenders.mkString(", ")}")
   }
 
+  test("dedup_semantic rides the capped hot-cell path (model-key-gate blind spot pin)") {
+    // r14 ADVICE: the entry localCheckpoints its assignment relation, so
+    // the hasModelKeyJoin gate can never fire on its plan (the cluster
+    // column resolves to a checkpoint scan, not the KMeans ScalaUDF) even
+    // if the hot-cell cap were removed. Pin the entry's CONSTRUCTION
+    // instead: only the capped semanticDroppedIds/semanticHotCells path
+    // yields the `hot_cells_excluded` verdict row, so a rewrite that drops
+    // the cap (or bypasses the capped helpers) fails here, in CI, not in
+    // the next round's verdict.
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.contains("hot_cells_excluded"),
+      "dedup_semantic no longer emits the hot-cell-cap verdict row — the " +
+        "capped semanticDroppedIds path is the entry's scale contract")
+    assert(rows("hot_cells_excluded") == 0L,
+      "the fixture must not engage the cap (cap engagement is pinned by " +
+        "ScaleSpec's planted mega-cell, not the fixture)")
+    assert(rows.get("kept_pair_violations").contains(0L))
+  }
+
   test("unpartitioned windows are restricted to the documented calendar-grain set") {
     // PlanAudit's unpartitioned-window class, enforced in CI the way the
     // broadcast rule already is: a Window with an empty partition spec
@@ -167,7 +187,11 @@ class CatalogContractSpec extends SparkSpec {
       "q_log_rank", "q_nelson_aalen", "q_runs_test",
       // largest-remainder rank over the |o_orderpriority|-row strata
       // aggregate — value-domain-bounded (5 rows at any SF)
-      "q_neyman_allocation")
+      "q_neyman_allocation",
+      // r15: tie-aware rank window over DISTINCT nation×month revenue
+      // values — calendar-grain (≤ nations × months rows), replacing the
+      // old grid×grid crossJoin rank (r14 verdict item 3)
+      "q_kruskal_wallis")
     val offenders = entries.filterNot(accepted).filter { name =>
       SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty &&

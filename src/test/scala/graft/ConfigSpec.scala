@@ -93,6 +93,35 @@ class ConfigSpec extends AnyFunSuite {
       TableRoute.fromMap(Map("route.t" -> "tbl:bytes")))
   }
 
+  test("rejects two topics routed to one table (replay-marker collision)") {
+    // two routes to the same table share the per-table batch=<id> replay
+    // marker: the second topic's write every micro-batch would look like a
+    // replay of the first's and be dropped — permanent loss, so the config
+    // surface rejects it up front
+    import graft.model.TableRoute
+    val ex = intercept[IllegalArgumentException](TableRoute.fromMap(Map(
+      "route.a" -> "shared", "route.b" -> "shared:json")))
+    assert(ex.getMessage.contains("shared"))
+    // distinct tables stay fine
+    assert(TableRoute.fromMap(Map(
+      "route.a" -> "ta", "route.b" -> "tb")).size == 2)
+  }
+
+  test("rotate.interval.ms validates at the config surface") {
+    import graft.model.SinkConfig
+    val base = Map("s3.bucket.name" -> "b")
+    assert(SinkConfig.fromMap(base + ("rotate.interval.ms" -> "250")).rotateIntervalMs == 250)
+    // non-numeric → named key in the message, not a bare NumberFormatException
+    val bad = intercept[IllegalArgumentException](
+      SinkConfig.fromMap(base + ("rotate.interval.ms" -> "fast")))
+    assert(bad.getMessage.contains("rotate.interval.ms"))
+    // 0 would busy-spin the trigger; negative would fail opaquely at start
+    assertThrows[IllegalArgumentException](
+      SinkConfig.fromMap(base + ("rotate.interval.ms" -> "0")))
+    assertThrows[IllegalArgumentException](
+      SinkConfig.fromMap(base + ("rotate.interval.ms" -> "-5")))
+  }
+
   test("rejects unknown connector_type") {
     val bad = shipped.replace("\"connector_type\": \"source\"", "\"connector_type\": \"transform\"")
     assertThrows[IllegalArgumentException](ConfigLoader.parse(bad))

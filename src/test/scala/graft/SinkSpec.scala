@@ -65,6 +65,44 @@ class SinkSpec extends SparkSpec {
     assert(sub.exists(_.startsWith("partition_value=3")))
   }
 
+  test("time partitioner clusters the write: one file per partition value") {
+    // r14 verdict item 1: without the clustering exchange, the dynamic
+    // partition insert writes one file per TASK per partition value —
+    // tasks×partitions small files (millions at 100 TB hourly grain).
+    // The Time partitioner now repartitions on the partition columns by
+    // default, so each value lands in exactly one task → one file.
+    val root = tmp()
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet,
+      partitioner = PartitionerKind.Time)
+    // spread same-hour rows across 3 input tasks to make the un-clustered
+    // shape produce >1 file per value
+    FileSink.writeBatch(recs.toDF().repartition(3), cfg, root)
+    val files = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toList
+    // recs span exactly 2 distinct (topic, year, month, day, hour) values
+    assert(files.size == 2,
+      s"expected one file per partition value, got ${files.size}: $files")
+    assert(spark.read.parquet(root).count() == 3)
+  }
+
+  test("registerPartitioned quotes the DDL: quoted path, odd name, bad format") {
+    // r14 verdict nit: name/path used to interpolate unquoted into the
+    // CREATE TABLE statement — a path with an apostrophe broke the DDL
+    import graft.sinks.Tables
+    val root = tmp()
+    val dir = s"$root/p7's data"
+    val cfg = SinkConfig(bucketName = "b", format = Format.Parquet,
+      partitioner = PartitionerKind.Time)
+    FileSink.writeBatch(recs.toDF(), cfg, dir)
+    // the backticked identifier also keeps a reserved-word name working
+    // (the session catalog itself rejects non-alphanumeric names)
+    Tables.registerPartitioned(spark, "table", dir)
+    assert(spark.table("`table`").count() == 3)
+    // the USING clause can't be quoted — allowlist identifier characters
+    assertThrows[IllegalArgumentException](
+      Tables.registerPartitioned(spark, "t2", dir, format = "parquet; DROP TABLE t"))
+  }
+
   test("bytes format writes one concatenated object per (topic,partition)") {
     val root = tmp()
     val cfg = SinkConfig(bucketName = "b", format = Format.Bytes)

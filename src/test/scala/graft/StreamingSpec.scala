@@ -126,6 +126,93 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("routed fan-out refuses a pre-batch-layout table dir and duplicate tables") {
+    // r14 ADVICE: (a) a table written by the old flat append mixed with new
+    // batch=N subdirs is unreadable (partition discovery fails) — fail at
+    // query start, not at first read; (b) two topics to one table collide
+    // on the (table, batchId) replay marker — permanent silent loss.
+    import graft.model.TableRoute
+    val input = MemoryStream[KafkaRecord](spark)
+    val root = Files.createTempDirectory("graft-flat").toString
+    val ckpt = Files.createTempDirectory("graft-flat-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", prefix = "default", format = Format.Parquet)
+    // plant a pre-migration flat file directly under the table dir
+    val tableDir = new java.io.File(s"$root/orders_v2")
+    assert(tableDir.mkdirs())
+    Files.write(tableDir.toPath.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    val routes = TableRoute.fromMap(Map("route.orders" -> "orders_v2"))
+    val ex = intercept[IllegalArgumentException](
+      Pipeline.streamToRoutedTables(input.toDF(), cfg, routes, root, ckpt,
+        Trigger.ProcessingTime(0), name = "graft-flat-sink"))
+    assert(ex.getMessage.contains("orders_v2"))
+    // duplicate tables from programmatically-built routes (fromMap already
+    // rejects them at the config surface)
+    val dup = Seq(TableRoute("a", "shared", Format.Parquet),
+      TableRoute("b", "shared", Format.Parquet))
+    val ex2 = intercept[IllegalArgumentException](
+      Pipeline.streamToRoutedTables(input.toDF(), cfg, dup,
+        Files.createTempDirectory("graft-dup").toString, ckpt,
+        Trigger.ProcessingTime(0), name = "graft-dup-sink"))
+    assert(ex2.getMessage.contains("shared"))
+  }
+
+  test("streaming partition registration: batch N visible via spark.table before batch N+1") {
+    // P7's streaming half (r14 verdict item 5): with registerAs set, each
+    // micro-batch commit recovers the new partitions into the catalog, so
+    // a downstream spark.table reader sees them mid-stream — no crawler.
+    def trec(offset: Long, hourMs: Long) =
+      KafkaRecord("t", 0, offset, new Timestamp(hourMs), s"k$offset".getBytes,
+        s"v$offset".getBytes, Map.empty)
+    val input = MemoryStream[KafkaRecord](spark)
+    val root = Files.createTempDirectory("graft-reg").toString
+    val ckpt = Files.createTempDirectory("graft-reg-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", prefix = "reg_out",
+      format = Format.Parquet, partitioner = PartitionerKind.Time)
+    val q = Pipeline.streamToFiles(input.toDF(), cfg, root, ckpt,
+      Trigger.ProcessingTime(0), name = "graft-reg-sink",
+      registerAs = Some("stream_reg_records"))
+    try {
+      input.addData(trec(0, 1234567890000L), trec(1, 1234567890000L))
+      q.processAllAvailable()
+      // visible from the CATALOG (datasource tables with recovered
+      // partitions serve from metastore state) right after batch 0
+      assert(spark.table("stream_reg_records").count() == 2)
+      // batch 1 writes a NEW hour partition; it must enter the catalog
+      // before the next batch could run
+      input.addData(trec(2, 1234567890000L + 3600000L))
+      q.processAllAvailable()
+      val t = spark.table("stream_reg_records")
+      assert(t.count() == 3)
+      assert(t.select("hour").distinct().count() == 2)
+    } finally q.stop()
+  }
+
+  test("routed fan-out registers each routed table when asked") {
+    import graft.model.TableRoute
+    def trec(topic: String, offset: Long) =
+      KafkaRecord(topic, 0, offset, new Timestamp(1234567890000L),
+        s"k$offset".getBytes, s"v$offset".getBytes, Map.empty)
+    val input = MemoryStream[KafkaRecord](spark)
+    val root = Files.createTempDirectory("graft-regroute").toString
+    val ckpt = Files.createTempDirectory("graft-regroute-ckpt").toString
+    val cfg = SinkConfig(bucketName = "b", prefix = "default", format = Format.Parquet)
+    val routes = TableRoute.fromMap(Map("route.orders" -> "orders_reg_v2"))
+    val q = Pipeline.streamToRoutedTables(input.toDF(), cfg, routes, root,
+      ckpt, Trigger.ProcessingTime(0), name = "graft-regroute-sink",
+      registerTables = true)
+    try {
+      input.addData(trec("orders", 0), trec("orders", 1))
+      q.processAllAvailable()
+      assert(spark.table("orders_reg_v2").count() == 2)
+      input.addData(trec("orders", 2))
+      q.processAllAvailable()
+      val t = spark.table("orders_reg_v2")
+      assert(t.count() == 3)
+      // each micro-batch is its own recovered ingestion partition
+      assert(t.select("batch").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("ConnectorManager start/stop/pause lifecycle maps to ConnectorState") {
     val input = MemoryStream[KafkaRecord](spark)
     val root = Files.createTempDirectory("graft-mgr").toString
@@ -829,6 +916,43 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(survivors.toSet == Set(20L, 40L))
     } finally q.stop()
+  }
+
+  test("streaming dedup stamps the hot-bucket recall observable on every micro-batch") {
+    // r14 verdict item 6: the excluded-hot-bucket count must reach the
+    // streaming METRICS surface per batch, not only the wire-up callback.
+    // Plant the hot bucket: 4 identical corpus docs overflow every band
+    // bucket at cap 2, so the whole index is excluded and a near-dup of
+    // the hot cluster PASSES (the documented recall hole) — and the metric
+    // row says so.
+    import graft.streaming.{BatchMetrics, StreamOps}
+    val tracker = BatchMetrics.track(spark)
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = (1L to 4L).map(i => (i, base)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val survivors = scala.collection.mutable.Set[Long]()
+    var cb = -1L
+    val q = StreamOps.dedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpus,
+        batch => survivors ++= batch.select("doc_id").collect().map(_.getLong(0)),
+        onHotBuckets = cb = _, maxBucket = 2)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      assert(cb > 0L, s"planted hot corpus must trip the cap, got $cb")
+      input.addData((10L, base + " tail"))
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(10L),
+        "the hot-cluster near-dup passes (the cap's documented recall hole)")
+      // listener delivery is async relative to the action returning
+      val deadline = System.currentTimeMillis + 10000
+      var m = tracker.latest("graft-dedup")
+      while (m.isEmpty && System.currentTimeMillis < deadline) {
+        Thread.sleep(50); m = tracker.latest("graft-dedup")
+      }
+      assert(m.isDefined, "dedup metrics row not delivered")
+      assert(m.get.getAs[Long]("hot_buckets_excluded") == cb, s"got ${m.get}")
+      assert(m.get.getAs[Long]("survivor_cnt") == 1L, s"got ${m.get}")
+    } finally { q.stop(); spark.listenerManager.unregister(tracker) }
   }
 
   test("streaming paragraph dedup drops docs by containment in the corpus index") {
