@@ -47,6 +47,55 @@ final class TopKSumAgg(k: Int) extends Aggregator[Double, Array[Double], Double]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** Top-k (score, id) rows per group with an O(k) aggregation buffer and
+  * map-side partial combine — the distribution-safe top-k-per-group when
+  * group cardinality is LOW (per-domain caps: a handful of domains over
+  * 100 TB of rows). Both the `row_number()` window plan and the
+  * TopKPerGroup physical operator cluster every row by group first, which
+  * funnels a low-cardinality group column through #groups tasks; this
+  * aggregator ships only #partitions × #groups × k pairs to the reduce
+  * side. Ordering is (score DESC, id ASC) — id is the deterministic
+  * tie-break, so the result is engine-reproducible.
+  *
+  * Input is the (score, id) pair; group keys stay outside (any typed
+  * groupByKey / relational groupBy composes).
+  */
+final class TopKDocsAgg(k: Int)
+    extends Aggregator[(Long, Long), Array[(Long, Long)], Seq[(Long, Long)]] {
+  require(k > 0)
+
+  override def zero: Array[(Long, Long)] = Array.empty
+
+  // (a beats b) under (score DESC, id ASC)
+  private def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Array[(Long, Long)], v: (Long, Long)): Array[(Long, Long)] =
+    if (buf.length < k) buf :+ v
+    else {
+      // replace the worst kept pair iff v beats it
+      var wi = 0
+      var i = 1
+      while (i < buf.length) { if (beats(buf(wi), buf(i))) wi = i; i += 1 }
+      if (beats(v, buf(wi))) buf(wi) = v
+      buf
+    }
+
+  override def reduce(buf: Array[(Long, Long)], v: (Long, Long)): Array[(Long, Long)] =
+    insert(buf, v)
+
+  override def merge(a: Array[(Long, Long)], b: Array[(Long, Long)]): Array[(Long, Long)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: Array[(Long, Long)]): Seq[(Long, Long)] =
+    buf.sortWith(beats).toSeq
+
+  override def bufferEncoder: Encoder[Array[(Long, Long)]] =
+    ExpressionEncoder[Array[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
 /** Space-Saving heavy hitters (Metwally et al.): top-`k` most frequent keys
   * with a buffer bounded at `capacity` counters regardless of input size —
   * the sketch that replaces an exact groupBy+count over a billions-distinct

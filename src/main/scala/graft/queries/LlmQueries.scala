@@ -3192,6 +3192,199 @@ object LlmQueries {
         |SELECT doc_id, weight, h FROM w WHERE h < weight""".stripMargin)
     )),
 
+    // Weighted sampling WITHOUT replacement via Efraimidis–Spirakis keys:
+    // q_weighted_sample's Bernoulli keep gives a random-SIZE sample; the
+    // exact-size-k draw ranks items by u^(1/w) (equivalently ln(u)/w) and
+    // keeps the k best — the one-pass distributed algorithm for "draw
+    // exactly 25 docs, quality-proportional". Determinism: u is an exact
+    // dyadic-denominator rational from the replayable multiplicative hash
+    // (one IEEE division — bit-identical in both engines), ln(u) is pinned
+    // to fixed-point ONCE (the kneser_ney idiom), and the rank key k6/w is
+    // a single division of identical operands. Scale: the top-25 is
+    // TakeOrderedAndProject (per-partition heads, no global sort); the
+    // rank window runs over the 25-row limited relation only.
+    "q_weighted_reservoir" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir)
+        val t = TextAnalysis.tokens(col("text"))
+        val weight = when(size(t) === 0, lit(0L))
+          .otherwise(floor(size(array_distinct(t)).cast("long") * 1000L / size(t)))
+        val h20 = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+          lit(1000000007L)) % 1048576L
+        val keyed = d
+          .select(col("doc_id"), weight.cast("long").as("weight"),
+            floor(lit(1e6) * log((h20 + 1L).cast("double") / 1048577.0))
+              .cast("long").as("k6"))
+          .filter(col("weight") > 0)
+          .withColumn("eskey", col("k6").cast("double") / col("weight"))
+        val top = keyed.orderBy(col("eskey").desc, col("doc_id").asc).limit(25)
+        val w = Window.orderBy(col("eskey").desc, col("doc_id").asc)
+        top.withColumn("rnk", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("weight"), col("k6"), col("rnk"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+        |            // len(string_split(text, ' ')) END AS weight,
+        |  ((doc_id % 1000000007) * 2654435761 % 1000000007) % 1048576 AS h20
+        |  FROM documents),
+        |k AS (SELECT doc_id, weight,
+        |        CAST(floor(1e6 * ln((h20 + 1) / 1048577.0)) AS BIGINT) AS k6
+        |      FROM w WHERE weight > 0)
+        |SELECT doc_id, weight, k6,
+        |  CAST(row_number() OVER (ORDER BY CAST(k6 AS DOUBLE) / weight DESC, doc_id) AS BIGINT) AS rnk
+        |FROM k QUALIFY rnk <= 25""".stripMargin)
+    )),
+
+    // Per-domain document caps — the CommonCrawl-pipeline op that stops a
+    // single domain from dominating the corpus: keep the 5 highest-quality
+    // docs per source, quality = the lexical-uniqueness score. The plan is
+    // the TopKDocsAgg typed aggregator, NOT a window: with a handful of
+    // domains over 100 TB, both the row_number window and the TopKPerGroup
+    // operator cluster every row by domain first (#domains tasks scan
+    // everything); the aggregator's map-side partial combine ships only
+    // #partitions × #domains × 5 pairs to the reduce side.
+    "text_domain_cap" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val t = TextAnalysis.tokens(col("text"))
+        val score = when(size(t) === 0, lit(0L))
+          .otherwise(floor(size(array_distinct(t)).cast("long") * 1000L / size(t)))
+        val scored = docs(s, dir)
+          .select(col("source"), score.cast("long").as("score"), col("doc_id"))
+          .as[(String, Long, Long)]
+        val agg = new graft.functions.TopKDocsAgg(5)
+        scored.groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(agg.toColumn.name("top"))
+          .toDF("source", "top")
+          .select(col("source"), posexplode(col("top")).as(Seq("i", "p")))
+          .select(col("source"), col("p._1").as("score"), col("p._2").as("doc_id"),
+            (col("i") + 1).cast("long").as("rnk"))
+      },
+      Some("""WITH sc AS (SELECT source,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+        |            // len(string_split(text, ' ')) END AS score,
+        |  doc_id FROM documents)
+        |SELECT source, score, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |FROM sc QUALIFY rnk <= 5""".stripMargin)
+    )),
+
+    // Simple Good–Turing smoothing (Gale & Sampson): the adjusted
+    // frequencies r* = (r+1)·S(r+1)/S(r) with S the log-log OLS fit of the
+    // counts-of-counts curve — the classical unseen-mass estimator over a
+    // token frequency table (N1/N of the probability mass belongs to
+    // unseen types). Distinct from text_kneser_ney (discount-interpolation
+    // on bigrams): SGT smooths the count-of-count STATISTICS, and the
+    // intercept cancels in r* — only the slope b survives, so
+    // r* = (r+1)·((r+1)/r)^b. Determinism: ln(r), ln(Nr) pin to
+    // fixed-point longs FIRST, the OLS moments are exact integer sums
+    // (order-free), and b's double algebra runs on those identical
+    // integers in both engines. Scale: the token count is one partial+final
+    // aggregate; counts-of-counts is value-domain-bounded (≤ max token
+    // frequency rows) — everything after the first groupBy is tiny.
+    "text_good_turing" -> ((
+      (s: SparkSession, dir: String) => {
+        val cr = docs(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("r"))
+        val nr = cr.groupBy("r").agg(count(lit(1)).as("n_r"))
+        val fx = nr.select(col("r"), col("n_r"),
+          floor(lit(1e6) * log(col("r").cast("double"))).cast("long").as("lr"),
+          floor(lit(1e6) * log(col("n_r").cast("double"))).cast("long").as("lnr"))
+        // OLS slope over exact integer moments; doubles only at the end
+        val b = fx.agg(count(lit(1)).cast("double").as("m"),
+            sum("lr").cast("double").as("sx"), sum("lnr").cast("double").as("sy"),
+            sum(col("lr") * col("lnr")).cast("double").as("sxy"),
+            sum(col("lr") * col("lr")).cast("double").as("sxx"))
+          .select(((col("m") * col("sxy") - col("sx") * col("sy"))
+            / (col("m") * col("sxx") - col("sx") * col("sx"))).as("b"))
+        fx.select(col("r"), col("n_r")).crossJoin(broadcast(b))
+          .select(col("r"), col("n_r"),
+            floor(lit(1e6) * (col("r") + 1L)
+              * exp(col("b") * (log((col("r") + 1L).cast("double"))
+                - log(col("r").cast("double"))))).cast("long").as("rstar_x1e6"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE length(text) > 0),
+        |cr AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY 1),
+        |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cr GROUP BY 1),
+        |fx AS (SELECT r, n_r,
+        |         CAST(floor(1e6 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS lr,
+        |         CAST(floor(1e6 * ln(CAST(n_r AS DOUBLE))) AS BIGINT) AS lnr FROM nr),
+        |b AS (SELECT (CAST(count(*) AS DOUBLE) * CAST(sum(lr * lnr) AS DOUBLE)
+        |              - CAST(sum(lr) AS DOUBLE) * CAST(sum(lnr) AS DOUBLE))
+        |           / (CAST(count(*) AS DOUBLE) * CAST(sum(lr * lr) AS DOUBLE)
+        |              - CAST(sum(lr) AS DOUBLE) * CAST(sum(lr) AS DOUBLE)) AS b FROM fx)
+        |SELECT r, n_r,
+        |  CAST(floor(1e6 * (r + 1) * exp(b.b * (ln(CAST(r + 1 AS DOUBLE))
+        |    - ln(CAST(r AS DOUBLE))))) AS BIGINT) AS rstar_x1e6
+        |FROM fx, b""".stripMargin)
+    )),
+
+    // Rendezvous (highest-random-weight) sharding: every key independently
+    // scores all 8 shards with a replayable integer hash and lands on its
+    // argmax — the assignment that moves only 1/n of keys when a shard is
+    // added/removed (vs mod-n's full reshuffle), the standard scheme for
+    // sticky shard routing of training-data writes. The argmax is per-row
+    // array algebra (no explode, no per-key window, no shuffle before the
+    // final bounded per-shard aggregate); all arithmetic is exact
+    // mod-P integers, overflow-checked under ANSI.
+    "q_rendezvous_shards" -> ((
+      (s: SparkSession, dir: String) => {
+        val o = Sources.table(s, dir, "orders")
+        // the (key, s) hash must be NONLINEAR in its combination: any
+        // affine score (key'·K1 + s·K2 mod P) has constant cross-shard
+        // differences, so the winner depends only on which fixed interval
+        // key'·K1 lands in — win probabilities become the offset-gap
+        // lengths, not 1/n (measured: 2 shards took 72% of keys). One
+        // multiplicative scramble then a modular SQUARE breaks the
+        // affinity; the measured split is uniform within ±5%.
+        val xs = transform(sequence(lit(0), lit(7)),
+          sh => pmod((pmod(col("o_orderkey"), lit(1000000007L)) + sh.cast("long") * 7919L)
+            * 2654435761L, lit(1000000007L)))
+        val scores = transform(xs, x => pmod(x * x, lit(1000000007L)))
+        o.select(col("o_orderkey"),
+            (array_position(scores, array_max(scores)) - 1L).cast("long").as("shard"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("cnt"), min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+      },
+      Some("""WITH sc AS (SELECT o_orderkey,
+        |  list_transform(list_transform(range(0, 8),
+        |      s -> (o_orderkey % 1000000007 + s * 7919) * 2654435761 % 1000000007),
+        |    x -> x * x % 1000000007) AS l
+        |  FROM orders),
+        |a AS (SELECT o_orderkey,
+        |        CAST(list_position(l, list_max(l)) - 1 AS BIGINT) AS shard FROM sc)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS cnt,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM a GROUP BY shard""".stripMargin)
+    )),
+
+    // Soft dedup: down-WEIGHT exact duplicates instead of dropping them —
+    // every doc keeps weight 1/cluster_size so each distinct text
+    // contributes unit mass to the training mixture (the reweighting
+    // alternative to dedup_exact's keep-one, which preserves provenance
+    // and per-copy metadata). Same md5-fingerprint hash-aggregate shape as
+    // dedup_exact; the join back is fp-keyed (32-byte digests, never
+    // text). Weight rides as an exact integer millionth.
+    "dedup_soft_weights" -> ((
+      (s: SparkSession, dir: String) => {
+        val fps = docs(s, dir).select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        val cs = fps.groupBy("fp").agg(count(lit(1)).as("csize"))
+        fps.join(cs, "fp")
+          .select(col("doc_id"), col("csize"),
+            floor(lit(1000000L) / col("csize")).cast("long").as("w_x1e6"))
+      },
+      Some("""WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |cs AS (SELECT fp, CAST(count(*) AS BIGINT) AS csize FROM fps GROUP BY 1)
+        |SELECT doc_id, csize, 1000000 // csize AS w_x1e6
+        |FROM fps JOIN cs USING (fp)""".stripMargin)
+    )),
+
     // Heavy hitters via the Space-Saving sketch: top-10 tokens from a
     // buffer bounded at 4096 counters — at web scale this replaces the
     // exact token groupBy (billions of distinct keys) for head-only

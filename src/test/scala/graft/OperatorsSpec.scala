@@ -84,6 +84,29 @@ class OperatorsSpec extends SparkSpec {
     assert(agg(1) == 10.0 && agg(2) == 2.0 && agg(3) == 16.0)
   }
 
+  test("TopKDocsAgg matches the window top-k per group and is split-agnostic") {
+    // the low-cardinality-group top-k (per-domain caps): partial buffers
+    // merge in arbitrary order at scale, so the kept set and its final
+    // ordering must be independent of how the input was split
+    val agg = new graft.functions.TopKDocsAgg(3)
+    val rows = Seq((50L, 7L), (50L, 3L), (50L, 9L), (10L, 1L), (99L, 2L), (50L, 1L), (10L, 2L))
+    val expected = Seq((99L, 2L), (50L, 1L), (50L, 3L)) // score DESC, id ASC
+    assert(agg.finish(rows.foldLeft(agg.zero)(agg.reduce)) == expected)
+    // every 2-way split merges to the same answer
+    (0 to rows.size).foreach { cut =>
+      val (a, b) = rows.splitAt(cut)
+      val m = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(m) == expected, s"split at $cut")
+    }
+    // end-to-end through groupByKey: equals the window plan
+    val d = Seq(("a", 5L, 2L), ("a", 5L, 1L), ("a", 3L, 9L), ("a", 7L, 4L), ("b", 1L, 1L))
+      .toDF("g", "score", "id").as[(String, Long, Long)]
+    val typed = d.groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKDocsAgg(2).toColumn.name("top"))
+      .collect().toMap
+    assert(typed("a") == Seq((7L, 4L), (5L, 1L)) && typed("b") == Seq((1L, 1L)))
+  }
+
   test("chunking emits overlapping windows with a trailing partial chunk") {
     import graft.operators.TextAnalysis
     val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), (2L, "")).toDF("doc_id", "text")
