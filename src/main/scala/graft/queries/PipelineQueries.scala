@@ -570,6 +570,27 @@ object PipelineQueries {
         |QUALIFY sid < max(sid) OVER (PARTITION BY user_id)""".stripMargin)
     )),
 
+    // Per-domain admission cap, batch twin of the stateful streaming
+    // operator ([[graft.streaming.StreamOps.capPerKey]]): each source
+    // admits at most 5 docs across the stream's LIFETIME (state = one
+    // admitted-count long per key; within a batch a bounded heap admits
+    // the smallest ids in one pass — never a full-group buffer). In batch
+    // execution every source arrives as one group with no prior state, so
+    // exactly the 5 smallest doc_ids admit — the oracle replays that as a
+    // window QUALIFY. StreamingSpec drives the cross-batch form (earlier
+    // batches win; a full domain admits nothing later).
+    "stream_domain_cap" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val d = Sources.table(s, dir, "documents")
+          .select(col("source"), col("doc_id")).as[(String, Long)]
+        graft.streaming.StreamOps.capPerKey(d, cap = 5).toDF()
+      },
+      Some("""SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS admit_rank
+        |FROM documents QUALIFY admit_rank <= 5""".stripMargin)
+    )),
+
     // Schema evolution at read time: half the record stream plays the OLD
     // file schema (no record_key column), half the new one; a reader must
     // union them with the missing column null-defaulted —

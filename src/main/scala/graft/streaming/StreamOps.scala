@@ -483,6 +483,50 @@ object StreamOps {
       }
   }
 
+  final case class CappedDoc(source: String, doc_id: Long, admit_rank: Long)
+
+  /** Per-key admission cap across the stream's lifetime: each key (a
+    * domain, a source) admits at most `cap` rows TOTAL — the per-domain
+    * corpus cap enforced while the data streams in, instead of a post-hoc
+    * batch pass (the streaming sibling of the `text_domain_cap` batch
+    * entry). Within a micro-batch, candidates are admitted in ascending id
+    * order via a bounded heap — O(cap) memory, one pass over the group
+    * iterator, never a full-group buffer; across batches the only carried
+    * state is the admitted count (one long per key, O(#keys) total).
+    * Earlier batches win over later ones (admission is by arrival);
+    * within a batch the smallest ids win deterministically.
+    *
+    * Batch execution (the oracle twin `stream_domain_cap`): every key
+    * arrives as one group with no prior state, so exactly the `cap`
+    * smallest ids are admitted — `row_number() OVER (PARTITION BY key
+    * ORDER BY id) <= cap` replayed by the DuckDB oracle.
+    */
+  def capPerKey(docs: Dataset[(String, Long)], cap: Int): Dataset[CappedDoc] = {
+    import docs.sparkSession.implicits._
+    require(cap > 0, s"cap must be positive, got $cap")
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CappedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = cap - admitted.toInt
+          if (room <= 0) Iterator.empty
+          else {
+            // bounded max-heap of the `room` smallest ids (head = largest kept)
+            val heap = scala.collection.mutable.PriorityQueue.empty[Long]
+            rows.foreach { case (_, id) =>
+              if (heap.size < room) heap += id
+              else if (id < heap.head) { heap.dequeue(); heap += id: Unit }
+            }
+            val take = heap.toArray
+            java.util.Arrays.sort(take)
+            state.update(admitted + take.length)
+            take.iterator.zipWithIndex.map { case (id, i) =>
+              CappedDoc(key, id, admitted + i + 1) }
+          }
+      }
+  }
+
   final case class EwmaState(lastTsMs: Long, ewma: Double, n: Long)
   final case class EwmaRow(user_id: Long, ewma: Double, n: Long)
 

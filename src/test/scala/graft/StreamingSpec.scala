@@ -463,6 +463,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-domain cap admits across micro-batches until each domain is full") {
+    import graft.streaming.StreamOps
+    val input = MemoryStream[(String, Long)](spark)
+    val capped = StreamOps.capPerKey(input.toDS(), cap = 3)
+    val q = capped.writeStream.format("memory").queryName("graft_domcap")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def rows(): Set[(String, Long, Long)] = spark.table("graft_domcap")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // batch 1: domain a has room for all, admitted in id order
+      input.addData(("a", 5L), ("a", 2L), ("b", 9L))
+      q.processAllAvailable()
+      assert(rows() == Set(("a", 2L, 1L), ("a", 5L, 2L), ("b", 9L, 1L)))
+      // batch 2: a has ONE slot left — the smallest id of this batch wins
+      // (id 1 beats 7 within the batch; the earlier-admitted 2 and 5 keep
+      // their slots — admission is by arrival batch, not global id order)
+      input.addData(("a", 7L), ("a", 1L), ("a", 3L))
+      q.processAllAvailable()
+      assert(rows() == Set(("a", 2L, 1L), ("a", 5L, 2L), ("b", 9L, 1L), ("a", 1L, 3L)))
+      // batch 3: a is full — nothing admits; b still has room
+      input.addData(("a", 0L), ("b", 4L))
+      q.processAllAvailable()
+      assert(rows() == Set(("a", 2L, 1L), ("a", 5L, 2L), ("b", 9L, 1L),
+        ("a", 1L, 3L), ("b", 4L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming CUSUM matches the batch recurrence across micro-batches") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.DailyCount
