@@ -3830,6 +3830,44 @@ object AnalyticsQueries {
         |FROM d GROUP BY 1""".stripMargin)
     )),
 
+    // 2-D Pareto skyline per priority class: the months no other month of
+    // the same class beats on BOTH revenue and order count (the
+    // multi-objective "best months" set — the skyline operator of the
+    // classic literature). Dominance runs as an anti-join on the BOUNDED
+    // (priority × month) cell grid — the fact table collapses first
+    // (calendar-grain: ≤ 5 priorities × months cells at any SF), so the
+    // quadratic dominance test touches grid² cells, never rows². All
+    // comparisons are exact integer cents.
+    "q_pareto_skyline" -> ((
+      (s: SparkSession, dir: String) => {
+        val cells = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("m"))
+          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)")).as("cents"),
+            count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dom = cells.select(col("pri").as("bpri"), col("m").as("bm"),
+          col("cents").as("bs"), col("cnt").as("bc"))
+        cells.join(dom,
+            col("pri") === col("bpri") && col("m") =!= col("bm")
+              && col("bs") >= col("cents") && col("bc") >= col("cnt")
+              && (col("bs") > col("cents") || col("bc") > col("cnt")),
+            "left_anti")
+          .select(col("pri"), col("m"), col("cents"), col("cnt"))
+      },
+      Some("""WITH cells AS (SELECT o_orderpriority AS pri,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT pri, m, cents, cnt FROM cells a
+        |WHERE NOT EXISTS (SELECT 1 FROM cells b
+        |  WHERE b.pri = a.pri AND b.m <> a.m
+        |    AND b.cents >= a.cents AND b.cnt >= a.cnt
+        |    AND (b.cents > a.cents OR b.cnt > a.cnt))""".stripMargin)
+    )),
+
     // Weighted median — the quantile where each row counts its weight
     // (price levels weighted by quantity here; sampling temperatures
     // and importance weights in a training-mix pipeline): smallest

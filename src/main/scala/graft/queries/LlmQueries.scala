@@ -4792,6 +4792,60 @@ object LlmQueries {
       }
     )),
 
+    // One synchronized Louvain sweep from singleton communities over the
+    // near-dup graph: each node's best move is into the singleton
+    // community of a neighbor j maximizing ΔQ = A_ij/m − k_i·k_j/(2m²) —
+    // with unit edge weights the argmax is simply the LOWEST-DEGREE
+    // neighbor, and the move improves modularity iff 2m > k_i·k_j, so the
+    // whole round is exact integer arithmetic (gain_num = 2m − k_i·k_j;
+    // no doubles anywhere). Distinct from graph_communities_lp (label
+    // propagation maximizes neighbor-label frequency, not modularity
+    // gain). The per-node argmin is a window partitioned by the
+    // high-cardinality node id; m is a bounded scalar broadcast.
+    "graph_louvain_stage" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val und = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("k"))
+        val m = e.agg(count(lit(1)).as("m"))
+        val cand = und
+          .join(deg.select(col("v").as("src"), col("k").as("ki")), "src")
+          .join(deg.select(col("v").as("dst"), col("k").as("kj")), "dst")
+        val w = Window.partitionBy("src").orderBy(col("kj").asc, col("dst").asc)
+        cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .crossJoin(broadcast(m))
+          .select(col("src").as("node"),
+            when(lit(2L) * col("m") > col("ki") * col("kj"), col("dst"))
+              .otherwise(col("src")).as("community"),
+            greatest(lit(2L) * col("m") - col("ki") * col("kj"), lit(0L)).as("gain_num"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST(len(t[i]) AS VARCHAR) || ':' || t[i] || CAST(len(t[i+1]) AS VARCHAR) || ':' || t[i+1] || CAST(len(t[i+2]) AS VARCHAR) || ':' || t[i+2] AS s FROM u),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM prs p
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |  WHERE common * 100 >= 80 * (ca.n_sh + cb.n_sh - common)),
+        |und AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+        |  UNION ALL SELECT doc_b, doc_a FROM jp),
+        |deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM jp),
+        |cand AS (SELECT u.src, u.dst, ki.k AS ki, kj.k AS kj,
+        |    row_number() OVER (PARTITION BY u.src ORDER BY kj.k, u.dst) AS rn
+        |  FROM und u JOIN deg ki ON ki.v = u.src JOIN deg kj ON kj.v = u.dst)
+        |SELECT src AS node,
+        |  CASE WHEN 2 * mm.m > ki * kj THEN dst ELSE src END AS community,
+        |  greatest(2 * mm.m - ki * kj, CAST(0 AS BIGINT)) AS gain_num
+        |FROM cand, mm WHERE rn = 1""".stripMargin)
+    )),
+
     // Personalized PageRank: teleport mass restricted to a seed set
     // (doc_id % 50 = 0) - "rank everything by graph proximity to these
     // documents", the expansion primitive for retrieval and curation
