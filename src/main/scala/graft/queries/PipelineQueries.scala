@@ -591,6 +591,44 @@ object PipelineQueries {
         |FROM documents QUALIFY admit_rank <= 5""".stripMargin)
     )),
 
+    // Lifetime weighted sample over a stream, batch twin of
+    // [[graft.streaming.StreamOps.weightedReservoir]]: the reservoir is
+    // the 25 best Efraimidis–Spirakis keys seen so far, and because the
+    // key is a pure function of the doc, any micro-batch split of the
+    // same corpus converges to the SAME 25 rows — an exact oracle for a
+    // streaming sampler (the oracle is q_weighted_reservoir's, replayed
+    // against the stateful operator's batch execution). StreamingSpec
+    // proves the batching-independence across real micro-batches.
+    "stream_weighted_reservoir" -> ((
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val t = graft.operators.TextAnalysis.tokens(col("text"))
+        val weight = when(size(t) === 0, lit(0L))
+          .otherwise(floor(size(array_distinct(t)).cast("long") * 1000L / size(t)))
+        val h20 = pmod(pmod(col("doc_id"), lit(1000000007L)) * 2654435761L,
+          lit(1000000007L)) % 1048576L
+        val keyed = Sources.table(s, dir, "documents")
+          .select(col("doc_id"), weight.cast("long").as("weight"),
+            floor(lit(1e6) * log((h20 + 1L).cast("double") / 1048577.0))
+              .cast("long").as("k6"))
+          .filter(col("weight") > 0)
+          .as[(Long, Long, Long)]
+        graft.streaming.StreamOps.weightedReservoir(keyed, k = 25).toDF()
+      },
+      Some("""WITH w AS (SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+        |            // len(string_split(text, ' ')) END AS weight,
+        |  ((doc_id % 1000000007) * 2654435761 % 1000000007) % 1048576 AS h20
+        |  FROM documents),
+        |k AS (SELECT doc_id, weight,
+        |        CAST(floor(1e6 * ln((h20 + 1) / 1048577.0)) AS BIGINT) AS k6
+        |      FROM w WHERE weight > 0)
+        |SELECT doc_id, weight, k6,
+        |  CAST(row_number() OVER (ORDER BY CAST(k6 AS DOUBLE) / weight DESC, doc_id) AS BIGINT) AS rnk
+        |FROM k QUALIFY rnk <= 25""".stripMargin)
+    )),
+
     // Schema evolution at read time: half the record stream plays the OLD
     // file schema (no record_key column), half the new one; a reader must
     // union them with the missing column null-defaulted —

@@ -527,6 +527,56 @@ object StreamOps {
       }
   }
 
+  final case class ReservoirItem(doc_id: Long, weight: Long, k6: Long, rnk: Long)
+
+  /** Lifetime weighted sample of size `k` over a stream
+    * (Efraimidis–Spirakis): every doc carries a deterministic sort key
+    * k6/weight (the fixed-point ln(u)/w the batch `q_weighted_reservoir`
+    * entry derives), and the reservoir is simply the k best keys seen so
+    * far — because the key is a pure function of the doc, the lifetime
+    * result is BATCHING-INDEPENDENT: any split of the same docs into
+    * micro-batches converges to the same k rows, which is what makes an
+    * exact oracle possible for a streaming sampler. Emits the refreshed
+    * reservoir each micro-batch (Update-style; readers take the latest).
+    *
+    * Scale shape: a per-partition bounded heap pre-reduces each batch to
+    * ≤ k rows per partition BEFORE the single-key stateful merge, so the
+    * one-group stage sees k×#partitions candidate rows, never the batch;
+    * carried state is the k-row reservoir itself.
+    */
+  def weightedReservoir(docs: Dataset[(Long, Long, Long)], k: Int): Dataset[ReservoirItem] = {
+    import docs.sparkSession.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    // (eskey DESC, doc_id ASC); eskey = k6/w as ONE double division of
+    // exact integer operands — the same arithmetic the SQL oracle runs
+    def better(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean = {
+      val (ka, kb) = (a._3.toDouble / a._2, b._3.toDouble / b._2)
+      ka > kb || (ka == kb && a._1 < b._1)
+    }
+    def topK(iter: Iterator[(Long, Long, Long)]): Array[(Long, Long, Long)] = {
+      // "better" elements rank LOWER, so the queue's max head = worst kept
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Long)](
+        Ordering.fromLessThan((x, y) => better(x, y)))
+      iter.foreach { r =>
+        if (heap.size < k) heap += r
+        else if (better(r, heap.head)) { heap.dequeue(); heap += r: Unit }
+      }
+      heap.toArray
+    }
+    docs.mapPartitions(it => topK(it).iterator)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Array[(Long, Long, Long)], ReservoirItem](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[Array[(Long, Long, Long)]]) =>
+          val merged = topK(rows ++ state.getOption.getOrElse(Array.empty).iterator)
+            .sortWith(better)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((id, w, k6), i) =>
+            ReservoirItem(id, w, k6, i + 1L) }
+      }
+  }
+
   final case class EwmaState(lastTsMs: Long, ewma: Double, n: Long)
   final case class EwmaRow(user_id: Long, ewma: Double, n: Long)
 

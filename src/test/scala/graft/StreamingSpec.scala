@@ -490,6 +490,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted reservoir is batching-independent (ES keys are pure)") {
+    import graft.streaming.StreamOps
+    // keys are pure functions of the doc, so ANY micro-batch split must
+    // converge to the same reservoir; pick ids whose k6/w ordering is
+    // unambiguous: (doc_id, weight, k6) with eskey = k6/w (all negative)
+    val rows = Seq((1L, 100L, -5000000L), (2L, 500L, -5000000L), // eskey -50000, -10000
+      (3L, 1000L, -2000000L), (4L, 10L, -9000000L), // -2000, -900000
+      (5L, 800L, -1600000L)) // -2000? no: -2000.0 vs 3's -2000.0 TIE -> id wins
+    // top-3 by (eskey desc, id asc): id3 (-2000), id5 (-2000), id2 (-10000)
+    val expected = Set((3L, 1000L, -2000000L, 1L), (5L, 800L, -1600000L, 2L),
+      (2L, 500L, -5000000L, 3L))
+    // split A: one batch; split B: three batches in a different order
+    for (splits <- Seq(Seq(rows), Seq(rows.take(2), rows.slice(2, 4), rows.drop(4)).map(_.reverse))) {
+      val input = MemoryStream[(Long, Long, Long)](spark)
+      val name = s"graft_reservoir_${splits.size}"
+      val q = StreamOps.weightedReservoir(input.toDS(), k = 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        splits.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // the memory sink appends each batch's emission; the LAST full
+        // reservoir (highest rnk run) is the final answer
+        val all = spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val finalRes = all.takeRight(3).toSet
+        assert(finalRes == expected, s"splits=${splits.size}: got $finalRes")
+      } finally q.stop()
+    }
+  }
+
   test("streaming CUSUM matches the batch recurrence across micro-batches") {
     import graft.streaming.StreamOps
     import graft.streaming.StreamOps.DailyCount
