@@ -3868,49 +3868,6 @@ object AnalyticsQueries {
         |    AND (b.cents > a.cents OR b.cnt > a.cnt))""".stripMargin)
     )),
 
-    // Theil–Sen robust trend per nation: the MEDIAN of all pairwise
-    // monthly-revenue slopes — the estimator with a 29% breakdown point
-    // where q_ols_trend's least squares follows a single outlier month.
-    // The pair stage is quadratic ONLY in the calendar-bounded cell grid
-    // (months² per nation — the fact table collapses first, never rows²);
-    // each slope is one double division of exact integer cents, the
-    // lower-median pick is an integer rank test, and the per-nation
-    // window partitions on the nation key.
-    "q_theil_sen" -> ((
-      (s: SparkSession, dir: String) => {
-        val cells = t(s, dir, "orders")
-          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_nationkey").cast("long").as("nk"),
-            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-              .cast("long").as("m"))
-          .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)")).as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val b = cells.select(col("nk"), col("m").as("m2"), col("y").as("y2"))
-        val pairs = cells.join(b, Seq("nk")).filter(col("m") < col("m2"))
-          .select(col("nk"), col("m"), col("m2"),
-            ((col("y2") - col("y")).cast("double") / (col("m2") - col("m"))).as("slope"))
-        val w = Window.partitionBy("nk")
-          .orderBy(col("slope").asc, col("m").asc, col("m2").asc)
-        pairs.withColumn("rn", row_number().over(w))
-          .withColumn("np", count(lit(1)).over(Window.partitionBy("nk")))
-          .filter(expr("rn = (np + 1) div 2"))
-          .select(col("nk"), round(col("slope"), 4).as("slope_med"),
-            col("np").cast("long").as("n_pairs"))
-      },
-      Some("""WITH cells AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
-        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
-        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS y
-        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
-        |p AS (SELECT a.nk, a.m, b.m AS m2,
-        |        CAST(b.y - a.y AS DOUBLE) / (b.m - a.m) AS slope
-        |      FROM cells a JOIN cells b ON a.nk = b.nk AND a.m < b.m),
-        |r AS (SELECT nk, slope,
-        |        row_number() OVER (PARTITION BY nk ORDER BY slope, m, m2) AS rn,
-        |        count(*) OVER (PARTITION BY nk) AS np
-        |      FROM p)
-        |SELECT nk, round(slope, 4) AS slope_med, CAST(np AS BIGINT) AS n_pairs
-        |FROM r WHERE rn = (np + 1) // 2""".stripMargin)
-    )),
 
     // Weighted median — the quantile where each row counts its weight
     // (price levels weighted by quantity here; sampling temperatures
