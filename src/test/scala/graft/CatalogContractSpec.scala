@@ -19,6 +19,27 @@ class CatalogContractSpec extends SparkSpec {
 
   private lazy val entries = SparkEntry.queries.keys.toSeq.sorted
 
+  test("no duplicate entry keys across the query source files") {
+    // A Map literal with a repeated key keeps the LAST binding silently —
+    // a duplicate entry name means one definition is dead code and its
+    // oracle never runs against it (r15: a q_theil_sen draft shadowed the
+    // long-standing entry; only the catalog census caught it). Parse the
+    // definition sites out of the source and require exactly one per key.
+    val defPattern = """"([a-z0-9_]+)" -> \(\(""".r
+    val files = new java.io.File("src/main/scala/graft/queries").listFiles()
+      .filter(_.getName.endsWith(".scala"))
+    val defs = files.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try defPattern.findAllMatchIn(src.mkString).map(_.group(1)).toList
+      finally src.close()
+    }
+    val dups = defs.groupBy(identity).collect { case (n, g) if g.length > 1 => n }
+    assert(dups.isEmpty, s"entry keys defined more than once: ${dups.mkString(", ")}")
+    assert(defs.length == SparkEntry.queries.size,
+      s"${defs.length} definition sites vs ${SparkEntry.queries.size} map keys — " +
+        "a definition is shadowed or the regex missed a site")
+  }
+
   test("every catalog query analyzes and has distinct, lowercase column names") {
     val bad = entries.flatMap { name =>
       val schema = SparkEntry.queries(name)(spark, sf0001).schema
