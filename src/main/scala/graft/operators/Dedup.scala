@@ -65,13 +65,22 @@ object Dedup {
     * evidence pairs.
     */
   /** Shared inverted-index preamble for the shingle-overlap operators:
-    * the exploded (doc_id, shingle-hash) relation (persisted — every
-    * caller reads it at least twice), its `maxDf`-pruned variant, and
-    * per-doc distinct-shingle counts.
+    * the exploded (doc_id, n_sh, shingle-hash) relation (persisted —
+    * every caller reads it at least twice), `maxDf`-pruned when asked.
     *
     * Persisted MEMORY_AND_DISK so a 100 TB corpus spills rather than
-    * OOMs; ~16 bytes per (doc, shingle) — a fraction of the text it
+    * OOMs; ~24 bytes per (doc, shingle) — a fraction of the text it
     * derives from.
+    *
+    * Each posting row carries its doc's UNPRUNED distinct-shingle count
+    * `n_sh` (`shingle_hashes` is distinct by construction, so
+    * `size(hs)` = the old `groupBy(doc_id).count()`): the similarity
+    * denominators ride the pair aggregate as `max(n_sh)` instead of two
+    * doc-keyed count-joins AFTER it — r15 optimization, the
+    * [[medoidRepresentatives]] discipline applied family-wide. Plan
+    * effect per caller: the `counts` aggregate and both its join
+    * exchanges disappear (6 → 3 exchanges in [[ngramJaccardPairs]]) for
+    * +8 bytes per posting row in the one self-join shuffle.
     *
     * maxDf <= 0 disables document-frequency pruning (exact mode). Heavy
     * shingles are found with an aggregate (map-side partial counts,
@@ -84,42 +93,38 @@ object Dedup {
     * sort the exploded shingle table (the biggest intermediate in the
     * pipeline) just to compute document frequency.
     *
-    * Note the deliberate asymmetry every caller shares: `counts` (the
-    * similarity denominators) come from the UNPRUNED relation, while
-    * pair evidence joins on the pruned one — pruning removes useless
+    * Note the deliberate asymmetry every caller shares: `n_sh` (the
+    * similarity denominators) counts the UNPRUNED set, while pair
+    * evidence joins on the pruned postings — pruning removes useless
     * evidence, not set cardinality.
     */
-  private def shingleIndex(docs: DataFrame, n: Int, maxDf: Int):
-      (DataFrame, DataFrame) = {
+  private def shingleIndex(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs
-      .select(col("doc_id"),
-        explode(call_function("shingle_hashes", col("text"), lit(n))).as("h"))
+      .select(col("doc_id"), call_function("shingle_hashes", col("text"), lit(n)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = if (maxDf <= 0) sh else {
+    if (maxDf <= 0) sh else {
       val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
         .select("h")
       sh.join(heavy, Seq("h"), "left_anti")
     }
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    (pruned, counts)
   }
 
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, pct: Int = 80,
                         maxDf: Int = 1000): DataFrame = {
-    val (pruned, counts) = shingleIndex(docs, n, maxDf)
-    val pairs = pruned.as("a")
+    val pruned = shingleIndex(docs, n, maxDf)
+    pruned.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(col("common") * 100 >= lit(pct) * (col("ca.n_sh") + col("cb.n_sh") - col("common")))
-      .select(col("doc_a"), col("doc_b"), col("common"),
-        col("ca.n_sh").as("n_sh_a"), col("cb.n_sh").as("n_sh_b"))
+      // n_sh is functionally dependent on the doc id — max() just carries it
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n_sh")).as("n_sh_a"), max(col("b.n_sh")).as("n_sh_b"))
+      .filter(col("common") * 100 >= lit(pct) * (col("n_sh_a") + col("n_sh_b") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_sh_a"), col("n_sh_b"))
   }
 
   /** Near-dup pairs TOUCHING a new-document batch: the probe side of the
@@ -135,19 +140,21 @@ object Dedup {
     */
   def incrementalPairs(docs: DataFrame, isNew: Column => Column, n: Int = 3,
                        pct: Int = 80, maxDf: Int = 0): DataFrame = {
-    val (pruned, counts) = shingleIndex(docs, n, maxDf)
+    val pruned = shingleIndex(docs, n, maxDf)
     val probe = pruned.filter(isNew(col("doc_id")))
-    val pairs = probe.as("a")
+    probe.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
           (col("a.doc_id") < col("b.doc_id") || !isNew(col("b.doc_id"))))
       .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(col("common") * 100 >= lit(pct) * (col("ca.n_sh") + col("cb.n_sh") - col("common")))
+      // denominators ride the aggregate, keyed to the canonical order
+      .agg(count(lit(1)).as("common"),
+        max(when(col("a.doc_id") < col("b.doc_id"), col("a.n_sh"))
+          .otherwise(col("b.n_sh"))).as("n_sh_a"),
+        max(when(col("a.doc_id") < col("b.doc_id"), col("b.n_sh"))
+          .otherwise(col("a.n_sh"))).as("n_sh_b"))
+      .filter(col("common") * 100 >= lit(pct) * (col("n_sh_a") + col("n_sh_b") - col("common")))
       .select(col("doc_a"), col("doc_b"))
   }
 
@@ -168,23 +175,26 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int = 3, pct: Int = 90,
                        maxDf: Int = 1000): DataFrame = {
-    val (pruned, counts) = shingleIndex(docs, n, maxDf)
+    val pruned = shingleIndex(docs, n, maxDf)
     // common-shingle counts are symmetric: join/aggregate the canonical
     // a<b half once, then emit both directions — halves the heaviest
-    // stage vs a direct `<>` self-join, which would feed every pair twice
+    // stage vs a direct `<>` self-join, which would feed every pair twice.
+    // Both sides' denominators ride the aggregate (the shingleIndex n_sh
+    // rule), so each emitted direction carries its own n_sh_in directly.
     val half = pruned.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"),
+        max(col("a.n_sh")).as("n_sh_x"), max(col("b.n_sh")).as("n_sh_y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val directed = half.select(col("x").as("doc_in"), col("y").as("doc_of"), col("common"))
-      .union(half.select(col("y").as("doc_in"), col("x").as("doc_of"), col("common")))
+    val directed = half.select(col("x").as("doc_in"), col("y").as("doc_of"),
+        col("common"), col("n_sh_x").as("n_sh_in"))
+      .union(half.select(col("y").as("doc_in"), col("x").as("doc_of"),
+        col("common"), col("n_sh_y").as("n_sh_in")))
     directed
-      .join(counts.as("ca"), col("doc_in") === col("ca.doc_id"))
-      .filter(col("common") * 100 >= lit(pct) * col("ca.n_sh"))
-      .select(col("doc_in"), col("doc_of"), col("common"),
-        col("ca.n_sh").as("n_sh_in"))
+      .filter(col("common") * 100 >= lit(pct) * col("n_sh_in"))
+      .select(col("doc_in"), col("doc_of"), col("common"), col("n_sh_in"))
   }
 
   /** The scale path for [[containmentPairs]]: PPJoin-style PREFIX
@@ -208,7 +218,7 @@ object Dedup {
   def containmentPairsPrefix(docs: DataFrame, n: Int = 3, pct: Int = 90,
                              maxDf: Int = 1000): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val (pruned0, counts) = shingleIndex(docs, n, maxDf)
+    val pruned0 = shingleIndex(docs, n, maxDf)
     // shingleIndex already persisted the unpruned relation; only the
     // maxDf-pruned anti-join result is a new relation worth caching
     val pruned = if (maxDf > 0) pruned0.persist(lvl) else pruned0
@@ -226,10 +236,11 @@ object Dedup {
           explode(expr(s"slice(array_sort(hs), 1, (size(hs) * ${100 - pct}) div 100 + 1)"))
             .as("h"))
       else {
+        // n_sh rides every posting row (shingleIndex), so the prefix rank
+        // test needs no counts join
         val w = Window.partitionBy("doc_id").orderBy("h")
         pruned
           .withColumn("rk", row_number().over(w))
-          .join(counts, "doc_id")
           .filter(col("rk") * 100 <= (lit(100 - pct)) * col("n_sh") + lit(100))
           .select(col("doc_id"), col("h"))
       }
@@ -240,19 +251,18 @@ object Dedup {
       .distinct()
       .persist(lvl)
     // exact verify for candidates only: A's shingles fanned onto the
-    // candidate pairs, kept when present in B (semi-join on (doc_of, h))
-    val common = cand
+    // candidate pairs, kept when present in B (semi-join on (doc_of, h));
+    // the probe side's n_sh rides the aggregate — no counts join after
+    cand
       .join(pruned.as("x"), col("doc_in") === col("x.doc_id"))
-      .select(col("doc_in"), col("doc_of"), col("x.h").as("_ah"))
+      .select(col("doc_in"), col("doc_of"), col("x.h").as("_ah"),
+        col("x.n_sh").as("n_sh_in"))
       .join(pruned.as("y"),
         col("doc_of") === col("y.doc_id") && col("_ah") === col("y.h"), "left_semi")
       .groupBy("doc_in", "doc_of")
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(counts.as("ca"), col("doc_in") === col("ca.doc_id"))
-      .filter(col("common") * 100 >= lit(pct) * col("ca.n_sh"))
-      .select(col("doc_in"), col("doc_of"), col("common"),
-        col("ca.n_sh").as("n_sh_in"))
+      .agg(count(lit(1)).as("common"), max(col("n_sh_in")).as("n_sh_in"))
+      .filter(col("common") * 100 >= lit(pct) * col("n_sh_in"))
+      .select(col("doc_in"), col("doc_of"), col("common"), col("n_sh_in"))
   }
 
   /** Pre-hashed distinct shingles for a document — the native one-pass
@@ -282,7 +292,7 @@ object Dedup {
     // same native-kernel index as the document-level operators — at n=16
     // spans the per-window string allocation the kernel removes is at its
     // most expensive
-    val (pruned, _) = shingleIndex(docs, n, maxDf)
+    val pruned = shingleIndex(docs, n, maxDf)
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -736,28 +736,20 @@ object Similarity {
     * Returns (dim_idx, weight): the `iters`-round direction at fixed
     * point scale (max |weight| ≈ scale).
     */
-  /** The shared d×d integer covariance of a centered quantized cloud `c`
-    * (vec_id, idx, cv), NORMALIZED by the vector count with sign-split
-    * integer division (Spark `div` truncates toward zero, DuckDB `//`
-    * floors — positive operands agree). Normalizing here is what keeps
-    * every downstream matvec product n-independent — see the overflow
-    * audit on [[pcaPowerQ]]. One outer-product hash aggregate
-    * (partial-aggregated map-side, ≤ d² result rows) + one scalar
-    * crossJoin; checkpointed because every unrolled round re-reads it.
+  /** The d×d integer covariance of the quantized embedding cloud,
+    * NORMALIZED by the vector count with sign-split integer division
+    * (Spark `div` truncates toward zero, DuckDB `//` floors — positive
+    * operands agree), COLLECTED to the driver. The quantize, center and
+    * outer-product aggregate stay distributed (they touch the corpus);
+    * the collect is d² rows where d = embedding DIMENSIONALITY —
+    * model-shaped and corpus-INDEPENDENT (4096 longs at d = 64, the same
+    * bounded-collect class as the Lloyd centroid frames). Normalizing by
+    * n keeps every downstream matvec product n-independent — see the
+    * overflow audit on [[pcaPowerQ]].
+    *
+    * Returns (sorted dim indices, dense row-major cov matrix).
     */
-  private def covQ(emb: DataFrame, c: DataFrame): DataFrame = {
-    val n = emb.agg(count(lit(1)).as("n"))
-    c.as("a").join(c.as("b"), "vec_id")
-      .groupBy(col("a.idx").as("i"), col("b.idx").as("j"))
-      .agg(sum(col("a.cv") * col("b.cv")).as("s"))
-      .crossJoin(broadcast(n))
-      .select(col("i"), col("j"),
-        when(col("s") < 0, -expr("abs(s) div n")).otherwise(expr("abs(s) div n"))
-          .cast("long").as("cov"))
-      .localCheckpoint(eager = true) // read by every unrolled round
-  }
-
-  def pcaPowerQ(emb: DataFrame, iters: Int = 3, scale: Int = 10000): DataFrame = {
+  private def covCollectQ(emb: DataFrame, scale: Int): (Array[Long], Array[Array[Long]]) = {
     val u = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
       .select(col("vec_id"), col("idx").cast("long").as("idx"),
@@ -767,20 +759,80 @@ object Similarity {
     val c = u.join(mu, "idx")
       .select(col("vec_id"), col("idx"), (col("qv") - col("mu")).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cov = covQ(emb, c)
+    val n = emb.agg(count(lit(1)).as("n"))
+    val rows = c.as("a").join(c.as("b"), "vec_id")
+      .groupBy(col("a.idx").as("i"), col("b.idx").as("j"))
+      .agg(sum(col("a.cv") * col("b.cv")).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        when(col("s") < 0, -expr("abs(s) div n")).otherwise(expr("abs(s) div n"))
+          .cast("long").as("cov"))
+      .collect()
     c.unpersist()
-    var v = cov.select(col("j")).distinct()
-      .select(col("j"), lit(scale.toLong).as("v"))
-    for (_ <- 1 to iters) {
-      val w = cov.join(v, "j")
-        .groupBy(col("i").as("j")).agg(sum(col("cov") * col("v")).as("w"))
-      val m = w.agg(greatest(expr(s"max(abs(w)) div ${scale.toLong}"), lit(1L)).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("j"),
-          when(col("w") < 0, -expr("abs(w) div m")).otherwise(expr("abs(w) div m"))
-            .cast("long").as("v"))
+    val dims = rows.map(_.getLong(0)).distinct.sorted
+    val pos = dims.zipWithIndex.toMap
+    val m = Array.ofDim[Long](dims.length, dims.length)
+    rows.foreach(r => m(pos(r.getLong(0)))(pos(r.getLong(1))) = r.getLong(2))
+    (dims, m)
+  }
+
+  /** Driver-side replay of the distributed fixed-point algebra — the
+    * power rounds operate on d-length integer vectors (model-shaped, not
+    * corpus-shaped), so past [[covCollectQ]] nothing is distributed-sized
+    * and running the rounds as Spark jobs is pure scheduler overhead (r15
+    * measurement: the unrolled rounds spent ~100 AQE jobs per entry at
+    * 1.3 s total task time). Bit-identical semantics: exact long sums,
+    * truncating division on non-negative operands after the sign split —
+    * and `Math.*Exact` replicates ANSI's loud-overflow contract (the
+    * distributed rounds would throw, not wrap).
+    */
+  private def signSplitDiv(x: Long, d: Long): Long =
+    if (x < 0) -(Math.absExact(x) / d) else x / d
+
+  private def matvecQ(m: Array[Array[Long]], v: Array[Long]): Array[Long] =
+    m.map(row => row.zip(v).foldLeft(0L) { case (acc, (a, b)) =>
+      Math.addExact(acc, Math.multiplyExact(a, b)) })
+
+  private def normalizeQ(w: Array[Long], scale: Int): Array[Long] = {
+    val m = Math.max(w.map(Math.absExact).max / scale, 1L)
+    w.map(signSplitDiv(_, m))
+  }
+
+  /** [[pcaPowerQ]]'s direction as driver arrays: (sorted dims, weights). */
+  private def pcaArrayQ(emb: DataFrame, iters: Int, scale: Int): (Array[Long], Array[Long]) = {
+    val (dims, cov) = covCollectQ(emb, scale)
+    var v = Array.fill(dims.length)(scale.toLong)
+    for (_ <- 1 to iters) v = normalizeQ(matvecQ(cov, v), scale)
+    (dims, v)
+  }
+
+  /** [[pca2PowerQ]]'s two directions as driver arrays: (dims, w1, w2). */
+  private def pca2ArrayQ(emb: DataFrame, iters: Int, scale: Int)
+      : (Array[Long], Array[Long], Array[Long]) = {
+    val (dims, cov) = covCollectQ(emb, scale)
+    def round(v: Array[Long]): Array[Long] = normalizeQ(matvecQ(cov, v), scale)
+    var v1 = Array.fill(dims.length)(scale.toLong)
+    for (_ <- 1 to iters) v1 = round(v1)
+    val uu = v1.foldLeft(0L)((acc, x) => Math.addExact(acc, Math.multiplyExact(x, x)))
+    def deflate(v: Array[Long]): Array[Long] = {
+      val dot = v.zip(v1).foldLeft(0L) { case (acc, (a, b)) =>
+        Math.addExact(acc, Math.multiplyExact(a, b)) }
+      normalizeQ(v.zip(v1).map { case (vi, ui) =>
+        Math.subtractExact(vi, signSplitDiv(Math.multiplyExact(dot, ui), uu)) }, scale)
     }
-    v.select(col("j").as("dim_idx"), col("v").as("weight"))
+    var v2 = Array.fill(dims.length)(scale.toLong)
+    // seed the deflated iteration off u's span before the first matvec,
+    // or the first round is dominated by the top direction
+    v2 = deflate(v2)
+    for (_ <- 1 to iters) v2 = deflate(round(v2))
+    (dims, v1, v2)
+  }
+
+  def pcaPowerQ(emb: DataFrame, iters: Int = 3, scale: Int = 10000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (dims, v) = pcaArrayQ(emb, iters, scale)
+    dims.zip(v).toSeq.toDF("dim_idx", "weight")
   }
 
   /** Top-TWO principal directions: the dominant one exactly as
@@ -799,54 +851,10 @@ object Similarity {
     * Returns (dim_idx, w1, w2).
     */
   def pca2PowerQ(emb: DataFrame, iters: Int = 3, scale: Int = 10000): DataFrame = {
-    val u = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
-      .select(col("vec_id"), col("idx").cast("long").as("idx"),
-        floor(col("x").cast("double") * scale).cast("long").as("qv"))
-    val mu = u.groupBy("idx")
-      .agg(floor(sum("qv").cast("double") / count(lit(1))).cast("long").as("mu"))
-    val c = u.join(mu, "idx")
-      .select(col("vec_id"), col("idx"), (col("qv") - col("mu")).as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cov = covQ(emb, c)
-    c.unpersist()
-    // localCheckpoint per produced iterate: each round EMBEDS the previous
-    // round's plan several times (matvec + the two scalar crossJoins), so
-    // without truncation the analyzer re-walks an exponentially growing
-    // tree — the same driver-cost fix as the CC/PageRank loops. Seven
-    // barriers over 64-row relations cost milliseconds each.
-    def normalize(w: DataFrame): DataFrame = {
-      val m = w.agg(greatest(expr(s"max(abs(w)) div ${scale.toLong}"), lit(1L)).as("m"))
-      w.crossJoin(broadcast(m))
-        .select(col("j"),
-          when(col("w") < 0, -expr("abs(w) div m")).otherwise(expr("abs(w) div m"))
-            .cast("long").as("v"))
-        .localCheckpoint(eager = true)
-    }
-    def round(v: DataFrame): DataFrame =
-      normalize(cov.join(v, "j")
-        .groupBy(col("i").as("j")).agg(sum(col("cov") * col("v")).as("w")))
-    var v1 = cov.select(col("j")).distinct().select(col("j"), lit(scale.toLong).as("v"))
-    for (_ <- 1 to iters) v1 = round(v1)
-    val u1 = v1.localCheckpoint(eager = true) // read by every deflation round
-    val uu = u1.agg(sum(col("v") * col("v")).as("uu"))
-    def deflate(v: DataFrame): DataFrame = {
-      val dot = v.join(u1.select(col("j"), col("v").as("uv")), "j")
-        .agg(sum(col("v") * col("uv")).as("dot"))
-      val o = v.join(u1.select(col("j"), col("v").as("uv")), "j")
-        .crossJoin(broadcast(dot)).crossJoin(broadcast(uu))
-        .select(col("j"),
-          (col("v") - when(col("dot") * col("uv") < 0, -expr("abs(dot * uv) div uu"))
-            .otherwise(expr("abs(dot * uv) div uu"))).as("w"))
-      normalize(o)
-    }
-    var v2 = cov.select(col("j")).distinct().select(col("j"), lit(scale.toLong).as("v"))
-    // seed the deflated iteration off u's span before the first matvec,
-    // or the first round is dominated by the top direction
-    v2 = deflate(v2)
-    for (_ <- 1 to iters) v2 = deflate(round(v2))
-    u1.select(col("j").as("dim_idx"), col("v").as("w1"))
-      .join(v2.select(col("j").as("dim_idx"), col("v").as("w2")), "dim_idx")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (dims, v1, v2) = pca2ArrayQ(emb, iters, scale)
+    dims.indices.map(i => (dims(i), v1(i), v2(i))).toDF("dim_idx", "w1", "w2")
   }
 
   /** 2-D projection histogram over the [[pca2PowerQ]] frame: every
@@ -859,29 +867,32 @@ object Similarity {
     */
   def pcaScatterBins(emb: DataFrame, iters: Int = 3, scale: Int = 10000,
                      binWidth: Long = 1000L): DataFrame = {
-    // declared-bounded checkpoint: the frame is one row per embedding
-    // DIMENSION (d = 64 on the fixture; model-shaped, not corpus-shaped),
-    // read by the norms AND the projection — and broadcast below, which
-    // the plan audit only accepts for registered driver-bounded cuts
-    val frame = graft.tools.BoundedCheckpoints.checkpoint(pca2PowerQ(emb, iters, scale))
-    val norms = frame.agg(sum(col("w1") * col("w1")).as("n1"),
-      sum(col("w2") * col("w2")).as("n2"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // the frame is one row per embedding DIMENSION (d = 64 on the fixture;
+    // model-shaped, not corpus-shaped) — a driver array (pca2ArrayQ), so
+    // the norms become plan literals and the projection joins a
+    // LocalRelation (literally bounded to the plan gates; broadcast-safe)
+    val (dims, w1, w2) = pca2ArrayQ(emb, iters, scale)
+    val frame = dims.indices.map(i => (dims(i), w1(i), w2(i)))
+      .toDF("idx", "w1", "w2")
+    val n1 = w1.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x)))
+    val n2 = w2.foldLeft(0L)((a, x) => Math.addExact(a, Math.multiplyExact(x, x)))
     val q = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "x")))
       .select(col("vec_id"), col("idx").cast("long").as("idx"),
         floor(col("x").cast("double") * scale).cast("long").as("qv"))
-    val dots = q.join(broadcast(frame.select(col("dim_idx").as("idx"),
-        col("w1"), col("w2"))), "idx")
+    val dots = q.join(broadcast(frame), "idx")
       .groupBy("vec_id")
       .agg(sum(col("qv") * col("w1")).as("d1"), sum(col("qv") * col("w2")).as("d2"))
     // coordinate = scale·dot div norm (sign-split), then floor-binned —
     // binning by floor(double division) so Spark div and DuckDB // agree
-    dots.crossJoin(broadcast(norms))
+    dots
       .select(
-        when(col("d1") < 0, -expr(s"abs(d1) * ${scale.toLong} div n1"))
-          .otherwise(expr(s"abs(d1) * ${scale.toLong} div n1")).as("p1"),
-        when(col("d2") < 0, -expr(s"abs(d2) * ${scale.toLong} div n2"))
-          .otherwise(expr(s"abs(d2) * ${scale.toLong} div n2")).as("p2"))
+        when(col("d1") < 0, -expr(s"abs(d1) * ${scale.toLong} div ${n1}L"))
+          .otherwise(expr(s"abs(d1) * ${scale.toLong} div ${n1}L")).as("p1"),
+        when(col("d2") < 0, -expr(s"abs(d2) * ${scale.toLong} div ${n2}L"))
+          .otherwise(expr(s"abs(d2) * ${scale.toLong} div ${n2}L")).as("p2"))
       .select(floor(col("p1").cast("double") / binWidth).cast("long").as("bx"),
         floor(col("p2").cast("double") / binWidth).cast("long").as("by"))
       .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))

@@ -83,7 +83,20 @@ object FileSink {
         val distributed =
           if ((coalescePartitions || cfg.partitioner == PartitionerKind.Time)
               && partCols.nonEmpty)
-            projected.repartition(partCols.map(col).toIndexedSeq: _*)
+            // explicit width (the session's configured shuffle parallelism,
+            // scale-set by conf, never a literal): with the width left
+            // implicit, AQE's BYTE-based coalescing shrinks this exchange to
+            // a handful of tasks — the right call for compute stages, the
+            // wrong one for a dynamic-partition write whose cost is per-FILE
+            // open/commit overhead (one file per partition value regardless
+            // of task count), which coalescing serializes onto those few
+            // tasks. Hash still maps each partition value to exactly one
+            // task, so the one-file-per-partition contract (SinkSpec) holds
+            // at any width. r15: p7's write stage ran as 3 AQE-coalesced
+            // tasks × ~240 files each, 12.5 task-seconds serialized.
+            projected.repartition(
+              projected.sparkSession.sessionState.conf.numShufflePartitions,
+              partCols.map(col).toIndexedSeq: _*)
           else projected
         distributed.write
           .mode("append")
