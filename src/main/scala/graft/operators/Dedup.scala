@@ -29,6 +29,28 @@ import graft.functions.Vectors
   */
 object Dedup {
 
+  /** Persist AND eagerly fill the cache before a plan fans out over it.
+    *
+    * A lazily-persisted relation read by several SIBLING query stages is
+    * materialized by whichever readers get there first — and AQE submits
+    * independent shuffle-map stages CONCURRENTLY, so the racing readers
+    * EACH recompute the cached plan (the fill is per-block, uncoordinated;
+    * symptom: "Asked to cache already cached data" / "Block rdd_N already
+    * exists" warnings). r15 profile: `medoidRepresentatives`' shingle-hash
+    * relation was computed 4× — four near-identical 6-task-second map
+    * stages — behind one `persist`. One `count()` pays the pass exactly
+    * once, up front; every fan-out reader then scans the cache. At 100 TB
+    * the duplicated pass is a full corpus tokenize+hash, so the eager fill
+    * is strictly cheaper whenever the fan-out is ≥ 2 (every caller here).
+    * (`count()` on a freshly-persisted frame builds the full column
+    * batches — InMemoryRelation materialization is not column-pruned.)
+    */
+  private[graft] def eagerPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Word n-gram shingles (distinct) per document.
     *
     * Built with nested `zip_with` over shifted slices instead of
@@ -100,11 +122,12 @@ object Dedup {
     */
   private def shingleIndex(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = docs
+    // eager fill: the posting relation is read by 2-3 SIBLING stages
+    // (self-join sides, df prune) that would otherwise race the cache
+    val sh = eagerPersist(docs
       .select(col("doc_id"), call_function("shingle_hashes", col("text"), lit(n)).as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
-        explode(col("hs")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        explode(col("hs")).as("h")))
     if (maxDf <= 0) sh else {
       val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
@@ -187,14 +210,16 @@ object Dedup {
       .groupBy(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
       .agg(count(lit(1)).as("common"),
         max(col("a.n_sh")).as("n_sh_x"), max(col("b.n_sh")).as("n_sh_y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val directed = half.select(col("x").as("doc_in"), col("y").as("doc_of"),
-        col("common"), col("n_sh_x").as("n_sh_in"))
-      .union(half.select(col("y").as("doc_in"), col("x").as("doc_of"),
-        col("common"), col("n_sh_y").as("n_sh_in")))
-    directed
+    // both directions from ONE generate (explode) — the old two-branch
+    // union re-ran the persisted pair aggregate through racing cache fills
+    half.select(explode(array(
+        struct(col("x").as("doc_in"), col("y").as("doc_of"),
+          col("common"), col("n_sh_x").as("n_sh_in")),
+        struct(col("y").as("doc_in"), col("x").as("doc_of"),
+          col("common"), col("n_sh_y").as("n_sh_in")))).as("s"))
+      .select(col("s.doc_in").as("doc_in"), col("s.doc_of").as("doc_of"),
+        col("s.common").as("common"), col("s.n_sh_in").as("n_sh_in"))
       .filter(col("common") * 100 >= lit(pct) * col("n_sh_in"))
-      .select(col("doc_in"), col("doc_of"), col("common"), col("n_sh_in"))
   }
 
   /** The scale path for [[containmentPairs]]: PPJoin-style PREFIX
@@ -389,9 +414,12 @@ object Dedup {
     // verify joins); without it Spark re-runs scan→shingle→hash per read.
     // ~8·|shingles| bytes/doc, MEMORY_AND_DISK spills at corpus scale —
     // the same design MLlib's MinHashLSH applies to its transformed input.
-    val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (Dedup.eagerPersist): four sibling readers (bucket
+    // self-join sides + verify joins) would otherwise race the cache and
+    // re-tokenize the corpus each
+    val withHs = eagerPersist(
+      docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+        .filter(size(col("hs")) > 0))
     minhashLshPairsFromHs(withHs, numHashes, bands, jaccardPctX10, maxBucket)
   }
 
@@ -688,8 +716,12 @@ object Dedup {
     * truncates lineage — a round's plan embeds several copies of the
     * previous round's, so without truncation the driver-side optimizer
     * cost doubles per round (the same fix GraphFrames ships for its CC
-    * loop). The intra-round large-star output is `persist`ed, consumed by
-    * small-star's two readers, and unpersisted before the next round.
+    * loop). Each star phase is one partitioned WINDOW (min over the
+    * neighborhood key) feeding its emit projection — r15: the old
+    * groupBy+join spelling shuffled the adjacency twice per phase and left
+    * a persisted intermediate that small-star's two readers raced
+    * (duplicate cache fills); both row-doubling emits are single-pass
+    * generates (explode), not two-branch unions.
     * Local checkpoints trade fault-tolerance for speed — an executor loss
     * mid-query forces a rerun — the right trade inside one query; jobs
     * needing cross-query restartability should write labels to a table
@@ -712,7 +744,6 @@ object Dedup {
     * a planted long chain.
     */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // canonical undirected edge set: hi > lo, deduped. Reads `pairs` once.
     var e = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
@@ -731,26 +762,38 @@ object Dedup {
     var rounds = 0
     while (!converged && rounds < maxIter) {
       // large-star over the symmetric adjacency: node u sends neighbors
-      // v > u to m = min(Γ(u) ∪ {u}); emitted (v, m) keeps hi > lo
-      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
-        .union(e.select(col("lo").as("u"), col("hi").as("v")))
-      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = sym.join(lmin, "u").where(col("v") > col("u"))
+      // v > u to m = min(Γ(u) ∪ {u}); emitted (v, m) keeps hi > lo.
+      // r15 plan-shape rewrite, same edge set per round bit-for-bit:
+      //  - both directions come from ONE generate (explode) instead of
+      //    `union(select(hi,lo), select(lo,hi))` — sibling union branches
+      //    scan the upstream twice, concurrently;
+      //  - min-of-neighborhood is ONE window keyed by the same column the
+      //    old groupBy+join pair shuffled on — one exchange instead of
+      //    two, and no persisted intermediate for the next phase to race
+      //    on (the old `large.persist` was filled by BOTH small-star
+      //    readers at once, duplicating the large-star join per round).
+      val sym = e.select(explode(array(
+          struct(col("hi").as("u"), col("lo").as("v")),
+          struct(col("lo").as("u"), col("hi").as("v")))).as("s"))
+        .select(col("s.u").as("u"), col("s.v").as("v"))
+      val large = sym
+        .withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
+        .where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
-        .persist(lvl) // read by small-star's aggregate AND its join
       // small-star: node hi sends its smaller neighbors (and itself) to
-      // m = min(Γ_small(hi)); both emissions keep hi > lo
-      val smin = large.groupBy("hi").agg(min("lo").as("m"))
-      val next = large.join(smin, "hi")
-        .select(col("lo").as("n"), col("m"))
-        .union(smin.select(col("hi").as("n"), col("m")))
-        .where(col("n") =!= col("m"))
-        .select(col("n").as("hi"), col("m").as("lo"))
+      // m = min(Γ_small(hi)); both emissions keep hi > lo. Same window
+      // idiom; the (hi, m) self-row branch (one per EDGE here, one per
+      // node in the old groupBy form) dedups in the terminal distinct.
+      val next = large
+        .withColumn("m", min("lo").over(Window.partitionBy("hi")))
+        .select(explode(array(
+          struct(col("lo").as("n"), col("m")),
+          struct(col("hi").as("n"), col("m")))).as("s"))
+        .where(col("s.n") =!= col("s.m"))
+        .select(col("s.n").as("hi"), col("s.m").as("lo"))
         .distinct()
         .localCheckpoint(eager = true) // one lineage barrier per round
-      large.unpersist()
       val nsig = signature(next)
       converged = nsig == sig
       sig = nsig
@@ -769,8 +812,10 @@ object Dedup {
     if (notStar > 0)
       throw new IllegalStateException(
         s"connectedComponents fixpoint is not a star forest ($notStar chained edges)")
-    val labels = e.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
-      .union(e.select(col("lo").as("doc_id"), col("lo").as("cluster_id")))
+    val labels = e.select(explode(array(
+        struct(col("hi").as("doc_id"), col("lo").as("cluster_id")),
+        struct(col("lo").as("doc_id"), col("lo").as("cluster_id")))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.cluster_id").as("cluster_id"))
       .distinct()
     (labels, rounds)
   }
@@ -800,14 +845,17 @@ object Dedup {
     */
   def medoidRepresentatives(docs: DataFrame, n: Int = 3, maxDf: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // caller-must-clear-cache: the hash arrays feed both the LSH
     // clustering and the affinity postings; the labels are read by the
-    // affinity join and the members aggregate of one lazily-consumed plan
-    val withHs = docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .persist(lvl)
-    val cc = connectedComponents(minhashLshPairsFromHs(withHs)).persist(lvl)
+    // affinity join and the members aggregate of one lazily-consumed plan.
+    // EAGER fills (r15): these relations each have several sibling-stage
+    // readers; lazy persist let the racing fills re-tokenize the corpus
+    // four times (four near-identical 6-task-second map stages in the
+    // profile)
+    val withHs = eagerPersist(
+      docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+        .filter(size(col("hs")) > 0))
+    val cc = eagerPersist(connectedComponents(minhashLshPairsFromHs(withHs)))
     // affinity evidence is only consumed for intra-cluster pairs, so the
     // posting index covers cluster MEMBERS only and carries the cluster
     // label from the start (at 100 TB that is the dup fraction of the
@@ -817,10 +865,9 @@ object Dedup {
     // distinct by construction, so size() = n_sh) — the Jaccard
     // denominators ride the pair aggregate for free instead of two
     // count-joins after it
-    val msh = withHs.join(cc, "doc_id")
+    val msh = eagerPersist(withHs.join(cc, "doc_id")
       .select(col("cluster_id"), col("doc_id"),
-        size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h"))
-      .persist(lvl)
+        size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h")))
     val pruned = if (maxDf <= 0) msh else {
       // df per (shingle, CLUSTER) — the cap's rationale is per-cluster
       // posting width, so the count must match it (r10 advice: a global
@@ -844,9 +891,13 @@ object Dedup {
         max(col("a.n_sh")).as("n_sh_a"), max(col("b.n_sh")).as("n_sh_b"))
       .select(col("cluster_id"), col("doc_a"), col("doc_b"),
         expr("common * 1000 div (n_sh_a + n_sh_b - common)").as("jx"))
-    val aff0 = jp.select(col("cluster_id"), col("doc_a").as("a"), col("jx"))
-      .unionAll(jp.select(col("cluster_id"), col("doc_b").as("a"), col("jx")))
-      .groupBy("cluster_id", "a").agg(sum("jx").as("aff0"))
+    // one generate emits both endpoints — a two-branch union would run
+    // the (unpersisted) pair aggregate twice
+    val aff0 = jp.select(explode(array(
+        struct(col("cluster_id"), col("doc_a").as("a"), col("jx")),
+        struct(col("cluster_id"), col("doc_b").as("a"), col("jx")))).as("s"))
+      .groupBy(col("s.cluster_id").as("cluster_id"), col("s.a").as("a"))
+      .agg(sum(col("s.jx")).as("aff0"))
     val scored = cc.select(col("cluster_id"), col("doc_id").as("a"))
       .join(aff0, Seq("cluster_id", "a"), "left")
       .select(col("cluster_id"), col("a"),

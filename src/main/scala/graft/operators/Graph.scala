@@ -31,6 +31,22 @@ object Graph {
     * rounded to 8 decimals so cross-engine float summation order cannot
     * surface in the last printed digit.
     */
+  /** Both directions of every pair in ONE pass over the pair pipeline —
+    * explode, not `select(a,b) union select(b,a)`: the union's two
+    * branches are sibling scans of the SAME upstream, and whether cached
+    * or not they run concurrently (AQE submits independent map stages
+    * together), so a lazily-persisted pair pipeline is computed twice by
+    * racing cache fills (r15 profile: duplicate "Block rdd_N already
+    * exists" fills under every pageRank-family entry). One row-doubling
+    * generate needs no persist, no race, and half the upstream work — at
+    * any scale.
+    */
+  private def symmetrized(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   def pageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     // localCheckpoint, not persist: each unrolled round EMBEDS the edge
     // relation's plan subtree (and under it the whole upstream pair
@@ -40,11 +56,7 @@ object Graph {
     // lineage makes every round's plan start at the materialized blocks
     // (the same driver-cost fix as the CC loop; the iteration structure
     // stays one lazy plan).
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true) // eager: p's cache fills here...
-    p.unpersist() // ...so the pair pipeline can release immediately
+    val edges = symmetrized(pairs).localCheckpoint(eager = true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // vertex count as a broadcast relation, not a driver-side collect —
     // the rank column needs 1/n and (1-d)/n as plan-side values
@@ -82,11 +94,7 @@ object Graph {
     */
   def personalizedPageRank(pairs: DataFrame, seedPred: Column, iters: Int = 3,
                            damping: Double = 0.85): DataFrame = {
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true)
-    p.unpersist()
+    val edges = symmetrized(pairs).localCheckpoint(eager = true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("is_seed", seedPred)
@@ -132,10 +140,9 @@ object Graph {
     * scale shape as PageRank. Returns (doc_id, hub, authority).
     */
   def hits(pairs: DataFrame, iters: Int = 2, scale: Long = 10000L): DataFrame = {
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // single read of the pair pipeline — no persist needed before the cut
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint(eager = true) // read by every unrolled round
-    p.unpersist()
     val nodes = edges.select(col("src").as("doc_id"))
       .union(edges.select(col("dst").as("doc_id"))).distinct()
       .localCheckpoint(eager = true)
@@ -184,11 +191,8 @@ object Graph {
     */
   def katz(pairs: DataFrame, iters: Int = 3, scale: Long = 10000L,
            attDen: Long = 8L): DataFrame = {
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = symmetrized(pairs)
       .localCheckpoint(eager = true) // read by every unrolled round
-    p.unpersist()
     val nodes = edges.select(col("src").as("doc_id")).distinct()
       .localCheckpoint(eager = true)
     var x = nodes.select(col("doc_id"), lit(scale).as("katz"))
@@ -216,11 +220,7 @@ object Graph {
     * job). Deterministic; each round replays as a SQL CTE.
     */
   def hopDistances(pairs: DataFrame, seedPred: Column, maxHops: Int = 3): DataFrame = {
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true)
-    p.unpersist()
+    val edges = symmetrized(pairs).localCheckpoint(eager = true)
     var visited = edges.select(col("src").as("doc_id")).distinct()
       .filter(seedPred)
       .select(col("doc_id"), lit(0L).as("hops"))
@@ -255,11 +255,7 @@ object Graph {
     * and engine-exact, where a float Σ1/d would drift by summation order.
     */
   def landmarkHarmonic(pairs: DataFrame, seedPred: Column, maxHops: Int = 3): DataFrame = {
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = true)
-    p.unpersist()
+    val edges = symmetrized(pairs).localCheckpoint(eager = true)
     var visited = edges.select(col("src").as("doc_id")).distinct()
       .filter(seedPred)
       .select(col("doc_id").as("lm"), col("doc_id"), lit(0L).as("hops"))
@@ -298,18 +294,24 @@ object Graph {
     *
     * Returns (doc_id, triangles) for every vertex in ≥ 1 triangle.
     */
-  def triangleCounts(pairs: DataFrame): DataFrame = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
-    // canonical undirected edge set (guard against either input order).
-    // localCheckpoint, not persist: the oriented relation below embeds
-    // this subtree (and the pair pipeline under it) in each of its THREE
-    // wedge-join references — truncating here keeps those plans starting
-    // at materialized blocks (same driver-cost fix as pageRank).
-    val und = pairs.select(
+  def triangleCounts(pairs: DataFrame): DataFrame =
+    triangleCountsFromUnd(canonicalUnd(pairs))
+
+  /** Canonical undirected edge set (guard against either input order),
+    * checkpointed — localCheckpoint, not persist: the oriented relation
+    * embeds this subtree (and the pair pipeline under it) in each of its
+    * THREE wedge-join references — truncating here keeps those plans
+    * starting at materialized blocks (same driver-cost fix as pageRank).
+    */
+  private def canonicalUnd(pairs: DataFrame): DataFrame =
+    pairs.select(
         least(col("doc_a"), col("doc_b")).as("a"),
         greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(eager = true)
+
+  private def triangleCountsFromUnd(und: DataFrame): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient src -> dst by (deg, id) rank; read 3x (two wedge sides +
@@ -347,12 +349,11 @@ object Graph {
     * aggregate and one join on top, nothing pairwise.
     */
   def clusteringCoefficients(pairs: DataFrame): DataFrame = {
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = triangleCounts(p)
-    val und = p.select(
-        least(col("doc_a"), col("doc_b")).as("a"),
-        greatest(col("doc_a"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    // ONE canonical edge set feeds both the triangle machinery and the
+    // degree aggregate (r15: the old shape read the persisted pair
+    // pipeline twice — racing cache fills — and deduped `und` twice)
+    val und = canonicalUnd(pairs)
+    val tri = triangleCountsFromUnd(und)
     val deg = und.select(col("a").as("doc_id")).union(und.select(col("b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") >= 2)
@@ -588,11 +589,8 @@ object Graph {
   }
 
   def labelPropagation(pairs: DataFrame, iters: Int = 3): DataFrame = {
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = symmetrized(pairs)
       .localCheckpoint(eager = true) // one lazy plan over `iters` rounds
-    p.unpersist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("community"))
     for (_ <- 1 to iters) {

@@ -417,11 +417,12 @@ object Similarity {
     val corpusRel =
       if (nPivots > 0) corpus
       else corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = knnGraphPivoted(corpusRel, graphK, nPivots, nProbe)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-      // caller-must-clear-cache: the seed and hop self-joins both read the
-      // edge relation; it cannot unpersist before the result materializes
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // caller-must-clear-cache: the seed and hop self-joins both read the
+    // edge relation (sibling stages — eager fill, see Dedup.eagerPersist);
+    // it cannot unpersist before the result materializes
+    val edges = Dedup.eagerPersist(
+      knnGraphPivoted(corpusRel, graphK, nPivots, nProbe)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst")))
     val qids = broadcast(queries.select(col("vec_id").as("query_id")))
     val seeds = edges.join(qids, col("src") === col("query_id"))
       .select(col("query_id"), col("dst").as("cand"))
@@ -630,7 +631,9 @@ object Similarity {
     */
   private def lloydChainQ(quant: DataFrame, k: Int,
                           iters: Int): (DataFrame, DataFrame, DataFrame) = {
-    val u = quant.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill: the seed scan and the first assignment join are sibling
+    // readers (Dedup.eagerPersist — racing fills recompute the quantize)
+    val u = Dedup.eagerPersist(quant)
     def assign(cent: DataFrame): DataFrame = {
       val d = u.join(cent, "idx")
         .groupBy(col("vec_id"), col("cl"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.queries.QueryUtil._
+
 import graft.operators.AsOfJoin
 import graft.sources.Sources
 
@@ -892,7 +894,7 @@ object AnalyticsQueries {
             sum("w").as("sw"))
           .select(col("b"),
             round(col("sx").cast("double") / col("sw"), 6).as("m"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         def nth(df: DataFrame, asc: Boolean) = {
           val first = if (asc) df.orderBy(col("m").asc, col("b").asc)
             else df.orderBy(col("m").desc, col("b").desc)
@@ -1897,9 +1899,9 @@ object AnalyticsQueries {
         val hot = t(s, dir, "customer").filter(col("c_acctbal") > 7000)
           .select(col("c_custkey"))
         val bitsDf = BloomJoin.bits(hot, "c_custkey", m, k)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val passed = BloomJoin.prune(t(s, dir, "orders"), "o_custkey", bitsDf, m, k)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val truth = passed.join(hot, col("o_custkey") === col("c_custkey"), "left_semi")
         val falsePos = passed.join(hot, col("o_custkey") === col("c_custkey"), "left_anti")
         // false negatives: true matches the bloom dropped — 0 by the bloom
@@ -2060,14 +2062,14 @@ object AnalyticsQueries {
             (col("user_id") * 1000 +
               datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")).as("elem"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val hashed = elems.select(col("t"),
           conv(substring(md5(col("elem").cast("string")), 1, 12), 16, 10)
             .cast("long").as("h")).distinct()
         val w = Window.partitionBy("t").orderBy("h")
         val sk = hashed.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val theta = sk.filter(col("rn") === 64).select(col("t"), col("h").as("theta"))
         val est = theta.select(col("t"),
           expr("63 * 281474976710656 div theta").as("est"))
@@ -2142,14 +2144,14 @@ object AnalyticsQueries {
             (col("user_id") * 1000 +
               datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")).as("elem"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val hashed = elems.select(col("t"),
           conv(substring(md5(col("elem").cast("string")), 1, 12), 16, 10)
             .cast("long").as("h")).distinct()
         val w = Window.partitionBy("t").orderBy("h")
         val sk = hashed.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val theta = sk.filter(col("rn") === 64).select(col("t"), col("h").as("theta"))
         val est = theta.select(col("t"), expr("63 * 281474976710656 div theta").as("est"))
         val pairs = theta.as("a").join(broadcast(theta.as("b")), col("a.t") =!= col("b.t"))
@@ -2721,7 +2723,7 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) => {
         val op = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val nOrders = op.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("n"))
         val supp = op.groupBy("l_partkey").agg(count(lit(1)).as("supp"))
@@ -2822,7 +2824,7 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) => {
         val du = t(s, dir, "events")
           .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val days = du.select(col("day")).distinct()
         du.select(col("user_id"),
             explode(expr("sequence(day, date_add(day, 6))")).as("day"))
@@ -2926,7 +2928,7 @@ object AnalyticsQueries {
           .groupBy(col("l_suppkey"))
           .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,6)")).as("total_dec"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val top = rev.agg(max(col("total_dec")).as("max_dec"))
         rev.crossJoin(broadcast(top))
           .filter(col("total_dec") === col("max_dec"))
@@ -2992,7 +2994,7 @@ object AnalyticsQueries {
           .join(oF, col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
           .select(col("l_orderkey"), col("l_suppkey"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val others = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")).distinct()
         val lateOthers = late
@@ -3727,7 +3729,7 @@ object AnalyticsQueries {
         val daily = t(s, dir, "events")
           .select(col("event_type"), to_date(col("ts")).as("day"))
           .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val med = daily.groupBy("event_type")
           .agg(expr("CAST(2 * percentile(cnt, 0.5) AS BIGINT)").as("med2"))
         val dev = daily.join(broadcast(med), "event_type")
@@ -3846,7 +3848,7 @@ object AnalyticsQueries {
               .cast("long").as("m"))
           .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)")).as("cents"),
             count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val dom = cells.select(col("pri").as("bpri"), col("m").as("bm"),
           col("cents").as("bs"), col("cnt").as("bc"))
         cells.join(dom,
@@ -4434,7 +4436,7 @@ object AnalyticsQueries {
           .select(col("lang"), col("source"),
             expr("CAST(n_chars div 100 AS BIGINT)").as("sens"))
           .groupBy("lang", "source", "sens").agg(count(lit(1)).as("c"))
-          .persist()
+          .eagerPersisted
         val g = b.groupBy("lang", "source").agg(sum("c").as("cnt"))
         val gl = b.groupBy("sens").agg(sum("c").as("gn"))
         val nn = b.agg(sum("c").as("nn"))
@@ -4580,7 +4582,7 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) => {
         val base = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
           col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-        val cells = base.groupBy("flag", "x", "y").agg(count(lit(1)).as("c")).persist()
+        val cells = base.groupBy("flag", "x", "y").agg(count(lit(1)).as("c")).eagerPersisted
         val wx = Window.partitionBy("flag").orderBy("x")
         val xr = cells.groupBy("flag", "x").agg(sum("c").as("cv"))
           .withColumn("cum", sum("cv").over(wx))
@@ -4713,7 +4715,7 @@ object AnalyticsQueries {
         val daily = t(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
-          .persist()
+          .eagerPersisted
         val g = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
           sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("q"))
         val ks = s.range(1).select(explode(array(lit(1), lit(7), lit(30))).as("k"))
@@ -5408,20 +5410,20 @@ object AnalyticsQueries {
       (s: SparkSession, dir: String) => {
         val op = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val op2 = op.as("a")
           .join(op.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") < col("b.l_partkey"))
           .select(col("a.l_orderkey").as("ok"),
             col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val fp = op2
           .groupBy(col("pa"), col("pb"))
           .agg(count(lit(1)).as("supp"))
           .filter(col("supp") >= 2)
           .select("pa", "pb")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val opp = op2.join(fp, Seq("pa", "pb"), "left_semi")
         opp
           .join(op.select(col("l_orderkey").as("ok"), col("l_partkey").as("pc")), Seq("ok"))
@@ -5544,7 +5546,7 @@ object AnalyticsQueries {
           .groupBy(col("c_nationkey").as("nk"),
             (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
           .agg(moneySum(col("o_totalprice")).as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val a = monthly.select(col("nk"), col("m").as("m1"), col("y").as("y1"))
         val b = monthly.select(col("nk"), col("m").as("m2"), col("y").as("y2"))
         val sRel = a.join(b, Seq("nk")).filter(col("m2") > col("m1"))
@@ -5666,7 +5668,7 @@ object AnalyticsQueries {
           .groupBy(col("c_nationkey").as("nk"),
             (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
           .agg(moneySum(col("o_totalprice")).as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val vals = grid.groupBy("y").agg(count(lit(1)).as("cv"))
         val wv = Window.orderBy("y")
         val vr = vals.withColumn("cum", sum("cv").over(wv))
@@ -5842,7 +5844,7 @@ object AnalyticsQueries {
         val wins = pr.select(col("ta").as("et"), col("wab").as("w"), col("n_ab"))
           .unionAll(pr.select(col("tb").as("et"), col("wba").as("w"), col("n_ab")))
           .groupBy("et").agg(sum("w").as("w"), sum("n_ab").as("games"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val kTot = wins.agg(count(lit(1)).as("k"))
         var pi = wins.select(col("et"), lit(1000000L).as("p"))
         for (_ <- 1 to 2) {
@@ -5972,7 +5974,7 @@ object AnalyticsQueries {
           .groupBy("grp", "decile").agg(min("o_totalprice").as("q"))
           // 18 rows, but the treat/control branches below would otherwise
           // each re-run the corpus-sized cume_dist window
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         q.filter(col("grp") === "treat")
           .select(col("decile"), col("q").as("q_treat"))
           .join(q.filter(col("grp") === "control")
@@ -6016,7 +6018,7 @@ object AnalyticsQueries {
           // the 3-round iterate conserves (then renormalizes) its mass
           .groupBy(col("event_type").as("a"), col("next_type").as("b"))
           .agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val srcs = c.select(col("a")).distinct()
         // localCheckpoint, not persist: every power round joins cc again,
         // so a lazy persist still nests the events window chain ~3³ times
@@ -6026,7 +6028,7 @@ object AnalyticsQueries {
           .localCheckpoint(true)
         val r = cc.groupBy("a").agg(sum("cnt").as("rtot"))
         val states = cc.select(col("a").as("st")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         // power iteration is linear in the start vector, so the rounds run
         // UNNORMALIZED from 1e6 per state (row-stochastic steps keep the
         // scale ~1e6) and one end normalization replaces three per-round
@@ -6156,7 +6158,7 @@ object AnalyticsQueries {
             (col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
               .as("y_cents"),
             (col("o_orderpriority") === "1-URGENT").as("treat"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val treated = o.filter(col("treat")).select(col("nk"), col("bal"), col("y_cents"))
         val ctrl = o.filter(!col("treat"))
           .select(col("nk").as("ck"), col("bal").as("cbal"), col("y_cents").as("cy"))
@@ -6214,7 +6216,7 @@ object AnalyticsQueries {
           .groupBy(col("nk"), ((col("m") - col("m0")).cast("long") / 3)
             .cast("long").as("seg"))
           .agg((sum("cents").cast("double") / count(lit(1))).as("paa"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val wq = Window.partitionBy("nk").orderBy("paa")
         val bp = paa.withColumn("cd", cume_dist().over(wq))
           .groupBy("nk")
@@ -6270,7 +6272,7 @@ object AnalyticsQueries {
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_nationkey").as("nk"), col("o_orderpriority").as("pri"))
           .agg(count(lit(1)).as("n"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val g = cells.agg(sum("n").as("nn"),
           countDistinct("nk").as("kr"), countDistinct("pri").as("kc"))
         var w = cells.crossJoin(broadcast(g))
@@ -6588,7 +6590,7 @@ object AnalyticsQueries {
           .groupBy("band")
           .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
             sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val below = b.as("i")
           .join(b.select(col("band").as("jb"), col("nn").as("jnn")).as("j"),
             col("jb") < col("band"), "left")
@@ -6644,7 +6646,7 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_i"),
             (round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
               .cast("long").as("s_i"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val g = per.agg(sum("n_i").as("nn"), sum("s_i").as("ss"),
           count(lit(1)).as("k"))
         val reps = per.crossJoin(broadcast(g))
@@ -6793,7 +6795,7 @@ object AnalyticsQueries {
           .select(col("o_totalprice"), col("o_orderkey"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(101)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val xk = top.agg(min("o_totalprice").as("xk"))
         top.crossJoin(broadcast(xk))
           .filter(col("o_totalprice") > col("xk"))
@@ -6830,7 +6832,7 @@ object AnalyticsQueries {
             (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
           .agg(moneySum(col("o_totalprice")).as("y"))
           .withColumn("moy", col("m") % 12)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val a = monthly.select(col("nk"), col("moy"), col("m").as("m1"), col("y").as("y1"))
         val b = monthly.select(col("nk"), col("moy"), col("m").as("m2"), col("y").as("y2"))
         val sRel = a.join(b, Seq("nk", "moy")).filter(col("m2") > col("m1"))
@@ -6886,7 +6888,7 @@ object AnalyticsQueries {
           .select(col("c_nationkey").as("nk"),
             (col("o_totalprice").cast("decimal(18,6)") * 100).cast("long").as("x"))
         val per = o.groupBy("nk").agg(count(lit(1)).as("n_g"), sum("x").as("s_g"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val g = per.agg(sum("n_g").as("nn"), sum("s_g").as("ss"))
         // per-row terms in the SCALE-INVARIANT form r = x·N/S ~ O(1):
         // flooring 1e6·r·ln r keeps micro precision at any corpus size,
@@ -7075,7 +7077,7 @@ object AnalyticsQueries {
           .groupBy(col("c_nationkey").as("nk"))
           .agg((round(sum(col("o_totalprice").cast("decimal(18,6)")), 2) * 100)
             .cast("long").as("x"), count(lit(1)).as("y"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val i = per.select(col("nk").as("ia"), col("x").as("xa"), col("y").as("ya"))
         val j = per.select(col("nk").as("jb"), col("x").as("xb"), col("y").as("yb"))
         i.join(j, col("ia") < col("jb"))
@@ -7542,7 +7544,7 @@ object AnalyticsQueries {
             floor(col("sxx").cast("double")
               - col("sx").cast("double") * col("sx").cast("double") / col("n"))
               .cast("long").as("ss_w"))
-          .persist()
+          .eagerPersisted
         // degenerate-design guard (r11 ADVICE class): every group n = 1
         // makes the within d.o.f. zero — emit NULL, not a 0-division
         val msw = g.agg(when(sum("n") > count(lit(1)), sum("ss_w").cast("double")
@@ -7649,7 +7651,7 @@ object AnalyticsQueries {
         val daily = t(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
-          .persist()
+          .eagerPersisted
         val med = daily.agg(expr("percentile(x, 0.5D)").as("med"))
         val signs = daily.crossJoin(broadcast(med))
           .filter(col("x").cast("double") =!= col("med"))
@@ -7711,12 +7713,12 @@ object AnalyticsQueries {
           .groupBy(col("c_nationkey").as("nk"), col("o_orderpriority").as("trt"))
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast("decimal(18,6)")).as("sx"))
-          .persist()
+          .eagerPersisted
         val g = cells.agg((sum("sx").cast("double") / sum("n")).as("gmean"))
         val x = cells.crossJoin(broadcast(g))
           .select(col("nk"), col("trt"),
             (col("sx").cast("double") / col("n") > col("gmean")).cast("long").as("x"))
-          .persist()
+          .eagerPersisted
         val k = x.select(countDistinct("trt").as("k"))
         val cj = x.groupBy("trt").agg(sum("x").as("c_j"))
         val ri = x.groupBy("nk").agg(sum("x").as("r_i"), count(lit(1)).as("ki"))
@@ -7838,7 +7840,7 @@ object AnalyticsQueries {
             floor(col("syy").cast("double")).cast("long").as("t_tot"))
         val cells = base.groupBy("a", "b")
           .agg(count(lit(1)).as("n"), sum("y").as("s"))
-          .persist()
+          .eagerPersisted
         def tsum(keys: org.apache.spark.sql.Column*): DataFrame = cells.groupBy(keys: _*)
           .agg(count(lit(1)).as("ncells"), sum("n").as("n"), sum("s").as("s"))
           .agg(sum(floor(col("s").cast("double") * col("s") / col("n")).cast("long"))
@@ -7908,7 +7910,7 @@ object AnalyticsQueries {
         val daily = t(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
-          .persist()
+          .eagerPersisted
         val m = daily.agg(count(lit(1)).as("n"), sum("x").as("s"),
             sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("q"))
           .select(col("n"), (col("s").cast("double") / col("n")).as("mean"),
@@ -7955,7 +7957,7 @@ object AnalyticsQueries {
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
           .select(col("day"),
             datediff(col("day"), lit("1995-01-01")).cast("long").as("x"), col("y"))
-          .persist()
+          .eagerPersisted
         val fit = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
             sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
           .select(
@@ -7967,7 +7969,7 @@ object AnalyticsQueries {
             ((col("sy").cast("double") - col("b") * col("sx")) / col("n")).as("a"))
         val e = daily.crossJoin(broadcast(fit))
           .select(col("day"), (col("y") - col("a") - col("b") * col("x")).as("e"))
-          .persist()
+          .eagerPersisted
         // mega-cent-squared pin grain: residuals are daily-revenue scale
         // (~1e8 cents at sf0.1), so whole cent-squared terms would pass
         // 2^63 in the sum; at 1e6 grain the ceiling moves out ~1e6x and
@@ -8019,13 +8021,13 @@ object AnalyticsQueries {
         val daily = t(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
-          .persist()
+          .eagerPersisted
         val u = daily.agg(expr("percentile(x, 0.9D)").as("u"))
         val z = daily.crossJoin(broadcast(u))
           .filter(col("x").cast("double") > col("u"))
           .select(col("day"), floor(lit(1000.0) * (col("x") - col("u")))
             .cast("long").as("zm"))
-          .persist()
+          .eagerPersisted
         val ranked = z.as("i").join(z.as("j"),
             col("j.zm") < col("i.zm")
               || (col("j.zm") === col("i.zm") && col("j.day") < col("i.day")), "left")
@@ -8092,14 +8094,14 @@ object AnalyticsQueries {
         val x = t(s, dir, "orders")
           .select(col("o_orderpriority").as("g"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
-          .persist()
+          .eagerPersisted
         val med = x.groupBy("g").agg(expr("percentile(x, 0.5D)").as("med"))
         val mad = x.join(broadcast(med), Seq("g"))
           .groupBy("g").agg(expr("percentile(abs(x - med), 0.5D)").as("mad"))
         val base = x.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
           .select(col("g"), col("x"), col("med"),
             (col("mad") * lit(1.4826) * lit(1.345)).as("c"))
-          .persist()
+          .eagerPersisted
         def irls(centered: DataFrame): DataFrame = centered
           .select(col("g"), col("x"), col("med"), col("c"),
             when(abs(col("x") - col("m")) <= col("c"), 1000L)
@@ -8155,7 +8157,7 @@ object AnalyticsQueries {
         val daily = t(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("day"))
           .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
-          .persist()
+          .eagerPersisted
         val mind = daily.agg(min("day").as("mind"))
         val idx = daily.crossJoin(broadcast(mind))
           .select(col("day"), col("x"),

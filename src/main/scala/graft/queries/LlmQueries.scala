@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.queries.QueryUtil._
+
 import graft.operators.{Audio, Dedup, Graph, Imaging, Multimodal, Similarity, TextAnalysis, Video}
 import graft.sources.Sources
 
@@ -362,7 +364,7 @@ object LlmQueries {
         val pr = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 70, maxDf = 0)
           .select(col("doc_b"),
             expr("common * 1000 div (n_sh_a + n_sh_b - common)").as("jx"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         Seq(700, 800, 900).map { t =>
           pr.filter(col("jx") >= t)
             .agg(count(lit(1)).as("n_pairs"),
@@ -464,7 +466,7 @@ object LlmQueries {
           .cast("long") % 100
         val assigned = grouped.select(col("doc_id"), col("grp"),
             when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val leak = assigned.groupBy("grp")
           .agg(countDistinct("split").as("ns"))
           .filter(col("ns") > 1).agg(count(lit(1)).as("leaked_groups"))
@@ -672,7 +674,7 @@ object LlmQueries {
         // regression; see pipeline_funnel_report stage 4 for the same
         // declared zero-false-negative assumption.
         val scored = Dedup.minhashEstimateError(docs(s, dir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val n = scored.agg(count(lit(1)).as("value"))
           .select(lit("pairs_scored").as("metric"), col("value").cast("long").as("value"))
         val viol = scored
@@ -707,7 +709,7 @@ object LlmQueries {
     "dedup_simhash" -> ((
       (s: SparkSession, dir: String) => {
         val fp = Dedup.simhashFingerprints(docs(s, dir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val banded = Dedup.simhashPairsFromFp(fp, maxHamming = 3)
           .select("doc_a", "doc_b")
         val fingerprinted = fp.agg(count(lit(1)).as("value"))
@@ -736,7 +738,7 @@ object LlmQueries {
     "dedup_simhash_witness" -> ((
       (s: SparkSession, dir: String) => {
         val fp = Dedup.simhashFingerprints(docs(s, dir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val banded = Dedup.simhashPairsFromFp(fp, maxHamming = 3)
           .select("doc_a", "doc_b")
         val brute = Dedup.simhashBrutePairs(fp, maxHamming = 3)
@@ -786,7 +788,7 @@ object LlmQueries {
         val e = emb(s, dir)
         val lsh = Dedup.embeddingLshPairs(e, dim = 64, threshold = 0.45,
             rowsPerBand = 6, bands = 20)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val canonical = lsh.filter(!(col("id_a") < col("id_b")))
           .agg(count(lit(1)).as("value"))
           .select(lit("noncanonical_pairs").as("metric"), col("value").cast("long").as("value"))
@@ -849,13 +851,13 @@ object LlmQueries {
             transform(col("embedding"),
               x => (x * lit(1.001)).cast("float")).as("embedding"))
         val all = e.unionAll(copies)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val lsh = Dedup.embeddingLshPairs(all, dim = 64, threshold = 0.99)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val planted = e.filter(col("vec_id") % 5 === 0)
           .select(col("vec_id").as("id_a"),
             (col("vec_id") + lit(10000000L)).as("id_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val nPlanted = planted.agg(count(lit(1)).as("value"))
           .select(lit("planted_pairs").as("metric"), col("value").cast("long").as("value"))
         val missed = planted.join(lsh, Seq("id_a", "id_b"), "left_anti")
@@ -934,12 +936,12 @@ object LlmQueries {
               rowsPerBand = 6, bands = 20)
               .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
           .select(col("doc_id").as("vec_id"), col("cluster_id").as("lc"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val exactLabels = Dedup.connectedComponents(
             Dedup.embeddingCosinePairs(e, tau)
               .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
           .select(col("doc_id").as("vec_id"), col("cluster_id").as("xc"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val refinement = lshLabels.join(exactLabels, Seq("vec_id"), "left")
           .groupBy("lc").agg(countDistinct(col("xc")).as("nx"),
             count(when(col("xc").isNull, 1)).as("missing"))
@@ -1024,7 +1026,7 @@ object LlmQueries {
         val e = emb(s, dir)
         val tau = 0.45
         val assigned = Dedup.semanticAssignments(e, nClusters = 16)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         // plain (undeclared — corpus-scale) localCheckpoints, NOT persists:
         // the keptViolations leg re-expands its input ~10× (hot-cell agg +
         // ids self-join + two payload rejoins), and InMemoryTableScan
@@ -1067,7 +1069,7 @@ object LlmQueries {
         val e = emb(s, dir)
         val tau = 0.45
         val assigned = Dedup.semanticAssignments(e, nClusters = 16)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val dropped = Dedup.semanticDroppedIds(assigned, tau)
         dropped
           .join(Dedup.embeddingCosinePairs(e, tau).select("id_b").distinct(), Seq("id_b"), "left_anti")
@@ -1292,7 +1294,7 @@ object LlmQueries {
             call_function("cosine_sim", col("embedding"), col("p_emb")).as("pcos"))
           .withColumn("pr", row_number().over(pw))
           .filter(col("pr") <= 2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         // per-JVM scratch path (shutdown-hook cleaned): concurrent JVMs
         // (bench + gate, parallel test forks) never overwrite each
         // other's index, and session recycling inside one JVM reuses
@@ -1357,7 +1359,7 @@ object LlmQueries {
             col("embedding").as("q_emb"))), Seq("query_id"))
           .select(col("query_id"), col("neighbor_id").as("did"), col("c_emb"),
             call_function("cosine_sim", col("q_emb"), col("c_emb")).as("rel"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         def argmax(df: DataFrame, score: Column): DataFrame = {
           val w = Window.partitionBy("query_id").orderBy(score.desc, col("did").asc)
           df.withColumn("score", score).withColumn("rn", row_number().over(w))
@@ -1495,11 +1497,11 @@ object LlmQueries {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(stats))
           .select(col("tok"),
@@ -1620,7 +1622,7 @@ object LlmQueries {
           // cache keeps the BM25 + draft lineage single-execution without
           // the plan-string blowup the old localCheckpoint papered over
           // (r12 ADVICE); caller-must-clear-cache, the catalog contract
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val n = clicked.agg(countDistinct("query_id").as("nq"))
         clicked.groupBy("team").agg(count(lit(1)).as("wins"))
           .crossJoin(broadcast(n))
@@ -1718,11 +1720,11 @@ object LlmQueries {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(stats))
           .select(col("tok"),
@@ -1856,7 +1858,7 @@ object LlmQueries {
         val lsh = Similarity.lshTopK(e, queries, dim = 64, k = 5)
         val truth5 = Similarity.bruteForceTopK(e, queries, k = 5)
           .select(col("query_id"), col("neighbor_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         lsh.join(truth5, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("hit"))
           .crossJoin(truth5.agg(count(lit(1)).as("tot")))
@@ -2648,7 +2650,7 @@ object LlmQueries {
             expr("CAST(conv(substring(md5(g), 1, 5), 16, 10) AS BIGINT)").as("b1"),
             expr("CAST(conv(substring(md5(g), 6, 5), 16, 10) AS BIGINT)").as("b2"),
             expr("CAST(conv(substring(md5(g), 11, 5), 16, 10) AS BIGINT)").as("b3"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val ev = withBits.filter(pmod(col("doc_id"), lit(23)) === 0)
         val bloom = ev.select(explode(array(col("b1"), col("b2"), col("b3"))).as("bit"))
           .distinct()
@@ -4038,10 +4040,10 @@ object LlmQueries {
         val tau = 0.45
         val corpus = e.filter(col("vec_id") % 10 === 0)
         val incoming = e.filter(col("vec_id") % 10 =!= 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val matched = Dedup.embeddingMatchedIds(corpus, incoming, dim = 64, tau,
             rowsPerBand = 6, bands = 20)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val total = incoming.agg(count(lit(1)).as("value"))
           .select(lit("incoming_vectors").as("metric"), col("value").cast("long").as("value"))
         val subset = matched.join(incoming, Seq("vec_id"), "left_anti")
@@ -4076,10 +4078,10 @@ object LlmQueries {
         val tau = 0.45
         val corpus = e.filter(col("vec_id") % 10 === 0)
         val incoming = e.filter(col("vec_id") % 10 =!= 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val matched = Dedup.embeddingMatchedIds(corpus, incoming, dim = 64, tau,
             rowsPerBand = 6, bands = 20)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         graft.functions.GraftFunctions.register(s)
         val brute = incoming.as("b")
           .crossJoin(corpus.select(col("vec_id").as("cid"),
@@ -4547,7 +4549,7 @@ object LlmQueries {
         // consumer; df > 1 is hash-equivalent)
         val sh = Dedup.shingleRelation(docs(s, dir), n = 3)
           .select(col("doc_id"), explode(col("hs")).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
         sh.join(df, "h")
           .groupBy("doc_id")
@@ -4581,7 +4583,7 @@ object LlmQueries {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val tot = toks.agg(count(lit(1)).as("total"))
         val logp = freq.crossJoin(broadcast(tot))
@@ -4624,7 +4626,7 @@ object LlmQueries {
           .select(col("doc_id"), col("lang"),
             explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val allC = toks.groupBy("tok").agg(count(lit(1)).as("ac"))
         val tgtC = toks.filter(col("lang") === "en")
           .groupBy("tok").agg(count(lit(1)).as("tc"))
@@ -4806,7 +4808,7 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         val e = Dedup.ngramJaccardPairs(docs(s, dir), n = 3, pct = 80, maxDf = 0)
           .select(col("doc_a"), col("doc_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val und = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("k"))
@@ -5227,7 +5229,7 @@ object LlmQueries {
             when(col("a.lb") === col("b.lb"), 1L).otherwise(0L).as("g2"),
             when(col("a.pref") === col("b.pref"), 1L).otherwise(0L).as("g3"))
           .groupBy("g1", "g2", "g3").agg(count(lit(1)).as("ng"))
-          .persist()
+          .eagerPersisted
         val init = pat.sparkSession.range(1).select(
           lit(0.1).as("pi"), lit(0.9).as("m1"), lit(0.9).as("m2"), lit(0.9).as("m3"),
           lit(0.1).as("u1"), lit(0.1).as("u2"), lit(0.1).as("u3"))
@@ -5341,7 +5343,7 @@ object LlmQueries {
             when(col("a.source") === col("b.source"), 1L).otherwise(0L).as("g1"),
             when(col("a.lb") === col("b.lb"), 1L).otherwise(0L).as("g2"),
             when(col("a.pref") === col("b.pref"), 1L).otherwise(0L).as("g3"))
-          .persist()
+          .eagerPersisted
         val wts = pr.agg(count(lit(1)).as("total"), sum("tr").as("n_true"),
             sum(col("tr") * col("g1")).as("cap1"),
             sum((lit(1L) - col("tr")) * col("g1")).as("fp1"),
@@ -6073,7 +6075,7 @@ object LlmQueries {
               "named_struct('w1', element_at(t, i), 'bg', " +
               "concat(element_at(t, i), '|', element_at(t, i + 1))))")).as("x"))
           .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         // the conditional table keys each distinct bigram by its first
@@ -6127,7 +6129,7 @@ object LlmQueries {
               "'w3', element_at(t, i + 2)))")).as("x"))
           .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"),
             col("x.w3").as("w3"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val train = tri.filter(pmod(col("doc_id"), lit(2)) === 0)
         val c3t = train.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
         val ctx = train.groupBy("w1", "w2").agg(count(lit(1)).as("ctxc"))
@@ -6220,10 +6222,10 @@ object LlmQueries {
             "transform(sequence(1, size(t) - 1), i -> named_struct(" +
               "'w1', element_at(t, i), 'w2', element_at(t, i + 1)))")).as("x"))
           .select(col("doc_id"), col("x.w1").as("w1"), col("x.w2").as("w2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val train = bg.filter(pmod(col("doc_id"), lit(2)) === 0)
         val types = train.select("w1", "w2").distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val c12 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"),
           countDistinct("w2").as("n1p"))
@@ -6294,7 +6296,7 @@ object LlmQueries {
         val counts = tok.groupBy("w").agg(
           sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
-          .persist()
+          .eagerPersisted
         val tot = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"))
         val p = col("ca").cast("double") / col("ta")
         val q2 = col("cb").cast("double") / col("tb")
@@ -6361,7 +6363,7 @@ object LlmQueries {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val tr = toks.filter(pmod(col("doc_id"), lit(2)) === 0)
         val lm = tr.groupBy("tok").agg(count(lit(1)).as("cnt"))
           .crossJoin(broadcast(tr.agg(count(lit(1)).as("total"))))
@@ -6435,7 +6437,7 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         val sh = Dedup.shingleRelation(docs(s, dir), n = 3)
           .select(col("doc_id"), explode(col("hs")).as("h"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
         sh.join(df, "h")
           .groupBy("doc_id")
@@ -6939,7 +6941,7 @@ object LlmQueries {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
         val tf = toks.filter(col("tok").isin(terms: _*))
@@ -7072,14 +7074,14 @@ object LlmQueries {
           .select(col("doc_id"), expr("filter(t, x -> length(x) > 0)").as("t"))
         val uni = toks.select(explode(col("t")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val utot = uni.agg(sum("c").as("u"))
         val bi = toks.filter(size(col("t")) >= 2)
           .select(explode(expr(
             "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i + 1] AS b))")).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("cab"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val btot = bi.agg(sum("cab").as("btot"))
         val ua = uni.select(col("tok").as("a"), col("c").as("ca"))
         val ub = uni.select(col("tok").as("b"), col("c").as("cb"))
@@ -7404,7 +7406,7 @@ object LlmQueries {
     "q_mix_entropy" -> ((
       (s: SparkSession, dir: String) => {
         val c = docs(s, dir).groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val tot = c.groupBy("lang")
           .agg(sum("cnt").as("tot"), count(lit(1)).as("n_sources"))
         c.join(broadcast(tot), "lang")
@@ -7526,7 +7528,7 @@ object LlmQueries {
           .select(col("b"), col("tokens_c"), col("vocab_c"),
             log(col("tokens_c").cast("double")).as("lx"),
             log(col("vocab_c").cast("double")).as("ly"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val fit = curve
           .agg(count(lit(1)).as("np"), avg("lx").as("mx"), avg("ly").as("my"),
             sum(col("lx") * col("ly")).as("sxy"), sum(col("lx") * col("lx")).as("sxx"))
@@ -7655,7 +7657,7 @@ object LlmQueries {
     "q_mix_ess" -> ((
       (s: SparkSession, dir: String) => {
         val c = docs(s, dir).groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val src = c.groupBy("source").agg(sum("cnt").as("ns"))
         val g = src.agg(sum("ns").as("nn"), count(lit(1)).as("k"))
         val r = col("nn").cast("double") / (col("k") * col("ns"))
@@ -7705,7 +7707,7 @@ object LlmQueries {
           .select(col("vec_id"),
             graft.functions.Vectors.quantizeInt8(col("embedding")).as("q"))
           .select(col("vec_id"), posexplode(col("q")).as(Seq("j", "qv")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val dims = q.groupBy("vec_id").agg(count(lit(1)).as("dims"))
         // the i-axis comes from each vector's own dims (the H matrix is
         // square), so the audit follows the fixture's dimension
@@ -7763,7 +7765,7 @@ object LlmQueries {
         val deg = pairs.select(col("doc_a").as("v"))
           .unionAll(pairs.select(col("doc_b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("dg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val ks = s.range(0, 4)
           .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS LONG)").as("k_deg"))
         val nRich = deg.crossJoin(broadcast(ks)).filter(col("dg") > col("k_deg"))
@@ -7866,13 +7868,13 @@ object LlmQueries {
           .filter(length(col("nt")) > 0 && !col("nt").isin(stop: _*))
         val g = ns.withColumn("grp",
             col("ti") - row_number().over(Window.partitionBy("doc_id").orderBy("ti")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val ph = g.groupBy("doc_id", "grp")
           .agg(array_join(transform(
               array_sort(collect_list(struct(col("ti"), col("nt")))),
               x => x.getField("nt")), " ").as("phrase"),
             count(lit(1)).as("plen"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val ws = g.join(ph, Seq("doc_id", "grp"))
           .groupBy("nt").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
           .select(col("nt"), expr("deg * 1000L div freq").as("wscore_milli"))
@@ -7975,7 +7977,7 @@ object LlmQueries {
           .filter(col("idx") < 16)
           .select(col("vec_id"), col("idx").cast("long").as("idx"),
             floor(col("x") * 10000).cast("long").as("q"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val nr = emb(s, dir).agg(count(lit(1)).as("nn"))
         val ds = u.groupBy("idx").agg(sum("q").as("sq"))
         val cr = u.as("a").join(u.as("b"), "vec_id")
@@ -8106,7 +8108,7 @@ object LlmQueries {
             posexplode(col("embedding").cast("array<double>")).as(Seq("idx", "x")))
           .select(col("vec_id"), col("label"), col("idx").cast("long").as("idx"),
             floor(col("x") * 10000).cast("long").as("q"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .eagerPersisted
         val cen = u.groupBy(col("label").as("cl"), col("idx"))
           .agg((sum("q").cast("double") / count(lit(1))).as("cv"))
         val d2 = u.join(cen, Seq("idx"))
@@ -8387,11 +8389,11 @@ object LlmQueries {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .eagerPersisted
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .eagerPersisted
     val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("tok"),

@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared helpers for catalog entry bodies. */
+private[queries] object QueryUtil {
+
+  /** Chainable persist(MEMORY_AND_DISK) + eager cache fill.
+    *
+    * Catalog entries persist a relation precisely because ≥ 2 downstream
+    * branches read it — and those branches are SIBLING query stages that
+    * AQE materializes concurrently, so a lazily-filled cache is raced and
+    * the persisted pipeline recomputed once per reader (r15 profile:
+    * duplicate "Block rdd_N already exists" fills under the fan-out
+    * entries; see [[graft.operators.Dedup.eagerPersist]]). One `count()`
+    * pays the cache build exactly once, up front — the build cost itself
+    * is identical (InMemoryRelation materializes all columns either way);
+    * only the duplicate computes disappear.
+    */
+  implicit class EagerPersistOps(private val df: DataFrame) extends AnyVal {
+    def eagerPersisted: DataFrame = graft.operators.Dedup.eagerPersist(df)
+  }
+}
