@@ -249,6 +249,7 @@ object Bench {
         f""""$name":{"min":$min%.3f,"runs":$rs,"ts":$ts,"load":$ld}"""
       }.mkString(",")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+        f""""cpus":${cpus.toInt},""" +
         f""""runs_per_query":$runsPerQuery,"n_queries":${results.size},""" +
         f""""shuffle_seed":$seed,"retry_load_threshold":$retryLoad%.1f,""" +
         // `retried` = entries actually RE-RUN (empty when the retry pass
@@ -274,8 +275,28 @@ object Bench {
     // triggers all passed — only an UNCONTENDED full-catalog run may
     // overwrite it, so a contended run refreshes the latest-record file
     // without poisoning the quiet column CatalogIndex renders from.
+    // Topology guard (r15 verdict: the driver's 8-CORE scaling pass was
+    // uncontended and silently overwrote the record with 8-core timings,
+    // poisoning every vs-quiet weather trigger): the record now STORES its
+    // core count and sf, and only a run at the standing record's topology
+    // may replace it. A legacy record without a "cpus" field is treated as
+    // the standard width (SPARK_GRAFT_QUIET_CPUS, default 32 — the
+    // driver's main-bench topology), which also self-heals the poisoned
+    // r15 record on the next standard-width run.
+    val quietStdCpus = sys.env.getOrElse("SPARK_GRAFT_QUIET_CPUS", "32").toInt
+    def quietTopologyOk: Boolean = {
+      val p = java.nio.file.Paths.get("BENCH_QUIET.json")
+      if (!java.nio.file.Files.exists(p)) cpus.toInt == quietStdCpus
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val recCpus = """"cpus":(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt).getOrElse(quietStdCpus)
+        val recSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        cpus.toInt == recCpus && recSf.forall(_ == sfDir)
+      }
+    }
     if (only.isEmpty && outPath.toString == "BENCH_LOCAL.json") {
-      if (!contended)
+      if (!contended && quietTopologyOk)
         java.nio.file.Files.write(
           java.nio.file.Paths.get("BENCH_QUIET.json"), fullJson.getBytes("UTF-8"))
       try graft.tools.CatalogIndex.write()

@@ -796,10 +796,14 @@ object Similarity {
     m.map(row => row.zip(v).foldLeft(0L) { case (acc, (a, b)) =>
       Math.addExact(acc, Math.multiplyExact(a, b)) })
 
-  private def normalizeQ(w: Array[Long], scale: Int): Array[Long] = {
-    val m = Math.max(w.map(Math.absExact).max / scale, 1L)
-    w.map(signSplitDiv(_, m))
-  }
+  private def normalizeQ(w: Array[Long], scale: Int): Array[Long] =
+    // empty-corpus guard: covCollectQ yields zero dims on an empty
+    // embeddings relation and `empty.max` throws where the distributed
+    // implementation returned an empty frame — keep that contract
+    if (w.isEmpty) w else {
+      val m = Math.max(w.map(Math.absExact).max / scale, 1L)
+      w.map(signSplitDiv(_, m))
+    }
 
   /** [[pcaPowerQ]]'s direction as driver arrays: (sorted dims, weights). */
   private def pcaArrayQ(emb: DataFrame, iters: Int, scale: Int): (Array[Long], Array[Long]) = {

@@ -894,7 +894,11 @@ object AnalyticsQueries {
             sum("w").as("sw"))
           .select(col("b"),
             round(col("sx").cast("double") / col("sw"), 6).as("m"))
-          .eagerPersisted
+          // plain LAZY persist, deliberately not eagerPersisted: this is a
+          // 64-row aggregate frame whose readers are two sequential
+          // broadcast builds — the blanket eager fill's extra count() job
+          // cost more than the recompute it prevents (r15: 1.65 → 2.17 s)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def nth(df: DataFrame, asc: Boolean) = {
           val first = if (asc) df.orderBy(col("m").asc, col("b").asc)
             else df.orderBy(col("m").desc, col("b").desc)
@@ -3863,7 +3867,7 @@ object AnalyticsQueries {
         |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT)) AS cents,
         |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM orders GROUP BY 1, 2)
-        |SELECT pri, m, cents, cnt FROM cells a
+        |SELECT pri, m, CAST(cents AS BIGINT) AS cents, cnt FROM cells a
         |WHERE NOT EXISTS (SELECT 1 FROM cells b
         |  WHERE b.pri = a.pri AND b.m <> a.m
         |    AND b.cents >= a.cents AND b.cnt >= a.cnt

@@ -35,20 +35,28 @@ object Profile {
     val stages = mutable.ArrayBuffer[StageRow]()
     val jobStart = mutable.Map[Int, Long]()
     var collecting = false
+    // the listener bus posts from its own thread while the main thread
+    // reads the buffers after each entry — synchronize both sides so a
+    // backlogged bus can't corrupt rows mid-append
+    val lock = new Object
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (collecting) jobStart(j.jobId) = j.time
+        lock.synchronized { if (collecting) jobStart(j.jobId) = j.time }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
-        if (collecting) jobStart.remove(j.jobId).foreach { t0 =>
-          jobs += ((j.jobId, (j.time - t0) / 1e3))
+        lock.synchronized {
+          if (collecting) jobStart.remove(j.jobId).foreach { t0 =>
+            jobs += ((j.jobId, (j.time - t0) / 1e3))
+          }
         }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        if (collecting) {
-          val i = s.stageInfo
-          val m = i.taskMetrics
-          stages += StageRow(i.name.takeWhile(_ != '\n'),
-            m.executorRunTime / 1e3, m.shuffleReadMetrics.totalBytesRead,
-            m.shuffleWriteMetrics.bytesWritten, i.numTasks)
+        lock.synchronized {
+          if (collecting) {
+            val i = s.stageInfo
+            val m = i.taskMetrics
+            stages += StageRow(i.name.takeWhile(_ != '\n'),
+              m.executorRunTime / 1e3, m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleWriteMetrics.bytesWritten, i.numTasks)
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -66,20 +74,23 @@ object Profile {
       var warm = 0.0
       for (run <- 1 to 2) {
         spark.catalog.clearCache()
-        jobs.clear(); stages.clear(); jobStart.clear()
-        collecting = run == 2
+        lock.synchronized {
+          jobs.clear(); stages.clear(); jobStart.clear()
+          collecting = run == 2
+        }
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         if (run == 2) warm = sec
         println(f"[profile] $q run$run $sec%.2f s")
       }
-      collecting = false
-      // listener events are posted asynchronously; give the bus a moment
+      // listener events are posted asynchronously; give the bus a moment,
+      // then snapshot under the lock (mid-append rows can't be observed)
       Thread.sleep(300)
+      lock.synchronized { collecting = false }
       println(f"[profile] $q warm=$warm%.2f s jobs=${jobs.size} " +
         f"jobSecSum=${jobs.map(_._2).sum}%.2f")
-      val top = stages.sortBy(-_.taskSec).take(12)
+      val top = lock.synchronized(stages.sortBy(-_.taskSec).take(12))
       for (s <- top)
         println(f"[profile]   stage taskSec=${s.taskSec}%7.2f tasks=${s.tasks}%4d " +
           f"sRead=${s.shufRead / 1024}%8dK sWrite=${s.shufWrite / 1024}%8dK  ${s.name}")

@@ -39,24 +39,48 @@ def norm(v):
         return repr(v)
     return str(v)
 
-def canon(cols, rows):
+def type_class(t):
+    """Empirically calibrated to the driver's hash gate (r15): int-width
+    mismatches (INTEGER vs BIGINT) and DECIMAL-vs-DOUBLE both PASS the
+    driver, but an un-cast DuckDB sum() typing as HUGEINT against Spark's
+    BIGINT FAILS it — i.e. the driver is sensitive to the integral/float
+    representation class, not the width. HUGEINT deliberately classes
+    apart from the integral widths."""
+    t = str(t)
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"
+    return t
+
+def canon(rel):
+    cols, types = rel.columns, [type_class(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+    rows = sorted(tuple(norm(r[i]) for i in order) for r in rel.fetchall())
+    return [cols[i] for i in order], [types[i] for i in order], rows
 
 fails = []
 for name in sorted(oracles):
     try:
-        spark_rel = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
-        scols, srows = canon(spark_rel.columns, spark_rel.fetchall())
-        oracle_rel = con.sql(oracles[name])
-        ocols, orows = canon(oracle_rel.columns, oracle_rel.fetchall())
+        scols, stypes, srows = canon(con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'"))
+        ocols, otypes, orows = canon(con.sql(oracles[name]))
     except Exception as e:
         print(f"FAIL {name}: exception {str(e)[:200]}")
         fails.append(name)
         continue
     if scols != ocols:
         print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+        fails.append(name)
+    elif stypes != otypes:
+        # The driver hashes EXACT values from both sides, so a type-level
+        # mismatch (e.g. an un-cast DuckDB sum() typing as HUGEINT against
+        # Spark's BIGINT) fails there even when the stringified values agree
+        # — which is exactly how r15's q_pareto_skyline passed locally and
+        # failed the driver's gate. Compare types, not just strings.
+        mism = [(scols[i], stypes[i], otypes[i])
+                for i in range(len(scols)) if stypes[i] != otypes[i]]
+        print(f"FAIL {name}: types (col, spark, oracle) {mism}")
         fails.append(name)
     elif srows != orows:
         diff_a = [r for r in srows if r not in orows][:3]
