@@ -122,7 +122,7 @@ object Audio {
     */
   def wavMeta(docIds: Dataset[Long]): Dataset[WavMeta] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val (fmt, _) = decodeWav(synth(id))
         WavMeta(id, fmt.sampleRate, fmt.channels, fmt.bits, fmt.frames)
@@ -196,7 +196,7 @@ object Audio {
     */
   def spectralFingerprints(docIds: Dataset[Long]): Dataset[AudioFp] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val (_, samples) = decodeWav(synth(id))
         AudioFp(id, spectralFp(samples))
@@ -215,7 +215,7 @@ object Audio {
     */
   def windowSignatures(docIds: Dataset[Long]): Dataset[AudioWin] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.flatMap { id =>
         val (_, samples) = decodeWav(synth(id))
         val nW = samples.length / FpFrameLen
@@ -255,7 +255,7 @@ object Audio {
     */
   def pcmStats(docIds: Dataset[Long]): Dataset[PcmStats] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val (_, samples) = decodeWav(synth(id))
         var sum = 0L
@@ -288,7 +288,7 @@ object Audio {
   def vadStats(docIds: Dataset[Long], window: Int = 64,
                threshold: Long = 66000L): Dataset[VadStats] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val (_, samples) = decodeWav(synth(id))
         val nWin = samples.length / window

@@ -123,11 +123,23 @@ object Dedup {
   private def shingleIndex(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // eager fill: the posting relation is read by 2-3 SIBLING stages
-    // (self-join sides, df prune) that would otherwise race the cache
-    val sh = eagerPersist(docs
+    // (self-join sides, df prune) that would otherwise race the cache.
+    // In EXACT mode (maxDf <= 0) the cache is HASH-PARTITIONED BY `h`
+    // (r16): both pair self-join sides key on h, so paying ONE exchange
+    // at cache build time lets the cached partitioning satisfy both join
+    // inputs (guide §2.4: operations keyed the same way share one
+    // exchange) — same bytes as ONE of the two old join exchanges, and
+    // the same per-key skew those exchanges already had. With a maxDf
+    // cap the cache deliberately stays unpartitioned: a pre-prune
+    // repartition would concentrate every capped-out hot shingle's rows
+    // in one task BEFORE the prune removes them, while the committed
+    // shape's only full h-exchange carries post-prune (≤ maxDf per key)
+    // rows — the skew bound the cap exists to provide.
+    val raw = docs
       .select(col("doc_id"), call_function("shingle_hashes", col("text"), lit(n)).as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
-        explode(col("hs")).as("h")))
+        explode(col("hs")).as("h"))
+    val sh = eagerPersist(if (maxDf <= 0) raw.repartition(col("h")) else raw)
     if (maxDf <= 0) sh else {
       val heavy = sh.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
@@ -498,7 +510,7 @@ object Dedup {
   private def bandBuckets(withHs: DataFrame, numHashes: Int, bands: Int,
                           maxBucket: Int): DataFrame = {
     val rows = numHashes / bands
-    val raw = withHs
+    val rawPlan = withHs
       .select(col("doc_id"),
         call_function("minhash_sig", col("hs"), lit(numHashes)).as("sig"))
       .select(
@@ -508,6 +520,15 @@ object Dedup {
           struct(lit(b).as("band"), xxhash64(cols :+ lit(b): _*).as("bucket"))
         }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    // eager-persisted on the prune path (r16): the 64-chain minhash
+    // signature pass is the expensive part, and with a cap this relation
+    // has 3 readers (hot-bucket aggregate, anti-join probe, and the
+    // caller's self-join sides read its output twice) that each re-ran
+    // it — the cache holds (doc_id, band, bucket) rows only, never the
+    // hash arrays. Exact mode stays lazy: its single-reader callers
+    // (hot-bucket observables, witness twins) would pay the fill job
+    // for nothing.
+    val raw = if (maxBucket <= 0) rawPlan else eagerPersist(rawPlan)
     if (maxBucket <= 0) raw else {
       // aggregate + anti join, no broadcast hint (hot-bucket cardinality
       // grows with the corpus)
@@ -763,30 +784,43 @@ object Dedup {
     while (!converged && rounds < maxIter) {
       // large-star over the symmetric adjacency: node u sends neighbors
       // v > u to m = min(Γ(u) ∪ {u}); emitted (v, m) keeps hi > lo.
-      // r15 plan-shape rewrite, same edge set per round bit-for-bit:
-      //  - both directions come from ONE generate (explode) instead of
-      //    `union(select(hi,lo), select(lo,hi))` — sibling union branches
-      //    scan the upstream twice, concurrently;
-      //  - min-of-neighborhood is ONE window keyed by the same column the
-      //    old groupBy+join pair shuffled on — one exchange instead of
-      //    two, and no persisted intermediate for the next phase to race
-      //    on (the old `large.persist` was filled by BOTH small-star
-      //    readers at once, duplicating the large-star join per round).
+      // Both directions come from ONE generate (explode) instead of
+      // `union(select(hi,lo), select(lo,hi))` — sibling union branches
+      // scan the upstream twice, concurrently (r15).
+      // The neighborhood minimum is a hash AGGREGATE + join back, NOT a
+      // window (r16, reverting half of r15): a window partition is
+      // unsplittable and buffers the whole neighborhood in one task, and
+      // in CC the component-minimum node's degree approaches component
+      // size after the first rounds — one giant dup cluster at 100 TB
+      // would serialize on a single window task. The aggregate has
+      // map-side partial min (a hot node's rows combine locally before
+      // the exchange carries one row per (task, node)), and the join of
+      // the node-keyed mins back onto the adjacency is the
+      // AQE-skew-splittable shape (guide §2.5: the mins side is one row
+      // per key, so the skewed adjacency partition can be split). `sym`
+      // is re-derived per reader from the CHECKPOINTED edge set, so the
+      // two reads cost two scans of materialized rows, not two runs of
+      // the pair pipeline — no raced persisted intermediate.
       val sym = e.select(explode(array(
           struct(col("hi").as("u"), col("lo").as("v")),
           struct(col("lo").as("u"), col("hi").as("v")))).as("s"))
         .select(col("s.u").as("u"), col("s.v").as("v"))
-      val large = sym
-        .withColumn("m", least(col("u"), min("v").over(Window.partitionBy("u"))))
-        .where(col("v") > col("u"))
+      val mins = sym.groupBy("u")
+        .agg(least(col("u"), min("v")).as("m"))
+      val large = sym.where(col("v") > col("u"))
+        .join(mins, "u")
         .select(col("v").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
+        // materialized so small-star's two readers (mins aggregate +
+        // join) scan rows instead of re-running the large-star join
+        .localCheckpoint(eager = true)
       // small-star: node hi sends its smaller neighbors (and itself) to
-      // m = min(Γ_small(hi)); both emissions keep hi > lo. Same window
-      // idiom; the (hi, m) self-row branch (one per EDGE here, one per
-      // node in the old groupBy form) dedups in the terminal distinct.
-      val next = large
-        .withColumn("m", min("lo").over(Window.partitionBy("hi")))
+      // m = min(Γ_small(hi)); both emissions keep hi > lo, the (hi, m)
+      // self-row branch (one per EDGE here, one per node in the old
+      // groupBy form) dedups in the terminal distinct. Same skew-safe
+      // aggregate+join shape as large-star.
+      val smins = large.groupBy("hi").agg(min("lo").as("m"))
+      val next = large.join(smins, "hi")
         .select(explode(array(
           struct(col("lo").as("n"), col("m")),
           struct(col("hi").as("n"), col("m")))).as("s"))
@@ -1083,8 +1117,14 @@ object Dedup {
     */
   def embeddingCosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // spread the STREAMED side of the nested-loop join across cores
+    // before the quadratic scoring (r16): a small corpus arrives as one
+    // file split, so the O(N²) cosine pass otherwise runs on one task.
+    // The round-robin repartition is corpus-LINEAR — asymptotically free
+    // relative to the join it feeds at any scale.
+    val cores = embeddings.sparkSession.sparkContext.defaultParallelism
     // native one-pass cosine (codegen'd, allocation-free) per pair
-    embeddings.as("a")
+    embeddings.repartition(cores).as("a")
       .join(embeddings.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("cos"))
@@ -1133,10 +1173,17 @@ object Dedup {
   private[graft] def hyperplaneBuckets(embeddings: DataFrame, idAs: String,
                                        dim: Int, rowsPerBand: Int, bands: Int,
                                        maxBucket: Int): DataFrame = {
-    val raw = embeddings
+    val rawPlan = embeddings
       .select(col("vec_id").as(idAs),
         Vectors.hyperplaneBandBuckets(col("embedding"), dim, bands, rowsPerBand).as("bkts"))
       .select(col(idAs), posexplode(col("bkts")).as(Seq("band", "bucket")))
+    // eager-persisted on the prune path (r16): the hyperplane signature
+    // pass (bands × rowsPerBand dot products per vector) re-ran once per
+    // reader — hot-bucket aggregate, anti-join probe, caller self-join
+    // sides; the cache holds (id, band, bucket) rows only. Exact mode
+    // stays lazy (single-reader callers: hot-bucket observables, the
+    // streaming batch side — an extra fill job per micro-batch).
+    val raw = if (maxBucket <= 0) rawPlan else eagerPersist(rawPlan)
     if (maxBucket <= 0) raw else {
       // aggregate + anti join, no broadcast hint (hot-bucket cardinality
       // grows with the corpus)

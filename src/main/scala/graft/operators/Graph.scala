@@ -598,10 +598,16 @@ object Graph {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"), col("community"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("community"))
-      labels = counted.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("community"))
+      // top-1 label per node as a hash AGGREGATE, not a row_number
+      // window (r16): max(struct(cnt, -community)) is the identical
+      // argmax — highest count, then LOWEST community on ties (labels
+      // are node ids ≥ 0, so negation reverses the order exactly) —
+      // with map-side partial aggregation where the window buffered and
+      // sorted each node's label rows in one unsplittable partition
+      labels = counted
+        .groupBy("doc_id")
+        .agg(max(struct(col("cnt"), (-col("community")).as("nc"))).as("m"))
+        .select(col("doc_id"), (-col("m.nc")).as("community"))
     }
     labels
   }

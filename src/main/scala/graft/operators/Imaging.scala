@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   */
 object Imaging {
 
+  /** Spread a compute-bound generator input across cores (r16, SCALE.md
+    * round-7 lesson / guide §1.2 step 2): the media UDF passes (encode +
+    * decode + hash per row) inherit the scan's BYTE-sized partitioning —
+    * one file split runs the whole pass on one task. The repartition
+    * moves 8-byte ids, linear and payload-free, before the expensive
+    * per-row work; ids are deterministic so round-robin is retry-safe
+    * (sort-before-repartition stays on).
+    */
+  private[operators] def spread[T](ds: Dataset[T]): Dataset[T] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
+
   /** Fixed canvas for the perceptual-hash entries: 18×16 so the 9×8 dHash
     * grid is an exact 2×2 block sum — no resampling filter to disagree on.
     */
@@ -221,7 +232,7 @@ object Imaging {
     */
   def jpegMeta(docIds: Dataset[Long]): Dataset[JpegMeta] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val (w, h) = dims(id)
         val img = decode(encodeJpeg(w, h, (x, y) => pixel(id, x, y)))
@@ -259,7 +270,7 @@ object Imaging {
     */
   def jpegHashRobustness(docIds: Dataset[Long]): Dataset[HashRobustness] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         def px(x: Int, y: Int): Int = pixel(id, x, y)
         val bmp = decode(encodeBmp(HashW, HashH, px))
@@ -278,7 +289,7 @@ object Imaging {
     */
   def jpegExifColumn(docIds: Dataset[Long]): Dataset[JpegBytes] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val (w, h) = dims(id)
         val raw = encodeJpeg(w, h, (x, y) => pixel(id, x, y))
@@ -420,7 +431,7 @@ object Imaging {
     */
   def decodedMeta(docIds: Dataset[Long]): Dataset[DecodedMeta] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val (w, h) = dims(id)
         val img = decode(encodeBmp(w, h, (x, y) => pixel(id, x, y)))
@@ -439,7 +450,7 @@ object Imaging {
   /** Fixed 18×16 BMP per doc → decode → dHash + aHash. */
   def imageHashes(docIds: Dataset[Long]): Dataset[ImageHashes] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val img = decode(encodeBmp(HashW, HashH, (x, y) => pixel(id, x, y)))
         ImageHashes(id, dHash64(img), aHash64(img))
@@ -493,7 +504,7 @@ object Imaging {
     */
   def flipInvariantHashes(docIds: Dataset[Long]): Dataset[FlipHashes] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val img = decode(encodeBmp(HashW, HashH, (x, y) => pixel(id, x, y)))
         val d = dHash64(img)
@@ -510,7 +521,7 @@ object Imaging {
   /** Fixed-canvas BMP per doc → decode → DCT pHash. */
   def imagePHashes(docIds: Dataset[Long]): Dataset[PHashRow] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val img = decode(encodeBmp(HashW, HashH, (x, y) => pixel(id, x, y)))
         PHashRow(id, pHash64(img))
@@ -524,7 +535,7 @@ object Imaging {
     */
   def pngColumn(docIds: Dataset[Long]): Dataset[PngBytes] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val (w, h) = dims(id)
         PngBytes(id, encodePng(w, h, (x, y) => pixel(id, x, y)))

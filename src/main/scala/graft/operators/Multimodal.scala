@@ -58,7 +58,7 @@ object Multimodal {
     */
   def mixedContainers(docIds: Dataset[Long]): Dataset[SniffRow] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val bytes = (id % 5) match {
           case 0 => Imaging.encodeBmp(8, 6, (x, y) => Imaging.pixel(id, x, y))

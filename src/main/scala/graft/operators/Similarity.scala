@@ -363,7 +363,11 @@ object Similarity {
       // cannot be scoped inside: the plan reads it twice (cells + probes)
       // and the result is lazy, so there is no safe unpersist point before
       // the caller materializes it.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // EAGER fill (r16): cells and probes are SIBLING stages of the cell
+      // join — a lazy fill is raced and the crossJoin+window pivot
+      // ranking re-runs once per reader (the r15 eager-persist finding;
+      // this operator-level site was missed then).
+      .transform(graft.operators.Dedup.eagerPersist)
     val cells = ranked.filter(col("pr") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         col("pid").as("cluster"))

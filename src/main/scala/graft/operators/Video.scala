@@ -138,7 +138,7 @@ object Video {
     */
   def gifColumn(docIds: Dataset[Long]): Dataset[GifBytes] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions(ids => ids.map(id => GifBytes(id, encodeGif(id))))
+    Imaging.spread(docIds).mapPartitions(ids => ids.map(id => GifBytes(id, encodeGif(id))))
   }
   final case class FrameHash(doc_id: Long, frame_idx: Long, dhash: Long)
   final case class FrameStats(doc_id: Long, frame_idx: Long,
@@ -150,7 +150,7 @@ object Video {
     */
   def gifMeta(docIds: Dataset[Long]): Dataset[GifMeta] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.map { id =>
         val frames = decodeFrames(encodeGif(id))
         var sum = 0L
@@ -173,7 +173,7 @@ object Video {
     */
   def frameHashes(docIds: Dataset[Long]): Dataset[FrameHash] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.flatMap { id =>
         decodeFrames(encodeGif(id)).zipWithIndex.map { case (img, f) =>
           FrameHash(id, f.toLong, Imaging.dHash64(img))
@@ -191,7 +191,7 @@ object Video {
     */
   def frameStats(docIds: Dataset[Long]): Dataset[FrameStats] = {
     import docIds.sparkSession.implicits._
-    docIds.mapPartitions { ids =>
+    Imaging.spread(docIds).mapPartitions { ids =>
       ids.flatMap { id =>
         decodeFrames(encodeGif(id)).zipWithIndex.map { case (img, f) =>
           var s = 0L

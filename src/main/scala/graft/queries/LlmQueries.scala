@@ -931,17 +931,22 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         val e = emb(s, dir)
         val tau = 0.45
-        val lshLabels = Dedup.connectedComponents(
-            Dedup.embeddingLshPairs(e, dim = 64, tau,
-              rowsPerBand = 6, bands = 20)
-              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-          .select(col("doc_id").as("vec_id"), col("cluster_id").as("lc"))
-          .eagerPersisted
-        val exactLabels = Dedup.connectedComponents(
-            Dedup.embeddingCosinePairs(e, tau)
-              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-          .select(col("doc_id").as("vec_id"), col("cluster_id").as("xc"))
-          .eagerPersisted
+        // the two CC fixpoint loops are INDEPENDENT and barrier-dominated
+        // (a job + localCheckpoint per star round) — overlap them from
+        // driver threads (guide §2.6, QueryUtil.inParallel) so the entry
+        // pays ~max of the two walls, not their sum
+        val (lshLabels, exactLabels) = QueryUtil.inParallel(
+          Dedup.connectedComponents(
+              Dedup.embeddingLshPairs(e, dim = 64, tau,
+                rowsPerBand = 6, bands = 20)
+                .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+            .select(col("doc_id").as("vec_id"), col("cluster_id").as("lc"))
+            .eagerPersisted,
+          Dedup.connectedComponents(
+              Dedup.embeddingCosinePairs(e, tau)
+                .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+            .select(col("doc_id").as("vec_id"), col("cluster_id").as("xc"))
+            .eagerPersisted)
         val refinement = lshLabels.join(exactLabels, Seq("vec_id"), "left")
           .groupBy("lc").agg(countDistinct(col("xc")).as("nx"),
             count(when(col("xc").isNull, 1)).as("missing"))
@@ -1302,6 +1307,12 @@ object LlmQueries {
         val out = graft.tools.TmpDirs.path("ann-index")
         ranked.filter(col("pr") === 1)
           .select(col("vec_id"), col("embedding"), col("pid").as("cluster"))
+          // cluster the dynamic-partition write (r16, guide §6 / the p7
+          // FileSink treatment): without it every upstream task writes a
+          // sliver of every cluster directory — up to tasks × 32 small
+          // files whose open/footer overhead the probe read-back then
+          // pays. Hash maps one cluster to one task → exactly 32 files.
+          .repartition(col("cluster"))
           .write.mode("overwrite").partitionBy("cluster").parquet(out)
         // 2 probe cells per query → 16 rows, NOT 8: no limit here (the
         // subtree is already bounded in-plan by the 32-pivot limit above)
@@ -1497,11 +1508,13 @@ object LlmQueries {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .eagerPersisted
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+        // dl = Σ tf per doc folds from the cached tf instead of a second
+        // pass over the exploded tokens (r16, guide §2.3); toks becomes
+        // single-reader so its persist (and eager fill job) goes away
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
           .eagerPersisted
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
         val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(stats))
           .select(col("tok"),
@@ -1621,8 +1634,12 @@ object LlmQueries {
           // read twice (distinct-query count + per-team wins): a plain
           // cache keeps the BM25 + draft lineage single-execution without
           // the plan-string blowup the old localCheckpoint papered over
-          // (r12 ADVICE); caller-must-clear-cache, the catalog contract
-          .eagerPersisted
+          // (r12 ADVICE); caller-must-clear-cache, the catalog contract.
+          // LAZY, not eagerPersisted (r16): this is a ≤ query-count-row
+          // frame whose upstream is already checkpointed — the eager
+          // fill's extra count() job costs more than the recompute it
+          // prevents (the q_bootstrap_ci lesson, r15 verdict item 7)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = clicked.agg(countDistinct("query_id").as("nq"))
         clicked.groupBy("team").agg(count(lit(1)).as("wins"))
           .crossJoin(broadcast(n))
@@ -1720,11 +1737,13 @@ object LlmQueries {
         val toks = docs(s, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-          .eagerPersisted
-        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+        // dl = Σ tf per doc folds from the cached tf instead of a second
+        // pass over the exploded tokens (r16, guide §2.3); toks becomes
+        // single-reader so its persist (and eager fill job) goes away
         val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
           .eagerPersisted
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
         val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(stats))
           .select(col("tok"),
@@ -2564,12 +2583,17 @@ object LlmQueries {
       (s: SparkSession, dir: String) => {
         val d = docs(s, dir)
         val isNew = (c: Column) => pmod(c, lit(3)) === 2
-        val oldLabels = Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(d.filter(!isNew(col("doc_id"))), n = 3, pct = 80, maxDf = 0)
-            .select(col("doc_a"), col("doc_b")))
+        // the old-corpus CC loop and the incremental pair construction
+        // (whose shingle index eagerly fills its cache) are independent —
+        // overlap them from driver threads (guide §2.6); only the final
+        // CC depends on both
+        val (oldLabels, newPairs) = QueryUtil.inParallel(
+          Dedup.connectedComponents(
+            Dedup.ngramJaccardPairs(d.filter(!isNew(col("doc_id"))), n = 3, pct = 80, maxDf = 0)
+              .select(col("doc_a"), col("doc_b"))),
+          Dedup.incrementalPairs(d, isNew, n = 3, pct = 80, maxDf = 0))
         val labelEdges = oldLabels
           .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-        val newPairs = Dedup.incrementalPairs(d, isNew, n = 3, pct = 80, maxDf = 0)
         Dedup.connectedComponents(labelEdges.unionAll(newPairs))
       },
       Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2660,10 +2684,17 @@ object LlmQueries {
           // broadcast-hint audit at any SF
           .limit(1 << 20)
         val train = withBits.filter(pmod(col("doc_id"), lit(23)) =!= 0)
+        // ONE broadcast subtree for all three bit probes (r16): aliasing
+        // the bloom set per-column (`bit AS b1/b2/b3`) made three
+        // non-identical BroadcastExchanges, so the bloom DISTINCT and its
+        // broadcast build ran three times; joining the same relation with
+        // an explicit key predicate keeps the build subtrees identical
+        // and ReuseExchange collapses them to one
+        val bl = broadcast(bloom)
         val flagged = train
-          .join(broadcast(bloom.select(col("bit").as("b1"))), Seq("b1"), "left_semi")
-          .join(broadcast(bloom.select(col("bit").as("b2"))), Seq("b2"), "left_semi")
-          .join(broadcast(bloom.select(col("bit").as("b3"))), Seq("b3"), "left_semi")
+          .join(bl, col("b1") === bl("bit"), "left_semi")
+          .join(bl, col("b2") === bl("bit"), "left_semi")
+          .join(bl, col("b3") === bl("bit"), "left_semi")
         val nb = flagged.groupBy("doc_id").agg(countDistinct(col("g")).as("n_bloom_grams"))
         val nx = train.join(ev.select("g").distinct(), Seq("g"), "left_semi")
           .groupBy("doc_id").agg(countDistinct(col("g")).as("n_exact_grams"))
@@ -6724,11 +6755,16 @@ object LlmQueries {
         val q = e.filter(col("vec_id") < 8).limit(8)
         val brute = Similarity.bruteForceTopK(e, q, k = 5)
           .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("r"))
-        val beam = Similarity.graphTopK(e, q, k = 5, nPivots = 32, nProbe = 4, graphK = 5)
-          .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("r"))
-        val adc = Similarity.pqAdcTopK(e, q, k = 5, nSub = 4, subDim = 16,
-            kCodes = 4, iters = 1)
-          .select(col("query_id"), col("neighbor_id"), col("rnk").as("r"))
+        // the graph leg (knn-graph build + edge cache fills) and the PQ
+        // leg (quantize fill + Lloyd round) both construct EAGERLY and
+        // are independent — overlap them from driver threads (guide
+        // §2.6); the brute leg is lazy and rides the final fused query
+        val (beam, adc) = QueryUtil.inParallel(
+          Similarity.graphTopK(e, q, k = 5, nPivots = 32, nProbe = 4, graphK = 5)
+            .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("r")),
+          Similarity.pqAdcTopK(e, q, k = 5, nSub = 4, subDim = 16,
+              kCodes = 4, iters = 1)
+            .select(col("query_id"), col("neighbor_id"), col("rnk").as("r")))
         val fused = brute.unionAll(beam).unionAll(adc)
           .select(col("query_id"), col("neighbor_id"),
             expr("1000000 div (60 + r)").as("c"))
@@ -8389,11 +8425,15 @@ object LlmQueries {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .eagerPersisted
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+    // tf is the only corpus-pass aggregate; dl (tokens per doc) = Σ tf
+    // per doc, so it folds from the CACHED tf instead of a second full
+    // pass over the exploded token relation (r16, guide §2.3: aggregate
+    // once, derive the rest) — which also makes toks single-reader, so
+    // its persist (and eager fill job) goes away entirely
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .eagerPersisted
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
     val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("tok"),

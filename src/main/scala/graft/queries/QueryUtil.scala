@@ -20,4 +20,21 @@ private[queries] object QueryUtil {
   implicit class EagerPersistOps(private val df: DataFrame) extends AnyVal {
     def eagerPersisted: DataFrame = graft.operators.Dedup.eagerPersist(df)
   }
+
+  /** Overlap two INDEPENDENT eager construction pipelines (CC fixpoint
+    * loops, eager cache fills) from driver threads — guide §2.6: actions
+    * are only sequential because the driver calls them sequentially, and
+    * Spark's FIFO scheduler back-fills one pipeline's stragglers with the
+    * other's tasks. For barrier-dominated loops (a job + localCheckpoint
+    * per round) the walls combine to ~max instead of sum. Results are
+    * byte-identical — the same computations, submitted from two threads.
+    */
+  def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
 }
