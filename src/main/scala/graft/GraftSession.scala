@@ -29,6 +29,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // dimension tables in this engine are small; let them broadcast
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // floor on SCAN parallelism (guide §6): byte-sized splitting gives a
+      // small input one split, which then runs every downstream
+      // compute-bound pass (codec UDFs, explodes, quadratic verify joins)
+      // on one task. Derived from the session's parallelism, never a
+      // literal; at real scale scans have far more splits than this floor
+      // and it is a no-op, while maxPartitionBytes still governs the
+      // ceiling.
+      .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
       // bound plan stringification: AQE re-renders the whole plan on every
       // stage update (AdaptiveSparkPlanExec.onUpdatePlan → explainString),

@@ -42,6 +42,15 @@ import org.apache.spark.sql.functions._
   */
 object Imaging {
 
+  // ImageIO defaults to DISK-backed scratch streams — a temp file per
+  // encode/decode call; all sources/sinks here are byte arrays, so the
+  // file cache is pure overhead, and with the generator passes spread
+  // across cores (r16) 32 concurrent tasks serialize on temp-file
+  // create/delete (profiled: the image-hash pass ran 40× slower per row
+  // at 32 tasks than at 1). Memory-cached streams remove the filesystem
+  // from the loop entirely.
+  ImageIO.setUseCache(false)
+
   /** Spread a compute-bound generator input across cores (r16, SCALE.md
     * round-7 lesson / guide §1.2 step 2): the media UDF passes (encode +
     * decode + hash per row) inherit the scan's BYTE-sized partitioning —

@@ -75,7 +75,11 @@ object Similarity {
   private def scanScoredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                              score: (Column, Column) => Column): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val scored = corpus.as("c")
+    // spread the streamed corpus across cores before the |Q|×|C| scoring
+    // pass (r16): one-row-group parquet defeats byte-splitting, so the
+    // whole scoring loop otherwise runs on one task; the repartition is
+    // corpus-linear against the multiplicative work it feeds
+    val scored = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).as("c")
       .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         score(col("q.embedding"), col("c.embedding")).as("cos"))
@@ -100,7 +104,8 @@ object Similarity {
   def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    cond: Column): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val scored = corpus.as("c")
+    // same streamed-side spread as scanScoredTopK (one-row-group parquet)
+    val scored = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism).as("c")
       .join(broadcast(queries.as("q")), col("q.vec_id") =!= col("c.vec_id") && cond)
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         call_function("cosine_sim", col("q.embedding"), col("c.embedding")).as("cos"))
@@ -349,9 +354,16 @@ object Similarity {
     // can only form in one cluster — no post-join distinct needed), ranks
     // 1..nProbe are the cells it probes as a query
     val pw = Window.partitionBy("vec_id").orderBy(col("pcos").desc, col("pid").asc)
+    // rank on (vec_id, pid, pcos) ONLY — the embedding payload used to
+    // ride the crossJoin → window exchange (nPivots copies of every
+    // vector through the shuffle and the cache); ranking needs ids and
+    // scores, so the payload re-attaches BY ID after the pr filter
+    // (guide §8: move decisions on a lightweight proxy, heavy bytes
+    // once). The rejoin's corpus-side exchange subtree is identical for
+    // both readers, so ReuseExchange ships the payload once.
     val ranked = corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(pivots)
-      .select(col("vec_id"), col("embedding"), col("pid"),
+      .select(col("vec_id"), col("pid"),
         call_function("cosine_sim", col("embedding"), col("p_emb")).as("pcos"))
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)
@@ -368,10 +380,12 @@ object Similarity {
       // ranking re-runs once per reader (the r15 eager-persist finding;
       // this operator-level site was missed then).
       .transform(graft.operators.Dedup.eagerPersist)
-    val cells = ranked.filter(col("pr") === 1)
+    val withEmb = ranked
+      .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val cells = withEmb.filter(col("pr") === 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         col("pid").as("cluster"))
-    val probes = ranked
+    val probes = withEmb
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("pid").as("cluster"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -2668,7 +2668,10 @@ object LlmQueries {
     "text_decontaminate_bloom" -> ((
       (s: SparkSession, dir: String) => {
         val d = docs(s, dir)
-        val withBits = d
+        // spread the 13-gram explode + triple-md5 pass across cores
+        // before the compute (guide §1.2 step 2; one-row-group parquet
+        // defeats byte-splitting, see text_compressibility)
+        val withBits = d.repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), explode(Dedup.shingles(col("text"), 13)).as("g"))
           .select(col("doc_id"), col("g"),
             expr("CAST(conv(substring(md5(g), 1, 5), 16, 10) AS BIGINT)").as("b1"),
@@ -5450,7 +5453,14 @@ object LlmQueries {
     "text_compressibility" -> ((
       (s: SparkSession, dir: String) => {
         val d = docs(s, dir)
+        // spread the character-bigram explode (≈ text-length rows per
+        // doc) across cores before the compute (guide §1.2 step 2): the
+        // fixture parquet is ONE row group, so even with the session's
+        // scan-parallelism floor the scan output is one task — the
+        // explicit round-robin is the split row-group byte-splitting
+        // cannot provide; linear vs the explode fan-out it feeds
         val bi = d.filter(length(col("text")) >= 2)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("text"),
             explode(expr("sequence(1, length(text) - 1)")).as("i"))
           .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
